@@ -1,0 +1,66 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory for the graft engine.
+  *
+  * The reference (kasper) has no engine configuration beyond batch sizing
+  * (`config.go:39-45`); everything here is Spark-native tuning chosen for
+  * the target deployment shape: a large multi-executor cluster reading
+  * ~100 TB of parquet. Locally we run `local[N]` but the settings are the
+  * ones that matter at scale: AQE (runtime re-planning, skew-join
+  * splitting, partition coalescing), UTC session time, and a shuffle
+  * partition count matched to the core count rather than the 200 default.
+  */
+object Graft {
+
+  /** Build a local session with scale-appropriate defaults. `cpus` comes
+    * from SPARK_GRAFT_CPUS when driven by the harness.
+    */
+  def localSession(appName: String = "graft", cpus: Int = defaultCpus): SparkSession =
+    configure(SparkSession.builder().master(s"local[$cpus]"), cpus)
+      .appName(appName)
+      .getOrCreate()
+
+  def defaultCpus: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(math.max(4, Runtime.getRuntime.availableProcessors()))
+
+  /** The engine's config surface, applied to any builder (local or
+    * cluster). Kept separate so Verify/Bench/tests share one definition.
+    */
+  def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      .config("spark.ui.enabled", "false")
+}
+
+/** Loaders for the harness tables (TESTDATA.md). One parquet per table;
+  * schemas are discovered from the footers. At cluster scale these would
+  * be partitioned directories — the API takes a dir so the same code
+  * serves both.
+  */
+final class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+  def region: DataFrame    = t("region")
+  def nation: DataFrame    = t("nation")
+  def customer: DataFrame  = t("customer")
+  def supplier: DataFrame  = t("supplier")
+  def part: DataFrame      = t("part")
+  def orders: DataFrame    = t("orders")
+  def lineitem: DataFrame  = t("lineitem")
+  def events: DataFrame    = t("events")
+  def documents: DataFrame = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+}
+
+object Tables {
+  def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
+}

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator surface (SURVEY.md §2B).
+  *
+  * Kasper users hand-write these inside `Process()` callbacks against
+  * key-value stores (reference: `topic_processor_test.go:76-155`,
+  * `examples/word_count_example.go:30-67`); here each is a declarative
+  * combinator over `DataFrame` so Catalyst owns pushdown, join selection
+  * and codegen. All combinators are lazy plan builders — no actions.
+  */
+object RelOps {
+
+  /** KQ-4/KQ-6 word splitting (reference splits on a single space,
+    * `examples/word_count_example.go:32`). Empty tokens are dropped so
+    * repeated separators don't manufacture rows.
+    */
+  def explodeWords(df: DataFrame, textCol: String, as: String = "word"): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as(as)).filter(col(as) =!= "")
+
+  /** KQ-6 grouped running count (word-count), batch form. */
+  def wordCount(df: DataFrame, textCol: String): DataFrame =
+    explodeWords(df, textCol).groupBy("word").agg(count("*").as("cnt"))
+
+  /** KQ-11 last-write-wins upsert by key: keep the newest row per key,
+    * mirroring store `Put` overwrite semantics (`map.go:37-40`). Ties on
+    * the ordering column are broken by `tieBreak` so the result is
+    * deterministic under parallel execution.
+    */
+  def latestByKey(df: DataFrame, keys: Seq[Column], orderDesc: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(orderDesc.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** KQ-16 deterministic top-k: total order (score desc, then tieBreak
+    * asc) before limit so equal scores can't make the cut nondeterministic.
+    * Spark implements orderBy+limit as TakeOrderedAndProject — no full
+    * sort, no single-node shuffle of the whole input.
+    */
+  def topK(df: DataFrame, score: Column, tieBreak: Column, k: Int): DataFrame =
+    df.orderBy(score.desc, tieBreak.asc).limit(k)
+
+  /** KQ-9 semi/anti joins (the reference's "emit only when present/absent"
+    * guards, `topic_processor_test.go:142-147`).
+    */
+  def existsIn(df: DataFrame, other: DataFrame, keys: Seq[String]): DataFrame =
+    df.join(other, keys, "left_semi")
+  def notExistsIn(df: DataFrame, other: DataFrame, keys: Seq[String]): DataFrame =
+    df.join(other, keys, "left_anti")
+
+  /** KQ-10 lookup enrichment: broadcast the small side (the store-`Get`
+    * pattern, `store.go:20-22`) so the probe side never shuffles.
+    */
+  def enrich(fact: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    fact.join(broadcast(dim), keys, "inner")
+
+  /** KQ-8 re-assembly: group rows back into a sorted array per key
+    * (the characters-per-fiction pattern, `topic_processor_test.go:135-155`).
+    * `sort_array` keeps array contents deterministic (SURVEY §7.4).
+    */
+  def reassemble(df: DataFrame, key: Column, item: Column, as: String = "items"): DataFrame =
+    df.groupBy(key).agg(sort_array(collect_list(item)).as(as))
+}

@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+class RelOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("explodeWords splits on single space and drops empties") {
+    val df = Seq("a b  c", "", "d").toDF("t")
+    val words = RelOps.explodeWords(df, "t").as[String].collect().sorted
+    assert(words.toSeq == Seq("a", "b", "c", "d"))
+  }
+
+  test("wordCount counts per word") {
+    val df = Seq("x y", "y z", "y").toDF("t")
+    val m = RelOps.wordCount(df, "t").as[(String, Long)].collect().toMap
+    assert(m == Map("x" -> 1L, "y" -> 3L, "z" -> 1L))
+  }
+
+  test("latestByKey keeps newest row per key with deterministic tie-break") {
+    val df = Seq((1, 10, "old"), (1, 20, "new"), (2, 5, "only"), (3, 7, "a"), (3, 7, "b"))
+      .toDF("k", "ts", "v")
+    val got = RelOps.latestByKey(df, Seq($"k"), Seq($"ts", $"v"))
+      .as[(Int, Int, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1, 20, "new"), (2, 5, "only"), (3, 7, "b")))
+  }
+
+  test("topK is deterministic under score ties") {
+    val df = Seq((1, 5.0), (2, 5.0), (3, 9.0), (4, 1.0)).toDF("id", "score")
+    val got = RelOps.topK(df, $"score", $"id", 2).as[(Int, Double)].collect().toSeq
+    assert(got == Seq((3, 9.0), (1, 5.0)))
+  }
+
+  test("semi/anti joins partition the left side") {
+    val t = Tables(spark, sfDir)
+    val withO = RelOps.existsIn(t.customer, t.orders.withColumnRenamed("o_custkey", "c_custkey"), Seq("c_custkey")).count()
+    val without = RelOps.notExistsIn(t.customer, t.orders.withColumnRenamed("o_custkey", "c_custkey"), Seq("c_custkey")).count()
+    assert(withO + without == t.customer.count())
+    assert(withO > 0)
+  }
+
+  test("q06 wordcount on fixtures is non-empty and ordered") {
+    val rows = graft.queries.Queries.q06_wordcount(spark, sfDir).as[(String, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+  }
+}
