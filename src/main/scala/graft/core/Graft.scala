@@ -45,20 +45,32 @@ object Graft {
 /** Loaders for the harness tables (TESTDATA.md). One parquet per table;
   * schemas are discovered from the footers. At cluster scale these would
   * be partitioned directories — the API takes a dir so the same code
-  * serves both.
+  * serves both. Lazy vals so a query referencing the same table twice
+  * shares one plan node (required for unambiguous self-references).
   */
 final class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
-  def region: DataFrame    = t("region")
-  def nation: DataFrame    = t("nation")
-  def customer: DataFrame  = t("customer")
-  def supplier: DataFrame  = t("supplier")
-  def part: DataFrame      = t("part")
-  def orders: DataFrame    = t("orders")
-  def lineitem: DataFrame  = t("lineitem")
-  def events: DataFrame    = t("events")
-  def documents: DataFrame = t("documents")
-  def embeddings: DataFrame = t("embeddings")
+  lazy val region: DataFrame    = t("region")
+  lazy val nation: DataFrame    = t("nation")
+  lazy val customer: DataFrame  = t("customer")
+  lazy val supplier: DataFrame  = t("supplier")
+  lazy val part: DataFrame      = t("part")
+  lazy val orders: DataFrame    = t("orders")
+  lazy val lineitem: DataFrame  = t("lineitem")
+  lazy val documents: DataFrame = t("documents")
+  lazy val embeddings: DataFrame = t("embeddings")
+
+  /** The events table carries nanosecond parquet timestamps (written by
+    * arrow); Spark has no nanos timestamp type, so read them as longs and
+    * truncate to microseconds — exactly what DuckDB's reader does, keeping
+    * the oracle comparable.
+    */
+  lazy val events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events").withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
 }
 
 object Tables {

@@ -1,21 +1,88 @@
 package graft.queries
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.ops.RelOps
 
 /** The declared query surface (SURVEY.md §2B, KQ-1..KQ-28) plus the
-  * beyond-parity training-data operators. Every entry here must have a
-  * matching oracle in [[Oracles]] (or be explicitly rows-only).
+  * beyond-parity training-data operators. Every entry here has a matching
+  * DuckDB oracle in [[Oracles]] unless the operator is not
+  * SQL-expressible (then the driver records a rows-only check and a
+  * ScalaTest spec owns correctness).
   *
   * Determinism contract (SURVEY §7.4): every query ends in a total
-  * `orderBy`; doubles that pass through aggregation are `round(_, 2)` so
-  * Spark's and DuckDB's summation orders can't flip the hash.
+  * `orderBy`. Doubles never go through float `round()` (Spark rounds the
+  * shortest decimal string, DuckDB multiplies — they disagree on the
+  * `.xx5` boundaries this 2-decimal money data constantly hits). Instead,
+  * anything aggregated is cast to DECIMAL(18,6) *before* summing — the
+  * source doubles are exact ≤4-decimal values, so the cast is
+  * deterministic on both engines and decimal addition is exact — and cast
+  * back to double at the end. min/max/lag/sqrt pass raw doubles through
+  * untouched (bit-identical on both engines). Integer widths are aligned
+  * to BIGINT on both sides.
   */
 object Queries {
 
   type Q = (SparkSession, String) => DataFrame
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.types.DecimalType
+
+  /** Exact-decimal image of a money/measure double (see class doc). */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 6))
+
+  /** Order-independent, engine-exact sum of a double column/expression. */
+  private def sumExact(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** KQ-1 scan: full scan of `events`, count + checksums. */
+  def q01_scan(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events.agg(
+      count("*").as("n_rows"),
+      sum("event_id").as("sum_id"),
+      sumExact(col("value")).as("sum_value"))
+
+  /** KQ-2 sink: write the KQ-6 result to parquet, re-read, re-sort.
+    * Exercises the write→read round trip the reference does via its
+    * buffered producer (`sender.go:34-51`).
+    */
+  def q02_sink(spark: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_sink").toString + "/wc"
+    q06_wordcount(spark, dir).write.mode("overwrite").parquet(out)
+    spark.read.parquet(out).orderBy("word")
+  }
+
+  /** KQ-3 projection/map: the `"Hello " + value` transform
+    * (`examples/producer_example.go:33-38`).
+    */
+  def q03_project(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).customer.select(
+      col("c_custkey"),
+      concat(lit("Hello "), col("c_name")).as("greeting"),
+      upper(col("c_mktsegment")).as("seg"))
+      .orderBy("c_custkey")
+
+  /** KQ-4 flatMap 1→N: word split (`examples/word_count_example.go:30-36`). */
+  def q04_flatmap(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).part
+      .select(col("p_partkey"), explode(split(col("p_name"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .orderBy("p_partkey", "word")
+
+  /** KQ-5 filter: range predicates on `lineitem`; pushed to the parquet
+    * scan by Catalyst (verified via explain in the bench review).
+    */
+  def q05_filter(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.02, 0.06) &&
+        col("l_quantity") < 25)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+      .orderBy("l_orderkey", "l_linenumber")
 
   /** KQ-6 word-count over `part.p_name` — the kasper flagship example
     * (`examples/word_count_example.go:30-67`) in batch form.
@@ -23,21 +90,466 @@ object Queries {
   def q06_wordcount(spark: SparkSession, dir: String): DataFrame =
     RelOps.wordCount(Tables(spark, dir).part, "p_name").orderBy("word")
 
+  /** KQ-6 grouped multi-aggregate (sum/avg/min/max per group). */
+  def q06_agg_pricing(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sumExact(col("l_quantity")).as("sum_qty"),
+        sumExact(col("l_extendedprice")).as("sum_base"),
+        sumExact(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"),
+        count("*").as("n"))
+      .withColumn("avg_qty", col("sum_qty") / col("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** KQ-7 equi inner join: the fiction→character lookup join
+    * (`topic_processor_test.go:135-155`) shaped as orders⋈customer.
+    */
+  def q07_join(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders.join(t.customer, t.orders("o_custkey") === t.customer("c_custkey"))
+      .select("o_orderkey", "c_name", "o_totalprice", "c_mktsegment")
+      .orderBy("o_orderkey")
+  }
+
+  /** KQ-8 re-assembly: group child rows back into a sorted, serialized
+    * list per parent (the characters-per-fiction array rebuild,
+    * `topic_processor_test.go:135-155`); array serialized to a string so
+    * the oracle hash is stable.
+    */
+  def q08_reassemble(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(
+        count("*").as("n_items"),
+        array_join(sort_array(collect_list(col("l_partkey"))), ",").as("parts"),
+        sumExact(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy("l_orderkey")
+
+  /** KQ-9 anti join: customers with no orders (the "missing key
+    * suppresses emit" guard, `topic_processor_test.go:142-147`).
+    */
+  def q09_anti(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    RelOps.notExistsIn(t.customer,
+      t.orders.filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("c_custkey")), Seq("c_custkey"))
+      .select("c_custkey", "c_name").orderBy("c_custkey")
+  }
+
+  /** KQ-9 semi join: customers with at least one order. */
+  def q09_semi(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    RelOps.existsIn(t.customer,
+      t.orders.select(col("o_custkey").as("c_custkey")), Seq("c_custkey"))
+      .select("c_custkey", "c_name").orderBy("c_custkey")
+  }
+
+  /** KQ-10 lookup enrichment via broadcast joins (store `Get` pattern,
+    * `store.go:20-22`): fact table never shuffles for the dims.
+    */
+  def q10_enrich(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sumExact(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count("*").as("n"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** KQ-11 last-write-wins upsert: latest event per user (store `Put`
+    * overwrite, `map.go:37-40`), deterministic tie-break on event_id.
+    */
+  def q11_lww(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    RelOps.latestByKey(e, Seq(col("user_id")), Seq(col("ts"), col("event_id")))
+      .select("user_id", "event_id", "event_type", "value")
+      .orderBy("user_id")
+  }
+
+  /** KQ-12 union / multi-topic fan-in
+    * (`examples/multiple_input_topics_example.go:40-41`).
+    */
+  def q12_union(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    val clicks = e.filter(col("event_type") === "click").select("event_id", "user_id", "event_type")
+    val buys = e.filter(col("event_type") === "purchase").select("event_id", "user_id", "event_type")
+    clicks.unionByName(buys).orderBy("event_id")
+  }
+
+  /** KQ-13 multitenant grouping: tenant as a plain column
+    * (vs `{tenant}/{prefix}/{key}` string keyspace, `multi_redis.go:44-46`).
+    */
+  def q13_tenant_group(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).customer
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count("*").as("n"), sumExact(col("c_acctbal")).as("sum_bal"))
+      .orderBy("c_nationkey", "c_mktsegment")
+
+  /** KQ-14 sort + distinct tenants (`multi_map.go:13-22` AllTenants). */
+  def q14_sort_distinct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).nation.select("n_name").distinct().orderBy("n_name")
+
+  /** KQ-15 distinct over a stream-shaped table. */
+  def q15_distinct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events.select("event_type").distinct().orderBy("event_type")
+
+  /** KQ-16 deterministic top-k (TakeOrderedAndProject — no full sort). */
+  def q16_topk(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables(spark, dir).orders
+      .groupBy(col("o_custkey"))
+      .agg(sumExact(col("o_totalprice")).as("revenue"))
+    RelOps.topK(rev, col("revenue"), col("o_custkey"), 10)
+      .select("o_custkey", "revenue")
+  }
+
+  /** KQ-17 string functions: the `{prefix}/{key}` key-builder
+    * (`redis.go:46-48`) and friends.
+    */
+  def q17_string(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).customer.select(
+      col("c_custkey"),
+      concat_ws("/", lit("cust"), col("c_mktsegment"), col("c_custkey").cast("string")).as("key"),
+      lower(col("c_name")).as("lname"),
+      substring(col("c_name"), 1, 5).as("prefix"),
+      length(col("c_name")).cast("long").as("name_len"))
+      .orderBy("c_custkey")
+
+  /** KQ-18 JSON extraction (`from_json` family; reference marshals JSON
+    * by hand, `topic_processor_test.go:43-63`).
+    */
+  def q18_json(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("k").agg(count("*").as("n"))
+      .orderBy("k")
+
+  /** KQ-19 numeric expressions (`examples/word_count_example.go:55-59`). */
+  def q19_math(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem.select(
+      col("l_orderkey"),
+      col("l_linenumber"),
+      dec(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+        .cast("double").as("charge"),
+      floor(col("l_quantity")).cast("long").as("qty_int"),
+      (col("l_orderkey") % 7).as("mod7"),
+      sqrt(col("l_extendedprice")).as("sqrt_price"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** KQ-20 array functions over re-assembled arrays
+    * (`topic_processor_test.go:119-127` CharacterIDs handling).
+    */
+  def q20_array(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(collect_list(col("l_partkey")).as("parts"))
+      .select(
+        col("l_orderkey"),
+        size(col("parts")).cast("long").as("n_parts"),
+        array_contains(col("parts"), lit(1L)).cast("int").as("has_p1"),
+        array_min(col("parts")).as("min_part"),
+        array_max(col("parts")).as("max_part"))
+      .orderBy("l_orderkey")
+
+  /** KQ-21 map functions: word→count map, point probe (the store-`Get`
+    * shape, `examples/word_count_example.go:47-60`).
+    */
+  def q21_map(spark: SparkSession, dir: String): DataFrame = {
+    val wc = RelOps.wordCount(Tables(spark, dir).part, "p_name")
+    wc.agg(map_from_entries(collect_list(struct(col("word"), col("cnt")))).as("m"))
+      .select(lit("small").as("word"), element_at(col("m"), "small").as("cnt"))
+  }
+
+  /** KQ-22 date/time functions over the stream-shaped table. */
+  def q22_datetime(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count("*").as("n"), countDistinct(col("user_id")).as("users"))
+      .orderBy("day")
+
+  /** KQ-23 tumbling event-time window (absent in the reference — its only
+    * analog is the wall-clock batch ticker, `topic_processor.go:219-232`).
+    */
+  def q23_window_tumbling(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count("*").as("n"), sumExact(col("value")).as("sum_value"))
+      .select(col("window.start").as("ws"), col("n"), col("sum_value"))
+      .orderBy("ws")
+
+  /** KQ-25 session window (batch form; gap = 30 min). */
+  def q25_session_window(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count("*").as("n"))
+      .select(col("user_id"), col("session_window.start").as("session_start"), col("n"))
+      .orderBy("user_id", "session_start")
+
+  /** KQ-26 analytic window functions: row_number / lag / running sum. */
+  def q26_analytic(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables(spark, dir).orders.select(
+      col("o_custkey"),
+      col("o_orderkey"),
+      col("o_orderdate"),
+      row_number().over(w).cast("long").as("rn"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_total"),
+      sum(dec(col("o_totalprice"))).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double").as("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** KQ-27 rollup: revenue by (nation, year) with subtotals. */
+  def q27_rollup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("yr", year(col("o_orderdate")))
+      .rollup(col("n_name"), col("yr"))
+      .agg(sumExact(col("o_totalprice")).as("rev"), count("*").as("n"))
+      .orderBy(col("n_name").asc_nulls_first, col("yr").asc_nulls_first)
+  }
+
+  /** KQ-28 set ops: customer-key algebra between two filters. */
+  private def q28sets(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val c = Tables(spark, dir).customer
+    (c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey"),
+      c.filter(col("c_acctbal") > 1000).select("c_custkey"))
+  }
+  def q28_intersect(spark: SparkSession, dir: String): DataFrame = {
+    val (a, b) = q28sets(spark, dir); a.intersect(b).orderBy("c_custkey")
+  }
+  def q28_except(spark: SparkSession, dir: String): DataFrame = {
+    val (a, b) = q28sets(spark, dir); a.except(b).orderBy("c_custkey")
+  }
+
+  /** KQ-29 exact distinct count (the oracle-checkable form). */
+  def q29_distinct_users(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("users"))
+      .orderBy("event_type")
+
+  /** KQ-29 approx distinct (HLL) — tolerance-checked only (rows-only). */
+  def q29_approx_distinct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy("event_type")
+
   val all: Map[String, Q] = Map(
-    "q06_wordcount" -> (q06_wordcount _)
+    "q01_scan" -> (q01_scan _),
+    "q02_sink" -> (q02_sink _),
+    "q03_project" -> (q03_project _),
+    "q04_flatmap" -> (q04_flatmap _),
+    "q05_filter" -> (q05_filter _),
+    "q06_wordcount" -> (q06_wordcount _),
+    "q06_agg_pricing" -> (q06_agg_pricing _),
+    "q07_join" -> (q07_join _),
+    "q08_reassemble" -> (q08_reassemble _),
+    "q09_anti" -> (q09_anti _),
+    "q09_semi" -> (q09_semi _),
+    "q10_enrich" -> (q10_enrich _),
+    "q11_lww" -> (q11_lww _),
+    "q12_union" -> (q12_union _),
+    "q13_tenant_group" -> (q13_tenant_group _),
+    "q14_sort_distinct" -> (q14_sort_distinct _),
+    "q15_distinct" -> (q15_distinct _),
+    "q16_topk" -> (q16_topk _),
+    "q17_string" -> (q17_string _),
+    "q18_json" -> (q18_json _),
+    "q19_math" -> (q19_math _),
+    "q20_array" -> (q20_array _),
+    "q21_map" -> (q21_map _),
+    "q22_datetime" -> (q22_datetime _),
+    "q23_window_tumbling" -> (q23_window_tumbling _),
+    "q25_session_window" -> (q25_session_window _),
+    "q26_analytic" -> (q26_analytic _),
+    "q27_rollup" -> (q27_rollup _),
+    "q28_intersect" -> (q28_intersect _),
+    "q28_except" -> (q28_except _),
+    "q29_distinct_users" -> (q29_distinct_users _),
+    "q29_approx_distinct" -> (q29_approx_distinct _)
   )
 }
 
 /** DuckDB-equivalent SQL for each query in [[Queries.all]]. Column names
-  * and row order must match the Spark side exactly (driver hash-compares
-  * after sorting columns by name).
+  * and row order must match the Spark side exactly (the driver
+  * hash-compares after sorting columns by name). Integer sums are CAST to
+  * BIGINT (DuckDB widens to HUGEINT); ORDER BY uses NULLS FIRST wherever
+  * a sort key can be null (DuckDB defaults to NULLS LAST; Spark asc is
+  * nulls-first).
   */
 object Oracles {
   val all: Map[String, String] = Map(
+    "q01_scan" ->
+      """SELECT count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS sum_id,
+        |CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value FROM events""".stripMargin,
+    "q02_sink" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+        |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,
+    "q03_project" ->
+      """SELECT c_custkey, 'Hello ' || c_name AS greeting,
+        |upper(c_mktsegment) AS seg FROM customer ORDER BY c_custkey""".stripMargin,
+    "q04_flatmap" ->
+      """SELECT p_partkey, word
+        |FROM (SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part)
+        |WHERE word <> '' ORDER BY p_partkey, word""".stripMargin,
+    "q05_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 25
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q06_wordcount" ->
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
-        |WHERE word <> ''
-        |GROUP BY word ORDER BY word""".stripMargin
+        |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,
+    "q06_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base,
+        |CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc,
+        |min(l_extendedprice) AS min_price,
+        |max(l_extendedprice) AS max_price,
+        |count(*) AS n,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q07_join" ->
+      """SELECT o_orderkey, c_name, o_totalprice, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q08_reassemble" ->
+      """SELECT l_orderkey, count(*) AS n_items,
+        |string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_partkey) AS parts,
+        |CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "q09_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q09_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q10_enrich" ->
+      """SELECT r_name, n_name,
+        |CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |count(*) AS n
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q11_lww" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q12_union" ->
+      """SELECT event_id, user_id, event_type FROM events WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT event_id, user_id, event_type FROM events WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+    "q13_tenant_group" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "q14_sort_distinct" ->
+      "SELECT DISTINCT n_name FROM nation ORDER BY n_name",
+    "q15_distinct" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    "q16_topk" ->
+      """SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY revenue DESC, o_custkey LIMIT 10""".stripMargin,
+    "q17_string" ->
+      """SELECT c_custkey,
+        |'cust' || '/' || c_mktsegment || '/' || CAST(c_custkey AS VARCHAR) AS key,
+        |lower(c_name) AS lname, substring(c_name, 1, 5) AS prefix,
+        |CAST(length(c_name) AS BIGINT) AS name_len
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q18_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
+        |FROM events GROUP BY k ORDER BY k""".stripMargin,
+    "q19_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |CAST(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6)) AS DOUBLE) AS charge,
+        |CAST(floor(l_quantity) AS BIGINT) AS qty_int,
+        |l_orderkey % 7 AS mod7,
+        |sqrt(l_extendedprice) AS sqrt_price
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q20_array" ->
+      """SELECT l_orderkey, count(*) AS n_parts,
+        |CAST(max(CASE WHEN l_partkey = 1 THEN 1 ELSE 0 END) AS INTEGER) AS has_p1,
+        |min(l_partkey) AS min_part, max(l_partkey) AS max_part
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "q21_map" ->
+      """SELECT 'small' AS word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(p_name, ' ')) AS w FROM part)
+        |WHERE w = 'small'""".stripMargin,
+    "q22_datetime" ->
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+        |CAST(count(DISTINCT user_id) AS BIGINT) AS users
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
+    "q23_window_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS ws, count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY ws ORDER BY ws""".stripMargin,
+    "q25_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 30 MINUTE
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "q26_analytic" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |CAST(row_number() OVER w AS BIGINT) AS rn,
+        |lag(o_totalprice, 1) OVER w AS prev_total,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+        |  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q27_rollup" ->
+      """SELECT n_name, yr,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev, count(*) AS n
+        |FROM (SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS yr, o_totalprice
+        |      FROM orders JOIN customer ON o_custkey = c_custkey
+        |      JOIN nation ON c_nationkey = n_nationkey)
+        |GROUP BY ROLLUP (n_name, yr)
+        |ORDER BY n_name NULLS FIRST, yr NULLS FIRST""".stripMargin,
+    "q28_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+        |ORDER BY c_custkey""".stripMargin,
+    "q28_except" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+        |ORDER BY c_custkey""".stripMargin,
+    "q29_distinct_users" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    // q29_approx_distinct: intentionally no oracle (HLL estimate;
+    // tolerance/rows-only check).
   )
 }
