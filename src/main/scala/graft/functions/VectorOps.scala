@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity over embedding columns (`array<float>`).
+  *
+  * All kernels are array higher-order functions (zip_with/aggregate) —
+  * codegen'd, executed where the data lives, no UDF serialization. Floats
+  * are widened to double before arithmetic so results are deterministic
+  * and oracle-comparable.
+  *
+  * Two search paths:
+  *  - [[annBruteForce]]: exact top-k; one broadcast of the query set, one
+  *    pass over the vectors, TakeOrdered per query. The right baseline up
+  *    to ~10⁸ vectors × small query batches.
+  *  - [[IvfIndex]]: inverted-file index — vectors pre-assigned to the
+  *    nearest of C centroids (one shuffle at build), queries probe only
+  *    `nprobe` cells, cutting the scanned fraction to ~nprobe/C. The
+  *    scale path when the corpus no longer fits a full scan per query.
+  */
+object VectorOps {
+
+  def toDoubleArr(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Sequential-fold dot product — same evaluation order as the DuckDB
+    * oracle's grouped sum, so results are bit-identical.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+
+  def norm2(a: Column): Column = dot(a, a)
+
+  /** cos(a,b) = dot / sqrt(|a|²·|b|²) — single sqrt, mirrored verbatim in
+    * the oracle SQL.
+    */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(norm2(a) * norm2(b))
+
+  /** Exact top-k cosine neighbors for every row of `queries`.
+    * `queries(queryIdCol, vecCol)` is broadcast; ranking is total
+    * (cos desc, id asc) so ties can't make results nondeterministic.
+    */
+  def annBruteForce(vectors: DataFrame, idCol: String, vecCol: String,
+                    queries: DataFrame, queryIdCol: String, queryVecCol: String,
+                    k: Int): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
+    val q = queries.select(col(queryIdCol).as("qid"), toDoubleArr(col(queryVecCol)).as("qv"))
+    val scored = v.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), cosine(col("v"), col("qv")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id").asc)
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Embedding-cosine near-dup pairs via random-hyperplane LSH: `bits`
+    * deterministic pseudo-random hyperplanes (seeded by xxhash64, no RNG
+    * state) give a sign bucket; pairs sharing a bucket are exact-verified
+    * against `threshold`. Bucketing is repeated `tables` times with
+    * different seeds so high-similarity pairs are found w.h.p.
+    */
+  def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, bits: Int = 12,
+                         tables: Int = 4, dim: Int = 64): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
+    // hyperplane component (t, b, d) ∈ {-1000..1000}/1000, fixed by hash
+    def plane(t: Int, b: Int): Column =
+      transform(sequence(lit(0), lit(dim - 1)),
+        d => (pmod(xxhash64(lit(t), lit(b), d), lit(2001L)) - 1000L).cast("double") / 1000.0)
+    val withBucket = (0 until tables).map { t =>
+      val sig = (0 until bits).map { b =>
+        when(dot(col("v"), plane(t, b)) >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      v.select(col("id"), col("v"), lit(t).as("t"), sig.as("bucket"))
+    }.reduce(_ unionByName _)
+    val pairs = withBucket.as("a").join(withBucket.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .dropDuplicates("id_a", "id_b")
+    pairs.select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Inverted-file (IVF) approximate nearest-neighbor index.
+    *
+    * Build: seed centroids = the `c` lowest-id vectors, one Lloyd
+    * refinement (assign → elementwise mean), then final assignment. All
+    * steps are joins/aggregations — no driver-side collect of vectors.
+    */
+  final class IvfIndex private (val assigned: DataFrame, val centroids: DataFrame) {
+
+    /** Probe the `nprobe` nearest cells per query, exact cosine inside. */
+    def search(queries: DataFrame, queryIdCol: String, queryVecCol: String,
+               k: Int, nprobe: Int): DataFrame = {
+      val q = queries.select(col(queryIdCol).as("qid"), toDoubleArr(col(queryVecCol)).as("qv"))
+      val qCells = q.crossJoin(broadcast(centroids))
+        .select(col("qid"), col("qv"), col("cid"), cosine(col("qv"), col("cv")).as("ccos"))
+      val wq = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid").asc)
+      val probed = qCells.withColumn("__rn", row_number().over(wq))
+        .filter(col("__rn") <= nprobe).select("qid", "qv", "cid")
+      val scored = probed.join(assigned, "cid")
+        .filter(col("id") =!= col("qid"))
+        .select(col("qid"), col("id"), cosine(col("v"), col("qv")).as("cos"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id").asc)
+      scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
+    }
+  }
+
+  object IvfIndex {
+    def build(vectors: DataFrame, idCol: String, vecCol: String, c: Int = 16): IvfIndex = {
+      val v = vectors.select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
+      val seeds = v.orderBy("id").limit(c)
+        .select(col("id").as("cid"), col("v").as("cv"))
+      def assign(cents: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid").asc)
+        v.crossJoin(broadcast(cents))
+          .select(col("id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("ccos"))
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .select("cid", "id", "v")
+      }
+      // one Lloyd step: elementwise mean per cell via posexplode/regroup
+      val a0 = assign(seeds)
+      val refined = a0.select(col("cid"), posexplode(col("v")))
+        .groupBy(col("cid"), col("pos")).agg(avg("col").as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cv"))
+      new IvfIndex(assign(refined).cache(), refined.cache())
+    }
+  }
+}

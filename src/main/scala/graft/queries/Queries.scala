@@ -343,6 +343,107 @@ object Queries {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
       .orderBy("event_type")
 
+  // ——— beyond-parity: training-data pipeline operators ———
+
+  /** Exact dedup groups over documents (hash-groupBy). */
+  def q30_dedup_exact(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.exactGroups(Tables(spark, dir).documents, "text", "doc_id")
+      .orderBy("h")
+
+  /** Token counting per source (whitespace tokenizer). */
+  def q31_token_stats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions.tokenCount
+    Tables(spark, dir).documents
+      .select(col("source"), tokenCount(col("text")).as("toks"))
+      .groupBy("source")
+      .agg(count("*").as("n_docs"), sum("toks").as("sum_tokens"), max("toks").as("max_tokens"))
+      .withColumn("avg_tokens", col("sum_tokens").cast("double") / col("n_docs"))
+      .orderBy("source")
+  }
+
+  /** Per-document quality metrics: token/char counts, stopword ratio,
+    * distinct-token ratio, mean token length (all exact int ratios).
+    */
+  def q32_text_quality(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions._
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      length(col("text")).cast("long").as("len_chars"),
+      stopwordRatio(col("text"), Seq("the", "a")).as("stop_ratio"),
+      uniqueTokenRatio(col("text")).as("uniq_ratio"),
+      meanTokenLength(col("text")).as("mean_tok_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact 3-gram Jaccard near-dup pairs (threshold 0.5). */
+  def q33_jaccard_pairs(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.jaccardPairs(Tables(spark, dir).documents, "text", "doc_id",
+        n = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  /** Brute-force cosine top-10 for the vec_id=0 query vector. */
+  def q34_ann_cosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    graft.functions.VectorOps.annBruteForce(
+        e, "vec_id", "embedding",
+        e.filter(col("vec_id") === 0), "vec_id", "embedding", k = 10)
+      .select(col("id").as("vec_id"), col("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+  }
+
+  /** IVF-bucketed ANN (scale path) — rows-only; recall vs brute force is
+    * asserted in ScalaTest.
+    */
+  def q35_ann_ivf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val idx = graft.functions.VectorOps.IvfIndex.build(e, "vec_id", "embedding", c = 16)
+    idx.search(e.filter(col("vec_id") === 0), "vec_id", "embedding", k = 10, nprobe = 4)
+      .select(col("id").as("vec_id"), col("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+  }
+
+  /** Language-ID heuristic — rows-only (no SQL oracle; spec-tested). */
+  def q36_langid(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), graft.text.TextFunctions.langId(col("text")).as("lang_pred"))
+      .groupBy("lang_pred").agg(count("*").as("n"))
+      .orderBy("lang_pred")
+
+  /** MinHash+LSH near-dup pairs, exact-verified — rows-only. */
+  def q37_minhash_pairs(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.minHashNearDups(Tables(spark, dir).documents, "text", "doc_id",
+        n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  /** SimHash fingerprints + near-dup pairs — rows-only. */
+  def q38_simhash_pairs(spark: SparkSession, dir: String): DataFrame = {
+    val fps = graft.dedup.Dedup.simHash(Tables(spark, dir).documents, "text", "doc_id")
+    graft.dedup.Dedup.simHashNearDups(fps, maxHamming = 10)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Rolling-hash + winnowed document fingerprints — rows-only. */
+  def q39_fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions._
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      rollingFingerprint(col("text")).as("fp"),
+      concat_ws(",", winnowedFingerprints(col("text"), 3, 5)).as("winnow"))
+      .orderBy("doc_id")
+  }
+
+  /** Multimodal binary-column plumbing: payload bytes + content hash
+    * (the decode stub itself is spec-tested; this query checks the
+    * binary column path end-to-end).
+    */
+  def q40_binary_meta(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
+      sha2(col("text").cast("binary"), 256).as("sha"))
+      .orderBy("doc_id")
+
   val all: Map[String, Q] = Map(
     "q01_scan" -> (q01_scan _),
     "q02_sink" -> (q02_sink _),
@@ -375,7 +476,18 @@ object Queries {
     "q28_intersect" -> (q28_intersect _),
     "q28_except" -> (q28_except _),
     "q29_distinct_users" -> (q29_distinct_users _),
-    "q29_approx_distinct" -> (q29_approx_distinct _)
+    "q29_approx_distinct" -> (q29_approx_distinct _),
+    "q30_dedup_exact" -> (q30_dedup_exact _),
+    "q31_token_stats" -> (q31_token_stats _),
+    "q32_text_quality" -> (q32_text_quality _),
+    "q33_jaccard_pairs" -> (q33_jaccard_pairs _),
+    "q34_ann_cosine" -> (q34_ann_cosine _),
+    "q35_ann_ivf" -> (q35_ann_ivf _),
+    "q36_langid" -> (q36_langid _),
+    "q37_minhash_pairs" -> (q37_minhash_pairs _),
+    "q38_simhash_pairs" -> (q38_simhash_pairs _),
+    "q39_fingerprint" -> (q39_fingerprint _),
+    "q40_binary_meta" -> (q40_binary_meta _)
   )
 }
 
@@ -548,8 +660,62 @@ object Oracles {
         |ORDER BY c_custkey""".stripMargin,
     "q29_distinct_users" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS users
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
-    // q29_approx_distinct: intentionally no oracle (HLL estimate;
-    // tolerance/rows-only check).
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q30_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY h ORDER BY h""".stripMargin,
+    "q31_token_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |CAST(sum(toks) AS BIGINT) AS sum_tokens,
+        |max(toks) AS max_tokens,
+        |CAST(CAST(sum(toks) AS BIGINT) AS DOUBLE) / count(*) AS avg_tokens
+        |FROM (SELECT source, CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |  x -> x <> '')) AS BIGINT) AS toks FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q32_text_quality" ->
+      """SELECT doc_id,
+        |CAST(len(t) AS BIGINT) AS n_tokens,
+        |CAST(length(text) AS BIGINT) AS len_chars,
+        |CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS DOUBLE)
+        |  / CAST(len(t) AS DOUBLE) AS stop_ratio,
+        |CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS uniq_ratio,
+        |CAST(list_sum(list_transform(t, x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+        |  / CAST(len(t) AS DOUBLE) AS mean_tok_len
+        |FROM (SELECT doc_id, text,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q33_jaccard_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |       FROM toks CROSS JOIN unnest(generate_series(1, len(t)-2)) AS u(i)
+        |       WHERE len(t) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q34_ann_cosine" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.vec_id,
+        |    (SELECT sum(x*y) FROM (SELECT unnest(CAST(e.embedding AS DOUBLE[])) AS x,
+        |                                  unnest(q.qe) AS y)) /
+        |    sqrt((SELECT sum(x*x) FROM (SELECT unnest(CAST(e.embedding AS DOUBLE[])) AS x)) *
+        |         (SELECT sum(y*y) FROM (SELECT unnest(q.qe) AS y))) AS cos
+        |  FROM embeddings e, q WHERE e.vec_id <> 0)
+        |SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "q40_binary_meta" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, sha256(text) AS sha
+        |FROM documents ORDER BY doc_id""".stripMargin
+    // No oracle (rows-only; ScalaTest-owned): q29_approx_distinct (HLL
+    // estimate), q35_ann_ivf (approx recall), q36_langid, q37_minhash_pairs,
+    // q38_simhash_pairs, q39_fingerprint (hash-seed-specific).
   )
 }

@@ -1,0 +1,73 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat again and again"), // near dup of 1
+    (4L, "completely different words nothing shared here at all today friends"),
+    (5L, "another unrelated text with its own tokens and nothing else")
+  ).toDF("doc_id", "text")
+
+  test("dedupExact keeps the lowest id per identical text") {
+    val kept = Dedup.dedupExact(docs, "text", "doc_id").select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("exactGroups counts duplicates") {
+    val g = Dedup.exactGroups(docs, "text", "doc_id")
+      .filter($"n_dups" > 1).select("keep_id", "n_dups").as[(Long, Long)].collect()
+    assert(g.toSeq == Seq((1L, 2L)))
+  }
+
+  test("jaccardPairs finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.jaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minHashNearDups agrees with exact jaccard on the fixture corpus") {
+    val mh = Dedup.minHashNearDups(docs, "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.jaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // identical pair always caught; near-dup pair caught w.h.p. at 16×4 bands
+    assert(mh == exact)
+  }
+
+  test("minHash recall on the sf0.001 documents table vs exact jaccard") {
+    val d = Tables(spark, sfDir).documents
+    val exact = Dedup.jaccardPairs(d, "text", "doc_id", n = 3, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val mh = Dedup.minHashNearDups(d, "text", "doc_id", threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    val recall = exact.intersect(mh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"minhash recall $recall too low (exact=${exact.size}, mh=${mh.size})")
+    assert(mh.subsetOf(exact), "verified pairs must be a subset of exact pairs")
+  }
+
+  test("simHash: identical texts hash identically, near-dups are close, unrelated far") {
+    val fps = Dedup.simHash(docs, "text", "doc_id").orderBy("id")
+      .select("fp").as[Long].collect()
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fps(0), fps(1)) == 0)
+    assert(ham(fps(0), fps(2)) <= 16)
+    assert(ham(fps(0), fps(3)) > 16)
+  }
+
+  test("simHashNearDups candidate generation finds low-hamming pairs") {
+    val fps = Dedup.simHash(docs, "text", "doc_id")
+    val pairs = Dedup.simHashNearDups(fps, maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

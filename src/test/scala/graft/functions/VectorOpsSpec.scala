@@ -1,0 +1,48 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+  import VectorOps._
+
+  test("dot/cosine basics") {
+    val df = Seq((Seq(1f, 0f, 0f), Seq(0f, 1f, 0f)), (Seq(1f, 1f, 0f), Seq(1f, 1f, 0f)))
+      .toDF("a", "b")
+    val got = df.select(cosine(toDoubleArr($"a"), toDoubleArr($"b"))).as[Double].collect()
+    assert(math.abs(got(0)) < 1e-12)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+  }
+
+  test("annBruteForce returns the true top-k") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0f, 1f)), (3L, Seq(0.7f, 0.7f)))
+      .toDF("id", "v")
+    val top = annBruteForce(vecs, "id", "v", vecs.filter($"id" === 0), "id", "v", k = 2)
+      .select("id").as[Long].collect().toSeq
+    assert(top == Seq(1L, 3L))
+  }
+
+  test("IVF search recall vs brute force on the fixture embeddings") {
+    val e = Tables(spark, sfDir).embeddings
+    val queries = e.filter($"vec_id" < 5)
+    val exact = annBruteForce(e, "vec_id", "embedding", queries, "vec_id", "embedding", k = 10)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val idx = IvfIndex.build(e, "vec_id", "embedding", c = 16)
+    val approx = idx.search(queries, "vec_id", "embedding", k = 10, nprobe = 4)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall@10 too low: $recall")
+  }
+
+  test("cosineNearDupPairs exact-verifies candidates above threshold") {
+    val e = Tables(spark, sfDir).embeddings
+    val pairs = cosineNearDupPairs(e, "vec_id", "embedding", threshold = 0.95,
+      bits = 8, tables = 4)
+    val rows = pairs.collect()
+    // all returned pairs satisfy the threshold by construction; sanity: cos ≤ 1
+    assert(rows.forall(r => r.getDouble(2) >= 0.95 && r.getDouble(2) <= 1.0 + 1e-9))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+  import TextFunctions._
+
+  test("tokens and tokenCount handle multi-space and empty strings") {
+    val df = Seq("a  b\tc", " x ", "").toDF("t")
+    val got = df.select(tokenCount($"t")).as[Long].collect().toSeq
+    assert(got == Seq(3L, 1L, 0L))
+  }
+
+  test("bpeTokenCount segments words, numbers and symbols") {
+    val df = Seq("hello world42, ok!").toDF("t")
+    // hello | world | 42 | , | ok | !
+    assert(df.select(bpeTokenCount($"t")).as[Long].head() == 6L)
+  }
+
+  test("shingles produce distinct n-grams; short docs degrade to whole text") {
+    val df = Seq("a b c d", "x y").toDF("t")
+    val got = df.select(shingles($"t", 3)).as[Seq[String]].collect()
+    assert(got(0).toSet == Set("a b c", "b c d"))
+    assert(got(1) == Seq("x y"))
+  }
+
+  test("quality ratios are exact") {
+    val df = Seq("the cat the dogs").toDF("t")
+    val row = df.select(
+      stopwordRatio($"t", Seq("the", "a")).as("sr"),
+      uniqueTokenRatio($"t").as("ur"),
+      meanTokenLength($"t").as("ml")).head()
+    assert(row.getDouble(0) == 0.5)
+    assert(row.getDouble(1) == 0.75)
+    assert(row.getDouble(2) == 3.25)
+  }
+
+  test("langId picks the right profile and ties break deterministically") {
+    val df = Seq(
+      "the cat sat and it was good",
+      "der hund und die katze ist nicht da",
+      "el perro y la casa de los gatos",
+      "zzz qqq www").toDF("t")
+    val got = df.select(langId($"t")).as[String].collect().toSeq
+    assert(got == Seq("en", "de", "es", "und"))
+  }
+
+  test("rollingFingerprint is order-sensitive and deterministic") {
+    val df = Seq("a b c", "a b c", "c b a").toDF("t")
+    val fps = df.select(rollingFingerprint($"t")).as[Long].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("winnowedFingerprints overlap heavily for near-identical docs") {
+    val base = (1 to 50).map(i => s"w$i").mkString(" ")
+    val near = base + " extra"
+    val far = (1 to 50).map(i => s"v$i").mkString(" ")
+    val df = Seq(base, near, far).toDF("t")
+    val fps = df.select(winnowedFingerprints($"t", 3, 8)).as[Seq[Long]].collect()
+    assert(fps(0).intersect(fps(1)).size >= 6)
+    assert(fps(0).intersect(fps(2)).isEmpty)
+  }
+}
