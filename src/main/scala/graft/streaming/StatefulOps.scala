@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** The reference's record types (`topic_processor_test.go:23-41`). */
+case class Character(id: String, name: String, wikipediaUrl: String)
+case class Fiction(id: String, fictionType: String, title: String,
+                   characterIds: Seq[String])
+case class FictionAndCharacters(id: String, fictionType: String, title: String,
+                                characters: Seq[Character])
+
+/** One input message of the characters⋈fictions topology: exactly one of
+  * the two sides, tagged with the partition it would land on (kasper
+  * requires co-partitioned input topics, `README.md:37-39`).
+  */
+case class JoinInput(partition: Int, character: Option[Character], fiction: Option[Fiction])
+
+/** Partition-scoped state of the topology: both sides materialized plus
+  * the character→fictions reverse index (`topic_processor_test.go:94-133`).
+  */
+case class JoinState(characters: Map[String, Character],
+                     fictions: Map[String, Fiction],
+                     charToFictions: Map[String, Set[String]])
+
+/** Stateful streaming operators: kasper's `Process()`+`Store` patterns
+  * re-expressed on `flatMapGroupsWithState`, where Spark owns
+  * checkpointing, recovery and state placement (vs kasper's external
+  * Redis/ES stores, `redis.go`/`elasticsearch.go`).
+  */
+object StatefulOps {
+
+  case class KeyCount(key: String, count: Long)
+
+  /** KQ-6 streaming: per-key running count (the word-count example,
+    * `examples/word_count_example.go:47-67` — store-backed `count+1`).
+    * Emits the updated count for every key touched in a micro-batch.
+    */
+  def runningCount(keys: Dataset[String]): Dataset[KeyCount] = {
+    import keys.sparkSession.implicits._
+    keys.groupByKey(identity)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[String], state: GroupState[Long]) =>
+          val c = state.getOption.getOrElse(0L) + rows.size
+          state.update(c)
+          Iterator(KeyCount(key, c))
+      }
+  }
+
+  case class Keyed[V](key: String, ts: Long, value: V)
+
+  /** KQ-11 streaming: last-write-wins upsert per key (store `Put`
+    * overwrite, `map.go:37-40`), emitting the winning row per batch.
+    * Ties on ts resolve to the later element in batch order — kasper's
+    * serial-loop semantics.
+    */
+  def latestByKey[V: Encoder](rows: Dataset[Keyed[V]]): Dataset[Keyed[V]] = {
+    implicit val keyedEnc: Encoder[Keyed[V]] = rows.encoder
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[Keyed[V]], state: GroupState[Keyed[V]]) =>
+          var best = state.getOption.orNull
+          it.foreach { r => if (best == null || r.ts >= best.ts) best = r }
+          state.update(best)
+          Iterator(best)
+      }
+  }
+
+  /** KQ-8: the characters⋈fictions incremental join with emit
+    * suppression, exactly the reference topology
+    * (`topic_processor_test.go:76-155`):
+    *  - both sides upserted into partition-local state,
+    *  - reverse index re-emits every fiction affected by a character
+    *    update,
+    *  - a fiction is emitted only when ALL its characterIds resolve
+    *    (`createOutgoingMessage`, `:135-155`), characters ordered by the
+    *    fiction's characterIds order.
+    *
+    * State is keyed by the co-partitioning key, mirroring kasper's
+    * partition-scoped stores (`topic_processor.go:137-143`) — the
+    * scalable declarative form of this join is the batch q08 rewrite;
+    * this operator is the streaming-parity primitive.
+    */
+  def fictionsJoin(input: Dataset[JoinInput]): Dataset[FictionAndCharacters] = {
+    import input.sparkSession.implicits._
+    input.groupByKey(_.partition)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: Int, msgs: Iterator[JoinInput], state: GroupState[JoinState]) =>
+          var st = state.getOption.getOrElse(JoinState(Map.empty, Map.empty, Map.empty))
+          val out = scala.collection.mutable.LinkedHashMap.empty[String, FictionAndCharacters]
+
+          def tryEmit(f: Fiction): Unit = {
+            val resolved = f.characterIds.flatMap(st.characters.get)
+            if (resolved.size == f.characterIds.size)
+              out(f.id) = FictionAndCharacters(f.id, f.fictionType, f.title, resolved)
+          }
+
+          msgs.foreach {
+            case JoinInput(_, Some(c), _) =>
+              st = st.copy(characters = st.characters + (c.id -> c))
+              st.charToFictions.getOrElse(c.id, Set.empty)
+                .flatMap(st.fictions.get).toSeq.sortBy(_.id).foreach(tryEmit)
+            case JoinInput(_, _, Some(f)) =>
+              val rev = f.characterIds.foldLeft(st.charToFictions) { (m, cid) =>
+                m + (cid -> (m.getOrElse(cid, Set.empty) + f.id))
+              }
+              st = st.copy(fictions = st.fictions + (f.id -> f), charToFictions = rev)
+              tryEmit(f)
+            case _ => ()
+          }
+          state.update(st)
+          out.values.iterator
+      }
+  }
+}

@@ -1,0 +1,151 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private var n = 0
+  private def nextName(): String = { n += 1; s"graft_stream_$n" }
+
+  test("runningCount accumulates across micro-batches (KQ-6 streaming)") {
+    val in = MemoryStream[String]
+    val q = StatefulOps.runningCount(in.toDS())
+      .writeStream.format("memory").queryName("wc").outputMode(OutputMode.Update()).start()
+    in.addData("a", "b", "a"); q.processAllAvailable()
+    in.addData("a", "c"); q.processAllAvailable()
+    val m = spark.table("wc").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    q.stop()
+    assert(m == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("latestByKey keeps the newest value per key across batches (KQ-11 streaming)") {
+    val in = MemoryStream[StatefulOps.Keyed[String]]
+    val q = StatefulOps.latestByKey(in.toDS())
+      .writeStream.format("memory").queryName("lww").outputMode(OutputMode.Update()).start()
+    in.addData(StatefulOps.Keyed("u1", 10L, "old"), StatefulOps.Keyed("u2", 5L, "x"))
+    q.processAllAvailable()
+    in.addData(StatefulOps.Keyed("u1", 20L, "new"), StatefulOps.Keyed("u1", 15L, "stale"))
+    q.processAllAvailable()
+    val rows = spark.table("lww").as[StatefulOps.Keyed[String]].collect()
+    q.stop()
+    val last = rows.groupBy(_.key).map { case (k, vs) => k -> vs.maxBy(_.ts).value }
+    assert(last == Map("u1" -> "new", "u2" -> "x"))
+  }
+
+  test("fictionsJoin: emit-suppression + re-emit on character arrival (KQ-8)") {
+    val heroA = Character("c1", "Hero A", "http://w/a")
+    val heroB = Character("c2", "Hero B", "http://w/b")
+    val heroC = Character("c3", "Hero C", "http://w/c")
+    val duo = Fiction("f1", "movie", "The Duo", Seq("c1", "c2"))
+    val solo = Fiction("f2", "book", "Solo", Seq("c3"))
+    val ghost = Fiction("f3", "movie", "Ghost", Seq("c1", "c9")) // c9 never arrives
+
+    val in = MemoryStream[JoinInput]
+    val q = StatefulOps.fictionsJoin(in.toDS())
+      .writeStream.format("memory").queryName(nextName()).outputMode(OutputMode.Update()).start()
+    val name = q.name
+
+    // batch 1: fiction before its characters → suppressed
+    in.addData(JoinInput(0, None, Some(duo)), JoinInput(0, Some(heroA), None))
+    q.processAllAvailable()
+    assert(spark.table(name).as[FictionAndCharacters].collect().isEmpty)
+
+    // batch 2: second character arrives → duo re-emitted complete
+    in.addData(JoinInput(0, Some(heroB), None), JoinInput(0, None, Some(solo)),
+      JoinInput(0, None, Some(ghost)))
+    q.processAllAvailable()
+    val out = spark.table(name).as[FictionAndCharacters].collect()
+
+    // batch 3: character update re-emits affected fictions with new data
+    in.addData(JoinInput(0, Some(heroA.copy(name = "Hero A2")), None))
+    q.processAllAvailable()
+    val out3 = spark.table(name).as[FictionAndCharacters].collect()
+    q.stop()
+
+    assert(out.map(_.id).toSet == Set("f1"), "only complete fictions emit — solo incomplete? ")
+    val duoOut = out.find(_.id == "f1").get
+    assert(duoOut.characters == Seq(heroA, heroB), "characters ordered by characterIds")
+    assert(!out.exists(_.id == "f3"), "fiction with missing character is suppressed")
+    val reEmitted = out3.filter(_.id == "f1").map(_.characters.head.name)
+    assert(reEmitted.contains("Hero A2"), "character update must re-emit affected fictions")
+  }
+
+  test("fictionsJoin emits fiction whose characters all exist at arrival") {
+    val in = MemoryStream[JoinInput]
+    val q = StatefulOps.fictionsJoin(in.toDS())
+      .writeStream.format("memory").queryName(nextName()).outputMode(OutputMode.Update()).start()
+    in.addData(JoinInput(0, Some(Character("c3", "C", "u")), None))
+    q.processAllAvailable()
+    in.addData(JoinInput(0, None, Some(Fiction("f2", "book", "Solo", Seq("c3")))))
+    q.processAllAvailable()
+    val got = spark.table(q.name).as[FictionAndCharacters].collect()
+    q.stop()
+    assert(got.map(_.id).toSeq == Seq("f2"))
+  }
+
+  test("tumbling window + watermark streaming smoke (KQ-23/24)") {
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    val agg = in.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes"))
+      .agg(count("*").as("n"))
+    val q = agg.writeStream.format("memory").queryName(nextName())
+      .outputMode(OutputMode.Update()).start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    in.addData((t(0), 1L), (t(1), 2L), (t(6), 3L))
+    q.processAllAvailable()
+    val rows = spark.table(q.name).select("n").as[Long].collect()
+    q.stop()
+    assert(rows.sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("session window streaming smoke (KQ-25)") {
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val agg = in.toDF().toDF("ts", "user")
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window($"ts", "30 minutes"), $"user")
+      .agg(count("*").as("n"))
+    val q = agg.writeStream.format("memory").queryName(nextName())
+      .outputMode(OutputMode.Complete()).start()
+    def t(h: Int, min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$min%02d:00")
+    in.addData((t(10, 0), "u"), (t(10, 10), "u"), (t(12, 0), "u"))
+    q.processAllAvailable()
+    val rows = spark.table(q.name).select("n").as[Long].collect()
+    q.stop()
+    assert(rows.sorted.toSeq == Seq(1L, 2L), "two sessions: gap > 30min splits")
+  }
+
+  test("at-least-once foreachBatch sink writes batches before commit (KQ-2 streaming)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_test").toString
+    val in = MemoryStream[String]
+    val counts = StatefulOps.runningCount(in.toDS()).toDF()
+    val q = SinkOps.atLeastOnce(counts, s"$dir/ckpt", "1 second") { (batch, epoch) =>
+      batch.write.mode("append").parquet(s"$dir/out")
+    }.outputMode(OutputMode.Update()).start()
+    in.addData("x", "y", "x")
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.parquet(s"$dir/out").as[(String, Long)].collect().toMap
+    assert(back == Map("x" -> 2L, "y" -> 1L))
+    assert(new java.io.File(s"$dir/ckpt/commits").list().nonEmpty,
+      "checkpoint must record the committed epoch (kasper markOffsets analog)")
+  }
+
+  test("metrics listener observes incoming rows (A16)") {
+    val listener = new graft.metrics.GraftMetricsListener
+    spark.streams.addListener(listener)
+    val in = MemoryStream[String]
+    val q = in.toDS().writeStream.format("memory").queryName(nextName()).start()
+    in.addData("a", "b", "c")
+    q.processAllAvailable()
+    q.stop()
+    spark.streams.removeListener(listener)
+    assert(listener.totalIncoming >= 3)
+  }
+}
