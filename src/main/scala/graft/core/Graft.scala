@@ -32,6 +32,9 @@ object Graft {
   def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // classic (non-ANSI) arithmetic: hash remixing (MinHash seed family,
+      // SimHash) relies on wraparound long multiply/add
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -40,6 +43,20 @@ object Graft {
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
+
+  /** Fan a DataFrame out to full core parallelism before compute-heavy
+    * per-row work (hashing, shingling, vector kernels).
+    *
+    * Why it exists: a parquet file is only splittable at row-group
+    * boundaries, so a single-row-group input (the harness fixtures; also
+    * common with arrow writers) pins the whole scan to ONE task no matter
+    * the cluster size. The round-trip shuffle is linear in the data and
+    * trivially cheap next to the per-row compute it unlocks; on inputs
+    * that already arrive well-split the exchange coalesces under AQE.
+    * Don't use it before cheap scans — the shuffle would dominate.
+    */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }
 
 /** Loaders for the harness tables (TESTDATA.md). One parquet per table;

@@ -37,13 +37,16 @@ object Dedup {
 
   /** (id, shingle) inverted index over distinct word n-gram shingles. */
   private def shingleIndex(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"),
+    graft.core.Graft.spread(df).select(col(idCol).as("id"),
       explode(TextFunctions.shingles(col(textCol), n)).as("g"))
 
   /** Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥
-    * `threshold`). Shingles occurring in more than `maxShingleDF` docs are
-    * dropped from candidate generation (boilerplate guard — they cannot
-    * distinguish documents but quadratically inflate the join).
+    * `threshold`). Shingles occurring in more than `maxShingleDF` docs
+    * are dropped from *candidate generation only* (boilerplate guard —
+    * hot shingles can't distinguish documents but quadratically inflate
+    * the join); the jaccard itself is always computed over the full
+    * shingle sets, so pruning affects recall, never correctness of a
+    * reported score.
     */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
                    n: Int = 3, threshold: Double = 0.5,
@@ -59,8 +62,20 @@ object Dedup {
     val inter = pruned.as("a").join(pruned.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count("*").as("i"))
-    inter
+      .agg(count("*").as("i_pruned"))
+    val exactInter =
+      if (maxShingleDF == Long.MaxValue)
+        inter.withColumnRenamed("i_pruned", "i")
+      else {
+        // re-count intersections over the unpruned index for the surviving
+        // candidate pairs only
+        val cand = inter.select("id_a", "id_b")
+        sh.as("a").join(sh.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .join(cand, Seq("id_a", "id_b"), "left_semi")
+          .groupBy("id_a", "id_b").agg(count("*").as("i"))
+      }
+    exactInter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "na"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "nb"), "id_b")
       .select(col("id_a"), col("id_b"),
@@ -69,15 +84,26 @@ object Dedup {
   }
 
   /** MinHash signature: `numHashes` independent min-hashes over the
-    * shingle set, as one array column. Hash family: xxhash64(shingle,
-    * seed_i) — deterministic, no RNG state.
+    * shingle set, as one array column.
+    *
+    * Each shingle is string-hashed exactly once (xxhash64); the hash
+    * family is derived by multiply-add remixing of that base hash
+    * (h·A_i + B_i with odd golden-ratio multipliers — a universal-style
+    * family, deterministic, no RNG state). The two-projection structure
+    * matters: shingling and base-hashing are materialized columns, so the
+    * per-seed pass touches only a long array. The naive nested form
+    * re-evaluates the shingle expression once per seed — 64× the work.
     */
   def minHashSignatures(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, numHashes: Int = 64): DataFrame = {
-    val sh = TextFunctions.shingles(col(textCol), n)
-    df.select(col(idCol).as("id"),
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        i => array_min(transform(sh, s => xxhash64(s, i)))).as("sig"))
+    val hashed = graft.core.Graft.spread(df).select(col(idCol).as("id"),
+      transform(TextFunctions.shingles(col(textCol), n), s => xxhash64(s)).as("hh"))
+    val seeds = (0 until numHashes).map { i =>
+      val a = 0x9E3779B97F4A7C15L * (2L * i + 1L) // odd multiplier
+      val b = 0xC2B2AE3D27D4EB4FL * i
+      array_min(transform(col("hh"), h => h * a + b))
+    }
+    hashed.select(col("id"), array(seeds: _*).as("sig"))
   }
 
   /** LSH banding: signature split into `bands` bands of `rows` hashes;
@@ -125,7 +151,7 @@ object Dedup {
     */
   def simHash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     // hash each token once, then take 64 per-bit majority votes
-    val hashed = df.select(col(idCol).as("id"),
+    val hashed = graft.core.Graft.spread(df).select(col(idCol).as("id"),
       transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)).as("th"))
     val fp = (0 until 64).map { j =>
       when(

@@ -45,7 +45,8 @@ object VectorOps {
   def annBruteForce(vectors: DataFrame, idCol: String, vecCol: String,
                     queries: DataFrame, queryIdCol: String, queryVecCol: String,
                     k: Int): DataFrame = {
-    val v = vectors.select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
+    val v = graft.core.Graft.spread(vectors)
+      .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
     val q = queries.select(col(queryIdCol).as("qid"), toDoubleArr(col(queryVecCol)).as("qv"))
     val scored = v.crossJoin(broadcast(q))
       .filter(col("id") =!= col("qid"))
@@ -63,7 +64,8 @@ object VectorOps {
   def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, bits: Int = 12,
                          tables: Int = 4, dim: Int = 64): DataFrame = {
-    val v = vectors.select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
+    val v = graft.core.Graft.spread(vectors)
+      .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
     // hyperplane component (t, b, d) ∈ {-1000..1000}/1000, fixed by hash
     def plane(t: Int, b: Int): Column =
       transform(sequence(lit(0), lit(dim - 1)),
@@ -111,7 +113,8 @@ object VectorOps {
 
   object IvfIndex {
     def build(vectors: DataFrame, idCol: String, vecCol: String, c: Int = 16): IvfIndex = {
-      val v = vectors.select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
+      val v = graft.core.Graft.spread(vectors)
+        .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
       val seeds = v.orderBy("id").limit(c)
         .select(col("id").as("cid"), col("v").as("cv"))
       def assign(cents: DataFrame): DataFrame = {

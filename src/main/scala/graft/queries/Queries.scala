@@ -366,7 +366,7 @@ object Queries {
     */
   def q32_text_quality(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.TextFunctions._
-    Tables(spark, dir).documents.select(
+    graft.core.Graft.spread(Tables(spark, dir).documents).select(
       col("doc_id"),
       tokenCount(col("text")).as("n_tokens"),
       length(col("text")).cast("long").as("len_chars"),
@@ -404,11 +404,14 @@ object Queries {
   }
 
   /** Language-ID heuristic — rows-only (no SQL oracle; spec-tested). */
-  def q36_langid(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).documents
-      .select(col("doc_id"), graft.text.TextFunctions.langId(col("text")).as("lang_pred"))
+  def q36_langid(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions._
+    graft.core.Graft.spread(Tables(spark, dir).documents)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), langIdOf(col("t")).as("lang_pred"))
       .groupBy("lang_pred").agg(count("*").as("n"))
       .orderBy("lang_pred")
+  }
 
   /** MinHash+LSH near-dup pairs, exact-verified — rows-only. */
   def q37_minhash_pairs(spark: SparkSession, dir: String): DataFrame =
@@ -426,10 +429,12 @@ object Queries {
   /** Rolling-hash + winnowed document fingerprints — rows-only. */
   def q39_fingerprint(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.TextFunctions._
-    Tables(spark, dir).documents.select(
-      col("doc_id"),
-      rollingFingerprint(col("text")).as("fp"),
-      concat_ws(",", winnowedFingerprints(col("text"), 3, 5)).as("winnow"))
+    graft.core.Graft.spread(Tables(spark, dir).documents)
+      .select(col("doc_id"), tokens(col("text")).as("t"), shingles(col("text"), 3).as("sh"))
+      .select(
+        col("doc_id"),
+        rollingFingerprintOf(col("t")).as("fp"),
+        concat_ws(",", winnowedOf(col("sh"), 5)).as("winnow"))
       .orderBy("doc_id")
   }
 

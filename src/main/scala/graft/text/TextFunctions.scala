@@ -66,17 +66,22 @@ object TextFunctions {
 
   /** Order-sensitive rolling document fingerprint: chained xxhash64 over
     * the token stream (hash chaining instead of polynomial arithmetic so
-    * ANSI overflow semantics can't bite). Equal fingerprints ⇔ equal
-    * token streams (mod collisions).
+    * overflow semantics can't bite). Equal fingerprints ⇔ equal token
+    * streams (mod collisions). `rollingFingerprintOf` takes an already-
+    * materialized token array — prefer it when several fingerprints are
+    * computed over the same document (tokenize once, fold many).
     */
-  def rollingFingerprint(c: Column): Column =
-    aggregate(tokens(c), lit(0L), (acc, t) => xxhash64(acc, t))
+  def rollingFingerprint(c: Column): Column = rollingFingerprintOf(tokens(c))
+  def rollingFingerprintOf(tokensCol: Column): Column =
+    aggregate(tokensCol, lit(0L), (acc, t) => xxhash64(acc, t))
 
   /** Winnowing-style fingerprint set: the `k` smallest distinct shingle
     * hashes. Near-identical docs share most of the set.
     */
   def winnowedFingerprints(c: Column, n: Int, k: Int): Column =
-    slice(array_sort(transform(shingles(c, n), s => xxhash64(s))), 1, k)
+    winnowedOf(shingles(c, n), k)
+  def winnowedOf(shinglesCol: Column, k: Int): Column =
+    slice(array_sort(transform(shinglesCol, s => xxhash64(s))), 1, k)
 
   /** Common-word profiles for the n-gram/stopword language-ID heuristic.
     * Public high-frequency word lists, a few per language.
@@ -92,13 +97,14 @@ object TextFunctions {
   /** Language-ID heuristic: argmax of profile-word hits, alphabetical
     * tie-break, "und" (undetermined) when nothing matches. Pure column
     * expression — scores every language in one pass over the tokens.
+    * `langIdOf` takes a materialized token array (tokenize once).
     */
-  def langId(c: Column): Column = {
-    val t = tokens(c)
+  def langId(c: Column): Column = langIdOf(tokens(c))
+  def langIdOf(tokensCol: Column): Column = {
     val scored = langProfiles.map { case (lang, words) =>
       val profile = array(words.map(lit): _*)
       struct(
-        (-size(filter(t, x => array_contains(profile, lower(x))))).as("negScore"),
+        (-size(filter(tokensCol, x => array_contains(profile, lower(x))))).as("negScore"),
         lit(lang).as("lang"))
     }
     val best = array_min(array(scored: _*))

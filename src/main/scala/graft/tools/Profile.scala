@@ -1,0 +1,51 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc stage profiler for the dedup pipeline (dev tool). */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = graft.core.Graft.defaultCpus
+    val spark = graft.core.Graft.configure(
+        SparkSession.builder().master(s"local[$cpus]").appName("graft-profile"), cpus)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.core.Tables(spark, sfDir).documents
+
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+
+    time("shingles only") {
+      docs.select(graft.text.TextFunctions.shingles(col("text"), 3).as("sh"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    val sigs = graft.dedup.Dedup.minHashSignatures(docs, "text", "doc_id")
+    time("minhash signatures") {
+      sigs.write.format("noop").mode("overwrite").save()
+    }
+    val sigsCached = sigs.cache()
+    sigsCached.count()
+    val cands = graft.dedup.Dedup.lshCandidates(sigsCached, 16, 4)
+    time("lsh candidates") {
+      println("  n_candidates=" + cands.count())
+    }
+    time("full minHashNearDups") {
+      graft.dedup.Dedup.minHashNearDups(docs, "text", "doc_id", threshold = 0.5)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("langid") {
+      graft.queries.Queries.q36_langid(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("fingerprint") {
+      graft.queries.Queries.q39_fingerprint(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    spark.stop()
+  }
+}
