@@ -33,10 +33,14 @@ object VectorOps {
   def norm2(a: Column): Column = dot(a, a)
 
   /** cos(a,b) = dot / sqrt(|a|²·|b|²) — single sqrt, mirrored verbatim in
-    * the oracle SQL.
+    * the oracle SQL. Reference HOF formulation; [[cosine]] routes to the
+    * codegen'd native kernel which is bit-identical (same fold order) and
+    * ~an order of magnitude faster on brute-force scans.
     */
-  def cosine(a: Column, b: Column): Column =
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / sqrt(norm2(a) * norm2(b))
+
+  def cosine(a: Column, b: Column): Column = VectorKernel.cosineNative(a, b)
 
   /** Exact top-k cosine neighbors for every row of `queries`.
     * `queries(queryIdCol, vecCol)` is broadcast; ranking is total

@@ -38,6 +38,21 @@ object Profile {
       graft.dedup.Dedup.minHashNearDups(docs, "text", "doc_id", threshold = 0.5)
         .write.format("noop").mode("overwrite").save()
     }
+    val emb = graft.core.Graft.spread(graft.core.Tables(spark, sfDir).embeddings)
+      .select(col("vec_id").as("id"),
+        graft.functions.VectorOps.toDoubleArr(col("embedding")).as("v")).cache()
+    emb.count()
+    val qs = emb.limit(500).select(col("v").as("qv"))
+    time("1M cosine (native kernel)") {
+      emb.crossJoin(broadcast(qs))
+        .select(graft.functions.VectorOps.cosine(col("v"), col("qv")).as("c"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("1M cosine (HOF fold)") {
+      emb.crossJoin(broadcast(qs))
+        .select(graft.functions.VectorOps.cosineHof(col("v"), col("qv")).as("c"))
+        .write.format("noop").mode("overwrite").save()
+    }
     time("langid") {
       graft.queries.Queries.q36_langid(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

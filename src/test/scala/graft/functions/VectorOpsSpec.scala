@@ -8,6 +8,26 @@ class VectorOpsSpec extends SparkSpec {
   import spark.implicits._
   import VectorOps._
 
+  test("native cosine kernel is bit-identical to the HOF formulation") {
+    val e = Tables(spark, sfDir).embeddings.limit(200)
+    val q = Tables(spark, sfDir).embeddings.filter($"vec_id" === 0)
+      .select(toDoubleArr($"embedding").as("qv"))
+    val both = e.crossJoin(q).select(
+      cosine(toDoubleArr($"embedding"), $"qv").as("native"),
+      cosineHof(toDoubleArr($"embedding"), $"qv").as("hof"))
+    val rows = both.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("native cosine kernel: null on length mismatch") {
+    val df = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+    assert(df.select(VectorKernel.cosineNative($"a", $"b")).collect()(0).isNullAt(0))
+  }
+
   test("dot/cosine basics") {
     val df = Seq((Seq(1f, 0f, 0f), Seq(0f, 1f, 0f)), (Seq(1f, 1f, 0f), Seq(1f, 1f, 0f)))
       .toDF("a", "b")
