@@ -13,4 +13,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register graft's native expressions for SQL use
+    * (`SELECT vector_cosine(a, b) ...`).
+    */
+  def registerFunctions(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vector_cosine",
+      exprs => graft.functions.VectorCosine(exprs.head, exprs(1)),
+      "built-in")
 }

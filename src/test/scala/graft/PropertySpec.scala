@@ -1,0 +1,74 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.streaming.MapStore
+
+/** Property tests for the store facade and upsert/dedup ops (SURVEY §5:
+  * generalizes the reference's fixed edge-case unit tests —
+  * `map_test.go:25-114`). Raw ScalaCheck generators sampled under fixed
+  * seeds (no scalatestplus bridge in the offline dep set).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  val kvs: Gen[List[(String, String)]] =
+    Gen.listOf(Gen.zip(Gen.alphaNumStr.map(_.take(8)), Gen.alphaNumStr.map(_.take(8))))
+
+  test("MapStore: put sequence ≡ last-write-wins map; getAll = pointwise get") {
+    samples(kvs, 50).foreach { entries =>
+      val s = new MapStore[String]
+      entries.foreach { case (k, v) => s.put(k, v) }
+      val expected = entries.foldLeft(Map.empty[String, String]) { case (m, (k, v)) => m + (k -> v) }
+      expected.foreach { case (k, v) => assert(s.get(k).contains(v)) }
+      val keys = entries.map(_._1) ++ List("definitely-missing-key")
+      assert(s.getAll(keys) == expected.filter(kv => keys.contains(kv._1)))
+    }
+  }
+
+  test("MapStore: delete is precise and idempotent") {
+    samples(kvs, 50).foreach { entries =>
+      val s = new MapStore[String]
+      s.putAll(entries.toMap)
+      entries.headOption.foreach { case (k, _) =>
+        s.delete(k); s.delete(k)
+        assert(s.get(k).isEmpty)
+        (entries.toMap - k).foreach { case (k2, v2) => assert(s.get(k2).contains(v2)) }
+      }
+    }
+  }
+
+  val keyedRows: Gen[List[(Int, Int, String)]] =
+    Gen.listOfN(60, Gen.zip(Gen.choose(0, 5), Gen.choose(0, 10), Gen.alphaNumStr.map(_.take(4))))
+
+  test("latestByKey picks exactly the max (orderCols) row per key (vs reference impl)") {
+    samples(keyedRows, 8).filter(_.nonEmpty).foreach { rows =>
+      val df = rows.toDF("k", "ts", "v")
+      val got = graft.ops.RelOps.latestByKey(df,
+          Seq(org.apache.spark.sql.functions.col("k")),
+          Seq(org.apache.spark.sql.functions.col("ts"),
+            org.apache.spark.sql.functions.col("v")))
+        .as[(Int, Int, String)].collect().toSet
+      val want = rows.groupBy(_._1).values.map(_.maxBy(r => (r._2, r._3))).toSet
+      assert(got == want)
+    }
+  }
+
+  test("dedupExact: one survivor per text, minimal id, idempotent") {
+    val docsGen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(0L, 100000L), Gen.oneOf("aa bb", "cc dd", "ee ff", "gg hh")))
+    samples(docsGen, 6).map(d => d.distinctBy(_._1)).foreach { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val out = graft.dedup.Dedup.dedupExact(df, "text", "doc_id")
+        .as[(Long, String)].collect().toSeq
+      val want = docs.groupBy(_._2).values.map(_.minBy(_._1)).toSet
+      assert(out.toSet == want)
+      val again = graft.dedup.Dedup.dedupExact(out.toDF("doc_id", "text"), "text", "doc_id")
+        .as[(Long, String)].collect().toSet
+      assert(again == out.toSet)
+    }
+  }
+}

@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedSum/saltedCount match plain aggregation on skewed data") {
+    // 90% of rows share one key — the within-group skew case
+    val rows = (1 to 2000).map(i => (if (i <= 1800) "hot" else s"k${i % 7}", i.toDouble))
+    val df = rows.toDF("k", "v")
+    val plainSum = df.groupBy("k").agg(sum("v")).as[(String, Double)].collect().toMap
+    val salted = ScaleOps.saltedSum(df, Seq("k"), "v").as[(String, Double)].collect().toMap
+    assert(salted == plainSum)
+    val plainCnt = df.groupBy("k").count().as[(String, Long)].collect().toMap
+    val saltedC = ScaleOps.saltedCount(df, Seq("k")).as[(String, Long)].collect().toMap
+    assert(saltedC == plainCnt)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    // clear any stale managed-table locations from previous JVM runs
+    Seq("orders_b", "customer_b").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), tbl)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(loc)
+      }
+    }
+    val t = Tables(spark, sfDir)
+    ScaleOps.writeBucketed(t.orders, "orders_b", "o_custkey", 8)
+    ScaleOps.writeBucketed(
+      t.customer.withColumnRenamed("c_custkey", "o_custkey"), "customer_b", "o_custkey", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+      val joined = spark.table("orders_b").join(spark.table("customer_b"), "o_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("vector_cosine is callable from SQL after registration") {
+    org.apache.spark.sql.GraftSqlBridge.registerFunctions(spark)
+    val got = spark.sql(
+      "SELECT vector_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c").as[Double].head()
+    assert(math.abs(got - 1.0) < 1e-12)
+  }
+}
