@@ -35,10 +35,16 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** (id, shingle) inverted index over distinct word n-gram shingles. */
+  /** (id, shingle-hash) inverted index over distinct word n-gram
+    * shingles. Grams are carried as xxhash64 longs, not strings: the
+    * self-join shuffles 8-byte keys instead of ~20-byte text and compares
+    * longs instead of strings. (A 64-bit collision merging two grams has
+    * probability ~|grams|²/2⁶⁵ — negligible even at 100 TB gram counts.)
+    */
   private def shingleIndex(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
     graft.core.Graft.spread(df).select(col(idCol).as("id"),
-      explode(TextFunctions.shingles(col(textCol), n)).as("g"))
+      explode(TextFunctions.shingles(col(textCol), n)).as("gs"))
+      .select(col("id"), xxhash64(col("gs")).as("g"))
 
   /** Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥
     * `threshold`). Shingles occurring in more than `maxShingleDF` docs
