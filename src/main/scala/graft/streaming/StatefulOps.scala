@@ -47,6 +47,29 @@ object StatefulOps {
       }
   }
 
+  /** Running count with state TTL — the documented semantic improvement
+    * over the reference's unbounded in-memory stores (`map.go:9-13`,
+    * SURVEY §7.4): keys idle longer than `ttl` have their state dropped
+    * (and counting restarts from zero if the key reappears). Use for
+    * high-cardinality keyspaces where most keys go cold.
+    */
+  def runningCountWithTTL(keys: Dataset[String], ttl: String): Dataset[KeyCount] = {
+    import keys.sparkSession.implicits._
+    keys.groupByKey(identity)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.ProcessingTimeTimeout) {
+        (key: String, rows: Iterator[String], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val c = state.getOption.getOrElse(0L) + rows.size
+            state.update(c)
+            state.setTimeoutDuration(ttl)
+            Iterator(KeyCount(key, c))
+          }
+      }
+  }
+
   case class Keyed[V](key: String, ts: Long, value: V)
 
   /** KQ-11 streaming: last-write-wins upsert per key (store `Put`
