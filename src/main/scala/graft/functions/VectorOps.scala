@@ -107,7 +107,9 @@ object VectorOps {
       val wq = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid").asc)
       val probed = qCells.withColumn("__rn", row_number().over(wq))
         .filter(col("__rn") <= nprobe).select("qid", "qv", "cid")
-      val scored = probed.join(assigned, "cid")
+      // probe side = |queries| × nprobe rows — always the broadcast side;
+      // without the hint Catalyst picks SMJ and shuffles the whole index
+      val scored = assigned.join(broadcast(probed), "cid")
         .filter(col("id") =!= col("qid"))
         .select(col("qid"), col("id"), cosine(col("v"), col("qv")).as("cos"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id").asc)
@@ -119,6 +121,7 @@ object VectorOps {
     def build(vectors: DataFrame, idCol: String, vecCol: String, c: Int = 16): IvfIndex = {
       val v = graft.core.Graft.spread(vectors)
         .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
+        .cache() // scanned by seeds + two assignment passes
       val seeds = v.orderBy("id").limit(c)
         .select(col("id").as("cid"), col("v").as("cv"))
       def assign(cents: DataFrame): DataFrame = {

@@ -59,6 +59,11 @@ final class TopicProcessor(
     * topic list, resume from committed position, clamp out-of-range
     * offsets instead of failing (`partition_processor.go:41-44` ⇒
     * `failOnDataLoss=false`), bounded per-trigger reads.
+    *
+    * NOTE: requires the `spark-sql-kafka` connector on the classpath
+    * (not shipped in this CI image — the zero-egress harness has no
+    * brokers either). Everything downstream of the source is
+    * connector-independent and covered through [[runWith]].
     */
   def kafkaSource(spark: SparkSession): Dataset[Message] = {
     import spark.implicits._
