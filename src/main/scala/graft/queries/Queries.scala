@@ -438,6 +438,28 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Embedding-cosine near-dup pairs via hyperplane LSH, exact-verified —
+    * rows-only (LSH recall is probabilistic; spec-tested).
+    */
+  def q41_embed_neardup(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.VectorOps.cosineNearDupPairs(
+        Tables(spark, dir).embeddings, "vec_id", "embedding",
+        threshold = 0.9, bits = 8, tables = 4)
+      .orderBy("id_a", "id_b")
+
+  /** Multimodal decode pipeline (stub decoder, real plumbing) — rows-only:
+    * binary payload → partition-wise decode → per-kind feature stats.
+    */
+  def q42_multimodal_decode(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val media = graft.multimodal.Multimodal.asMedia(
+      graft.core.Graft.spread(Tables(spark, dir).documents), "doc_id", "text", "image")
+    graft.multimodal.Multimodal.decodeStub(media).toDF()
+      .select(col("id"), col("width"), col("height"), col("nFrames"),
+        element_at(col("feature"), 1).cast("double").as("f0"))
+      .orderBy("id")
+  }
+
   /** Multimodal binary-column plumbing: payload bytes + content hash
     * (the decode stub itself is spec-tested; this query checks the
     * binary column path end-to-end).
@@ -492,7 +514,9 @@ object Queries {
     "q37_minhash_pairs" -> (q37_minhash_pairs _),
     "q38_simhash_pairs" -> (q38_simhash_pairs _),
     "q39_fingerprint" -> (q39_fingerprint _),
-    "q40_binary_meta" -> (q40_binary_meta _)
+    "q40_binary_meta" -> (q40_binary_meta _),
+    "q41_embed_neardup" -> (q41_embed_neardup _),
+    "q42_multimodal_decode" -> (q42_multimodal_decode _)
   )
 }
 

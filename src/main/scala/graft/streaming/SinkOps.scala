@@ -38,6 +38,20 @@ object SinkOps {
       batch.write.mode("append").parquet(path)
     }
 
+  /** Replay-safe (effectively-once) parquet sink: each epoch writes into
+    * its own partition directory with dynamic partition overwrite, so a
+    * replayed epoch (crash between write and checkpoint commit — the
+    * duplicate window of the reference's at-least-once protocol,
+    * `README.md:18-19`) overwrites itself instead of appending
+    * duplicates. Upgrade over kasper, for free from Spark's epoch ids.
+    */
+  def toParquetIdempotent(df: DataFrame, path: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    atLeastOnce(df, checkpoint) { (batch, epochId) =>
+      batch.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      batch.withColumn("__epoch", org.apache.spark.sql.functions.lit(epochId))
+        .write.mode("overwrite").partitionBy("__epoch").parquet(path)
+    }
+
   /** Drain helper standing in for kasper's `HasConsumedAllMessages`
     * (`topic_processor.go:166-175`) — used by tests to run a stream dry
     * deterministically.

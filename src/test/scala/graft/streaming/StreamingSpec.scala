@@ -137,6 +137,28 @@ class StreamingSpec extends SparkSpec {
       "checkpoint must record the committed epoch (kasper markOffsets analog)")
   }
 
+  test("idempotent parquet sink: replayed epoch does not duplicate output") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idem").toString
+    val in = MemoryStream[String]
+    val counts = StatefulOps.runningCount(in.toDS()).toDF()
+    val q = SinkOps.toParquetIdempotent(counts, s"$dir/out", s"$dir/ckpt")
+      .outputMode(OutputMode.Update()).start()
+    in.addData("x", "y")
+    q.processAllAvailable()
+    q.stop()
+    val once = spark.read.parquet(s"$dir/out").count()
+    // simulate the crash-replay window: re-write the batch of the epoch
+    // that actually produced the rows
+    val written = spark.read.parquet(s"$dir/out")
+    val epoch = written.agg(max("__epoch")).head().get(0).toString.toLong
+    val replay = written.filter(col("__epoch") === epoch).drop("__epoch")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    replay.withColumn("__epoch", lit(epoch))
+      .write.mode("overwrite").partitionBy("__epoch").parquet(s"$dir/out")
+    val after = spark.read.parquet(s"$dir/out").count()
+    assert(after == once, "replaying an epoch must overwrite, not append")
+  }
+
   test("metrics listener observes incoming rows (A16)") {
     val listener = new graft.metrics.GraftMetricsListener
     spark.streams.addListener(listener)
