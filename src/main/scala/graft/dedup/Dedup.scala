@@ -57,35 +57,39 @@ object Dedup {
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
                    n: Int = 3, threshold: Double = 0.5,
                    maxShingleDF: Long = Long.MaxValue): DataFrame = {
-    val sh = shingleIndex(df, textCol, idCol, n)
-    val pruned =
-      if (maxShingleDF == Long.MaxValue) sh
-      else {
-        val hot = sh.groupBy("g").agg(count("*").as("df")).filter(col("df") > maxShingleDF)
-        sh.join(hot, Seq("g"), "left_anti")
-      }
+    val sh = shingleIndex(df, textCol, idCol, n) // (id, g): distinct grams per doc
     val sizes = sh.groupBy("id").agg(count("*").as("sz"))
-    val inter = pruned.as("a").join(pruned.as("b"),
+
+    // Prefix filtering (PPJoin family): order each doc's grams globally by
+    // ascending document frequency (rarest first, gram hash as tie-break).
+    // Two sets with jaccard ≥ t MUST share a gram within their prefixes of
+    // length ⌊(1−t)·|set|⌋ + 1 under any shared total order — so indexing
+    // only prefixes is exact, and rare-first ordering keeps boilerplate
+    // grams out of the index, collapsing the candidate count.
+    val dfg = sh.groupBy("g").agg(count("*").as("dfg"))
+    val wDoc = Window.partitionBy(col("id")).orderBy(col("dfg"), col("g"))
+    val prefix = sh.join(dfg, "g").join(sizes, "id")
+      .withColumn("__rn", row_number().over(wDoc))
+      .filter(col("__rn") <= floor(lit(1.0 - threshold) * col("sz")) + 1)
+      .select("id", "g", "dfg")
+    // optional recall-trading skew guard on the candidate index only
+    val indexed =
+      if (maxShingleDF == Long.MaxValue) prefix
+      else prefix.filter(col("dfg") <= maxShingleDF)
+
+    val cands = indexed.as("a").join(indexed.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count("*").as("i_pruned"))
-    val exactInter =
-      if (maxShingleDF == Long.MaxValue)
-        inter.withColumnRenamed("i_pruned", "i")
-      else {
-        // re-count intersections over the unpruned index for the surviving
-        // candidate pairs only
-        val cand = inter.select("id_a", "id_b")
-        sh.as("a").join(sh.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-          .join(cand, Seq("id_a", "id_b"), "left_semi")
-          .groupBy("id_a", "id_b").agg(count("*").as("i"))
-      }
-    exactInter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "na"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "nb"), "id_b")
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    // exact verification over the full gram sets
+    val sets = sh.groupBy("id").agg(collect_list(col("g")).as("set"))
+    cands
+      .join(sets.select(col("id").as("id_a"), col("set").as("sa")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("set").as("sb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        (col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double")).as("jaccard"))
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
