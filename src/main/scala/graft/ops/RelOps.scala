@@ -63,4 +63,29 @@ object RelOps {
     */
   def reassemble(df: DataFrame, key: Column, item: Column, as: String = "items"): DataFrame =
     df.groupBy(key).agg(sort_array(collect_list(item)).as(as))
+
+  /** As-of join: for every left row, the single latest right row with
+    * `rightTs ≤ leftTs` on the same key (ties broken by `rightTie` desc).
+    * An operator Spark lacks natively, composed from built-ins per the
+    * preference order: range equi-join + per-left-row window top-1 —
+    * shuffles once on the key, no custom physical operator needed.
+    * `leftId` must uniquely identify left rows. Left rows with no match
+    * get nulls (left_outer).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame,
+               leftKeys: Seq[String], rightKeys: Seq[String],
+               leftId: String, leftTs: String, rightTs: String,
+               rightTie: String): DataFrame = {
+    // the as-of bound must be part of the join condition: an outer join
+    // filtered afterwards would drop (not null-extend) left rows whose
+    // only matches are later than leftTs
+    val cond = leftKeys.zip(rightKeys)
+      .map { case (l, r) => left(l) === right(r) }
+      .reduce(_ && _) && right(rightTs) <= left(leftTs)
+    val joined = left.join(right, cond, "left_outer")
+    val w = Window.partitionBy(left(leftId))
+      .orderBy(right(rightTs).desc_nulls_last, right(rightTie).desc_nulls_last)
+    joined.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
 }

@@ -460,6 +460,22 @@ object Queries {
       .orderBy("id")
   }
 
+  /** As-of join: each event paired with the user's latest order at or
+    * before the event time (composed range-join + top-1; an operator
+    * Spark lacks natively). Events with no qualifying order null-extend.
+    */
+  def q43_asof_join(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    RelOps.asOfJoin(
+        t.events.select("event_id", "user_id", "ts"),
+        t.orders.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+        leftKeys = Seq("user_id"), rightKeys = Seq("o_custkey"),
+        leftId = "event_id", leftTs = "ts",
+        rightTs = "o_orderdate", rightTie = "o_orderkey")
+      .select("event_id", "user_id", "o_orderkey", "o_orderdate", "o_totalprice")
+      .orderBy("event_id")
+  }
+
   /** Multimodal binary-column plumbing: payload bytes + content hash
     * (the decode stub itself is spec-tested; this query checks the
     * binary column path end-to-end).
@@ -516,7 +532,8 @@ object Queries {
     "q39_fingerprint" -> (q39_fingerprint _),
     "q40_binary_meta" -> (q40_binary_meta _),
     "q41_embed_neardup" -> (q41_embed_neardup _),
-    "q42_multimodal_decode" -> (q42_multimodal_decode _)
+    "q42_multimodal_decode" -> (q42_multimodal_decode _),
+    "q43_asof_join" -> (q43_asof_join _)
   )
 }
 
@@ -742,7 +759,15 @@ object Oracles {
         |SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     "q40_binary_meta" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, sha256(text) AS sha
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q43_asof_join" ->
+      """SELECT event_id, user_id, o_orderkey, o_orderdate, o_totalprice FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) AS rn
+        |  FROM events e LEFT JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin
     // No oracle (rows-only; ScalaTest-owned): q29_approx_distinct (HLL
     // estimate), q35_ann_ivf (approx recall), q36_langid, q37_minhash_pairs,
     // q38_simhash_pairs, q39_fingerprint (hash-seed-specific).

@@ -41,6 +41,19 @@ class RelOpsSpec extends SparkSpec {
     assert(withO > 0)
   }
 
+  test("asOfJoin picks the latest right row at-or-before leftTs; null-extends no-match") {
+    val left = Seq((1L, "k1", 100L), (2L, "k1", 5L), (3L, "k2", 50L)).toDF("id", "k", "ts")
+    val right = Seq(("k1", 10L, "r10"), ("k1", 90L, "r90"), ("k1", 200L, "r200"),
+      ("k2", 60L, "r60")).toDF("rk", "rts", "rv")
+    val got = RelOps.asOfJoin(left, right, Seq("k"), Seq("rk"),
+        "id", "ts", "rts", "rv")
+      .select("id", "rv").as[(Long, Option[String])].collect().toMap
+    assert(got == Map(
+      1L -> Some("r90"),  // latest ≤ 100
+      2L -> None,         // only later matches exist → null-extended
+      3L -> None))        // k2's only row is at 60 > 50
+  }
+
   test("q06 wordcount on fixtures is non-empty and ordered") {
     val rows = graft.queries.Queries.q06_wordcount(spark, sfDir).as[(String, Long)].collect()
     assert(rows.nonEmpty)

@@ -137,6 +137,25 @@ class StreamingSpec extends SparkSpec {
       "checkpoint must record the committed epoch (kasper markOffsets analog)")
   }
 
+  test("declarative stream-stream inner join with watermarks (KQ-8 streaming alt)") {
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val lhs = MemoryStream[(String, java.sql.Timestamp)]
+    val rhs = MemoryStream[(String, java.sql.Timestamp)]
+    val l = lhs.toDF().toDF("k", "lts").withWatermark("lts", "1 hour")
+    val r = rhs.toDF().toDF("rk", "rts").withWatermark("rts", "1 hour")
+    val joined = l.join(r,
+      $"k" === $"rk" && $"rts" >= $"lts" - expr("interval 10 minutes") &&
+        $"rts" <= $"lts" + expr("interval 10 minutes"))
+    val q = joined.writeStream.format("memory").queryName(nextName())
+      .outputMode(OutputMode.Append()).start()
+    lhs.addData(("a", t(0)), ("b", t(0)))
+    rhs.addData(("a", t(5)), ("b", t(30))) // b outside the ±10 min band
+    q.processAllAvailable()
+    val rows = spark.table(q.name).select("k").as[String].collect().toSeq
+    q.stop()
+    assert(rows == Seq("a"), "only the in-band pair joins")
+  }
+
   test("idempotent parquet sink: replayed epoch does not duplicate output") {
     val dir = java.nio.file.Files.createTempDirectory("graft_idem").toString
     val in = MemoryStream[String]
