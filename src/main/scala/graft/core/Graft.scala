@@ -44,6 +44,16 @@ object Graft {
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
 
+  /** Opt into the RocksDB state store for streaming state — the scale
+    * path for keyed state (spillable, incremental-checkpointed), playing
+    * the role of the reference's external Redis/ES stores
+    * (`redis.go`/`elasticsearch.go`) with Spark-owned fault tolerance.
+    * Session-wide setting; call before starting stateful queries.
+    */
+  def useRocksDbStateStore(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
   /** Fan a DataFrame out to full core parallelism before compute-heavy
     * per-row work (hashing, shingling, vector kernels).
     *

@@ -77,8 +77,14 @@ object Dedup {
       if (maxShingleDF == Long.MaxValue) prefix
       else prefix.filter(col("dfg") <= maxShingleDF)
 
-    val cands = indexed.as("a").join(indexed.as("b"),
-        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+    // length filter (exact): jaccard ≥ t needs |A∩B| ≥ t·|A∪B|, which is
+    // impossible unless t·max(|A|,|B|) ≤ min(|A|,|B|) — prune size-
+    // incompatible pairs before they reach verification
+    val withSz = indexed.join(sizes, "id")
+    val cands = withSz.as("a").join(withSz.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
+          least(col("a.sz"), col("b.sz")).cast("double") >=
+            lit(threshold) * greatest(col("a.sz"), col("b.sz")).cast("double"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 

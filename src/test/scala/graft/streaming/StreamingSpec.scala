@@ -178,6 +178,26 @@ class StreamingSpec extends SparkSpec {
     assert(after == once, "replaying an epoch must overwrite, not append")
   }
 
+  test("runningCount on the RocksDB state store (A10/A11 scale path)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    graft.core.Graft.useRocksDbStateStore(spark)
+    try {
+      val in = MemoryStream[String]
+      val q = StatefulOps.runningCount(in.toDS())
+        .writeStream.format("memory").queryName(nextName())
+        .outputMode(OutputMode.Update()).start()
+      in.addData("r", "r", "s"); q.processAllAvailable()
+      in.addData("r"); q.processAllAvailable()
+      val m = spark.table(q.name).as[(String, Long)].collect()
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      q.stop()
+      assert(m == Map("r" -> 3L, "s" -> 1L))
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("metrics listener observes incoming rows (A16)") {
     val listener = new graft.metrics.GraftMetricsListener
     spark.streams.addListener(listener)
