@@ -16,7 +16,6 @@ object StreamBench {
     val secs = args.drop(1).headOption.map(_.toInt).getOrElse(20)
     val spark = graft.core.Graft.localSession("graft-stream-bench")
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
 
     val listener = new graft.metrics.GraftMetricsListener
     spark.streams.addListener(listener)
