@@ -316,6 +316,13 @@ object Queries {
       .orderBy(col("n_name").asc_nulls_first, col("yr").asc_nulls_first)
   }
 
+  /** KQ-27 cube: all grouping-set combinations of (segment, nation). */
+  def q27_cube(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).customer
+      .cube(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count("*").as("n"), sumExact(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("c_mktsegment").asc_nulls_first, col("c_nationkey").asc_nulls_first)
+
   /** KQ-28 set ops: customer-key algebra between two filters. */
   private def q28sets(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val c = Tables(spark, dir).customer
@@ -516,6 +523,7 @@ object Queries {
     "q25_session_window" -> (q25_session_window _),
     "q26_analytic" -> (q26_analytic _),
     "q27_rollup" -> (q27_rollup _),
+    "q27_cube" -> (q27_cube _),
     "q28_intersect" -> (q28_intersect _),
     "q28_except" -> (q28_except _),
     "q29_distinct_users" -> (q29_distinct_users _),
@@ -694,6 +702,11 @@ object Oracles {
         |      JOIN nation ON c_nationkey = n_nationkey)
         |GROUP BY ROLLUP (n_name, yr)
         |ORDER BY n_name NULLS FIRST, yr NULLS FIRST""".stripMargin,
+    "q27_cube" ->
+      """SELECT c_mktsegment, c_nationkey, count(*) AS n,
+        |CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)
+        |ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin,
     "q28_intersect" ->
       """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |INTERSECT
