@@ -17,10 +17,32 @@ object Graft {
   /** Build a local session with scale-appropriate defaults. `cpus` comes
     * from SPARK_GRAFT_CPUS when driven by the harness.
     */
-  def localSession(appName: String = "graft", cpus: Int = defaultCpus): SparkSession =
-    configure(SparkSession.builder().master(s"local[$cpus]"), cpus)
+  def localSession(appName: String = "graft", cpus: Int = defaultCpus): SparkSession = {
+    val s = configure(SparkSession.builder().master(s"local[$cpus]"), cpus)
       .appName(appName)
       .getOrCreate()
+    logObservedMetrics(s)
+    s
+  }
+
+  /** Log observed metrics (`CollectMetrics` nodes — e.g. the jaccard
+    * prefix-prune drop counter) after every query execution, so skew-guard
+    * drops are visible in the driver log rather than silent. Registering
+    * twice on one session is harmless (duplicate log lines only).
+    */
+  def logObservedMetrics(spark: SparkSession): Unit =
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      private val log = org.slf4j.LoggerFactory.getLogger("graft.metrics.observed")
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          log.info(s"observed metric $name = $row")
+        }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    })
 
   def defaultCpus: Int =
     sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)

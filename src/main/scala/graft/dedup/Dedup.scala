@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.text.TextFunctions
@@ -35,6 +35,16 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Similarity threshold as an exact decimal literal, rounded *down* at
+    * 10 digits. Every filter derived from it errs on the permissive side
+    * (longer prefix, smaller overlap bound), so candidate generation stays
+    * exact even when t·|set| lands exactly on an integer — the case where
+    * double arithmetic (`floor((1-t)*sz)`) undercounts the prefix by one
+    * and `t*max` overshoots the length bound by one ulp.
+    */
+  private def exactDec(t: Double): Column =
+    lit(new java.math.BigDecimal(t).setScale(10, java.math.RoundingMode.FLOOR))
+
   /** (id, shingle-hash) inverted index over distinct word n-gram
     * shingles. Grams are carried as xxhash64 longs, not strings: the
     * self-join shuffles 8-byte keys instead of ~20-byte text and compares
@@ -56,35 +66,54 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
                    n: Int = 3, threshold: Double = 0.5,
-                   maxShingleDF: Long = Long.MaxValue): DataFrame = {
+                   maxShingleDF: Long = 100000L): DataFrame = {
     val sh = shingleIndex(df, textCol, idCol, n) // (id, g): distinct grams per doc
     val sizes = sh.groupBy("id").agg(count("*").as("sz"))
 
     // Prefix filtering (PPJoin family): order each doc's grams globally by
     // ascending document frequency (rarest first, gram hash as tie-break).
     // Two sets with jaccard ≥ t MUST share a gram within their prefixes of
-    // length ⌊(1−t)·|set|⌋ + 1 under any shared total order — so indexing
-    // only prefixes is exact, and rare-first ordering keeps boilerplate
-    // grams out of the index, collapsing the candidate count.
+    // length |set| − ⌈t·|set|⌉ + 1 under any shared total order — so
+    // indexing only prefixes is exact, and rare-first ordering keeps
+    // boilerplate grams out of the index, collapsing the candidate count.
+    // The bound is computed in decimal so t·sz integral (t=0.8, sz=10)
+    // can't round the prefix one short.
     val dfg = sh.groupBy("g").agg(count("*").as("dfg"))
     val wDoc = Window.partitionBy(col("id")).orderBy(col("dfg"), col("g"))
     val prefix = sh.join(dfg, "g").join(sizes, "id")
       .withColumn("__rn", row_number().over(wDoc))
-      .filter(col("__rn") <= floor(lit(1.0 - threshold) * col("sz")) + 1)
-      .select("id", "g", "dfg")
-    // optional recall-trading skew guard on the candidate index only
+      .filter(col("__rn") <= col("sz") - ceil(exactDec(threshold) * col("sz")) + 1)
+      .select(col("id"), col("g"), col("dfg"), col("__rn").as("pos"))
+    // recall-trading skew guard on the candidate index only: one
+    // pathological boilerplate gram that slipped into prefixes would
+    // otherwise hotspot a reducer quadratically at scale. Dropped volume
+    // is observable (CollectMetrics → logged by Graft's listener), never
+    // silent.
     val indexed =
       if (maxShingleDF == Long.MaxValue) prefix
-      else prefix.filter(col("dfg") <= maxShingleDF)
+      else prefix
+        .observe(s"jaccard_prefix_prune_$maxShingleDF",
+          count(when(col("dfg") > maxShingleDF, true)).as("dropped_hot_gram_entries"))
+        .filter(col("dfg") <= maxShingleDF)
 
-    // length filter (exact): jaccard ≥ t needs |A∩B| ≥ t·|A∪B|, which is
-    // impossible unless t·max(|A|,|B|) ≤ min(|A|,|B|) — prune size-
-    // incompatible pairs before they reach verification
+    // overlap bound α = ⌈t/(1+t)·(|A|+|B|)⌉: jaccard ≥ t ⟺ |A∩B| ≥ α.
+    // The constant is floored at 10 digits — only ever weakens the filter.
+    val tf = lit(new java.math.BigDecimal(threshold / (1.0 + threshold))
+      .setScale(10, java.math.RoundingMode.FLOOR))
     val withSz = indexed.join(sizes, "id")
     val cands = withSz.as("a").join(withSz.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
-          least(col("a.sz"), col("b.sz")).cast("double") >=
-            lit(threshold) * greatest(col("a.sz"), col("b.sz")).cast("double"))
+          // length filter (exact): jaccard ≥ t is impossible unless
+          // min(|A|,|B|) ≥ ⌈t·max(|A|,|B|)⌉
+          least(col("a.sz"), col("b.sz")) >=
+            ceil(exactDec(threshold) * greatest(col("a.sz"), col("b.sz"))) &&
+          // positional filter (PPJoin): the globally-first common gram g₁
+          // sits in both prefixes, and every other common gram ranks after
+          // it, so |A∩B| ≤ 1 + min(|A|−pos_A(g₁), |B|−pos_B(g₁)). Filtering
+          // each joined row and keeping pairs where ANY row passes is
+          // exact: a qualifying pair always survives via g₁'s row.
+          lit(1) + least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos")) >=
+            ceil(tf * (col("a.sz") + col("b.sz"))))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
@@ -178,17 +207,45 @@ object Dedup {
     hashed.select(col("id"), fp.as("fp"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (< 16).
-    * Candidates via the pigeonhole principle on four 16-bit chunks: any
-    * pair within distance 3 shares at least one chunk, so candidate
-    * generation is an equi-join on (chunk index, chunk value).
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` —
+    * candidate generation is *complete* for any radius (multi-index
+    * hashing, Norouzi et al. "Fast Search in Hamming Space with
+    * Multi-Index Hashing").
+    *
+    * The fingerprint splits into `chunks` equal slices; by pigeonhole a
+    * pair within distance r has some chunk within distance d = ⌊r/chunks⌋.
+    * The probe side enumerates every ≤d-bit-flip variant of each chunk
+    * (a constant XOR-mask list, C(w,≤d) masks), so candidates remain an
+    * equi-join on (chunk index, chunk value) — bucketed, never all-pairs.
+    * Probe volume is docs × chunks × C(w,≤d); at a larger radius raise
+    * `chunks` to shrink d (more, narrower buckets) — the standard MIH
+    * trade, chunks ≈ 64/log₂(n) at scale.
     */
-  def simHashNearDups(fps: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simHashNearDups(fps: DataFrame, maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
+    require(chunks > 0 && 64 % chunks == 0, "chunks must divide 64")
+    val w = 64 / chunks
+    val d = maxHamming / chunks // per-chunk sub-distance (pigeonhole)
+    val chunkMask = if (w == 64) -1L else (1L << w) - 1L
+    // all XOR masks flipping ≤ d of the w chunk bits (driver-side constant)
+    val masks: Seq[Long] = {
+      def choose(start: Int, left: Int): Seq[Long] =
+        if (left == 0) Seq(0L)
+        else (start until w).flatMap(b => choose(b + 1, left - 1).map(_ | (1L << b)))
+      (0 to d).flatMap(k => choose(0, k))
+    }
     val chunked = fps.select(col("id"), col("fp"),
-        posexplode(array((0 until 4).map(c =>
-          shiftright(col("fp"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+        posexplode(array((0 until chunks).map(c =>
+          shiftright(col("fp"), c * w).bitwiseAND(lit(chunkMask))): _*)))
       .toDF("id", "fp", "chunk", "cv")
-    chunked.as("a").join(chunked.as("b"),
+    // index side stays exact; probe side explodes the constant mask list
+    // (codegen'd generate + native XOR — no per-row lambda dispatch)
+    val probe =
+      if (masks.size == 1) chunked
+      else chunked
+        .select(col("id"), col("fp"), col("chunk"), col("cv"), explode(typedLit(masks)).as("m"))
+        .select(col("id"), col("fp"), col("chunk"), col("cv").bitwiseXOR(col("m")).as("cv"))
+    chunked.as("a").join(probe.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

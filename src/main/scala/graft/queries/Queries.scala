@@ -745,10 +745,13 @@ object Oracles {
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "q33_jaccard_pairs" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
         |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
         |       FROM toks CROSS JOIN unnest(generate_series(1, len(t)-2)) AS u(i)
-        |       WHERE len(t) >= 3),
+        |       WHERE len(t) >= 3
+        |       UNION
+        |       SELECT doc_id, array_to_string(t, ' ') AS g FROM toks WHERE len(t) < 3),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
         |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id

@@ -70,4 +70,52 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  /** All-pairs jaccard ground truth over full shingle sets — no candidate
+    * generation, so any prefix/length/positional-filter bug shows up as a
+    * set mismatch.
+    */
+  private def bruteForceJaccard(d: org.apache.spark.sql.DataFrame, t: Double): Set[(Long, Long)] = {
+    val sets = d.select(col("doc_id").as("id"),
+      graft.text.TextFunctions.shingles(col("text"), 3).as("sh"))
+    sets.as("a").join(sets.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh"))).cast("double")).as("j"))
+      .filter(col("j") >= t)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+  }
+
+  test("jaccardPairs is exact at integral-t·sz boundary thresholds (0.8, 0.9)") {
+    val d = Tables(spark, sfDir).documents
+    for (t <- Seq(0.8, 0.9)) {
+      val exact = Dedup.jaccardPairs(d, "text", "doc_id", n = 3, threshold = t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val bf = bruteForceJaccard(d, t)
+      assert(exact == bf, s"threshold $t: filtered=${exact.size} bruteforce=${bf.size}, " +
+        s"missed=${(bf -- exact).take(5)}, extra=${(exact -- bf).take(5)}")
+    }
+  }
+
+  test("simHashNearDups is complete at radius 10: planted distance-8 pair spread over all chunks") {
+    // 8 differing bits spread 2+2+2+2 across the four 16-bit chunks — the
+    // exact shape the old single-chunk-equality pigeonhole missed
+    val base = 0x0123456789ABCDEFL
+    val mask = (3L << 0) | (3L << 16) | (3L << 32) | (3L << 48)
+    val fps = Seq((1L, base), (2L, base ^ mask), (3L, ~base)).toDF("id", "fp")
+    val pairs = Dedup.simHashNearDups(fps, maxHamming = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simHashNearDups matches brute-force hamming join on the sf0.001 corpus") {
+    val fps = Dedup.simHash(Tables(spark, sfDir).documents, "text", "doc_id").cache()
+    val got = Dedup.simHashNearDups(fps, maxHamming = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val bf = fps.as("a").join(fps.as("b"), col("a.id") < col("b.id"))
+      .filter(bit_count(col("a.fp").bitwiseXOR(col("b.fp"))) <= 10)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == bf, s"candidates missed ${(bf -- got).size} of ${bf.size} pairs")
+  }
 }
