@@ -143,12 +143,10 @@ object Dedup {
                         n: Int = 3, numHashes: Int = 64): DataFrame = {
     val hashed = graft.core.Graft.spread(df).select(col(idCol).as("id"),
       transform(TextFunctions.shingles(col(textCol), n), s => xxhash64(s)).as("hh"))
-    val seeds = (0 until numHashes).map { i =>
-      val a = 0x9E3779B97F4A7C15L * (2L * i + 1L) // odd multiplier
-      val b = 0xC2B2AE3D27D4EB4FL * i
-      array_min(transform(col("hh"), h => h * a + b))
-    }
-    hashed.select(col("id"), array(seeds: _*).as("sig"))
+    // one native pass over hh for all seeds (HashKernelsSpec asserts
+    // bit-equality with the 64× array_min(transform(...)) HOF form)
+    hashed.select(col("id"),
+      graft.functions.HashKernels.minhashSignature(col("hh"), numHashes).as("sig"))
   }
 
   /** LSH banding: signature split into `bands` bands of `rows` hashes;
@@ -195,16 +193,12 @@ object Dedup {
     * hashes are computed once per token, then folded per bit.
     */
   def simHash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    // hash each token once, then take 64 per-bit majority votes
+    // hash each token once, then one native pass for all 64 majority
+    // votes (HashKernelsSpec asserts bit-equality with the 64×
+    // aggregate(...) HOF form)
     val hashed = graft.core.Graft.spread(df).select(col(idCol).as("id"),
       transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)).as("th"))
-    val fp = (0 until 64).map { j =>
-      when(
-        aggregate(col("th"), lit(0L),
-          (s, h) => s + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)) > 0,
-        lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    hashed.select(col("id"), fp.as("fp"))
+    hashed.select(col("id"), graft.functions.HashKernels.simhash(col("th")).as("fp"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` —

@@ -1,0 +1,156 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native (whole-stage-codegen) signature kernels for the dedup family.
+  *
+  * The HOF formulations (`array_min(transform(...))` per seed,
+  * `aggregate(...)` per bit) are CodegenFallback: 64 interpreted array
+  * passes per document — the dominant cost of MinHash/SimHash signatures
+  * at scale (the reference's equivalents are tight native loops in its
+  * engine; kasper itself has no sketching surface). These expressions
+  * compute the whole signature in ONE pass over the token-hash array with
+  * primitive arithmetic, exactly reproducing the remix family
+  * `h·A_i + B_i` (A_i odd golden-ratio multiples, wrapping longs) so
+  * existing signatures and LSH bucketing are bit-identical.
+  */
+object HashKernels {
+
+  val GoldenA = 0x9E3779B97F4A7C15L
+  val GoldenB = 0xC2B2AE3D27D4EB4FL
+
+  /** `numHashes` min-hashes over an `array<long>` of element hashes, one
+    * pass. Empty input yields Long.MaxValue sentinels (upstream shingling
+    * always emits ≥ 1 gram, so this is unreachable in the dedup path).
+    */
+  def minhashSignature(hashes: Column, numHashes: Int): Column =
+    GraftSqlBridge.column(MinHashSignature(GraftSqlBridge.expression(hashes), numHashes))
+
+  /** 64-bit SimHash (per-bit majority vote) over an `array<long>` of
+    * token hashes, one pass.
+    */
+  def simhash(hashes: Column): Column =
+    GraftSqlBridge.column(SimHashFingerprint(GraftSqlBridge.expression(hashes)))
+}
+
+case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpression {
+  require(numHashes > 0, "numHashes must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"input must be array<bigint>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var t = 0
+    while (t < n) {
+      val h = arr.getLong(t)
+      var i = 0
+      while (i < numHashes) {
+        val v = h * (HashKernels.GoldenA * (2L * i + 1L)) + HashKernels.GoldenB * i
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val mins = ctx.freshName("mins")
+      val t = ctx.freshName("t")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      s"""
+         |final int $n = $a.numElements();
+         |final long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $t = 0; $t < $n; $t++) {
+         |  final long $h = $a.getLong($t);
+         |  for (int $i = 0; $i < $numHashes; $i++) {
+         |    final long $v = $h * (${HashKernels.GoldenA}L * (2L * $i + 1L))
+         |      + ${HashKernels.GoldenB}L * (long) $i;
+         |    if ($v < $mins[$i]) $mins[$i] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class SimHashFingerprint(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"input must be array<bigint>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val cnt = new Array[Int](64)
+    var t = 0
+    while (t < n) {
+      val h = arr.getLong(t)
+      var j = 0
+      while (j < 64) {
+        cnt(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+      t += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) {
+      if (cnt(j) > 0) fp |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(fp)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val cnt = ctx.freshName("cnt")
+      val t = ctx.freshName("t")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val fp = ctx.freshName("fp")
+      s"""
+         |final int $n = $a.numElements();
+         |final int[] $cnt = new int[64];
+         |for (int $t = 0; $t < $n; $t++) {
+         |  final long $h = $a.getLong($t);
+         |  for (int $j = 0; $j < 64; $j++) {
+         |    $cnt[$j] += ((($h >>> $j) & 1L) == 1L) ? 1 : -1;
+         |  }
+         |}
+         |long $fp = 0L;
+         |for (int $j = 0; $j < 64; $j++) {
+         |  if ($cnt[$j] > 0) $fp |= (1L << $j);
+         |}
+         |${ev.value} = $fp;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

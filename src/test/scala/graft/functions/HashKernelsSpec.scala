@@ -1,0 +1,65 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.text.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** Bit-exactness of the native signature kernels against the HOF
+  * formulations they replaced (the same guarantee VectorOpsSpec gives for
+  * the cosine kernel): any divergence would silently change LSH buckets.
+  */
+class HashKernelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tokenHashes = Tables(spark, sfDir).documents
+    .select(col("doc_id").as("id"),
+      transform(TextFunctions.tokens(col("text")), t => xxhash64(t)).as("th"),
+      transform(TextFunctions.shingles(col("text"), 3), s => xxhash64(s)).as("hh"))
+
+  test("MinHashSignature matches the 64x array_min(transform) HOF form bit-for-bit") {
+    val numHashes = 64
+    val seeds = (0 until numHashes).map { i =>
+      val a = HashKernels.GoldenA * (2L * i + 1L)
+      val b = HashKernels.GoldenB * i
+      array_min(transform(col("hh"), h => h * a + b))
+    }
+    val diff = tokenHashes
+      .select(col("id"),
+        HashKernels.minhashSignature(col("hh"), numHashes).as("native"),
+        array(seeds: _*).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(diff == 0L)
+  }
+
+  test("SimHashFingerprint matches the 64x aggregate HOF form bit-for-bit") {
+    val hof = (0 until 64).map { j =>
+      when(
+        aggregate(col("th"), lit(0L),
+          (s, h) => s + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)) > 0,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val diff = tokenHashes
+      .select(col("id"), HashKernels.simhash(col("th")).as("native"), hof.as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(diff == 0L)
+  }
+
+  test("kernels survive empty and single-token inputs") {
+    val rows = Seq(
+      (1L, Seq.empty[Long]),
+      (2L, Seq(42L)),
+      (3L, Seq(Long.MinValue, Long.MaxValue, 0L))
+    ).toDF("id", "th")
+    val out = rows.select(col("id"),
+      HashKernels.minhashSignature(col("th"), 8).as("sig"),
+      HashKernels.simhash(col("th")).as("fp"))
+      .orderBy("id").as[(Long, Seq[Long], Long)].collect()
+    assert(out(0)._2.forall(_ == Long.MaxValue)) // empty → sentinel minima
+    assert(out(0)._3 == 0L)                      // empty → all votes negative
+    assert(out(1)._2.length == 8)
+    assert(out(1)._3 == 42L)                     // single token → its own bits
+  }
+}
