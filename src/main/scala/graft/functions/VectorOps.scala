@@ -59,34 +59,72 @@ object VectorOps {
     scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** Exact all-pairs cosine ≥ `threshold` — the near-dup baseline, same
+    * role q34's brute-force scan plays for ANN: correct at any threshold
+    * and oracle-checkable; O(n²) by nature, so [[cosineNearDupPairs]] is
+    * the scale path once the corpus outgrows a pairwise pass.
+    */
+  def cosineAllPairs(vectors: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double): DataFrame = {
+    val v = graft.core.Graft.spread(vectors)
+      .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Embedding-cosine near-dup pairs via random-hyperplane LSH: `bits`
-    * deterministic pseudo-random hyperplanes (seeded by xxhash64, no RNG
-    * state) give a sign bucket; pairs sharing a bucket are exact-verified
-    * against `threshold`. Bucketing is repeated `tables` times with
-    * different seeds so high-similarity pairs are found w.h.p.
+    * deterministic pseudo-random hyperplanes give a sign bucket; pairs
+    * sharing a bucket are exact-verified against `threshold`. Bucketing
+    * is repeated `tables` times with different seeds so high-similarity
+    * pairs are found w.h.p.
+    *
+    * The planes are derived once on the driver (same xxhash64 family the
+    * per-row expression used, via Catalyst's XxHash64 — deterministic, no
+    * RNG state) and embedded as array literals; each row then computes
+    * all table buckets in ONE scan through the codegen'd dot kernel and
+    * explodes to (table, bucket). The previous form re-derived every
+    * plane per row through interpreted HOFs and scanned the input once
+    * per table per join side.
     */
   def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, bits: Int = 12,
                          tables: Int = 4, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    def h(t: Int, b: Int, d: Int): Long =
+      XxHash64(Seq(Literal(t), Literal(b), Literal(d)), 42L) // sql xxhash64's default seed
+        .eval(null).asInstanceOf[Long]
+    // hyperplane component (t, b, d) ∈ {-1000..1000}/1000, fixed by hash
+    val planes: IndexedSeq[IndexedSeq[Seq[Double]]] =
+      (0 until tables).map(t => (0 until bits).map(b =>
+        (0 until dim).map(d => (((h(t, b, d) % 2001L) + 2001L) % 2001L - 1000L) / 1000.0)))
+
     val v = graft.core.Graft.spread(vectors)
       .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
-    // hyperplane component (t, b, d) ∈ {-1000..1000}/1000, fixed by hash
-    def plane(t: Int, b: Int): Column =
-      transform(sequence(lit(0), lit(dim - 1)),
-        d => (pmod(xxhash64(lit(t), lit(b), d), lit(2001L)) - 1000L).cast("double") / 1000.0)
-    val withBucket = (0 until tables).map { t =>
-      val sig = (0 until bits).map { b =>
-        when(dot(col("v"), plane(t, b)) >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    // sign(dot(v, p)) == (cosine(v, p) >= 0): norms are positive, so the
+    // native cosine kernel doubles as the signed-projection test
+    val sigs = (0 until tables).map { t =>
+      val bucket = (0 until bits).map { b =>
+        when(cosine(col("v"), typedLit(planes(t)(b))) >= 0, lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _)
-      v.select(col("id"), col("v"), lit(t).as("t"), sig.as("bucket"))
-    }.reduce(_ unionByName _)
-    val pairs = withBucket.as("a").join(withBucket.as("b"),
+      struct(lit(t).as("t"), bucket.as("bucket"))
+    }
+    // the bucket join and dedup shuffle BARE id pairs (16 bytes/row);
+    // vectors rejoin only for the post-dedup verification — carrying the
+    // arrays through the candidate dedup multiplied shuffle volume ~60×
+    val withBucket = v
+      .select(col("id"), explode(array(sigs: _*)).as("tb"))
+      .select(col("id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val candIds = withBucket.as("a").join(withBucket.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
-      .dropDuplicates("id_a", "id_b")
-    pairs.select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    candIds
+      .join(v.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 

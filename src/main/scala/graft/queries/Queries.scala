@@ -445,13 +445,26 @@ object Queries {
       .orderBy("doc_id")
   }
 
-  /** Embedding-cosine near-dup pairs via hyperplane LSH, exact-verified —
-    * rows-only (LSH recall is probabilistic; spec-tested).
+  /** Embedding-cosine near-dup pairs, exact all-pairs baseline at a
+    * threshold the fixture actually exercises (0.45 → 14 pairs at sf0.01;
+    * nothing in the table exceeds cos 0.52, so higher thresholds verify
+    * nothing) — hash-checked against the all-pairs DuckDB oracle. The LSH
+    * scale path is q41_embed_lsh.
     */
   def q41_embed_neardup(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.VectorOps.cosineAllPairs(
+        Tables(spark, dir).embeddings, "vec_id", "embedding", threshold = 0.45)
+      .orderBy("id_a", "id_b")
+
+  /** Hyperplane-LSH near-dup pairs (the scale path) — rows-only: recall
+    * is probabilistic; subset-of-exact + recall asserted in VectorOpsSpec.
+    * Low bits / many tables because the fixture's operating threshold is
+    * a moderate 0.45 (collision probability per hyperplane ≈ 0.65).
+    */
+  def q41_embed_lsh(spark: SparkSession, dir: String): DataFrame =
     graft.functions.VectorOps.cosineNearDupPairs(
         Tables(spark, dir).embeddings, "vec_id", "embedding",
-        threshold = 0.9, bits = 8, tables = 4)
+        threshold = 0.45, bits = 4, tables = 16)
       .orderBy("id_a", "id_b")
 
   /** Multimodal decode pipeline (stub decoder, real plumbing) — rows-only:
@@ -540,6 +553,7 @@ object Queries {
     "q39_fingerprint" -> (q39_fingerprint _),
     "q40_binary_meta" -> (q40_binary_meta _),
     "q41_embed_neardup" -> (q41_embed_neardup _),
+    "q41_embed_lsh" -> (q41_embed_lsh _),
     "q42_multimodal_decode" -> (q42_multimodal_decode _),
     "q43_asof_join" -> (q43_asof_join _)
   )
@@ -776,6 +790,16 @@ object Oracles {
     "q40_binary_meta" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, sha256(text) AS sha
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q41_embed_neardup" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |        (SELECT sum(x*x) FROM (SELECT unnest(e) AS x)) AS nm2 FROM v),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        (SELECT sum(x*y) FROM (SELECT unnest(a.e) AS x, unnest(b.e) AS y)) /
+        |        sqrt(a.nm2 * b.nm2) AS cos
+        |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
     "q43_asof_join" ->
       """SELECT event_id, user_id, o_orderkey, o_orderdate, o_totalprice FROM (
         |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate, o.o_totalprice,
@@ -786,6 +810,7 @@ object Oracles {
         |WHERE rn = 1 ORDER BY event_id""".stripMargin
     // No oracle (rows-only; ScalaTest-owned): q29_approx_distinct (HLL
     // estimate), q35_ann_ivf (approx recall), q36_langid, q37_minhash_pairs,
-    // q38_simhash_pairs, q39_fingerprint (hash-seed-specific).
+    // q38_simhash_pairs, q39_fingerprint (hash-seed-specific),
+    // q41_embed_lsh (probabilistic recall; subset+recall spec-asserted).
   )
 }

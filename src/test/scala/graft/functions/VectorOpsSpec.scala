@@ -57,12 +57,34 @@ class VectorOpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall@10 too low: $recall")
   }
 
-  test("cosineNearDupPairs exact-verifies candidates above threshold") {
+  test("cosineNearDupPairs is a subset of the exact pairs with high recall") {
     val e = Tables(spark, sfDir).embeddings
-    val pairs = cosineNearDupPairs(e, "vec_id", "embedding", threshold = 0.95,
-      bits = 8, tables = 4)
-    val rows = pairs.collect()
-    // all returned pairs satisfy the threshold by construction; sanity: cos ≤ 1
-    assert(rows.forall(r => r.getDouble(2) >= 0.95 && r.getDouble(2) <= 1.0 + 1e-9))
+    // 0.45 is the operating threshold the fixture exercises (nothing in
+    // the table exceeds cos ~0.52); the exact baseline is ground truth
+    val exact = cosineAllPairs(e, "vec_id", "embedding", threshold = 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should yield exact pairs at 0.45")
+    val lsh = cosineNearDupPairs(e, "vec_id", "embedding", threshold = 0.45,
+      bits = 4, tables = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "LSH verifies candidates exactly, so pairs must be a subset")
+    val recall = exact.intersect(lsh).size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall too low (exact=${exact.size}, lsh=${lsh.size})")
+  }
+
+  test("cosineAllPairs returned scores match a driver-side recomputation") {
+    val e = Tables(spark, sfDir).embeddings
+    val vecs = e.select($"vec_id", toDoubleArr($"embedding").as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val got = cosineAllPairs(e, "vec_id", "embedding", threshold = 0.45).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (a, b) = (vecs(r.getLong(0)), vecs(r.getLong(1)))
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      val cos = dot / math.sqrt(na * nb)
+      assert(java.lang.Double.doubleToLongBits(cos) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))
+    }
   }
 }
