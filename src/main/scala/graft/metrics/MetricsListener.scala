@@ -3,6 +3,9 @@ package graft.metrics
 import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.LongAdder
 
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.streaming.StreamingQueryListener
 import org.apache.spark.sql.streaming.StreamingQueryListener._
 
@@ -12,11 +15,19 @@ import org.apache.spark.sql.streaming.StreamingQueryListener._
   * `StreamingQueryProgress` instead of hand-maintained counters. Export
   * to Prometheus is a sink concern (`spark.metrics` servlet); this class
   * keeps the counters queryable in-process for tests and the bench.
+  *
+  * Source offsets come in two shapes: plain numerals (rate, MemoryStream)
+  * and JSON maps — Kafka's `{"topic":{"0":123}}` per-partition maps and
+  * the file source's `{"logOffset":2}`. Both are parsed; the
+  * per-topic-partition lag (kasper's messages-behind-high-water-mark,
+  * `partition_processor.go:89-103`) is exposed via [[lagByPartition]],
+  * with [[lagFor]] the summed gauge.
   */
 final class GraftMetricsListener extends StreamingQueryListener {
   val incoming = new LongAdder          // ≈ kasper incoming_message_count
   val outgoing = new LongAdder          // ≈ kasper outgoing_message_count
-  private val lag = new ConcurrentHashMap[String, Long]()  // messages_behind_high_water_mark
+  private val lag = new ConcurrentHashMap[String, Long]()  // summed per source
+  private val partitionLag = new ConcurrentHashMap[String, Map[String, Long]]()
 
   override def onQueryStarted(e: QueryStartedEvent): Unit = ()
   override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
@@ -28,19 +39,55 @@ final class GraftMetricsListener extends StreamingQueryListener {
       if (s.numOutputRows >= 0) outgoing.add(s.numOutputRows)
     }
     p.sources.foreach { s =>
-      // offset-based lag when the source reports numeric offsets
-      (Option(s.latestOffset), Option(s.endOffset)) match {
-        case (Some(l), Some(c)) =>
-          (l.toLongOption, c.toLongOption) match {
-            case (Some(lv), Some(cv)) => lag.put(s.description, math.max(0L, lv - cv))
-            case _ => ()
+      (Option(s.latestOffset).flatMap(GraftMetricsListener.parseOffsets),
+        Option(s.endOffset).flatMap(GraftMetricsListener.parseOffsets)) match {
+        case (Some(latest), Some(end)) =>
+          val perPart = latest.map { case (tp, lv) =>
+            tp -> math.max(0L, lv - end.getOrElse(tp, 0L))
           }
+          partitionLag.put(s.description, perPart)
+          lag.put(s.description, perPart.values.sum)
         case _ => ()
       }
     }
   }
 
   def lagFor(sourceDescription: String): Option[Long] = Option(lag.get(sourceDescription))
+  def lagByPartition(sourceDescription: String): Option[Map[String, Long]] =
+    Option(partitionLag.get(sourceDescription))
   def totalIncoming: Long = incoming.sum()
   def totalOutgoing: Long = outgoing.sum()
+}
+
+object GraftMetricsListener {
+  private val mapper = new ObjectMapper()
+
+  /** Offset string → map of topic-partition (or field name) → offset.
+    * Plain numerals yield a single `""` entry; Kafka JSON maps yield
+    * `"topic-partition"` entries; flat JSON objects (file source's
+    * `{"logOffset":2}`) yield one entry per numeric field. Non-offset
+    * strings yield None.
+    */
+  private[metrics] def parseOffsets(s: String): Option[Map[String, Long]] =
+    s.trim.toLongOption.map(v => Map("" -> v)).orElse {
+      try {
+        val node = mapper.readTree(s)
+        if (node == null || !node.isObject) None
+        else {
+          val entries = node.fields().asScala.flatMap { e =>
+            e.getValue match {
+              case v: JsonNode if v.isObject =>
+                v.fields().asScala.collect {
+                  case p if p.getValue.canConvertToLong =>
+                    s"${e.getKey}-${p.getKey}" -> p.getValue.asLong()
+                }
+              case v: JsonNode if v.canConvertToLong =>
+                Iterator(e.getKey -> v.asLong())
+              case _ => Iterator.empty
+            }
+          }.toMap
+          if (entries.nonEmpty) Some(entries) else None
+        }
+      } catch { case _: Exception => None }
+    }
 }

@@ -1,0 +1,72 @@
+package graft.metrics
+
+import graft.SparkSpec
+import org.apache.spark.sql.streaming.ProgressTestShim
+
+/** A8/A16: the lag gauge must understand every offset shape Spark sources
+  * report — the round-1 gap was Kafka's JSON offset maps parsing as
+  * "not a number" and the flagship lag metric never firing. Kafka itself
+  * is absent from the CI image, so the end-to-end path is driven with
+  * synthetic progress events of exactly the Kafka shape (offsets as
+  * `{"topic":{"partition":offset}}` JSON maps).
+  */
+class MetricsSpec extends SparkSpec {
+
+  test("parseOffsets: numerals, Kafka JSON maps, file-source logOffset") {
+    import GraftMetricsListener.parseOffsets
+    assert(parseOffsets("42") == Some(Map("" -> 42L)))
+    assert(parseOffsets("""{"events":{"0":123,"1":456}}""") ==
+      Some(Map("events-0" -> 123L, "events-1" -> 456L)))
+    assert(parseOffsets("""{"orders":{"0":5},"events":{"2":7}}""") ==
+      Some(Map("orders-0" -> 5L, "events-2" -> 7L)))
+    assert(parseOffsets("""{"logOffset":2}""") == Some(Map("logOffset" -> 2L)))
+    assert(parseOffsets("not an offset") == None)
+    assert(parseOffsets("""{"a":"b"}""") == None)
+  }
+
+  test("Kafka-shaped progress events drive a nonzero lag that drains to zero (A8)") {
+    val listener = new GraftMetricsListener
+    val desc = "KafkaV2[Subscribe[events]]"
+
+    // behind the high-water mark: consumed to 90/50, broker at 100/50
+    listener.onQueryProgress(ProgressTestShim.event(ProgressTestShim.progress(
+      ProgressTestShim.source(desc,
+        startOffset = """{"events":{"0":80,"1":40}}""",
+        endOffset = """{"events":{"0":90,"1":50}}""",
+        latestOffset = """{"events":{"0":100,"1":50}}""",
+        numInputRows = 20L), outputRows = 20L)))
+    assert(listener.lagFor(desc) == Some(10L))
+    assert(listener.lagByPartition(desc) ==
+      Some(Map("events-0" -> 10L, "events-1" -> 0L)))
+    assert(listener.totalIncoming == 20L)
+
+    // caught up: lag drains to zero
+    listener.onQueryProgress(ProgressTestShim.event(ProgressTestShim.progress(
+      ProgressTestShim.source(desc,
+        startOffset = """{"events":{"0":90,"1":50}}""",
+        endOffset = """{"events":{"0":100,"1":50}}""",
+        latestOffset = """{"events":{"0":100,"1":50}}""",
+        numInputRows = 10L), outputRows = 10L)))
+    assert(listener.lagFor(desc) == Some(0L))
+    assert(listener.lagByPartition(desc) ==
+      Some(Map("events-0" -> 0L, "events-1" -> 0L)))
+  }
+
+  test("numeric-offset sources (rate-style) still feed the gauge") {
+    val listener = new GraftMetricsListener
+    val desc = "RateStreamV2[rowsPerSecond=10]"
+    listener.onQueryProgress(ProgressTestShim.event(ProgressTestShim.progress(
+      ProgressTestShim.source(desc, "0", "5", "8", 5L), outputRows = 5L)))
+    assert(listener.lagFor(desc) == Some(3L))
+  }
+
+  test("sources without latestOffset (file, memory) leave the gauge unset, not wrong") {
+    val listener = new GraftMetricsListener
+    val desc = "FileStreamSource[file:/tmp/x]"
+    listener.onQueryProgress(ProgressTestShim.event(ProgressTestShim.progress(
+      ProgressTestShim.source(desc, """{"logOffset":0}""", """{"logOffset":1}""",
+        null, 3L), outputRows = 3L)))
+    assert(listener.lagFor(desc) == None)
+    assert(listener.totalIncoming == 3L)
+  }
+}
