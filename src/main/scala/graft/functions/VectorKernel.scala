@@ -23,6 +23,21 @@ case class VectorCosine(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  /** Null on length mismatch (and on null elements) even when the inputs
+    * are non-nullable — without this the generated code assigns to a
+    * literal-false isNull and falls back to interpreted eval.
+    */
+  override def nullable: Boolean = true
+
+  /** Element null-checks are emitted only when the input array types can
+    * actually hold nulls, keeping the hot loop branch-free on the usual
+    * containsNull=false embeddings.
+    */
+  private def mayHaveNullElements: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  })
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     if (left.dataType == ArrayType(DoubleType, containsNull = false) ||
@@ -44,9 +59,13 @@ case class VectorCosine(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null
+    val checkNulls = mayHaveNullElements
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      // null element → null result, matching the zip_with/aggregate HOF
+      // formulation (null product poisons the fold)
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xi = x.getDouble(i); val yi = y.getDouble(i)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
@@ -63,6 +82,10 @@ case class VectorCosine(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val elementNullCheck =
+        if (mayHaveNullElements)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -70,11 +93,14 @@ case class VectorCosine(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $elementNullCheck
          |    final double $xi = $a.getDouble($i);
          |    final double $yi = $b.getDouble($i);
          |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |  }
-         |  ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+         |  }
          |}
        """.stripMargin
     })

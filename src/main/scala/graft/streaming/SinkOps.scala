@@ -47,9 +47,14 @@ object SinkOps {
     */
   def toParquetIdempotent(df: DataFrame, path: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
     atLeastOnce(df, checkpoint) { (batch, epochId) =>
-      batch.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       batch.withColumn("__epoch", org.apache.spark.sql.functions.lit(epochId))
-        .write.mode("overwrite").partitionBy("__epoch").parquet(path)
+        .write.mode("overwrite")
+        // writer-scoped dynamic overwrite: only this epoch's partition is
+        // replaced, and other writers in the session keep their static
+        // overwrite semantics (a session-wide conf.set here would change
+        // them permanently)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__epoch").parquet(path)
     }
 
   /** Drain helper standing in for kasper's `HasConsumedAllMessages`

@@ -28,6 +28,19 @@ class VectorOpsSpec extends SparkSpec {
     assert(df.select(VectorKernel.cosineNative($"a", $"b")).collect()(0).isNullAt(0))
   }
 
+  test("native cosine kernel: null element yields null, matching the HOF fold") {
+    val df = Seq(
+      (Seq(Option(1.0), None, Option(2.0)), Seq(Option(1.0), Option(1.0), Option(1.0))),
+      (Seq(Option(1.0), Option(2.0), Option(2.0)), Seq(Option(1.0), Option(1.0), Option(1.0))))
+      .toDF("a", "b")
+    val rows = df.select(
+      VectorKernel.cosineNative($"a", $"b").as("native"),
+      cosineHof($"a", $"b").as("hof")).collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1), "null element → null both paths")
+    assert(java.lang.Double.doubleToLongBits(rows(1).getDouble(0)) ==
+      java.lang.Double.doubleToLongBits(rows(1).getDouble(1)))
+  }
+
   test("dot/cosine basics") {
     val df = Seq((Seq(1f, 0f, 0f), Seq(0f, 1f, 0f)), (Seq(1f, 1f, 0f), Seq(1f, 1f, 0f)))
       .toDF("a", "b")
