@@ -262,7 +262,12 @@ object Queries {
     */
   def q21_map(spark: SparkSession, dir: String): DataFrame = {
     val wc = RelOps.wordCount(Tables(spark, dir).part, "p_name")
-    wc.agg(map_from_entries(collect_list(struct(col("word"), col("cnt")))).as("m"))
+    // maps are built per first-letter group, not as one whole-vocabulary
+    // value: bounded map sizes across parallel reducers (a groupless
+    // collect_list materializes every distinct word in a single task)
+    wc.groupBy(substring(col("word"), 1, 1).as("k"))
+      .agg(map_from_entries(collect_list(struct(col("word"), col("cnt")))).as("m"))
+      .filter(col("k") === "s")
       .select(lit("small").as("word"), element_at(col("m"), "small").as("cnt"))
   }
 

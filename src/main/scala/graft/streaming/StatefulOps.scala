@@ -101,9 +101,24 @@ object StatefulOps {
     *    fiction's characterIds order.
     *
     * State is keyed by the co-partitioning key, mirroring kasper's
-    * partition-scoped stores (`topic_processor.go:137-143`) — the
-    * scalable declarative form of this join is the batch q08 rewrite;
-    * this operator is the streaming-parity primitive.
+    * partition-scoped stores (`topic_processor.go:137-143`): one
+    * `GroupState` value holds that partition's character/fiction maps
+    * and reverse index, exactly as each kasper partition processor owns
+    * its partition's stores.
+    *
+    * Scale contract (same as the reference's): the topology is
+    * partition-local, so a fiction and ALL the characters it references
+    * must share a partition — kasper's co-partitioned-topics requirement
+    * (`README.md:37-39`; its own integration test pins everything to
+    * partition 0). Under that precondition state is bounded by partition
+    * size and scales horizontally with the partition count
+    * (StreamingSpec's multi-partition test). When entities cannot be
+    * co-located, this operator is the wrong tool at scale — use the
+    * declarative batch rewrite ([[graft.ops.FictionOps.joinBatch]],
+    * shuffle-based, no co-location requirement), or split the topology
+    * into two keyed stages connected by an intermediate topic (character
+    * resolution keyed by character id, then assembly keyed by fiction
+    * id) — the standard kasper pattern of chaining topic processors.
     */
   def fictionsJoin(input: Dataset[JoinInput]): Dataset[FictionAndCharacters] = {
     import input.sparkSession.implicits._

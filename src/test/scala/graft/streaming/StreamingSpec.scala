@@ -89,6 +89,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_.id).toSeq == Seq("f2"))
   }
 
+  test("fictionsJoin scales horizontally: per-partition state, co-located entities join independently") {
+    // kasper's co-partitioning contract: each fiction shares a partition
+    // with all its characters; state is then bounded per partition
+    val in = MemoryStream[JoinInput]
+    val q = StatefulOps.fictionsJoin(in.toDS())
+      .writeStream.format("memory").queryName(nextName()).outputMode(OutputMode.Update()).start()
+    val perPartition = (0 until 4).flatMap { p =>
+      Seq(
+        JoinInput(p, Some(Character(s"c$p", s"Hero $p", s"http://w/$p")), None),
+        JoinInput(p, None, Some(Fiction(s"f$p", "movie", s"Film $p", Seq(s"c$p")))))
+    }
+    in.addData(perPartition)
+    q.processAllAvailable()
+    val got = spark.table(q.name).as[FictionAndCharacters].collect()
+    q.stop()
+    assert(got.map(_.id).toSet == (0 until 4).map(p => s"f$p").toSet)
+    assert(got.forall(f => f.characters.map(_.id) == Seq(s"c${f.id.drop(1)}")))
+    // cross-partition references do NOT resolve — the documented contract
+    val in2 = MemoryStream[JoinInput]
+    val q2 = StatefulOps.fictionsJoin(in2.toDS())
+      .writeStream.format("memory").queryName(nextName()).outputMode(OutputMode.Update()).start()
+    in2.addData(
+      JoinInput(0, Some(Character("cx", "X", "u")), None),
+      JoinInput(1, None, Some(Fiction("fx", "movie", "X", Seq("cx")))))
+    q2.processAllAvailable()
+    val got2 = spark.table(q2.name).count()
+    q2.stop()
+    assert(got2 == 0, "fiction on partition 1 cannot see a character stored on partition 0")
+  }
+
   test("tumbling window + watermark streaming smoke (KQ-23/24)") {
     val in = MemoryStream[(java.sql.Timestamp, Long)]
     val agg = in.toDF().toDF("ts", "v")
