@@ -1,0 +1,62 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Plan-shape regression guard (the explain-sweep, promoted to CI): a
+  * plan regression — a surprise shuffled cartesian, a broadcast join
+  * degrading to sort-merge, pushdown silently lost — should fail the
+  * suite before it shows up as a bench cliff at the next scale factor.
+  */
+class PlanCheckSpec extends SparkSpec {
+
+  private lazy val plans: Map[String, String] =
+    Queries.all.map { case (name, fn) =>
+      name -> fn(spark, sfDir).queryExecution.executedPlan.toString
+    }
+
+  test("no shuffled CartesianProduct in any query plan") {
+    // deliberate all-pairs shapes (q34/q35/q41 single-query-vector or
+    // tiny-side crossJoins) must plan as BroadcastNestedLoopJoin; a
+    // CartesianProduct node means both sides shuffled — never acceptable
+    val offenders = plans.collect {
+      case (n, p) if p.contains("CartesianProduct") => n
+    }
+    assert(offenders.isEmpty, s"CartesianProduct found in: $offenders")
+  }
+
+  test("broadcast-eligible dim joins do not degrade to SortMergeJoin") {
+    // q07: orders ⋈ customer (dim); q10: fact enriched from two tiny dims
+    for (name <- Seq("q07_join", "q10_enrich")) {
+      val p = plans(name)
+      assert(!p.contains("SortMergeJoin"),
+        s"$name should broadcast its dim side, found SMJ:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$name lost its broadcast join:\n$p")
+    }
+  }
+
+  test("q05 filter predicates are pushed to the parquet scan") {
+    val p = plans("q05_filter")
+    assert(p.contains("PushedFilters: ["), s"no pushdown block in plan:\n$p")
+    assert(!p.matches("(?s).*PushedFilters: \\[\\].*"),
+      s"pushdown block is empty:\n$p")
+  }
+
+  test("q03 projection prunes the customer scan to referenced columns") {
+    val p = plans("q03_project")
+    // c_acctbal/c_address are never referenced; a scan reading them means
+    // column pruning regressed
+    assert(!p.contains("c_acctbal") && !p.contains("c_address"),
+      s"scan reads unreferenced columns:\n$p")
+  }
+
+  test("q16 top-k plans as TakeOrderedAndProject, not a global sort") {
+    assert(plans("q16_topk").contains("TakeOrderedAndProject"),
+      s"top-k must not globally sort:\n${plans("q16_topk")}")
+  }
+
+  test("q43 as-of join keeps the per-event top-1 below the shuffle") {
+    // WindowGroupLimit under the exchange bounds the range-join blowup
+    assert(plans("q43_asof_join").contains("WindowGroupLimit"),
+      s"rank pushdown missing:\n${plans("q43_asof_join")}")
+  }
+}
