@@ -23,11 +23,24 @@ import org.apache.spark.sql.streaming.StreamingQueryListener._
   * `partition_processor.go:89-103`) is exposed via [[lagByPartition]],
   * with [[lagFor]] the summed gauge.
   */
-final class GraftMetricsListener extends StreamingQueryListener {
+final class GraftMetricsListener(provider: MetricsProvider = NoopMetricsProvider)
+    extends StreamingQueryListener {
   val incoming = new LongAdder          // ≈ kasper incoming_message_count
   val outgoing = new LongAdder          // ≈ kasper outgoing_message_count
   private val lag = new ConcurrentHashMap[String, Long]()  // summed per source
   private val partitionLag = new ConcurrentHashMap[String, Map[String, Long]]()
+
+  // the reference's three signature metrics, created through the
+  // pluggable provider (`topic_processor.go:133-135`)
+  private val incomingCounter = provider.newCounter("incoming_message_count",
+    "Number of incoming messages received", "source")
+  private val outgoingCounter = provider.newCounter("outgoing_message_count",
+    "Number of outgoing messages sent", "sink")
+  private val lagGauge = provider.newGauge("messages_behind_high_water_mark_count",
+    "Number of messages remaining to consume on the topic/partition",
+    "source", "topic_partition")
+  private val batchSummary = provider.newSummary("batch_duration_ms",
+    "Micro-batch wall time", "query")
 
   override def onQueryStarted(e: QueryStartedEvent): Unit = ()
   override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
@@ -35,16 +48,23 @@ final class GraftMetricsListener extends StreamingQueryListener {
   override def onQueryProgress(e: QueryProgressEvent): Unit = {
     val p = e.progress
     incoming.add(p.numInputRows)
+    batchSummary.observe(p.batchDuration.toDouble,
+      Option(p.name).getOrElse(p.id.toString))
     Option(p.sink).foreach { s =>
-      if (s.numOutputRows >= 0) outgoing.add(s.numOutputRows)
+      if (s.numOutputRows >= 0) {
+        outgoing.add(s.numOutputRows)
+        outgoingCounter.add(s.numOutputRows.toDouble, s.description)
+      }
     }
     p.sources.foreach { s =>
+      if (s.numInputRows >= 0) incomingCounter.add(s.numInputRows.toDouble, s.description)
       (Option(s.latestOffset).flatMap(GraftMetricsListener.parseOffsets),
         Option(s.endOffset).flatMap(GraftMetricsListener.parseOffsets)) match {
         case (Some(latest), Some(end)) =>
           val perPart = latest.map { case (tp, lv) =>
             tp -> math.max(0L, lv - end.getOrElse(tp, 0L))
           }
+          perPart.foreach { case (tp, l) => lagGauge.set(l.toDouble, s.description, tp) }
           partitionLag.put(s.description, perPart)
           lag.put(s.description, perPart.values.sum)
         case _ => ()

@@ -60,6 +60,43 @@ class MetricsSpec extends SparkSpec {
     assert(listener.lagFor(desc) == Some(3L))
   }
 
+  test("pluggable provider receives the reference's three signature metrics") {
+    val prov = new InProcessMetricsProvider("graft-test-0")
+    val listener = new GraftMetricsListener(prov)
+    val desc = "KafkaV2[Subscribe[events]]"
+    listener.onQueryProgress(ProgressTestShim.event(ProgressTestShim.progress(
+      ProgressTestShim.source(desc,
+        startOffset = """{"events":{"0":80}}""",
+        endOffset = """{"events":{"0":90}}""",
+        latestOffset = """{"events":{"0":100}}""",
+        numInputRows = 10L), outputRows = 7L)))
+    assert(prov.counterValue("incoming_message_count", desc) == Some(10.0))
+    assert(prov.counterValue("outgoing_message_count", "TestSink") == Some(7.0))
+    assert(prov.gaugeValue("messages_behind_high_water_mark_count", desc, "events-0")
+      == Some(10.0))
+    val text = prov.renderPrometheusText()
+    assert(text.contains("# TYPE incoming_message_count counter"))
+    assert(text.contains("# TYPE messages_behind_high_water_mark_count gauge"))
+    assert(text.contains("""job="graft-test-0""""))
+    assert(text.contains("""topic_partition="events-0",job="graft-test-0"} 10.0"""))
+  }
+
+  test("provider instruments: counter accumulates, gauge overwrites, summary folds") {
+    val prov = new InProcessMetricsProvider("t")
+    val c = prov.newCounter("c", "h", "l")
+    c.inc("x"); c.add(2.5, "x"); c.inc("y")
+    assert(prov.counterValue("c", "x") == Some(3.5))
+    assert(prov.counterValue("c", "y") == Some(1.0))
+    val g = prov.newGauge("g", "h")
+    g.set(5.0); g.set(2.0)
+    assert(prov.gaugeValue("g") == Some(2.0))
+    val s = prov.newSummary("s", "h")
+    s.observe(1.0); s.observe(3.0)
+    assert(prov.summaryStats("s") == Some((2L, 4.0, 1.0, 3.0)))
+    val text = prov.renderPrometheusText()
+    assert(text.contains("s_count{job=\"t\"} 2") && text.contains("s_sum{job=\"t\"} 4.0"))
+  }
+
   test("sources without latestOffset (file, memory) leave the gauge unset, not wrong") {
     val listener = new GraftMetricsListener
     val desc = "FileStreamSource[file:/tmp/x]"

@@ -24,7 +24,7 @@ object ProgressTestShim {
       Map.empty[String, String].asJava,
       Array.empty[StateOperatorProgress],
       Array(src),
-      new SinkProgress("TestSink", SinkProgress.DEFAULT_NUM_OUTPUT_ROWS),
+      new SinkProgress("TestSink", outputRows, Map.empty[String, String].asJava),
       Map.empty[String, org.apache.spark.sql.Row].asJava)
 
   def event(p: StreamingQueryProgress): StreamingQueryListener.QueryProgressEvent =
