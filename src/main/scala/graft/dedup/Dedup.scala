@@ -117,14 +117,19 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
-    // exact verification over the full gram sets
-    val sets = sh.groupBy("id").agg(collect_list(col("g")).as("set"))
+    // exact verification over the full gram sets: sets are sorted once
+    // per doc, then each candidate pair is a single codegen'd merge-count
+    // (i) with union size derived as |A|+|B|−i — no interpreted
+    // array_intersect/array_union allocation per pair
+    val sets = sh.groupBy("id").agg(array_sort(collect_list(col("g"))).as("set"))
     cands
       .join(sets.select(col("id").as("id_a"), col("set").as("sa")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("set").as("sb")), "id_b")
+      .withColumn("__i",
+        graft.functions.HashKernels.sortedIntersectCount(col("sa"), col("sb")))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(array_union(col("sa"), col("sb"))).cast("double")).as("jaccard"))
+        (col("__i").cast("double") /
+          (size(col("sa")) + size(col("sb")) - col("__i")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -177,14 +182,21 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val sigs = minHashSignatures(df, textCol, idCol, n, numHashes)
     val cands = lshCandidates(sigs, bands, numHashes / bands)
+    // same verify kernel as jaccardPairs: sorted 8-byte gram hashes +
+    // merge-count (a 64-bit collision merging two distinct grams of one
+    // document is ~|grams|²/2⁶⁵ — negligible, same trade the candidate
+    // index already makes)
     val sets = df.select(col(idCol).as("id"),
-      TextFunctions.shingles(col(textCol), n).as("sh"))
+      array_sort(transform(TextFunctions.shingles(col(textCol), n),
+        s => xxhash64(s))).as("sh"))
     cands
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("__i",
+        graft.functions.HashKernels.sortedIntersectCount(col("sh_a"), col("sh_b")))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+        (col("__i").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("__i")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -36,6 +36,16 @@ object HashKernels {
     */
   def simhash(hashes: Column): Column =
     GraftSqlBridge.column(SimHashFingerprint(GraftSqlBridge.expression(hashes)))
+
+  /** |A ∩ B| for two ASC-sorted `array<long>` columns via a single merge
+    * pass — the verify kernel for set-similarity joins. With distinct
+    * sorted sets, jaccard = i / (|A|+|B|−i), so `array_union` never needs
+    * materializing (array_intersect/array_union are interpreted and
+    * allocate; this is a codegen'd count).
+    */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftSqlBridge.column(SortedIntersectCount(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 }
 
 case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpression {
@@ -92,6 +102,62 @@ case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpr
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Merge-count of common elements in two ASC-sorted long arrays.
+  * Inputs MUST be sorted (e.g. via `array_sort`); duplicates count once
+  * per aligned occurrence, so pass distinct sets for set semantics.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"inputs must be array<bigint>, got $other")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements(); val m = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < n && j < m) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    java.lang.Long.valueOf(c)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |final int $n = $a.numElements();
+         |final int $m = $b.numElements();
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |while ($i < $n && $j < $m) {
+         |  final long $x = $a.getLong($i);
+         |  final long $y = $b.getLong($j);
+         |  if ($x < $y) $i++;
+         |  else if ($x > $y) $j++;
+         |  else { $c++; $i++; $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 case class SimHashFingerprint(child: Expression) extends UnaryExpression {

@@ -47,6 +47,29 @@ class HashKernelsSpec extends SparkSpec {
     assert(diff == 0L)
   }
 
+  test("SortedIntersectCount matches size(array_intersect) on sorted distinct sets") {
+    val pairs = tokenHashes.select(col("id"), array_sort(array_distinct(col("hh"))).as("s"))
+      .limit(40)
+    val diff = pairs.as("a").crossJoin(pairs.as("b"))
+      .select(
+        HashKernels.sortedIntersectCount(col("a.s"), col("b.s")).as("native"),
+        size(array_intersect(col("a.s"), col("b.s"))).cast("long").as("builtin"))
+      .filter(col("native") =!= col("builtin"))
+      .count()
+    assert(diff == 0L)
+  }
+
+  test("SortedIntersectCount edge cases") {
+    val rows = Seq(
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)),
+      (Seq(Long.MinValue, 0L, Long.MaxValue), Seq(Long.MinValue, Long.MaxValue))
+    ).toDF("a", "b")
+    val got = rows.select(HashKernels.sortedIntersectCount(col("a"), col("b")))
+      .as[Long].collect().toSeq
+    assert(got == Seq(0L, 2L, 2L))
+  }
+
   test("kernels survive empty and single-token inputs") {
     val rows = Seq(
       (1L, Seq.empty[Long]),
