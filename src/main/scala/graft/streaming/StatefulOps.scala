@@ -70,6 +70,41 @@ object StatefulOps {
       }
   }
 
+  /** KQ-6 on the modern `transformWithState` API (Spark 4): typed state
+    * variables with native TTL, timers, and RocksDB-only execution — the
+    * current-generation analog of kasper's pluggable store surface and
+    * the recommended keyed-state path at scale (incremental checkpoints,
+    * spillable state, per-variable TTL instead of whole-blob timeouts).
+    * Requires the RocksDB state store provider
+    * ([[graft.core.Graft.useRocksDbStateStore]]).
+    */
+  def runningCountTws(keys: Dataset[String], ttl: Option[java.time.Duration] = None)
+      : Dataset[KeyCount] = {
+    import keys.sparkSession.implicits._
+    keys.groupByKey(identity)
+      .transformWithState(new RunningCountProcessor(ttl),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
+  private final class RunningCountProcessor(ttl: Option[java.time.Duration])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, String, KeyCount] {
+    @transient private var count: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count",
+        org.apache.spark.sql.Encoders.scalaLong,
+        ttl.map(org.apache.spark.sql.streaming.TTLConfig.apply)
+          .getOrElse(org.apache.spark.sql.streaming.TTLConfig.NONE))
+
+    override def handleInputRows(key: String, rows: Iterator[String],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[KeyCount] = {
+      val c = (if (count.exists()) count.get() else 0L) + rows.size
+      count.update(c)
+      Iterator(KeyCount(key, c))
+    }
+  }
+
   case class Keyed[V](key: String, ts: Long, value: V)
 
   /** KQ-11 streaming: last-write-wins upsert per key (store `Put`

@@ -228,6 +228,26 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("runningCountTws: transformWithState typed state on RocksDB (modern scale path)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    graft.core.Graft.useRocksDbStateStore(spark)
+    try {
+      val in = MemoryStream[String]
+      val q = StatefulOps.runningCountTws(in.toDS())
+        .writeStream.format("memory").queryName(nextName())
+        .outputMode(OutputMode.Update()).start()
+      in.addData("a", "b", "a"); q.processAllAvailable()
+      in.addData("a"); q.processAllAvailable()
+      val m = spark.table(q.name).as[(String, Long)].collect()
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      q.stop()
+      assert(m == Map("a" -> 3L, "b" -> 1L))
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("metrics listener observes incoming rows (A16)") {
     val listener = new graft.metrics.GraftMetricsListener
     spark.streams.addListener(listener)
