@@ -165,11 +165,18 @@ object Dedup {
         posexplode(array((0 until bands).map(b =>
           xxhash64(slice(col("sig"), b * rows + 1, rows))): _*)))
       .toDF("id", "band", "bh")
-    val small = banded.groupBy("band", "bh").agg(collect_list("id").as("ids"))
-      .filter(size(col("ids")) <= maxBucket && size(col("ids")) >= 2)
-    small.select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
+    // bucket-size guard first, then a streamed self-join on the bucket
+    // key: pair generation never materializes a bucket's id list in one
+    // row (collect_list of a 10k bucket would hand a single task 10⁸
+    // exploded pairs; the join shuffles by (band, bh) and streams them)
+    val okBuckets = banded.groupBy("band", "bh").agg(count("*").as("n"))
+      .filter(col("n") >= 2 && col("n") <= maxBucket)
+      .select("band", "bh")
+    val small = banded.join(okBuckets, Seq("band", "bh"))
+    small.as("a").join(small.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
   }
 
