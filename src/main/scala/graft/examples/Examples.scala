@@ -35,4 +35,19 @@ object Examples {
       in.map(m => OutMessage("world", m.key,
         ("Hello " + new String(m.value, UTF_8)).getBytes(UTF_8)))
     })
+
+  /** Multi-topic fan-in (`examples/multiple_input_topics_example.go:25-33`):
+    * one processor subscribed to several topics, message provenance
+    * (topic/partition/offset) preserved — the reference prints the line;
+    * here it's emitted to an audit topic so the behavior is assertable.
+    */
+  def multiTopicTopology(name: String): TopicProcessor = new TopicProcessor(
+    TopicProcessorConfig(name = name, inputTopics = Seq("hello", "world")),
+    in => {
+      import in.sparkSession.implicits._
+      in.map(m => OutMessage("audit", m.key,
+        (s"Got message: key='${new String(m.key, UTF_8)}', " +
+          s"value='${new String(m.value, UTF_8)}' at offset='${m.offset}' " +
+          s"(topic='${m.topic}', partition='${m.partition}')").getBytes(UTF_8)))
+    })
 }

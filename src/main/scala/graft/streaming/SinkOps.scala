@@ -66,4 +66,46 @@ object SinkOps {
     q.stop()
     q.awaitTermination()
   }
+
+  /** Per-record bulk write with the reference's error-summarization
+    * contract (`elasticsearch.go:199-215`): every record is attempted,
+    * failures are aggregated, and the batch fails with at most
+    * [[maxBulkErrorReasons]] `id = …, error = …` reasons plus an
+    * `(omitted N more errors)` tail — so one poison batch produces one
+    * bounded, actionable error (and the at-least-once replay window)
+    * instead of a log flood or a half-written batch passing silently.
+    *
+    * Failure counts are aggregated distributed (per partition, reduced
+    * at the driver); only the capped reason strings travel back.
+    */
+  def bulkWrite[T](ds: Dataset[T], id: T => String)(write: T => Unit): Unit = {
+    import ds.sparkSession.implicits._
+    val perPartition = ds.mapPartitions { it =>
+      var ok = 0L
+      var failed = 0L
+      val reasons = scala.collection.mutable.ArrayBuffer.empty[String]
+      it.foreach { r =>
+        try { write(r); ok += 1 }
+        catch {
+          case e: Exception =>
+            failed += 1
+            if (reasons.size < maxBulkErrorReasons)
+              reasons += s"id = ${id(r)}, error = ${e.getMessage}"
+        }
+      }
+      Iterator((ok, failed, reasons.toSeq))
+    }.collect()
+    val failed = perPartition.map(_._2).sum
+    if (failed > 0) {
+      val reasons = perPartition.flatMap(_._3).take(maxBulkErrorReasons)
+      val tail =
+        if (failed > reasons.length) s"(omitted ${failed - reasons.length} more errors)\n"
+        else ""
+      throw new RuntimeException(
+        s"bulkWrite failed for $failed requests:\n${reasons.mkString("", "\n", "\n")}$tail")
+    }
+  }
+
+  /** `maxBulkErrorReasons` (`elasticsearch.go:11`). */
+  val maxBulkErrorReasons = 5
 }

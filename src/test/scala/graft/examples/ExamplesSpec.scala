@@ -32,6 +32,25 @@ class ExamplesSpec extends SparkSpec {
     assert(out.contains(("hello", "2")), "counts emitted as ASCII ints like the reference")
   }
 
+  test("multi-topic topology preserves message provenance like the reference printf") {
+    val tp = Examples.multiTopicTopology(s"mt-${System.nanoTime()}")
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val in = MemoryStream[Message]
+    val q = tp.runWith(in.toDS()) { (batch, _) =>
+      out ++= batch.collect().map(r => new String(r.getAs[Array[Byte]]("value"), UTF_8))
+    }
+    in.addData(
+      Message("hello", 0, 7, "k1".getBytes(UTF_8), "v1".getBytes(UTF_8),
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      Message("world", 1, 3, "k2".getBytes(UTF_8), "v2".getBytes(UTF_8),
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    assert(out.toSet == Set(
+      "Got message: key='k1', value='v1' at offset='7' (topic='hello', partition='0')",
+      "Got message: key='k2', value='v2' at offset='3' (topic='world', partition='1')"))
+  }
+
   test("topology runs from a streaming file source (beyond MemoryStream)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_filesrc").toString
     // seed one file so the schema exists before the stream starts

@@ -228,6 +228,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("bulkWrite summarizes per-record failures with the reference's capped format") {
+    // static holder: task closures are serialized even in local mode, so
+    // a captured local queue would be mutated on deserialized copies
+    BulkWriteProbe.sink.clear()
+    val sink = BulkWriteProbe.sink
+    val rows = (1 to 100).map(i => s"rec$i").toDS()
+    // every 10th record is poison → 10 failures, only 5 reasons + tail
+    val err = intercept[RuntimeException] {
+      SinkOps.bulkWrite(rows, identity[String]) { r =>
+        if (r.stripPrefix("rec").toInt % 10 == 0) sys.error(s"mapping conflict for $r")
+        else BulkWriteProbe.sink.add(r)
+      }
+    }
+    assert(err.getMessage.contains("failed for 10 requests"))
+    assert(err.getMessage.linesIterator.count(_.startsWith("id = rec")) == 5)
+    assert(err.getMessage.contains("(omitted 5 more errors)"))
+    assert(sink.size == 90, "non-poison records are all written (at-least-once replay covers the rest)")
+    // clean batch: no exception
+    SinkOps.bulkWrite(Seq("a", "b").toDS(), identity[String])(_ => ())
+  }
+
   test("runningCountTws: transformWithState typed state on RocksDB (modern scale path)") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     graft.core.Graft.useRocksDbStateStore(spark)
@@ -259,4 +280,11 @@ class StreamingSpec extends SparkSpec {
     spark.streams.removeListener(listener)
     assert(listener.totalIncoming >= 3)
   }
+}
+
+/** JVM-static sink for the bulkWrite test (survives closure serialization
+  * in local mode).
+  */
+object BulkWriteProbe {
+  val sink = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 }
