@@ -17,9 +17,24 @@ object GraftSqlBridge {
   /** Register graft's native expressions for SQL use
     * (`SELECT vector_cosine(a, b) ...`).
     */
-  def registerFunctions(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  def registerFunctions(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "vector_cosine",
       exprs => graft.functions.VectorCosine(exprs.head, exprs(1)),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash_signature",
+      exprs => graft.functions.MinHashSignature(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue()),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash",
+      exprs => graft.functions.SimHashFingerprint(exprs.head),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "sorted_intersect_count",
+      exprs => graft.functions.SortedIntersectCount(exprs.head, exprs(1)),
+      "built-in")
+  }
 }

@@ -53,4 +53,16 @@ class ScaleOpsSpec extends SparkSpec {
       "SELECT vector_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c").as[Double].head()
     assert(math.abs(got - 1.0) < 1e-12)
   }
+
+  test("signature kernels are callable from SQL after registration") {
+    org.apache.spark.sql.GraftSqlBridge.registerFunctions(spark)
+    val sig = spark.sql(
+      "SELECT minhash_signature(array(1L, 2L, 3L), 8) AS s").as[Seq[Long]].head()
+    assert(sig.length == 8)
+    val fp = spark.sql("SELECT simhash(array(5L)) AS f").as[Long].head()
+    assert(fp == 5L)
+    val i = spark.sql(
+      "SELECT sorted_intersect_count(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS i").as[Long].head()
+    assert(i == 2L)
+  }
 }
