@@ -68,7 +68,12 @@ object Dedup {
                    n: Int = 3, threshold: Double = 0.5,
                    maxShingleDF: Long = 100000L): DataFrame = {
     val sh = shingleIndex(df, textCol, idCol, n) // (id, g): distinct grams per doc
-    val sizes = sh.groupBy("id").agg(count("*").as("sz"))
+    // one per-doc aggregate serves both the size filters and the verify
+    // sets: deriving `sizes` and `sets` from the same subtree lets
+    // ReuseExchange run the scan+explode+shuffle once for both consumers
+    val perDoc = sh.groupBy("id")
+      .agg(count("*").as("sz"), array_sort(collect_list(col("g"))).as("set"))
+    val sizes = perDoc.select("id", "sz")
 
     // Prefix filtering (PPJoin family): order each doc's grams globally by
     // ascending document frequency (rarest first, gram hash as tie-break).
@@ -121,7 +126,7 @@ object Dedup {
     // per doc, then each candidate pair is a single codegen'd merge-count
     // (i) with union size derived as |A|+|B|−i — no interpreted
     // array_intersect/array_union allocation per pair
-    val sets = sh.groupBy("id").agg(array_sort(collect_list(col("g"))).as("set"))
+    val sets = perDoc.select("id", "set")
     cands
       .join(sets.select(col("id").as("id_a"), col("set").as("sa")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("set").as("sb")), "id_b")
