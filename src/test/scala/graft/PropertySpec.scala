@@ -71,4 +71,36 @@ class PropertySpec extends SparkSpec {
       assert(again == out.toSet)
     }
   }
+
+  private val hashArrays: Gen[List[Long]] =
+    Gen.listOfN(30, Gen.choose(Long.MinValue, Long.MaxValue))
+
+  test("signature kernels are order-invariant (set/multiset semantics)") {
+    import graft.functions.HashKernels
+    val rows = samples(hashArrays, 20).filter(_.nonEmpty)
+      .map(l => (l, new scala.util.Random(l.hashCode.toLong).shuffle(l)))
+    val df = rows.toDF("a", "b")
+    val bad = df.select(
+        (HashKernels.minhashSignature(org.apache.spark.sql.functions.col("a"), 16) =!=
+          HashKernels.minhashSignature(org.apache.spark.sql.functions.col("b"), 16)).as("mh"),
+        (HashKernels.simhash(org.apache.spark.sql.functions.col("a")) =!=
+          HashKernels.simhash(org.apache.spark.sql.functions.col("b"))).as("sh"))
+      .filter(org.apache.spark.sql.functions.col("mh") ||
+        org.apache.spark.sql.functions.col("sh"))
+      .count()
+    assert(bad == 0L, "permuting the input must not change minhash or simhash")
+  }
+
+  test("SortedIntersectCount equals the naive set intersection for arbitrary sets") {
+    import graft.functions.HashKernels
+    val pairs = samples(Gen.zip(hashArrays, hashArrays), 30)
+      .map { case (a, b) => (a.distinct.sorted, b.distinct.sorted) }
+    val df = pairs.toDF("a", "b")
+    val got = df.select(HashKernels.sortedIntersectCount(
+        org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b")))
+      .as[Long].collect().toSeq
+    val want = pairs.map { case (a, b) => a.toSet.intersect(b.toSet).size.toLong }
+    assert(got == want)
+  }
 }
