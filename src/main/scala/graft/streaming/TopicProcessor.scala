@@ -18,7 +18,8 @@ case class OutMessage(topic: String, key: Array[Byte], value: Array[Byte])
 /** Topology configuration mirroring the reference's `Config`
   * (`config.go:10-59`) with its defaults: BatchWaitDuration 5 s,
   * BatchSize 1000, consumer group `<prefix>-topic-processor-<name>`
-  * (`config.go:31-33`).
+  * (`config.go:31-33`), and a pluggable metrics provider defaulting to
+  * noop (`config.go:25-26,49-51`).
   */
 case class TopicProcessorConfig(
     name: String,
@@ -26,7 +27,8 @@ case class TopicProcessorConfig(
     brokers: Seq[String] = Nil,
     batchWait: String = "5 seconds",
     batchSize: Long = 1000,
-    checkpointDir: String = "") {
+    checkpointDir: String = "",
+    metricsProvider: graft.metrics.MetricsProvider = graft.metrics.NoopMetricsProvider) {
   def groupId: String = s"graft-topic-processor-$name"
   def checkpoint: String =
     if (checkpointDir.nonEmpty) checkpointDir
@@ -99,6 +101,7 @@ final class TopicProcessor(
     */
   def runWith(source: Dataset[Message])
              (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    registerMetrics(source.sparkSession)
     val out = process(source).toDF()
     out.writeStream
       .queryName(config.groupId)
@@ -108,4 +111,15 @@ final class TopicProcessor(
       .foreachBatch(sink)
       .start()
   }
+
+  /** The listener feeding kasper's signature metrics through the
+    * configured provider (`topic_processor.go:122-135`); registered once
+    * per processor on first start, queryable via [[listener]].
+    */
+  lazy val listener = new graft.metrics.GraftMetricsListener(config.metricsProvider)
+  private val metricsRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def registerMetrics(spark: SparkSession): Unit =
+    if (config.metricsProvider != graft.metrics.NoopMetricsProvider &&
+        metricsRegistered.compareAndSet(false, true))
+      spark.streams.addListener(listener)
 }

@@ -71,6 +71,34 @@ class TopicProcessorSpec extends SparkSpec {
     assert(seen.toSet == Set("one:x", "two:y"))
   }
 
+  test("configured metrics provider receives counts from the running topology") {
+    val prov = new graft.metrics.InProcessMetricsProvider("tp-metrics-test")
+    val tp = new TopicProcessor(
+      TopicProcessorConfig(
+        name = s"metrics-${System.nanoTime()}",
+        inputTopics = Seq("hello"),
+        metricsProvider = prov),
+      in => {
+        import in.sparkSession.implicits._
+        in.map(m => OutMessage("world", m.key, m.value))
+      })
+    val in = MemoryStream[Message]
+    val q = tp.runWith(in.toDS()) { (batch, _) => batch.collect(); () }
+    in.addData(msg("hello", "k", "v", 0), msg("hello", "k2", "v2", 1))
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    spark.streams.removeListener(tp.listener)
+    // listener events are async; totals land after the progress event drains
+    org.scalatest.concurrent.Eventually.eventually(
+      org.scalatest.concurrent.Eventually.timeout(org.scalatest.time.Span(10,
+        org.scalatest.time.Seconds))) {
+      assert(tp.listener.totalIncoming >= 2)
+    }
+    val text = prov.renderPrometheusText()
+    assert(text.contains("incoming_message_count"))
+    assert(text.contains("""job="tp-metrics-test""""))
+  }
+
   test("checkpoint directory records committed epochs (offset-commit analog)") {
     val name = s"ckpt-${System.nanoTime()}"
     val tp = new TopicProcessor(
