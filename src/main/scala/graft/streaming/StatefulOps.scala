@@ -105,6 +105,19 @@ object StatefulOps {
     }
   }
 
+  /** Streaming exact dedup — the incremental form of
+    * [[graft.dedup.Dedup.dedupExact]]: the first row per key within the
+    * watermark horizon survives, later duplicates are dropped, and key
+    * state is evicted once the watermark passes (bounded state — the
+    * property kasper's unbounded store-based dedup lacked). Built on
+    * `dropDuplicatesWithinWatermark`, so state eviction is owned by the
+    * engine, not application code.
+    */
+  def dedupStream[T](ds: Dataset[T], eventTimeCol: String, watermark: String,
+                     keyCols: String*): Dataset[T] =
+    ds.withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   case class Keyed[V](key: String, ts: Long, value: V)
 
   /** KQ-11 streaming: last-write-wins upsert per key (store `Put`

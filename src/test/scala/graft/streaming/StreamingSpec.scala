@@ -228,6 +228,23 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("dedupStream drops duplicate keys across batches within the watermark") {
+    val in = MemoryStream[(java.sql.Timestamp, String, String)]
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val q = StatefulOps.dedupStream(in.toDF().toDF("ts", "doc_hash", "payload"),
+        "ts", "10 minutes", "doc_hash")
+      .writeStream.format("memory").queryName(nextName())
+      .outputMode(OutputMode.Append()).start()
+    in.addData((t(0), "h1", "first"), (t(1), "h1", "dup-in-batch"), (t(2), "h2", "other"))
+    q.processAllAvailable()
+    in.addData((t(3), "h1", "dup-next-batch"))
+    q.processAllAvailable()
+    val got = spark.table(q.name).select("doc_hash", "payload")
+      .as[(String, String)].collect().toSet
+    q.stop()
+    assert(got == Set(("h1", "first"), ("h2", "other")))
+  }
+
   test("bulkWrite summarizes per-record failures with the reference's capped format") {
     // static holder: task closures are serialized even in local mode, so
     // a captured local queue would be mutated on deserialized copies
