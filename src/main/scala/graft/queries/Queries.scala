@@ -501,6 +501,20 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** BPE-ish token estimate + punctuation ratio — the remaining
+    * TextFunctions surface under an exact oracle (regex classes chosen
+    * to agree between Java regex and DuckDB's RE2: \p{L}/\p{N}/\s are
+    * common; Java's \p{Punct} ≡ RE2's [[:punct:]] ASCII set).
+    */
+  def q44_text_extras(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions._
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      bpeTokenCount(col("text")).as("bpe_tokens"),
+      punctRatio(col("text")).as("punct_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Multimodal binary-column plumbing: payload bytes + content hash
     * (the decode stub itself is spec-tested; this query checks the
     * binary column path end-to-end).
@@ -560,7 +574,8 @@ object Queries {
     "q41_embed_neardup" -> (q41_embed_neardup _),
     "q41_embed_lsh" -> (q41_embed_lsh _),
     "q42_multimodal_decode" -> (q42_multimodal_decode _),
-    "q43_asof_join" -> (q43_asof_join _)
+    "q43_asof_join" -> (q43_asof_join _),
+    "q44_text_extras" -> (q44_text_extras _)
   )
 }
 
@@ -794,6 +809,13 @@ object Oracles {
         |SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     "q40_binary_meta" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, sha256(text) AS sha
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q44_text_extras" ->
+      """SELECT doc_id,
+        |CAST(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]')) AS BIGINT)
+        |  AS bpe_tokens,
+        |CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE)
+        |  / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q41_embed_neardup" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
