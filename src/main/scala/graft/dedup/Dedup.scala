@@ -268,7 +268,9 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
-      .distinct()
+      // exact filter BEFORE the dedup so the distinct shuffle carries
+      // only qualifying pairs, not every bucket collision
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }
