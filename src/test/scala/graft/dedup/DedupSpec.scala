@@ -71,6 +71,45 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("maxShingleDF skew guard trades recall, never score correctness") {
+    // every doc shares the hot boilerplate trigram; pairs 1-2 also share
+    // rare grams, pair 3-4's only overlap is below threshold
+    val boiler = "click here now"
+    val d = Seq(
+      (1L, s"$boiler alpha beta gamma delta epsilon"),
+      (2L, s"$boiler alpha beta gamma delta zeta"),
+      (3L, s"$boiler totally different words one two"),
+      (4L, s"$boiler unrelated content three four five")
+    ).toDF("doc_id", "text")
+    val unguarded = Dedup.jaccardPairs(d, "text", "doc_id", n = 3, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // cap of 2 drops grams appearing in >2 docs (the boilerplate) from
+    // the candidate index only
+    val guarded = Dedup.jaccardPairs(d, "text", "doc_id", n = 3, threshold = 0.3,
+        maxShingleDF = 2)
+      .select(col("id_a"), col("id_b"), col("jaccard")).collect()
+    val guardedPairs = guarded.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guardedPairs.subsetOf(unguarded), "guard may only drop pairs, never invent them")
+    assert(guardedPairs.contains((1L, 2L)), "pairs sharing rare grams survive the cap")
+    // reported scores stay exact (computed over FULL sets incl. boilerplate)
+    val full = bruteForceJaccard3(d, 0.3)
+    guarded.foreach { r =>
+      assert(full((r.getLong(0), r.getLong(1))) == r.getDouble(2),
+        "guard must not change a reported score")
+    }
+  }
+
+  private def bruteForceJaccard3(d: org.apache.spark.sql.DataFrame, t: Double): Map[(Long, Long), Double] = {
+    val sets = d.select(col("doc_id").as("id"),
+      graft.text.TextFunctions.shingles(col("text"), 3).as("sh"))
+    sets.as("a").join(sets.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh"))).cast("double")).as("j"))
+      .filter(col("j") >= t)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+  }
+
   /** All-pairs jaccard ground truth over full shingle sets — no candidate
     * generation, so any prefix/length/positional-filter bug shows up as a
     * set mismatch.
