@@ -515,6 +515,20 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** kNN graph over a 500-vector query batch: each query's exact top-5
+    * cosine neighbors — the primitive under clustering-based near-dup
+    * (verified exactly; the IVF index is the same-API scale path, recall
+    * measured in VectorOpsSpec/IvfSweep).
+    */
+  def q45_knn_graph(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    graft.functions.VectorOps.annBruteForce(
+        e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 500), "vec_id", "embedding", k = 5)
+      .select(col("qid"), col("id").as("neighbor"), col("cos"))
+      .orderBy(col("qid"), col("cos").desc, col("neighbor"))
+  }
+
   /** Multimodal binary-column plumbing: payload bytes + content hash
     * (the decode stub itself is spec-tested; this query checks the
     * binary column path end-to-end).
@@ -575,7 +589,8 @@ object Queries {
     "q41_embed_lsh" -> (q41_embed_lsh _),
     "q42_multimodal_decode" -> (q42_multimodal_decode _),
     "q43_asof_join" -> (q43_asof_join _),
-    "q44_text_extras" -> (q44_text_extras _)
+    "q44_text_extras" -> (q44_text_extras _),
+    "q45_knn_graph" -> (q45_knn_graph _)
   )
 }
 
@@ -810,6 +825,20 @@ object Oracles {
     "q40_binary_meta" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, sha256(text) AS sha
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q45_knn_graph" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |        (SELECT sum(x*x) FROM (SELECT unnest(e) AS x)) AS nm2 FROM v),
+        |p AS (SELECT a.vec_id AS qid, b.vec_id AS neighbor,
+        |        (SELECT sum(x*y) FROM (SELECT unnest(a.e) AS x, unnest(b.e) AS y)) /
+        |        sqrt(a.nm2 * b.nm2) AS cos
+        |      FROM n a JOIN n b ON a.vec_id < 500 AND b.vec_id <> a.vec_id),
+        |r AS (SELECT qid, neighbor, cos,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor) AS rn
+        |      FROM p)
+        |SELECT qid, neighbor, cos FROM r WHERE rn <= 5
+        |ORDER BY qid, cos DESC, neighbor""".stripMargin,
     "q44_text_extras" ->
       """SELECT doc_id,
         |CAST(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]')) AS BIGINT)
