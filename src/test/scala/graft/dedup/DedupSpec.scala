@@ -71,6 +71,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("jaccardPairs at threshold 1.0 finds exactly the identical-set pairs") {
+    // t=1.0 is the sharpest integral-t·sz boundary: prefix length must
+    // stay >= 1 (sz - ceil(sz) + 1), or every pair is lost
+    val pairs = Dedup.jaccardPairs(docs, "text", "doc_id", n = 3, threshold = 1.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simHashNearDups with 8 chunks stays complete (parameterized pigeonhole)") {
+    val base = 0x0123456789ABCDEFL
+    val mask = (1L << 0) | (1L << 8) | (1L << 16) | (1L << 24) |
+      (1L << 32) | (1L << 40) | (1L << 48) | (1L << 56) // 1 bit per 8-bit chunk
+    val fps = Seq((1L, base), (2L, base ^ mask), (3L, ~base)).toDF("id", "fp")
+    val pairs = Dedup.simHashNearDups(fps, maxHamming = 8, chunks = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("maxShingleDF skew guard trades recall, never score correctness") {
     // every doc shares the hot boilerplate trigram; pairs 1-2 also share
     // rare grams, pair 3-4's only overlap is below threshold
