@@ -7,6 +7,10 @@ import org.apache.spark.sql.functions._
 case class MediaRow(id: Long, kind: String, payload: Array[Byte],
                     meta: Map[String, String])
 
+/** A resized single-channel image grid. */
+case class ResizedMedia(id: Long, kind: String, width: Int, height: Int,
+                        pixels: Array[Byte])
+
 /** Decoded media features. In a real pipeline `width`/`height`/`nFrames`
   * come from the codec and `feature` from a model; here the decode step
   * is stubbed (see [[Multimodal.decodeStub]]) while the Spark plumbing —
@@ -68,6 +72,39 @@ object Multimodal {
     var j = 0
     while (j < 16) { bins(j) /= bytes.length.toFloat; j += 1 }
     bins
+  }
+
+  /** Resize an image-shaped payload to `targetW`×`targetH` by
+    * nearest-neighbor resampling. The payload is interpreted as a
+    * `srcW`×`srcH` single-channel byte grid (a codec-backed decode would
+    * supply real dimensions/channels; the index-mapping resample below is
+    * the real thing and channel-count-agnostic). Partition-wise like
+    * [[decodeStub]] so codec/buffer reuse amortizes per partition.
+    */
+  def resize(ds: Dataset[MediaRow], srcW: Int, srcH: Int,
+             targetW: Int, targetH: Int)
+            (implicit spark: SparkSession): Dataset[ResizedMedia] = {
+    require(srcW > 0 && srcH > 0 && targetW > 0 && targetH > 0)
+    import spark.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { m =>
+        val out = new Array[Byte](targetW * targetH)
+        var y = 0
+        while (y < targetH) {
+          val sy = y * srcH / targetH
+          var x = 0
+          while (x < targetW) {
+            val sx = x * srcW / targetW
+            val idx = sy * srcW + sx
+            out(y * targetW + x) =
+              if (idx < m.payload.length) m.payload(idx) else 0
+            x += 1
+          }
+          y += 1
+        }
+        ResizedMedia(m.id, m.kind, targetW, targetH, out)
+      }
+    }
   }
 
   /** Frame sampling for video-shaped payloads: fixed-size frames, every

@@ -22,6 +22,24 @@ class MultimodalSpec extends SparkSpec {
       again.map(d => (d.width, d.height, d.nFrames)).toSeq)
   }
 
+  test("resize: nearest-neighbor downsample of a known 4x4 grid") {
+    // 4x4 grid 0..15; 2x2 nearest-neighbor keeps rows/cols 0 and 2
+    val grid = Array.tabulate[Byte](16)(_.toByte)
+    val media = Seq(MediaRow(1L, "image", grid, Map.empty)).toDS()
+    val out = Multimodal.resize(media, srcW = 4, srcH = 4, targetW = 2, targetH = 2)
+      .collect().head
+    assert((out.width, out.height) == (2, 2))
+    assert(out.pixels.toSeq == Seq[Byte](0, 2, 8, 10))
+    // upsample replicates source pixels
+    val up = Multimodal.resize(media, 4, 4, 8, 8).collect().head
+    assert(up.pixels.length == 64)
+    assert(up.pixels(0) == 0 && up.pixels(1) == 0 && up.pixels(2) == 1)
+    // short payload pads with zeros instead of failing
+    val shortM = Seq(MediaRow(2L, "image", Array[Byte](7), Map.empty)).toDS()
+    val padded = Multimodal.resize(shortM, 4, 4, 2, 2).collect().head
+    assert(padded.pixels.toSeq == Seq[Byte](7, 0, 0, 0))
+  }
+
   test("sampleFrames chunks the payload at stride") {
     val payload = Array.tabulate[Byte](100)(_.toByte)
     val df = Seq(Tuple1(payload)).toDF("p")
