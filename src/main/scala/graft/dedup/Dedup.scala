@@ -45,6 +45,8 @@ object Dedup {
   private def exactDec(t: Double): Column =
     lit(new java.math.BigDecimal(t).setScale(10, java.math.RoundingMode.FLOOR))
 
+  private val observeSeq = new java.util.concurrent.atomic.AtomicLong()
+
   /** (id, shingle-hash) inverted index over distinct word n-gram
     * shingles. Grams are carried as xxhash64 longs, not strings: the
     * self-join shuffles 8-byte keys instead of ~20-byte text and compares
@@ -63,6 +65,13 @@ object Dedup {
     * the join); the jaccard itself is always computed over the full
     * shingle sets, so pruning affects recall, never correctness of a
     * reported score.
+    *
+    * Exactness contract: the result is provably complete as long as no
+    * gram's document frequency exceeds `maxShingleDF` (the drop counter
+    * is observed and logged whenever the guard fires, so a lossy run is
+    * visible). Pass `maxShingleDF = Long.MaxValue` for unconditional
+    * exactness; the finite default exists because one boilerplate gram at
+    * corpus scale otherwise hotspots a reducer quadratically.
     */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
                    n: Int = 3, threshold: Double = 0.5,
@@ -97,7 +106,9 @@ object Dedup {
     val indexed =
       if (maxShingleDF == Long.MaxValue) prefix
       else prefix
-        .observe(s"jaccard_prefix_prune_$maxShingleDF",
+        // unique metric name per call: two jaccardPairs in one plan would
+        // otherwise fail analysis with DUPLICATED_METRICS_NAME
+        .observe(s"jaccard_prefix_prune_${observeSeq.incrementAndGet()}",
           count(when(col("dfg") > maxShingleDF, true)).as("dropped_hot_gram_entries"))
         .filter(col("dfg") <= maxShingleDF)
 
@@ -245,6 +256,14 @@ object Dedup {
     val w = 64 / chunks
     val d = maxHamming / chunks // per-chunk sub-distance (pigeonhole)
     val chunkMask = if (w == 64) -1L else (1L << w) - 1L
+    // refuse configurations whose variant enumeration explodes (e.g.
+    // chunks=1 at radius 10 → C(64,≤10) ≈ 1.8e11 masks) BEFORE building
+    // anything: raise `chunks` to shrink the per-chunk sub-distance
+    val maskCount = (0 to d).map(k =>
+      (0 until k).map(i => (w - i).toDouble / (i + 1)).product).sum
+    require(maskCount <= 200000,
+      f"simHashNearDups(maxHamming=$maxHamming, chunks=$chunks) would enumerate " +
+        f"$maskCount%.0f chunk variants — raise `chunks` (need maskCount = ΣC($w,≤$d) bounded)")
     // all XOR masks flipping ≤ d of the w chunk bits (driver-side constant)
     val masks: Seq[Long] = {
       def choose(start: Int, left: Int): Seq[Long] =

@@ -23,7 +23,15 @@ import org.apache.spark.sql.streaming.StreamingQueryListener._
   * `partition_processor.go:89-103`) is exposed via [[lagByPartition]],
   * with [[lagFor]] the summed gauge.
   */
-final class GraftMetricsListener(provider: MetricsProvider = NoopMetricsProvider)
+/** @param provider instrument sink (noop by default — the in-process
+  *                  LongAdder/lag surfaces below work regardless)
+  * @param onlyQueryName when set, progress events from other streaming
+  *                      queries in the session are ignored, so a
+  *                      per-processor listener doesn't absorb sibling
+  *                      topologies' counts
+  */
+final class GraftMetricsListener(provider: MetricsProvider = NoopMetricsProvider,
+                                 onlyQueryName: Option[String] = None)
     extends StreamingQueryListener {
   val incoming = new LongAdder          // ≈ kasper incoming_message_count
   val outgoing = new LongAdder          // ≈ kasper outgoing_message_count
@@ -47,6 +55,7 @@ final class GraftMetricsListener(provider: MetricsProvider = NoopMetricsProvider
 
   override def onQueryProgress(e: QueryProgressEvent): Unit = {
     val p = e.progress
+    if (onlyQueryName.exists(n => p.name == null || p.name != n)) return
     incoming.add(p.numInputRows)
     batchSummary.observe(p.batchDuration.toDouble,
       Option(p.name).getOrElse(p.id.toString))

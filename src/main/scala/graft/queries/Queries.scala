@@ -508,7 +508,7 @@ object Queries {
     */
   def q44_text_extras(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.TextFunctions._
-    Tables(spark, dir).documents.select(
+    graft.core.Graft.spread(Tables(spark, dir).documents).select(
       col("doc_id"),
       bpeTokenCount(col("text")).as("bpe_tokens"),
       punctRatio(col("text")).as("punct_ratio"))
@@ -841,7 +841,8 @@ object Oracles {
         |ORDER BY qid, cos DESC, neighbor""".stripMargin,
     "q44_text_extras" ->
       """SELECT doc_id,
-        |CAST(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]')) AS BIGINT)
+        |CAST(len(regexp_extract_all(text,
+        |  '[\p{L}]+|[\p{N}]+|[^ \t\n\x0B\f\r\p{L}\p{N}]')) AS BIGINT)
         |  AS bpe_tokens,
         |CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE)
         |  / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio

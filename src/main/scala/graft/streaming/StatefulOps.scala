@@ -81,9 +81,14 @@ object StatefulOps {
   def runningCountTws(keys: Dataset[String], ttl: Option[java.time.Duration] = None)
       : Dataset[KeyCount] = {
     import keys.sparkSession.implicits._
+    // state TTL is only valid under ProcessingTime time mode
+    // (StatefulProcessorHandle.validateTTLConfig) — pick the mode the
+    // requested config requires instead of crashing at query start
+    val timeMode =
+      if (ttl.isDefined) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+      else org.apache.spark.sql.streaming.TimeMode.None()
     keys.groupByKey(identity)
-      .transformWithState(new RunningCountProcessor(ttl),
-        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      .transformWithState(new RunningCountProcessor(ttl), timeMode, OutputMode.Update())
   }
 
   private final class RunningCountProcessor(ttl: Option[java.time.Duration])
@@ -114,9 +119,13 @@ object StatefulOps {
     * engine, not application code.
     */
   def dedupStream[T](ds: Dataset[T], eventTimeCol: String, watermark: String,
-                     keyCols: String*): Dataset[T] =
-    ds.withWatermark(eventTimeCol, watermark)
-      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+                     keyCols: String*): Dataset[T] = {
+    val wm = ds.withWatermark(eventTimeCol, watermark)
+    // zero key columns = dedup on the whole row, matching
+    // dropDuplicatesWithinWatermark's no-arg contract
+    if (keyCols.isEmpty) wm.dropDuplicatesWithinWatermark()
+    else wm.dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+  }
 
   case class Keyed[V](key: String, ts: Long, value: V)
 

@@ -114,12 +114,15 @@ final class TopicProcessor(
 
   /** The listener feeding kasper's signature metrics through the
     * configured provider (`topic_processor.go:122-135`); registered once
-    * per processor on first start, queryable via [[listener]].
+    * per processor on first start (regardless of provider — the
+    * in-process counters work without one) and scoped to THIS topology's
+    * query name so sibling processors in the session are not absorbed.
+    * Queryable via [[listener]].
     */
-  lazy val listener = new graft.metrics.GraftMetricsListener(config.metricsProvider)
+  lazy val listener = new graft.metrics.GraftMetricsListener(
+    config.metricsProvider, onlyQueryName = Some(config.groupId))
   private val metricsRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
   private def registerMetrics(spark: SparkSession): Unit =
-    if (config.metricsProvider != graft.metrics.NoopMetricsProvider &&
-        metricsRegistered.compareAndSet(false, true))
+    if (metricsRegistered.compareAndSet(false, true))
       spark.streams.addListener(listener)
 }

@@ -20,10 +20,13 @@ object TextFunctions {
 
   /** BPE-ish token estimate: runs of letters, runs of digits, or single
     * non-space symbols — the shape of a byte-pair pre-tokenizer's input
-    * segmentation.
+    * segmentation. Whitespace is the explicit ASCII class (Java's `\s`)
+    * rather than `\s`, because Java counts vertical tab as whitespace and
+    * RE2 (the DuckDB oracle engine) does not — the explicit class means
+    * both engines segment identically on any input.
     */
   def bpeTokenCount(c: Column): Column =
-    regexp_count(c, lit("[\\p{L}]+|[\\p{N}]+|[^\\s\\p{L}\\p{N}]")).cast("long")
+    regexp_count(c, lit("[\\p{L}]+|[\\p{N}]+|[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]")).cast("long")
 
   /** Distinct word n-gram shingles (space-joined). Documents shorter than
     * `n` tokens degrade to a single whole-text shingle.

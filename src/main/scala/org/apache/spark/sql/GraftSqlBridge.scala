@@ -25,8 +25,17 @@ object GraftSqlBridge {
       "built-in")
     reg.createOrReplaceTempFunction(
       "minhash_signature",
-      exprs => graft.functions.MinHashSignature(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Number].intValue()),
+      exprs => {
+        // numHashes must be a literal: it sizes the generated kernel loop.
+        // Guarded here so a column argument fails analysis with a clear
+        // message instead of eval(null) exploding on an unbound attribute.
+        require(exprs.length == 2,
+          s"minhash_signature(hashes, numHashes) takes 2 arguments, got ${exprs.length}")
+        require(exprs(1).foldable,
+          "minhash_signature's numHashes must be a constant (foldable) expression")
+        graft.functions.MinHashSignature(exprs.head,
+          exprs(1).eval(null).asInstanceOf[Number].intValue())
+      },
       "built-in")
     reg.createOrReplaceTempFunction(
       "simhash",

@@ -79,6 +79,19 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("simHashNearDups refuses mask-explosion configs; jaccardPairs composes in one plan") {
+    val fps = Seq((1L, 1L)).toDF("id", "fp")
+    val err = intercept[IllegalArgumentException] {
+      Dedup.simHashNearDups(fps, maxHamming = 10, chunks = 1)
+    }
+    assert(err.getMessage.contains("chunk variants"))
+    // two guarded jaccardPairs in one plan: unique observe names (was
+    // DUPLICATED_METRICS_NAME)
+    val u = Dedup.jaccardPairs(docs, "text", "doc_id", threshold = 0.5, maxShingleDF = 10)
+      .unionByName(Dedup.jaccardPairs(docs, "text", "doc_id", threshold = 0.9, maxShingleDF = 10))
+    assert(u.count() >= 2)
+  }
+
   test("simHashNearDups with 8 chunks stays complete (parameterized pigeonhole)") {
     val base = 0x0123456789ABCDEFL
     val mask = (1L << 0) | (1L << 8) | (1L << 16) | (1L << 24) |

@@ -64,5 +64,10 @@ class ScaleOpsSpec extends SparkSpec {
     val i = spark.sql(
       "SELECT sorted_intersect_count(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS i").as[Long].head()
     assert(i == 2L)
+    // non-constant numHashes must fail analysis cleanly, not NPE
+    val err = intercept[Exception] {
+      spark.sql("SELECT minhash_signature(array(1L), id) FROM range(1)").collect()
+    }
+    assert(err.getMessage.contains("foldable") || err.getMessage.contains("constant"))
   }
 }

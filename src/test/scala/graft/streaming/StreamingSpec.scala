@@ -228,6 +228,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("runningCountTws with a TTL runs under ProcessingTime time mode (regression)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    graft.core.Graft.useRocksDbStateStore(spark)
+    try {
+      val in = MemoryStream[String]
+      // TTL requires ProcessingTime mode — this crashed at query start
+      // when the mode was hardcoded to None
+      val q = StatefulOps.runningCountTws(in.toDS(),
+          ttl = Some(java.time.Duration.ofMinutes(30)))
+        .writeStream.format("memory").queryName(nextName())
+        .outputMode(OutputMode.Update()).start()
+      in.addData("x", "x", "y")
+      // NOTE: under ProcessingTime time mode the engine keeps scheduling
+      // timer batches, so processAllAvailable never settles — poll the
+      // sink for the expected counts instead
+      org.scalatest.concurrent.Eventually.eventually(
+        org.scalatest.concurrent.Eventually.timeout(org.scalatest.time.Span(30,
+          org.scalatest.time.Seconds))) {
+        val m = spark.table(q.name).as[(String, Long)].collect()
+          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+        assert(m == Map("x" -> 2L, "y" -> 1L))
+      }
+      q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("dedupStream with no key columns dedups whole rows") {
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val q = StatefulOps.dedupStream(in.toDF().toDF("ts", "v"), "ts", "10 minutes")
+      .writeStream.format("memory").queryName(nextName())
+      .outputMode(OutputMode.Append()).start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    in.addData((t0, "a"), (t0, "a"), (t0, "b"))
+    q.processAllAvailable()
+    val n = spark.table(q.name).count()
+    q.stop()
+    assert(n == 2)
+  }
+
   test("dedupStream drops duplicate keys across batches within the watermark") {
     val in = MemoryStream[(java.sql.Timestamp, String, String)]
     def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")

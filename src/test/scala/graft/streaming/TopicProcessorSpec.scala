@@ -99,6 +99,31 @@ class TopicProcessorSpec extends SparkSpec {
     assert(text.contains("""job="tp-metrics-test""""))
   }
 
+  test("per-processor listener counts only its own topology's progress (regression)") {
+    // in-process counters must work with the DEFAULT (noop) provider, and
+    // a sibling query in the session must not inflate them
+    val tp = new TopicProcessor(
+      TopicProcessorConfig(name = s"scoped-${System.nanoTime()}", inputTopics = Seq("hello")),
+      in => { import in.sparkSession.implicits._; in.map(m => OutMessage("o", m.key, m.value)) })
+    val in = MemoryStream[Message]
+    val q = tp.runWith(in.toDS()) { (batch, _) => batch.collect(); () }
+    // sibling query with many more rows
+    val sibling = MemoryStream[String]
+    val sq = sibling.toDS().writeStream.format("memory")
+      .queryName(s"sibling_${System.nanoTime()}").start()
+    sibling.addData((1 to 50).map(_.toString): _*)
+    in.addData(msg("hello", "k", "v", 0), msg("hello", "k2", "v2", 1))
+    q.processAllAvailable(); sq.processAllAvailable()
+    q.stop(); sq.stop()
+    spark.streams.removeListener(tp.listener)
+    org.scalatest.concurrent.Eventually.eventually(
+      org.scalatest.concurrent.Eventually.timeout(org.scalatest.time.Span(10,
+        org.scalatest.time.Seconds))) {
+      assert(tp.listener.totalIncoming >= 2, "default-provider counters must still work")
+    }
+    assert(tp.listener.totalIncoming < 50, "sibling query's 50 rows must not be absorbed")
+  }
+
   test("checkpoint directory records committed epochs (offset-commit analog)") {
     val name = s"ckpt-${System.nanoTime()}"
     val tp = new TopicProcessor(
