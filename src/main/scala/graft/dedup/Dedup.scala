@@ -161,13 +161,19 @@ object Dedup {
     * re-evaluates the shingle expression once per seed — 64× the work.
     */
   def minHashSignatures(df: DataFrame, textCol: String, idCol: String,
-                        n: Int = 3, numHashes: Int = 64): DataFrame = {
+                        n: Int = 3, numHashes: Int = 64,
+                        onePerm: Boolean = false): DataFrame = {
     val hashed = graft.core.Graft.spread(df).select(col(idCol).as("id"),
       transform(TextFunctions.shingles(col(textCol), n), s => xxhash64(s)).as("hh"))
     // one native pass over hh for all seeds (HashKernelsSpec asserts
-    // bit-equality with the 64× array_min(transform(...)) HOF form)
-    hashed.select(col("id"),
-      graft.functions.HashKernels.minhashSignature(col("hh"), numHashes).as("sig"))
+    // bit-equality with the 64× array_min(transform(...)) HOF form).
+    // onePerm switches to the O(|set|) one-permutation family — the
+    // scale choice when documents are long enough that the per-seed
+    // multiply-min dominates (signature cost drops numHashes-fold).
+    val sig =
+      if (onePerm) graft.functions.HashKernels.onePermSignature(col("hh"), numHashes)
+      else graft.functions.HashKernels.minhashSignature(col("hh"), numHashes)
+    hashed.select(col("id"), sig.as("sig"))
   }
 
   /** LSH banding: signature split into `bands` bands of `rows` hashes;
@@ -201,9 +207,9 @@ object Dedup {
     */
   def minHashNearDups(df: DataFrame, textCol: String, idCol: String,
                       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5, onePerm: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val sigs = minHashSignatures(df, textCol, idCol, n, numHashes)
+    val sigs = minHashSignatures(df, textCol, idCol, n, numHashes, onePerm)
     val cands = lshCandidates(sigs, bands, numHashes / bands)
     // same verify kernel as jaccardPairs: sorted 8-byte gram hashes +
     // merge-count (a 64-bit collision merging two distinct grams of one

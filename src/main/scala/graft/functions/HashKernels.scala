@@ -37,6 +37,19 @@ object HashKernels {
   def simhash(hashes: Column): Column =
     GraftSqlBridge.column(SimHashFingerprint(GraftSqlBridge.expression(hashes)))
 
+  /** One-permutation MinHash (Li/Owen/Zhang 2012): the element hashes are
+    * scattered into `numHashes` bins by their top bits and the minimum
+    * kept per bin — O(|set|) total instead of O(numHashes·|set|), the
+    * signature cost that matters when documents are long. Empty bins are
+    * densified by borrowing the next non-empty bin's value (circularly)
+    * remixed with the bin index, so short documents still produce full
+    * signatures with bin-decorrelated values. Same output shape as
+    * [[minhashSignature]]; bucket semantics differ (use one family
+    * consistently per index).
+    */
+  def onePermSignature(hashes: Column, numHashes: Int): Column =
+    GraftSqlBridge.column(OnePermSignature(GraftSqlBridge.expression(hashes), numHashes))
+
   /** |A ∩ B| for two ASC-sorted `array<long>` columns via a single merge
     * pass — the verify kernel for set-similarity joins. With distinct
     * sorted sets, jaccard = i / (|A|+|B|−i), so `array_union` never needs
@@ -94,6 +107,87 @@ case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpr
          |    final long $v = $h * (${HashKernels.GoldenA}L * (2L * $i + 1L))
          |      + ${HashKernels.GoldenB}L * (long) $i;
          |    if ($v < $mins[$i]) $mins[$i] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** One-permutation MinHash signature with rotation densification.
+  * `numHashes` must be a power of two ≤ 4096 (bins are addressed by the
+  * hash's top bits). Interpreted and codegen paths are identical.
+  */
+case class OnePermSignature(child: Expression, numHashes: Int) extends UnaryExpression {
+  require(numHashes > 0 && (numHashes & (numHashes - 1)) == 0 && numHashes <= 4096,
+    "numHashes must be a power of two in [1, 4096]")
+
+  private val shift = 64 - java.lang.Integer.numberOfTrailingZeros(numHashes)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"input must be array<bigint>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var t = 0
+    while (t < n) {
+      val h = arr.getLong(t)
+      val bin = (h >>> shift).toInt
+      if (h < mins(bin)) mins(bin) = h
+      t += 1
+    }
+    // densify: borrow from the next non-empty bin (circular), remixed by
+    // bin index so borrowed values don't create spurious band collisions
+    var i = 0
+    while (i < numHashes) {
+      if (mins(i) == Long.MaxValue) {
+        var j = (i + 1) % numHashes
+        var hops = 0
+        while (mins(j) == Long.MaxValue && hops < numHashes) {
+          j = (j + 1) % numHashes; hops += 1
+        }
+        if (mins(j) != Long.MaxValue)
+          mins(i) = mins(j) * HashKernels.GoldenA + i * HashKernels.GoldenB
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val mins = ctx.freshName("mins")
+      val t = ctx.freshName("t"); val h = ctx.freshName("h")
+      val bin = ctx.freshName("bin"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val hops = ctx.freshName("hops")
+      s"""
+         |final int $n = $a.numElements();
+         |final long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $t = 0; $t < $n; $t++) {
+         |  final long $h = $a.getLong($t);
+         |  final int $bin = (int) ($h >>> $shift);
+         |  if ($h < $mins[$bin]) $mins[$bin] = $h;
+         |}
+         |for (int $i = 0; $i < $numHashes; $i++) {
+         |  if ($mins[$i] == Long.MAX_VALUE) {
+         |    int $j = ($i + 1) % $numHashes;
+         |    int $hops = 0;
+         |    while ($mins[$j] == Long.MAX_VALUE && $hops < $numHashes) {
+         |      $j = ($j + 1) % $numHashes; $hops++;
+         |    }
+         |    if ($mins[$j] != Long.MAX_VALUE) {
+         |      $mins[$i] = $mins[$j] * ${HashKernels.GoldenA}L + (long) $i * ${HashKernels.GoldenB}L;
+         |    }
          |  }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);

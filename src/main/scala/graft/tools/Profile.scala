@@ -28,6 +28,10 @@ object Profile {
     time("minhash signatures") {
       sigs.write.format("noop").mode("overwrite").save()
     }
+    time("one-perm signatures") {
+      graft.dedup.Dedup.minHashSignatures(docs, "text", "doc_id", onePerm = true)
+        .write.format("noop").mode("overwrite").save()
+    }
     val sigsCached = sigs.cache()
     sigsCached.count()
     val cands = graft.dedup.Dedup.lshCandidates(sigsCached, 16, 4)

@@ -47,6 +47,39 @@ class HashKernelsSpec extends SparkSpec {
     assert(diff == 0L)
   }
 
+  test("OnePermSignature: deterministic, full, identical-input-identical-output") {
+    val rows = Seq(
+      (1L, Seq(0x1111L, 0x2222L, 0x3333L)),
+      (2L, Seq(0x1111L, 0x2222L, 0x3333L)), // identical multiset
+      (3L, Seq(42L)),                       // short doc → densified bins
+      (4L, Seq.empty[Long])
+    ).toDF("id", "th")
+    val out = rows.select(col("id"),
+        HashKernels.onePermSignature(col("th"), 16).as("sig"))
+      .orderBy("id").as[(Long, Seq[Long])].collect()
+    assert(out.forall(_._2.length == 16))
+    assert(out(0)._2 == out(1)._2, "identical sets → identical signatures")
+    assert(out(2)._2.distinct.length > 1, "densified bins must be decorrelated, not copies")
+    assert(out(3)._2.forall(_ == Long.MaxValue), "empty input stays sentinel")
+    // repeatable
+    val again = rows.select(HashKernels.onePermSignature(col("th"), 16))
+      .as[Seq[Long]].collect()
+    assert(out.map(_._2).toSeq == again.toSeq)
+  }
+
+  test("one-permutation LSH keeps high recall vs exact jaccard on the corpus") {
+    import graft.dedup.Dedup
+    val d = graft.core.Tables(spark, sfDir).documents
+    val exact = Dedup.jaccardPairs(d, "text", "doc_id", n = 3, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val oph = Dedup.minHashNearDups(d, "text", "doc_id", threshold = 0.8, onePerm = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(oph.subsetOf(exact), "exact-verified pairs must be a subset")
+    val recall = exact.intersect(oph).size.toDouble / exact.size
+    assert(recall >= 0.8, s"OPH recall $recall too low (exact=${exact.size}, oph=${oph.size})")
+  }
+
   test("SortedIntersectCount matches size(array_intersect) on sorted distinct sets") {
     val pairs = tokenHashes.select(col("id"), array_sort(array_distinct(col("hh"))).as("s"))
       .limit(40)
