@@ -110,6 +110,118 @@ object StatefulOps {
     }
   }
 
+  /** Intermediate record of the two-stage scalable fictions join: either
+    * a fiction's metadata passthrough or one resolved (fiction, position,
+    * character) triple from the character-keyed stage.
+    */
+  case class StageRecord(fictionId: String, kind: String, pos: Int,
+                         character: Option[Character], fiction: Option[Fiction])
+
+  /** Stage-1 keyed event: a character upsert or a (fiction, pos)
+    * reference to the character `cid`.
+    */
+  case class CharEvent(cid: String, character: Option[Character],
+                       fictionId: Option[String], pos: Int)
+
+  /** Per-character state of stage 1: the latest character value and the
+    * (fictionId, pos) references that need it.
+    */
+  case class CharState(character: Option[Character], refs: Seq[(String, Int)])
+
+  /** Per-fiction state of stage 2: metadata plus resolved positions. */
+  case class FictionAsmState(fiction: Option[Fiction], resolved: Map[Int, Character])
+
+  /** Stage 1 of the scalable (entity-keyed) fictions⋈characters join:
+    * state keyed by CHARACTER id, so no co-partitioning precondition and
+    * state bounded per character (the character value + the references
+    * to it), unlike [[fictionsJoin]]'s partition-blob state. Emits an
+    * append-only stream of [[StageRecord]]s: fiction metadata passes
+    * through stateless; character arrivals/updates re-emit a resolved
+    * triple for every registered reference; new references resolve
+    * immediately when the character is already known.
+    *
+    * This is the kasper pattern of chaining topic processors — stage 1
+    * and stage 2 ([[assembleFictions]]) are separate streaming queries
+    * connected by an intermediate store (file sink → file source chains
+    * exactly-once via the sink's metadata log).
+    */
+  def resolveCharacters(input: Dataset[JoinInput]): Dataset[StageRecord] = {
+    import input.sparkSession.implicits._
+    val meta = input.flatMap(j =>
+      j.fiction.map(f => StageRecord(f.id, "meta", -1, None, Some(f))))
+    val keyed = input.flatMap {
+      case JoinInput(_, Some(c), _) => Seq(CharEvent(c.id, Some(c), None, -1))
+      case JoinInput(_, _, Some(f)) =>
+        f.characterIds.zipWithIndex.map { case (cid, pos) =>
+          CharEvent(cid, None, Some(f.id), pos)
+        }
+      case _ => Nil
+    }
+    val resolved = keyed.groupByKey(_.cid)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[CharEvent], state: GroupState[CharState]) =>
+          var st = state.getOption.getOrElse(CharState(None, Nil))
+          val out = scala.collection.mutable.ArrayBuffer.empty[StageRecord]
+          rows.foreach {
+            case CharEvent(_, Some(c), _, _) =>
+              st = st.copy(character = Some(c))
+              // character update re-emits every fiction referencing it
+              st.refs.foreach { case (fid, pos) =>
+                out += StageRecord(fid, "resolved", pos, Some(c), None)
+              }
+            case CharEvent(_, _, Some(fid), pos) =>
+              val ref = (fid, pos)
+              if (!st.refs.contains(ref)) st = st.copy(refs = st.refs :+ ref)
+              st.character.foreach(c =>
+                out += StageRecord(fid, "resolved", pos, Some(c), None))
+            case _ => ()
+          }
+          state.update(st)
+          out.iterator
+      }
+    meta.unionByName(resolved)
+  }
+
+  /** Stage 2: assembly keyed by FICTION id — state bounded per fiction
+    * (metadata + resolved positions). Emits the completed
+    * [[FictionAndCharacters]] whenever every characterIds position is
+    * resolved with the matching character id (emit suppression), and
+    * re-emits on character updates arriving from stage 1. A fiction
+    * metadata update drops resolved entries that no longer match its
+    * characterIds before re-checking completeness.
+    */
+  def assembleFictions(stage: Dataset[StageRecord]): Dataset[FictionAndCharacters] = {
+    import stage.sparkSession.implicits._
+    stage.groupByKey(_.fictionId)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[StageRecord], state: GroupState[FictionAsmState]) =>
+          var st = state.getOption.getOrElse(FictionAsmState(None, Map.empty))
+          var dirty = false
+          rows.foreach { r =>
+            if (r.kind == "meta") {
+              val f = r.fiction.get
+              val valid = st.resolved.filter { case (pos, c) =>
+                pos < f.characterIds.length && f.characterIds(pos) == c.id
+              }
+              st = FictionAsmState(Some(f), valid); dirty = true
+            } else r.character.foreach { c =>
+              // accept only if consistent with (current) metadata order
+              val ok = st.fiction.forall(f =>
+                r.pos < f.characterIds.length && f.characterIds(r.pos) == c.id)
+              if (ok) { st = st.copy(resolved = st.resolved + (r.pos -> c)); dirty = true }
+            }
+          }
+          state.update(st)
+          val complete = for {
+            f <- st.fiction
+            if dirty && f.characterIds.indices.forall(p =>
+              st.resolved.get(p).exists(_.id == f.characterIds(p)))
+          } yield FictionAndCharacters(f.id, f.fictionType, f.title,
+            f.characterIds.indices.map(st.resolved).toSeq)
+          complete.iterator
+      }
+  }
+
   /** Streaming exact dedup — the incremental form of
     * [[graft.dedup.Dedup.dedupExact]]: the first row per key within the
     * watermark horizon survives, later duplicates are dropped, and key
@@ -172,10 +284,10 @@ object StatefulOps {
     * (StreamingSpec's multi-partition test). When entities cannot be
     * co-located, this operator is the wrong tool at scale — use the
     * declarative batch rewrite ([[graft.ops.FictionOps.joinBatch]],
-    * shuffle-based, no co-location requirement), or split the topology
-    * into two keyed stages connected by an intermediate topic (character
-    * resolution keyed by character id, then assembly keyed by fiction
-    * id) — the standard kasper pattern of chaining topic processors.
+    * shuffle-based, no co-location requirement), or the two-stage
+    * entity-keyed streaming form ([[resolveCharacters]] →
+    * [[assembleFictions]], state bounded per character/fiction, chained
+    * like kasper chains topic processors; golden-parity tested).
     */
   def fictionsJoin(input: Dataset[JoinInput]): Dataset[FictionAndCharacters] = {
     import input.sparkSession.implicits._
