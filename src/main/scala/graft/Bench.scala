@@ -6,6 +6,15 @@ import org.apache.spark.sql.SparkSession
   * JSON line on stdout. Queries are forced through a noop sink (not
   * `count()`, which would let Catalyst prune away the very expressions
   * being measured).
+  *
+  * Methodology (recorded in BASELINE.md): two full passes over the
+  * query list, per-query MINIMUM reported. The shared build box gets
+  * transient CPU spikes from concurrent jobs (round-2's driver artifact
+  * recorded two adjacent queries at 10–19× their quiet-box times, gone
+  * on re-run); best-of-2 measures the engine, not the neighbor. The
+  * session cache is cleared between queries so each is independent —
+  * nothing a previous query cached (e.g. an IVF index) flatters or
+  * starves the next one.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -20,22 +29,28 @@ object Bench {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => return -1.0 }
+      finally spark.catalog.clearCache()
       (System.nanoTime() - t0) / 1e9
     }
 
     // one tiny warmup so JVM/codegen startup isn't charged to the first query
     run("warmup", (s, d) => graft.queries.Queries.q14_sort_distinct(s, d))
 
-    val results = graft.queries.Queries.all.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> run(name, fn)
+    val ordered = graft.queries.Queries.all.toSeq.sortBy(_._1)
+    val passes = (1 to 2).map(_ => ordered.map { case (name, fn) => name -> run(name, fn) })
+    val results = ordered.map { case (name, _) =>
+      val times = passes.map(_.find(_._1 == name).get._2)
+      name -> (if (times.forall(_ >= 0)) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val passTotals = passes.map(_.map(_._2).filter(_ >= 0).sum)
     // system load avg recorded so a load-skewed run is recognizable from
     // the artifact itself (round-1 adjudication had to re-run to tell)
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg":$loadAvg}""")
+    val pt = passTotals.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg":$loadAvg,"passes":2,"pass_totals":$pt}""")
     spark.stop()
   }
 }

@@ -136,6 +136,16 @@ object VectorOps {
     */
   final class IvfIndex private (val assigned: DataFrame, val centroids: DataFrame) {
 
+    /** Release the index's cached partitions. An index outlives the
+      * query that built it (that's its point), so the blocks aren't
+      * dropped implicitly — long-lived sessions should close indexes
+      * they're done probing or the cache accrues per build.
+      */
+    def close(): Unit = {
+      assigned.unpersist(blocking = false)
+      centroids.unpersist(blocking = false)
+    }
+
     /** Probe the `nprobe` nearest cells per query, exact cosine inside. */
     def search(queries: DataFrame, queryIdCol: String, queryVecCol: String,
                k: Int, nprobe: Int): DataFrame = {
@@ -176,7 +186,15 @@ object VectorOps {
         .groupBy("cid")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("cv"))
-      new IvfIndex(assign(refined).cache(), refined.cache())
+      val cents = refined.cache()
+      val assigned = assign(cents).cache()
+      // materialize eagerly (build cost belongs to build) so the raw
+      // working set `v` can be released now instead of leaking past the
+      // build — searches touch only the two cached index frames
+      cents.count()
+      assigned.count()
+      v.unpersist(blocking = false)
+      new IvfIndex(assigned, cents)
     }
   }
 }

@@ -98,12 +98,16 @@ object TextFunctions {
   )
 
   /** Language-ID heuristic: argmax of profile-word hits, alphabetical
-    * tie-break, "und" (undetermined) when nothing matches. Pure column
-    * expression — scores every language in one pass over the tokens.
-    * `langIdOf` takes a materialized token array (tokenize once).
+    * tie-break, "und" (undetermined) when nothing matches. `langIdOf`
+    * takes a materialized token array (tokenize once) and routes to the
+    * one-pass native kernel ([[LangIdExpr]]); [[langIdHof]] is the
+    * reference higher-order-function formulation it is asserted
+    * byte-identical to (five interpreted filter passes — spec use only).
     */
   def langId(c: Column): Column = langIdOf(tokens(c))
-  def langIdOf(tokensCol: Column): Column = {
+  def langIdOf(tokensCol: Column): Column = TextKernels.langIdNative(tokensCol)
+
+  def langIdHof(tokensCol: Column): Column = {
     val scored = langProfiles.map { case (lang, words) =>
       val profile = array(words.map(lit): _*)
       struct(

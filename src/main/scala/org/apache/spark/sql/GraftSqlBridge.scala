@@ -45,5 +45,9 @@ object GraftSqlBridge {
       "sorted_intersect_count",
       exprs => graft.functions.SortedIntersectCount(exprs.head, exprs(1)),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "lang_id",
+      exprs => graft.text.LangIdExpr(exprs.head),
+      "built-in")
   }
 }

@@ -47,6 +47,30 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got == Seq("en", "de", "es", "und"))
   }
 
+  test("native langId kernel is byte-identical to the HOF formulation") {
+    // crafted edges: case-folding, multi-profile words ("la" ∈ es/fr/it,
+    // "que" ∈ es/fr), alphabetical tie-breaks, zero-hit, empty doc
+    val crafted = Seq(
+      "THE Cat AND it", "que", "the der", "la la la", "",
+      "le chien dans la maison est une", "il cane di che la per")
+      .toDF("text")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("text")
+    val all = crafted.union(docs)
+      .select(tokens($"text").as("t"))
+      .select(langIdOf($"t").as("native"), langIdHof($"t").as("hof"))
+    assert(all.filter($"native" =!= $"hof").count() == 0)
+    assert(all.filter($"native".isNull =!= $"hof".isNull).count() == 0)
+    val craftedGot = crafted.select(langId($"text")).as[String].collect().toSeq
+    assert(craftedGot == Seq("en", "es", "de", "es", "und", "fr", "it"))
+  }
+
+  test("lang_id is registered for SQL") {
+    org.apache.spark.sql.GraftSqlBridge.registerFunctions(spark)
+    val got = spark.sql(
+      "SELECT lang_id(array('the', 'cat', 'and')) AS l").as[String].head()
+    assert(got == "en")
+  }
+
   test("rollingFingerprint is order-sensitive and deterministic") {
     val df = Seq("a b c", "a b c", "c b a").toDF("t")
     val fps = df.select(rollingFingerprint($"t")).as[Long].collect()
