@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions
+
+/** Corpus-preparation operators for large-scale training-data pipelines —
+  * the curation layer above the dedup family (`graft.dedup`): repetition
+  * quality gates, benchmark decontamination, deterministic sampling /
+  * domain mixing, sequence packing, and embedding quantization.
+  *
+  * All operators are declarative DataFrame compositions (groupBy / window
+  * / equi-join — Catalyst plans partial aggregation and AQE handles skew)
+  * and every one is deterministic: sampling uses an arithmetic hash of
+  * the id, never an RNG, so a re-run over 100 TB selects byte-identical
+  * rows — the property that makes pipeline stages retryable.
+  */
+object CorpusOps {
+
+  /** Gopher-style repetition metrics per document: total word-`n`-gram
+    * count, fraction of n-gram occurrences that are duplicates, and the
+    * top n-gram's share (MassiveText's "repetition" quality signals —
+    * boilerplate and spam score high on both). Documents with fewer than
+    * `n` tokens are dropped (no n-grams to measure).
+    *
+    * Output: (id, total_ngrams, dup_frac, top_frac). One shuffle on
+    * (id, gram) for the per-gram counts, then a map-side-combinable
+    * re-aggregation by id.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 2): DataFrame = {
+    val t = graft.core.Graft.spread(docs)
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= n)
+    // overlapping (non-distinct) n-grams: position i ∈ [0, size-n]
+    val grams = t.select(col("id"),
+      explode(transform(sequence(lit(0), size(col("t")) - n),
+        i => concat_ws(" ", slice(col("t"), i + 1, lit(n))))).as("g"))
+    grams.groupBy("id", "g").agg(count("*").as("c"))
+      .groupBy("id").agg(
+        sum("c").as("total"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup"),
+        max("c").as("top"))
+      .select(col("id"), col("total").as("total_ngrams"),
+        (col("dup").cast("double") / col("total").cast("double")).as("dup_frac"),
+        (col("top").cast("double") / col("total").cast("double")).as("top_frac"))
+  }
+
+  /** Benchmark decontamination: count, per corpus document, the distinct
+    * word-`n`-gram shingles it shares with ANY held-out (benchmark)
+    * document — the n-gram-overlap contamination check run before
+    * training on web-scale corpora. Only contaminated documents are
+    * returned (id, n_shared).
+    *
+    * The held-out gram set is distinct-reduced and BROADCAST: benchmark
+    * suites are tiny next to a 100 TB corpus, so the corpus-side scan
+    * never shuffles — the right asymmetry at scale. Shingling uses
+    * [[TextFunctions.shingles]] (distinct per doc, whole-text fallback
+    * below `n` tokens).
+    */
+  def decontaminate(corpus: DataFrame, heldOut: DataFrame,
+                    idCol: String, textCol: String, n: Int = 4): DataFrame = {
+    def sh(df: DataFrame) = graft.core.Graft.spread(df)
+      .select(col(idCol).as("id"), explode(TextFunctions.shingles(col(textCol), n)).as("g"))
+    val held = sh(heldOut).select("g").distinct()
+    sh(corpus).join(broadcast(held), "g")
+      .groupBy("id").agg(count("*").as("n_shared"))
+  }
+
+  /** Deterministic arithmetic sampling rank: Knuth multiplicative hash of
+    * the id modulo a prime. Both factors fit comfortably in BIGINT for
+    * any realistic id (no overflow below ids of ~3.4e9; the engine runs
+    * ANSI-off so larger ids wrap identically everywhere Spark runs, but
+    * cross-engine oracles should stay below that).
+    */
+  def sampleRank(id: Column): Column =
+    pmod(id.cast("long") * lit(2654435761L), lit(1000000007L))
+
+  /** Deterministic stratified "reservoir": the `k` lowest-ranked rows per
+    * stratum under [[sampleRank]] — a fixed-size uniform sample per group
+    * that any re-run reproduces exactly. One shuffle on the stratum key;
+    * rank ties break by id so the result is total-ordered.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       k: Int): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(sampleRank(col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Temperature-scaled domain mixing (the multilingual-training sampling
+    * scheme, α = 0.5): stratum `s` keeps `min(|s|, ceil(scale · √|s|))`
+    * rows, chosen by [[sampleRank]] — large domains are down-weighted,
+    * small ones kept nearly whole, deterministically. Two shuffles on the
+    * stratum key (count, then rank); the per-stratum quota join is a
+    * broadcast (strata counts are tiny).
+    */
+  def temperatureMix(df: DataFrame, strataCol: String, idCol: String,
+                     scale: Double): DataFrame = {
+    val quota = df.groupBy(col(strataCol)).agg(count("*").as("__n"))
+      .select(col(strataCol),
+        least(col("__n"), ceil(sqrt(col("__n").cast("double")) * lit(scale))).as("__k"))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(sampleRank(col(idCol)), col(idCol))
+    df.join(broadcast(quota), strataCol)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__k")).drop("__rn", "__k")
+  }
+
+  /** Sequence packing: assign documents (in id order, independently per
+    * shard) to fixed-token-budget bins by exclusive prefix sum — bin
+    * `⌊prefix/budget⌋`, i.e. greedy concat-and-cut packing where a bin
+    * may overrun by at most one document (the streaming packer used to
+    * build fixed-length training sequences; an exact first-fit would be
+    * inherently sequential). Parallelism is per shard: the window sort
+    * shuffles once on `shardCol`, so at 100 TB sharding keys (source,
+    * date, …) bound each task's sort.
+    *
+    * Output: one row per document — (shard, bin, id, tokens, prefix).
+    */
+  def packSequences(df: DataFrame, shardCol: String, idCol: String,
+                    tokensCol: Column, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    graft.core.Graft.spread(df)
+      .select(col(shardCol).as("shard"), col(idCol).as("id"), tokensCol.as("tokens"))
+      .withColumn("prefix", coalesce(sum(col("tokens")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("prefix").cast("double") / lit(budget.toDouble)).cast("long"))
+      .select("shard", "bin", "id", "tokens", "prefix")
+  }
+
+  /** Per-vector min-max int8 quantization: code `⌊(x−mn)·255/(mx−mn)⌋−128`
+    * (∈ [−128,127]; constant vectors code to 0). Returns the exploded
+    * (id, pos, code) stream — the storage-side transform for ANN at scale
+    * (4× smaller than float32; IVF cells quantize per cell the same way).
+    * Pure codegen arithmetic; deterministic IEEE ops only, so codes are
+    * engine-exact.
+    */
+  def quantizeInt8(vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = graft.core.Graft.spread(vectors).select(col(idCol).as("id"),
+      graft.functions.VectorOps.toDoubleArr(col(vecCol)).as("v"))
+    v.select(col("id"), array_min(col("v")).as("mn"), array_max(col("v")).as("mx"),
+        posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(floor((col("x") - col("mn")) * lit(255.0) / (col("mx") - col("mn")))
+            .cast("long") - 128L)
+          .as("code"))
+  }
+}

@@ -540,6 +540,63 @@ object Queries {
       sha2(col("text").cast("binary"), 256).as("sha"))
       .orderBy("doc_id")
 
+  /** Gopher-style repetition quality metrics: per-doc duplicate-bigram
+    * and top-bigram occupancy (boilerplate/spam both score high).
+    */
+  def q46_repetition(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusOps.repetitionStats(Tables(spark, dir).documents, "doc_id", "text", n = 2)
+      .select(col("id").as("doc_id"), col("total_ngrams"), col("dup_frac"), col("top_frac"))
+      .orderBy("doc_id")
+
+  /** Benchmark decontamination: corpus docs sharing a 4-gram shingle with
+    * the held-out set (doc_id < 50 stands in for the benchmark suite).
+    * The held-out gram set is broadcast — the corpus side never shuffles.
+    */
+  def q47_decontam(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    graft.ops.CorpusOps.decontaminate(
+        d.filter(col("doc_id") >= 50), d.filter(col("doc_id") < 50),
+        "doc_id", "text", n = 4)
+      .select(col("id").as("doc_id"), col("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic stratified sample: 20 docs per language by arithmetic
+    * hash rank — re-runs select byte-identical rows (no RNG).
+    */
+  def q48_sample(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusOps.stratifiedSample(Tables(spark, dir).documents, "lang", "doc_id", k = 20)
+      .select("doc_id", "lang")
+      .orderBy("lang", "doc_id")
+
+  /** Per-vector int8 min-max quantization, integer-exact code stats. */
+  def q49_quantize(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusOps.quantizeInt8(Tables(spark, dir).embeddings, "vec_id", "embedding")
+      .groupBy(col("id"))
+      .agg(min("code").as("code_min"), max("code").as("code_max"),
+        sum("code").as("code_sum"), countDistinct(col("code")).as("n_codes"))
+      .select(col("id").as("vec_id"), col("code_min"), col("code_max"),
+        col("code_sum"), col("n_codes"))
+      .orderBy("vec_id")
+
+  /** Sequence packing into 512-token bins per source shard (exclusive-
+    * prefix-sum greedy packing), reported per bin.
+    */
+  def q50_seqpack(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusOps.packSequences(Tables(spark, dir).documents, "source", "doc_id",
+        graft.text.TextFunctions.tokenCount(col("text")), budget = 512L)
+      .groupBy("shard", "bin")
+      .agg(count("*").as("n_docs"), sum("tokens").as("sum_tokens"))
+      .orderBy("shard", "bin")
+
+  /** Temperature-scaled (α=0.5) domain mixing over languages: stratum s
+    * keeps min(|s|, ⌈2·√|s|⌉) hash-ranked docs.
+    */
+  def q51_temp_mix(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusOps.temperatureMix(Tables(spark, dir).documents, "lang", "doc_id", scale = 2.0)
+      .select("doc_id", "lang")
+      .orderBy("lang", "doc_id")
+
   val all: Map[String, Q] = Map(
     "q01_scan" -> (q01_scan _),
     "q02_sink" -> (q02_sink _),
@@ -590,7 +647,13 @@ object Queries {
     "q42_multimodal_decode" -> (q42_multimodal_decode _),
     "q43_asof_join" -> (q43_asof_join _),
     "q44_text_extras" -> (q44_text_extras _),
-    "q45_knn_graph" -> (q45_knn_graph _)
+    "q45_knn_graph" -> (q45_knn_graph _),
+    "q46_repetition" -> (q46_repetition _),
+    "q47_decontam" -> (q47_decontam _),
+    "q48_sample" -> (q48_sample _),
+    "q49_quantize" -> (q49_quantize _),
+    "q50_seqpack" -> (q50_seqpack _),
+    "q51_temp_mix" -> (q51_temp_mix _)
   )
 }
 
@@ -864,7 +927,69 @@ object Oracles {
         |      ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) AS rn
         |  FROM events e LEFT JOIN orders o
         |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
-        |WHERE rn = 1 ORDER BY event_id""".stripMargin
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q46_repetition" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |g AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+        |      FROM toks CROSS JOIN unnest(generate_series(1, len(t)-1)) AS u(i)
+        |      WHERE len(t) >= 2),
+        |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS total_ngrams,
+        |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(c) AS DOUBLE) AS dup_frac,
+        |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q47_decontam" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
+        |       FROM toks CROSS JOIN unnest(generate_series(1, len(t)-3)) AS u(i)
+        |       WHERE len(t) >= 4
+        |       UNION
+        |       SELECT doc_id, array_to_string(t, ' ') AS g FROM toks WHERE len(t) < 4),
+        |held AS (SELECT DISTINCT g FROM sh WHERE doc_id < 50)
+        |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM sh s JOIN held USING (g) WHERE s.doc_id >= 50
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    "q48_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
+        |  FROM documents) WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
+    "q49_quantize" ->
+      """WITH v AS (SELECT vec_id, embedding AS e,
+        |  CAST(list_min(embedding) AS DOUBLE) AS mn,
+        |  CAST(list_max(embedding) AS DOUBLE) AS mx FROM embeddings),
+        |c AS (SELECT vec_id, CASE WHEN mx = mn THEN 0
+        |        ELSE CAST(floor((CAST(e[i] AS DOUBLE) - mn) * 255.0 / (mx - mn)) AS BIGINT) - 128
+        |      END AS code
+        |      FROM v CROSS JOIN unnest(generate_series(1, len(e))) AS u(i))
+        |SELECT vec_id, min(code) AS code_min, max(code) AS code_max,
+        |  CAST(sum(code) AS BIGINT) AS code_sum,
+        |  CAST(count(DISTINCT code) AS BIGINT) AS n_codes
+        |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "q50_seqpack" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS toks
+        |  FROM documents),
+        |p AS (SELECT doc_id, source, toks,
+        |        COALESCE(SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |      FROM t)
+        |SELECT source AS shard, CAST(floor(CAST(pre AS DOUBLE) / 512.0) AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(toks) AS BIGINT) AS sum_tokens
+        |FROM p GROUP BY source, bin ORDER BY shard, bin""".stripMargin,
+    "q51_temp_mix" ->
+      """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |q AS (SELECT lang, least(n, CAST(ceil(2.0 * sqrt(CAST(n AS DOUBLE))) AS BIGINT)) AS k
+        |      FROM n),
+        |r AS (SELECT d.doc_id, d.lang, q.k,
+        |        row_number() OVER (PARTITION BY d.lang
+        |          ORDER BY (d.doc_id * 2654435761) % 1000000007, d.doc_id) AS rn
+        |      FROM documents d JOIN q USING (lang))
+        |SELECT doc_id, lang FROM r WHERE rn <= k ORDER BY lang, doc_id""".stripMargin
     // No oracle (rows-only; ScalaTest-owned): q29_approx_distinct (HLL
     // estimate), q35_ann_ivf (approx recall), q36_langid, q37_minhash_pairs,
     // q38_simhash_pairs, q39_fingerprint (hash-seed-specific),

@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetitionStats flags repeated bigrams and the top-gram share") {
+    val docs = Seq(
+      (1L, "a b a b a b"),   // bigrams: "a b"×3, "b a"×2 → all 5 duplicated
+      (2L, "w x y z"),       // 3 distinct bigrams, none duplicated
+      (3L, "solo")           // < 2 tokens → dropped
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.repetitionStats(docs, "doc_id", "text", n = 2)
+      .orderBy("id").collect()
+    assert(got.length == 2)
+    assert(got(0).getLong(1) == 5L && got(0).getDouble(2) == 1.0)
+    assert(got(0).getDouble(3) == 3.0 / 5.0)
+    assert(got(1).getLong(1) == 3L && got(1).getDouble(2) == 0.0)
+  }
+
+  test("decontaminate counts shared shingles against the held-out set only") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps"),  // shares "the quick brown fox" + "quick brown fox jumps"
+      (11L, "completely different words here"),
+      (12L, "short doc")                    // whole-text fallback, no match
+    ).toDF("doc_id", "text")
+    val held = Seq((1L, "the quick brown fox jumps over")).toDF("doc_id", "text")
+    val got = CorpusOps.decontaminate(corpus, held, "doc_id", "text", n = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 2L))
+  }
+
+  test("stratifiedSample is deterministic, capped at k, and within-stratum") {
+    val df = (0L until 100L).map(i => (i, s"s${i % 3}")).toDF("id", "grp")
+    val a = CorpusOps.stratifiedSample(df, "grp", "id", k = 5).orderBy("grp", "id").collect()
+    val b = CorpusOps.stratifiedSample(df, "grp", "id", k = 5).orderBy("grp", "id").collect()
+    assert(a.sameElements(b))
+    assert(a.length == 15)
+    assert(a.groupBy(_.getString(1)).forall(_._2.length == 5))
+  }
+
+  test("temperatureMix keeps ceil(scale*sqrt(n)) per stratum, capped at n") {
+    val df = ((0L until 100L).map(i => (i, "big")) ++ (100L until 104L).map(i => (i, "tiny")))
+      .toDF("id", "grp")
+    val got = CorpusOps.temperatureMix(df, "grp", "id", scale = 2.0)
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(got("big") == 20L)  // ceil(2*sqrt(100))
+    assert(got("tiny") == 4L)  // capped at |s|
+  }
+
+  test("packSequences: bins cut at the budget, may overrun by one doc") {
+    val df = Seq((1L, "s", 300L), (2L, "s", 300L), (3L, "s", 300L), (4L, "s", 50L))
+      .toDF("id0", "shard0", "tok")
+    val got = CorpusOps.packSequences(df, "shard0", "id0", col("tok"), budget = 512L)
+      .orderBy("id").select("bin", "prefix").as[(Long, Long)].collect().toSeq
+    // prefixes 0,300,600,900 → bins 0,0,1,1 (doc 2 overruns bin 0 to 600)
+    assert(got == Seq((0L, 0L), (0L, 300L), (1L, 600L), (1L, 900L)))
+  }
+
+  test("quantizeInt8 codes are in [-128,127], monotone, and constant vectors code 0") {
+    val df = Seq(
+      (1L, Array(0.0f, 0.5f, 1.0f)),
+      (2L, Array(2.0f, 2.0f, 2.0f))
+    ).toDF("vec_id", "embedding")
+    val got = CorpusOps.quantizeInt8(df, "vec_id", "embedding")
+      .orderBy("id", "pos").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L, -128L), (1L, 1L, -1L), (1L, 2L, 127L),
+      (2L, 0L, 0L), (2L, 1L, 0L), (2L, 2L, 0L)))
+  }
+}
