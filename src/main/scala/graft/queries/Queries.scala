@@ -981,6 +981,24 @@ object Oracles {
         |SELECT source AS shard, CAST(floor(CAST(pre AS DOUBLE) / 512.0) AS BIGINT) AS bin,
         |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(toks) AS BIGINT) AS sum_tokens
         |FROM p GROUP BY source, bin ORDER BY shard, bin""".stripMargin,
+    "q36_langid" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_filter(t, x -> list_contains(['der','die','und','das','ist','nicht','mit','ein','von','zu'], lower(x)))) AS s_de,
+        |  len(list_filter(t, x -> list_contains(['the','and','of','to','in','is','that','it','was','for'], lower(x)))) AS s_en,
+        |  len(list_filter(t, x -> list_contains(['el','la','de','que','los','las','una','por','con','para'], lower(x)))) AS s_es,
+        |  len(list_filter(t, x -> list_contains(['le','la','les','des','est','une','dans','pour','que','sur'], lower(x)))) AS s_fr,
+        |  len(list_filter(t, x -> list_contains(['il','di','che','la','per','una','sono','con','non','del'], lower(x)))) AS s_it
+        |  FROM toks)
+        |SELECT CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_it) = 0 THEN 'und'
+        |            WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_it) THEN 'de'
+        |            WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_it) THEN 'en'
+        |            WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_it) THEN 'es'
+        |            WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_it) THEN 'fr'
+        |            ELSE 'it' END AS lang_pred,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "q51_temp_mix" ->
       """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
         |q AS (SELECT lang, least(n, CAST(ceil(2.0 * sqrt(CAST(n AS DOUBLE))) AS BIGINT)) AS k
@@ -991,8 +1009,9 @@ object Oracles {
         |      FROM documents d JOIN q USING (lang))
         |SELECT doc_id, lang FROM r WHERE rn <= k ORDER BY lang, doc_id""".stripMargin
     // No oracle (rows-only; ScalaTest-owned): q29_approx_distinct (HLL
-    // estimate), q35_ann_ivf (approx recall), q36_langid, q37_minhash_pairs,
+    // estimate), q35_ann_ivf (approx recall), q37_minhash_pairs,
     // q38_simhash_pairs, q39_fingerprint (hash-seed-specific),
-    // q41_embed_lsh (probabilistic recall; subset+recall spec-asserted).
+    // q41_embed_lsh (probabilistic recall; subset+recall spec-asserted),
+    // q42_multimodal_decode (stub decoder is Scala-side, not SQL).
   )
 }
