@@ -59,6 +59,16 @@ object HashKernels {
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftSqlBridge.column(SortedIntersectCount(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Run-length stats over an ASC-sorted `array<long>` in one pass:
+    * `(total, dup, top)` = element count, elements belonging to runs of
+    * length > 1, and the longest run. The per-document reduction behind
+    * repetition metrics — equal grams sort adjacent, so duplicate and
+    * top-gram occupancy fall out of one scan with NO shuffle (the
+    * groupBy-gram formulation shuffles the whole gram stream twice).
+    */
+  def sortedRunStats(a: Column): Column =
+    GraftSqlBridge.column(SortedRunStats(GraftSqlBridge.expression(a)))
 }
 
 case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpression {
@@ -252,6 +262,68 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** One-pass run-length stats `(total, dup, top)` over an ASC-sorted
+  * `array<long>`. Inputs MUST be sorted (e.g. via `array_sort`).
+  */
+case class SortedRunStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("total", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("dup", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("top", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"input must be array<bigint>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var dup = 0L; var top = 0L; var run = 0L
+    var i = 0
+    while (i < n) {
+      if (i > 0 && arr.getLong(i) == arr.getLong(i - 1)) run += 1
+      else {
+        if (run > 1) dup += run
+        if (run > top) top = run
+        run = 1
+      }
+      i += 1
+    }
+    if (run > 1) dup += run
+    if (run > top) top = run
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, dup, top))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dup = ctx.freshName("dup"); val top = ctx.freshName("top")
+      val run = ctx.freshName("run")
+      s"""
+         |final int $n = $a.numElements();
+         |long $dup = 0L; long $top = 0L; long $run = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($i > 0 && $a.getLong($i) == $a.getLong($i - 1)) { $run++; }
+         |  else {
+         |    if ($run > 1L) $dup += $run;
+         |    if ($run > $top) $top = $run;
+         |    $run = 1L;
+         |  }
+         |}
+         |if ($run > 1L) $dup += $run;
+         |if ($run > $top) $top = $run;
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{(long) $n, $dup, $top});
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 case class SimHashFingerprint(child: Expression) extends UnaryExpression {

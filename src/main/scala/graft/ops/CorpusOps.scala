@@ -34,18 +34,23 @@ object CorpusOps {
     val t = graft.core.Graft.spread(docs)
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("t"))
       .filter(size(col("t")) >= n)
-    // overlapping (non-distinct) n-grams: position i ∈ [0, size-n]
-    val grams = t.select(col("id"),
-      explode(transform(sequence(lit(0), size(col("t")) - n),
-        i => concat_ws(" ", slice(col("t"), i + 1, lit(n))))).as("g"))
-    grams.groupBy("id", "g").agg(count("*").as("c"))
-      .groupBy("id").agg(
-        sum("c").as("total"),
-        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup"),
-        max("c").as("top"))
-      .select(col("id"), col("total").as("total_ngrams"),
-        (col("dup").cast("double") / col("total").cast("double")).as("dup_frac"),
-        (col("top").cast("double") / col("total").cast("double")).as("top_frac"))
+    // A document's n-grams all live in its own row, so the reduction is
+    // per-row, NOT a groupBy: hash each gram, sort, and count runs in
+    // one native pass — zero shuffles at any corpus size (the
+    // groupBy-(id, gram) formulation shuffles the entire gram stream
+    // twice). Gram equality via 64-bit hash: collision odds within one
+    // document are ~(grams choose 2)/2^64 — vanishing, and the DuckDB
+    // oracle (string-exact) would catch any at gate scale.
+    // Overlapping (non-distinct) n-grams: position i ∈ [0, size-n];
+    // passes materialized separately (interpreted HOFs don't nest well).
+    t.select(col("id"),
+        transform(sequence(lit(0), size(col("t")) - n),
+          i => concat_ws(" ", slice(col("t"), i + 1, lit(n)))).as("gs"))
+      .select(col("id"), array_sort(transform(col("gs"), g => xxhash64(g))).as("hs"))
+      .select(col("id"), graft.functions.HashKernels.sortedRunStats(col("hs")).as("st"))
+      .select(col("id"), col("st.total").as("total_ngrams"),
+        (col("st.dup").cast("double") / col("st.total").cast("double")).as("dup_frac"),
+        (col("st.top").cast("double") / col("st.total").cast("double")).as("top_frac"))
   }
 
   /** Benchmark decontamination: count, per corpus document, the distinct

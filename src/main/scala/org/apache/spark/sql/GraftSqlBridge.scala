@@ -49,5 +49,9 @@ object GraftSqlBridge {
       "lang_id",
       exprs => graft.text.LangIdExpr(exprs.head),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "sorted_run_stats",
+      exprs => graft.functions.SortedRunStats(exprs.head),
+      "built-in")
   }
 }

@@ -103,6 +103,38 @@ class HashKernelsSpec extends SparkSpec {
     assert(got == Seq(0L, 2L, 2L))
   }
 
+  test("SortedRunStats counts runs over sorted arrays (incl. edges)") {
+    val rows = Seq(
+      (1L, Seq(1L, 1L, 1L, 2L, 3L, 3L)),  // runs 3,1,2 → dup 5, top 3
+      (2L, Seq(5L, 6L, 7L)),              // no dups
+      (3L, Seq(9L)),                      // single
+      (4L, Seq.empty[Long])               // empty
+    ).toDF("id", "hs")
+    val got = rows.select(col("id"), HashKernels.sortedRunStats(col("hs")).as("st"))
+      .orderBy("id")
+      .select(col("st.total"), col("st.dup"), col("st.top"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((6L, 5L, 3L), (3L, 0L, 1L), (1L, 0L, 1L), (0L, 0L, 0L)))
+  }
+
+  test("SortedRunStats agrees with the groupBy-count formulation on the corpus") {
+    val grams = Tables(spark, sfDir).documents
+      .select(col("doc_id").as("id"),
+        transform(TextFunctions.tokens(col("text")), t => xxhash64(t)).as("gh"))
+    val native = grams
+      .select(col("id"), HashKernels.sortedRunStats(array_sort(col("gh"))).as("st"))
+      .select(col("id"), col("st.total").as("total"), col("st.dup").as("dup"),
+        col("st.top").as("top"))
+    val grouped = grams
+      .select(col("id"), explode(col("gh")).as("g"))
+      .groupBy("id", "g").agg(count("*").as("c"))
+      .groupBy("id").agg(sum("c").as("total"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup"),
+        max("c").as("top"))
+    assert(native.exceptAll(grouped).count() == 0 &&
+      grouped.exceptAll(native).count() == 0)
+  }
+
   test("kernels survive empty and single-token inputs") {
     val rows = Seq(
       (1L, Seq.empty[Long]),
