@@ -597,6 +597,32 @@ object Queries {
       .select("doc_id", "lang")
       .orderBy("lang", "doc_id")
 
+  /** End-to-end curation pipeline — the CorpusOps stages composed the
+    * way a training-data build actually runs them: repetition quality
+    * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
+    * the contaminated set) → temperature-scaled language mixing →
+    * per-source sequence packing. One exact oracle covers the whole
+    * chain, so stage composition (not just each stage) is hash-checked.
+    */
+  def q52_pipeline(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.CorpusOps
+    val d = Tables(spark, dir).documents
+    val corpus = d.filter(col("doc_id") >= 50)
+    val held = d.filter(col("doc_id") < 50)
+    val keepQuality = CorpusOps.repetitionStats(corpus, "doc_id", "text", n = 2)
+      .filter(col("dup_frac") <= 0.08).select(col("id").as("doc_id"))
+    val contaminated = CorpusOps.decontaminate(corpus, held, "doc_id", "text", n = 4)
+      .select(col("id").as("doc_id"))
+    val clean = corpus.join(keepQuality, "doc_id")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    val mixed = CorpusOps.temperatureMix(clean, "lang", "doc_id", scale = 2.0)
+    CorpusOps.packSequences(mixed, "source", "doc_id",
+        graft.text.TextFunctions.tokenCount(col("text")), budget = 512L)
+      .groupBy("shard", "bin")
+      .agg(count("*").as("n_docs"), sum("tokens").as("sum_tokens"))
+      .orderBy("shard", "bin")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_scan" -> (q01_scan _),
     "q02_sink" -> (q02_sink _),
@@ -653,7 +679,8 @@ object Queries {
     "q48_sample" -> (q48_sample _),
     "q49_quantize" -> (q49_quantize _),
     "q50_seqpack" -> (q50_seqpack _),
-    "q51_temp_mix" -> (q51_temp_mix _)
+    "q51_temp_mix" -> (q51_temp_mix _),
+    "q52_pipeline" -> (q52_pipeline _)
   )
 }
 
@@ -1007,7 +1034,49 @@ object Oracles {
         |        row_number() OVER (PARTITION BY d.lang
         |          ORDER BY (d.doc_id * 2654435761) % 1000000007, d.doc_id) AS rn
         |      FROM documents d JOIN q USING (lang))
-        |SELECT doc_id, lang FROM r WHERE rn <= k ORDER BY lang, doc_id""".stripMargin
+        |SELECT doc_id, lang FROM r WHERE rn <= k ORDER BY lang, doc_id""".stripMargin,
+    "q52_pipeline" ->
+      """WITH corpus AS (SELECT doc_id, text, lang, source FROM documents WHERE doc_id >= 50),
+        |toksC AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM corpus),
+        |bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+        |       FROM toksC CROSS JOIN unnest(generate_series(1, len(t)-1)) AS u(i)
+        |       WHERE len(t) >= 2),
+        |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+        |rep AS (SELECT doc_id,
+        |          CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+        |            / CAST(sum(c) AS DOUBLE) AS dup_frac
+        |        FROM bgc GROUP BY doc_id),
+        |toksAll AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
+        |       FROM toksAll CROSS JOIN unnest(generate_series(1, len(t)-3)) AS u(i)
+        |       WHERE len(t) >= 4
+        |       UNION
+        |       SELECT doc_id, array_to_string(t, ' ') AS g FROM toksAll WHERE len(t) < 4),
+        |held AS (SELECT DISTINCT g FROM sh WHERE doc_id < 50),
+        |contam AS (SELECT DISTINCT s.doc_id FROM sh s JOIN held USING (g) WHERE s.doc_id >= 50),
+        |clean AS (SELECT c.* FROM corpus c JOIN rep USING (doc_id)
+        |          WHERE rep.dup_frac <= 0.08
+        |            AND c.doc_id NOT IN (SELECT doc_id FROM contam)),
+        |n AS (SELECT lang, count(*) AS n FROM clean GROUP BY lang),
+        |q AS (SELECT lang, least(n, CAST(ceil(2.0 * sqrt(CAST(n AS DOUBLE))) AS BIGINT)) AS k
+        |      FROM n),
+        |r AS (SELECT d.doc_id, d.lang, d.source, d.text, q.k,
+        |        row_number() OVER (PARTITION BY d.lang
+        |          ORDER BY (d.doc_id * 2654435761) % 1000000007, d.doc_id) AS rn
+        |      FROM clean d JOIN q USING (lang)),
+        |mixed AS (SELECT doc_id, source,
+        |            CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS toks
+        |          FROM r WHERE rn <= k),
+        |p AS (SELECT doc_id, source, toks,
+        |        COALESCE(SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |      FROM mixed)
+        |SELECT source AS shard, CAST(floor(CAST(pre AS DOUBLE) / 512.0) AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(toks) AS BIGINT) AS sum_tokens
+        |FROM p GROUP BY source, bin ORDER BY shard, bin""".stripMargin
     // No oracle (rows-only; ScalaTest-owned): q29_approx_distinct (HLL
     // estimate), q35_ann_ivf (approx recall), q37_minhash_pairs,
     // q38_simhash_pairs, q39_fingerprint (hash-seed-specific),
