@@ -59,4 +59,28 @@ class PlanCheckSpec extends SparkSpec {
     assert(plans("q43_asof_join").contains("WindowGroupLimit"),
       s"rank pushdown missing:\n${plans("q43_asof_join")}")
   }
+
+  test("q46 repetition metrics stay a per-row reduction (no aggregation shuffle)") {
+    // the SortedRunStats form has exactly two exchanges: the spread
+    // repartition and the final orderBy — a HashAggregate means the
+    // groupBy-gram formulation (two full-gram-stream shuffles) crept back
+    val p = plans("q46_repetition")
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"q46 regressed to an aggregation plan:\n$p")
+    assert(p.contains("sortedrunstats") || p.contains("SortedRunStats"),
+      s"native run-stats kernel missing:\n$p")
+  }
+
+  test("q47 decontamination broadcasts the held-out side") {
+    // benchmark sets are tiny next to the corpus: the corpus-side gram
+    // stream must never shuffle for the join
+    val p = plans("q47_decontam")
+    assert(p.contains("BroadcastHashJoin"), s"held-out set not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus side shuffled into SMJ:\n$p")
+  }
+
+  test("q51 temperature-mix quota join is a broadcast") {
+    val p = plans("q51_temp_mix")
+    assert(p.contains("BroadcastHashJoin"), s"quota join not broadcast:\n$p")
+  }
 }
