@@ -59,6 +59,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == Seq((0L, 0L), (0L, 300L), (1L, 600L), (1L, 900L)))
   }
 
+  test("quality-gate metrics run unchanged on a stream (per-row, no state)") {
+    // repetitionStats is a per-row reduction (native run-stats kernel),
+    // so the same op gates a live stream with no aggregation state —
+    // the streaming-curation path a kasper-style topology would run
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val s = spark.sqlContext
+    val rows = Seq((1L, "a b a b a b"), (2L, "w x y z w x"), (3L, "p q r s"))
+    val in = MemoryStream[(Long, String)]
+    val gated = CorpusOps.repetitionStats(in.toDF.toDF("doc_id", "text"), "doc_id", "text", n = 2)
+      .filter(col("dup_frac") <= 0.5)
+    val q = gated.writeStream.format("memory").queryName("curation_gate")
+      .outputMode("append").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("curation_gate")
+        .select("id", "dup_frac").as[(Long, Double)].collect().toSet
+      val batch = CorpusOps.repetitionStats(rows.toDF("doc_id", "text"), "doc_id", "text", n = 2)
+        .filter(col("dup_frac") <= 0.5)
+        .select("id", "dup_frac").as[(Long, Double)].collect().toSet
+      assert(streamed == batch && streamed.map(_._1) == Set(2L, 3L))
+    } finally q.stop()
+  }
+
   test("quantizeInt8 codes are in [-128,127], monotone, and constant vectors code 0") {
     val df = Seq(
       (1L, Array(0.0f, 0.5f, 1.0f)),
