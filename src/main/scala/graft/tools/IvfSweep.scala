@@ -40,6 +40,7 @@ object IvfSweep {
         val recall = exact.intersect(approx).size.toDouble / exact.size
         println(f"$cells%6d $nprobe%7d $recall%10.3f $searchS%9.2f $buildS%8.2f")
       }
+      idx.close() // don't let one config's cached index skew the next
     }
     spark.stop()
   }
