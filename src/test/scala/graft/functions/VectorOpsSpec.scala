@@ -68,6 +68,23 @@ class VectorOpsSpec extends SparkSpec {
       .select("qid", "id").as[(Long, Long)].collect().toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall >= 0.6, s"IVF recall@10 too low: $recall")
+    idx.close()
+  }
+
+  test("IVF multi-iteration Lloyd build is valid and at least as tight") {
+    val e = Tables(spark, sfDir).embeddings
+    val queries = e.filter($"vec_id" < 5)
+    val exact = annBruteForce(e, "vec_id", "embedding", queries, "vec_id", "embedding", k = 10)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val idx = IvfIndex.build(e, "vec_id", "embedding", c = 16, iters = 3)
+    // every vector assigned exactly once regardless of iteration count
+    assert(idx.assigned.count() == e.count())
+    assert(idx.assigned.select("id").distinct().count() == e.count())
+    val approx = idx.search(queries, "vec_id", "embedding", k = 10, nprobe = 4)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"3-iter IVF recall@10 too low: $recall")
+    idx.close()
   }
 
   test("cosineNearDupPairs is a subset of the exact pairs with high recall") {
