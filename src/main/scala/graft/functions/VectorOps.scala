@@ -165,6 +165,71 @@ object VectorOps {
     }
   }
 
+  /** Scalar-quantized IVF (the FAISS IVF-SQ8 shape): the cached index
+    * holds one BYTE per dimension (plus 3 doubles of per-vector
+    * metadata) instead of 8 — the representation that still fits in
+    * cluster memory when the raw corpus doesn't. Probing scores
+    * candidates against the codes with [[QuantKernels.approxCosine]]
+    * (never dequantizing), keeps the top `k·rescore` per query, and
+    * re-ranks only that small set against the raw vectors (a scan-time
+    * join — raw stays on storage, exactly the memory asymmetry the
+    * layout exists for). Final ordering is exact-cosine over the
+    * candidate set.
+    */
+  final class IvfSq8Index private[functions] (
+      val codes: DataFrame, val centroids: DataFrame, raw: DataFrame) {
+
+    def search(queries: DataFrame, queryIdCol: String, queryVecCol: String,
+               k: Int, nprobe: Int, rescore: Int = 4): DataFrame = {
+      val q = queries
+        .select(col(queryIdCol).as("qid"), toDoubleArr(col(queryVecCol)).as("qv"))
+        // per-query scalars (tiny side): plain HOF folds are fine here
+        .withColumn("qsum", aggregate(col("qv"), lit(0.0), (s, x) => s + x))
+        .withColumn("qnrm2", dot(col("qv"), col("qv")))
+      val qCells = q.crossJoin(broadcast(centroids))
+        .select(col("qid"), col("qv"), col("qsum"), col("qnrm2"), col("cid"),
+          cosine(col("qv"), col("cv")).as("ccos"))
+      val wq = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid").asc)
+      val probed = qCells.withColumn("__rn", row_number().over(wq))
+        .filter(col("__rn") <= nprobe).select("qid", "qv", "qsum", "qnrm2", "cid")
+      val scored = codes.join(broadcast(probed), "cid")
+        .filter(col("id") =!= col("qid"))
+        .select(col("qid"), col("id"), col("qv"),
+          QuantKernels.approxCosine(col("sq"), col("qv"), col("qnrm2"), col("qsum"))
+            .as("acos"))
+      val wa = Window.partitionBy(col("qid")).orderBy(col("acos").desc, col("id").asc)
+      val cands = scored.withColumn("__rn", row_number().over(wa))
+        .filter(col("__rn") <= k * rescore).select("qid", "qv", "id")
+      // exact re-rank of the shortlist against raw (never cached) vectors
+      val exact = cands.join(raw, "id")
+        .select(col("qid"), col("id"), cosine(col("v"), col("qv")).as("cos"))
+      val we = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id").asc)
+      exact.withColumn("__rn", row_number().over(we)).filter(col("__rn") <= k).drop("__rn")
+    }
+
+    def close(): Unit = {
+      codes.unpersist(blocking = false)
+      centroids.unpersist(blocking = false)
+    }
+  }
+
+  object IvfSq8Index {
+    def build(vectors: DataFrame, idCol: String, vecCol: String, c: Int = 16,
+              iters: Int = 1): IvfSq8Index = {
+      val ivf = IvfIndex.build(vectors, idCol, vecCol, c, iters)
+      val codes = ivf.assigned
+        .select(col("cid"), col("id"), QuantKernels.sq8Encode(col("v")).as("sq"))
+        .cache()
+      codes.count()
+      // release the full-precision cached assignment: SQ8's point is that
+      // only the byte codes stay resident
+      ivf.assigned.unpersist(blocking = false)
+      val raw = graft.core.Graft.spread(vectors)
+        .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
+      new IvfSq8Index(codes, ivf.centroids, raw)
+    }
+  }
+
   object IvfIndex {
     /** `iters` Lloyd refinements (assign → elementwise mean). One is the
       * cheap default; more buys tighter cells (≈ recall at fixed nprobe)

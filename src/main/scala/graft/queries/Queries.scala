@@ -597,6 +597,19 @@ object Queries {
       .select("doc_id", "lang")
       .orderBy("lang", "doc_id")
 
+  /** IVF-SQ8 ANN (memory-bound scale path): int8-quantized cells scored
+    * without dequantizing, exact re-rank of the shortlist from raw
+    * vectors — rows-only (approx recall spec-asserted; the re-rank makes
+    * the final ordering exact over the candidate set).
+    */
+  def q53_ann_sq8(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val idx = graft.functions.VectorOps.IvfSq8Index.build(e, "vec_id", "embedding", c = 16)
+    idx.search(e.filter(col("vec_id") === 0), "vec_id", "embedding", k = 10, nprobe = 4)
+      .select(col("id").as("vec_id"), col("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -680,7 +693,8 @@ object Queries {
     "q49_quantize" -> (q49_quantize _),
     "q50_seqpack" -> (q50_seqpack _),
     "q51_temp_mix" -> (q51_temp_mix _),
-    "q52_pipeline" -> (q52_pipeline _)
+    "q52_pipeline" -> (q52_pipeline _),
+    "q53_ann_sq8" -> (q53_ann_sq8 _)
   )
 }
 
@@ -1081,6 +1095,7 @@ object Oracles {
     // estimate), q35_ann_ivf (approx recall), q37_minhash_pairs,
     // q38_simhash_pairs, q39_fingerprint (hash-seed-specific),
     // q41_embed_lsh (probabilistic recall; subset+recall spec-asserted),
-    // q42_multimodal_decode (stub decoder is Scala-side, not SQL).
+    // q42_multimodal_decode (stub decoder is Scala-side, not SQL),
+    // q53_ann_sq8 (approx recall; codes/error/recall spec-asserted).
   )
 }

@@ -53,5 +53,13 @@ object GraftSqlBridge {
       "sorted_run_stats",
       exprs => graft.functions.SortedRunStats(exprs.head),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "sq8_encode",
+      exprs => graft.functions.Sq8Encode(exprs.head),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "sq8_dot",
+      exprs => graft.functions.Sq8Dot(exprs.head, exprs(1)),
+      "built-in")
   }
 }

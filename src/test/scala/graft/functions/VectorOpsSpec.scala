@@ -87,6 +87,51 @@ class VectorOpsSpec extends SparkSpec {
     idx.close()
   }
 
+  test("Sq8Encode codes equal CorpusOps.quantizeInt8; Sq8Dot handles mismatch") {
+    val e = Tables(spark, sfDir).embeddings
+    val enc = e.select($"vec_id".as("id"),
+        QuantKernels.sq8Encode(toDoubleArr($"embedding")).as("sq"))
+      .select(col("id"), col("sq.code").as("code"))
+      .as[(Long, Array[Byte])].collect()
+      .map { case (id, bytes) => id -> bytes.map(_.toLong).toSeq }.toMap
+    val ref = graft.ops.CorpusOps.quantizeInt8(e, "vec_id", "embedding")
+      .orderBy("id", "pos").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (id, rows) => id -> rows.map(_._3).toSeq }
+    assert(enc == ref)
+    // length-mismatch → null, like VectorCosine
+    val bad = spark.sql("SELECT CAST('ab' AS BINARY) AS c, array(1.0d) AS q")
+      .select(QuantKernels.sq8Dot(col("c"), col("q")))
+    assert(bad.head().isNullAt(0))
+  }
+
+  test("SQ8 approximate cosine tracks exact cosine within quantization error") {
+    val e = Tables(spark, sfDir).embeddings
+    val v = e.select($"vec_id".as("id"), toDoubleArr($"embedding").as("v"))
+    val q = v.filter($"id" === 0).select($"v".as("qv"),
+      aggregate($"v", lit(0.0), (s, x) => s + x).as("qsum"),
+      VectorOps.dot($"v", $"v").as("qnrm2"))
+    val err = v.crossJoin(q)
+      .select(abs(
+        QuantKernels.approxCosine(QuantKernels.sq8Encode($"v"), $"qv", $"qnrm2", $"qsum")
+          - VectorOps.cosine($"v", $"qv")).as("e"))
+      .agg(max($"e").as("mx"), avg($"e").as("mean")).head()
+    assert(err.getDouble(0) < 0.05, s"max |approx-exact| = ${err.getDouble(0)}")
+    assert(err.getDouble(1) < 0.01, s"mean |approx-exact| = ${err.getDouble(1)}")
+  }
+
+  test("IVF-SQ8 search recall vs brute force; exact re-rank ordering") {
+    val e = Tables(spark, sfDir).embeddings
+    val queries = e.filter($"vec_id" < 5)
+    val exact = annBruteForce(e, "vec_id", "embedding", queries, "vec_id", "embedding", k = 10)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val idx = IvfSq8Index.build(e, "vec_id", "embedding", c = 16)
+    val approx = idx.search(queries, "vec_id", "embedding", k = 10, nprobe = 4)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF-SQ8 recall@10 too low: $recall")
+    idx.close()
+  }
+
   test("cosineNearDupPairs is a subset of the exact pairs with high recall") {
     val e = Tables(spark, sfDir).embeddings
     // 0.45 is the operating threshold the fixture exercises (nothing in
