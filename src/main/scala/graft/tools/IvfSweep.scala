@@ -42,6 +42,22 @@ object IvfSweep {
       }
       idx.close() // don't let one config's cached index skew the next
     }
+    // SQ8 variant: same probe geometry, byte-code cells + exact re-rank
+    println(f"${"sq8"}%6s ${"nprobe"}%7s ${"recall@10"}%10s ${"search_s"}%9s ${"build_s"}%8s")
+    for (cells <- Seq(16, 64)) {
+      val t0 = System.nanoTime()
+      val idx = VectorOps.IvfSq8Index.build(e, "vec_id", "embedding", c = cells)
+      val buildS = (System.nanoTime() - t0) / 1e9
+      for (nprobe <- Seq(1, 2, 4, 8)) {
+        val t1 = System.nanoTime()
+        val approx = idx.search(queries, "vec_id", "embedding", k = 10, nprobe = nprobe)
+          .select("qid", "id").as[(Long, Long)].collect().toSet
+        val searchS = (System.nanoTime() - t1) / 1e9
+        val recall = exact.intersect(approx).size.toDouble / exact.size
+        println(f"$cells%6d $nprobe%7d $recall%10.3f $searchS%9.2f $buildS%8.2f")
+      }
+      idx.close()
+    }
     spark.stop()
   }
 }
