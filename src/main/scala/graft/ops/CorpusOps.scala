@@ -137,6 +137,35 @@ object CorpusOps {
       .select("shard", "bin", "id", "tokens", "prefix")
   }
 
+  /** PII redaction patterns, pinned to the RE2 ∩ Java regex common
+    * subset (ASCII classes, no lookaround/backreferences) so the same
+    * patterns behave identically on any engine a pipeline stage might
+    * run on — the q44 lesson, applied to redaction.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PhoneRe = "\\+?[0-9][0-9 ()-]{6,}[0-9]"
+
+  /** Redact emails, IPv4 addresses and phone-shaped digit runs from
+    * `textCol` (in that order — emails first so their digits can't be
+    * phone-matched), with per-category counts from the ORIGINAL text.
+    * Pure codegen'd regex expressions: single pass per pattern, no
+    * shuffle, linear in the scan — a quality/compliance gate that runs
+    * at the same cost as any column projection.
+    */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails", regexp_count(t, lit(EmailRe)).cast("long"))
+      .withColumn("n_ipv4", regexp_count(t, lit(Ipv4Re)).cast("long"))
+      .withColumn("n_phones", regexp_count(t, lit(PhoneRe)).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailRe, "[EMAIL]"),
+            Ipv4Re, "[IP]"),
+          PhoneRe, "[PHONE]"))
+  }
+
   /** Per-vector min-max int8 quantization: code `⌊(x−mn)·255/(mx−mn)⌋−128`
     * (∈ [−128,127]; constant vectors code to 0). Returns the exploded
     * (id, pos, code) stream — the storage-side transform for ANN at scale

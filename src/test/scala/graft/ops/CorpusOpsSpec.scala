@@ -59,6 +59,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == Seq((0L, 0L), (0L, 300L), (1L, 600L), (1L, 900L)))
   }
 
+  test("redactPii counts and masks emails, IPs and phones; corpus is untouched") {
+    val df = Seq(
+      "mail bob.smith+x@ex-ample.org now",
+      "host 192.168.0.1 and 10.0.0.255 up",
+      "call +1 (555) 123-4567 or 555 987 6543",
+      "nothing sensitive here 42").toDF("text")
+    val got = CorpusOps.redactPii(df, "text")
+      .select("n_emails", "n_ipv4", "n_phones", "redacted")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got(0) == ((1L, 0L, 0L, "mail [EMAIL] now")))
+    assert(got(1) == ((0L, 2L, 0L, "host [IP] and [IP] up")))
+    assert(got(2)._3 == 2L && got(2)._4 == "call [PHONE] or [PHONE]")
+    assert(got(3) == ((0L, 0L, 0L, "nothing sensitive here 42")))
+    // no false positives across the documents fixture
+    val touched = CorpusOps.redactPii(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "text")
+      .filter(col("redacted") =!= col("text")).count()
+    assert(touched == 0L)
+  }
+
   test("quality-gate metrics run unchanged on a stream (per-row, no state)") {
     // repetitionStats is a per-row reduction (native run-stats kernel),
     // so the same op gates a live stream with no aggregation state —
