@@ -30,9 +30,17 @@ object CorpusOps {
     * re-aggregation by id.
     */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
-                      n: Int = 2): DataFrame = {
-    val t = graft.core.Graft.spread(docs)
-      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("t"))
+                      n: Int = 2): DataFrame =
+    repetitionStatsOf(graft.core.Graft.spread(docs), idCol,
+      TextFunctions.tokens(col(textCol)), n)
+
+  /** [[repetitionStats]] from an already-materialized token array —
+    * the fused-pipeline form (no re-spread: the caller owns layout).
+    */
+  def repetitionStatsOf(docs: DataFrame, idCol: String, tokensCol: Column,
+                        n: Int = 2): DataFrame = {
+    val t = docs
+      .select(col(idCol).as("id"), tokensCol.as("t"))
       .filter(size(col("t")) >= n)
     // A document's n-grams all live in its own row, so the reduction is
     // per-row, NOT a groupBy: hash each gram, sort, and count runs in

@@ -619,18 +619,30 @@ object Queries {
     */
   def q52_pipeline(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.CorpusOps
+    import graft.text.TextFunctions
     val d = Tables(spark, dir).documents
-    val corpus = d.filter(col("doc_id") >= 50)
+    // Fused form: tokenize the corpus ONCE and cache the token arrays;
+    // every gate (repetition, shingling, token counts) reads the cached
+    // frame instead of re-running the split per branch. At cluster scale
+    // the cache becomes a checkpoint of the tokenized corpus — the
+    // standard shape for a multi-gate curation pass.
+    val toks = graft.core.Graft.spread(d.filter(col("doc_id") >= 50))
+      .select(col("doc_id"), col("lang"), col("source"),
+        TextFunctions.tokens(col("text")).as("t"))
+      .cache()
     val held = d.filter(col("doc_id") < 50)
-    val keepQuality = CorpusOps.repetitionStats(corpus, "doc_id", "text", n = 2)
+    val keepQuality = CorpusOps.repetitionStatsOf(toks, "doc_id", col("t"), n = 2)
       .filter(col("dup_frac") <= 0.08).select(col("id").as("doc_id"))
-    val contaminated = CorpusOps.decontaminate(corpus, held, "doc_id", "text", n = 4)
-      .select(col("id").as("doc_id"))
-    val clean = corpus.join(keepQuality, "doc_id")
+    val heldGrams = graft.core.Graft.spread(held)
+      .select(explode(TextFunctions.shingles(col("text"), 4)).as("g")).distinct()
+    val contaminated = toks
+      .select(col("doc_id"), explode(TextFunctions.shinglesOf(col("t"), 4)).as("g"))
+      .join(broadcast(heldGrams), "g").select("doc_id").distinct()
+    val clean = toks.join(keepQuality, "doc_id")
       .join(contaminated, Seq("doc_id"), "left_anti")
     val mixed = CorpusOps.temperatureMix(clean, "lang", "doc_id", scale = 2.0)
     CorpusOps.packSequences(mixed, "source", "doc_id",
-        graft.text.TextFunctions.tokenCount(col("text")), budget = 512L)
+        size(col("t")).cast("long"), budget = 512L)
       .groupBy("shard", "bin")
       .agg(count("*").as("n_docs"), sum("tokens").as("sum_tokens"))
       .orderBy("shard", "bin")

@@ -31,13 +31,16 @@ object TextFunctions {
   /** Distinct word n-gram shingles (space-joined). Documents shorter than
     * `n` tokens degrade to a single whole-text shingle.
     */
-  def shingles(c: Column, n: Int): Column = {
-    val t = tokens(c)
+  def shingles(c: Column, n: Int): Column = shinglesOf(tokens(c), n)
+
+  /** Shingles from an already-materialized token array (tokenize once,
+    * shingle many — the fused-pipeline form).
+    */
+  def shinglesOf(t: Column, n: Int): Column =
     when(size(t) >= n,
       array_distinct(transform(sequence(lit(0), size(t) - n),
         i => concat_ws(" ", slice(t, i + 1, lit(n))))))
       .otherwise(array(concat_ws(" ", t)))
-  }
 
   /** Fraction of tokens found in `stops` (exact int/int division —
     * deterministic across engines).
