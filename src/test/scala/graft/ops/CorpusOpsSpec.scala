@@ -103,6 +103,31 @@ class CorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination gates each micro-batch against the static benchmark") {
+    // the per-epoch batch model (kasper's Process(msgs) shape): every
+    // micro-batch anti-joins the broadcast held-out gram set
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val s = spark.sqlContext
+    val held = Seq((1L, "the quick brown fox jumps over")).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = in.toDF.toDF("doc_id", "text").writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val contaminated = CorpusOps.decontaminate(batch, held, "doc_id", "text", n = 4)
+          .select(col("id").as("doc_id"))
+        val clean = batch.join(contaminated, Seq("doc_id"), "left_anti")
+          .select("doc_id").as[Long].collect()
+        out.synchronized { out ++= clean }
+        ()
+      }.start()
+    try {
+      in.addData((10L, "the quick brown fox jumps"), (11L, "different words entirely okay"))
+      q.processAllAvailable()
+      assert(out.toSet == Set(11L))
+    } finally q.stop()
+  }
+
   test("quantizeInt8 codes are in [-128,127], monotone, and constant vectors code 0") {
     val df = Seq(
       (1L, Array(0.0f, 0.5f, 1.0f)),
