@@ -610,6 +610,26 @@ object Queries {
       .orderBy(col("cos").desc, col("vec_id"))
   }
 
+  /** Model-based quality filter (the fastText-lite shape): a linear
+    * score over the engineered feature library — token-diversity,
+    * stopword and length features plus a language bonus — with fixed
+    * public weights. The "model" is plain column arithmetic, so scoring
+    * 100 TB costs one projection; swap the literals for trained weights
+    * without touching the plan shape.
+    */
+  def q54_quality_score(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions._
+    graft.core.Graft.spread(Tables(spark, dir).documents)
+      .select(col("doc_id"),
+        (lit(2.0) * uniqueTokenRatio(col("text"))
+          - lit(1.5) * stopwordRatio(col("text"), Seq("the", "a"))
+          + lit(0.1) * meanTokenLength(col("text"))
+          + when(langId(col("text")) === "en", lit(0.5)).otherwise(lit(0.0)))
+          .as("score"))
+      .withColumn("keep", col("score") >= 1.6)
+      .orderBy("doc_id")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -706,7 +726,8 @@ object Queries {
     "q50_seqpack" -> (q50_seqpack _),
     "q51_temp_mix" -> (q51_temp_mix _),
     "q52_pipeline" -> (q52_pipeline _),
-    "q53_ann_sq8" -> (q53_ann_sq8 _)
+    "q53_ann_sq8" -> (q53_ann_sq8 _),
+    "q54_quality_score" -> (q54_quality_score _)
   )
 }
 
@@ -1102,7 +1123,36 @@ object Oracles {
         |      FROM mixed)
         |SELECT source AS shard, CAST(floor(CAST(pre AS DOUBLE) / 512.0) AS BIGINT) AS bin,
         |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(toks) AS BIGINT) AS sum_tokens
-        |FROM p GROUP BY source, bin ORDER BY shard, bin""".stripMargin
+        |FROM p GROUP BY source, bin ORDER BY shard, bin""".stripMargin,
+    "q54_quality_score" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |s AS (SELECT doc_id, t,
+        |  len(list_filter(t, x -> list_contains(['der','die','und','das','ist','nicht','mit','ein','von','zu'], lower(x)))) AS s_de,
+        |  len(list_filter(t, x -> list_contains(['the','and','of','to','in','is','that','it','was','for'], lower(x)))) AS s_en,
+        |  len(list_filter(t, x -> list_contains(['el','la','de','que','los','las','una','por','con','para'], lower(x)))) AS s_es,
+        |  len(list_filter(t, x -> list_contains(['le','la','les','des','est','une','dans','pour','que','sur'], lower(x)))) AS s_fr,
+        |  len(list_filter(t, x -> list_contains(['il','di','che','la','per','una','sono','con','non','del'], lower(x)))) AS s_it
+        |  FROM toks),
+        |f AS (SELECT doc_id,
+        |  CAST(len(list_filter(t, x -> x IN ('the','a'))) AS DOUBLE)
+        |    / CAST(len(t) AS DOUBLE) AS stop_ratio,
+        |  CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS uniq_ratio,
+        |  CAST(list_sum(list_transform(t, x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+        |    / CAST(len(t) AS DOUBLE) AS mtl,
+        |  CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_it) = 0 THEN 'und'
+        |       WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_it) THEN 'de'
+        |       WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_it) THEN 'en'
+        |       WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_it) THEN 'es'
+        |       WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_it) THEN 'fr'
+        |       ELSE 'it' END AS lang_pred
+        |  FROM s)
+        |SELECT doc_id,
+        |  2.0 * uniq_ratio - 1.5 * stop_ratio + 0.1 * mtl +
+        |    CASE WHEN lang_pred = 'en' THEN 0.5 ELSE 0.0 END AS score,
+        |  (2.0 * uniq_ratio - 1.5 * stop_ratio + 0.1 * mtl +
+        |    CASE WHEN lang_pred = 'en' THEN 0.5 ELSE 0.0 END) >= 1.6 AS keep
+        |FROM f ORDER BY doc_id""".stripMargin
     // No oracle (rows-only; ScalaTest-owned): q29_approx_distinct (HLL
     // estimate), q35_ann_ivf (approx recall), q37_minhash_pairs,
     // q38_simhash_pairs, q39_fingerprint (hash-seed-specific),
