@@ -47,16 +47,19 @@ object Dedup {
 
   private val observeSeq = new java.util.concurrent.atomic.AtomicLong()
 
-  /** (id, shingle-hash) inverted index over distinct word n-gram
-    * shingles. Grams are carried as xxhash64 longs, not strings: the
-    * self-join shuffles 8-byte keys instead of ~20-byte text and compares
-    * longs instead of strings. (A 64-bit collision merging two grams has
-    * probability ~|grams|²/2⁶⁵ — negligible even at 100 TB gram counts.)
+  /** (id, sorted distinct gram-hash set) per document. Grams are carried
+    * as 64-bit hashes, not strings: joins shuffle 8-byte keys and compare
+    * longs. (A collision merging two grams has probability ~|grams|²/2⁶⁵
+    * — negligible even at 100 TB gram counts.) The whole shingling stage
+    * — gram strings, per-gram hash, distinct, sort — is ONE native pass
+    * over the token-hash array ([[graft.functions.NgramSetHashes]]); no
+    * gram string is ever materialized.
     */
-  private def shingleIndex(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    graft.core.Graft.spread(df).select(col(idCol).as("id"),
-      explode(TextFunctions.shingles(col(textCol), n)).as("gs"))
-      .select(col("id"), xxhash64(col("gs")).as("g"))
+  private def shingleSets(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    graft.core.Graft.spread(df)
+      .select(col(idCol).as("id"),
+        transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)).as("th"))
+      .select(col("id"), graft.functions.HashKernels.ngramSetHashes(col("th"), n).as("set"))
 
   /** Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥
     * `threshold`). Shingles occurring in more than `maxShingleDF` docs
@@ -76,12 +79,13 @@ object Dedup {
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
                    n: Int = 3, threshold: Double = 0.5,
                    maxShingleDF: Long = 100000L): DataFrame = {
-    val sh = shingleIndex(df, textCol, idCol, n) // (id, g): distinct grams per doc
-    // one per-doc aggregate serves both the size filters and the verify
-    // sets: deriving `sizes` and `sets` from the same subtree lets
-    // ReuseExchange run the scan+explode+shuffle once for both consumers
-    val perDoc = sh.groupBy("id")
-      .agg(count("*").as("sz"), array_sort(collect_list(col("g"))).as("set"))
+    // the per-doc sorted gram set comes straight from the native kernel —
+    // sizes and verify sets are row-local projections, and the
+    // explode+groupBy roundtrip the string-shingle form needed to
+    // re-assemble sets (a full corpus shuffle) is gone entirely
+    val perDoc = shingleSets(df, textCol, idCol, n)
+      .select(col("id"), size(col("set")).cast("long").as("sz"), col("set"))
+    val sh = perDoc.select(col("id"), explode(col("set")).as("g"))
     val sizes = perDoc.select("id", "sz")
 
     // Prefix filtering (PPJoin family): order each doc's grams globally by
@@ -152,19 +156,17 @@ object Dedup {
   /** MinHash signature: `numHashes` independent min-hashes over the
     * shingle set, as one array column.
     *
-    * Each shingle is string-hashed exactly once (xxhash64); the hash
-    * family is derived by multiply-add remixing of that base hash
-    * (h·A_i + B_i with odd golden-ratio multipliers — a universal-style
-    * family, deterministic, no RNG state). The two-projection structure
-    * matters: shingling and base-hashing are materialized columns, so the
-    * per-seed pass touches only a long array. The naive nested form
-    * re-evaluates the shingle expression once per seed — 64× the work.
+    * Gram base hashes come from the native shingling kernel (one pass,
+    * no gram strings — see [[shingleSets]]); the hash family is derived
+    * by multiply-add remixing of that base hash (h·A_i + B_i with odd
+    * golden-ratio multipliers — a universal-style family, deterministic,
+    * no RNG state), folded in one native pass per document.
     */
   def minHashSignatures(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, numHashes: Int = 64,
                         onePerm: Boolean = false): DataFrame = {
-    val hashed = graft.core.Graft.spread(df).select(col(idCol).as("id"),
-      transform(TextFunctions.shingles(col(textCol), n), s => xxhash64(s)).as("hh"))
+    val hashed = shingleSets(df, textCol, idCol, n)
+      .select(col("id"), col("set").as("hh"))
     // one native pass over hh for all seeds (HashKernelsSpec asserts
     // bit-equality with the 64× array_min(transform(...)) HOF form).
     // onePerm switches to the O(|set|) one-permutation family — the
@@ -215,9 +217,9 @@ object Dedup {
     // merge-count (a 64-bit collision merging two distinct grams of one
     // document is ~|grams|²/2⁶⁵ — negligible, same trade the candidate
     // index already makes)
-    val sets = df.select(col(idCol).as("id"),
-      array_sort(transform(TextFunctions.shingles(col(textCol), n),
-        s => xxhash64(s))).as("sh"))
+    // kernel output is already sorted distinct — ready for the merge-count
+    val sets = shingleSets(df, textCol, idCol, n)
+      .select(col("id"), col("set").as("sh"))
     cands
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")

@@ -60,6 +60,19 @@ object HashKernels {
     GraftSqlBridge.column(SortedIntersectCount(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
+  /** ASC-sorted DISTINCT word-n-gram hashes, chained directly from an
+    * `array<long>` of token hashes — the whole shingling stage (gram
+    * string building + per-gram string hash + array_distinct + sort) in
+    * one native pass with zero allocation beyond the output array.
+    * Fewer than `n` tokens degrade to a single whole-sequence hash,
+    * mirroring [[graft.text.TextFunctions.shingles]]'s fallback. Gram
+    * values are a different (chained) hash family than
+    * `xxhash64(gram_string)` — equality structure is identical, so every
+    * consumer (candidate joins, jaccard verify, MinHash) is unaffected.
+    */
+  def ngramSetHashes(tokenHashes: Column, n: Int): Column =
+    GraftSqlBridge.column(NgramSetHashes(GraftSqlBridge.expression(tokenHashes), n))
+
   /** Run-length stats over an ASC-sorted `array<long>` in one pass:
     * `(total, dup, top)` = element count, elements belonging to runs of
     * length > 1, and the longest run. The per-document reduction behind
@@ -262,6 +275,114 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** Sorted distinct chained n-gram hashes over an `array<long>` of token
+  * hashes (see [[HashKernels.ngramSetHashes]]). The chain is
+  * rotate-xor-multiply per element with a splitmix64 finalizer — strong
+  * mixing, deterministic, no RNG state.
+  */
+case class NgramSetHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "n must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"input must be array<bigint>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    val out =
+      if (len < n) {
+        var h = NgramSetHashes.Seed
+        var j = 0
+        while (j < len) {
+          h = java.lang.Long.rotateLeft(h, 13) ^ (arr.getLong(j) * HashKernels.GoldenA)
+          j += 1
+        }
+        Array(NgramSetHashes.fin(h))
+      } else {
+        val grams = new Array[Long](len - n + 1)
+        var i = 0
+        while (i <= len - n) {
+          var h = NgramSetHashes.Seed
+          var j = 0
+          while (j < n) {
+            h = java.lang.Long.rotateLeft(h, 13) ^ (arr.getLong(i + j) * HashKernels.GoldenA)
+            j += 1
+          }
+          grams(i) = NgramSetHashes.fin(h)
+          i += 1
+        }
+        java.util.Arrays.sort(grams)
+        var u = 0
+        var k = 1
+        while (k < grams.length) {
+          if (grams(k) != grams(u)) { u += 1; grams(u) = grams(k) }
+          k += 1
+        }
+        if (u + 1 == grams.length) grams else java.util.Arrays.copyOf(grams, u + 1)
+      }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val len = ctx.freshName("len"); val grams = ctx.freshName("grams")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val h = ctx.freshName("h"); val u = ctx.freshName("u"); val k = ctx.freshName("k")
+      val out = ctx.freshName("out")
+      val fin =
+        s"""$h ^= $h >>> 30; $h *= 0xBF58476D1CE4E5B9L;
+           |$h ^= $h >>> 27; $h *= 0x94D049BB133111EBL;
+           |$h ^= $h >>> 31;""".stripMargin
+      s"""
+         |final int $len = $a.numElements();
+         |long[] $out;
+         |if ($len < $n) {
+         |  long $h = ${NgramSetHashes.Seed}L;
+         |  for (int $j = 0; $j < $len; $j++) {
+         |    $h = Long.rotateLeft($h, 13) ^ ($a.getLong($j) * ${HashKernels.GoldenA}L);
+         |  }
+         |  $fin
+         |  $out = new long[]{$h};
+         |} else {
+         |  final long[] $grams = new long[$len - $n + 1];
+         |  for (int $i = 0; $i <= $len - $n; $i++) {
+         |    long $h = ${NgramSetHashes.Seed}L;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      $h = Long.rotateLeft($h, 13) ^ ($a.getLong($i + $j) * ${HashKernels.GoldenA}L);
+         |    }
+         |    $fin
+         |    $grams[$i] = $h;
+         |  }
+         |  java.util.Arrays.sort($grams);
+         |  int $u = 0;
+         |  for (int $k = 1; $k < $grams.length; $k++) {
+         |    if ($grams[$k] != $grams[$u]) { $u++; $grams[$u] = $grams[$k]; }
+         |  }
+         |  $out = ($u + 1 == $grams.length) ? $grams : java.util.Arrays.copyOf($grams, $u + 1);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NgramSetHashes {
+  val Seed = 0x2545F4914F6CDD1DL
+
+  private[functions] def fin(h0: Long): Long = {
+    var h = h0
+    h ^= h >>> 30; h *= 0xBF58476D1CE4E5B9L
+    h ^= h >>> 27; h *= 0x94D049BB133111EBL
+    h ^ (h >>> 31)
+  }
 }
 
 /** One-pass run-length stats `(total, dup, top)` over an ASC-sorted

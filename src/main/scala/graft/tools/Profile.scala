@@ -20,8 +20,15 @@ object Profile {
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
 
-    time("shingles only") {
+    time("shingles (string HOF form)") {
       docs.select(graft.text.TextFunctions.shingles(col("text"), 3).as("sh"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("shingles (native kernel)") {
+      graft.core.Graft.spread(docs)
+        .select(transform(graft.text.TextFunctions.tokens(col("text")),
+          t => xxhash64(t)).as("th"))
+        .select(graft.functions.HashKernels.ngramSetHashes(col("th"), 3).as("set"))
         .write.format("noop").mode("overwrite").save()
     }
     val sigs = graft.dedup.Dedup.minHashSignatures(docs, "text", "doc_id")

@@ -103,6 +103,31 @@ class HashKernelsSpec extends SparkSpec {
     assert(got == Seq(0L, 2L, 2L))
   }
 
+  test("NgramSetHashes preserves the string-shingle equality structure") {
+    // hash VALUES differ from xxhash64(gram string) by design; what must
+    // match is the structure: per-doc distinct gram count, sortedness,
+    // and cross-doc intersection sizes (all any consumer observes)
+    val both = Tables(spark, sfDir).documents
+      .select(col("doc_id").as("id"),
+        HashKernels.ngramSetHashes(
+          transform(TextFunctions.tokens(col("text")), t => xxhash64(t)), 3).as("ks"),
+        array_sort(transform(TextFunctions.shingles(col("text"), 3),
+          s => xxhash64(s))).as("ss"))
+    assert(both.filter(size(col("ks")) =!= size(col("ss"))).count() == 0)
+    assert(both.filter(col("ks") =!= array_sort(col("ks"))).count() == 0)
+    val pairs = both.as("a").crossJoin(both.as("b"))
+      .filter(col("a.id") < col("b.id") && col("a.id") < 15 && col("b.id") < 15)
+      .select(
+        HashKernels.sortedIntersectCount(col("a.ks"), col("b.ks")).as("ik"),
+        HashKernels.sortedIntersectCount(col("a.ss"), col("b.ss")).as("is"))
+    assert(pairs.filter(col("ik") =!= col("is")).count() == 0)
+    // short-doc fallback: < n tokens → exactly one whole-sequence gram
+    val short = Seq("x y").toDF("text")
+      .select(HashKernels.ngramSetHashes(
+        transform(TextFunctions.tokens(col("text")), t => xxhash64(t)), 3).as("ks"))
+    assert(short.select(size(col("ks"))).head().getInt(0) == 1)
+  }
+
   test("SortedRunStats counts runs over sorted arrays (incl. edges)") {
     val rows = Seq(
       (1L, Seq(1L, 1L, 1L, 2L, 3L, 3L)),  // runs 3,1,2 → dup 5, top 3
