@@ -145,6 +145,32 @@ object CorpusOps {
       .select("shard", "bin", "id", "tokens", "prefix")
   }
 
+  /** Globally contiguous sequence packing: documents in (shard, id)
+    * order, bins cut every `budget` tokens ACROSS shard boundaries.
+    * Semantically this is one exclusive prefix sum over the whole
+    * corpus — but a global window is a single-partition scale-killer,
+    * so it's computed in two phases: the per-shard prefix from
+    * [[packSequences]], plus a broadcast join against the per-shard
+    * exclusive token offsets (one tiny row per shard; the only global
+    * window runs over that shard list, not the corpus). Equality with
+    * the naive global-window form is the oracle's check — the oracle
+    * SQL uses the naive form, this plan never does.
+    */
+  def packSequencesGlobal(df: DataFrame, shardCol: String, idCol: String,
+                          tokensCol: Column, budget: Long): DataFrame = {
+    val local = packSequences(df, shardCol, idCol, tokensCol, budget)
+    val wOff = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy("shard").agg(sum("tokens").as("__tot"))
+      .withColumn("off", coalesce(sum(col("__tot")).over(wOff), lit(0L)))
+      .select("shard", "off")
+    local.join(broadcast(offsets), "shard")
+      .withColumn("gprefix", col("prefix") + col("off"))
+      .withColumn("bin",
+        floor(col("gprefix").cast("double") / lit(budget.toDouble)).cast("long"))
+      .select("shard", "bin", "id", "tokens", "gprefix")
+  }
+
   /** PII redaction patterns, pinned to the RE2 ∩ Java regex common
     * subset (ASCII classes, no lookaround/backreferences) so the same
     * patterns behave identically on any engine a pipeline stage might

@@ -589,6 +589,19 @@ object Queries {
       .agg(count("*").as("n_docs"), sum("tokens").as("sum_tokens"))
       .orderBy("shard", "bin")
 
+  /** Globally contiguous sequence packing across shard boundaries —
+    * computed as distributed two-phase (per-shard prefix + broadcast
+    * shard offsets, no corpus-wide window); the oracle checks it equals
+    * the naive single-window global prefix sum.
+    */
+  def q55_seqpack_global(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusOps.packSequencesGlobal(Tables(spark, dir).documents, "source", "doc_id",
+        graft.text.TextFunctions.tokenCount(col("text")), budget = 512L)
+      .groupBy("bin")
+      .agg(count("*").as("n_docs"), sum("tokens").as("sum_tokens"),
+        countDistinct(col("shard")).as("n_shards"))
+      .orderBy("bin")
+
   /** Temperature-scaled (α=0.5) domain mixing over languages: stratum s
     * keeps min(|s|, ⌈2·√|s|⌉) hash-ranked docs.
     */
@@ -727,7 +740,8 @@ object Queries {
     "q51_temp_mix" -> (q51_temp_mix _),
     "q52_pipeline" -> (q52_pipeline _),
     "q53_ann_sq8" -> (q53_ann_sq8 _),
-    "q54_quality_score" -> (q54_quality_score _)
+    "q54_quality_score" -> (q54_quality_score _),
+    "q55_seqpack_global" -> (q55_seqpack_global _)
   )
 }
 
@@ -1152,7 +1166,19 @@ object Oracles {
         |    CASE WHEN lang_pred = 'en' THEN 0.5 ELSE 0.0 END AS score,
         |  (2.0 * uniq_ratio - 1.5 * stop_ratio + 0.1 * mtl +
         |    CASE WHEN lang_pred = 'en' THEN 0.5 ELSE 0.0 END) >= 1.6 AS keep
-        |FROM f ORDER BY doc_id""".stripMargin
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q55_seqpack_global" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS toks
+        |  FROM documents),
+        |p AS (SELECT doc_id, source, toks,
+        |        COALESCE(SUM(toks) OVER (ORDER BY source, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |      FROM t)
+        |SELECT CAST(floor(CAST(pre AS DOUBLE) / 512.0) AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(toks) AS BIGINT) AS sum_tokens,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_shards
+        |FROM p GROUP BY bin ORDER BY bin""".stripMargin
     // No oracle (rows-only; ScalaTest-owned): q29_approx_distinct (HLL
     // estimate), q35_ann_ivf (approx recall), q37_minhash_pairs,
     // q38_simhash_pairs, q39_fingerprint (hash-seed-specific),

@@ -50,6 +50,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got("tiny") == 4L)  // capped at |s|
   }
 
+  test("packSequencesGlobal equals the naive global window; bins span shards") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(
+      (1L, "a", 300L), (2L, "a", 300L),   // shard a: 600 tokens
+      (3L, "b", 100L), (4L, "b", 300L),   // shard b starts at offset 600
+      (5L, "c", 50L)
+    ).toDF("id0", "shard0", "tok")
+    val twoPhase = CorpusOps.packSequencesGlobal(df, "shard0", "id0", col("tok"), budget = 512L)
+      .select("id", "bin", "gprefix").as[(Long, Long, Long)].collect().toSet
+    val naive = df
+      .withColumn("pre", coalesce(sum(col("tok")).over(
+        Window.orderBy("shard0", "id0").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("id0"), floor(col("pre").cast("double") / 512.0).cast("long"), col("pre"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(twoPhase == naive)
+    // doc 3 (shard b, gprefix 600) lands in bin 1 opened by shard a's tokens
+    assert(twoPhase.contains((3L, 1L, 600L)))
+  }
+
   test("packSequences: bins cut at the budget, may overrun by one doc") {
     val df = Seq((1L, "s", 300L), (2L, "s", 300L), (3L, "s", 300L), (4L, "s", 50L))
       .toDF("id0", "shard0", "tok")
