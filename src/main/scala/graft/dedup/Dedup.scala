@@ -58,7 +58,8 @@ object Dedup {
   private def shingleSets(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
     graft.core.Graft.spread(df)
       .select(col(idCol).as("id"),
-        transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)).as("th"))
+        graft.functions.HashKernels.arrayXxHash64(
+          TextFunctions.tokens(col(textCol))).as("th"))
       .select(col("id"), graft.functions.HashKernels.ngramSetHashes(col("th"), n).as("set"))
 
   /** Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥
@@ -236,11 +237,13 @@ object Dedup {
     * hashes are computed once per token, then folded per bit.
     */
   def simHash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    // hash each token once, then one native pass for all 64 majority
+    // hash each token once (native per-element xxhash64 — bit-identical
+    // to the transform HOF), then one native pass for all 64 majority
     // votes (HashKernelsSpec asserts bit-equality with the 64×
     // aggregate(...) HOF form)
     val hashed = graft.core.Graft.spread(df).select(col(idCol).as("id"),
-      transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)).as("th"))
+      graft.functions.HashKernels.arrayXxHash64(
+        TextFunctions.tokens(col(textCol))).as("th"))
     hashed.select(col("id"), graft.functions.HashKernels.simhash(col("th")).as("fp"))
   }
 

@@ -60,6 +60,15 @@ object HashKernels {
     GraftSqlBridge.column(SortedIntersectCount(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
+  /** Per-element xxhash64 over an `array<string>`, one native pass —
+    * BIT-IDENTICAL to `transform(arr, x => xxhash64(x))` (it calls the
+    * same XXH64 over the same UTF-8 bytes with the same seed), minus
+    * the interpreted lambda dispatch per element. Null elements hash to
+    * the seed (42), exactly like the HOF form.
+    */
+  def arrayXxHash64(strings: Column): Column =
+    GraftSqlBridge.column(ArrayXxHash64(GraftSqlBridge.expression(strings)))
+
   /** ASC-sorted DISTINCT word-n-gram hashes, chained directly from an
     * `array<long>` of token hashes — the whole shingling stage (gram
     * string building + per-gram string hash + array_distinct + sort) in
@@ -275,6 +284,60 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** One-pass per-element xxhash64 of a string array (seed 42, Spark's
+  * default — see [[HashKernels.arrayXxHash64]]).
+  */
+case class ArrayXxHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"input must be array<string>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (arr.isNullAt(i)) 42L
+        else {
+          val s = arr.getUTF8String(i)
+          org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val out = ctx.freshName("out"); val s = ctx.freshName("s")
+      s"""
+         |final int $n = $a.numElements();
+         |final long[] $out = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { $out[$i] = 42L; }
+         |  else {
+         |    org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
+         |    $out[$i] = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+         |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Sorted distinct chained n-gram hashes over an `array<long>` of token

@@ -103,6 +103,18 @@ class HashKernelsSpec extends SparkSpec {
     assert(got == Seq(0L, 2L, 2L))
   }
 
+  test("ArrayXxHash64 is bit-identical to transform(xxhash64) incl. nulls") {
+    val corpus = Tables(spark, sfDir).documents
+      .select(TextFunctions.tokens(col("text")).as("t"))
+    val crafted = Seq(Tuple1(Seq[String]("a", null, "", "über"))).toDF("t")
+    val both = corpus.union(crafted).select(
+      HashKernels.arrayXxHash64(col("t")).as("native"),
+      transform(col("t"), x => xxhash64(x)).as("hof"))
+    // HOF null elements yield 42 (the seed) just like the kernel
+    assert(both.filter(col("native") =!=
+      transform(col("hof"), h => coalesce(h, lit(42L)))).count() == 0)
+  }
+
   test("NgramSetHashes preserves the string-shingle equality structure") {
     // hash VALUES differ from xxhash64(gram string) by design; what must
     // match is the structure: per-doc distinct gram count, sortedness,
