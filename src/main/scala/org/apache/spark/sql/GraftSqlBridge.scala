@@ -54,6 +54,21 @@ object GraftSqlBridge {
       exprs => graft.functions.SortedRunStats(exprs.head),
       "built-in")
     reg.createOrReplaceTempFunction(
+      "array_xxhash64",
+      exprs => graft.functions.ArrayXxHash64(exprs.head),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "ngram_set_hashes",
+      exprs => {
+        require(exprs.length == 2,
+          s"ngram_set_hashes(tokenHashes, n) takes 2 arguments, got ${exprs.length}")
+        require(exprs(1).foldable,
+          "ngram_set_hashes's n must be a constant (foldable) expression")
+        graft.functions.NgramSetHashes(exprs.head,
+          exprs(1).eval(null).asInstanceOf[Number].intValue())
+      },
+      "built-in")
+    reg.createOrReplaceTempFunction(
       "sq8_encode",
       exprs => graft.functions.Sq8Encode(exprs.head),
       "built-in")
