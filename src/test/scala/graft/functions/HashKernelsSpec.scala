@@ -172,6 +172,21 @@ class HashKernelsSpec extends SparkSpec {
       grouped.exceptAll(native).count() == 0)
   }
 
+  test("round-3 kernels are registered for SQL") {
+    org.apache.spark.sql.GraftSqlBridge.registerFunctions(spark)
+    val row = spark.sql(
+      """SELECT
+        |  array_xxhash64(array('a', 'b')) AS ah,
+        |  ngram_set_hashes(array(1L, 2L, 3L), 2) AS ng,
+        |  sorted_run_stats(array(1L, 1L, 2L)).dup AS dup,
+        |  sq8_dot(sq8_encode(array(0.0d, 1.0d)).code, array(1.0d, 1.0d)) AS qd
+        |""".stripMargin).head()
+    assert(row.getSeq[Long](0).length == 2)
+    assert(row.getSeq[Long](1).length == 2)   // 2 distinct bigrams of [1,2,3]
+    assert(row.getLong(2) == 2L)
+    assert(row.getDouble(3) == -128.0 + 127.0) // codes [-128, 127] · [1, 1]
+  }
+
   test("kernels survive empty and single-token inputs") {
     val rows = Seq(
       (1L, Seq.empty[Long]),
