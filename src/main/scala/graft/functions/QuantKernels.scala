@@ -26,6 +26,10 @@ object QuantKernels {
     GraftSqlBridge.column(Sq8Dot(
       GraftSqlBridge.expression(code), GraftSqlBridge.expression(q)))
 
+  def pqAdcSum(codes: Column, table: Column, k: Int): Column =
+    GraftSqlBridge.column(PqAdcSum(
+      GraftSqlBridge.expression(codes), GraftSqlBridge.expression(table), k))
+
   /** Reconstructed value of dimension i: mn + (code_i + 128) · step. */
   def approxCosine(codeStruct: Column, q: Column, qNorm2: Column, qSum: Column): Column = {
     import org.apache.spark.sql.functions._
@@ -34,6 +38,61 @@ object QuantKernels {
       codeStruct.getField("step") * (dotCode + lit(128.0) * qSum)
     dotHat / sqrt(qNorm2 * codeStruct.getField("nrm2"))
   }
+}
+
+/** ADC (asymmetric distance computation) partial-dot sum for product
+  * quantization: `Σ_j table[j·k + code_j]` — the per-vector score is
+  * `m` array lookups instead of `dim` multiplies. `codes` is the
+  * per-vector subspace code array (m entries ∈ [0,k)), `table` the
+  * per-query lookup of dot(q_j, centroid_{j,c}) laid out j-major.
+  */
+case class PqAdcSum(left: Expression, right: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(k > 0, "k must be positive")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"inputs must be (array<bigint>, array<double>), got $other")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val codes = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val tbl = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val m = codes.numElements()
+    if (tbl.numElements() != m * k) null
+    else {
+      var s = 0.0
+      var j = 0
+      while (j < m) { s += tbl.getDouble(j * k + codes.getLong(j).toInt); j += 1 }
+      java.lang.Double.valueOf(s)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val m = ctx.freshName("m"); val j = ctx.freshName("j"); val s = ctx.freshName("s")
+      s"""
+         |final int $m = $a.numElements();
+         |if ($b.numElements() != $m * $k) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    $s += $b.getDouble($j * $k + (int) $a.getLong($j));
+         |  }
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** One-pass int8 scalar quantization of an `array<double>`:

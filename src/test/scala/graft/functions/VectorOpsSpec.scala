@@ -132,6 +132,23 @@ class VectorOpsSpec extends SparkSpec {
     idx.close()
   }
 
+  test("PQ index: complete codebook grid, valid codes, recall after re-rank") {
+    val e = Tables(spark, sfDir).embeddings
+    val queries = e.filter($"vec_id" < 5)
+    val exact = annBruteForce(e, "vec_id", "embedding", queries, "vec_id", "embedding", k = 10)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val idx = PqIndex.build(e, "vec_id", "embedding", m = 8, k = 16)
+    // the ADC table layout requires the full m×k centroid grid
+    assert(idx.centroids.count() == 8 * 16)
+    assert(idx.codes.filter(size($"code") =!= 8).count() == 0)
+    val approx = idx.search(queries, "vec_id", "embedding", kTop = 10, rescore = 8)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(s"PQ recall@10 (m=8, k=16, rescore=8): $recall")
+    assert(recall >= 0.5, s"PQ recall@10 too low: $recall")
+    idx.close()
+  }
+
   test("cosineNearDupPairs is a subset of the exact pairs with high recall") {
     val e = Tables(spark, sfDir).embeddings
     // 0.45 is the operating threshold the fixture exercises (nothing in
