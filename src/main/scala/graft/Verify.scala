@@ -13,6 +13,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // sink-writing queries (q02) put their intermediate output under the
+    // harness outDir instead of a driver-local temp dir — the path that
+    // still works when driver and executors don't share a filesystem
+    spark.conf.set("spark.graft.sink.dir", s"$outDir/_sink")
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>

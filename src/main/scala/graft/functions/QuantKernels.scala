@@ -69,7 +69,13 @@ case class PqAdcSum(left: Expression, right: Expression, k: Int)
     else {
       var s = 0.0
       var j = 0
-      while (j < m) { s += tbl.getDouble(j * k + codes.getLong(j).toInt); j += 1 }
+      while (j < m) {
+        val c = codes.getLong(j)
+        // a code outside [0,k) would read out of the ADC table's bounds
+        // (UnsafeArrayData.getDouble does no range check) — null instead
+        if (c < 0L || c >= k) return null
+        s += tbl.getDouble(j * k + c.toInt); j += 1
+      }
       java.lang.Double.valueOf(s)
     }
   }
@@ -77,6 +83,7 @@ case class PqAdcSum(left: Expression, right: Expression, k: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val m = ctx.freshName("m"); val j = ctx.freshName("j"); val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
       s"""
          |final int $m = $a.numElements();
          |if ($b.numElements() != $m * $k) {
@@ -84,9 +91,11 @@ case class PqAdcSum(left: Expression, right: Expression, k: Int)
          |} else {
          |  double $s = 0.0;
          |  for (int $j = 0; $j < $m; $j++) {
-         |    $s += $b.getDouble($j * $k + (int) $a.getLong($j));
+         |    final long $c = $a.getLong($j);
+         |    if ($c < 0L || $c >= ${k}L) { ${ev.isNull} = true; break; }
+         |    $s += $b.getDouble($j * $k + (int) $c);
          |  }
-         |  ${ev.value} = $s;
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
        """.stripMargin
     })

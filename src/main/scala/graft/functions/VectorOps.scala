@@ -244,12 +244,14 @@ object VectorOps {
   final class PqIndex private[functions] (
       val codes: DataFrame,        // (id, code: array<long>[m], nrm2)
       val centroids: DataFrame,    // (j, cid, cv: array<double>, cn2)
-      raw: DataFrame, m: Int, k: Int) {
+      raw: DataFrame, m: Int, k: Int, val dim: Int) {
 
     def search(queries: DataFrame, queryIdCol: String, queryVecCol: String,
                kTop: Int, rescore: Int = 8): DataFrame = {
       val q = queries.select(col(queryIdCol).as("qid"), toDoubleArr(col(queryVecCol)).as("qv"))
-      val s = PqIndex.subDim(q.select(size(col("qv"))).head().getInt(0), m)
+      // the subspace width comes from the build-time dim — search launches
+      // no extra driver job, and an empty query frame just returns empty
+      val s = PqIndex.subDim(dim, m)
       // per-query ADC table: dot(q_j, centroid_{j,c}) for all (j, c),
       // laid out j-major — m·k doubles per query, broadcast with qv
       val qsub = q.select(col("qid"), col("qv"),
@@ -293,7 +295,19 @@ object VectorOps {
               m: Int = 8, k: Int = 16, iters: Int = 2): PqIndex = {
       val v = graft.core.Graft.spread(vectors)
         .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
-      val s = subDim(v.select(size(col("v"))).head().getInt(0), m)
+      // one stats job validates everything .head() used to assume: the
+      // table is non-empty, dimensions are uniform (a mixed-dim corpus
+      // would silently slice wrong), and there are enough vectors to seed
+      // the full k-entry codebook grid the ADC layout requires
+      val st = v.agg(count(lit(1)), min(size(col("v"))), max(size(col("v")))).head()
+      val nVec = st.getLong(0)
+      require(nVec > 0, "PQ build needs a non-empty vector table")
+      require(st.getInt(1) == st.getInt(2),
+        s"PQ build needs uniform vector dimensions, got ${st.getInt(1)}..${st.getInt(2)}")
+      require(nVec >= k,
+        s"PQ build needs at least k=$k vectors to seed full codebooks, got $nVec")
+      val dim = st.getInt(1)
+      val s = subDim(dim, m)
       val sub = v.select(col("id"),
         explode(array((0 until m).map(j =>
           struct(lit(j).as("j"), slice(col("v"), j * s + 1, s).as("sv"))): _*)).as("e"))
@@ -339,7 +353,7 @@ object VectorOps {
         .cache()
       cents.count(); codes.count()
       sub.unpersist(blocking = false)
-      new PqIndex(codes, cents.select("j", "cid", "cv"), v, m, k)
+      new PqIndex(codes, cents.select("j", "cid", "cv"), v, m, k, dim)
     }
   }
 

@@ -50,7 +50,12 @@ object Queries {
     * buffered producer (`sender.go:34-51`).
     */
   def q02_sink(spark: SparkSession, dir: String): DataFrame = {
-    val out = Files.createTempDirectory("graft_sink").toString + "/wc"
+    // Output root comes from conf when a harness provides one (Verify
+    // threads its own outDir) so the path works on a shared filesystem;
+    // the temp-dir fallback is for ad-hoc local runs only.
+    val base = spark.conf.get("spark.graft.sink.dir",
+      Files.createTempDirectory("graft_sink").toString)
+    val out = base + "/wc"
     q06_wordcount(spark, dir).write.mode("overwrite").parquet(out)
     spark.read.parquet(out).orderBy("word")
   }
@@ -415,7 +420,10 @@ object Queries {
       .orderBy(col("cos").desc, col("vec_id"))
   }
 
-  /** Language-ID heuristic — rows-only (no SQL oracle; spec-tested). */
+  /** Language-ID heuristic — exact argmax oracle (the DuckDB side scores
+    * the same stopword/character evidence and takes the same
+    * tie-broken argmax); kernel internals additionally spec-tested.
+    */
   def q36_langid(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.TextFunctions._
     graft.core.Graft.spread(Tables(spark, dir).documents)

@@ -19,9 +19,16 @@ object GraftSqlBridge {
     */
   def registerFunctions(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // every builder validates arity up front so wrong-arity SQL fails
+    // analysis with a readable message, not IndexOutOfBoundsException
+    def arity(name: String, n: Int)(exprs: Seq[Expression]): Seq[Expression] = {
+      require(exprs.length == n, s"$name takes $n argument(s), got ${exprs.length}")
+      exprs
+    }
     reg.createOrReplaceTempFunction(
       "vector_cosine",
-      exprs => graft.functions.VectorCosine(exprs.head, exprs(1)),
+      exprs => { arity("vector_cosine(a, b)", 2)(exprs)
+        graft.functions.VectorCosine(exprs.head, exprs(1)) },
       "built-in")
     reg.createOrReplaceTempFunction(
       "minhash_signature",
@@ -43,7 +50,8 @@ object GraftSqlBridge {
       "built-in")
     reg.createOrReplaceTempFunction(
       "sorted_intersect_count",
-      exprs => graft.functions.SortedIntersectCount(exprs.head, exprs(1)),
+      exprs => { arity("sorted_intersect_count(a, b)", 2)(exprs)
+        graft.functions.SortedIntersectCount(exprs.head, exprs(1)) },
       "built-in")
     reg.createOrReplaceTempFunction(
       "lang_id",
@@ -74,7 +82,8 @@ object GraftSqlBridge {
       "built-in")
     reg.createOrReplaceTempFunction(
       "sq8_dot",
-      exprs => graft.functions.Sq8Dot(exprs.head, exprs(1)),
+      exprs => { arity("sq8_dot(code, q)", 2)(exprs)
+        graft.functions.Sq8Dot(exprs.head, exprs(1)) },
       "built-in")
   }
 }

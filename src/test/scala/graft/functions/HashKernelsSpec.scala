@@ -187,6 +187,18 @@ class HashKernelsSpec extends SparkSpec {
     assert(row.getDouble(3) == -128.0 + 127.0) // codes [-128, 127] · [1, 1]
   }
 
+  test("wrong-arity SQL fails analysis with a readable message") {
+    org.apache.spark.sql.GraftSqlBridge.registerFunctions(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT sq8_dot(CAST('a' AS BINARY))").head()
+    }
+    assert(e.getMessage.contains("takes 2 argument"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT vector_cosine(array(1.0d))").head()
+    }
+    assert(e2.getMessage.contains("takes 2 argument"), e2.getMessage)
+  }
+
   test("kernels survive empty and single-token inputs") {
     val rows = Seq(
       (1L, Seq.empty[Long]),

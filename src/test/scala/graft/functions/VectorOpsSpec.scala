@@ -149,6 +149,39 @@ class VectorOpsSpec extends SparkSpec {
     idx.close()
   }
 
+  test("PQ index: empty query frame returns empty, no extra driver job") {
+    val e = Tables(spark, sfDir).embeddings
+    val idx = PqIndex.build(e, "vec_id", "embedding", m = 8, k = 16)
+    val none = idx.search(e.filter($"vec_id" < 0), "vec_id", "embedding", kTop = 5)
+    assert(none.count() == 0)
+    idx.close()
+  }
+
+  test("PQ build rejects too-few vectors and mixed dimensions") {
+    val few = Seq((0L, Seq.fill(8)(1.0))).toDF("id", "v")
+    val eFew = intercept[IllegalArgumentException] {
+      PqIndex.build(few, "id", "v", m = 4, k = 16)
+    }
+    assert(eFew.getMessage.contains("at least k=16"))
+    val mixed = Seq((0L, Seq.fill(8)(1.0)), (1L, Seq.fill(16)(1.0))).toDF("id", "v")
+    val eMix = intercept[IllegalArgumentException] {
+      PqIndex.build(mixed, "id", "v", m = 4, k = 1)
+    }
+    assert(eMix.getMessage.contains("uniform vector dimensions"))
+  }
+
+  test("PqAdcSum yields null (not garbage) on out-of-range codes") {
+    // k=2, m=2 → valid table length 4; codes 0/1 valid, 2 and -1 are not
+    val df = Seq(
+      (Seq(0L, 1L), Seq(1.0, 2.0, 3.0, 4.0)),
+      (Seq(0L, 2L), Seq(1.0, 2.0, 3.0, 4.0)),
+      (Seq(-1L, 0L), Seq(1.0, 2.0, 3.0, 4.0))
+    ).toDF("code", "tbl")
+    val got = df.select(QuantKernels.pqAdcSum($"code", $"tbl", 2)).collect()
+    assert(got(0).getDouble(0) == 1.0 + 4.0)
+    assert(got(1).isNullAt(0) && got(2).isNullAt(0))
+  }
+
   test("cosineNearDupPairs is a subset of the exact pairs with high recall") {
     val e = Tables(spark, sfDir).embeddings
     // 0.45 is the operating threshold the fixture exercises (nothing in
