@@ -82,6 +82,18 @@ object HashKernels {
   def ngramSetHashes(tokenHashes: Column, n: Int): Column =
     GraftSqlBridge.column(NgramSetHashes(GraftSqlBridge.expression(tokenHashes), n))
 
+  /** [[sortedRunStats]] over the NON-distinct n-gram hashes of a
+    * token-hash array, fused into one native pass: build every
+    * overlapping gram hash (same chained family as [[ngramSetHashes]]),
+    * sort, and run-count — the whole repetition-metrics reduction
+    * (previously three interpreted HOF passes: gram-string transform,
+    * per-gram xxhash64, array_sort) without materializing any
+    * intermediate column. Fewer than `n` tokens yield `(0, 0, 0)` —
+    * no n-grams to measure (callers gate on token count anyway).
+    */
+  def ngramRunStats(tokenHashes: Column, n: Int): Column =
+    GraftSqlBridge.column(NgramRunStats(GraftSqlBridge.expression(tokenHashes), n))
+
   /** Run-length stats over an ASC-sorted `array<long>` in one pass:
     * `(total, dup, top)` = element count, elements belonging to runs of
     * length > 1, and the longest run. The per-document reduction behind
@@ -446,6 +458,111 @@ object NgramSetHashes {
     h ^= h >>> 27; h *= 0x94D049BB133111EBL
     h ^ (h >>> 31)
   }
+}
+
+/** Fused repetition-metrics kernel (see [[HashKernels.ngramRunStats]]):
+  * non-distinct overlapping n-gram hashes → sort → run-length stats
+  * `(total, dup, top)`, all inside one generated loop. Gram hashing is
+  * the [[NgramSetHashes]] chain, so a gram's hash equals its set-form
+  * hash — the dedup and repetition surfaces stay cross-checkable.
+  */
+case class NgramRunStats(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "n must be >= 1")
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("total", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("dup", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("top", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"input must be array<bigint>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    if (len < n) {
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0L, 0L, 0L))
+    } else {
+      val grams = new Array[Long](len - n + 1)
+      var i = 0
+      while (i <= len - n) {
+        var h = NgramSetHashes.Seed
+        var j = 0
+        while (j < n) {
+          h = java.lang.Long.rotateLeft(h, 13) ^ (arr.getLong(i + j) * HashKernels.GoldenA)
+          j += 1
+        }
+        grams(i) = NgramSetHashes.fin(h)
+        i += 1
+      }
+      java.util.Arrays.sort(grams)
+      var dup = 0L; var top = 0L; var run = 0L
+      var t = 0
+      while (t < grams.length) {
+        if (t > 0 && grams(t) == grams(t - 1)) run += 1
+        else {
+          if (run > 1) dup += run
+          if (run > top) top = run
+          run = 1
+        }
+        t += 1
+      }
+      if (run > 1) dup += run
+      if (run > top) top = run
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](grams.length.toLong, dup, top))
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val len = ctx.freshName("len"); val grams = ctx.freshName("grams")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j"); val h = ctx.freshName("h")
+      val t = ctx.freshName("t")
+      val dup = ctx.freshName("dup"); val top = ctx.freshName("top")
+      val run = ctx.freshName("run")
+      val fin =
+        s"""$h ^= $h >>> 30; $h *= 0xBF58476D1CE4E5B9L;
+           |$h ^= $h >>> 27; $h *= 0x94D049BB133111EBL;
+           |$h ^= $h >>> 31;""".stripMargin
+      s"""
+         |final int $len = $a.numElements();
+         |if ($len < $n) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[]{0L, 0L, 0L});
+         |} else {
+         |  final long[] $grams = new long[$len - $n + 1];
+         |  for (int $i = 0; $i <= $len - $n; $i++) {
+         |    long $h = ${NgramSetHashes.Seed}L;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      $h = Long.rotateLeft($h, 13) ^ ($a.getLong($i + $j) * ${HashKernels.GoldenA}L);
+         |    }
+         |    $fin
+         |    $grams[$i] = $h;
+         |  }
+         |  java.util.Arrays.sort($grams);
+         |  long $dup = 0L; long $top = 0L; long $run = 0L;
+         |  for (int $t = 0; $t < $grams.length; $t++) {
+         |    if ($t > 0 && $grams[$t] == $grams[$t - 1]) { $run++; }
+         |    else {
+         |      if ($run > 1L) $dup += $run;
+         |      if ($run > $top) $top = $run;
+         |      $run = 1L;
+         |    }
+         |  }
+         |  if ($run > 1L) $dup += $run;
+         |  if ($run > $top) $top = $run;
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[]{(long) $grams.length, $dup, $top});
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** One-pass run-length stats `(total, dup, top)` over an ASC-sorted

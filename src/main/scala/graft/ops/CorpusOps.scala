@@ -43,19 +43,19 @@ object CorpusOps {
       .select(col(idCol).as("id"), tokensCol.as("t"))
       .filter(size(col("t")) >= n)
     // A document's n-grams all live in its own row, so the reduction is
-    // per-row, NOT a groupBy: hash each gram, sort, and count runs in
-    // one native pass — zero shuffles at any corpus size (the
+    // per-row, NOT a groupBy — zero shuffles at any corpus size (the
     // groupBy-(id, gram) formulation shuffles the entire gram stream
-    // twice). Gram equality via 64-bit hash: collision odds within one
-    // document are ~(grams choose 2)/2^64 — vanishing, and the DuckDB
-    // oracle (string-exact) would catch any at gate scale.
-    // Overlapping (non-distinct) n-grams: position i ∈ [0, size-n];
-    // passes materialized separately (interpreted HOFs don't nest well).
+    // twice). The whole reduction is TWO native passes: per-token
+    // xxhash64, then the fused gram-hash→sort→run-count kernel (the
+    // previous form ran three interpreted HOF passes materializing gram
+    // strings and a hash array per document — the same shape
+    // NgramSetHashes killed on the dedup side). Gram equality via 64-bit
+    // hash: collision odds within one document are ~(grams choose 2)/2^64
+    // — vanishing, and the DuckDB oracle (string-exact) would catch any
+    // at gate scale.
     t.select(col("id"),
-        transform(sequence(lit(0), size(col("t")) - n),
-          i => concat_ws(" ", slice(col("t"), i + 1, lit(n)))).as("gs"))
-      .select(col("id"), array_sort(transform(col("gs"), g => xxhash64(g))).as("hs"))
-      .select(col("id"), graft.functions.HashKernels.sortedRunStats(col("hs")).as("st"))
+        graft.functions.HashKernels.ngramRunStats(
+          graft.functions.HashKernels.arrayXxHash64(col("t")), n).as("st"))
       .select(col("id"), col("st.total").as("total_ngrams"),
         (col("st.dup").cast("double") / col("st.total").cast("double")).as("dup_frac"),
         (col("st.top").cast("double") / col("st.total").cast("double")).as("top_frac"))

@@ -77,6 +77,17 @@ object GraftSqlBridge {
       },
       "built-in")
     reg.createOrReplaceTempFunction(
+      "ngram_run_stats",
+      exprs => {
+        require(exprs.length == 2,
+          s"ngram_run_stats(tokenHashes, n) takes 2 arguments, got ${exprs.length}")
+        require(exprs(1).foldable,
+          "ngram_run_stats's n must be a constant (foldable) expression")
+        graft.functions.NgramRunStats(exprs.head,
+          exprs(1).eval(null).asInstanceOf[Number].intValue())
+      },
+      "built-in")
+    reg.createOrReplaceTempFunction(
       "sq8_encode",
       exprs => graft.functions.Sq8Encode(exprs.head),
       "built-in")

@@ -20,6 +20,48 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(1).getLong(1) == 3L && got(1).getDouble(2) == 0.0)
   }
 
+  test("fused ngramRunStats kernel is bit-equal to the interpreted-HOF formulation") {
+    // the pre-kernel pipeline: gram strings → per-gram xxhash64 →
+    // array_sort → run stats; the fused kernel must reproduce every
+    // stat exactly (hash families differ, equality structure doesn't)
+    import graft.text.TextFunctions
+    val t = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("id"), TextFunctions.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val hof = t.select(col("id"),
+        transform(sequence(lit(0), size(col("t")) - 2),
+          i => concat_ws(" ", slice(col("t"), i + 1, lit(2)))).as("gs"))
+      .select(col("id"), array_sort(transform(col("gs"), g => xxhash64(g))).as("hs"))
+      .select(col("id"), graft.functions.HashKernels.sortedRunStats(col("hs")).as("st"))
+      .select(col("id"), col("st.total"), col("st.dup"), col("st.top"))
+    val fused = t.select(col("id"),
+        graft.functions.HashKernels.ngramRunStats(
+          graft.functions.HashKernels.arrayXxHash64(col("t")), 2).as("st"))
+      .select(col("id"), col("st.total"), col("st.dup"), col("st.top"))
+    assert(fused.count() > 0)
+    assert(fused.exceptAll(hof).count() == 0 && hof.exceptAll(fused).count() == 0)
+  }
+
+  test("ngramRunStats edge cases: short inputs, n=1, set-form consistency") {
+    import graft.functions.HashKernels
+    val rows = Seq(
+      (1L, Seq.empty[Long]),
+      (2L, Seq(7L)),
+      (3L, Seq(7L, 7L, 7L))
+    ).toDF("id", "th")
+    val got = rows.select(col("id"),
+        HashKernels.ngramRunStats(col("th"), 2).as("st"))
+      .orderBy("id").select("st.total", "st.dup", "st.top")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got(0) == ((0L, 0L, 0L)) && got(1) == ((0L, 0L, 0L)))
+    assert(got(2) == ((2L, 2L, 2L))) // grams (7,7)×2 → one duplicated run
+    // n=1: token multiset stats; distinct set form has one entry per run
+    val both = rows.filter(col("id") === 3L).select(
+      HashKernels.ngramRunStats(col("th"), 1).as("st"),
+      size(HashKernels.ngramSetHashes(col("th"), 1)).as("nset")).head()
+    assert(both.getStruct(0).getLong(0) == 3L && both.getInt(1) == 1)
+  }
+
   test("decontaminate counts shared shingles against the held-out set only") {
     val corpus = Seq(
       (10L, "the quick brown fox jumps"),  // shares "the quick brown fox" + "quick brown fox jumps"
