@@ -357,6 +357,188 @@ object VectorOps {
     }
   }
 
+  /** IVF+PQ composed index (the FAISS `IndexIVFPQ` shape): a coarse IVF
+    * quantizer prunes each search to `nprobe` cells, and inside every
+    * cell the *residual* (v − cell centroid) is product-quantized with
+    * PER-CELL codebooks — residual distributions differ cell to cell,
+    * so per-cell books quantize tighter than one shared book at equal
+    * bits. This removes flat PQ's scale-killer: ADC scoring runs only
+    * for rows of probed cells (equi-join on `cid`), never the full code
+    * table, while keeping PQ's 64× compression per resident vector.
+    *
+    * Score decomposition (why ADC still works on residuals):
+    * `dot(q, v̂) = dot(q, c_cid) + Σ_j dot(q_j, pv_{cid,j,code_j})` — the
+    * first term is computed once per (query, probed cell) during the
+    * probe, the sum is the usual m-lookup ADC pass against a per-(query,
+    * cell) table. `‖v̂‖²` is assembled exactly at build time
+    * (`‖c‖² + 2·dot(c, r̂) + ‖r̂‖²`) and stored per code row, so the
+    * approximate cosine needs no access to raw vectors; the exact
+    * re-rank touches raw storage only for the `kTop·rescore` shortlist.
+    */
+  final class IvfPqIndex private[functions] (
+      val codes: DataFrame,   // (cid, id, code: array<long>[m], nrm2)
+      val coarse: DataFrame,  // (cid, cv: array<double>, cn2)
+      val books: DataFrame,   // (cid, j, pcid, pv: array<double>, pn2, cross)
+      raw: DataFrame, m: Int, k: Int, val dim: Int) {
+
+    def search(queries: DataFrame, queryIdCol: String, queryVecCol: String,
+               kTop: Int, nprobe: Int, rescore: Int = 8): DataFrame = {
+      val s = PqIndex.subDim(dim, m)
+      val q = queries.select(col(queryIdCol).as("qid"), toDoubleArr(col(queryVecCol)).as("qv"))
+        .withColumn("qnrm2", dot(col("qv"), col("qv")))
+      // probe: nprobe nearest coarse cells; keep dot(q, c) — it is the
+      // first term of every ADC score inside that cell
+      val qCells = q.crossJoin(broadcast(coarse))
+        .select(col("qid"), col("qv"), col("qnrm2"), col("cid"),
+          dot(col("qv"), col("cv")).as("qc"), col("cn2"))
+      val wq = Window.partitionBy(col("qid"))
+        .orderBy((col("qc") / sqrt(col("qnrm2") * col("cn2"))).desc, col("cid").asc)
+      val probed = qCells.withColumn("__rn", row_number().over(wq))
+        .filter(col("__rn") <= nprobe)
+        .select("qid", "qv", "qnrm2", "cid", "qc")
+      // the union of probed cells across the batch is bounded by the cell
+      // count — collect it (one tiny job) and PRE-FILTER the code table.
+      // On a cid-partitioned store this is partition pruning at the scan;
+      // even on the cached frame it short-circuits non-probed rows before
+      // the join. This line is what flat PQ could not do.
+      val cidVals = probed.select("cid").distinct().collect().map(_.get(0)).toSeq
+      val pruned = codes.filter(col("cid").isin(cidVals: _*))
+      // per-(query, probed cell) ADC table over that cell's books,
+      // j-major × pcid-minor to match PqAdcSum's `table[j·k + code_j]`
+      val qsub = probed.select(col("qid"), col("cid"), col("qv"), col("qnrm2"), col("qc"),
+        explode(array((0 until m).map(j =>
+          struct(lit(j).as("j"), slice(col("qv"), j * s + 1, s).as("sv"))): _*)).as("e"))
+        .select(col("qid"), col("cid"), col("qv"), col("qnrm2"), col("qc"),
+          col("e.j").as("j"), col("e.sv").as("sv"))
+      val qtbl = qsub.join(broadcast(books.select("cid", "j", "pcid", "pv")), Seq("cid", "j"))
+        .select(col("qid"), col("cid"), col("qv"), col("qnrm2"), col("qc"),
+          col("j"), col("pcid"), dot(col("sv"), col("pv")).as("d"))
+        .groupBy("qid", "cid").agg(
+          first(col("qv")).as("qv"), first(col("qnrm2")).as("qnrm2"),
+          first(col("qc")).as("qc"),
+          transform(array_sort(collect_list(struct(col("j"), col("pcid"), col("d")))),
+            e => e.getField("d")).as("tbl"))
+      val scored = pruned.join(broadcast(qtbl), "cid")
+        .filter(col("id") =!= col("qid"))
+        .select(col("qid"), col("qv"), col("id"),
+          ((col("qc") + QuantKernels.pqAdcSum(col("code"), col("tbl"), k)) /
+            sqrt(col("qnrm2") * col("nrm2"))).as("acos"))
+      val wa = Window.partitionBy(col("qid")).orderBy(col("acos").desc, col("id").asc)
+      val cands = scored.withColumn("__rn", row_number().over(wa))
+        .filter(col("__rn") <= kTop * rescore).select("qid", "qv", "id")
+      // exact re-rank of the shortlist against raw (never cached) vectors
+      val exact = cands.join(raw, "id")
+        .select(col("qid"), col("id"), cosine(col("v"), col("qv")).as("cos"))
+      val we = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id").asc)
+      exact.withColumn("__rn", row_number().over(we)).filter(col("__rn") <= kTop).drop("__rn")
+    }
+
+    def close(): Unit = {
+      codes.unpersist(blocking = false)
+      coarse.unpersist(blocking = false)
+      books.unpersist(blocking = false)
+    }
+  }
+
+  object IvfPqIndex {
+    /** Build: IVF coarse cells (reusing [[IvfIndex.build]]), then per-cell
+      * PQ codebooks Lloyd-trained on residual slices. Cells smaller than
+      * `k` pad their seed grid by cycling (duplicate centroids are
+      * harmless — argmin ties break toward the lower pcid — and the ADC
+      * layout requires every (cid, j) to carry a full k-entry book).
+      * All steps are joins/aggregations; no driver-side vector math.
+      */
+    def build(vectors: DataFrame, idCol: String, vecCol: String,
+              c: Int = 16, m: Int = 8, k: Int = 16,
+              ivfIters: Int = 1, pqIters: Int = 2): IvfPqIndex = {
+      val v = graft.core.Graft.spread(vectors)
+        .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
+      val st = v.agg(count(lit(1)), min(size(col("v"))), max(size(col("v")))).head()
+      require(st.getLong(0) > 0, "IVF+PQ build needs a non-empty vector table")
+      require(st.getInt(1) == st.getInt(2),
+        s"IVF+PQ build needs uniform vector dimensions, got ${st.getInt(1)}..${st.getInt(2)}")
+      val dim = st.getInt(1)
+      val s = PqIndex.subDim(dim, m)
+      val ivf = IvfIndex.build(vectors, idCol, vecCol, c, ivfIters)
+      val coarse = ivf.centroids.withColumn("cn2", dot(col("cv"), col("cv"))).cache()
+      // residual slices (cid, id, j, sv) — scanned once per Lloyd pass
+      val sub = ivf.assigned
+        .join(broadcast(coarse.select(col("cid"), col("cv"))), "cid")
+        .select(col("cid"), col("id"), zip_with(col("v"), col("cv"), (x, y) => x - y).as("r"))
+        .select(col("cid"), col("id"),
+          explode(array((0 until m).map(j =>
+            struct(lit(j).as("j"), slice(col("r"), j * s + 1, s).as("sv"))): _*)).as("e"))
+        .select(col("cid"), col("id"), col("e.j").as("j"), col("e.sv").as("sv"))
+        .cache()
+      // per-(cid, j) seeds: the k lowest-id residual slices, grid-padded
+      val wSeed = Window.partitionBy(col("cid"), col("j")).orderBy(col("id"))
+      val seedsRaw = sub.withColumn("__rn", row_number().over(wSeed))
+        .filter(col("__rn") <= k)
+        .select(col("cid"), col("j"), (col("__rn") - 1).as("sidx"), col("sv"))
+      val grid = seedsRaw.groupBy("cid", "j").agg((max(col("sidx")) + 1).as("cnt"))
+        .select(col("cid"), col("j"), col("cnt"),
+          explode(sequence(lit(0), lit(k - 1))).as("pcid"))
+      val seeds = grid.alias("g").join(seedsRaw.alias("s"),
+          col("g.cid") === col("s.cid") && col("g.j") === col("s.j") &&
+            col("g.pcid") % col("g.cnt") === col("s.sidx"))
+        .select(col("g.cid").as("cid"), col("g.j").as("j"), col("pcid"), col("sv").as("pv"))
+      // L2 argmin over the cell's own book: join key includes cid, so a
+      // slice is only ever scored against its cell's k centroids
+      def assign(bks: DataFrame): DataFrame = {
+        val dist = aggregate(zip_with(col("sv"), col("pv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, d2) => acc + d2)
+        val w = Window.partitionBy(col("id"), col("j")).orderBy(col("__d"), col("pcid"))
+        sub.join(broadcast(bks), Seq("cid", "j"))
+          .select(col("cid"), col("id"), col("j"), col("sv"), col("pcid"), dist.as("__d"))
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .select("cid", "id", "j", "pcid", "sv")
+      }
+      def mean(assigned: DataFrame): DataFrame = assigned
+        .select(col("cid"), col("j"), col("pcid"), posexplode(col("sv")))
+        .groupBy(col("cid"), col("j"), col("pcid"), col("pos")).agg(avg("col").as("cm"))
+        .groupBy("cid", "j", "pcid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cm")))),
+          e => e.getField("cm")).as("pv"))
+      // empty clusters carry their previous centroid forward — every
+      // (cid, j, pcid) in the grid must survive for the ADC layout
+      def lloyd(prev: DataFrame): DataFrame = prev
+        .select(col("cid"), col("j"), col("pcid"), col("pv").as("__pv0"))
+        .join(mean(assign(prev)), Seq("cid", "j", "pcid"), "left")
+        .select(col("cid"), col("j"), col("pcid"), coalesce(col("pv"), col("__pv0")).as("pv"))
+      // each Lloyd step materializes its (tiny, ≤ c·m·k-row) book frame:
+      // an uncached foldLeft lineage re-runs every earlier assign/mean
+      // pass once per later stage — measured ~3× build-time inflation
+      val trained = (1 to pqIters).foldLeft(seeds.localCheckpoint(true))(
+        (bks, _) => lloyd(bks).localCheckpoint(true))
+      // book stats for the stored norm: pn2 = ‖pv‖², cross = dot(c_j, pv)
+      val coarseSub = coarse.select(col("cid"),
+        explode(array((0 until m).map(j =>
+          struct(lit(j).as("j"), slice(col("cv"), j * s + 1, s).as("csv"))): _*)).as("e"))
+        .select(col("cid"), col("e.j").as("j"), col("e.csv").as("csv"))
+      val books = trained.join(broadcast(coarseSub), Seq("cid", "j"))
+        .select(col("cid"), col("j"), col("pcid"), col("pv"),
+          dot(col("pv"), col("pv")).as("pn2"), dot(col("csv"), col("pv")).as("cross"))
+        .cache()
+      val asg = assign(books.select("cid", "j", "pcid", "pv"))
+      // code rows with the exact reconstructed norm:
+      // ‖v̂‖² = ‖c‖² + Σ_j (2·cross_j + pn2_j)
+      val codes = asg
+        .join(broadcast(books.select("cid", "j", "pcid", "pn2", "cross")), Seq("cid", "j", "pcid"))
+        .groupBy("id").agg(
+          first(col("cid")).as("cid"),
+          transform(array_sort(collect_list(struct(col("j"), col("pcid")))),
+            e => e.getField("pcid").cast("long")).as("code"),
+          sum(lit(2.0) * col("cross") + col("pn2")).as("rterm"))
+        .join(broadcast(coarse.select(col("cid"), col("cn2"))), "cid")
+        .select(col("cid"), col("id"), col("code"), (col("cn2") + col("rterm")).as("nrm2"))
+        .cache()
+      coarse.count(); books.count(); codes.count()
+      sub.unpersist(blocking = false)
+      ivf.close() // only coarse/books/codes stay resident
+      new IvfPqIndex(codes, coarse, books, v, m, k, dim)
+    }
+  }
+
   object IvfIndex {
     /** `iters` Lloyd refinements (assign → elementwise mean). One is the
       * cheap default; more buys tighter cells (≈ recall at fixed nprobe)

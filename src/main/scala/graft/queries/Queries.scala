@@ -664,6 +664,50 @@ object Queries {
       .orderBy(col("cos").desc, col("vec_id"))
   }
 
+  /** IVF+PQ composed ANN (the scale-complete rung): coarse cells prune
+    * the search to nprobe cells, per-cell residual codebooks keep PQ's
+    * 64× compression, ADC scoring never touches non-probed cells —
+    * rows-only (recall ≥ flat PQ at equal rescore is spec-asserted).
+    */
+  def q57_ann_ivfpq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val idx = graft.functions.VectorOps.IvfPqIndex.build(
+      e, "vec_id", "embedding", c = 64, m = 8, k = 16)
+    idx.search(e.filter(col("vec_id") === 0), "vec_id", "embedding",
+        kTop = 10, nprobe = 8, rescore = 8)
+      .select(col("id").as("vec_id"), col("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+  }
+
+  /** Crafted PII rows for q58 — unioned onto the corpus on BOTH engines
+    * (the fixture text itself carries no PII, so the redaction paths
+    * need planted evidence to hash-check against). ASCII-only, no
+    * quotes, so the literals embed verbatim in the oracle SQL.
+    */
+  val PiiRows: Seq[(Long, String)] = Seq(
+    (900001L, "Contact jane.doe+test@example.co.uk or bob@sub.domain.org today"),
+    (900002L, "Server at 192.168.0.1 and 10.0.0.255, call +1 (555) 123-4567"),
+    (900003L, "phone: 020 7946 0958; backup 555-867-5309 ip 8.8.8.8 done"),
+    (900004L, "no pii here, just text with numbers 42 and a trailing dot."))
+
+  /** PII redaction gate under an exact oracle: per-category counts from
+    * the original text plus the masked text itself, over the corpus with
+    * [[PiiRows]] unioned in. The DuckDB side runs the SAME RE2∩Java
+    * patterns (interpolated from the CorpusOps constants, so the two
+    * engines cannot drift) — counts via len(regexp_extract_all), masks
+    * via global regexp_replace in the same email→ip→phone order.
+    */
+  def q58_redact_pii(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val crafted = PiiRows.toDF("doc_id", "text")
+    val base = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+      .unionAll(crafted)
+    graft.ops.CorpusOps.redactPii(graft.core.Graft.spread(base), "text")
+      .select(col("doc_id"), col("n_emails"), col("n_ipv4"), col("n_phones"),
+        col("redacted"))
+      .orderBy("doc_id")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -763,7 +807,9 @@ object Queries {
     "q53_ann_sq8" -> (q53_ann_sq8 _),
     "q54_quality_score" -> (q54_quality_score _),
     "q55_seqpack_global" -> (q55_seqpack_global _),
-    "q56_ann_pq" -> (q56_ann_pq _)
+    "q56_ann_pq" -> (q56_ann_pq _),
+    "q57_ann_ivfpq" -> (q57_ann_ivfpq _),
+    "q58_redact_pii" -> (q58_redact_pii _)
   )
 }
 
@@ -1200,13 +1246,34 @@ object Oracles {
         |SELECT CAST(floor(CAST(pre AS DOUBLE) / 512.0) AS BIGINT) AS bin,
         |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(toks) AS BIGINT) AS sum_tokens,
         |  CAST(count(DISTINCT source) AS BIGINT) AS n_shards
-        |FROM p GROUP BY bin ORDER BY bin""".stripMargin
+        |FROM p GROUP BY bin ORDER BY bin""".stripMargin,
+    "q58_redact_pii" -> {
+      import graft.ops.CorpusOps.{EmailRe, Ipv4Re, PhoneRe}
+      val values = Queries.PiiRows
+        .map { case (id, t) => s"($id, '$t')" }.mkString(",\n  ")
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT CAST(v.doc_id AS BIGINT) AS doc_id, v.text FROM (VALUES
+         |  $values) AS v(doc_id, text))
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT) AS n_ipv4,
+         |  CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$EmailRe', '[EMAIL]', 'g'),
+         |    '$Ipv4Re', '[IP]', 'g'),
+         |    '$PhoneRe', '[PHONE]', 'g') AS redacted
+         |FROM base ORDER BY doc_id""".stripMargin
+    },
     // No oracle (rows-only; ScalaTest-owned): q29_approx_distinct (HLL
     // estimate), q35_ann_ivf (approx recall), q37_minhash_pairs,
     // q38_simhash_pairs, q39_fingerprint (hash-seed-specific),
     // q41_embed_lsh (probabilistic recall; subset+recall spec-asserted),
     // q42_multimodal_decode (stub decoder is Scala-side, not SQL),
     // q53_ann_sq8 (approx recall; codes/error/recall spec-asserted),
-    // q56_ann_pq (approx recall; codebook grid + recall spec-asserted).
+    // q56_ann_pq (approx recall; codebook grid + recall spec-asserted),
+    // q57_ann_ivfpq (approx recall; per-cell grid + recall-vs-flat-PQ
+    // spec-asserted).
   )
 }

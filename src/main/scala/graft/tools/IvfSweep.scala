@@ -58,6 +58,38 @@ object IvfSweep {
       }
       idx.close()
     }
+    // PQ rungs: flat (full-code ADC scan) vs IVF+PQ (ADC only inside
+    // nprobe cells) at the same m/k/rescore — the table BASELINE.md
+    // cites for the composed index's recall/latency trade
+    println(f"${"flatpq"}%6s ${"-"}%7s ${"recall@10"}%10s ${"search_s"}%9s ${"build_s"}%8s")
+    locally {
+      val t0 = System.nanoTime()
+      val idx = VectorOps.PqIndex.build(e, "vec_id", "embedding", m = 8, k = 16)
+      val buildS = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val approx = idx.search(queries, "vec_id", "embedding", kTop = 10, rescore = 8)
+        .select("qid", "id").as[(Long, Long)].collect().toSet
+      val searchS = (System.nanoTime() - t1) / 1e9
+      val recall = exact.intersect(approx).size.toDouble / exact.size
+      println(f"${"-"}%6s ${"-"}%7s $recall%10.3f $searchS%9.2f $buildS%8.2f")
+      idx.close()
+    }
+    println(f"${"ivfpq"}%6s ${"nprobe"}%7s ${"recall@10"}%10s ${"search_s"}%9s ${"build_s"}%8s")
+    for (cells <- Seq(16, 64)) {
+      val t0 = System.nanoTime()
+      val idx = VectorOps.IvfPqIndex.build(e, "vec_id", "embedding", c = cells, m = 8, k = 16)
+      val buildS = (System.nanoTime() - t0) / 1e9
+      for (nprobe <- Seq(1, 2, 4, 8)) {
+        val t1 = System.nanoTime()
+        val approx = idx.search(queries, "vec_id", "embedding",
+            kTop = 10, nprobe = nprobe, rescore = 8)
+          .select("qid", "id").as[(Long, Long)].collect().toSet
+        val searchS = (System.nanoTime() - t1) / 1e9
+        val recall = exact.intersect(approx).size.toDouble / exact.size
+        println(f"$cells%6d $nprobe%7d $recall%10.3f $searchS%9.2f $buildS%8.2f")
+      }
+      idx.close()
+    }
     spark.stop()
   }
 }

@@ -182,6 +182,40 @@ class VectorOpsSpec extends SparkSpec {
     assert(got(1).isNullAt(0) && got(2).isNullAt(0))
   }
 
+  test("IVF+PQ: complete per-cell grids, recall >= flat PQ at equal rescore") {
+    val e = Tables(spark, sfDir).embeddings
+    val queries = e.filter($"vec_id" < 5)
+    val exact = annBruteForce(e, "vec_id", "embedding", queries, "vec_id", "embedding", k = 10)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val flat = PqIndex.build(e, "vec_id", "embedding", m = 8, k = 16)
+    val flatHits = flat.search(queries, "vec_id", "embedding", kTop = 10, rescore = 8)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val flatRecall = exact.intersect(flatHits).size.toDouble / exact.size
+    flat.close()
+    val idx = VectorOps.IvfPqIndex.build(e, "vec_id", "embedding", c = 16, m = 8, k = 16)
+    // every surviving cell must carry a full m×k book (ADC layout), even
+    // cells smaller than k (seed-grid padding)
+    val cells = idx.books.select("cid").distinct().count()
+    assert(idx.books.count() == cells * 8 * 16)
+    assert(idx.books.groupBy("cid", "j").count().filter($"count" =!= 16).count() == 0)
+    assert(idx.codes.filter(size($"code") =!= 8).count() == 0)
+    val hits = idx.search(queries, "vec_id", "embedding", kTop = 10, nprobe = 4, rescore = 8)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(hits).size.toDouble / exact.size
+    info(s"IVF+PQ recall@10 (c=16, nprobe=4, rescore=8): $recall vs flat PQ $flatRecall")
+    assert(recall >= flatRecall,
+      s"IVF+PQ recall $recall below flat PQ $flatRecall at equal rescore")
+    idx.close()
+  }
+
+  test("IVF+PQ: empty query frame returns empty") {
+    val e = Tables(spark, sfDir).embeddings
+    val idx = VectorOps.IvfPqIndex.build(e, "vec_id", "embedding", c = 16, m = 8, k = 16)
+    assert(idx.search(e.filter($"vec_id" < 0), "vec_id", "embedding",
+      kTop = 5, nprobe = 4).count() == 0)
+    idx.close()
+  }
+
   test("cosineNearDupPairs is a subset of the exact pairs with high recall") {
     val e = Tables(spark, sfDir).embeddings
     // 0.45 is the operating threshold the fixture exercises (nothing in

@@ -61,13 +61,13 @@ class PlanCheckSpec extends SparkSpec {
   }
 
   test("q46 repetition metrics stay a per-row reduction (no aggregation shuffle)") {
-    // the SortedRunStats form has exactly two exchanges: the spread
+    // the fused-kernel form has exactly two exchanges: the spread
     // repartition and the final orderBy — a HashAggregate means the
     // groupBy-gram formulation (two full-gram-stream shuffles) crept back
     val p = plans("q46_repetition")
     assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
       s"q46 regressed to an aggregation plan:\n$p")
-    assert(p.contains("sortedrunstats") || p.contains("SortedRunStats"),
+    assert(p.contains("ngramrunstats") || p.contains("NgramRunStats"),
       s"native run-stats kernel missing:\n$p")
   }
 
