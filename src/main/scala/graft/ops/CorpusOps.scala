@@ -200,6 +200,39 @@ object CorpusOps {
           PhoneRe, "[PHONE]"))
   }
 
+  /** Fixed-size token chunking with overlap — the context-window splitter
+    * that turns documents into training/RAG passages. Chunk starts step by
+    * `size − overlap` from token 0; every start below the token count
+    * emits a chunk (the tail chunk may be short). Output: one row per
+    * chunk — (id, chunk_idx, start_tok, n_tokens, chunk_text).
+    *
+    * Pure per-row array arithmetic (`sequence` → `posexplode` → `slice`):
+    * no shuffle, no state — chunking 100 TB costs one projection pass and
+    * parallelizes per input split. Deterministic: chunk boundaries depend
+    * only on the token array, so re-runs reproduce byte-identical chunks.
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0, s"chunk size must be positive, got $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize), got $overlap for size $chunkSize")
+    val step = (chunkSize - overlap).toLong
+    graft.core.Graft.spread(df)
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+      .withColumn("starts",
+        when(col("n") > 0, sequence(lit(0L), col("n") - 1, lit(step)))
+          .otherwise(lit(Array.empty[Long])))
+      .select(col("id"), col("t"),
+        posexplode(col("starts")).as(Seq("chunk_idx", "start_tok")))
+      .select(col("id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start_tok"),
+        size(slice(col("t"), col("start_tok") + 1, lit(chunkSize)))
+          .cast("long").as("n_tokens"),
+        concat_ws(" ", slice(col("t"), col("start_tok") + 1, lit(chunkSize)))
+          .as("chunk_text"))
+  }
+
   /** Per-vector min-max int8 quantization: code `⌊(x−mn)·255/(mx−mn)⌋−128`
     * (∈ [−128,127]; constant vectors code to 0). Returns the exploded
     * (id, pos, code) stream — the storage-side transform for ANN at scale

@@ -71,17 +71,29 @@ object RelOps {
     * shuffles once on the key, no custom physical operator needed.
     * `leftId` must uniquely identify left rows. Left rows with no match
     * get nulls (left_outer).
+    *
+    * `lookback` bounds the match window to `[leftTs − lookback, leftTs]`
+    * (an interval for timestamp columns, a numeric for numeric ones).
+    * The unbounded form expands every left row × ALL earlier right rows
+    * of its key before the top-1 prunes — a pathologically hot key
+    * inflates that join output ahead of the WindowGroupLimit. With a
+    * lookback the range predicate rides IN the join condition, so at
+    * 100 TB the per-key expansion is bounded by the horizon, not by key
+    * history; left rows whose only matches are older than the horizon
+    * null-extend (widen the horizon and re-join those if completeness
+    * matters more than the bound).
     */
   def asOfJoin(left: DataFrame, right: DataFrame,
                leftKeys: Seq[String], rightKeys: Seq[String],
                leftId: String, leftTs: String, rightTs: String,
-               rightTie: String): DataFrame = {
+               rightTie: String, lookback: Option[Column] = None): DataFrame = {
     // the as-of bound must be part of the join condition: an outer join
     // filtered afterwards would drop (not null-extend) left rows whose
     // only matches are later than leftTs
-    val cond = leftKeys.zip(rightKeys)
+    val base = leftKeys.zip(rightKeys)
       .map { case (l, r) => left(l) === right(r) }
       .reduce(_ && _) && right(rightTs) <= left(leftTs)
+    val cond = lookback.fold(base)(lb => base && right(rightTs) >= left(leftTs) - lb)
     val joined = left.join(right, cond, "left_outer")
     val w = Window.partitionBy(left(leftId))
       .orderBy(right(rightTs).desc_nulls_last, right(rightTie).desc_nulls_last)

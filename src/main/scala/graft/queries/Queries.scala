@@ -708,6 +708,60 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Bounded-lookback as-of join — q43's scale hardening: identical
+    * semantics but only orders within 9000 days before the event can
+    * match, so the range predicate rides in the join condition and a
+    * hot user's per-event expansion is bounded by the horizon instead of
+    * their full order history. Events whose latest order is older than
+    * the horizon null-extend (the documented widen-on-miss trade). The
+    * horizon splits the fixture: order dates end 2001, events run 2024,
+    * so ~9000 days keeps post-mid-1999 orders and drops the rest.
+    */
+  def q59_asof_bounded(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    RelOps.asOfJoin(
+        t.events.select("event_id", "user_id", "ts"),
+        t.orders.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+        leftKeys = Seq("user_id"), rightKeys = Seq("o_custkey"),
+        leftId = "event_id", leftTs = "ts",
+        rightTs = "o_orderdate", rightTie = "o_orderkey",
+        lookback = Some(expr("INTERVAL 9000 DAYS")))
+      .select("event_id", "user_id", "o_orderkey", "o_orderdate", "o_totalprice")
+      .orderBy("event_id")
+  }
+
+  /** Trained-weight quality model — q54's plan shape with weights FIT by
+    * `graft.tools.FitQuality` (one-pass closed-form ridge; label = the
+    * Gopher repetition gate) instead of hand-picked literals. The frozen
+    * [[graft.ops.QualityModel.Fitted]] constants are interpolated into
+    * BOTH engines, proving the literal-swap claim: training changed the
+    * numbers, not the plan.
+    */
+  def q60_quality_trained(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions._
+    val w = graft.ops.QualityModel.Fitted
+    graft.core.Graft.spread(Tables(spark, dir).documents)
+      .select(col("doc_id"),
+        (lit(w(0)) + lit(w(1)) * uniqueTokenRatio(col("text"))
+          + lit(w(2)) * stopwordRatio(col("text"), Seq("the", "a"))
+          + lit(w(3)) * meanTokenLength(col("text"))
+          + when(langId(col("text")) === "en", lit(w(4))).otherwise(lit(0.0)))
+          .as("score"))
+      .withColumn("keep", col("score") >= 0.5)
+      .orderBy("doc_id")
+  }
+
+  /** Token chunking with overlap (size 16, overlap 4) — the RAG /
+    * context-window splitter as a single shuffle-free projection pass;
+    * the exact oracle hash-checks every chunk's index, offset, token
+    * count and text.
+    */
+  def q61_chunking(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusOps.chunkTokens(Tables(spark, dir).documents,
+        "doc_id", "text", chunkSize = 16, overlap = 4)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "chunk_idx")
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -809,7 +863,10 @@ object Queries {
     "q55_seqpack_global" -> (q55_seqpack_global _),
     "q56_ann_pq" -> (q56_ann_pq _),
     "q57_ann_ivfpq" -> (q57_ann_ivfpq _),
-    "q58_redact_pii" -> (q58_redact_pii _)
+    "q58_redact_pii" -> (q58_redact_pii _),
+    "q59_asof_bounded" -> (q59_asof_bounded _),
+    "q60_quality_trained" -> (q60_quality_trained _),
+    "q61_chunking" -> (q61_chunking _)
   )
 }
 
@@ -1266,6 +1323,59 @@ object Oracles {
          |    '$PhoneRe', '[PHONE]', 'g') AS redacted
          |FROM base ORDER BY doc_id""".stripMargin
     },
+    "q59_asof_bounded" ->
+      """SELECT event_id, user_id, o_orderkey, o_orderdate, o_totalprice FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) AS rn
+        |  FROM events e LEFT JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        |      AND o.o_orderdate >= e.ts - INTERVAL 9000 DAY)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q60_quality_trained" -> {
+      // the frozen fitted weights interpolated verbatim — the two engines
+      // parse the SAME shortest-roundtrip decimal strings, so the score
+      // arithmetic is bit-identical to the Spark side
+      val w = graft.ops.QualityModel.Fitted.map(java.lang.Double.toString)
+      s"""WITH toks AS (SELECT doc_id,
+         |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t FROM documents),
+         |s AS (SELECT doc_id, t,
+         |  len(list_filter(t, x -> list_contains(['der','die','und','das','ist','nicht','mit','ein','von','zu'], lower(x)))) AS s_de,
+         |  len(list_filter(t, x -> list_contains(['the','and','of','to','in','is','that','it','was','for'], lower(x)))) AS s_en,
+         |  len(list_filter(t, x -> list_contains(['el','la','de','que','los','las','una','por','con','para'], lower(x)))) AS s_es,
+         |  len(list_filter(t, x -> list_contains(['le','la','les','des','est','une','dans','pour','que','sur'], lower(x)))) AS s_fr,
+         |  len(list_filter(t, x -> list_contains(['il','di','che','la','per','una','sono','con','non','del'], lower(x)))) AS s_it
+         |  FROM toks),
+         |f AS (SELECT doc_id,
+         |  CAST(len(list_filter(t, x -> x IN ('the','a'))) AS DOUBLE)
+         |    / CAST(len(t) AS DOUBLE) AS stop_ratio,
+         |  CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS uniq_ratio,
+         |  CAST(list_sum(list_transform(t, x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+         |    / CAST(len(t) AS DOUBLE) AS mtl,
+         |  CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_it) = 0 THEN 'und'
+         |       WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_it) THEN 'de'
+         |       WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_it) THEN 'en'
+         |       WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_it) THEN 'es'
+         |       WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_it) THEN 'fr'
+         |       ELSE 'it' END AS lang_pred
+         |  FROM s)
+         |SELECT doc_id,
+         |  ${w(0)} + ${w(1)} * uniq_ratio + ${w(2)} * stop_ratio + ${w(3)} * mtl +
+         |    CASE WHEN lang_pred = 'en' THEN ${w(4)} ELSE 0.0 END AS score,
+         |  (${w(0)} + ${w(1)} * uniq_ratio + ${w(2)} * stop_ratio + ${w(3)} * mtl +
+         |    CASE WHEN lang_pred = 'en' THEN ${w(4)} ELSE 0.0 END) >= 0.5 AS keep
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
+    "q61_chunking" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |c AS (SELECT doc_id, t, i
+        |      FROM toks CROSS JOIN unnest(generate_series(0, len(t)-1, 12)) AS u(i)
+        |      WHERE len(t) > 0)
+        |SELECT doc_id, CAST(i // 12 AS BIGINT) AS chunk_idx, CAST(i AS BIGINT) AS start_tok,
+        |  CAST(len(list_slice(t, i+1, i+16)) AS BIGINT) AS n_tokens,
+        |  array_to_string(list_slice(t, i+1, i+16), ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     // No oracle (rows-only; ScalaTest-owned): q29_approx_distinct (HLL
     // estimate), q35_ann_ivf (approx recall), q37_minhash_pairs,
     // q38_simhash_pairs, q39_fingerprint (hash-seed-specific),

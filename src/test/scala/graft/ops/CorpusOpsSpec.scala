@@ -189,6 +189,37 @@ class CorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chunkTokens: stepped starts, short tail chunk, empty docs emit nothing") {
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6"), // 7 tokens, size 4 / overlap 1 → starts 0,3,6
+      (2L, "only two"),             // 2 tokens → one short chunk
+      (3L, " \t ")                  // tokenizes empty → no rows
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.chunkTokens(docs, "doc_id", "text", chunkSize = 4, overlap = 1)
+      .orderBy("id", "chunk_idx")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 4L, "t0 t1 t2 t3"),
+      (1L, 1L, 3L, 4L, "t3 t4 t5 t6"),
+      (1L, 2L, 6L, 1L, "t6"),
+      (2L, 0L, 0L, 2L, "only two")))
+  }
+
+  test("chunkTokens with zero overlap partitions the token stream exactly") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val chunks = CorpusOps.chunkTokens(docs, "doc_id", "text", chunkSize = 32, overlap = 0)
+    val perDoc = chunks.groupBy("id").agg(sum("n_tokens").as("chunked"))
+    val truth = docs.select(col("doc_id").as("id"),
+      graft.text.TextFunctions.tokenCount(col("text")).as("total"))
+    // zero overlap → chunk token counts tile the document with no gap/overlap
+    val mismatch = perDoc.join(truth, "id")
+      .filter(col("chunked") =!= col("total")).count()
+    assert(mismatch == 0)
+    assert(intercept[IllegalArgumentException] {
+      CorpusOps.chunkTokens(docs, "doc_id", "text", chunkSize = 4, overlap = 4)
+    }.getMessage.contains("overlap"))
+  }
+
   test("quantizeInt8 codes are in [-128,127], monotone, and constant vectors code 0") {
     val df = Seq(
       (1L, Array(0.0f, 0.5f, 1.0f)),

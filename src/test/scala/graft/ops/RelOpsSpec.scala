@@ -54,6 +54,42 @@ class RelOpsSpec extends SparkSpec {
       3L -> None))        // k2's only row is at 60 > 50
   }
 
+  test("asOfJoin lookback bounds the match window; outside-horizon rows null-extend") {
+    val left = Seq((1L, "k1", 100L), (2L, "k1", 5L), (3L, "k2", 50L)).toDF("id", "k", "ts")
+    val right = Seq(("k1", 10L, "r10"), ("k1", 90L, "r90"), ("k1", 200L, "r200"),
+      ("k2", 60L, "r60")).toDF("rk", "rts", "rv")
+    // horizon 15: id=1 (ts=100) sees only rts ∈ [85, 100] → r90 still wins;
+    // with horizon 5 the same row's only candidate r90 falls outside → null
+    val tight = RelOps.asOfJoin(left, right, Seq("k"), Seq("rk"),
+        "id", "ts", "rts", "rv", lookback = Some(lit(5L)))
+      .select("id", "rv").as[(Long, Option[String])].collect().toMap
+    assert(tight == Map(1L -> None, 2L -> None, 3L -> None))
+    val wide = RelOps.asOfJoin(left, right, Seq("k"), Seq("rk"),
+        "id", "ts", "rts", "rv", lookback = Some(lit(15L)))
+      .select("id", "rv").as[(Long, Option[String])].collect().toMap
+    assert(wide == Map(1L -> Some("r90"), 2L -> None, 3L -> None))
+  }
+
+  test("bounded asOfJoin with a covering horizon equals the unbounded form") {
+    val t = graft.core.Tables(spark, sfDir)
+    def run(lb: Option[org.apache.spark.sql.Column]) = RelOps.asOfJoin(
+        t.events.select("event_id", "user_id", "ts"),
+        t.orders.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+        Seq("user_id"), Seq("o_custkey"),
+        "event_id", "ts", "o_orderdate", "o_orderkey", lookback = lb)
+      .select("event_id", "o_orderkey")
+    val unbounded = run(None)
+    val covering = run(Some(expr("INTERVAL 36500 DAYS"))) // 100y ⊇ all history
+    assert(unbounded.exceptAll(covering).count() == 0
+      && covering.exceptAll(unbounded).count() == 0)
+    // and a horizon that predates part of the order history must null-extend more
+    val bounded = run(Some(expr("INTERVAL 9000 DAYS")))
+    val nullsUnbounded = unbounded.filter(col("o_orderkey").isNull).count()
+    val nullsBounded = bounded.filter(col("o_orderkey").isNull).count()
+    assert(nullsBounded > nullsUnbounded)
+    assert(bounded.count() == unbounded.count()) // still one row per event
+  }
+
   test("q06 wordcount on fixtures is non-empty and ordered") {
     val rows = graft.queries.Queries.q06_wordcount(spark, sfDir).as[(String, Long)].collect()
     assert(rows.nonEmpty)

@@ -83,4 +83,22 @@ class PlanCheckSpec extends SparkSpec {
     val p = plans("q51_temp_mix")
     assert(p.contains("BroadcastHashJoin"), s"quota join not broadcast:\n$p")
   }
+
+  test("q59 bounded as-of join carries the lookback range IN the join condition") {
+    // the horizon bound must prune inside the join (bounding per-key
+    // expansion at scale), not as a post-join filter — the plan's join
+    // node condition references the interval subtraction
+    val p = plans("q59_asof_bounded")
+    assert(p.contains("9000"), s"lookback predicate missing from plan:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-event top-1 rank pushdown missing:\n$p")
+  }
+
+  test("q61 chunking is a projection-only pass (no shuffle before the final sort)") {
+    val p = plans("q61_chunking")
+    assert(!p.contains("HashAggregate") && !p.contains("SortMergeJoin")
+      && !p.contains("BroadcastHashJoin"),
+      s"chunking must be generate+project only:\n$p")
+    assert(p.contains("Generate"), s"posexplode generate node missing:\n$p")
+  }
 }
