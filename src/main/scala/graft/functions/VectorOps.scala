@@ -25,9 +25,14 @@ object VectorOps {
   def toDoubleArr(c: Column): Column = transform(c, _.cast("double"))
 
   /** Sequential-fold dot product — same evaluation order as the DuckDB
-    * oracle's grouped sum, so results are bit-identical.
+    * oracle's grouped sum, so results are bit-identical. Routed to the
+    * native codegen kernel ([[dotHof]] is the reference formulation it
+    * is spec-checked against): dot sits on PQ-training and ADC-table hot
+    * paths where interpreted HOF dispatch dominated.
     */
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = VectorKernel.dotNative(a, b)
+
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
 
   def norm2(a: Column): Column = dot(a, a)
@@ -318,22 +323,29 @@ object VectorOps {
       val seeds = sub.withColumn("__rn", row_number().over(wSeed))
         .filter(col("__rn") <= k)
         .select(col("j"), (col("__rn") - 1).as("cid"), col("sv").as("cv"))
-      // L2 assignment: argmin ‖sv − cv‖² per (id, j)
+      // L2 assignment per (id, j): argmin ‖sv − cv‖² ≡ argmin (‖cv‖² −
+      // 2·dot(sv, cv)) — the ‖sv‖² term is constant per row so it cannot
+      // move the argmin, and the remaining dots run in the native kernel
+      // instead of an interpreted per-element lambda (training's hot path)
       def assign(cents: DataFrame): DataFrame = {
-        val dist = aggregate(zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, d) => acc + d)
         val w = Window.partitionBy(col("id"), col("j")).orderBy(col("__d"), col("cid"))
-        sub.join(broadcast(cents), "j")
-          .select(col("id"), col("j"), col("sv"), col("cid"), dist.as("__d"))
+        sub.join(broadcast(cents.withColumn("__cn2", dot(col("cv"), col("cv")))), "j")
+          .select(col("id"), col("j"), col("sv"), col("cid"),
+            (col("__cn2") - lit(2.0) * dot(col("sv"), col("cv"))).as("__d"))
           .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
           .select("id", "j", "cid", "sv")
       }
-      def mean(assigned: DataFrame): DataFrame = assigned
-        .select(col("j"), col("cid"), posexplode(col("sv")))
-        .groupBy(col("j"), col("cid"), col("pos")).agg(avg("col").as("c"))
-        .groupBy("j", "cid")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-          e => e.getField("c")).as("cv"))
+      // element-wise mean WITHOUT posexplode: the sub-dim s is static, so
+      // the mean is ONE hash aggregation of s column sums + a count,
+      // reassembled by array() — the posexplode form shuffled s× the rows
+      // through two groupBys and a sort-based array rebuild per pass
+      def mean(assigned: DataFrame): DataFrame = {
+        val sums = (0 until s).map(i => sum(element_at(col("sv"), i + 1)).as(s"__s$i"))
+        assigned.groupBy(col("j"), col("cid"))
+          .agg(count(lit(1)).as("__n"), sums: _*)
+          .select(col("j"), col("cid"),
+            array((0 until s).map(i => col(s"__s$i") / col("__n")): _*).as("cv"))
+      }
       // a Lloyd step that empties a cluster must NOT drop it: the ADC
       // table is indexed j·k+cid, so every (j, cid) in [0,m)×[0,k) has to
       // survive — empty clusters carry their previous centroid forward
@@ -351,7 +363,7 @@ object VectorOps {
             e => e.getField("cid").cast("long")).as("code"),
           sum(col("cn2")).as("nrm2"))
         .cache()
-      cents.count(); codes.count()
+      codes.count() // its lineage scans cents — one job fills both caches
       sub.unpersist(blocking = false)
       new PqIndex(codes, cents.select("j", "cid", "cv"), v, m, k, dim)
     }
@@ -483,22 +495,26 @@ object VectorOps {
             col("g.pcid") % col("g.cnt") === col("s.sidx"))
         .select(col("g.cid").as("cid"), col("g.j").as("j"), col("pcid"), col("sv").as("pv"))
       // L2 argmin over the cell's own book: join key includes cid, so a
-      // slice is only ever scored against its cell's k centroids
+      // slice is only ever scored against its cell's k centroids. Same
+      // native-dot decomposition as PqIndex.assign (‖pv‖² − 2·dot —
+      // the constant ‖sv‖² term cannot move the argmin).
       def assign(bks: DataFrame): DataFrame = {
-        val dist = aggregate(zip_with(col("sv"), col("pv"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, d2) => acc + d2)
         val w = Window.partitionBy(col("id"), col("j")).orderBy(col("__d"), col("pcid"))
-        sub.join(broadcast(bks), Seq("cid", "j"))
-          .select(col("cid"), col("id"), col("j"), col("sv"), col("pcid"), dist.as("__d"))
+        sub.join(broadcast(bks.withColumn("__pn2", dot(col("pv"), col("pv")))), Seq("cid", "j"))
+          .select(col("cid"), col("id"), col("j"), col("sv"), col("pcid"),
+            (col("__pn2") - lit(2.0) * dot(col("sv"), col("pv"))).as("__d"))
           .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
           .select("cid", "id", "j", "pcid", "sv")
       }
-      def mean(assigned: DataFrame): DataFrame = assigned
-        .select(col("cid"), col("j"), col("pcid"), posexplode(col("sv")))
-        .groupBy(col("cid"), col("j"), col("pcid"), col("pos")).agg(avg("col").as("cm"))
-        .groupBy("cid", "j", "pcid")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cm")))),
-          e => e.getField("cm")).as("pv"))
+      // same fused element-wise mean as PqIndex: one hash aggregation of
+      // s static column sums, no posexplode/regroup/sort round
+      def mean(assigned: DataFrame): DataFrame = {
+        val sums = (0 until s).map(i => sum(element_at(col("sv"), i + 1)).as(s"__s$i"))
+        assigned.groupBy(col("cid"), col("j"), col("pcid"))
+          .agg(count(lit(1)).as("__n"), sums: _*)
+          .select(col("cid"), col("j"), col("pcid"),
+            array((0 until s).map(i => col(s"__s$i") / col("__n")): _*).as("pv"))
+      }
       // empty clusters carry their previous centroid forward — every
       // (cid, j, pcid) in the grid must survive for the ADC layout
       def lloyd(prev: DataFrame): DataFrame = prev
@@ -507,9 +523,12 @@ object VectorOps {
         .select(col("cid"), col("j"), col("pcid"), coalesce(col("pv"), col("__pv0")).as("pv"))
       // each Lloyd step materializes its (tiny, ≤ c·m·k-row) book frame:
       // an uncached foldLeft lineage re-runs every earlier assign/mean
-      // pass once per later stage — measured ~3× build-time inflation
-      val trained = (1 to pqIters).foldLeft(seeds.localCheckpoint(true))(
-        (bks, _) => lloyd(bks).localCheckpoint(true))
+      // pass once per later stage — measured ~3× build-time inflation.
+      // Checkpoints are LAZY (materialize inside the consuming job, one
+      // scheduling round fewer each) and seeds need none: every lloyd
+      // output is truncated, so lineage depth never exceeds one step.
+      val trained = (1 to pqIters).foldLeft(seeds)(
+        (bks, _) => lloyd(bks).localCheckpoint(false))
       // book stats for the stored norm: pn2 = ‖pv‖², cross = dot(c_j, pv)
       val coarseSub = coarse.select(col("cid"),
         explode(array((0 until m).map(j =>
@@ -532,7 +551,10 @@ object VectorOps {
         .join(broadcast(coarse.select(col("cid"), col("cn2"))), "cid")
         .select(col("cid"), col("id"), col("code"), (col("cn2") + col("rterm")).as("nrm2"))
         .cache()
-      coarse.count(); books.count(); codes.count()
+      // ONE materialization fills all three caches: codes' lineage scans
+      // books (the final assign + norm join) and coarse (the norm join),
+      // so separate counts were two redundant jobs
+      codes.count()
       sub.unpersist(blocking = false)
       ivf.close() // only coarse/books/codes stay resident
       new IvfPqIndex(codes, coarse, books, v, m, k, dim)
@@ -551,6 +573,14 @@ object VectorOps {
       val v = graft.core.Graft.spread(vectors)
         .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
         .cache() // scanned by seeds + the assignment passes
+      // one stats job: rejects empty/mixed-dim input (zip_with on ragged
+      // arrays would silently truncate the cosine) and pins the dim the
+      // fused Lloyd mean below relies on; it also pre-fills the v cache
+      val st = v.agg(count(lit(1)), min(size(col("v"))), max(size(col("v")))).head()
+      require(st.getLong(0) > 0, "IVF build needs a non-empty vector table")
+      require(st.getInt(1) == st.getInt(2),
+        s"IVF build needs uniform vector dimensions, got ${st.getInt(1)}..${st.getInt(2)}")
+      val dim = st.getInt(1)
       val seeds = v.orderBy("id").limit(c)
         .select(col("id").as("cid"), col("v").as("cv"))
       def assign(cents: DataFrame): DataFrame = {
@@ -560,20 +590,31 @@ object VectorOps {
           .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
           .select("cid", "id", "v")
       }
-      // Lloyd step: elementwise mean per cell via posexplode/regroup
-      def mean(assigned: DataFrame): DataFrame = assigned
-        .select(col("cid"), posexplode(col("v")))
-        .groupBy(col("cid"), col("pos")).agg(avg("col").as("m"))
-        .groupBy("cid")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("cv"))
+      // Lloyd step: fused elementwise mean — dim static column sums in ONE
+      // hash aggregation (the posexplode/regroup form shuffled dim× the
+      // rows through two groupBys and a sort-based array rebuild). Very
+      // wide vectors fall back to posexplode: thousands of aggregate
+      // expressions would overrun codegen method limits.
+      def mean(assigned: DataFrame): DataFrame =
+        if (dim <= 256) {
+          val sums = (0 until dim).map(i => sum(element_at(col("v"), i + 1)).as(s"__s$i"))
+          assigned.groupBy(col("cid"))
+            .agg(count(lit(1)).as("__n"), sums: _*)
+            .select(col("cid"),
+              array((0 until dim).map(i => col(s"__s$i") / col("__n")): _*).as("cv"))
+        } else assigned
+          .select(col("cid"), posexplode(col("v")))
+          .groupBy(col("cid"), col("pos")).agg(avg("col").as("m"))
+          .groupBy("cid")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            s => s.getField("m")).as("cv"))
       val refined = (1 to iters).foldLeft(seeds)((cents, _) => mean(assign(cents)))
       val cents = refined.cache()
       val assigned = assign(cents).cache()
       // materialize eagerly (build cost belongs to build) so the raw
       // working set `v` can be released now instead of leaking past the
-      // build — searches touch only the two cached index frames
-      cents.count()
+      // build — searches touch only the two cached index frames; the
+      // assigned lineage scans cents, so one job fills both caches
       assigned.count()
       v.unpersist(blocking = false)
       new IvfIndex(assigned, cents)

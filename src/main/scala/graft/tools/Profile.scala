@@ -64,6 +64,22 @@ object Profile {
         .select(graft.functions.VectorOps.cosineHof(col("v"), col("qv")).as("c"))
         .write.format("noop").mode("overwrite").save()
     }
+    // the composed ANN rung, build vs search split (q57's cost anatomy)
+    val eRaw = graft.core.Tables(spark, sfDir).embeddings
+    time("ivf build c=64 (coarse only)") {
+      graft.functions.VectorOps.IvfIndex.build(eRaw, "vec_id", "embedding", c = 64).close()
+    }
+    var ivfpq: graft.functions.VectorOps.IvfPqIndex = null
+    time("ivfpq build c=64 m=8 k=16") {
+      ivfpq = graft.functions.VectorOps.IvfPqIndex.build(
+        eRaw, "vec_id", "embedding", c = 64, m = 8, k = 16)
+    }
+    time("ivfpq search np=8 rs=8") {
+      ivfpq.search(eRaw.filter(col("vec_id") === 0), "vec_id", "embedding",
+          kTop = 10, nprobe = 8, rescore = 8)
+        .write.format("noop").mode("overwrite").save()
+    }
+    ivfpq.close()
     time("langid") {
       graft.queries.Queries.q36_langid(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

@@ -31,6 +31,11 @@ object GraftSqlBridge {
         graft.functions.VectorCosine(exprs.head, exprs(1)) },
       "built-in")
     reg.createOrReplaceTempFunction(
+      "vector_dot",
+      exprs => { arity("vector_dot(a, b)", 2)(exprs)
+        graft.functions.VectorDot(exprs.head, exprs(1)) },
+      "built-in")
+    reg.createOrReplaceTempFunction(
       "minhash_signature",
       exprs => {
         // numHashes must be a literal: it sizes the generated kernel loop.

@@ -41,6 +41,29 @@ class VectorOpsSpec extends SparkSpec {
       java.lang.Double.doubleToLongBits(rows(1).getDouble(1)))
   }
 
+  test("native dot kernel is bit-identical to the HOF fold; null semantics match") {
+    val e = Tables(spark, sfDir).embeddings.limit(200)
+    val q = Tables(spark, sfDir).embeddings.filter($"vec_id" === 1)
+      .select(toDoubleArr($"embedding").as("qv"))
+    val rows = e.crossJoin(q).select(
+      dot(toDoubleArr($"embedding"), $"qv").as("native"),
+      dotHof(toDoubleArr($"embedding"), $"qv").as("hof")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    val edge = Seq(
+      (Seq(Option(1.0), None), Seq(Option(1.0), Option(1.0))),
+      (Seq(Option(1.0), Option(2.0)), Seq(Option(3.0), Option(4.0))))
+      .toDF("a", "b")
+    val got = edge.select(VectorKernel.dotNative($"a", $"b")).collect()
+    assert(got(0).isNullAt(0), "null element → null")
+    assert(got(1).getDouble(0) == 11.0)
+    val mismatch = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+    assert(mismatch.select(VectorKernel.dotNative($"a", $"b")).collect()(0).isNullAt(0))
+  }
+
   test("dot/cosine basics") {
     val df = Seq((Seq(1f, 0f, 0f), Seq(0f, 1f, 0f)), (Seq(1f, 1f, 0f), Seq(1f, 1f, 0f)))
       .toDF("a", "b")
