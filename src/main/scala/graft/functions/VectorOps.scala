@@ -219,9 +219,12 @@ object VectorOps {
   }
 
   object IvfSq8Index {
+    /** `trainCap` threads through to [[IvfIndex.build]]'s sampled
+      * centroid training; SQ8 encoding itself is per-row (no training).
+      */
     def build(vectors: DataFrame, idCol: String, vecCol: String, c: Int = 16,
-              iters: Int = 1): IvfSq8Index = {
-      val ivf = IvfIndex.build(vectors, idCol, vecCol, c, iters)
+              iters: Int = 1, trainCap: Int = 0): IvfSq8Index = {
+      val ivf = IvfIndex.build(vectors, idCol, vecCol, c, iters, trainCap)
       val codes = ivf.assigned
         .select(col("cid"), col("id"), QuantKernels.sq8Encode(col("v")).as("sq"))
         .cache()
@@ -296,8 +299,18 @@ object VectorOps {
       dim / m
     }
 
+    /** `trainCap` (0 = off) bounds the CODEBOOK TRAINING set to a
+      * deterministic hash-sample of that many vectors (the FAISS
+      * practice: k·m centroids need thousands of training points, not
+      * the corpus): Lloyd scans only the sample — which is all that is
+      * ever cached — and the full corpus is touched exactly once, by the
+      * final uncached encode pass. At 100 TB this is the difference
+      * between a build that Lloyd-iterates over the corpus and one whose
+      * training cost is constant in the corpus size.
+      */
     def build(vectors: DataFrame, idCol: String, vecCol: String,
-              m: Int = 8, k: Int = 16, iters: Int = 2): PqIndex = {
+              m: Int = 8, k: Int = 16, iters: Int = 2,
+              trainCap: Int = 0): PqIndex = {
       val v = graft.core.Graft.spread(vectors)
         .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
       // one stats job validates everything .head() used to assume: the
@@ -311,14 +324,25 @@ object VectorOps {
         s"PQ build needs uniform vector dimensions, got ${st.getInt(1)}..${st.getInt(2)}")
       require(nVec >= k,
         s"PQ build needs at least k=$k vectors to seed full codebooks, got $nVec")
+      require(trainCap == 0 || trainCap >= k,
+        s"trainCap must be 0 (off) or >= k=$k, got $trainCap")
       val dim = st.getInt(1)
       val s = subDim(dim, m)
-      val sub = v.select(col("id"),
+      def slices(of: DataFrame): DataFrame = of.select(col("id"),
         explode(array((0 until m).map(j =>
           struct(lit(j).as("j"), slice(col("v"), j * s + 1, s).as("sv"))): _*)).as("e"))
         .select(col("id"), col("e.j").as("j"), col("e.sv").as("sv"))
-        .cache() // scanned once per Lloyd iteration + the final assignment
-      // seeds: the k lowest-id vectors' slices, per subspace
+      val sampled = trainCap > 0 && nVec > trainCap
+      val vTrain = if (sampled)
+        // deterministic arithmetic-hash sample (CorpusOps.sampleRank's
+        // formula): re-runs pick identical training sets, so builds are
+        // retryable like every other stage
+        v.orderBy(pmod(col("id").cast("long") * lit(2654435761L), lit(1000000007L)),
+          col("id")).limit(trainCap)
+      else v
+      val sub = slices(vTrain)
+        .cache() // scanned once per Lloyd iteration; sample-sized if capped
+      // seeds: the k lowest-id training slices, per subspace
       val wSeed = Window.partitionBy(col("j")).orderBy(col("id"))
       val seeds = sub.withColumn("__rn", row_number().over(wSeed))
         .filter(col("__rn") <= k)
@@ -327,9 +351,9 @@ object VectorOps {
       // 2·dot(sv, cv)) — the ‖sv‖² term is constant per row so it cannot
       // move the argmin, and the remaining dots run in the native kernel
       // instead of an interpreted per-element lambda (training's hot path)
-      def assign(cents: DataFrame): DataFrame = {
+      def assign(of: DataFrame, cents: DataFrame): DataFrame = {
         val w = Window.partitionBy(col("id"), col("j")).orderBy(col("__d"), col("cid"))
-        sub.join(broadcast(cents.withColumn("__cn2", dot(col("cv"), col("cv")))), "j")
+        of.join(broadcast(cents.withColumn("__cn2", dot(col("cv"), col("cv")))), "j")
           .select(col("id"), col("j"), col("sv"), col("cid"),
             (col("__cn2") - lit(2.0) * dot(col("sv"), col("cv"))).as("__d"))
           .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
@@ -351,12 +375,14 @@ object VectorOps {
       // survive — empty clusters carry their previous centroid forward
       def lloyd(prev: DataFrame): DataFrame = prev
         .select(col("j"), col("cid"), col("cv").as("__cv0"))
-        .join(mean(assign(prev)), Seq("j", "cid"), "left")
+        .join(mean(assign(sub, prev)), Seq("j", "cid"), "left")
         .select(col("j"), col("cid"), coalesce(col("cv"), col("__cv0")).as("cv"))
       val trained = (1 to iters).foldLeft(seeds)((cents, _) => lloyd(cents))
       val cents = trained.withColumn("cn2", dot(col("cv"), col("cv"))).cache()
-      // codes + reconstructed squared norm Σ_j ‖cv_{j,code_j}‖²
-      val asg = assign(cents.select("j", "cid", "cv"))
+      // codes + reconstructed squared norm Σ_j ‖cv_{j,code_j}‖² — the
+      // encode pass runs over EVERYTHING (uncached when training was
+      // sampled: the corpus is scanned exactly once)
+      val asg = assign(if (sampled) slices(v) else sub, cents.select("j", "cid", "cv"))
       val codes = asg.join(cents.select("j", "cid", "cn2"), Seq("j", "cid"))
         .groupBy("id").agg(
           transform(array_sort(collect_list(struct(col("j"), col("cid")))),
@@ -460,9 +486,20 @@ object VectorOps {
       * layout requires every (cid, j) to carry a full k-entry book).
       * All steps are joins/aggregations; no driver-side vector math.
       */
+    /** `trainCap` (0 = off) bounds book TRAINING to ⌈trainCap/c⌉
+      * hash-sampled vectors PER CELL (stratified, not uniform: per-cell
+      * residual books need training rows in every non-empty cell — a
+      * uniform sample could starve a small cell, and its vectors would
+      * then have no book to encode against). Lloyd scans only the
+      * sample; the full corpus is touched once, by the final uncached
+      * encode pass. See [[PqIndex.build]].
+      */
     def build(vectors: DataFrame, idCol: String, vecCol: String,
               c: Int = 16, m: Int = 8, k: Int = 16,
-              ivfIters: Int = 1, pqIters: Int = 2): IvfPqIndex = {
+              ivfIters: Int = 1, pqIters: Int = 2,
+              trainCap: Int = 0): IvfPqIndex = {
+      require(trainCap == 0 || trainCap >= c,
+        s"trainCap must be 0 (off) or >= c=$c, got $trainCap")
       val v = graft.core.Graft.spread(vectors)
         .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
       val st = v.agg(count(lit(1)), min(size(col("v"))), max(size(col("v")))).head()
@@ -471,17 +508,27 @@ object VectorOps {
         s"IVF+PQ build needs uniform vector dimensions, got ${st.getInt(1)}..${st.getInt(2)}")
       val dim = st.getInt(1)
       val s = PqIndex.subDim(dim, m)
-      val ivf = IvfIndex.build(vectors, idCol, vecCol, c, ivfIters)
+      val ivf = IvfIndex.build(vectors, idCol, vecCol, c, ivfIters, trainCap)
       val coarse = ivf.centroids.withColumn("cn2", dot(col("cv"), col("cv"))).cache()
-      // residual slices (cid, id, j, sv) — scanned once per Lloyd pass
-      val sub = ivf.assigned
+      // residual slices (cid, id, j, sv)
+      def resSlices(of: DataFrame): DataFrame = of
         .join(broadcast(coarse.select(col("cid"), col("cv"))), "cid")
         .select(col("cid"), col("id"), zip_with(col("v"), col("cv"), (x, y) => x - y).as("r"))
         .select(col("cid"), col("id"),
           explode(array((0 until m).map(j =>
             struct(lit(j).as("j"), slice(col("r"), j * s + 1, s).as("sv"))): _*)).as("e"))
         .select(col("cid"), col("id"), col("e.j").as("j"), col("e.sv").as("sv"))
-        .cache()
+      val sampled = trainCap > 0 && st.getLong(0) > trainCap
+      val aTrain = if (sampled) {
+        val perCell = math.max(1L, math.ceil(trainCap.toDouble / c).toLong)
+        val wCell = Window.partitionBy(col("cid"))
+          .orderBy(pmod(col("id").cast("long") * lit(2654435761L), lit(1000000007L)),
+            col("id"))
+        ivf.assigned.withColumn("__rn", row_number().over(wCell))
+          .filter(col("__rn") <= perCell).drop("__rn")
+      } else ivf.assigned
+      val sub = resSlices(aTrain)
+        .cache() // scanned once per Lloyd pass; sample-sized if capped
       // per-(cid, j) seeds: the k lowest-id residual slices, grid-padded
       val wSeed = Window.partitionBy(col("cid"), col("j")).orderBy(col("id"))
       val seedsRaw = sub.withColumn("__rn", row_number().over(wSeed))
@@ -498,9 +545,9 @@ object VectorOps {
       // slice is only ever scored against its cell's k centroids. Same
       // native-dot decomposition as PqIndex.assign (‖pv‖² − 2·dot —
       // the constant ‖sv‖² term cannot move the argmin).
-      def assign(bks: DataFrame): DataFrame = {
+      def assign(of: DataFrame, bks: DataFrame): DataFrame = {
         val w = Window.partitionBy(col("id"), col("j")).orderBy(col("__d"), col("pcid"))
-        sub.join(broadcast(bks.withColumn("__pn2", dot(col("pv"), col("pv")))), Seq("cid", "j"))
+        of.join(broadcast(bks.withColumn("__pn2", dot(col("pv"), col("pv")))), Seq("cid", "j"))
           .select(col("cid"), col("id"), col("j"), col("sv"), col("pcid"),
             (col("__pn2") - lit(2.0) * dot(col("sv"), col("pv"))).as("__d"))
           .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
@@ -519,7 +566,7 @@ object VectorOps {
       // (cid, j, pcid) in the grid must survive for the ADC layout
       def lloyd(prev: DataFrame): DataFrame = prev
         .select(col("cid"), col("j"), col("pcid"), col("pv").as("__pv0"))
-        .join(mean(assign(prev)), Seq("cid", "j", "pcid"), "left")
+        .join(mean(assign(sub, prev)), Seq("cid", "j", "pcid"), "left")
         .select(col("cid"), col("j"), col("pcid"), coalesce(col("pv"), col("__pv0")).as("pv"))
       // each Lloyd step materializes its (tiny, ≤ c·m·k-row) book frame:
       // an uncached foldLeft lineage re-runs every earlier assign/mean
@@ -538,7 +585,10 @@ object VectorOps {
         .select(col("cid"), col("j"), col("pcid"), col("pv"),
           dot(col("pv"), col("pv")).as("pn2"), dot(col("csv"), col("pv")).as("cross"))
         .cache()
-      val asg = assign(books.select("cid", "j", "pcid", "pv"))
+      // the encode pass covers EVERY vector (uncached full-corpus slice
+      // stream when training was sampled — the single corpus scan)
+      val asg = assign(if (sampled) resSlices(ivf.assigned) else sub,
+        books.select("cid", "j", "pcid", "pv"))
       // code rows with the exact reconstructed norm:
       // ‖v̂‖² = ‖c‖² + Σ_j (2·cross_j + pn2_j)
       val codes = asg
@@ -567,9 +617,17 @@ object VectorOps {
       * for one extra shuffle+broadcast round each — worth it when the
       * index is probed many times per build, which is the IVF regime.
       */
+    /** `trainCap` (0 = off): Lloyd-train the cell centroids on a
+      * deterministic hash-sample of that many vectors; only the final
+      * cell-assignment pass touches the full corpus (see
+      * [[PqIndex.build]] for the rationale — centroids need a sample,
+      * not the corpus).
+      */
     def build(vectors: DataFrame, idCol: String, vecCol: String, c: Int = 16,
-              iters: Int = 1): IvfIndex = {
+              iters: Int = 1, trainCap: Int = 0): IvfIndex = {
       require(iters >= 1, "at least one Lloyd iteration")
+      require(trainCap == 0 || trainCap >= c,
+        s"trainCap must be 0 (off) or >= c=$c, got $trainCap")
       val v = graft.core.Graft.spread(vectors)
         .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
         .cache() // scanned by seeds + the assignment passes
@@ -581,11 +639,15 @@ object VectorOps {
       require(st.getInt(1) == st.getInt(2),
         s"IVF build needs uniform vector dimensions, got ${st.getInt(1)}..${st.getInt(2)}")
       val dim = st.getInt(1)
-      val seeds = v.orderBy("id").limit(c)
+      val vTrain = if (trainCap > 0 && st.getLong(0) > trainCap)
+        v.orderBy(pmod(col("id").cast("long") * lit(2654435761L), lit(1000000007L)),
+          col("id")).limit(trainCap)
+      else v
+      val seeds = vTrain.orderBy("id").limit(c)
         .select(col("id").as("cid"), col("v").as("cv"))
-      def assign(cents: DataFrame): DataFrame = {
+      def assign(of: DataFrame, cents: DataFrame): DataFrame = {
         val w = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid").asc)
-        v.crossJoin(broadcast(cents))
+        of.crossJoin(broadcast(cents))
           .select(col("id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("ccos"))
           .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
           .select("cid", "id", "v")
@@ -608,9 +670,9 @@ object VectorOps {
           .groupBy("cid")
           .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
             s => s.getField("m")).as("cv"))
-      val refined = (1 to iters).foldLeft(seeds)((cents, _) => mean(assign(cents)))
+      val refined = (1 to iters).foldLeft(seeds)((cents, _) => mean(assign(vTrain, cents)))
       val cents = refined.cache()
-      val assigned = assign(cents).cache()
+      val assigned = assign(v, cents).cache() // assignment covers EVERY vector
       // materialize eagerly (build cost belongs to build) so the raw
       // working set `v` can be released now instead of leaking past the
       // build — searches touch only the two cached index frames; the

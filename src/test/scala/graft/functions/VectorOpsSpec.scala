@@ -231,6 +231,37 @@ class VectorOpsSpec extends SparkSpec {
     idx.close()
   }
 
+  test("sampled codebook training: full coverage, intact recall, guarded caps") {
+    val e = Tables(spark, sfDir).embeddings
+    val n = e.count()
+    val queries = e.filter($"vec_id" < 5)
+    val exact = annBruteForce(e, "vec_id", "embedding", queries, "vec_id", "embedding", k = 10)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    // train on ~1/4 of the corpus — EVERY vector must still be encoded
+    // (per-cell stratified sample keeps small cells' books trainable)
+    val cap = (n / 4).toInt
+    val idx = VectorOps.IvfPqIndex.build(e, "vec_id", "embedding",
+      c = 16, m = 8, k = 16, trainCap = cap)
+    assert(idx.codes.count() == n, "sampled training must not drop vectors at encode")
+    assert(idx.codes.select("id").distinct().count() == n)
+    val hits = idx.search(queries, "vec_id", "embedding", kTop = 10, nprobe = 8, rescore = 8)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(hits).size.toDouble / exact.size
+    info(s"IVF+PQ recall@10 with trainCap=$cap: $recall")
+    assert(recall >= 0.5, s"sampled-training recall collapsed: $recall")
+    idx.close()
+    // PQ: capped build still encodes everything; cap below k rejects
+    val pq = PqIndex.build(e, "vec_id", "embedding", m = 8, k = 16, trainCap = cap)
+    assert(pq.codes.count() == n)
+    pq.close()
+    assert(intercept[IllegalArgumentException] {
+      PqIndex.build(e, "vec_id", "embedding", m = 8, k = 16, trainCap = 7)
+    }.getMessage.contains("trainCap"))
+    assert(intercept[IllegalArgumentException] {
+      VectorOps.IvfIndex.build(e, "vec_id", "embedding", c = 16, trainCap = 3)
+    }.getMessage.contains("trainCap"))
+  }
+
   test("IVF+PQ: empty query frame returns empty") {
     val e = Tables(spark, sfDir).embeddings
     val idx = VectorOps.IvfPqIndex.build(e, "vec_id", "embedding", c = 16, m = 8, k = 16)
