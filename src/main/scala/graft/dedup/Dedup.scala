@@ -303,4 +303,50 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Connected components over an undirected pair list (the step that
+    * turns near-dup PAIRS into dedup GROUPS): iterated min-label
+    * propagation — every node starts as its own label, each round takes
+    * the min of its own and its neighbors' labels, converging to the
+    * component-wide minimum id in O(component diameter) rounds. Rounds
+    * are plain equi-join + groupBy-min (one shuffle each, map-side
+    * combinable) with the label frame localCheckpoint-truncated per
+    * round and a driver-side convergence count — the standard
+    * Spark-idiomatic CC shape (GraphFrames' default is the same
+    * propagation); near-dup components are dense and shallow, so
+    * real-corpus convergence is 2-4 rounds.
+    *
+    * Returns (id, group) for every id that appears in `pairs`; callers
+    * left-join + coalesce to give isolated rows their own group.
+    * Throws if `maxIters` rounds don't converge (loud, not silently
+    * wrong — raise the cap for pathological chain-shaped graphs).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .cache() // scanned every round
+    var cur = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("grp"))
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxIters) {
+      val viaNbr = edges.join(cur.select(col("id").as("dst"), col("grp")), "dst")
+        .select(col("src").as("id"), col("grp"))
+      val next = viaNbr.unionAll(cur)
+        .groupBy("id").agg(min("grp").as("grp"))
+        .localCheckpoint(true)
+      val changed = next.select(col("id"), col("grp").as("__g2"))
+        .join(cur, "id").filter(col("__g2") =!= col("grp")).count()
+      cur = next
+      converged = changed == 0
+      round += 1
+    }
+    edges.unpersist(blocking = false)
+    require(converged,
+      s"connectedComponents did not converge in $maxIters rounds — raise maxIters")
+    cur
+  }
 }

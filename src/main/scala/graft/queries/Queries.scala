@@ -762,6 +762,25 @@ object Queries {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id", "chunk_idx")
 
+  /** Near-dup GROUPS (not just pairs): connected components over the
+    * exact embedding near-dup pair list — every vector labeled with the
+    * minimum id reachable through the dup graph (isolated vectors keep
+    * their own id). The step that makes dedup actionable: keep one row
+    * per group. Exact oracle: DuckDB recursive-CTE transitive closure
+    * over the same pair list.
+    */
+  def q62_dedup_groups(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val pairs = graft.functions.VectorOps
+      .cosineAllPairs(e, "vec_id", "embedding", threshold = 0.45)
+      .select("id_a", "id_b")
+    val comp = graft.dedup.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", "vec_id")
+    e.select(col("vec_id")).join(comp, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("grp"), col("vec_id")).as("group_id"))
+      .orderBy("vec_id")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -866,7 +885,8 @@ object Queries {
     "q58_redact_pii" -> (q58_redact_pii _),
     "q59_asof_bounded" -> (q59_asof_bounded _),
     "q60_quality_trained" -> (q60_quality_trained _),
-    "q61_chunking" -> (q61_chunking _)
+    "q61_chunking" -> (q61_chunking _),
+    "q62_dedup_groups" -> (q62_dedup_groups _)
   )
 }
 
@@ -1376,6 +1396,26 @@ object Oracles {
         |  CAST(len(list_slice(t, i+1, i+16)) AS BIGINT) AS n_tokens,
         |  array_to_string(list_slice(t, i+1, i+16), ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q62_dedup_groups" ->
+      """WITH RECURSIVE
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |        (SELECT sum(x*x) FROM (SELECT unnest(e) AS x)) AS nm2 FROM v),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |      FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |      WHERE (SELECT sum(x*y) FROM (SELECT unnest(a.e) AS x, unnest(b.e) AS y)) /
+        |            sqrt(a.nm2 * b.nm2) >= 0.45),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+        |          UNION ALL SELECT id_b AS src, id_a AS dst FROM p),
+        |reach AS (
+        |  SELECT src AS id, dst AS r FROM edges
+        |  UNION
+        |  SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src
+        |)
+        |SELECT v.vec_id,
+        |  CAST(coalesce(least(v.vec_id, min(reach.r)), v.vec_id) AS BIGINT) AS group_id
+        |FROM v LEFT JOIN reach ON v.vec_id = reach.id
+        |GROUP BY v.vec_id ORDER BY v.vec_id""".stripMargin,
     // No oracle (rows-only; ScalaTest-owned): q29_approx_distinct (HLL
     // estimate), q35_ann_ivf (approx recall), q37_minhash_pairs,
     // q38_simhash_pairs, q39_fingerprint (hash-seed-specific),

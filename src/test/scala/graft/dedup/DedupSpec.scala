@@ -178,6 +178,26 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("connectedComponents labels every node with its component's min id") {
+    // two components ({1,2,3} via a chain, {5,6}) + node 7 self-paired
+    val pairs = Seq((2L, 1L), (2L, 3L), (5L, 6L), (7L, 7L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("connectedComponents converges on a long chain (diameter > 2)") {
+    // a 9-node path: min label must walk the whole diameter
+    val pairs = (1L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == (1L to 9L).map(_ -> 1L).toMap)
+    // and the convergence guard fails loudly when starved of rounds
+    assert(intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(pairs, "id_a", "id_b", maxIters = 2)
+    }.getMessage.contains("converge"))
+  }
+
   test("simHashNearDups matches brute-force hamming join on the sf0.001 corpus") {
     val fps = Dedup.simHash(Tables(spark, sfDir).documents, "text", "doc_id").cache()
     val got = Dedup.simHashNearDups(fps, maxHamming = 10)

@@ -220,6 +220,28 @@ class CorpusOpsSpec extends SparkSpec {
     }.getMessage.contains("overlap"))
   }
 
+  test("chunkTokens runs unchanged on a stream (stateless projection)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.DataFrame
+    implicit val s = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, String)]()
+    val q = CorpusOps.chunkTokens(in.toDF.toDF("doc_id", "text"),
+        "doc_id", "text", chunkSize = 3, overlap = 1)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.select("id", "chunk_idx", "chunk_text")
+          .as[(Long, Long, String)].collect()
+        out.synchronized { out ++= rows }
+        ()
+      }.start()
+    try {
+      in.addData((1L, "a b c d e"))
+      q.processAllAvailable()
+      assert(out.sorted.toSeq == Seq((1L, 0L, "a b c"), (1L, 1L, "c d e"), (1L, 2L, "e")))
+    } finally q.stop()
+  }
+
   test("quantizeInt8 codes are in [-128,127], monotone, and constant vectors code 0") {
     val df = Seq(
       (1L, Array(0.0f, 0.5f, 1.0f)),
