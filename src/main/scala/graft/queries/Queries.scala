@@ -781,6 +781,35 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** BM25 keyword top-10 for a fixed three-term query — rows-only:
+    * scores pass through `ln`, which is not cross-engine bit-stable
+    * (the q44/redactPii determinism lesson applies to libm too), so
+    * TextSearchSpec owns correctness by exact driver-side recomputation.
+    */
+  def q63_keyword_search(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextSearch.bm25TopK(Tables(spark, dir).documents,
+        "doc_id", "text", Seq("hash", "join", "spark"), k = 10)
+      .select(col("id").as("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+
+  /** Hybrid search: reciprocal-rank fusion of the BM25 keyword ranking
+    * and the exact ANN cosine ranking (top-20 each, fused top-10) —
+    * rows-only (inherits q63's libm caveat; TextSearchSpec hand-checks
+    * the fusion arithmetic).
+    */
+  def q64_hybrid_search(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val kw = graft.text.TextSearch.bm25TopK(t.documents, "doc_id", "text",
+      Seq("hash", "join", "spark"), k = 20)
+    val ann = graft.functions.VectorOps.annBruteForce(
+        t.embeddings, "vec_id", "embedding",
+        t.embeddings.filter(col("vec_id") === 0), "vec_id", "embedding", k = 20)
+      .select(col("id"), col("cos").as("score"))
+    graft.text.TextSearch.rrfFuse(Seq(kw, ann), "id", "score", k = 10)
+      .select(col("id").as("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -886,7 +915,9 @@ object Queries {
     "q59_asof_bounded" -> (q59_asof_bounded _),
     "q60_quality_trained" -> (q60_quality_trained _),
     "q61_chunking" -> (q61_chunking _),
-    "q62_dedup_groups" -> (q62_dedup_groups _)
+    "q62_dedup_groups" -> (q62_dedup_groups _),
+    "q63_keyword_search" -> (q63_keyword_search _),
+    "q64_hybrid_search" -> (q64_hybrid_search _)
   )
 }
 
@@ -1424,6 +1455,9 @@ object Oracles {
     // q53_ann_sq8 (approx recall; codes/error/recall spec-asserted),
     // q56_ann_pq (approx recall; codebook grid + recall spec-asserted),
     // q57_ann_ivfpq (approx recall; per-cell grid + recall-vs-flat-PQ
-    // spec-asserted).
+    // spec-asserted), q63_keyword_search (BM25 — ln() is not cross-engine
+    // bit-stable; exact driver-side recomputation spec-asserted),
+    // q64_hybrid_search (RRF over q63 + ANN rankings; fusion arithmetic
+    // hand-checked in TextSearchSpec).
   )
 }

@@ -1,0 +1,86 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval over the document corpus — BM25, the bag-of-words
+  * ranking the embedding ANN family complements (hybrid search runs both
+  * and fuses). Kasper has no search surface; this is beyond-parity
+  * training-data/RAG tooling like the rest of `graft.text`.
+  *
+  * Scoring follows the Lucene/Okapi formulation with the non-negative
+  * idf: `idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))`,
+  * `score = Σ_t idf·tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))`.
+  */
+object TextSearch {
+
+  /** Top-`k` documents for a bag-of-words query.
+    *
+    * Two corpus scans, no shuffle before the final top-k:
+    *  1. ONE global aggregation collects N, avgdl and every query term's
+    *     document frequency (a `sum(array_contains)` per term — the
+    *     reduce row is `2 + |terms|` numbers, so this is as cheap as any
+    *     corpus-wide count at 100 TB);
+    *  2. the scoring scan folds those numbers in as literals — idf is
+    *     driver-side arithmetic — and per-doc tf is a per-row token-array
+    *     count, so scoring shuffles nothing and `topK` plans as
+    *     TakeOrderedAndProject.
+    *
+    * Scores are doubles through `ln` — not cross-engine bit-stable, so
+    * the query entry is rows-only; TextSearchSpec owns correctness by
+    * exact driver-side recomputation.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = queryTerms.distinct
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    require(k > 0, s"k must be positive, got $k")
+    val toks = graft.core.Graft.spread(docs)
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("t"))
+      .withColumn("dl", size(col("t")).cast("double"))
+    // scan 1: corpus stats + per-term document frequencies, one reduce
+    val aggs = Seq(count(lit(1)).as("__n"), avg(col("dl")).as("__avgdl")) ++
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(col("t"), t), 1L).otherwise(0L)).as(s"__df$i")
+      }
+    val st = toks.agg(aggs.head, aggs.tail: _*).head()
+    val n = st.getLong(0)
+    require(n > 0, "bm25TopK needs a non-empty corpus")
+    val avgdl = st.getDouble(1)
+    // scan 2: score projection (df/idf folded in as literals)
+    val score = terms.zipWithIndex.map { case (term, i) =>
+      val df = st.getLong(2 + i)
+      val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      val tf = size(filter(col("t"), x => x === lit(term))).cast("double")
+      lit(idf) * tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+    }.reduce(_ + _)
+    graft.ops.RelOps.topK(
+      toks.select(col("id"), score.as("score")).filter(col("score") > 0.0),
+      col("score"), col("id"), k)
+  }
+
+  /** Reciprocal-rank fusion of ranked lists (the standard hybrid-search
+    * combiner for BM25 + ANN): each list contributes `1/(c + rank)` per
+    * id, fused score is the sum, ties break by id. Inputs are expected
+    * to be TOP-K LISTS (each a handful of rows — the global rank window
+    * here is fine on a driver-sized list and would not be on a corpus;
+    * the corpus-sized work already happened inside the upstream
+    * searches). `c = 60` per the original RRF paper's robust default.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, scoreCol: String,
+              k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k > 0 && c > 0, s"k and c must be positive, got k=$k c=$c")
+    import org.apache.spark.sql.expressions.Window
+    val contrib = rankings.map { df =>
+      val w = Window.orderBy(col(scoreCol).desc, col(idCol).asc)
+      df.select(col(idCol).as("id"),
+          (lit(1.0) / (lit(c.toDouble) + row_number().over(w))).as("rrf"))
+    }
+    graft.ops.RelOps.topK(
+      contrib.reduce(_ unionAll _).groupBy("id").agg(sum("rrf").as("score")),
+      col("score"), col("id"), k)
+  }
+}

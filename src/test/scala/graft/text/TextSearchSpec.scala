@@ -1,0 +1,97 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25TopK matches an exact driver-side recomputation on the fixture") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val terms = Seq("hash", "join", "spark")
+    val got = TextSearch.bm25TopK(docs, "doc_id", "text", terms, k = 10)
+      .as[(Long, Double)].collect().toSeq
+
+    // reference implementation: same formulation, computed in plain Scala
+    val corpus = docs.select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("t"))
+      .as[(Long, Seq[String])].collect()
+    val n = corpus.length.toLong
+    val avgdl = corpus.map(_._2.length.toDouble).sum / n
+    val dfs = terms.map(t => t -> corpus.count(_._2.contains(t)).toLong).toMap
+    val (k1, b) = (1.2, 0.75)
+    def score(toks: Seq[String]): Double = {
+      val dl = toks.length.toDouble
+      terms.map { t =>
+        val df = dfs(t)
+        val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        val tf = toks.count(_ == t).toDouble
+        idf * tf * (k1 + 1.0) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+      }.sum
+    }
+    val expected = corpus.map { case (id, t) => (id, score(t)) }
+      .filter(_._2 > 0.0)
+      .sortBy { case (id, s) => (-s, id) }.take(10).toSeq
+    assert(got.map(_._1) == expected.map(_._1),
+      s"ranking mismatch: $got vs $expected")
+    got.zip(expected).foreach { case ((_, a), (_, e)) =>
+      // avgdl partition-sum order can differ by ulps between engines
+      assert(math.abs(a - e) <= 1e-9 * math.max(1.0, math.abs(e)))
+    }
+  }
+
+  test("bm25 ranking behaves: tf helps, doc length hurts, rare terms weigh more") {
+    val docs = Seq(
+      (1L, "hash hash hash join"),           // high tf on both terms
+      (2L, "hash join"),                     // short, one tf each
+      (3L, "hash " + ("filler " * 50).trim), // long doc, diluted
+      (4L, "nothing relevant here")
+    ).toDF("doc_id", "text")
+    val top = TextSearch.bm25TopK(docs, "doc_id", "text", Seq("hash", "join"), k = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(top.map(_._1).take(2) == Seq(1L, 2L), s"unexpected ranking: $top")
+    assert(!top.map(_._1).contains(4L), "non-matching doc must not appear")
+    val scores = top.toMap
+    assert(scores(2L) > scores(3L), "length normalization should demote the diluted doc")
+  }
+
+  test("rrfFuse sums 1/(c+rank) across lists; hand-checked fusion") {
+    // list A ranks: 10 (r1), 20 (r2), 30 (r3); list B: 20 (r1), 40 (r2)
+    val a = Seq((10L, 9.0), (20L, 5.0), (30L, 1.0)).toDF("id", "score")
+    val bl = Seq((20L, 0.9), (40L, 0.8)).toDF("id", "score")
+    val got = TextSearch.rrfFuse(Seq(a, bl), "id", "score", k = 10, c = 60)
+      .as[(Long, Double)].collect().toMap
+    val eps = 1e-12
+    assert(math.abs(got(20L) - (1.0 / 62 + 1.0 / 61)) < eps) // both lists
+    assert(math.abs(got(10L) - 1.0 / 61) < eps)
+    assert(math.abs(got(40L) - 1.0 / 62) < eps)
+    assert(math.abs(got(30L) - 1.0 / 63) < eps)
+    // 20 appears in both lists → must rank first
+    val order = TextSearch.rrfFuse(Seq(a, bl), "id", "score", k = 2)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    assert(order == Seq(20L, 10L))
+    assert(intercept[IllegalArgumentException] {
+      TextSearch.rrfFuse(Seq.empty, "id", "score", k = 5)
+    }.getMessage.contains("ranking"))
+  }
+
+  test("q64 hybrid fusion returns k rows drawn from both rails") {
+    val fused = graft.queries.Queries.q64_hybrid_search(spark, sfDir)
+      .as[(Long, Double)].collect().toSeq
+    assert(fused.size == 10)
+    assert(fused.map(_._2).toSeq == fused.map(_._2).sortBy(-_).toSeq, "sorted by fused score")
+  }
+
+  test("bm25TopK guards: empty query, bad k, empty corpus") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    assert(intercept[IllegalArgumentException] {
+      TextSearch.bm25TopK(docs, "doc_id", "text", Seq.empty, k = 5)
+    }.getMessage.contains("term"))
+    assert(intercept[IllegalArgumentException] {
+      TextSearch.bm25TopK(docs, "doc_id", "text", Seq("a"), k = 0)
+    }.getMessage.contains("k"))
+    assert(intercept[IllegalArgumentException] {
+      TextSearch.bm25TopK(docs.limit(0), "doc_id", "text", Seq("a"), k = 5)
+    }.getMessage.contains("corpus"))
+  }
+}
