@@ -151,6 +151,28 @@ object VectorOps {
       centroids.unpersist(blocking = false)
     }
 
+    /** Incremental maintenance: assign `vectors` to the EXISTING cells
+      * (same rule as build — max cosine, ties to the lower cid) and
+      * return a new index sharing this one's centroids. Only the new
+      * rows are scanned — at 100 TB this is how an index absorbs daily
+      * appends; retraining centroids is a scheduled rebuild, never an
+      * ingest prerequisite. The new index supersedes the receiver:
+      * probe and close only the newest (closing the old one also drops
+      * the shared centroid cache — correct but re-computed on next use).
+      */
+    def append(vectors: DataFrame, idCol: String, vecCol: String): IvfIndex = {
+      val nv = graft.core.Graft.spread(vectors)
+        .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
+      val w = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid").asc)
+      val assignedNew = nv.crossJoin(broadcast(centroids))
+        .select(col("id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("ccos"))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select("cid", "id", "v")
+      val merged = assigned.unionAll(assignedNew).cache()
+      merged.count()
+      new IvfIndex(merged, centroids)
+    }
+
     /** Probe the `nprobe` nearest cells per query, exact cosine inside. */
     def search(queries: DataFrame, queryIdCol: String, queryVecCol: String,
                k: Int, nprobe: Int): DataFrame = {
@@ -475,6 +497,51 @@ object VectorOps {
       codes.unpersist(blocking = false)
       coarse.unpersist(blocking = false)
       books.unpersist(blocking = false)
+    }
+
+    /** Incremental maintenance: encode `vectors` against the EXISTING
+      * coarse cells and per-cell residual books (the same assignment and
+      * norm-reconstruction rules as build) and return a new index with
+      * the code rows unioned in — existing codes are untouched bit for
+      * bit. Only the new rows are scanned; books/centroids never retrain
+      * on ingest (see [[IvfIndex.append]] for the lifecycle contract).
+      */
+    def append(vectors: DataFrame, idCol: String, vecCol: String): IvfPqIndex = {
+      val s = PqIndex.subDim(dim, m)
+      val nv = graft.core.Graft.spread(vectors)
+        .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
+      val wc = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid").asc)
+      val assignedNew = nv.crossJoin(broadcast(coarse.select(col("cid"), col("cv"))))
+        .select(col("id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("ccos"))
+        .withColumn("__rn", row_number().over(wc)).filter(col("__rn") === 1)
+        .select("cid", "id", "v")
+      val slices = assignedNew
+        .join(broadcast(coarse.select(col("cid"), col("cv"))), "cid")
+        .select(col("cid"), col("id"), zip_with(col("v"), col("cv"), (x, y) => x - y).as("r"))
+        .select(col("cid"), col("id"),
+          explode(array((0 until m).map(j =>
+            struct(lit(j).as("j"), slice(col("r"), j * s + 1, s).as("sv"))): _*)).as("e"))
+        .select(col("cid"), col("id"), col("e.j").as("j"), col("e.sv").as("sv"))
+      val wb = Window.partitionBy(col("id"), col("j")).orderBy(col("__d"), col("pcid"))
+      val asg = slices.join(
+          broadcast(books.select(col("cid"), col("j"), col("pcid"), col("pv"))
+            .withColumn("__pn2", dot(col("pv"), col("pv")))), Seq("cid", "j"))
+        .select(col("cid"), col("id"), col("j"), col("pcid"),
+          (col("__pn2") - lit(2.0) * dot(col("sv"), col("pv"))).as("__d"))
+        .withColumn("__rn", row_number().over(wb)).filter(col("__rn") === 1)
+        .select("cid", "id", "j", "pcid")
+      val newCodes = asg
+        .join(broadcast(books.select("cid", "j", "pcid", "pn2", "cross")), Seq("cid", "j", "pcid"))
+        .groupBy("id").agg(
+          first(col("cid")).as("cid"),
+          transform(array_sort(collect_list(struct(col("j"), col("pcid")))),
+            e => e.getField("pcid").cast("long")).as("code"),
+          sum(lit(2.0) * col("cross") + col("pn2")).as("rterm"))
+        .join(broadcast(coarse.select(col("cid"), col("cn2"))), "cid")
+        .select(col("cid"), col("id"), col("code"), (col("cn2") + col("rterm")).as("nrm2"))
+      val merged = codes.unionAll(newCodes).cache()
+      merged.count()
+      new IvfPqIndex(merged, coarse, books, raw.unionAll(nv), m, k, dim)
     }
   }
 

@@ -48,17 +48,30 @@ object TextSearch {
     val n = st.getLong(0)
     require(n > 0, "bm25TopK needs a non-empty corpus")
     val avgdl = st.getDouble(1)
-    // scan 2: score projection (df/idf folded in as literals)
-    val score = terms.zipWithIndex.map { case (term, i) =>
+    // scan 2: score projection (df/idf folded in as literals). Term
+    // frequency is size(t) − size(array_remove(t, term)) — pure codegen
+    // collection expressions, no interpreted lambda — materialized ONCE
+    // per term in its own projection: referencing a lambda-filter twice
+    // defeats CSE (fresh lambda ids are never structurally equal), and
+    // CollapseProject keeps non-cheap producers from being re-inlined
+    // into both use sites.
+    val tfCols = terms.zipWithIndex.map { case (term, i) =>
+      (size(col("t")) - size(array_remove(col("t"), lit(term))))
+        .cast("double").as(s"__tf$i")
+    }
+    val withTf = toks.select(col("id") +: col("dl") +: tfCols: _*)
+    val score = terms.zipWithIndex.map { case (_, i) =>
       val df = st.getLong(2 + i)
       val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
-      val tf = size(filter(col("t"), x => x === lit(term))).cast("double")
-      lit(idf) * tf * lit(k1 + 1.0) /
-        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+      lit(idf) * col(s"__tf$i") * lit(k1 + 1.0) /
+        (col(s"__tf$i") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
     }.reduce(_ + _)
-    graft.ops.RelOps.topK(
-      toks.select(col("id"), score.as("score")).filter(col("score") > 0.0),
-      col("score"), col("id"), k)
+    // positivity filter ABOVE the top-k (same result set: positive scores
+    // always outrank zero): filtering before it would be pushed under the
+    // spread exchange and recompute the full score per row a second time
+    graft.ops.RelOps.topK(withTf.select(col("id"), score.as("score")),
+        col("score"), col("id"), k)
+      .filter(col("score") > 0.0)
   }
 
   /** Reciprocal-rank fusion of ranked lists (the standard hybrid-search

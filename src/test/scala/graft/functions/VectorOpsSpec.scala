@@ -262,6 +262,34 @@ class VectorOpsSpec extends SparkSpec {
     }.getMessage.contains("trainCap"))
   }
 
+  test("index append: new vectors searchable without retrain, old codes untouched") {
+    val e = Tables(spark, sfDir).embeddings
+    // plant an exact copy of vector 0 under a fresh id — after append it
+    // must be the query's top hit (cosine 1.0)
+    val planted = e.filter($"vec_id" === 0)
+      .select(lit(999999L).as("vec_id"), $"embedding")
+    val q0 = e.filter($"vec_id" === 0)
+
+    val ivf = VectorOps.IvfIndex.build(e, "vec_id", "embedding", c = 16)
+    val nBefore = ivf.assigned.count()
+    val ivf2 = ivf.append(planted, "vec_id", "embedding")
+    assert(ivf2.assigned.count() == nBefore + 1)
+    val top = ivf2.search(q0, "vec_id", "embedding", k = 3, nprobe = 4)
+      .select("id").as[Long].collect().toSeq
+    assert(top.head == 999999L, s"planted duplicate not top hit: $top")
+
+    val pq = VectorOps.IvfPqIndex.build(e, "vec_id", "embedding", c = 16, m = 8, k = 16)
+    val oldCodes = pq.codes.collect().toSet
+    val pq2 = pq.append(planted, "vec_id", "embedding")
+    assert(pq2.codes.count() == oldCodes.size + 1)
+    // pre-existing code rows are bit-identical after the append
+    assert(pq2.codes.filter($"id" =!= 999999L).collect().toSet == oldCodes)
+    val topPq = pq2.search(q0, "vec_id", "embedding", kTop = 3, nprobe = 4, rescore = 8)
+      .select("id").as[Long].collect().toSeq
+    assert(topPq.head == 999999L, s"planted duplicate not top hit after PQ append: $topPq")
+    ivf2.close(); pq2.close()
+  }
+
   test("IVF+PQ: empty query frame returns empty") {
     val e = Tables(spark, sfDir).embeddings
     val idx = VectorOps.IvfPqIndex.build(e, "vec_id", "embedding", c = 16, m = 8, k = 16)
