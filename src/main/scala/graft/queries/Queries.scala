@@ -671,8 +671,11 @@ object Queries {
     */
   def q57_ann_ivfpq(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings
+    // pqIters = 1 is a MEASURED choice: the IvfSweep iters table shows
+    // recall identical to pqIters = 2 at rescore 1 AND 8 on this corpus,
+    // at ~2/3 the build time (BASELINE.md round-4 sweep)
     val idx = graft.functions.VectorOps.IvfPqIndex.build(
-      e, "vec_id", "embedding", c = 64, m = 8, k = 16)
+      e, "vec_id", "embedding", c = 64, m = 8, k = 16, pqIters = 1)
     idx.search(e.filter(col("vec_id") === 0), "vec_id", "embedding",
         kTop = 10, nprobe = 8, rescore = 8)
       .select(col("id").as("vec_id"), col("cos"))

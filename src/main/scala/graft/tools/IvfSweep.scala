@@ -74,6 +74,26 @@ object IvfSweep {
       println(f"${"-"}%6s ${"-"}%7s $recall%10.3f $searchS%9.2f $buildS%8.2f")
       idx.close()
     }
+    // does the second residual-Lloyd round buy recall? (it is ~2 s of
+    // q57's build; rescore=1 removes the re-rank headroom that can mask
+    // weak books, rescore=8 is the operating point)
+    println(f"${"iters"}%6s ${"rescore"}%7s ${"recall@10"}%10s ${"search_s"}%9s ${"build_s"}%8s")
+    for (pqIters <- Seq(1, 2)) {
+      val t0 = System.nanoTime()
+      val idx = VectorOps.IvfPqIndex.build(e, "vec_id", "embedding",
+        c = 64, m = 8, k = 16, pqIters = pqIters)
+      val buildS = (System.nanoTime() - t0) / 1e9
+      for (rescore <- Seq(1, 8)) {
+        val t1 = System.nanoTime()
+        val approx = idx.search(queries, "vec_id", "embedding",
+            kTop = 10, nprobe = 8, rescore = rescore)
+          .select("qid", "id").as[(Long, Long)].collect().toSet
+        val searchS = (System.nanoTime() - t1) / 1e9
+        val recall = exact.intersect(approx).size.toDouble / exact.size
+        println(f"$pqIters%6d $rescore%7d $recall%10.3f $searchS%9.2f $buildS%8.2f")
+      }
+      idx.close()
+    }
     println(f"${"ivfpq"}%6s ${"nprobe"}%7s ${"recall@10"}%10s ${"search_s"}%9s ${"build_s"}%8s")
     for (cells <- Seq(16, 64)) {
       val t0 = System.nanoTime()
