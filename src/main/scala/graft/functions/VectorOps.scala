@@ -139,7 +139,8 @@ object VectorOps {
     * refinement (assign → elementwise mean), then final assignment. All
     * steps are joins/aggregations — no driver-side collect of vectors.
     */
-  final class IvfIndex private (val assigned: DataFrame, val centroids: DataFrame) {
+  final class IvfIndex private (val assigned: DataFrame, val centroids: DataFrame,
+                                val dim: Int, val size: Long) {
 
     /** Release the index's cached partitions. An index outlives the
       * query that built it (that's its point), so the blocks aren't
@@ -156,21 +157,30 @@ object VectorOps {
       * return a new index sharing this one's centroids. Only the new
       * rows are scanned — at 100 TB this is how an index absorbs daily
       * appends; retraining centroids is a scheduled rebuild, never an
-      * ingest prerequisite. The new index supersedes the receiver:
-      * probe and close only the newest (closing the old one also drops
-      * the shared centroid cache — correct but re-computed on next use).
+      * ingest prerequisite. The receiver's cached assignment is released
+      * (the returned index supersedes it); centroids stay shared, so
+      * close only the newest index. Appending an empty frame is a no-op.
       */
     def append(vectors: DataFrame, idCol: String, vecCol: String): IvfIndex = {
       val nv = graft.core.Graft.spread(vectors)
         .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
+      // the same guard build() enforces: a dim-mismatched batch would
+      // null-pad its way into arbitrary cells instead of failing loudly
+      // (functions.size qualified — the index's `size` field shadows it)
+      val arrLen = org.apache.spark.sql.functions.size(col("v"))
+      val st = nv.agg(count(lit(1)), min(arrLen), max(arrLen)).head()
+      if (st.getLong(0) == 0) return this
+      require(st.getInt(1) == dim && st.getInt(2) == dim,
+        s"append needs $dim-dim vectors, got ${st.getInt(1)}..${st.getInt(2)}")
       val w = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid").asc)
       val assignedNew = nv.crossJoin(broadcast(centroids))
         .select(col("id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("ccos"))
         .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
         .select("cid", "id", "v")
       val merged = assigned.unionAll(assignedNew).cache()
-      merged.count()
-      new IvfIndex(merged, centroids)
+      val total = merged.count()
+      assigned.unpersist(blocking = false) // superseded — don't leak per append
+      new IvfIndex(merged, centroids, dim, total)
     }
 
     /** Probe the `nprobe` nearest cells per query, exact cosine inside. */
@@ -356,11 +366,9 @@ object VectorOps {
         .select(col("id"), col("e.j").as("j"), col("e.sv").as("sv"))
       val sampled = trainCap > 0 && nVec > trainCap
       val vTrain = if (sampled)
-        // deterministic arithmetic-hash sample (CorpusOps.sampleRank's
-        // formula): re-runs pick identical training sets, so builds are
-        // retryable like every other stage
-        v.orderBy(pmod(col("id").cast("long") * lit(2654435761L), lit(1000000007L)),
-          col("id")).limit(trainCap)
+        // deterministic arithmetic-hash sample: re-runs pick identical
+        // training sets, so builds are retryable like every other stage
+        v.orderBy(graft.ops.CorpusOps.sampleRank(col("id")), col("id")).limit(trainCap)
       else v
       val sub = slices(vTrain)
         .cache() // scanned once per Lloyd iteration; sample-sized if capped
@@ -500,52 +508,84 @@ object VectorOps {
     }
 
     /** Incremental maintenance: encode `vectors` against the EXISTING
-      * coarse cells and per-cell residual books (the same assignment and
-      * norm-reconstruction rules as build) and return a new index with
-      * the code rows unioned in — existing codes are untouched bit for
-      * bit. Only the new rows are scanned; books/centroids never retrain
-      * on ingest (see [[IvfIndex.append]] for the lifecycle contract).
+      * coarse cells and per-cell residual books — via the same
+      * resSlices/bookAssign/encodeCodes helpers build uses, so the two
+      * encode paths cannot drift — and return a new index with the code
+      * rows unioned in; existing codes are untouched bit for bit. Only
+      * the new rows are scanned; books/centroids never retrain on
+      * ingest. The receiver's cached codes are released (the returned
+      * index supersedes it; coarse/books stay shared — close only the
+      * newest). Appending an empty frame is a no-op.
       */
     def append(vectors: DataFrame, idCol: String, vecCol: String): IvfPqIndex = {
       val s = PqIndex.subDim(dim, m)
       val nv = graft.core.Graft.spread(vectors)
         .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
+      // the same guard build() enforces (via IvfIndex.build): a dim-
+      // mismatched batch would null-pad residuals, and the assignment's
+      // nulls-first __d ordering would hand it arbitrary codes silently
+      val st = nv.agg(count(lit(1)), min(size(col("v"))), max(size(col("v")))).head()
+      if (st.getLong(0) == 0) return this
+      require(st.getInt(1) == dim && st.getInt(2) == dim,
+        s"append needs $dim-dim vectors, got ${st.getInt(1)}..${st.getInt(2)}")
       val wc = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid").asc)
       val assignedNew = nv.crossJoin(broadcast(coarse.select(col("cid"), col("cv"))))
         .select(col("id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("ccos"))
         .withColumn("__rn", row_number().over(wc)).filter(col("__rn") === 1)
         .select("cid", "id", "v")
-      val slices = assignedNew
-        .join(broadcast(coarse.select(col("cid"), col("cv"))), "cid")
-        .select(col("cid"), col("id"), zip_with(col("v"), col("cv"), (x, y) => x - y).as("r"))
-        .select(col("cid"), col("id"),
-          explode(array((0 until m).map(j =>
-            struct(lit(j).as("j"), slice(col("r"), j * s + 1, s).as("sv"))): _*)).as("e"))
-        .select(col("cid"), col("id"), col("e.j").as("j"), col("e.sv").as("sv"))
-      val wb = Window.partitionBy(col("id"), col("j")).orderBy(col("__d"), col("pcid"))
-      val asg = slices.join(
-          broadcast(books.select(col("cid"), col("j"), col("pcid"), col("pv"))
-            .withColumn("__pn2", dot(col("pv"), col("pv")))), Seq("cid", "j"))
-        .select(col("cid"), col("id"), col("j"), col("pcid"),
-          (col("__pn2") - lit(2.0) * dot(col("sv"), col("pv"))).as("__d"))
-        .withColumn("__rn", row_number().over(wb)).filter(col("__rn") === 1)
-        .select("cid", "id", "j", "pcid")
-      val newCodes = asg
-        .join(broadcast(books.select("cid", "j", "pcid", "pn2", "cross")), Seq("cid", "j", "pcid"))
-        .groupBy("id").agg(
-          first(col("cid")).as("cid"),
-          transform(array_sort(collect_list(struct(col("j"), col("pcid")))),
-            e => e.getField("pcid").cast("long")).as("code"),
-          sum(lit(2.0) * col("cross") + col("pn2")).as("rterm"))
-        .join(broadcast(coarse.select(col("cid"), col("cn2"))), "cid")
-        .select(col("cid"), col("id"), col("code"), (col("cn2") + col("rterm")).as("nrm2"))
+      val slices = IvfPqIndex.resSlices(assignedNew, coarse, m, s)
+      val asg = IvfPqIndex.bookAssign(slices, books.select("cid", "j", "pcid", "pv"))
+      val newCodes = IvfPqIndex.encodeCodes(asg, books, coarse)
       val merged = codes.unionAll(newCodes).cache()
       merged.count()
+      codes.unpersist(blocking = false) // superseded — don't leak per append
       new IvfPqIndex(merged, coarse, books, raw.unionAll(nv), m, k, dim)
     }
   }
 
   object IvfPqIndex {
+    /** Residual slices (cid, id, j, sv) of `of` = (cid, id, v) rows
+      * against the cell centroids. Shared by build and append so the two
+      * encode paths cannot drift (append asserts bit-parity with build).
+      */
+    private[functions] def resSlices(of: DataFrame, coarse: DataFrame,
+                                     m: Int, s: Int): DataFrame = of
+      .join(broadcast(coarse.select(col("cid"), col("cv"))), "cid")
+      .select(col("cid"), col("id"), zip_with(col("v"), col("cv"), (x, y) => x - y).as("r"))
+      .select(col("cid"), col("id"),
+        explode(array((0 until m).map(j =>
+          struct(lit(j).as("j"), slice(col("r"), j * s + 1, s).as("sv"))): _*)).as("e"))
+      .select(col("cid"), col("id"), col("e.j").as("j"), col("e.sv").as("sv"))
+
+    /** L2 argmin of every slice over ITS cell's book (join key includes
+      * cid, so a slice only scores against its cell's k centroids); the
+      * native-dot decomposition ‖pv‖² − 2·dot(sv, pv) is argmin-equal to
+      * the true distance (the constant ‖sv‖² term cannot move it).
+      * Returns (cid, id, j, pcid, sv).
+      */
+    private[functions] def bookAssign(slices: DataFrame, bks: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("id"), col("j")).orderBy(col("__d"), col("pcid"))
+      slices.join(broadcast(bks.withColumn("__pn2", dot(col("pv"), col("pv")))), Seq("cid", "j"))
+        .select(col("cid"), col("id"), col("j"), col("sv"), col("pcid"),
+          (col("__pn2") - lit(2.0) * dot(col("sv"), col("pv"))).as("__d"))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select("cid", "id", "j", "pcid", "sv")
+    }
+
+    /** Code rows with the exact reconstructed norm
+      * ‖v̂‖² = ‖c‖² + Σ_j (2·cross_j + pn2_j); returns (cid, id, code, nrm2).
+      */
+    private[functions] def encodeCodes(asg: DataFrame, books: DataFrame,
+                                       coarse: DataFrame): DataFrame = asg
+      .join(broadcast(books.select("cid", "j", "pcid", "pn2", "cross")), Seq("cid", "j", "pcid"))
+      .groupBy("id").agg(
+        first(col("cid")).as("cid"),
+        transform(array_sort(collect_list(struct(col("j"), col("pcid")))),
+          e => e.getField("pcid").cast("long")).as("code"),
+        sum(lit(2.0) * col("cross") + col("pn2")).as("rterm"))
+      .join(broadcast(coarse.select(col("cid"), col("cn2"))), "cid")
+      .select(col("cid"), col("id"), col("code"), (col("cn2") + col("rterm")).as("nrm2"))
+
     /** Build: IVF coarse cells (reusing [[IvfIndex.build]]), then per-cell
       * PQ codebooks Lloyd-trained on residual slices. Cells smaller than
       * `k` pad their seed grid by cycling (duplicate centroids are
@@ -567,34 +607,25 @@ object VectorOps {
               trainCap: Int = 0): IvfPqIndex = {
       require(trainCap == 0 || trainCap >= c,
         s"trainCap must be 0 (off) or >= c=$c, got $trainCap")
+      // raw re-rank frame (lazy — no scan here); input validation (non-
+      // empty, uniform dims) happens ONCE, inside IvfIndex.build's stats
+      // job, and dim/size ride out on the index instead of a second
+      // full-corpus stats scan
       val v = graft.core.Graft.spread(vectors)
         .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
-      val st = v.agg(count(lit(1)), min(size(col("v"))), max(size(col("v")))).head()
-      require(st.getLong(0) > 0, "IVF+PQ build needs a non-empty vector table")
-      require(st.getInt(1) == st.getInt(2),
-        s"IVF+PQ build needs uniform vector dimensions, got ${st.getInt(1)}..${st.getInt(2)}")
-      val dim = st.getInt(1)
-      val s = PqIndex.subDim(dim, m)
       val ivf = IvfIndex.build(vectors, idCol, vecCol, c, ivfIters, trainCap)
+      val dim = ivf.dim
+      val s = PqIndex.subDim(dim, m)
       val coarse = ivf.centroids.withColumn("cn2", dot(col("cv"), col("cv"))).cache()
-      // residual slices (cid, id, j, sv)
-      def resSlices(of: DataFrame): DataFrame = of
-        .join(broadcast(coarse.select(col("cid"), col("cv"))), "cid")
-        .select(col("cid"), col("id"), zip_with(col("v"), col("cv"), (x, y) => x - y).as("r"))
-        .select(col("cid"), col("id"),
-          explode(array((0 until m).map(j =>
-            struct(lit(j).as("j"), slice(col("r"), j * s + 1, s).as("sv"))): _*)).as("e"))
-        .select(col("cid"), col("id"), col("e.j").as("j"), col("e.sv").as("sv"))
-      val sampled = trainCap > 0 && st.getLong(0) > trainCap
+      val sampled = trainCap > 0 && ivf.size > trainCap
       val aTrain = if (sampled) {
-        val perCell = math.max(1L, math.ceil(trainCap.toDouble / c).toLong)
-        val wCell = Window.partitionBy(col("cid"))
-          .orderBy(pmod(col("id").cast("long") * lit(2654435761L), lit(1000000007L)),
-            col("id"))
-        ivf.assigned.withColumn("__rn", row_number().over(wCell))
-          .filter(col("__rn") <= perCell).drop("__rn")
+        // stratified per cell (CorpusOps.stratifiedSample): a uniform
+        // sample could starve a small cell, whose vectors would then
+        // have no book to encode against
+        val perCell = math.max(1, math.ceil(trainCap.toDouble / c).toInt)
+        graft.ops.CorpusOps.stratifiedSample(ivf.assigned, "cid", "id", perCell)
       } else ivf.assigned
-      val sub = resSlices(aTrain)
+      val sub = IvfPqIndex.resSlices(aTrain, coarse, m, s)
         .cache() // scanned once per Lloyd pass; sample-sized if capped
       // per-(cid, j) seeds: the k lowest-id residual slices, grid-padded
       val wSeed = Window.partitionBy(col("cid"), col("j")).orderBy(col("id"))
@@ -608,18 +639,6 @@ object VectorOps {
           col("g.cid") === col("s.cid") && col("g.j") === col("s.j") &&
             col("g.pcid") % col("g.cnt") === col("s.sidx"))
         .select(col("g.cid").as("cid"), col("g.j").as("j"), col("pcid"), col("sv").as("pv"))
-      // L2 argmin over the cell's own book: join key includes cid, so a
-      // slice is only ever scored against its cell's k centroids. Same
-      // native-dot decomposition as PqIndex.assign (‖pv‖² − 2·dot —
-      // the constant ‖sv‖² term cannot move the argmin).
-      def assign(of: DataFrame, bks: DataFrame): DataFrame = {
-        val w = Window.partitionBy(col("id"), col("j")).orderBy(col("__d"), col("pcid"))
-        of.join(broadcast(bks.withColumn("__pn2", dot(col("pv"), col("pv")))), Seq("cid", "j"))
-          .select(col("cid"), col("id"), col("j"), col("sv"), col("pcid"),
-            (col("__pn2") - lit(2.0) * dot(col("sv"), col("pv"))).as("__d"))
-          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-          .select("cid", "id", "j", "pcid", "sv")
-      }
       // same fused element-wise mean as PqIndex: one hash aggregation of
       // s static column sums, no posexplode/regroup/sort round
       def mean(assigned: DataFrame): DataFrame = {
@@ -633,7 +652,7 @@ object VectorOps {
       // (cid, j, pcid) in the grid must survive for the ADC layout
       def lloyd(prev: DataFrame): DataFrame = prev
         .select(col("cid"), col("j"), col("pcid"), col("pv").as("__pv0"))
-        .join(mean(assign(sub, prev)), Seq("cid", "j", "pcid"), "left")
+        .join(mean(IvfPqIndex.bookAssign(sub, prev)), Seq("cid", "j", "pcid"), "left")
         .select(col("cid"), col("j"), col("pcid"), coalesce(col("pv"), col("__pv0")).as("pv"))
       // each Lloyd step materializes its (tiny, ≤ c·m·k-row) book frame:
       // an uncached foldLeft lineage re-runs every earlier assign/mean
@@ -654,20 +673,10 @@ object VectorOps {
         .cache()
       // the encode pass covers EVERY vector (uncached full-corpus slice
       // stream when training was sampled — the single corpus scan)
-      val asg = assign(if (sampled) resSlices(ivf.assigned) else sub,
+      val asg = IvfPqIndex.bookAssign(
+        if (sampled) IvfPqIndex.resSlices(ivf.assigned, coarse, m, s) else sub,
         books.select("cid", "j", "pcid", "pv"))
-      // code rows with the exact reconstructed norm:
-      // ‖v̂‖² = ‖c‖² + Σ_j (2·cross_j + pn2_j)
-      val codes = asg
-        .join(broadcast(books.select("cid", "j", "pcid", "pn2", "cross")), Seq("cid", "j", "pcid"))
-        .groupBy("id").agg(
-          first(col("cid")).as("cid"),
-          transform(array_sort(collect_list(struct(col("j"), col("pcid")))),
-            e => e.getField("pcid").cast("long")).as("code"),
-          sum(lit(2.0) * col("cross") + col("pn2")).as("rterm"))
-        .join(broadcast(coarse.select(col("cid"), col("cn2"))), "cid")
-        .select(col("cid"), col("id"), col("code"), (col("cn2") + col("rterm")).as("nrm2"))
-        .cache()
+      val codes = IvfPqIndex.encodeCodes(asg, books, coarse).cache()
       // ONE materialization fills all three caches: codes' lineage scans
       // books (the final assign + norm join) and coarse (the norm join),
       // so separate counts were two redundant jobs
@@ -707,8 +716,7 @@ object VectorOps {
         s"IVF build needs uniform vector dimensions, got ${st.getInt(1)}..${st.getInt(2)}")
       val dim = st.getInt(1)
       val vTrain = if (trainCap > 0 && st.getLong(0) > trainCap)
-        v.orderBy(pmod(col("id").cast("long") * lit(2654435761L), lit(1000000007L)),
-          col("id")).limit(trainCap)
+        v.orderBy(graft.ops.CorpusOps.sampleRank(col("id")), col("id")).limit(trainCap)
       else v
       val seeds = vTrain.orderBy("id").limit(c)
         .select(col("id").as("cid"), col("v").as("cv"))
@@ -744,9 +752,9 @@ object VectorOps {
       // working set `v` can be released now instead of leaking past the
       // build — searches touch only the two cached index frames; the
       // assigned lineage scans cents, so one job fills both caches
-      assigned.count()
+      val total = assigned.count()
       v.unpersist(blocking = false)
-      new IvfIndex(assigned, cents)
+      new IvfIndex(assigned, cents, dim, total)
     }
   }
 }

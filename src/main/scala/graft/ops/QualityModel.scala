@@ -34,12 +34,21 @@ object QualityModel {
     require(features.nonEmpty, "at least one feature column is required")
     val p = features.size + 1
     val x: Seq[Column] = lit(1.0) +: features
+    // rows with ANY null feature/label must drop from EVERY sum: sum()
+    // skips nulls per-expression, so ungated Gram entries would aggregate
+    // over different row subsets (e.g. one 0/0→null ratio) and the normal
+    // equations would be mutually inconsistent — a silent mis-fit. Gating
+    // inside the aggregation (null out every term on incomplete rows)
+    // keeps the one-scan shape and dodges filter pushdown recompute.
+    val ok = (features :+ label).map(_.isNotNull).reduce(_ && _)
+    val xg = x.map(c => when(ok, c))
+    val yg = when(ok, label)
     val gram = for { i <- 0 until p; j <- i until p }
-      yield sum(x(i) * x(j)).as(s"g_${i}_$j")
-    val mom = (0 until p).map(i => sum(x(i) * label).as(s"b_$i"))
+      yield sum(xg(i) * xg(j)).as(s"g_${i}_$j")
+    val mom = (0 until p).map(i => sum(xg(i) * yg).as(s"b_$i"))
     val aggs = gram ++ mom
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    require(!row.anyNull, "fit aggregates are null — empty input or null features")
+    require(!row.anyNull, "fit aggregates are null — no complete input rows")
     val a = Array.ofDim[Double](p, p)
     var idx = 0
     for (i <- 0 until p; j <- i until p) {

@@ -53,8 +53,10 @@ object Queries {
     // Output root comes from conf when a harness provides one (Verify
     // threads its own outDir) so the path works on a shared filesystem;
     // the temp-dir fallback is for ad-hoc local runs only.
-    val base = spark.conf.get("spark.graft.sink.dir",
-      Files.createTempDirectory("graft_sink").toString)
+    // getOption, not get-with-default: a strict default would CREATE the
+    // stray temp dir on every run even when the conf is set
+    val base = spark.conf.getOption("spark.graft.sink.dir")
+      .getOrElse(Files.createTempDirectory("graft_sink").toString)
     val out = base + "/wc"
     q06_wordcount(spark, dir).write.mode("overwrite").parquet(out)
     spark.read.parquet(out).orderBy("word")

@@ -51,7 +51,8 @@ object GraftSqlBridge {
       "built-in")
     reg.createOrReplaceTempFunction(
       "simhash",
-      exprs => graft.functions.SimHashFingerprint(exprs.head),
+      exprs => { arity("simhash(tokenHashes)", 1)(exprs)
+        graft.functions.SimHashFingerprint(exprs.head) },
       "built-in")
     reg.createOrReplaceTempFunction(
       "sorted_intersect_count",
@@ -60,15 +61,18 @@ object GraftSqlBridge {
       "built-in")
     reg.createOrReplaceTempFunction(
       "lang_id",
-      exprs => graft.text.LangIdExpr(exprs.head),
+      exprs => { arity("lang_id(tokens)", 1)(exprs)
+        graft.text.LangIdExpr(exprs.head) },
       "built-in")
     reg.createOrReplaceTempFunction(
       "sorted_run_stats",
-      exprs => graft.functions.SortedRunStats(exprs.head),
+      exprs => { arity("sorted_run_stats(sortedHashes)", 1)(exprs)
+        graft.functions.SortedRunStats(exprs.head) },
       "built-in")
     reg.createOrReplaceTempFunction(
       "array_xxhash64",
-      exprs => graft.functions.ArrayXxHash64(exprs.head),
+      exprs => { arity("array_xxhash64(tokens)", 1)(exprs)
+        graft.functions.ArrayXxHash64(exprs.head) },
       "built-in")
     reg.createOrReplaceTempFunction(
       "ngram_set_hashes",
@@ -94,7 +98,8 @@ object GraftSqlBridge {
       "built-in")
     reg.createOrReplaceTempFunction(
       "sq8_encode",
-      exprs => graft.functions.Sq8Encode(exprs.head),
+      exprs => { arity("sq8_encode(vector)", 1)(exprs)
+        graft.functions.Sq8Encode(exprs.head) },
       "built-in")
     reg.createOrReplaceTempFunction(
       "sq8_dot",

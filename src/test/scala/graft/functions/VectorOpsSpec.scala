@@ -287,6 +287,17 @@ class VectorOpsSpec extends SparkSpec {
     val topPq = pq2.search(q0, "vec_id", "embedding", kTop = 3, nprobe = 4, rescore = 8)
       .select("id").as[Long].collect().toSeq
     assert(topPq.head == 999999L, s"planted duplicate not top hit after PQ append: $topPq")
+    // guards: a dim-mismatched batch fails loudly (build's rule), an
+    // empty batch is a no-op returning the same index
+    val ragged = Seq((5555L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    assert(intercept[IllegalArgumentException] {
+      ivf2.append(ragged, "vec_id", "embedding")
+    }.getMessage.contains("dim"))
+    assert(intercept[IllegalArgumentException] {
+      pq2.append(ragged, "vec_id", "embedding")
+    }.getMessage.contains("dim"))
+    assert(ivf2.append(e.limit(0), "vec_id", "embedding") eq ivf2)
+    assert(pq2.append(e.limit(0), "vec_id", "embedding") eq pq2)
     ivf2.close(); pq2.close()
   }
 

@@ -49,6 +49,17 @@ class QualityModelSpec extends SparkSpec {
     }.getMessage.contains("feature"))
   }
 
+  test("rows with null features drop from every Gram sum (no silent mis-fit)") {
+    val clean = Seq((1.0, 1.0), (2.0, 3.0), (3.0, 5.0)).toDF("x", "y")
+    // a null-feature row with an extreme label: if any aggregate still
+    // counted it (e.g. the intercept×intercept sum), weights would skew
+    val dirty = Seq((Option(1.0), 1.0), (Option(2.0), 3.0), (Option(3.0), 5.0),
+      (Option.empty[Double], 99.0)).toDF("x", "y")
+    val wc = QualityModel.fitLinear(clean, Seq(col("x")), col("y"))
+    val wd = QualityModel.fitLinear(dirty, Seq(col("x")), col("y"))
+    wc.zip(wd).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+  }
+
   test("q60 scores reproduce the frozen fitted weights applied to the feature library") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val q60 = graft.queries.Queries.q60_quality_trained(spark, sfDir)
