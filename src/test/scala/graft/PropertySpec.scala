@@ -91,6 +91,52 @@ class PropertySpec extends SparkSpec {
     assert(bad == 0L, "permuting the input must not change minhash or simhash")
   }
 
+  test("chunkTokens reproduces a reference slicer for arbitrary texts and configs") {
+    val texts: Gen[List[String]] = Gen.listOfN(15,
+      Gen.listOf(Gen.oneOf("ab", "c", "ddd", "e", "")).map(_.mkString(" ")))
+    val cfg: Gen[(Int, Int)] = for {
+      sz <- Gen.choose(1, 6); ov <- Gen.choose(0, sz - 1)
+    } yield (sz, ov)
+    samples(Gen.zip(texts, cfg), 10).foreach { case (ts, (sz, ov)) =>
+      val df = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = graft.ops.CorpusOps.chunkTokens(df, "doc_id", "text", sz, ov)
+        .select("id", "chunk_idx", "start_tok", "n_tokens", "chunk_text")
+        .as[(Long, Long, Long, Long, String)].collect().toSeq
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).toList).toMap
+      val step = sz - ov
+      ts.zipWithIndex.foreach { case (t, i) =>
+        val toks = t.split("\\s+").filter(_.nonEmpty).toSeq
+        val want = (0 until toks.length by step).zipWithIndex.map { case (st, ci) =>
+          val chunk = toks.slice(st, st + sz)
+          (i.toLong, ci.toLong, st.toLong, chunk.length.toLong, chunk.mkString(" "))
+        }.toList
+        assert(got.getOrElse(i.toLong, Nil) == want,
+          s"doc '$t' size=$sz overlap=$ov")
+      }
+    }
+  }
+
+  test("connectedComponents equals a driver-side union-find on random graphs") {
+    val edges: Gen[List[(Long, Long)]] =
+      Gen.listOfN(25, Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)))
+    samples(edges, 6).filter(_.nonEmpty).foreach { es =>
+      val got = graft.dedup.Dedup.connectedComponents(es.toDF("id_a", "id_b"), "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      // reference: union-find keeping the min id as every root
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = es.flatMap(e => Seq(e._1, e._2)).distinct.map(n => n -> find(n)).toMap
+      assert(got == want)
+    }
+  }
+
   test("SortedIntersectCount equals the naive set intersection for arbitrary sets") {
     import graft.functions.HashKernels
     val pairs = samples(Gen.zip(hashArrays, hashArrays), 30)
