@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -248,9 +248,32 @@ object VectorOps {
       codes.unpersist(blocking = false)
       centroids.unpersist(blocking = false)
     }
+
+    /** Persist codes (cell-partitioned, see [[IvfPqIndex.save]]) +
+      * centroids; the raw re-rank table is passed again at load.
+      */
+    def save(dir: String): Unit = {
+      codes.write.mode("overwrite").partitionBy("cid").parquet(s"$dir/codes")
+      centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    }
   }
 
   object IvfSq8Index {
+    /** Load an index persisted by save; byte codes re-cache (SQ8's
+      * resident set), `vectors` feeds only the exact re-rank.
+      */
+    def load(spark: SparkSession, dir: String,
+             vectors: DataFrame, idCol: String, vecCol: String): IvfSq8Index = {
+      val codes = spark.read.parquet(s"$dir/codes")
+        .select(col("cid").cast("long").as("cid"), col("id"), col("sq"))
+        .cache()
+      val cents = spark.read.parquet(s"$dir/centroids").cache()
+      codes.count(); cents.count()
+      val raw = graft.core.Graft.spread(vectors)
+        .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
+      new IvfSq8Index(codes, cents, raw)
+    }
+
     /** `trainCap` threads through to [[IvfIndex.build]]'s sampled
       * centroid training; SQ8 encoding itself is per-row (no training).
       */
@@ -541,6 +564,24 @@ object VectorOps {
       codes.unpersist(blocking = false) // superseded — don't leak per append
       new IvfPqIndex(merged, coarse, books, raw.unionAll(nv), m, k, dim)
     }
+
+    /** Persist the index to `dir` (parquet: codes partitioned BY CELL —
+      * so a future probe's `cid IN (...)` pre-filter is partition
+      * pruning at the scan, the on-storage layout the search path was
+      * designed for — plus coarse, books, and a one-row meta table).
+      * The raw vector table is NOT part of the index: it lives on
+      * storage already and only the exact re-rank touches it — pass it
+      * again at [[IvfPqIndex.load]].
+      */
+    def save(dir: String): Unit = {
+      codes.write.mode("overwrite").partitionBy("cid").parquet(s"$dir/codes")
+      coarse.write.mode("overwrite").parquet(s"$dir/coarse")
+      books.write.mode("overwrite").parquet(s"$dir/books")
+      val spark = codes.sparkSession
+      import spark.implicits._
+      Seq((m, k, dim)).toDF("m", "k", "dim")
+        .write.mode("overwrite").parquet(s"$dir/meta")
+    }
   }
 
   object IvfPqIndex {
@@ -585,6 +626,32 @@ object VectorOps {
         sum(lit(2.0) * col("cross") + col("pn2")).as("rterm"))
       .join(broadcast(coarse.select(col("cid"), col("cn2"))), "cid")
       .select(col("cid"), col("id"), col("code"), (col("cn2") + col("rterm")).as("nrm2"))
+
+    /** Load an index persisted by [[IvfPqIndex.save]]. `vectors` is the
+      * raw table the exact re-rank reads (same corpus the codes were
+      * built/appended from — codes join it by id, so a missing id just
+      * never re-ranks). Coarse/books are tiny and cache eagerly; codes
+      * stay storage-resident and LAZY — the per-query `cid IN (...)`
+      * pre-filter prunes whole cell partitions at the scan, which is
+      * exactly why save() partitions by cell. Cache codes explicitly for
+      * a hot probing loop if they fit.
+      */
+    def load(spark: SparkSession, dir: String,
+             vectors: DataFrame, idCol: String, vecCol: String): IvfPqIndex = {
+      val meta = spark.read.parquet(s"$dir/meta").head()
+      val (m, k, dim) = (meta.getAs[Int]("m"), meta.getAs[Int]("k"), meta.getAs[Int]("dim"))
+      // partition col back in front, re-widened: partition-value type
+      // inference reads cid=N directory names as int, not the long it
+      // was written from
+      val codes = spark.read.parquet(s"$dir/codes")
+        .select(col("cid").cast("long").as("cid"), col("id"), col("code"), col("nrm2"))
+      val coarse = spark.read.parquet(s"$dir/coarse").cache()
+      val books = spark.read.parquet(s"$dir/books").cache()
+      coarse.count(); books.count()
+      val raw = graft.core.Graft.spread(vectors)
+        .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
+      new IvfPqIndex(codes, coarse, books, raw, m, k, dim)
+    }
 
     /** Build: IVF coarse cells (reusing [[IvfIndex.build]]), then per-cell
       * PQ codebooks Lloyd-trained on residual slices. Cells smaller than

@@ -301,6 +301,38 @@ class VectorOpsSpec extends SparkSpec {
     ivf2.close(); pq2.close()
   }
 
+  test("IVF+PQ save/load round-trip: identical search results, cell-pruned layout") {
+    val e = Tables(spark, sfDir).embeddings
+    val queries = e.filter($"vec_id" < 3)
+    val idx = VectorOps.IvfPqIndex.build(e, "vec_id", "embedding", c = 16, m = 8, k = 16)
+    val before = idx.search(queries, "vec_id", "embedding", kTop = 10, nprobe = 4, rescore = 8)
+      .collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    idx.save(dir)
+    idx.close()
+    val loaded = VectorOps.IvfPqIndex.load(spark, dir, e, "vec_id", "embedding")
+    val after = loaded.search(queries, "vec_id", "embedding", kTop = 10, nprobe = 4, rescore = 8)
+      .collect().toSet
+    assert(after == before, "loaded index must return identical results")
+    // the persisted layout is cell-partitioned — the probe's cid filter
+    // is directory pruning, the on-storage shape search relies on
+    val cellDirs = new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.getName.startsWith("cid=")).map(_.getName).toSet
+    assert(cellDirs.nonEmpty, "codes must be partitioned by cell")
+    loaded.close()
+    // SQ8: same round-trip contract
+    val sq8 = VectorOps.IvfSq8Index.build(e, "vec_id", "embedding", c = 16)
+    val sq8Before = sq8.search(queries, "vec_id", "embedding", k = 10, nprobe = 4)
+      .collect().toSet
+    val sq8Dir = java.nio.file.Files.createTempDirectory("graft_idx_sq8").toString
+    sq8.save(sq8Dir)
+    sq8.close()
+    val sq8Loaded = VectorOps.IvfSq8Index.load(spark, sq8Dir, e, "vec_id", "embedding")
+    assert(sq8Loaded.search(queries, "vec_id", "embedding", k = 10, nprobe = 4)
+      .collect().toSet == sq8Before)
+    sq8Loaded.close()
+  }
+
   test("IVF+PQ: empty query frame returns empty") {
     val e = Tables(spark, sfDir).embeddings
     val idx = VectorOps.IvfPqIndex.build(e, "vec_id", "embedding", c = 16, m = 8, k = 16)
