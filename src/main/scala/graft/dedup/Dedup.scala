@@ -304,6 +304,27 @@ object Dedup {
       .distinct()
   }
 
+  /** End-to-end near-dup deduplication — the composition a training-data
+    * pipeline actually runs: MinHash-LSH candidate pairs (exact-verified
+    * at `threshold`) → [[connectedComponents]] → one survivor per group
+    * (the minimum id, matching [[dedupExact]]'s survivor rule). Returns
+    * one row per document: (id, group, keep) — filter on `keep` to
+    * drop near-duplicates, keep `group` to audit what collapsed where.
+    * Scale shape: the pair stage is the LSH equi-join (never all-pairs),
+    * CC rounds are equi-joins over the pair list (tiny next to the
+    * corpus), and the final labeling is one left join on id.
+    */
+  def nearDupGroups(docs: DataFrame, textCol: String, idCol: String,
+                    n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                    threshold: Double = 0.5): DataFrame = {
+    val pairs = minHashNearDups(docs, textCol, idCol, n, numHashes, bands, threshold)
+      .select("id_a", "id_b")
+    val comp = connectedComponents(pairs, "id_a", "id_b")
+    docs.select(col(idCol).as("id")).join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("grp"), col("id")).as("group"))
+      .withColumn("keep", col("group") === col("id"))
+  }
+
   /** Connected components over an undirected pair list (the step that
     * turns near-dup PAIRS into dedup GROUPS): iterated min-label
     * propagation — every node starts as its own label, each round takes

@@ -815,6 +815,26 @@ object Queries {
       .orderBy(col("score").desc, col("doc_id"))
   }
 
+  /** Document near-dup GROUPS with survivor flags — the document-rail
+    * sibling of q62 and the oracle-checked form of
+    * [[graft.dedup.Dedup.nearDupGroups]]'s composition: exact Jaccard
+    * pairs (q33's operator, so candidates are deterministic — the LSH
+    * variant is the hash-seed-specific scale path) → connected
+    * components → min-id survivor per group. Exact oracle: q33's pair
+    * CTE + a recursive-CTE transitive closure.
+    */
+  def q65_doc_dedup_groups(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val pairs = graft.dedup.Dedup.jaccardPairs(d, "text", "doc_id", n = 3, threshold = 0.5)
+      .select("id_a", "id_b")
+    val comp = graft.dedup.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", "doc_id")
+    d.select(col("doc_id")).join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("grp"), col("doc_id")).as("group_id"))
+      .withColumn("keep", col("group_id") === col("doc_id"))
+      .orderBy("doc_id")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -922,7 +942,8 @@ object Queries {
     "q61_chunking" -> (q61_chunking _),
     "q62_dedup_groups" -> (q62_dedup_groups _),
     "q63_keyword_search" -> (q63_keyword_search _),
-    "q64_hybrid_search" -> (q64_hybrid_search _)
+    "q64_hybrid_search" -> (q64_hybrid_search _),
+    "q65_doc_dedup_groups" -> (q65_doc_dedup_groups _)
   )
 }
 
@@ -1432,6 +1453,35 @@ object Oracles {
         |  CAST(len(list_slice(t, i+1, i+16)) AS BIGINT) AS n_tokens,
         |  array_to_string(list_slice(t, i+1, i+16), ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q65_doc_dedup_groups" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |       FROM toks CROSS JOIN unnest(generate_series(1, len(t)-2)) AS u(i)
+        |       WHERE len(t) >= 3
+        |       UNION
+        |       SELECT doc_id, array_to_string(t, ' ') AS g FROM toks WHERE len(t) < 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |p AS (SELECT id_a, id_b FROM inter
+        |      JOIN sizes sa ON sa.doc_id = id_a
+        |      JOIN sizes sb ON sb.doc_id = id_b
+        |      WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+        |          UNION ALL SELECT id_b AS src, id_a AS dst FROM p),
+        |reach AS (
+        |  SELECT src AS id, dst AS r FROM edges
+        |  UNION
+        |  SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src
+        |)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(least(d.doc_id, min(reach.r)), d.doc_id) AS BIGINT) AS group_id,
+        |  (CAST(coalesce(least(d.doc_id, min(reach.r)), d.doc_id) AS BIGINT) = d.doc_id) AS keep
+        |FROM documents d LEFT JOIN reach ON d.doc_id = reach.id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     "q62_dedup_groups" ->
       """WITH RECURSIVE
         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -178,6 +178,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("nearDupGroups: one survivor per dup cluster, singletons keep themselves") {
+    val got = Dedup.nearDupGroups(docs, "text", "doc_id", threshold = 0.5)
+      .as[(Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    // {1,2,3} collapse (2 exact, 3 near dup of 1) → 1 survives; 4, 5 isolated
+    assert(got == Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true), (5L, 5L, true)))
+    // no-dup corpus: everything keeps itself (empty pair list path)
+    val solo = Seq((10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "one two three four five six")).toDF("doc_id", "text")
+    val all = Dedup.nearDupGroups(solo, "text", "doc_id")
+      .as[(Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(all == Seq((10L, 10L, true), (11L, 11L, true)))
+  }
+
   test("connectedComponents labels every node with its component's min id") {
     // two components ({1,2,3} via a chain, {5,6}) + node 7 self-paired
     val pairs = Seq((2L, 1L), (2L, 3L), (5L, 6L), (7L, 7L)).toDF("id_a", "id_b")
