@@ -316,13 +316,25 @@ object Dedup {
     */
   def nearDupGroups(docs: DataFrame, textCol: String, idCol: String,
                     n: Int = 3, numHashes: Int = 64, bands: Int = 16,
-                    threshold: Double = 0.5): DataFrame = {
+                    threshold: Double = 0.5, maxIters: Int = 20): DataFrame = {
     val pairs = minHashNearDups(docs, textCol, idCol, n, numHashes, bands, threshold)
       .select("id_a", "id_b")
-    val comp = connectedComponents(pairs, "id_a", "id_b")
-    docs.select(col(idCol).as("id")).join(comp, Seq("id"), "left")
-      .select(col("id"), coalesce(col("grp"), col("id")).as("group"))
-      .withColumn("keep", col("group") === col("id"))
+    labelGroups(docs, idCol, pairs, "id_a", "id_b", maxIters)
+  }
+
+  /** The shared tail of the dedup-group family: label every row of `ids`
+    * with its dup-component's min id (isolated rows label themselves)
+    * plus a survivor flag. Output: (idCol, group, keep). `maxIters`
+    * bounds the propagation rounds — raise it for unusually chain-shaped
+    * dup graphs (each round covers one more hop of component diameter).
+    */
+  def labelGroups(ids: DataFrame, idCol: String, pairs: DataFrame,
+                  aCol: String, bCol: String, maxIters: Int = 20): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol, maxIters)
+      .withColumnRenamed("id", idCol)
+    ids.select(col(idCol)).join(comp, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("grp"), col(idCol)).as("group"))
+      .withColumn("keep", col("group") === col(idCol))
   }
 
   /** Connected components over an undirected pair list (the step that

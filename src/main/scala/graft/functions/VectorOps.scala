@@ -164,14 +164,18 @@ object VectorOps {
     def append(vectors: DataFrame, idCol: String, vecCol: String): IvfIndex = {
       val nv = graft.core.Graft.spread(vectors)
         .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
-      // the same guard build() enforces: a dim-mismatched batch would
-      // null-pad its way into arbitrary cells instead of failing loudly
+        .cache() // scanned twice: the stats guard, then the assignment
+      // the same guard build() enforces — PLUS a no-nulls check: min/max
+      // skip nulls, so a batch with null embeddings would pass a pure
+      // dim check and encode into arbitrary cells (nulls-first ordering)
       // (functions.size qualified — the index's `size` field shadows it)
       val arrLen = org.apache.spark.sql.functions.size(col("v"))
-      val st = nv.agg(count(lit(1)), min(arrLen), max(arrLen)).head()
-      if (st.getLong(0) == 0) return this
-      require(st.getInt(1) == dim && st.getInt(2) == dim,
-        s"append needs $dim-dim vectors, got ${st.getInt(1)}..${st.getInt(2)}")
+      val st = nv.agg(count(lit(1)), count(col("v")), min(arrLen), max(arrLen)).head()
+      if (st.getLong(0) == 0) { nv.unpersist(blocking = false); return this }
+      require(st.getLong(1) == st.getLong(0),
+        s"append got ${st.getLong(0) - st.getLong(1)} null vectors")
+      require(st.getInt(2) == dim && st.getInt(3) == dim,
+        s"append needs $dim-dim vectors, got ${st.getInt(2)}..${st.getInt(3)}")
       val w = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid").asc)
       val assignedNew = nv.crossJoin(broadcast(centroids))
         .select(col("id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("ccos"))
@@ -180,6 +184,7 @@ object VectorOps {
       val merged = assigned.unionAll(assignedNew).cache()
       val total = merged.count()
       assigned.unpersist(blocking = false) // superseded — don't leak per append
+      nv.unpersist(blocking = false)
       new IvfIndex(merged, centroids, dim, total)
     }
 
@@ -271,6 +276,13 @@ object VectorOps {
       codes.count(); cents.count()
       val raw = graft.core.Graft.spread(vectors)
         .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
+      // dim contract vs the (tiny, cached) centroids — a wrong-dim raw
+      // table would silently null every re-rank cosine
+      val dim = cents.select(size(col("cv"))).head().getInt(0)
+      val st = raw.agg(min(size(col("v"))), max(size(col("v")))).head()
+      require(st.isNullAt(0) || (st.getInt(0) == dim && st.getInt(1) == dim),
+        s"loaded index is $dim-dim but the raw table has " +
+          s"${st.getInt(0)}..${st.getInt(1)}-dim vectors")
       new IvfSq8Index(codes, cents, raw)
     }
 
@@ -544,13 +556,18 @@ object VectorOps {
       val s = PqIndex.subDim(dim, m)
       val nv = graft.core.Graft.spread(vectors)
         .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
-      // the same guard build() enforces (via IvfIndex.build): a dim-
-      // mismatched batch would null-pad residuals, and the assignment's
-      // nulls-first __d ordering would hand it arbitrary codes silently
-      val st = nv.agg(count(lit(1)), min(size(col("v"))), max(size(col("v")))).head()
-      if (st.getLong(0) == 0) return this
-      require(st.getInt(1) == dim && st.getInt(2) == dim,
-        s"append needs $dim-dim vectors, got ${st.getInt(1)}..${st.getInt(2)}")
+        .cache() // scanned twice: the stats guard, then the encode pass
+      // the same guard build() enforces (via IvfIndex.build) — PLUS a
+      // no-nulls check (min/max skip nulls): a dim-mismatched or null
+      // vector would null-pad residuals, and the assignment's nulls-
+      // first __d ordering would hand it arbitrary codes silently
+      val st = nv.agg(count(lit(1)), count(col("v")),
+        min(size(col("v"))), max(size(col("v")))).head()
+      if (st.getLong(0) == 0) { nv.unpersist(blocking = false); return this }
+      require(st.getLong(1) == st.getLong(0),
+        s"append got ${st.getLong(0) - st.getLong(1)} null vectors")
+      require(st.getInt(2) == dim && st.getInt(3) == dim,
+        s"append needs $dim-dim vectors, got ${st.getInt(2)}..${st.getInt(3)}")
       val wc = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid").asc)
       val assignedNew = nv.crossJoin(broadcast(coarse.select(col("cid"), col("cv"))))
         .select(col("id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("ccos"))
@@ -562,6 +579,9 @@ object VectorOps {
       val merged = codes.unionAll(newCodes).cache()
       merged.count()
       codes.unpersist(blocking = false) // superseded — don't leak per append
+      // the raw re-rank frame stays uncached by design — releasing nv
+      // just returns it to recompute-on-demand like the rest of raw
+      nv.unpersist(blocking = false)
       new IvfPqIndex(merged, coarse, books, raw.unionAll(nv), m, k, dim)
     }
 
@@ -650,6 +670,13 @@ object VectorOps {
       coarse.count(); books.count()
       val raw = graft.core.Graft.spread(vectors)
         .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
+      // a wrong-dim raw table would make every exact re-rank cosine null
+      // (silently wrong order) — one stats job at load catches it, the
+      // same contract build/append enforce
+      val st = raw.agg(min(size(col("v"))), max(size(col("v")))).head()
+      require(st.isNullAt(0) || (st.getInt(0) == dim && st.getInt(1) == dim),
+        s"loaded index is $dim-dim but the raw table has " +
+          s"${st.getInt(0)}..${st.getInt(1)}-dim vectors")
       new IvfPqIndex(codes, coarse, books, raw, m, k, dim)
     }
 

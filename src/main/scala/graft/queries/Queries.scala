@@ -779,10 +779,8 @@ object Queries {
     val pairs = graft.functions.VectorOps
       .cosineAllPairs(e, "vec_id", "embedding", threshold = 0.45)
       .select("id_a", "id_b")
-    val comp = graft.dedup.Dedup.connectedComponents(pairs, "id_a", "id_b")
-      .withColumnRenamed("id", "vec_id")
-    e.select(col("vec_id")).join(comp, Seq("vec_id"), "left")
-      .select(col("vec_id"), coalesce(col("grp"), col("vec_id")).as("group_id"))
+    graft.dedup.Dedup.labelGroups(e, "vec_id", pairs, "id_a", "id_b")
+      .select(col("vec_id"), col("group").as("group_id"))
       .orderBy("vec_id")
   }
 
@@ -827,11 +825,8 @@ object Queries {
     val d = Tables(spark, dir).documents
     val pairs = graft.dedup.Dedup.jaccardPairs(d, "text", "doc_id", n = 3, threshold = 0.5)
       .select("id_a", "id_b")
-    val comp = graft.dedup.Dedup.connectedComponents(pairs, "id_a", "id_b")
-      .withColumnRenamed("id", "doc_id")
-    d.select(col("doc_id")).join(comp, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("grp"), col("doc_id")).as("group_id"))
-      .withColumn("keep", col("group_id") === col("doc_id"))
+    graft.dedup.Dedup.labelGroups(d, "doc_id", pairs, "id_a", "id_b")
+      .select(col("doc_id"), col("group").as("group_id"), col("keep"))
       .orderBy("doc_id")
   }
 

@@ -298,6 +298,15 @@ class VectorOpsSpec extends SparkSpec {
     }.getMessage.contains("dim"))
     assert(ivf2.append(e.limit(0), "vec_id", "embedding") eq ivf2)
     assert(pq2.append(e.limit(0), "vec_id", "embedding") eq pq2)
+    // a null embedding must fail the guard, not encode into garbage
+    val withNull = Seq((7777L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    assert(intercept[IllegalArgumentException] {
+      ivf2.append(withNull, "vec_id", "embedding")
+    }.getMessage.contains("null"))
+    assert(intercept[IllegalArgumentException] {
+      pq2.append(withNull, "vec_id", "embedding")
+    }.getMessage.contains("null"))
     ivf2.close(); pq2.close()
   }
 
