@@ -86,17 +86,54 @@ object Dedup {
     // re-assemble sets (a full corpus shuffle) is gone entirely
     val perDoc = shingleSets(df, textCol, idCol, n)
       .select(col("id"), size(col("set")).cast("long").as("sz"), col("set"))
+    val cands = jaccardCandidates(perDoc, threshold, maxShingleDF)
+
+    // exact verification over the full gram sets: sets are sorted once
+    // per doc, then each candidate pair is a single codegen'd merge-count
+    // (i) with union size derived as |A|+|B|−i — no interpreted
+    // array_intersect/array_union allocation per pair
+    val sets = perDoc.select("id", "set")
+    cands
+      .join(sets.select(col("id").as("id_a"), col("set").as("sa")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("set").as("sb")), "id_b")
+      .withColumn("__i",
+        graft.functions.HashKernels.sortedIntersectCount(col("sa"), col("sb")))
+      .select(col("id_a"), col("id_b"),
+        (col("__i").cast("double") /
+          (size(col("sa")) + size(col("sb")) - col("__i")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Candidate pairs for [[jaccardPairs]] from a (id, sz, set) frame.
+    *
+    * Prefix filtering (PPJoin family): order each doc's grams globally by
+    * ascending document frequency (rarest first, gram hash as tie-break).
+    * Two sets with jaccard ≥ t MUST share a gram within their prefixes of
+    * length |set| − ⌈t·|set|⌉ + 1 under any shared total order — so
+    * indexing only prefixes is exact, and rare-first ordering keeps
+    * boilerplate grams out of the index, collapsing the candidate count.
+    * The bound is computed in decimal so t·sz integral (t=0.8, sz=10)
+    * can't round the prefix one short.
+    *
+    * Candidate pruning accumulates overlap per pair (the PPJoin+
+    * refinement of the row-at-a-time positional filter): with opp =
+    * #shared prefix grams and g_last their global maximum,
+    * `|A∩B| ≤ opp + min(|A|−pos_A(g_last), |B|−pos_B(g_last))` — every
+    * shared gram NOT counted in opp (outside a prefix, or dropped by the
+    * hot-gram guard, which only drops grams hotter than any kept one)
+    * ranks after g_last in the shared (df, gram) total order, on both
+    * sides. This bound is exact and always ≤ the old per-row bound
+    * `1 + min(|A|−pos_A(g₁), |B|−pos_B(g₁))` (positions of shared grams
+    * strictly increase together), so the verify set only shrinks; the
+    * groupBy replaces the `distinct()` the per-row form needed anyway —
+    * same shuffle, tighter output. `accumulate = false` keeps the legacy
+    * per-row form so the candidate-count drop stays measurable in specs.
+    */
+  private[graft] def jaccardCandidates(perDoc: DataFrame, threshold: Double,
+                                       maxShingleDF: Long,
+                                       accumulate: Boolean = true): DataFrame = {
     val sh = perDoc.select(col("id"), explode(col("set")).as("g"))
     val sizes = perDoc.select("id", "sz")
-
-    // Prefix filtering (PPJoin family): order each doc's grams globally by
-    // ascending document frequency (rarest first, gram hash as tie-break).
-    // Two sets with jaccard ≥ t MUST share a gram within their prefixes of
-    // length |set| − ⌈t·|set|⌉ + 1 under any shared total order — so
-    // indexing only prefixes is exact, and rare-first ordering keeps
-    // boilerplate grams out of the index, collapsing the candidate count.
-    // The bound is computed in decimal so t·sz integral (t=0.8, sz=10)
-    // can't round the prefix one short.
     val dfg = sh.groupBy("g").agg(count("*").as("dfg"))
     val wDoc = Window.partitionBy(col("id")).orderBy(col("dfg"), col("g"))
     val prefix = sh.join(dfg, "g").join(sizes, "id")
@@ -122,36 +159,32 @@ object Dedup {
     val tf = lit(new java.math.BigDecimal(threshold / (1.0 + threshold))
       .setScale(10, java.math.RoundingMode.FLOOR))
     val withSz = indexed.join(sizes, "id")
-    val cands = withSz.as("a").join(withSz.as("b"),
-        col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
-          // length filter (exact): jaccard ≥ t is impossible unless
-          // min(|A|,|B|) ≥ ⌈t·max(|A|,|B|)⌉
-          least(col("a.sz"), col("b.sz")) >=
-            ceil(exactDec(threshold) * greatest(col("a.sz"), col("b.sz"))) &&
-          // positional filter (PPJoin): the globally-first common gram g₁
-          // sits in both prefixes, and every other common gram ranks after
-          // it, so |A∩B| ≤ 1 + min(|A|−pos_A(g₁), |B|−pos_B(g₁)). Filtering
-          // each joined row and keeping pairs where ANY row passes is
-          // exact: a qualifying pair always survives via g₁'s row.
-          lit(1) + least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos")) >=
-            ceil(tf * (col("a.sz") + col("b.sz"))))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-
-    // exact verification over the full gram sets: sets are sorted once
-    // per doc, then each candidate pair is a single codegen'd merge-count
-    // (i) with union size derived as |A|+|B|−i — no interpreted
-    // array_intersect/array_union allocation per pair
-    val sets = perDoc.select("id", "set")
-    cands
-      .join(sets.select(col("id").as("id_a"), col("set").as("sa")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("set").as("sb")), "id_b")
-      .withColumn("__i",
-        graft.functions.HashKernels.sortedIntersectCount(col("sa"), col("sb")))
-      .select(col("id_a"), col("id_b"),
-        (col("__i").cast("double") /
-          (size(col("sa")) + size(col("sb")) - col("__i")).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    // length filter (exact): jaccard ≥ t is impossible unless
+    // min(|A|,|B|) ≥ ⌈t·max(|A|,|B|)⌉
+    val lengthOk = least(col("a.sz"), col("b.sz")) >=
+      ceil(exactDec(threshold) * greatest(col("a.sz"), col("b.sz")))
+    if (accumulate)
+      withSz.as("a").join(withSz.as("b"),
+          col("a.g") === col("b.g") && col("a.id") < col("b.id") && lengthOk)
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("__opp"),
+          max(col("a.pos")).as("__pa"), max(col("b.pos")).as("__pb"),
+          first(col("a.sz")).as("__sza"), first(col("b.sz")).as("__szb"))
+        .filter(col("__opp") +
+            least(col("__sza") - col("__pa"), col("__szb") - col("__pb")) >=
+          ceil(tf * (col("__sza") + col("__szb"))))
+        .select("id_a", "id_b")
+    else
+      withSz.as("a").join(withSz.as("b"),
+          col("a.g") === col("b.g") && col("a.id") < col("b.id") && lengthOk &&
+            // positional filter (PPJoin): the globally-first common gram g₁
+            // sits in both prefixes, every other common gram ranks after it,
+            // so |A∩B| ≤ 1 + min(|A|−pos_A(g₁), |B|−pos_B(g₁)); ANY-row
+            // survival is exact via g₁'s row
+            lit(1) + least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos")) >=
+              ceil(tf * (col("a.sz") + col("b.sz"))))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
   }
 
   /** MinHash signature: `numHashes` independent min-hashes over the
@@ -353,6 +386,14 @@ object Dedup {
     * left-join + coalesce to give isolated rows their own group.
     * Throws if `maxIters` rounds don't converge (loud, not silently
     * wrong — raise the cap for pathological chain-shaped graphs).
+    *
+    * Memory contract: each round's superseded label checkpoint is
+    * released as soon as the next round has consumed it (nothing drops
+    * localCheckpoint blocks implicitly — on large graphs they would
+    * otherwise accumulate in block-manager memory for the session's
+    * life). The RETURNED frame still holds its own checkpoint blocks;
+    * call [[releaseCheckpoint]] on it once fully consumed if labeling
+    * many corpora in one long-lived session.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIters: Int = 20): DataFrame = {
@@ -373,6 +414,7 @@ object Dedup {
         .localCheckpoint(true)
       val changed = next.select(col("id"), col("grp").as("__g2"))
         .join(cur, "id").filter(col("__g2") =!= col("grp")).count()
+      releaseCheckpoint(cur) // `changed` was the last consumer of this round
       cur = next
       converged = changed == 0
       round += 1
@@ -381,5 +423,14 @@ object Dedup {
     require(converged,
       s"connectedComponents did not converge in $maxIters rounds — raise maxIters")
     cur
+  }
+
+  /** Release the persisted blocks behind a localCheckpoint-ed frame (a
+    * checkpointed Dataset is a LogicalRDD over persisted partitions; no
+    * API drops those blocks implicitly). No-op on non-checkpointed frames.
+    */
+  def releaseCheckpoint(df: DataFrame): Unit = df.queryExecution.logical match {
+    case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+    case _ => ()
   }
 }

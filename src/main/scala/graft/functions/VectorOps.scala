@@ -38,12 +38,14 @@ object VectorOps {
   def norm2(a: Column): Column = dot(a, a)
 
   /** cos(a,b) = dot / sqrt(|a|²·|b|²) — single sqrt, mirrored verbatim in
-    * the oracle SQL. Reference HOF formulation; [[cosine]] routes to the
-    * codegen'd native kernel which is bit-identical (same fold order) and
-    * ~an order of magnitude faster on brute-force scans.
+    * the oracle SQL. Reference HOF formulation — built on [[dotHof]] so it
+    * stays interpreted end-to-end (it IS the baseline Profile's "hof" row
+    * measures); [[cosine]] routes to the codegen'd native kernel which is
+    * bit-identical (same fold order) and ~an order of magnitude faster on
+    * brute-force scans.
     */
   def cosineHof(a: Column, b: Column): Column =
-    dot(a, b) / sqrt(norm2(a) * norm2(b))
+    dotHof(a, b) / sqrt(dotHof(a, a) * dotHof(b, b))
 
   def cosine(a: Column, b: Column): Column = VectorKernel.cosineNative(a, b)
 
@@ -170,12 +172,22 @@ object VectorOps {
       // dim check and encode into arbitrary cells (nulls-first ordering)
       // (functions.size qualified — the index's `size` field shadows it)
       val arrLen = org.apache.spark.sql.functions.size(col("v"))
-      val st = nv.agg(count(lit(1)), count(col("v")), min(arrLen), max(arrLen)).head()
+      val st = nv.agg(count(lit(1)), count(col("v")), min(arrLen), max(arrLen),
+        countDistinct(col("id"))).head()
       if (st.getLong(0) == 0) { nv.unpersist(blocking = false); return this }
       require(st.getLong(1) == st.getLong(0),
         s"append got ${st.getLong(0) - st.getLong(1)} null vectors")
       require(st.getInt(2) == dim && st.getInt(3) == dim,
         s"append needs $dim-dim vectors, got ${st.getInt(2)}..${st.getInt(3)}")
+      // ids must be FRESH: a duplicate would yield two code rows for one
+      // id and a top-k list can then return the same id twice. The batch-
+      // internal check rides the stats job; the vs-index check is one
+      // pass over the (cached) assignment's id column — cheap next to the
+      // assignment pass this append is about to run anyway.
+      require(st.getLong(4) == st.getLong(0),
+        s"append batch carries ${st.getLong(0) - st.getLong(4)} duplicate ids")
+      val clash = assigned.select("id").join(nv.select("id"), "id").limit(1).count()
+      require(clash == 0, "append ids must be fresh — at least one id is already indexed")
       val w = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid").asc)
       val assignedNew = nv.crossJoin(broadcast(centroids))
         .select(col("id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("ccos"))
@@ -513,7 +525,20 @@ object VectorOps {
           struct(lit(j).as("j"), slice(col("qv"), j * s + 1, s).as("sv"))): _*)).as("e"))
         .select(col("qid"), col("cid"), col("qv"), col("qnrm2"), col("qc"),
           col("e.j").as("j"), col("e.sv").as("sv"))
-      val qtbl = qsub.join(broadcast(books.select("cid", "j", "pcid", "pv")), Seq("cid", "j"))
+      // books get the SAME probed-cell pre-filter the code table gets:
+      // the broadcast side of the ADC-table join is bounded by
+      // |probed cells|·m·k rows, not c·m·k — at 100 TB operating points
+      // (c ≈ √n) the full books frame is past any broadcast threshold,
+      // while the probed slice stays nprobe-sized. If even that slice is
+      // too big (huge query batches probing most cells), fall back to a
+      // shuffle join keyed by (cid, j) rather than broadcasting it.
+      val booksProbed = books.select("cid", "j", "pcid", "pv")
+        .filter(col("cid").isin(cidVals: _*))
+      val booksSide =
+        if (cidVals.size.toLong * m * k <= IvfPqIndex.BooksBroadcastMaxRows)
+          broadcast(booksProbed)
+        else booksProbed
+      val qtbl = qsub.join(booksSide, Seq("cid", "j"))
         .select(col("qid"), col("cid"), col("qv"), col("qnrm2"), col("qc"),
           col("j"), col("pcid"), dot(col("sv"), col("pv")).as("d"))
         .groupBy("qid", "cid").agg(
@@ -562,20 +587,30 @@ object VectorOps {
       // vector would null-pad residuals, and the assignment's nulls-
       // first __d ordering would hand it arbitrary codes silently
       val st = nv.agg(count(lit(1)), count(col("v")),
-        min(size(col("v"))), max(size(col("v")))).head()
+        min(size(col("v"))), max(size(col("v"))), countDistinct(col("id"))).head()
       if (st.getLong(0) == 0) { nv.unpersist(blocking = false); return this }
       require(st.getLong(1) == st.getLong(0),
         s"append got ${st.getLong(0) - st.getLong(1)} null vectors")
       require(st.getInt(2) == dim && st.getInt(3) == dim,
         s"append needs $dim-dim vectors, got ${st.getInt(2)}..${st.getInt(3)}")
+      // fresh-id contract (same rationale as IvfIndex.append): a duplicate
+      // id would put two code rows in the index and search could return
+      // the same id twice in one top-k list
+      require(st.getLong(4) == st.getLong(0),
+        s"append batch carries ${st.getLong(0) - st.getLong(4)} duplicate ids")
+      val clash = codes.select("id").join(nv.select("id"), "id").limit(1).count()
+      require(clash == 0, "append ids must be fresh — at least one id is already indexed")
       val wc = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid").asc)
       val assignedNew = nv.crossJoin(broadcast(coarse.select(col("cid"), col("cv"))))
         .select(col("id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("ccos"))
         .withColumn("__rn", row_number().over(wc)).filter(col("__rn") === 1)
         .select("cid", "id", "v")
       val slices = IvfPqIndex.resSlices(assignedNew, coarse, m, s)
-      val asg = IvfPqIndex.bookAssign(slices, books.select("cid", "j", "pcid", "pv"))
-      val newCodes = IvfPqIndex.encodeCodes(asg, books, coarse)
+      // books row count = c·m·k exactly (cached frame, cheap count) — the
+      // broadcast-vs-shuffle switch is the same one build makes
+      val bcBooks = books.count() <= IvfPqIndex.BooksBroadcastMaxRows
+      val asg = IvfPqIndex.bookAssign(slices, books.select("cid", "j", "pcid", "pv"), bcBooks)
+      val newCodes = IvfPqIndex.encodeCodes(asg, books, coarse, bcBooks)
       val merged = codes.unionAll(newCodes).cache()
       merged.count()
       codes.unpersist(blocking = false) // superseded — don't leak per append
@@ -618,15 +653,28 @@ object VectorOps {
           struct(lit(j).as("j"), slice(col("r"), j * s + 1, s).as("sv"))): _*)).as("e"))
       .select(col("cid"), col("id"), col("e.j").as("j"), col("e.sv").as("sv"))
 
+    /** Broadcasting the full books frame is safe only while c·m·k stays
+      * modest: at the 100 TB operating point (c ≈ √n ≈ 3·10⁴ for 10⁹
+      * vectors, m=8, k=16) it is ~4M rows ≈ hundreds of MB. Above this
+      * bound [[bookAssign]] and the search-path ADC-table join switch to
+      * a shuffle join keyed by (cid, j) — books and slices co-partition
+      * on the same key, so the join stays local after one exchange.
+      */
+    private[functions] val BooksBroadcastMaxRows = 500000L
+
     /** L2 argmin of every slice over ITS cell's book (join key includes
       * cid, so a slice only scores against its cell's k centroids); the
       * native-dot decomposition ‖pv‖² − 2·dot(sv, pv) is argmin-equal to
       * the true distance (the constant ‖sv‖² term cannot move it).
-      * Returns (cid, id, j, pcid, sv).
+      * Returns (cid, id, j, pcid, sv). `broadcastBooks = false` (set by
+      * callers when the books frame exceeds [[BooksBroadcastMaxRows]])
+      * shuffles on (cid, j) instead of broadcasting.
       */
-    private[functions] def bookAssign(slices: DataFrame, bks: DataFrame): DataFrame = {
+    private[functions] def bookAssign(slices: DataFrame, bks: DataFrame,
+                                      broadcastBooks: Boolean = true): DataFrame = {
       val w = Window.partitionBy(col("id"), col("j")).orderBy(col("__d"), col("pcid"))
-      slices.join(broadcast(bks.withColumn("__pn2", dot(col("pv"), col("pv")))), Seq("cid", "j"))
+      val withN2 = bks.withColumn("__pn2", dot(col("pv"), col("pv")))
+      slices.join(if (broadcastBooks) broadcast(withN2) else withN2, Seq("cid", "j"))
         .select(col("cid"), col("id"), col("j"), col("sv"), col("pcid"),
           (col("__pn2") - lit(2.0) * dot(col("sv"), col("pv"))).as("__d"))
         .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
@@ -637,8 +685,12 @@ object VectorOps {
       * ‖v̂‖² = ‖c‖² + Σ_j (2·cross_j + pn2_j); returns (cid, id, code, nrm2).
       */
     private[functions] def encodeCodes(asg: DataFrame, books: DataFrame,
-                                       coarse: DataFrame): DataFrame = asg
-      .join(broadcast(books.select("cid", "j", "pcid", "pn2", "cross")), Seq("cid", "j", "pcid"))
+                                       coarse: DataFrame,
+                                       broadcastBooks: Boolean = true): DataFrame = asg
+      .join({
+        val b = books.select("cid", "j", "pcid", "pn2", "cross")
+        if (broadcastBooks) broadcast(b) else b
+      }, Seq("cid", "j", "pcid"))
       .groupBy("id").agg(
         first(col("cid")).as("cid"),
         transform(array_sort(collect_list(struct(col("j"), col("pcid")))),
@@ -742,11 +794,14 @@ object VectorOps {
           .select(col("cid"), col("j"), col("pcid"),
             array((0 until s).map(i => col(s"__s$i") / col("__n")): _*).as("pv"))
       }
+      // the books frame is exactly c·m·k rows everywhere below — decide
+      // broadcast-vs-shuffle once (see BooksBroadcastMaxRows)
+      val bcBooks = c.toLong * m * k <= IvfPqIndex.BooksBroadcastMaxRows
       // empty clusters carry their previous centroid forward — every
       // (cid, j, pcid) in the grid must survive for the ADC layout
       def lloyd(prev: DataFrame): DataFrame = prev
         .select(col("cid"), col("j"), col("pcid"), col("pv").as("__pv0"))
-        .join(mean(IvfPqIndex.bookAssign(sub, prev)), Seq("cid", "j", "pcid"), "left")
+        .join(mean(IvfPqIndex.bookAssign(sub, prev, bcBooks)), Seq("cid", "j", "pcid"), "left")
         .select(col("cid"), col("j"), col("pcid"), coalesce(col("pv"), col("__pv0")).as("pv"))
       // each Lloyd step materializes its (tiny, ≤ c·m·k-row) book frame:
       // an uncached foldLeft lineage re-runs every earlier assign/mean
@@ -769,8 +824,8 @@ object VectorOps {
       // stream when training was sampled — the single corpus scan)
       val asg = IvfPqIndex.bookAssign(
         if (sampled) IvfPqIndex.resSlices(ivf.assigned, coarse, m, s) else sub,
-        books.select("cid", "j", "pcid", "pv"))
-      val codes = IvfPqIndex.encodeCodes(asg, books, coarse).cache()
+        books.select("cid", "j", "pcid", "pv"), bcBooks)
+      val codes = IvfPqIndex.encodeCodes(asg, books, coarse, bcBooks).cache()
       // ONE materialization fills all three caches: codes' lineage scans
       // books (the final assign + norm join) and coarse (the norm join),
       // so separate counts were two redundant jobs

@@ -213,6 +213,71 @@ class DedupSpec extends SparkSpec {
     }.getMessage.contains("converge"))
   }
 
+  test("accumulated PPJoin bound prunes a candidate the per-row filter keeps, exactly") {
+    // Crafted gram-hash sets (jaccardCandidates takes the (id, sz, set)
+    // frame directly): docs 1 and 2 share exactly grams 100 (df 2 → global
+    // rank 1 in both prefixes) and 200 (df 4 → prefix position 7 in both).
+    // At t=0.5, α = ⌈(24)/3⌉ = 8: the per-row filter keeps the pair via
+    // gram 100's row (1 + min(11,11) = 12 ≥ 8) but the accumulated bound
+    // 2 + min(12−7, 12−7) = 7 < 8 proves overlap < α — and indeed true
+    // jaccard is 2/22. Aux docs 3-6 exist only to shape the gram dfs.
+    val f3a = (311L to 315L); val f3b = (411L to 415L)
+    val f5a = (321L to 325L); val f5b = (421L to 425L)
+    val sets = Seq(
+      1L -> (Seq(100L, 200L) ++ f3a ++ f5a),
+      2L -> (Seq(100L, 200L) ++ f3b ++ f5b),
+      3L -> (Seq(200L) ++ f3a ++ f3b ++ f5a ++ f5b),
+      4L -> (Seq(200L) ++ f3a ++ f3b ++ f5a ++ f5b),
+      5L -> (f5a ++ f5b).toSeq,
+      6L -> (f5a ++ f5b).toSeq)
+    val perDoc = sets.toDF("id", "set")
+      .select(col("id"), size(col("set")).cast("long").as("sz"), col("set"))
+    def cands(acc: Boolean) =
+      Dedup.jaccardCandidates(perDoc, 0.5, Long.MaxValue, accumulate = acc)
+        .as[(Long, Long)].collect().toSet
+    val legacy = cands(false)
+    val tight = cands(true)
+    assert(legacy.contains((1L, 2L)), "per-row ANY keeps the pair via gram 100")
+    assert(!tight.contains((1L, 2L)), "accumulated bound proves overlap < α")
+    assert(tight.subsetOf(legacy), "refinement may only drop candidates")
+  }
+
+  test("accumulated candidates never exceed the per-row form on the corpus, same pairs out") {
+    val d = Tables(spark, sfDir).documents
+    // same (id, sz, set) shape jaccardPairs feeds in (sorted distinct
+    // gram hashes from the native shingling kernel)
+    val perDoc = d.select(col("doc_id").as("id"),
+        graft.functions.HashKernels.ngramSetHashes(
+          graft.functions.HashKernels.arrayXxHash64(
+            graft.text.TextFunctions.tokens(col("text"))), 3).as("set"))
+      .select(col("id"), size(col("set")).cast("long").as("sz"), col("set"))
+    val tight = Dedup.jaccardCandidates(perDoc, 0.5, 100000L)
+      .as[(Long, Long)].collect().toSet
+    val legacy = Dedup.jaccardCandidates(perDoc, 0.5, 100000L, accumulate = false)
+      .as[(Long, Long)].collect().toSet
+    assert(tight.subsetOf(legacy),
+      s"accumulated bound invented candidates: ${(tight -- legacy).take(5)}")
+    // the final verified pair set is unchanged (exactness): asserted
+    // against brute force by the 0.8/0.9 boundary test above; here the
+    // candidate superset relation is the measured drop
+    info(s"candidates: per-row=${legacy.size} accumulated=${tight.size}")
+  }
+
+  test("connectedComponents releases superseded per-round checkpoints") {
+    val sc = spark.sparkContext
+    // a 9-node chain forces many rounds → many superseded checkpoints
+    val pairs = (1L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val before = sc.getPersistentRDDs.keySet
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    assert(got.count() == 9)
+    val added = sc.getPersistentRDDs.keySet -- before
+    assert(added.size <= 1,
+      s"only the returned frame's blocks may remain, found ${added.size} persisted RDDs")
+    Dedup.releaseCheckpoint(got)
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+      "releaseCheckpoint must drop the returned frame's blocks")
+  }
+
   test("simHashNearDups matches brute-force hamming join on the sf0.001 corpus") {
     val fps = Dedup.simHash(Tables(spark, sfDir).documents, "text", "doc_id").cache()
     val got = Dedup.simHashNearDups(fps, maxHamming = 10)

@@ -310,6 +310,44 @@ class VectorOpsSpec extends SparkSpec {
     ivf2.close(); pq2.close()
   }
 
+  test("index append rejects ids already present and batch-internal duplicates") {
+    val e = Tables(spark, sfDir).embeddings
+    val dup = e.filter($"vec_id" === 1) // id already in the index
+    val ivf = VectorOps.IvfIndex.build(e, "vec_id", "embedding", c = 8)
+    assert(intercept[IllegalArgumentException] {
+      ivf.append(dup, "vec_id", "embedding")
+    }.getMessage.contains("fresh"))
+    val twice = dup.select(lit(888888L).as("vec_id"), $"embedding")
+      .unionAll(dup.select(lit(888888L).as("vec_id"), $"embedding"))
+    assert(intercept[IllegalArgumentException] {
+      ivf.append(twice, "vec_id", "embedding")
+    }.getMessage.contains("duplicate"))
+    ivf.close()
+    val pq = VectorOps.IvfPqIndex.build(e, "vec_id", "embedding", c = 8, m = 8, k = 16)
+    assert(intercept[IllegalArgumentException] {
+      pq.append(dup, "vec_id", "embedding")
+    }.getMessage.contains("fresh"))
+    assert(intercept[IllegalArgumentException] {
+      pq.append(twice, "vec_id", "embedding")
+    }.getMessage.contains("duplicate"))
+    pq.close()
+  }
+
+  test("IVF+PQ search pre-filters BOTH codes and books to probed cells in-plan") {
+    val e = Tables(spark, sfDir).embeddings
+    val idx = VectorOps.IvfPqIndex.build(e, "vec_id", "embedding", c = 16, m = 8, k = 16)
+    val res = idx.search(e.filter($"vec_id" === 0), "vec_id", "embedding",
+      kTop = 5, nprobe = 2, rescore = 4)
+    // the ADC-table join side must be bounded by |probed cells|·m·k book
+    // rows, never c·m·k: both the code table AND the books frame carry a
+    // `cid IN (probed...)` pre-filter in the optimized plan
+    val plan = res.queryExecution.optimizedPlan.toString
+    val inFilters = "cid#\\d+L? IN".r.findAllIn(plan).size
+    assert(inFilters >= 2,
+      s"expected cid IN pre-filters on codes AND books, found $inFilters")
+    idx.close()
+  }
+
   test("IVF+PQ save/load round-trip: identical search results, cell-pruned layout") {
     val e = Tables(spark, sfDir).embeddings
     val queries = e.filter($"vec_id" < 3)
