@@ -251,4 +251,32 @@ object CorpusOps {
             .cast("long") - 128L)
           .as("code"))
   }
+
+  /** Per-vector int8 quantization STATS in one shuffle-free scan: the
+    * same codes as [[quantizeInt8]] (bit-equal arithmetic, spec-asserted)
+    * folded row-locally with array expressions — min/max/sum plus the
+    * distinct-code count. This is the scale answer to the q49 plan note
+    * (PLANS.md): the exploded groupBy pays a shuffle and `countDistinct`
+    * adds an Expand pass over it, while here even n_codes is
+    * `size(array_distinct(codes))` inside the row. Array HOFs are
+    * interpreted, but the fold is per-row over ≤dim elements with no
+    * nested expensive expressions — the documented acceptable HOF shape.
+    */
+  def quantizeInt8Stats(vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = graft.core.Graft.spread(vectors).select(col(idCol).as("id"),
+      graft.functions.VectorOps.toDoubleArr(col(vecCol)).as("v"))
+    v.select(col("id"), col("v"),
+        array_min(col("v")).as("mn"), array_max(col("v")).as("mx"))
+      .select(col("id"),
+        when(col("mx") === col("mn"), transform(col("v"), _ => lit(0L)))
+          .otherwise(transform(col("v"), x =>
+            floor((x - col("mn")) * lit(255.0) / (col("mx") - col("mn")))
+              .cast("long") - 128L))
+          .as("c"))
+      .select(col("id"),
+        array_min(col("c")).as("code_min"),
+        array_max(col("c")).as("code_max"),
+        aggregate(col("c"), lit(0L), (s, x) => s + x).as("code_sum"),
+        size(array_distinct(col("c"))).cast("long").as("n_codes"))
+  }
 }

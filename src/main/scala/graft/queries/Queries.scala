@@ -830,6 +830,135 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Corpus-scale near-dup GROUPS — the LSH composition
+    * ([[graft.dedup.Dedup.nearDupGroups]]): MinHash band candidates →
+    * exact-verified pairs → connected components → min-id survivor. The
+    * pair stage is an equi-join on band buckets (never all-pairs), so
+    * THIS is the groups form that runs at 100 TB; q62/q65 are its
+    * oracle-checked exact siblings over brute-force/PPJoin pair lists.
+    * Rows-only (band bucketing is hash-seed-specific); DedupSpec asserts
+    * its same-group relation ⊆ the exact one with recall ≥ 0.9.
+    */
+  def q66_neardup_groups_lsh(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.nearDupGroups(Tables(spark, dir).documents, "text", "doc_id",
+        n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select(col("doc_id"), col("group").as("group_id"), col("keep"))
+      .orderBy("doc_id")
+
+  /** Shared brute-force top-10 oracle shape for the exact-probe ANN
+    * rungs (q67-q70): all four must hash-match q34's DuckDB SQL.
+    */
+  private def annExactShape(res: DataFrame): DataFrame =
+    res.select(col("id").as("vec_id"), col("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+
+  /** `rescore` making kTop·rescore cover the whole corpus, so the
+    * approximate shortlist cut keeps every candidate and the exact
+    * re-rank degenerates to brute force (the count is one cheap driver
+    * job against table metadata-scale input).
+    */
+  private def fullRescore(e: DataFrame, kTop: Int): Int =
+    ((e.count() + kTop - 1) / kTop).toInt
+
+  /** IVF at full probe (nprobe = c) is provably exact: scoring inside a
+    * cell is exact cosine and the probed union is the corpus — so this
+    * rung hash-checks against the brute-force oracle (q34's SQL), pinning
+    * the index machinery (build, assignment, probe, re-rank) to an exact
+    * answer while q35 stays the approx/recall-measured operating point.
+    */
+  def q67_ann_ivf_exact(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val idx = graft.functions.VectorOps.IvfIndex.build(e, "vec_id", "embedding", c = 16)
+    annExactShape(
+      idx.search(e.filter(col("vec_id") === 0), "vec_id", "embedding", k = 10, nprobe = 16))
+  }
+
+  /** IVF-SQ8 at full probe AND full rescore: every candidate survives the
+    * approximate cut, so the exact re-rank returns brute-force top-k —
+    * hash-checked (q53 stays the approx operating point).
+    */
+  def q68_ann_sq8_exact(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val idx = graft.functions.VectorOps.IvfSq8Index.build(e, "vec_id", "embedding", c = 16)
+    annExactShape(
+      idx.search(e.filter(col("vec_id") === 0), "vec_id", "embedding",
+        k = 10, nprobe = 16, rescore = fullRescore(e, 10)))
+  }
+
+  /** Flat PQ at full rescore: ADC ranks, the cut keeps everything, the
+    * exact re-rank is brute force — hash-checked (q56 stays the approx
+    * operating point).
+    */
+  def q69_ann_pq_exact(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val idx = graft.functions.VectorOps.PqIndex.build(e, "vec_id", "embedding", m = 8, k = 16)
+    annExactShape(
+      idx.search(e.filter(col("vec_id") === 0), "vec_id", "embedding",
+        kTop = 10, rescore = fullRescore(e, 10)))
+  }
+
+  /** IVF+PQ at full probe and full rescore — the composed index's
+    * machinery (coarse assign, per-cell residual books, ADC with the
+    * dot(q,c) term, norm reconstruction, re-rank) pinned to the exact
+    * brute-force answer (q57 stays the approx operating point).
+    */
+  def q70_ann_ivfpq_exact(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val idx = graft.functions.VectorOps.IvfPqIndex.build(
+      e, "vec_id", "embedding", c = 16, m = 8, k = 16, pqIters = 1)
+    annExactShape(
+      idx.search(e.filter(col("vec_id") === 0), "vec_id", "embedding",
+        kTop = 10, nprobe = 16, rescore = fullRescore(e, 10)))
+  }
+
+  /** Integer BM25 components (per-term tf + dl per document) under an
+    * exact oracle — the hash-checked data path beneath q63's rows-only
+    * scored form (df/N/avgdl are exact aggregates of these columns; only
+    * the final ln-scored combination is libm-unstable).
+    */
+  def q71_bm25_components(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextSearch.bm25Components(Tables(spark, dir).documents,
+        "doc_id", "text", Seq("hash", "join", "spark"))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  /** Position-aware phrase stats under an exact oracle: occurrences of
+    * the adjacent-in-order phrase "table hash" per document (the integer
+    * surface beneath q73's phrase-filtered ranking) — what bag-of-words
+    * tf cannot express, as a shuffle-free per-row projection.
+    */
+  def q72_phrase_stats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.{TextFunctions, TextSearch}
+    graft.core.Graft.spread(Tables(spark, dir).documents)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+        TextSearch.phraseTf(col("t"), Seq("table", "hash")).as("tf_phrase"))
+      .orderBy("doc_id")
+  }
+
+  /** Phrase-constrained BM25 top-10 ("table hash", adjacent in order) —
+    * rows-only like q63 (ln scores); TextSearchSpec owns correctness with
+    * crafted adjacent/non-adjacent docs + driver recomputation, and q72
+    * hash-checks the phrase counts themselves.
+    */
+  def q73_phrase_search(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextSearch.phraseTopK(Tables(spark, dir).documents,
+        "doc_id", "text", Seq("table", "hash"), k = 10)
+      .select(col("id").as("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+
+  /** q49's quantization stats as ONE shuffle-free scan (same oracle):
+    * codes folded row-locally — min/max/sum/distinct inside the row,
+    * no posexplode shuffle, no countDistinct Expand. The plan q49's
+    * PLANS.md note asked for, kept alongside q49 so the exploded stream
+    * form (the storage-side transform) stays covered too.
+    */
+  def q74_quantize_stats(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusOps.quantizeInt8Stats(Tables(spark, dir).embeddings, "vec_id", "embedding")
+      .select(col("id").as("vec_id"), col("code_min"), col("code_max"),
+        col("code_sum"), col("n_codes"))
+      .orderBy("vec_id")
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -938,7 +1067,16 @@ object Queries {
     "q62_dedup_groups" -> (q62_dedup_groups _),
     "q63_keyword_search" -> (q63_keyword_search _),
     "q64_hybrid_search" -> (q64_hybrid_search _),
-    "q65_doc_dedup_groups" -> (q65_doc_dedup_groups _)
+    "q65_doc_dedup_groups" -> (q65_doc_dedup_groups _),
+    "q66_neardup_groups_lsh" -> (q66_neardup_groups_lsh _),
+    "q67_ann_ivf_exact" -> (q67_ann_ivf_exact _),
+    "q68_ann_sq8_exact" -> (q68_ann_sq8_exact _),
+    "q69_ann_pq_exact" -> (q69_ann_pq_exact _),
+    "q70_ann_ivfpq_exact" -> (q70_ann_ivfpq_exact _),
+    "q71_bm25_components" -> (q71_bm25_components _),
+    "q72_phrase_stats" -> (q72_phrase_stats _),
+    "q73_phrase_search" -> (q73_phrase_search _),
+    "q74_quantize_stats" -> (q74_quantize_stats _)
   )
 }
 
@@ -950,6 +1088,37 @@ object Queries {
   * nulls-first).
   */
 object Oracles {
+  /** Brute-force cosine top-10 for the vec_id=0 query — shared by q34
+    * and the exact-probe ANN rungs q67-q70, which must all reduce to it.
+    */
+  private val BruteForceTop10Sql =
+    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+      |scored AS (
+      |  SELECT e.vec_id,
+      |    (SELECT sum(x*y) FROM (SELECT unnest(CAST(e.embedding AS DOUBLE[])) AS x,
+      |                                  unnest(q.qe) AS y)) /
+      |    sqrt((SELECT sum(x*x) FROM (SELECT unnest(CAST(e.embedding AS DOUBLE[])) AS x)) *
+      |         (SELECT sum(y*y) FROM (SELECT unnest(q.qe) AS y))) AS cos
+      |  FROM embeddings e, q WHERE e.vec_id <> 0)
+      |SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+
+  /** Per-vector int8 quantization stats — shared by q49 (exploded
+    * groupBy form) and q74 (single-scan row-local form); both must
+    * hash-match it.
+    */
+  private val QuantizeStatsSql =
+    """WITH v AS (SELECT vec_id, embedding AS e,
+      |  CAST(list_min(embedding) AS DOUBLE) AS mn,
+      |  CAST(list_max(embedding) AS DOUBLE) AS mx FROM embeddings),
+      |c AS (SELECT vec_id, CASE WHEN mx = mn THEN 0
+      |        ELSE CAST(floor((CAST(e[i] AS DOUBLE) - mn) * 255.0 / (mx - mn)) AS BIGINT) - 128
+      |      END AS code
+      |      FROM v CROSS JOIN unnest(generate_series(1, len(e))) AS u(i))
+      |SELECT vec_id, min(code) AS code_min, max(code) AS code_max,
+      |  CAST(sum(code) AS BIGINT) AS code_sum,
+      |  CAST(count(DISTINCT code) AS BIGINT) AS n_codes
+      |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_scan" ->
       """SELECT count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS sum_id,
@@ -1160,16 +1329,11 @@ object Oracles {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
-    "q34_ann_cosine" ->
-      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
-        |scored AS (
-        |  SELECT e.vec_id,
-        |    (SELECT sum(x*y) FROM (SELECT unnest(CAST(e.embedding AS DOUBLE[])) AS x,
-        |                                  unnest(q.qe) AS y)) /
-        |    sqrt((SELECT sum(x*x) FROM (SELECT unnest(CAST(e.embedding AS DOUBLE[])) AS x)) *
-        |         (SELECT sum(y*y) FROM (SELECT unnest(q.qe) AS y))) AS cos
-        |  FROM embeddings e, q WHERE e.vec_id <> 0)
-        |SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "q34_ann_cosine" -> BruteForceTop10Sql,
+    "q67_ann_ivf_exact" -> BruteForceTop10Sql,
+    "q68_ann_sq8_exact" -> BruteForceTop10Sql,
+    "q69_ann_pq_exact" -> BruteForceTop10Sql,
+    "q70_ann_ivfpq_exact" -> BruteForceTop10Sql,
     "q40_binary_meta" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, sha256(text) AS sha
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -1243,18 +1407,8 @@ object Oracles {
         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
         |    ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
         |  FROM documents) WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
-    "q49_quantize" ->
-      """WITH v AS (SELECT vec_id, embedding AS e,
-        |  CAST(list_min(embedding) AS DOUBLE) AS mn,
-        |  CAST(list_max(embedding) AS DOUBLE) AS mx FROM embeddings),
-        |c AS (SELECT vec_id, CASE WHEN mx = mn THEN 0
-        |        ELSE CAST(floor((CAST(e[i] AS DOUBLE) - mn) * 255.0 / (mx - mn)) AS BIGINT) - 128
-        |      END AS code
-        |      FROM v CROSS JOIN unnest(generate_series(1, len(e))) AS u(i))
-        |SELECT vec_id, min(code) AS code_min, max(code) AS code_max,
-        |  CAST(sum(code) AS BIGINT) AS code_sum,
-        |  CAST(count(DISTINCT code) AS BIGINT) AS n_codes
-        |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "q49_quantize" -> QuantizeStatsSql,
+    "q74_quantize_stats" -> QuantizeStatsSql,
     "q50_seqpack" ->
       """WITH t AS (SELECT doc_id, source,
         |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS toks
@@ -1497,17 +1651,41 @@ object Oracles {
         |  CAST(coalesce(least(v.vec_id, min(reach.r)), v.vec_id) AS BIGINT) AS group_id
         |FROM v LEFT JOIN reach ON v.vec_id = reach.id
         |GROUP BY v.vec_id ORDER BY v.vec_id""".stripMargin,
+    "q71_bm25_components" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents)
+        |SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+        |  CAST(len(t) - len(list_filter(t, x -> x <> 'hash')) AS BIGINT) AS tf0,
+        |  CAST(len(t) - len(list_filter(t, x -> x <> 'join')) AS BIGINT) AS tf1,
+        |  CAST(len(t) - len(list_filter(t, x -> x <> 'spark')) AS BIGINT) AS tf2
+        |FROM toks ORDER BY doc_id""".stripMargin,
+    "q72_phrase_stats" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents)
+        |SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+        |  CAST(CASE WHEN len(t) < 2 THEN 0 ELSE
+        |    len(list_filter(generate_series(1, len(t) - 1),
+        |        i -> t[i] = 'table' AND t[i+1] = 'hash'))
+        |  END AS BIGINT) AS tf_phrase
+        |FROM toks ORDER BY doc_id""".stripMargin,
     // No oracle (rows-only; ScalaTest-owned): q29_approx_distinct (HLL
     // estimate), q35_ann_ivf (approx recall), q37_minhash_pairs,
     // q38_simhash_pairs, q39_fingerprint (hash-seed-specific),
     // q41_embed_lsh (probabilistic recall; subset+recall spec-asserted),
     // q42_multimodal_decode (stub decoder is Scala-side, not SQL),
-    // q53_ann_sq8 (approx recall; codes/error/recall spec-asserted),
-    // q56_ann_pq (approx recall; codebook grid + recall spec-asserted),
+    // q53_ann_sq8 (approx recall; codes/error/recall spec-asserted —
+    // q68 is its exact full-probe rung, oracled above),
+    // q56_ann_pq (approx recall; codebook grid + recall spec-asserted —
+    // q69 is its exact full-rescore rung),
     // q57_ann_ivfpq (approx recall; per-cell grid + recall-vs-flat-PQ
-    // spec-asserted), q63_keyword_search (BM25 — ln() is not cross-engine
-    // bit-stable; exact driver-side recomputation spec-asserted),
-    // q64_hybrid_search (RRF over q63 + ANN rankings; fusion arithmetic
-    // hand-checked in TextSearchSpec).
+    // spec-asserted — q70 is its exact rung),
+    // q63_keyword_search (BM25 — ln() is not cross-engine bit-stable;
+    // exact driver-side recomputation spec-asserted; q71 hash-checks its
+    // integer components), q64_hybrid_search (RRF over q63 + ANN
+    // rankings; fusion arithmetic hand-checked in TextSearchSpec),
+    // q66_neardup_groups_lsh (band buckets are hash-seed-specific;
+    // groups-⊆-exact + recall ≥ 0.9 spec-asserted vs q65's operator),
+    // q73_phrase_search (ln scores like q63; phrase counts oracled via
+    // q72, crafted-docs spec in TextSearchSpec).
   )
 }

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Keyword retrieval over the document corpus — BM25, the bag-of-words
@@ -32,7 +32,67 @@ object TextSearch {
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queryTerms: Seq[String], k: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKImpl(docs, idCol, textCol, queryTerms, k, k1, b, phrase = None)
+
+  /** Phrase-constrained BM25 top-`k`: rank `phrase`'s words by BM25 but
+    * keep only documents containing the words ADJACENT and IN ORDER —
+    * the position-aware constraint bag-of-words tf cannot express
+    * ("san francisco" ≠ "francisco san"). Corpus stats (N, df, avgdl)
+    * stay corpus-wide (standard phrase-query semantics); the phrase test
+    * is [[phraseTf]], a per-row array expression, so the filter adds no
+    * shuffle to bm25TopK's plan. Rows-only like bm25TopK (scores pass
+    * through libm ln); the integer phrase components are the
+    * hash-checked surface (q72's phraseTf/dl stats).
+    */
+  def phraseTopK(docs: DataFrame, idCol: String, textCol: String,
+                 phrase: Seq[String], k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKImpl(docs, idCol, textCol, phrase, k, k1, b, phrase = Some(phrase))
+
+  /** Occurrence count of an exact token phrase inside a token array — a
+    * pure per-row collection expression (no shuffle, no UDF): positions i
+    * where every phrase word matches t[i+offset]. Integer-exact, so it
+    * oracles (q72) even though BM25 scores do not.
+    */
+  def phraseTf(tokens: Column, phrase: Seq[String]): Column = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val L = phrase.length
+    val hits = filter(
+      sequence(lit(1), size(tokens) - lit(L - 1)),
+      i => phrase.zipWithIndex.map { case (w, o) =>
+        element_at(tokens, i + lit(o)) === lit(w)
+      }.reduce(_ && _))
+    // the guard keeps sequence() from seeing a reversed range on docs
+    // shorter than the phrase (CaseWhen evaluates one branch per row)
+    when(size(tokens) < L, lit(0L)).otherwise(size(hits).cast("long"))
+  }
+
+  /** Integer BM25 components per document — the hash-checkable data path
+    * under [[bm25TopK]]: per-term tf and dl are exact integers (and df,
+    * N, avgdl are exact aggregates of these columns), while the final
+    * score passes through libm `ln` and cannot hash-match across
+    * engines. Columns: (id, dl, tf0..tf<n-1>) following `queryTerms`
+    * order. Same tf formulation as the scorer (size − size(array_remove))
+    * so a components oracle covers the scoring scan's inputs end-to-end.
+    */
+  def bm25Components(docs: DataFrame, idCol: String, textCol: String,
+                     queryTerms: Seq[String]): DataFrame = {
+    val terms = queryTerms.distinct
+    require(terms.nonEmpty, "bm25Components needs at least one query term")
+    val toks = graft.core.Graft.spread(docs)
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("t"))
+    val tfCols = terms.zipWithIndex.map { case (term, i) =>
+      (size(col("t")) - size(array_remove(col("t"), lit(term))))
+        .cast("long").as(s"tf$i")
+    }
+    toks.select(col("id") +: size(col("t")).cast("long").as("dl") +: tfCols: _*)
+  }
+
+  private def bm25TopKImpl(docs: DataFrame, idCol: String, textCol: String,
+                           queryTerms: Seq[String], k: Int,
+                           k1: Double, b: Double,
+                           phrase: Option[Seq[String]]): DataFrame = {
     val terms = queryTerms.distinct
     require(terms.nonEmpty, "bm25TopK needs at least one query term")
     require(k > 0, s"k must be positive, got $k")
@@ -59,7 +119,10 @@ object TextSearch {
       (size(col("t")) - size(array_remove(col("t"), lit(term))))
         .cast("double").as(s"__tf$i")
     }
-    val withTf = toks.select(col("id") +: col("dl") +: tfCols: _*)
+    // phrase constraint (if any) rides the scoring scan as a per-row
+    // filter — corpus stats above stay corpus-wide by design
+    val kept = phrase.map(p => toks.filter(phraseTf(col("t"), p) >= 1L)).getOrElse(toks)
+    val withTf = kept.select(col("id") +: col("dl") +: tfCols: _*)
     val score = terms.zipWithIndex.map { case (_, i) =>
       val df = st.getLong(2 + i)
       val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))

@@ -278,6 +278,31 @@ class DedupSpec extends SparkSpec {
       "releaseCheckpoint must drop the returned frame's blocks")
   }
 
+  test("LSH nearDupGroups refine the exact-jaccard groups with recall >= 0.9 (q66 contract)") {
+    val d = Tables(spark, sfDir).documents
+    def samePairs(labels: Map[Long, Long]): Set[(Long, Long)] =
+      labels.groupBy(_._2).values.flatMap { g =>
+        val ids = g.keys.toSeq.sorted
+        for (i <- ids.indices; j <- i + 1 until ids.size) yield (ids(i), ids(j))
+      }.toSet
+    val exactPairs = Dedup.jaccardPairs(d, "text", "doc_id", n = 3, threshold = 0.5)
+      .select("id_a", "id_b")
+    val exact = Dedup.labelGroups(d, "doc_id", exactPairs, "id_a", "id_b")
+      .select(col("doc_id"), col("group")).as[(Long, Long)].collect().toMap
+    val lsh = Dedup.nearDupGroups(d, "text", "doc_id", threshold = 0.5)
+      .select(col("doc_id"), col("group")).as[(Long, Long)].collect().toMap
+    val exactSame = samePairs(exact)
+    val lshSame = samePairs(lsh)
+    assert(exactSame.nonEmpty, "fixture should contain dup groups at t=0.5")
+    // LSH pairs are exact-verified ⊆ exact pairs, and CC over a subgraph
+    // only refines components — so the same-group relation is a subset
+    assert(lshSame.subsetOf(exactSame),
+      s"LSH grouped non-dups together: ${(lshSame -- exactSame).take(5)}")
+    val recall = exactSame.intersect(lshSame).size.toDouble / exactSame.size
+    assert(recall >= 0.9, s"group recall $recall too low " +
+      s"(exact=${exactSame.size}, lsh=${lshSame.size})")
+  }
+
   test("simHashNearDups matches brute-force hamming join on the sf0.001 corpus") {
     val fps = Dedup.simHash(Tables(spark, sfDir).documents, "text", "doc_id").cache()
     val got = Dedup.simHashNearDups(fps, maxHamming = 10)

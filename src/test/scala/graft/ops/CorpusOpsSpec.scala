@@ -252,4 +252,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == Seq((1L, 0L, -128L), (1L, 1L, -1L), (1L, 2L, 127L),
       (2L, 0L, 0L), (2L, 1L, 0L), (2L, 2L, 0L)))
   }
+
+  test("quantizeInt8Stats equals the exploded-groupBy stats bit for bit, with no shuffle") {
+    val e = graft.core.Tables(spark, sfDir).embeddings
+    val viaGroupBy = CorpusOps.quantizeInt8(e, "vec_id", "embedding")
+      .groupBy(col("id"))
+      .agg(min("code").as("code_min"), max("code").as("code_max"),
+        sum("code").as("code_sum"), countDistinct(col("code")).as("n_codes"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val oneScan = CorpusOps.quantizeInt8Stats(e, "vec_id", "embedding")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(oneScan == viaGroupBy)
+    // the single-scan form must not shuffle beyond the spread exchange:
+    // no aggregate, no Expand in its plan
+    val plan = CorpusOps.quantizeInt8Stats(e, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("Expand"),
+      "stats must fold row-locally")
+  }
 }

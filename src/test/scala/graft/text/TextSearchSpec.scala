@@ -82,6 +82,66 @@ class TextSearchSpec extends SparkSpec {
     assert(fused.map(_._2).toSeq == fused.map(_._2).sortBy(-_).toSeq, "sorted by fused score")
   }
 
+  test("phraseTf counts adjacent-in-order occurrences only") {
+    val docs = Seq(
+      (1L, "san francisco is in california"),          // 1 occurrence
+      (2L, "francisco san is reversed"),                // order matters → 0
+      (3L, "san x francisco has a gap"),                // adjacency matters → 0
+      (4L, "san francisco san francisco twice"),        // 2 occurrences
+      (5L, "san san francisco overlapping start"),      // 1 (second window)
+      (6L, "san"),                                      // shorter than phrase → 0
+      (7L, "")                                          // empty → 0
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        TextSearch.phraseTf(TextFunctions.tokens(col("text")),
+          Seq("san", "francisco")).as("tf"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 2L, 5L -> 1L, 6L -> 0L, 7L -> 0L))
+    // a 3-word phrase, including self-overlapping repetition
+    val tri = Seq((1L, "a b a b a"), (2L, "a b a")).toDF("doc_id", "text")
+    val got3 = tri.select(col("doc_id"),
+        TextSearch.phraseTf(TextFunctions.tokens(col("text")), Seq("a", "b", "a")).as("tf"))
+      .as[(Long, Long)].collect().toMap
+    assert(got3 == Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("phraseTopK keeps only phrase documents, ranked by the terms' BM25") {
+    val docs = Seq(
+      (1L, "san francisco weather report"),
+      (2L, "francisco san reversed words here"),
+      (3L, "san francisco san francisco housing"),
+      (4L, "totally unrelated text body"),
+      (5L, "san appears alone without the pair")
+    ).toDF("doc_id", "text")
+    val got = TextSearch.phraseTopK(docs, "doc_id", "text",
+        Seq("san", "francisco"), k = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(got.map(_._1).toSet == Set(1L, 3L),
+      s"only adjacent-in-order docs may rank: $got")
+    // doc 3 carries double tf on both terms at comparable length → ranks first
+    assert(got.head._1 == 3L)
+    // scores equal plain bm25TopK's for the same docs (corpus-wide stats)
+    val bm = TextSearch.bm25TopK(docs, "doc_id", "text", Seq("san", "francisco"), k = 10)
+      .as[(Long, Double)].collect().toMap
+    got.foreach { case (id, s) =>
+      assert(java.lang.Double.doubleToLongBits(s) ==
+        java.lang.Double.doubleToLongBits(bm(id)),
+        "phrase filter must not perturb the BM25 arithmetic")
+    }
+  }
+
+  test("bm25Components carries the exact integers the scorer consumes") {
+    val docs = Seq(
+      (1L, "hash join hash"),
+      (2L, "spark only"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val got = TextSearch.bm25Components(docs, "doc_id", "text",
+        Seq("hash", "join", "spark"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 2L, 1L, 0L), (2L, 2L, 0L, 0L, 1L), (3L, 0L, 0L, 0L, 0L)))
+  }
+
   test("bm25TopK guards: empty query, bad k, empty corpus") {
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")
     assert(intercept[IllegalArgumentException] {
