@@ -55,7 +55,7 @@ object Dedup {
     * over the token-hash array ([[graft.functions.NgramSetHashes]]); no
     * gram string is ever materialized.
     */
-  private def shingleSets(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+  private[graft] def shingleSets(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
     graft.core.Graft.spread(df)
       .select(col(idCol).as("id"),
         graft.functions.HashKernels.arrayXxHash64(
@@ -219,10 +219,7 @@ object Dedup {
     */
   def lshCandidates(sigs: DataFrame, bands: Int, rows: Int,
                     maxBucket: Long = 10000): DataFrame = {
-    val banded = sigs.select(col("id"),
-        posexplode(array((0 until bands).map(b =>
-          xxhash64(slice(col("sig"), b * rows + 1, rows))): _*)))
-      .toDF("id", "band", "bh")
+    val banded = bandBuckets(sigs, bands, rows)
     // bucket-size guard first, then a streamed self-join on the bucket
     // key: pair generation never materializes a bucket's id list in one
     // row (collect_list of a 10k bucket would hand a single task 10⁸
@@ -250,19 +247,8 @@ object Dedup {
     // same verify kernel as jaccardPairs: sorted 8-byte gram hashes +
     // merge-count (a 64-bit collision merging two distinct grams of one
     // document is ~|grams|²/2⁶⁵ — negligible, same trade the candidate
-    // index already makes)
-    // kernel output is already sorted distinct — ready for the merge-count
-    val sets = shingleSets(df, textCol, idCol, n)
-      .select(col("id"), col("set").as("sh"))
-    cands
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("__i",
-        graft.functions.HashKernels.sortedIntersectCount(col("sh_a"), col("sh_b")))
-      .select(col("id_a"), col("id_b"),
-        (col("__i").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("__i")).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    // index already makes); kernel output is already sorted distinct
+    verifyJaccard(cands, shingleSets(df, textCol, idCol, n), threshold)
   }
 
   /** 64-bit SimHash over the token multiset: bit j is set when the sum of
@@ -336,6 +322,33 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** (id, band, bh) band-bucket rows of a signature frame — the unit the
+    * LSH equi-join keys on. Shared by [[lshCandidates]] (batch self-join)
+    * and the streaming maintainer (delta-vs-accumulated join), so the two
+    * candidate paths cannot drift.
+    */
+  private[graft] def bandBuckets(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
+    sigs.select(col("id"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(slice(col("sig"), b * rows + 1, rows))): _*)))
+      .toDF("id", "band", "bh")
+
+  /** Exact-jaccard verification of candidate id pairs against per-doc
+    * gram sets (the shared tail of [[jaccardPairs]]/[[minHashNearDups]]
+    * and the streaming maintainer): sorted-merge intersection count, keep
+    * pairs with true jaccard ≥ `threshold`.
+    */
+  private[graft] def verifyJaccard(cands: DataFrame, sets: DataFrame,
+                                   threshold: Double): DataFrame = cands
+    .join(sets.select(col("id").as("id_a"), col("set").as("sh_a")), "id_a")
+    .join(sets.select(col("id").as("id_b"), col("set").as("sh_b")), "id_b")
+    .withColumn("__i",
+      graft.functions.HashKernels.sortedIntersectCount(col("sh_a"), col("sh_b")))
+    .select(col("id_a"), col("id_b"),
+      (col("__i").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("__i")).cast("double")).as("jaccard"))
+    .filter(col("jaccard") >= threshold)
 
   /** End-to-end near-dup deduplication — the composition a training-data
     * pipeline actually runs: MinHash-LSH candidate pairs (exact-verified

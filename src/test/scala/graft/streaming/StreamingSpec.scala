@@ -167,6 +167,36 @@ class StreamingSpec extends SparkSpec {
       "checkpoint must record the committed epoch (kasper markOffsets analog)")
   }
 
+  test("DedupGroupMaintainer labels converge to the batch nearDupGroups result") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat again and again"), // near dup of 1
+      (4L, "completely different words nothing shared here at all today friends"),
+      (5L, "another unrelated text with its own tokens and nothing else"))
+    val in = MemoryStream[(Long, String)]
+    val m = new DedupGroupMaintainer("text", "doc_id", threshold = 0.5)
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) => m.ingest(b) }
+      .outputMode(OutputMode.Append()).start()
+    // dup pairs cross batch boundaries: (1,2) discovered when 2 arrives,
+    // 3 then bridges into the existing {1,2} group (relabel path)
+    in.addData(docs(0), docs(3)); q.processAllAvailable()
+    in.addData(docs(1), docs(4)); q.processAllAvailable()
+    val mid = m.labels(spark).as[(Long, Long, Boolean)].collect().toSet
+    assert(mid == Set((1L, 1L, true), (2L, 1L, false), (4L, 4L, true), (5L, 5L, true)),
+      s"after two batches: $mid")
+    in.addData(docs(2)); q.processAllAvailable()
+    q.stop()
+    val got = m.labels(spark).as[(Long, Long, Boolean)].collect().toSet
+    val batch = graft.dedup.Dedup
+      .nearDupGroups(docs.toDF("doc_id", "text"), "text", "doc_id", threshold = 0.5)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == batch, s"incremental $got != batch $batch")
+    assert(got.contains((3L, 1L, false)), "late near-dup must fold into the old group")
+    m.close()
+  }
+
   test("declarative stream-stream inner join with watermarks (KQ-8 streaming alt)") {
     def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
     val lhs = MemoryStream[(String, java.sql.Timestamp)]
