@@ -135,6 +135,77 @@ object VectorOps {
       .filter(col("cos") >= threshold)
   }
 
+  /** SemDeDup-style clustered near-dup pairs: exact cosine runs only
+    * WITHIN a coarse k-means cell (each vector assigned to its `probes`
+    * nearest cells), so the quadratic work is bounded per cell instead of
+    * corpus-wide — the scale path that replaces [[cosineAllPairs]]'s
+    * nested loop for semantic dedup (Abbas et al., "SemDeDup", 2023:
+    * cluster embeddings, deduplicate inside clusters). With c ≈ √n cells
+    * the expected per-cell candidate count is ~n, i.e. total work grows
+    * linearly in corpus size at fixed duplication rate, and the candidate
+    * join is a plain cid equi-join — shuffle-partitioned, map-side
+    * combinable, AQE-skew-splittable, never a broadcast nested loop.
+    *
+    * `probes ≥ 2` recovers most cross-boundary pairs (a near-dup pair
+    * split by a cell boundary is found when either member's second-best
+    * cell is the other's best); at `probes = c` every pair shares a cell,
+    * so the result is provably the exact [[cosineAllPairs]] list — the
+    * same exactness pin the full-probe ANN rungs use (q67-q70).
+    *
+    * Candidates shuffle as bare id pairs; vectors rejoin only for the
+    * final exact verification (the [[cosineNearDupPairs]] volume lesson).
+    * Every emitted pair is exact-verified `cos ≥ threshold`, so precision
+    * is 1 at any setting — only recall depends on the clustering.
+    *
+    * The caller owns `idx` (build/close lifecycle), matching the
+    * index-reuse pattern: one clustering serves many dedup sweeps.
+    */
+  def clusteredCosinePairs(idx: IvfIndex, threshold: Double,
+                           probes: Int = 2): DataFrame = {
+    require(probes >= 1, s"probes must be >= 1, got $probes")
+    val v = idx.assigned.select(col("id"), col("v")) // cached by build
+    val asgIds =
+      if (probes == 1) idx.assigned.select("cid", "id")
+      else {
+        val w = Window.partitionBy(col("id"))
+          .orderBy(col("ccos").desc, col("cid").asc)
+        v.crossJoin(broadcast(idx.centroids))
+          .select(col("id"), col("cid"), cosine(col("v"), col("cv")).as("ccos"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= probes)
+          .select("cid", "id")
+      }
+    val cand = asgIds.as("a").join(asgIds.as("b"),
+        col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(v.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Semantic dedup GROUPS at corpus scale: [[clusteredCosinePairs]] →
+    * connected components → min-id labels + survivor flag — the embedding
+    * analogue of [[graft.dedup.Dedup.nearDupGroups]] (same output shape:
+    * idCol, group, keep). The index is built, consumed and closed inside
+    * the call (CC materializes eagerly, so the returned frame depends
+    * only on `vectors` and the checkpointed labels).
+    */
+  def semanticDedupGroups(vectors: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double, c: Int = 16, probes: Int = 2,
+                          iters: Int = 1, trainCap: Int = 0,
+                          maxIters: Int = 20): DataFrame = {
+    require(probes <= c, s"probes must be <= c=$c, got $probes")
+    val idx = IvfIndex.build(vectors, idCol, vecCol, c, iters, trainCap)
+    try {
+      val pairs = clusteredCosinePairs(idx, threshold, probes)
+        .select("id_a", "id_b")
+      graft.dedup.Dedup.labelGroups(vectors, idCol, pairs, "id_a", "id_b", maxIters)
+    } finally idx.close()
+  }
+
   /** Inverted-file (IVF) approximate nearest-neighbor index.
     *
     * Build: seed centroids = the `c` lowest-id vectors, one Lloyd

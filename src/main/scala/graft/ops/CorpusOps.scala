@@ -279,4 +279,27 @@ object CorpusOps {
         aggregate(col("c"), lit(0L), (s, x) => s + x).as("code_sum"),
         size(array_distinct(col("c"))).cast("long").as("n_codes"))
   }
+
+  /** Corpus vocabulary statistics: the top-`k` tokens by document
+    * frequency with total term frequency — the input a tokenizer/vocab
+    * build (BPE seeding, stopword induction) reads off a corpus.
+    * Output: (token, df, tf), df desc, token asc.
+    *
+    * Two map-side-combinable shuffles and NO countDistinct Expand: the
+    * per-(doc, token) pre-aggregation collapses occurrences first, so the
+    * token-level pass counts rows for df and sums for tf; the final top-k
+    * plans as TakeOrderedAndProject (vocabulary-sized input, k rows out).
+    */
+  def vocabTopK(docs: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val perDoc = graft.core.Graft.spread(docs)
+      .select(col(idCol).as("id"),
+        explode(graft.text.TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy("id", "token").agg(count(lit(1)).as("n"))
+    val stats = perDoc.groupBy("token")
+      .agg(count(lit(1)).as("df"), sum(col("n")).as("tf"))
+    stats.orderBy(col("df").desc, col("token").asc).limit(k)
+      .select("token", "df", "tf")
+  }
 }

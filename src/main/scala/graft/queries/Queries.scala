@@ -959,6 +959,60 @@ object Queries {
         col("code_sum"), col("n_codes"))
       .orderBy("vec_id")
 
+  /** SemDeDup-style semantic dedup groups at the clustered operating
+    * point (c=8 cells, probes=2): the scale path that replaces q62's
+    * O(n²) pair generation — quadratic work bounded per cell, candidates
+    * on a cid equi-join. Rows-only (cluster boundaries are float-
+    * arithmetic-specific); VectorOpsSpec owns correctness: found pairs
+    * are exact-verified (precision 1), recall vs the exact pair list
+    * asserted, and q76 pins the machinery to the exact answer.
+    */
+  def q75_semdedup(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.VectorOps.semanticDedupGroups(
+        Tables(spark, dir).embeddings, "vec_id", "embedding",
+        threshold = 0.45, c = 8, probes = 2)
+      .select(col("vec_id"), col("group").as("group_id"), col("keep"))
+      .orderBy("vec_id")
+
+  /** q75's machinery at full probe (probes = c): every pair shares a
+    * cell, so clustered dedup provably reduces to the exact all-pairs
+    * groups — hash-checked against q62's recursive-CTE oracle (the same
+    * exactness pin the full-probe ANN rungs q67-q70 use).
+    */
+  def q76_semdedup_exact(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.VectorOps.semanticDedupGroups(
+        Tables(spark, dir).embeddings, "vec_id", "embedding",
+        threshold = 0.45, c = 8, probes = 8)
+      .select(col("vec_id"), col("group").as("group_id"))
+      .orderBy("vec_id")
+
+  /** Corpus vocabulary top-100 by document frequency (tf alongside) —
+    * the tokenizer/vocab-build input stats. Exact oracle; (df desc,
+    * token asc) is a total order so the top-k cut is deterministic.
+    */
+  def q77_vocab(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusOps.vocabTopK(Tables(spark, dir).documents, "doc_id", "text", k = 100)
+
+  /** Integer components under the bigram-LM score (the q63/q71
+    * discipline): per-doc bigram occurrence count and the corpus-count
+    * masses its smoothed conditional reads — exact BIGINTs, hash-checked;
+    * only q79's ln/exp-scored form is libm-unstable.
+    */
+  def q78_lm_components(spark: SparkSession, dir: String): DataFrame =
+    graft.text.LanguageModel.lmComponents(Tables(spark, dir).documents, "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  /** CCNet-style LM quality score: per-doc add-1-smoothed bigram
+    * log-likelihood + perplexity under the corpus's own bigram counts.
+    * Rows-only (ln/exp); LanguageModelSpec owns correctness by exact
+    * driver recomputation, and q78 hash-checks the count surface.
+    */
+  def q79_lm_score(spark: SparkSession, dir: String): DataFrame =
+    graft.text.LanguageModel.lmScore(Tables(spark, dir).documents, "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -1076,7 +1130,12 @@ object Queries {
     "q71_bm25_components" -> (q71_bm25_components _),
     "q72_phrase_stats" -> (q72_phrase_stats _),
     "q73_phrase_search" -> (q73_phrase_search _),
-    "q74_quantize_stats" -> (q74_quantize_stats _)
+    "q74_quantize_stats" -> (q74_quantize_stats _),
+    "q75_semdedup" -> (q75_semdedup _),
+    "q76_semdedup_exact" -> (q76_semdedup_exact _),
+    "q77_vocab" -> (q77_vocab _),
+    "q78_lm_components" -> (q78_lm_components _),
+    "q79_lm_score" -> (q79_lm_score _)
   )
 }
 
@@ -1101,6 +1160,32 @@ object Oracles {
       |         (SELECT sum(y*y) FROM (SELECT unnest(q.qe) AS y))) AS cos
       |  FROM embeddings e, q WHERE e.vec_id <> 0)
       |SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+
+  /** Exact embedding dedup groups (all-pairs cosine ≥ 0.45 → transitive
+    * closure → min-id label) — shared by q62 (the oracle-checkable
+    * all-pairs form) and q76 (clustered semantic dedup at full probe,
+    * which must reduce to the same groups).
+    */
+  private val EmbedDedupGroupsSql =
+    """WITH RECURSIVE
+      |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |n AS (SELECT vec_id, e,
+      |        (SELECT sum(x*x) FROM (SELECT unnest(e) AS x)) AS nm2 FROM v),
+      |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |      WHERE (SELECT sum(x*y) FROM (SELECT unnest(a.e) AS x, unnest(b.e) AS y)) /
+      |            sqrt(a.nm2 * b.nm2) >= 0.45),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+      |          UNION ALL SELECT id_b AS src, id_a AS dst FROM p),
+      |reach AS (
+      |  SELECT src AS id, dst AS r FROM edges
+      |  UNION
+      |  SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src
+      |)
+      |SELECT v.vec_id,
+      |  CAST(coalesce(least(v.vec_id, min(reach.r)), v.vec_id) AS BIGINT) AS group_id
+      |FROM v LEFT JOIN reach ON v.vec_id = reach.id
+      |GROUP BY v.vec_id ORDER BY v.vec_id""".stripMargin
 
   /** Per-vector int8 quantization stats — shared by q49 (exploded
     * groupBy form) and q74 (single-scan row-local form); both must
@@ -1631,26 +1716,8 @@ object Oracles {
         |  (CAST(coalesce(least(d.doc_id, min(reach.r)), d.doc_id) AS BIGINT) = d.doc_id) AS keep
         |FROM documents d LEFT JOIN reach ON d.doc_id = reach.id
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
-    "q62_dedup_groups" ->
-      """WITH RECURSIVE
-        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |n AS (SELECT vec_id, e,
-        |        (SELECT sum(x*x) FROM (SELECT unnest(e) AS x)) AS nm2 FROM v),
-        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        |      FROM n a JOIN n b ON a.vec_id < b.vec_id
-        |      WHERE (SELECT sum(x*y) FROM (SELECT unnest(a.e) AS x, unnest(b.e) AS y)) /
-        |            sqrt(a.nm2 * b.nm2) >= 0.45),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
-        |          UNION ALL SELECT id_b AS src, id_a AS dst FROM p),
-        |reach AS (
-        |  SELECT src AS id, dst AS r FROM edges
-        |  UNION
-        |  SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src
-        |)
-        |SELECT v.vec_id,
-        |  CAST(coalesce(least(v.vec_id, min(reach.r)), v.vec_id) AS BIGINT) AS group_id
-        |FROM v LEFT JOIN reach ON v.vec_id = reach.id
-        |GROUP BY v.vec_id ORDER BY v.vec_id""".stripMargin,
+    "q62_dedup_groups" -> EmbedDedupGroupsSql,
+    "q76_semdedup_exact" -> EmbedDedupGroupsSql,
     "q71_bm25_components" ->
       """WITH toks AS (SELECT doc_id,
         |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents)
@@ -1668,6 +1735,32 @@ object Oracles {
         |        i -> t[i] = 'table' AND t[i+1] = 'hash'))
         |  END AS BIGINT) AS tf_phrase
         |FROM toks ORDER BY doc_id""".stripMargin,
+    "q77_vocab" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |occ AS (SELECT doc_id, t[i] AS token
+        |        FROM toks CROSS JOIN unnest(generate_series(1, len(t))) AS u(i)),
+        |pd AS (SELECT doc_id, token, count(*) AS n FROM occ GROUP BY doc_id, token)
+        |SELECT token, CAST(count(*) AS BIGINT) AS df, CAST(sum(n) AS BIGINT) AS tf
+        |FROM pd GROUP BY token ORDER BY df DESC, token LIMIT 100""".stripMargin,
+    "q78_lm_components" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram, t[i] AS w1
+        |       FROM toks CROSS JOIN unnest(generate_series(1, len(t) - 1)) AS u(i)),
+        |bc AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram),
+        |occ AS (SELECT t[i] AS token
+        |        FROM toks CROSS JOIN unnest(generate_series(1, len(t))) AS u(i)),
+        |uc AS (SELECT token, count(*) AS cnt FROM occ GROUP BY token),
+        |j AS (SELECT bg.doc_id, count(*) AS nb,
+        |        sum(bc.cnt) AS sb, sum(uc.cnt) AS su
+        |      FROM bg JOIN bc USING (bigram) JOIN uc ON bg.w1 = uc.token
+        |      GROUP BY bg.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(j.nb, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(j.sb, 0) AS BIGINT) AS sum_bg_cnt,
+        |  CAST(coalesce(j.su, 0) AS BIGINT) AS sum_ug_cnt
+        |FROM documents d LEFT JOIN j USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     // No oracle (rows-only; ScalaTest-owned): q29_approx_distinct (HLL
     // estimate), q35_ann_ivf (approx recall), q37_minhash_pairs,
     // q38_simhash_pairs, q39_fingerprint (hash-seed-specific),
@@ -1686,6 +1779,11 @@ object Oracles {
     // q66_neardup_groups_lsh (band buckets are hash-seed-specific;
     // groups-⊆-exact + recall ≥ 0.9 spec-asserted vs q65's operator),
     // q73_phrase_search (ln scores like q63; phrase counts oracled via
-    // q72, crafted-docs spec in TextSearchSpec).
+    // q72, crafted-docs spec in TextSearchSpec),
+    // q75_semdedup (cluster boundaries are float-arithmetic-specific;
+    // precision-1 + recall spec in VectorOpsSpec — q76 is its exact
+    // full-probe rung, oracled above),
+    // q79_lm_score (ln/exp like q63; q78 hash-checks the count surface,
+    // exact driver recomputation in LanguageModelSpec).
   )
 }

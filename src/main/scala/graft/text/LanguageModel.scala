@@ -1,0 +1,122 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-based n-gram language-model quality scoring — the CCNet-style
+  * quality rail (Wenzek et al., "CCNet", 2020: score each document by LM
+  * perplexity and filter the tail). A real deployment scores against a
+  * frozen reference-corpus LM; here the model is the corpus's own bigram
+  * counts, which exercises the identical dataflow (train = two shuffles,
+  * score = one join + one aggregation) with no external artifact.
+  *
+  * Kasper has no LM surface; this is beyond-parity training-data tooling
+  * like the rest of `graft.text`.
+  *
+  * Scale shape: counts are exploded-token/bigram `groupBy`s (map-side
+  * combinable — the reduce rows are vocabulary-sized, not corpus-sized).
+  * Scoring aggregates each document's bigrams FIRST (per-doc tf), so the
+  * join against the count tables carries distinct (doc, bigram) rows,
+  * never raw occurrences; hot bigrams ("of the") are equi-join skew that
+  * AQE's skew-join splitting handles — the counts side is one row per
+  * key, so every split sees the same tiny build row.
+  */
+object LanguageModel {
+
+  /** Adjacent token pairs as space-joined strings; `[]` under 2 tokens.
+    * Built from an already-tokenized array column (tokenize once).
+    */
+  def bigramsOf(t: Column): Column =
+    when(size(t) >= 2,
+      zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => concat_ws(" ", a, b)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Corpus unigram counts: (token, cnt) — one exploded groupBy. */
+  def unigramCounts(docs: DataFrame, textCol: String): DataFrame =
+    graft.core.Graft.spread(docs)
+      .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+
+  /** Corpus bigram counts: (bigram, cnt) — one exploded groupBy. */
+  def bigramCounts(docs: DataFrame, textCol: String): DataFrame =
+    graft.core.Graft.spread(docs)
+      .select(explode(bigramsOf(TextFunctions.tokens(col(textCol)))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+
+  /** Per-document (id, w1, w2, tf) distinct bigrams with occurrence
+    * counts — the deduplicated row set every downstream join/score rides.
+    */
+  private def docBigramTf(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame =
+    graft.core.Graft.spread(docs)
+      .select(col(idCol).as("id"),
+        explode(bigramsOf(TextFunctions.tokens(col(textCol)))).as("bigram"))
+      .groupBy("id", "bigram").agg(count(lit(1)).as("tf"))
+
+  /** The integer surface under [[lmScore]], hash-checkable across engines
+    * (the q63/q71 discipline: components oracle exactly, the ln-scored
+    * combination does not). Per document:
+    *   - `n_bigrams`  — bigram occurrences (dl − 1 for dl ≥ 2, else 0);
+    *   - `sum_bg_cnt` — Σ over bigram occurrences of the corpus count of
+    *     that bigram (self-counting: every doc contributes ≥ 1 each);
+    *   - `sum_ug_cnt` — Σ over bigram occurrences of the corpus count of
+    *     the bigram's FIRST word (the conditional's denominator mass).
+    * Documents with < 2 tokens survive with zeros (left join).
+    */
+  def lmComponents(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val perDoc = docBigramTf(docs, idCol, textCol)
+      .withColumn("w1", split(col("bigram"), " ", 2).getItem(0))
+    val joined = perDoc
+      .join(bigramCounts(docs, textCol), Seq("bigram"))
+      .join(unigramCounts(docs, textCol).withColumnRenamed("token", "w1")
+        .withColumnRenamed("cnt", "ucnt"), Seq("w1"))
+      .groupBy("id")
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * col("cnt")).as("sum_bg_cnt"),
+        sum(col("tf") * col("ucnt")).as("sum_ug_cnt"))
+    docs.select(col(idCol).as("id")).join(joined, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_bg_cnt"), lit(0L)).as("sum_bg_cnt"),
+        coalesce(col("sum_ug_cnt"), lit(0L)).as("sum_ug_cnt"))
+  }
+
+  /** Per-document add-k-smoothed bigram log-likelihood and perplexity:
+    * `avg_logprob = (1/n) Σ ln((c(w1 w2) + k) / (c(w1) + k·V))` over the
+    * doc's bigram occurrences (V = distinct corpus unigrams), and
+    * `ppl = exp(−avg_logprob)`. Low-perplexity documents are fluent
+    * under the corpus model; the high-ppl tail is the filter target.
+    * Documents with < 2 tokens get null scores (no bigram evidence).
+    *
+    * Two corpus-wide scalars (V and nothing else) come from one tiny
+    * driver job; everything per-doc is the [[lmComponents]] join shape
+    * with the ln folded into the aggregation. Scores pass through libm
+    * `ln`/`exp`, so query entries over this are rows-only
+    * (LanguageModelSpec owns correctness by exact driver recomputation).
+    */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String,
+              k: Double = 1.0): DataFrame = {
+    require(k > 0, s"smoothing k must be positive, got $k")
+    // V is one tiny driver scalar (vocabulary-sized aggregation); the
+    // count table itself is re-derived lazily for the join rather than
+    // cached — a leaked cache would outlive the returned frame, and the
+    // extra exploded scan is the cheaper contract (a cluster deployment
+    // would persist the trained counts as a TABLE, not executor cache)
+    val vocab = unigramCounts(docs, textCol).count().toDouble
+    val perDoc = docBigramTf(docs, idCol, textCol)
+      .withColumn("w1", split(col("bigram"), " ", 2).getItem(0))
+    val scored = perDoc
+      .join(bigramCounts(docs, textCol), Seq("bigram"))
+      .join(unigramCounts(docs, textCol)
+        .withColumnRenamed("token", "w1").withColumnRenamed("cnt", "ucnt"),
+        Seq("w1"))
+      .groupBy("id")
+      .agg(sum(col("tf")).as("n"),
+        sum(col("tf") * log((col("cnt") + lit(k)) /
+          (col("ucnt") + lit(k * vocab)))).as("ll"))
+      .select(col("id"), (col("ll") / col("n")).as("avg_logprob"))
+      .withColumn("ppl", exp(-col("avg_logprob")))
+    docs.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+  }
+}

@@ -418,4 +418,66 @@ class VectorOpsSpec extends SparkSpec {
         java.lang.Double.doubleToLongBits(r.getDouble(2)))
     }
   }
+
+  test("clusteredCosinePairs: precision 1, candidates grow with probes") {
+    val e = Tables(spark, sfDir).embeddings
+    val exact = cosineAllPairs(e, "vec_id", "embedding", threshold = 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    val idx = IvfIndex.build(e, "vec_id", "embedding", c = 8)
+    try {
+      val p1 = clusteredCosinePairs(idx, threshold = 0.45, probes = 1)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val p2 = clusteredCosinePairs(idx, threshold = 0.45, probes = 2)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(p2.subsetOf(exact), "every emitted pair is exact-verified")
+      assert(p1.subsetOf(p2), "probe-1 candidates are contained in probe-2's")
+      // the fixture's pairs all sit at cosine 0.45-0.51 — the regime
+      // where cluster co-membership is weakest (SemDeDup's operating
+      // point is 0.9+, covered by the crafted test below); the bound
+      // here documents measured behavior, not a structural guarantee
+      val recall = exact.intersect(p2).size.toDouble / exact.size
+      assert(recall >= 0.5,
+        s"clustered recall $recall too low (exact=${exact.size}, found=${p2.size})")
+    } finally idx.close()
+  }
+
+  test("clusteredCosinePairs: recall 1 on high-similarity dups (the SemDeDup regime)") {
+    // 10 planted pairs at cosine ≈ 0.9998 (one coordinate nudged) among
+    // 30 scattered vectors; near-identical vectors rank centroids
+    // near-identically, so probes=2 must recover every pair
+    val dim = 16
+    def vec(seed: Int): Seq[Double] =
+      (0 until dim).map(d => math.sin(seed * 37.0 + d * 13.0))
+    val rows =
+      (0 until 10).flatMap { g =>
+        val v = vec(g)
+        Seq((2L * g, v), (2L * g + 1, v.updated(g % dim, v(g % dim) + 0.01)))
+      } ++ (0 until 30).map(i => (100L + i, vec(1000 + i)))
+    val df = rows.toDF("vec_id", "embedding")
+    val exact = cosineAllPairs(df, "vec_id", "embedding", threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.size >= 10, s"all planted pairs exceed 0.99: ${exact.size}")
+    val idx = IvfIndex.build(df, "vec_id", "embedding", c = 5)
+    try {
+      val found = clusteredCosinePairs(idx, threshold = 0.99, probes = 2)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(found == exact,
+        s"high-sim pairs must all co-cluster (exact=${exact.size}, found=${found.size})")
+    } finally idx.close()
+  }
+
+  test("semanticDedupGroups at probes=c reduces to the exact all-pairs groups") {
+    val e = Tables(spark, sfDir).embeddings
+    val exactPairs = cosineAllPairs(e, "vec_id", "embedding", threshold = 0.45)
+      .select("id_a", "id_b")
+    val want = graft.dedup.Dedup
+      .labelGroups(e, "vec_id", exactPairs, "id_a", "id_b")
+      .select("vec_id", "group").as[(Long, Long)].collect().toMap
+    val got = semanticDedupGroups(e, "vec_id", "embedding",
+        threshold = 0.45, c = 8, probes = 8)
+      .select("vec_id", "group").as[(Long, Long)].collect().toMap
+    assert(got == want, "full-probe clustered groups must equal exact groups")
+    assert(want.exists { case (id, g) => g != id }, "fixture has non-trivial groups")
+  }
 }

@@ -270,4 +270,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!plan.contains("HashAggregate") && !plan.contains("Expand"),
       "stats must fold row-locally")
   }
+
+  test("vocabTopK: df/tf correct, deterministic cut, no countDistinct Expand") {
+    val d = Seq(
+      (1L, "a a b c"),
+      (2L, "a b"),
+      (3L, "b d")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.vocabTopK(d, "doc_id", "text", k = 3)
+      .as[(String, Long, Long)].collect().toSeq
+    // df desc, token asc: b(3), a(2), c(1) before d(1)
+    assert(got == Seq(("b", 3L, 3L), ("a", 2L, 3L), ("c", 1L, 1L)))
+    val plan = CorpusOps.vocabTopK(d, "doc_id", "text", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+    assert(!plan.contains("Expand"), "df must come from pre-grouped rows, not countDistinct")
+  }
 }
