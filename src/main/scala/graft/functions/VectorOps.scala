@@ -166,15 +166,7 @@ object VectorOps {
     val v = idx.assigned.select(col("id"), col("v")) // cached by build
     val asgIds =
       if (probes == 1) idx.assigned.select("cid", "id")
-      else {
-        val w = Window.partitionBy(col("id"))
-          .orderBy(col("ccos").desc, col("cid").asc)
-        v.crossJoin(broadcast(idx.centroids))
-          .select(col("id"), col("cid"), cosine(col("v"), col("cv")).as("ccos"))
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") <= probes)
-          .select("cid", "id")
-      }
+      else IvfIndex.assignTop(v, idx.centroids, probes).select("cid", "id")
     val cand = asgIds.as("a").join(asgIds.as("b"),
         col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -186,24 +178,44 @@ object VectorOps {
       .filter(col("cos") >= threshold)
   }
 
-  /** Semantic dedup GROUPS at corpus scale: [[clusteredCosinePairs]] →
-    * connected components → min-id labels + survivor flag — the embedding
-    * analogue of [[graft.dedup.Dedup.nearDupGroups]] (same output shape:
-    * idCol, group, keep). The index is built, consumed and closed inside
-    * the call (CC materializes eagerly, so the returned frame depends
-    * only on `vectors` and the checkpointed labels).
+  /** Semantic dedup GROUPS at corpus scale: clustered pairs → connected
+    * components → min-id labels + survivor flag — the embedding analogue
+    * of [[graft.dedup.Dedup.nearDupGroups]] (same output shape: idCol,
+    * group, keep). Trains centroids directly (sampled when `trainCap` is
+    * set) and runs ONE multi-probe assignment pass — it never pays
+    * [[IvfIndex.build]]'s full top-1 assignment scan only to re-rank all
+    * cells again for `probes` > 1; reuse [[clusteredCosinePairs]] with a
+    * caller-owned index when an ANN index for the same corpus already
+    * exists. All state is consumed inside the call (CC materializes
+    * eagerly, so the returned frame depends only on `vectors` and the
+    * checkpointed labels).
     */
   def semanticDedupGroups(vectors: DataFrame, idCol: String, vecCol: String,
                           threshold: Double, c: Int = 16, probes: Int = 2,
                           iters: Int = 1, trainCap: Int = 0,
                           maxIters: Int = 20): DataFrame = {
-    require(probes <= c, s"probes must be <= c=$c, got $probes")
-    val idx = IvfIndex.build(vectors, idCol, vecCol, c, iters, trainCap)
+    require(probes >= 1 && probes <= c, s"probes must be in [1, c=$c], got $probes")
+    val v = graft.core.Graft.spread(vectors)
+      .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
+      .cache()
+    val dim = IvfIndex.checkedDim(v, "semantic dedup")
+    val cents = IvfIndex.trainCentroids(v, c, iters, trainCap, dim).cache()
     try {
-      val pairs = clusteredCosinePairs(idx, threshold, probes)
-        .select("id_a", "id_b")
+      val asgIds = IvfIndex.assignTop(v, cents, probes).select("cid", "id")
+      val cand = asgIds.as("a").join(asgIds.as("b"),
+          col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+      val pairs = cand
+        .join(v.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+        .join(v.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+        .filter(cosine(col("va"), col("vb")) >= threshold)
+        .select(col("id_a"), col("id_b"))
       graft.dedup.Dedup.labelGroups(vectors, idCol, pairs, "id_a", "id_b", maxIters)
-    } finally idx.close()
+    } finally {
+      cents.unpersist(blocking = false)
+      v.unpersist(blocking = false)
+    }
   }
 
   /** Inverted-file (IVF) approximate nearest-neighbor index.
@@ -921,37 +933,72 @@ object VectorOps {
       */
     def build(vectors: DataFrame, idCol: String, vecCol: String, c: Int = 16,
               iters: Int = 1, trainCap: Int = 0): IvfIndex = {
-      require(iters >= 1, "at least one Lloyd iteration")
-      require(trainCap == 0 || trainCap >= c,
-        s"trainCap must be 0 (off) or >= c=$c, got $trainCap")
       val v = graft.core.Graft.spread(vectors)
         .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
         .cache() // scanned by seeds + the assignment passes
-      // one stats job: rejects empty/mixed-dim input (zip_with on ragged
-      // arrays would silently truncate the cosine) and pins the dim the
-      // fused Lloyd mean below relies on; it also pre-fills the v cache
+      val dim = checkedDim(v, "IVF build")
+      val cents = trainCentroids(v, c, iters, trainCap, dim).cache()
+      val assigned = assignTop(v, cents, 1).cache() // assignment covers EVERY vector
+      // materialize eagerly (build cost belongs to build) so the raw
+      // working set `v` can be released now instead of leaking past the
+      // build — searches touch only the two cached index frames; the
+      // assigned lineage scans cents, so one job fills both caches
+      val total = assigned.count()
+      v.unpersist(blocking = false)
+      new IvfIndex(assigned, cents, dim, total)
+    }
+
+    /** The build-time stats job: rejects empty/mixed-dim input (zip_with
+      * on ragged arrays would silently truncate the cosine), pins the
+      * dim the fused Lloyd mean relies on, and pre-fills the `v` cache.
+      */
+    private[functions] def checkedDim(v: DataFrame, what: String): Int = {
       val st = v.agg(count(lit(1)), min(size(col("v"))), max(size(col("v")))).head()
-      require(st.getLong(0) > 0, "IVF build needs a non-empty vector table")
+      require(st.getLong(0) > 0, s"$what needs a non-empty vector table")
       require(st.getInt(1) == st.getInt(2),
-        s"IVF build needs uniform vector dimensions, got ${st.getInt(1)}..${st.getInt(2)}")
-      val dim = st.getInt(1)
-      val vTrain = if (trainCap > 0 && st.getLong(0) > trainCap)
+        s"$what needs uniform vector dimensions, got ${st.getInt(1)}..${st.getInt(2)}")
+      st.getInt(1)
+    }
+
+    /** Rank the cells by cosine per id and keep the top `probes`
+      * assignments (ties to the lower cid — the build/append/search
+      * rule). Output (cid, id, v); one crossJoin against the broadcast
+      * centroid frame + one per-id rank window, whatever `probes` is.
+      */
+    private[functions] def assignTop(of: DataFrame, cents: DataFrame,
+                                     probes: Int): DataFrame = {
+      val w = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid").asc)
+      of.crossJoin(broadcast(cents))
+        .select(col("id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("ccos"))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= probes)
+        .select("cid", "id", "v")
+    }
+
+    /** Lloyd-train the `c` coarse centroids over a cached (id, v) frame:
+      * seeds = the c lowest-id vectors (of a deterministic hash-sample
+      * when `trainCap` caps training), `iters` assign→mean refinements.
+      * Shared by [[build]] (which then runs the full-corpus assignment)
+      * and [[VectorOps.semanticDedupGroups]] (which multi-probe-assigns
+      * instead — training alone never scans the full corpus beyond the
+      * stats job when trainCap is set). Returns the UNCACHED refined
+      * centroid frame (cid, cv).
+      *
+      * Lloyd step: fused elementwise mean — dim static column sums in
+      * ONE hash aggregation (the posexplode/regroup form shuffled dim×
+      * the rows through two groupBys and a sort-based array rebuild).
+      * Very wide vectors fall back to posexplode: thousands of aggregate
+      * expressions would overrun codegen method limits.
+      */
+    private[functions] def trainCentroids(v: DataFrame, c: Int, iters: Int,
+                                          trainCap: Int, dim: Int): DataFrame = {
+      require(iters >= 1, "at least one Lloyd iteration")
+      require(trainCap == 0 || trainCap >= c,
+        s"trainCap must be 0 (off) or >= c=$c, got $trainCap")
+      val vTrain = if (trainCap > 0 && v.count() > trainCap)
         v.orderBy(graft.ops.CorpusOps.sampleRank(col("id")), col("id")).limit(trainCap)
       else v
       val seeds = vTrain.orderBy("id").limit(c)
         .select(col("id").as("cid"), col("v").as("cv"))
-      def assign(of: DataFrame, cents: DataFrame): DataFrame = {
-        val w = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid").asc)
-        of.crossJoin(broadcast(cents))
-          .select(col("id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("ccos"))
-          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-          .select("cid", "id", "v")
-      }
-      // Lloyd step: fused elementwise mean — dim static column sums in ONE
-      // hash aggregation (the posexplode/regroup form shuffled dim× the
-      // rows through two groupBys and a sort-based array rebuild). Very
-      // wide vectors fall back to posexplode: thousands of aggregate
-      // expressions would overrun codegen method limits.
       def mean(assigned: DataFrame): DataFrame =
         if (dim <= 256) {
           val sums = (0 until dim).map(i => sum(element_at(col("v"), i + 1)).as(s"__s$i"))
@@ -965,16 +1012,7 @@ object VectorOps {
           .groupBy("cid")
           .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
             s => s.getField("m")).as("cv"))
-      val refined = (1 to iters).foldLeft(seeds)((cents, _) => mean(assign(vTrain, cents)))
-      val cents = refined.cache()
-      val assigned = assign(v, cents).cache() // assignment covers EVERY vector
-      // materialize eagerly (build cost belongs to build) so the raw
-      // working set `v` can be released now instead of leaking past the
-      // build — searches touch only the two cached index frames; the
-      // assigned lineage scans cents, so one job fills both caches
-      val total = assigned.count()
-      v.unpersist(blocking = false)
-      new IvfIndex(assigned, cents, dim, total)
+      (1 to iters).foldLeft(seeds)((cents, _) => mean(assignTop(vTrain, cents, 1)))
     }
   }
 }

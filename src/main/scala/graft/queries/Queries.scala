@@ -960,17 +960,18 @@ object Queries {
       .orderBy("vec_id")
 
   /** SemDeDup-style semantic dedup groups at the clustered operating
-    * point (c=8 cells, probes=2): the scale path that replaces q62's
-    * O(n²) pair generation — quadratic work bounded per cell, candidates
-    * on a cid equi-join. Rows-only (cluster boundaries are float-
-    * arithmetic-specific); VectorOpsSpec owns correctness: found pairs
-    * are exact-verified (precision 1), recall vs the exact pair list
+    * point (c=32 cells, probes=2 — c tracks √n so candidate volume
+    * stays ~linear): the scale path that replaces q62's O(n²) pair
+    * generation — quadratic work bounded per cell, candidates on a cid
+    * equi-join. Rows-only (cluster boundaries are float-arithmetic-
+    * specific); VectorOpsSpec owns correctness: found pairs are
+    * exact-verified (precision 1), recall vs the exact pair list
     * asserted, and q76 pins the machinery to the exact answer.
     */
   def q75_semdedup(spark: SparkSession, dir: String): DataFrame =
     graft.functions.VectorOps.semanticDedupGroups(
         Tables(spark, dir).embeddings, "vec_id", "embedding",
-        threshold = 0.45, c = 8, probes = 2)
+        threshold = 0.45, c = 32, probes = 2)
       .select(col("vec_id"), col("group").as("group_id"), col("keep"))
       .orderBy("vec_id")
 
@@ -982,7 +983,7 @@ object Queries {
   def q76_semdedup_exact(spark: SparkSession, dir: String): DataFrame =
     graft.functions.VectorOps.semanticDedupGroups(
         Tables(spark, dir).embeddings, "vec_id", "embedding",
-        threshold = 0.45, c = 8, probes = 8)
+        threshold = 0.45, c = 4, probes = 4)
       .select(col("vec_id"), col("group").as("group_id"))
       .orderBy("vec_id")
 
@@ -1012,6 +1013,33 @@ object Queries {
     graft.text.LanguageModel.lmScore(Tables(spark, dir).documents, "doc_id", "text")
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
+
+  /** Min-span proximity stats under an exact oracle: the smallest token
+    * window containing BOTH "table" and "hash" per document (null when
+    * either is absent) — the integer surface beneath q81's proximity
+    * ranking, via the native two-pointer kernel as a shuffle-free
+    * projection. For two terms the span is min |p_a − p_b| + 1, which
+    * the DuckDB oracle computes from the position lists.
+    */
+  def q80_prox_stats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.{TextFunctions, TextSearch}
+    graft.core.Graft.spread(Tables(spark, dir).documents)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+        TextSearch.minSpan(col("t"), Seq("table", "hash")).as("span"))
+      .orderBy("doc_id")
+  }
+
+  /** Proximity-constrained BM25 top-10 ("table" and "hash" within a
+    * 5-token window, any order) — rows-only like q63/q73 (ln scores);
+    * TextSearchSpec owns correctness with crafted in/out-of-window docs
+    * + driver recomputation, and q80 hash-checks the span surface.
+    */
+  def q81_prox_search(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextSearch.proximityTopK(Tables(spark, dir).documents,
+        "doc_id", "text", Seq("table", "hash"), window = 5, k = 10)
+      .select(col("id").as("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
 
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
@@ -1135,7 +1163,9 @@ object Queries {
     "q76_semdedup_exact" -> (q76_semdedup_exact _),
     "q77_vocab" -> (q77_vocab _),
     "q78_lm_components" -> (q78_lm_components _),
-    "q79_lm_score" -> (q79_lm_score _)
+    "q79_lm_score" -> (q79_lm_score _),
+    "q80_prox_stats" -> (q80_prox_stats _),
+    "q81_prox_search" -> (q81_prox_search _)
   )
 }
 
@@ -1784,6 +1814,20 @@ object Oracles {
     // precision-1 + recall spec in VectorOpsSpec — q76 is its exact
     // full-probe rung, oracled above),
     // q79_lm_score (ln/exp like q63; q78 hash-checks the count surface,
-    // exact driver recomputation in LanguageModelSpec).
+    // exact driver recomputation in LanguageModelSpec),
+    // q81_prox_search (ln scores like q63/q73; q80 hash-checks the span
+    // surface, crafted-window spec in TextSearchSpec).
+    "q80_prox_stats" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |pa AS (SELECT doc_id, i FROM toks
+        |       CROSS JOIN unnest(generate_series(1, len(t))) AS u(i) WHERE t[i] = 'table'),
+        |pb AS (SELECT doc_id, i FROM toks
+        |       CROSS JOIN unnest(generate_series(1, len(t))) AS u(i) WHERE t[i] = 'hash'),
+        |sp AS (SELECT pa.doc_id, min(abs(pa.i - pb.i) + 1) AS span
+        |       FROM pa JOIN pb USING (doc_id) GROUP BY pa.doc_id)
+        |SELECT toks.doc_id, CAST(len(t) AS BIGINT) AS dl,
+        |  CAST(sp.span AS BIGINT) AS span
+        |FROM toks LEFT JOIN sp USING (doc_id) ORDER BY toks.doc_id""".stripMargin
   )
 }

@@ -20,6 +20,12 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextKernels {
   def langIdNative(tokensCol: Column): Column =
     GraftSqlBridge.column(LangIdExpr(GraftSqlBridge.expression(tokensCol)))
+
+  def phraseTfNative(tokensCol: Column, phrase: Seq[String]): Column =
+    GraftSqlBridge.column(PhraseTfExpr(GraftSqlBridge.expression(tokensCol), phrase))
+
+  def minSpanNative(tokensCol: Column, terms: Seq[String]): Column =
+    GraftSqlBridge.column(MinSpanExpr(GraftSqlBridge.expression(tokensCol), terms))
 }
 
 /** One-pass language-ID over an `array<string>` token column.
@@ -131,4 +137,169 @@ object LangIdExpr {
     }
     m
   }
+}
+
+/** Occurrence count of an exact token phrase — the native form of
+  * [[TextSearch.phraseTfHof]] (one primitive pass, no per-position index
+  * array, no interpreted lambda; byte-identical results incl. overlaps
+  * and null-element non-matches). Long, never null for non-null input.
+  */
+case class PhraseTfExpr(child: Expression, phrase: Seq[String])
+    extends UnaryExpression {
+  require(phrase.nonEmpty, "phrase must be non-empty")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"input must be array<string>, got $other")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  @transient private lazy val words: Array[UTF8String] =
+    phrase.map(UTF8String.fromString).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val L = words.length
+    var cnt = 0L
+    var i = 0
+    while (i <= n - L) {
+      var j = 0
+      var ok = true
+      while (ok && j < L) {
+        if (arr.isNullAt(i + j) || !arr.getUTF8String(i + j).equals(words(j))) ok = false
+        j += 1
+      }
+      if (ok) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val w = ctx.addReferenceObj("graftPhraseWords", words,
+        "org.apache.spark.unsafe.types.UTF8String[]")
+      val n = ctx.freshName("n"); val cnt = ctx.freshName("cnt")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val ok = ctx.freshName("ok")
+      s"""
+         |final int $n = $a.numElements();
+         |long $cnt = 0L;
+         |for (int $i = 0; $i <= $n - ${words.length}; $i++) {
+         |  boolean $ok = true;
+         |  for (int $j = 0; $ok && $j < ${words.length}; $j++) {
+         |    if ($a.isNullAt($i + $j) ||
+         |        !$a.getUTF8String($i + $j).equals($w[$j])) $ok = false;
+         |  }
+         |  if ($ok) $cnt++;
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+}
+
+/** Smallest token-window length containing EVERY one of `terms` (each at
+  * least once, any order) — the proximity primitive phrase adjacency
+  * cannot express ("spark" near "join", not necessarily adjacent).
+  * Standard two-pointer sliding window, O(tokens) per row with k-sized
+  * count state; null when some term never occurs (no window exists).
+  */
+case class MinSpanExpr(child: Expression, terms: Seq[String])
+    extends UnaryExpression {
+  require(terms.nonEmpty, "terms must be non-empty")
+  require(terms.distinct == terms, "terms must be distinct")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"input must be array<string>, got $other")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  @transient private lazy val termIdx: java.util.HashMap[UTF8String, java.lang.Integer] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Integer]()
+    terms.zipWithIndex.foreach { case (t, i) =>
+      m.put(UTF8String.fromString(t), java.lang.Integer.valueOf(i))
+    }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val k = terms.length
+    val cnt = new Array[Int](k)
+    var covered = 0
+    var best = Long.MaxValue
+    var lo = 0
+    var hi = 0
+    while (hi < n) {
+      if (!arr.isNullAt(hi)) {
+        val ix = termIdx.get(arr.getUTF8String(hi))
+        if (ix != null) {
+          val x = ix.intValue()
+          cnt(x) += 1
+          if (cnt(x) == 1) covered += 1
+          while (covered == k) {
+            if (hi - lo + 1 < best) best = (hi - lo + 1).toLong
+            if (!arr.isNullAt(lo)) {
+              val lx = termIdx.get(arr.getUTF8String(lo))
+              if (lx != null) {
+                val y = lx.intValue()
+                cnt(y) -= 1
+                if (cnt(y) == 0) covered -= 1
+              }
+            }
+            lo += 1
+          }
+        }
+      }
+      hi += 1
+    }
+    if (best == Long.MaxValue) null else java.lang.Long.valueOf(best)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val map = ctx.addReferenceObj("graftSpanTerms", termIdx,
+        classOf[java.util.HashMap[_, _]].getName)
+      val k = terms.length
+      val n = ctx.freshName("n"); val cnt = ctx.freshName("cnt")
+      val covered = ctx.freshName("covered"); val best = ctx.freshName("best")
+      val lo = ctx.freshName("lo"); val hi = ctx.freshName("hi")
+      val ix = ctx.freshName("ix"); val lx = ctx.freshName("lx")
+      s"""
+         |final int $n = $a.numElements();
+         |final int[] $cnt = new int[$k];
+         |int $covered = 0; int $lo = 0;
+         |long $best = Long.MAX_VALUE;
+         |for (int $hi = 0; $hi < $n; $hi++) {
+         |  if (!$a.isNullAt($hi)) {
+         |    Integer $ix = (Integer) $map.get($a.getUTF8String($hi));
+         |    if ($ix != null) {
+         |      if (++$cnt[$ix.intValue()] == 1) $covered++;
+         |      while ($covered == $k) {
+         |        if ($hi - $lo + 1 < $best) $best = (long) ($hi - $lo + 1);
+         |        if (!$a.isNullAt($lo)) {
+         |          Integer $lx = (Integer) $map.get($a.getUTF8String($lo));
+         |          if ($lx != null && --$cnt[$lx.intValue()] == 0) $covered--;
+         |        }
+         |        $lo++;
+         |      }
+         |    }
+         |  }
+         |}
+         |if ($best == Long.MAX_VALUE) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $best; }
+       """.stripMargin
+    })
 }

@@ -33,7 +33,7 @@ object TextSearch {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queryTerms: Seq[String], k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame =
-    bm25TopKImpl(docs, idCol, textCol, queryTerms, k, k1, b, phrase = None)
+    bm25TopKImpl(docs, idCol, textCol, queryTerms, k, k1, b, gate = None)
 
   /** Phrase-constrained BM25 top-`k`: rank `phrase`'s words by BM25 but
     * keep only documents containing the words ADJACENT and IN ORDER —
@@ -48,14 +48,41 @@ object TextSearch {
   def phraseTopK(docs: DataFrame, idCol: String, textCol: String,
                  phrase: Seq[String], k: Int,
                  k1: Double = 1.2, b: Double = 0.75): DataFrame =
-    bm25TopKImpl(docs, idCol, textCol, phrase, k, k1, b, phrase = Some(phrase))
+    bm25TopKImpl(docs, idCol, textCol, phrase, k, k1, b,
+      gate = Some(t => phraseTf(t, phrase) >= 1L))
 
-  /** Occurrence count of an exact token phrase inside a token array — a
-    * pure per-row collection expression (no shuffle, no UDF): positions i
-    * where every phrase word matches t[i+offset]. Integer-exact, so it
-    * oracles (q72) even though BM25 scores do not.
+  /** Proximity-constrained BM25 top-`k`: rank `terms` by BM25 but keep
+    * only documents where ALL terms occur within a `window`-token span
+    * (any order) — looser than [[phraseTopK]]'s adjacency, stricter than
+    * bag-of-words. The span test is the native [[minSpan]] kernel riding
+    * the scoring projection (no pushable filter — the q73 plan lesson);
+    * a null span (term absent) null-gates the score like a failed
+    * phrase. Rows-only like bm25TopK (libm ln); the integer span surface
+    * is the hash-checked q80.
     */
-  def phraseTf(tokens: Column, phrase: Seq[String]): Column = {
+  def proximityTopK(docs: DataFrame, idCol: String, textCol: String,
+                    terms: Seq[String], window: Int, k: Int,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(window >= terms.length,
+      s"window $window cannot hold ${terms.length} terms")
+    bm25TopKImpl(docs, idCol, textCol, terms, k, k1, b,
+      gate = Some(t => minSpan(t, terms) <= window))
+  }
+
+  /** Occurrence count of an exact token phrase inside a token array —
+    * the native one-pass kernel ([[PhraseTfExpr]]): no per-position
+    * index array, no interpreted lambda, stays in whole-stage codegen.
+    * Integer-exact, so it oracles (q72) even though BM25 scores do not.
+    */
+  def phraseTf(tokens: Column, phrase: Seq[String]): Column =
+    TextKernels.phraseTfNative(tokens, phrase)
+
+  /** Reference HOF formulation of [[phraseTf]] (positions i where every
+    * phrase word matches t[i+offset], via an interpreted per-position
+    * filter) — kept interpreted end-to-end as the bit-equality baseline
+    * for the native kernel (the dotHof/cosineHof pattern).
+    */
+  def phraseTfHof(tokens: Column, phrase: Seq[String]): Column = {
     require(phrase.nonEmpty, "phrase must be non-empty")
     val L = phrase.length
     val hits = filter(
@@ -67,6 +94,13 @@ object TextSearch {
     // shorter than the phrase (CaseWhen evaluates one branch per row)
     when(size(tokens) < L, lit(0L)).otherwise(size(hits).cast("long"))
   }
+
+  /** Smallest token window containing every one of `terms` (any order) —
+    * the native two-pointer kernel ([[MinSpanExpr]]); null when a term
+    * never occurs. The proximity primitive under [[proximityTopK]].
+    */
+  def minSpan(tokens: Column, terms: Seq[String]): Column =
+    TextKernels.minSpanNative(tokens, terms)
 
   /** Integer BM25 components per document — the hash-checkable data path
     * under [[bm25TopK]]: per-term tf and dl are exact integers (and df,
@@ -92,7 +126,7 @@ object TextSearch {
   private def bm25TopKImpl(docs: DataFrame, idCol: String, textCol: String,
                            queryTerms: Seq[String], k: Int,
                            k1: Double, b: Double,
-                           phrase: Option[Seq[String]]): DataFrame = {
+                           gate: Option[Column => Column]): DataFrame = {
     val terms = queryTerms.distinct
     require(terms.nonEmpty, "bm25TopK needs at least one query term")
     require(k > 0, s"k must be positive, got $k")
@@ -118,17 +152,26 @@ object TextSearch {
     val tfCols = terms.zipWithIndex.map { case (term, i) =>
       (size(col("t")) - size(array_remove(col("t"), lit(term))))
         .cast("double").as(s"__tf$i")
-    }
-    // phrase constraint (if any) rides the scoring scan as a per-row
-    // filter — corpus stats above stay corpus-wide by design
-    val kept = phrase.map(p => toks.filter(phraseTf(col("t"), p) >= 1L)).getOrElse(toks)
-    val withTf = kept.select(col("id") +: col("dl") +: tfCols: _*)
-    val score = terms.zipWithIndex.map { case (_, i) =>
+    } ++
+      // a phrase/proximity gate rides the same projection as the tf
+      // columns (one kernel evaluation per row, post-exchange) and folds
+      // into the SCORE below rather than a Filter: a deterministic filter
+      // on the token array gets pushed beneath the spread exchange, where
+      // it re-derives the tokens from text and runs on the scan's
+      // one-task partitioning (the q63 plan lesson, second verse)
+      gate.map(g => g(col("t")).as("__pok")).toSeq
+    val withTf = toks.select(col("id") +: col("dl") +: tfCols: _*)
+    val rawScore = terms.zipWithIndex.map { case (_, i) =>
       val df = st.getLong(2 + i)
       val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
       lit(idf) * col(s"__tf$i") * lit(k1 + 1.0) /
         (col(s"__tf$i") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
     }.reduce(_ + _)
+    // gate-failing docs score null (a null gate — absent term — null-
+    // gates too), and nulls desc-sort LAST: the top-k fills with passing
+    // docs first and the final positivity filter drops the nulls, so the
+    // result set equals the filter formulation
+    val score = if (gate.isDefined) when(col("__pok"), rawScore) else rawScore
     // positivity filter ABOVE the top-k (same result set: positive scores
     // always outrank zero): filtering before it would be pushed under the
     // spread exchange and recompute the full score per row a second time

@@ -101,4 +101,18 @@ class PlanCheckSpec extends SparkSpec {
       s"chunking must be generate+project only:\n$p")
     assert(p.contains("Generate"), s"posexplode generate node missing:\n$p")
   }
+
+  test("q73 phrase constraint does not push a filter below the spread exchange") {
+    // a deterministic filter on the token array re-derives the tokens
+    // from raw text UNDER the repartition, on the scan's one-task
+    // partitioning (the q63 plan lesson) — the phrase test must ride the
+    // post-exchange scoring projection instead
+    val p = plans("q73_phrase_search")
+    val ex = p.indexOf("Exchange")
+    val scan = p.indexOf("Scan parquet")
+    assert(ex >= 0 && scan > ex, s"unexpected plan shape:\n$p")
+    assert(!p.substring(ex, scan).contains("Filter"),
+      s"filter pushed below the spread exchange:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k degraded:\n$p")
+  }
 }

@@ -154,4 +154,77 @@ class TextSearchSpec extends SparkSpec {
       TextSearch.bm25TopK(docs.limit(0), "doc_id", "text", Seq("a"), k = 5)
     }.getMessage.contains("corpus"))
   }
+
+  test("native phraseTf kernel is bit-identical to the HOF formulation on the fixture") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val phrase = Seq("table", "hash")
+    val both = docs.select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+      .select(
+        TextSearch.phraseTf(col("t"), phrase).as("native"),
+        TextSearch.phraseTfHof(col("t"), phrase).as("hof"))
+      .as[(Long, Long)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (n, h) => assert(n == h) }
+    // null token elements never match in either formulation
+    val withNull = Seq(Seq(Option("a"), None, Option("b"))).toDF("t")
+    val r = withNull.select(
+      TextSearch.phraseTf(col("t"), Seq("a", "b")).as("native"),
+      TextSearch.phraseTfHof(col("t"), Seq("a", "b")).as("hof")).collect()(0)
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L)
+  }
+
+  test("minSpan: two-pointer window semantics incl. absence, repeats, k terms") {
+    val docs = Seq(
+      (1L, "table hash close"),                  // adjacent → 2
+      (2L, "table a b c hash far"),              // gap → 5
+      (3L, "hash then much later table"),        // order-free → 5
+      (4L, "table only no second term"),         // absent → null
+      (5L, ""),                                  // empty → null
+      (6L, "table x table hash x"),              // repeats: best window → 2
+      (7L, "hash table hash table")               // multiple minima → 2
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        TextSearch.minSpan(TextFunctions.tokens(col("text")),
+          Seq("table", "hash")).as("s"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(1L -> Some(2L), 2L -> Some(5L), 3L -> Some(5L),
+      4L -> None, 5L -> None, 6L -> Some(2L), 7L -> Some(2L)))
+    // three terms: minimal window must cover all of them
+    val tri = Seq((1L, "a x b y c"), (2L, "c b a"), (3L, "a b x x c a b"))
+      .toDF("doc_id", "text")
+    val got3 = tri.select(col("doc_id"),
+        TextSearch.minSpan(TextFunctions.tokens(col("text")),
+          Seq("a", "b", "c")).as("s"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got3 == Map(1L -> Some(5L), 2L -> Some(3L), 3L -> Some(3L)))
+  }
+
+  test("proximityTopK keeps only within-window docs, ranked by the terms' BM25") {
+    val docs = Seq(
+      (1L, "spark join inside window"),
+      (2L, "spark a b c d e f g h join outside"),
+      (3L, "join spark reversed inside"),
+      (4L, "spark only one term"),
+      (5L, "neither word here")
+    ).toDF("doc_id", "text")
+    val got = TextSearch.proximityTopK(docs, "doc_id", "text",
+        Seq("spark", "join"), window = 5, k = 10)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L), s"got $got")
+    // scores equal the unconstrained BM25 scores of the surviving docs
+    val prox = TextSearch.proximityTopK(docs, "doc_id", "text",
+        Seq("spark", "join"), window = 5, k = 10)
+      .as[(Long, Double)].collect().toMap
+    val plain = TextSearch.bm25TopK(docs, "doc_id", "text",
+        Seq("spark", "join"), k = 10)
+      .as[(Long, Double)].collect().toMap
+    prox.foreach { case (id, s) =>
+      assert(java.lang.Double.doubleToLongBits(s) ==
+        java.lang.Double.doubleToLongBits(plain(id)), s"doc $id score drift")
+    }
+    assert(intercept[IllegalArgumentException] {
+      TextSearch.proximityTopK(docs, "doc_id", "text", Seq("a", "b"),
+        window = 1, k = 5)
+    }.getMessage.contains("window"))
+  }
 }
