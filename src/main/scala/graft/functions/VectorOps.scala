@@ -312,9 +312,20 @@ object VectorOps {
     * join — raw stays on storage, exactly the memory asymmetry the
     * layout exists for). Final ordering is exact-cosine over the
     * candidate set.
+    *
+    * `residual` = true is the recentered variant (FAISS `by_residual`):
+    * codes quantize `v − centroid` instead of `v`, so the 256 levels
+    * span the cell's local spread rather than the global coordinate
+    * range — strictly finer steps whenever cells are tighter than the
+    * corpus, i.e. exactly when IVF is earning its keep. Scoring adds
+    * the per-(query, cell) `dot(q, cv)` term (nprobe rows per query,
+    * computed once on the probe side) to the residual code dot; the
+    * reconstructed norm is precomputed at build, so search still never
+    * dequantizes.
     */
   final class IvfSq8Index private[functions] (
-      val codes: DataFrame, val centroids: DataFrame, raw: DataFrame) {
+      val codes: DataFrame, val centroids: DataFrame, raw: DataFrame,
+      val residual: Boolean) {
 
     def search(queries: DataFrame, queryIdCol: String, queryVecCol: String,
                k: Int, nprobe: Int, rescore: Int = 4): DataFrame = {
@@ -325,15 +336,27 @@ object VectorOps {
         .withColumn("qnrm2", dot(col("qv"), col("qv")))
       val qCells = q.crossJoin(broadcast(centroids))
         .select(col("qid"), col("qv"), col("qsum"), col("qnrm2"), col("cid"),
-          cosine(col("qv"), col("cv")).as("ccos"))
+          cosine(col("qv"), col("cv")).as("ccos"),
+          dot(col("qv"), col("cv")).as("qdotc"))
       val wq = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid").asc)
       val probed = qCells.withColumn("__rn", row_number().over(wq))
-        .filter(col("__rn") <= nprobe).select("qid", "qv", "qsum", "qnrm2", "cid")
+        .filter(col("__rn") <= nprobe)
+        .select("qid", "qv", "qsum", "qnrm2", "qdotc", "cid")
+      // residual ADC: dot(q, v̂) = dot(q, cv) + dot(q, r̂) with
+      // dot(q, r̂) = mn·Σq + step·(Σ qᵢ·codeᵢ + 128·Σq) — same shape as
+      // approxCosine but against the precomputed reconstructed norm
+      val approx =
+        if (residual)
+          (col("qdotc") + col("sq").getField("mn") * col("qsum") +
+            col("sq").getField("step") *
+              (QuantKernels.sq8Dot(col("sq").getField("code"), col("qv")) +
+                lit(128.0) * col("qsum"))) /
+            sqrt(col("qnrm2") * col("nrm2h"))
+        else
+          QuantKernels.approxCosine(col("sq"), col("qv"), col("qnrm2"), col("qsum"))
       val scored = codes.join(broadcast(probed), "cid")
         .filter(col("id") =!= col("qid"))
-        .select(col("qid"), col("id"), col("qv"),
-          QuantKernels.approxCosine(col("sq"), col("qv"), col("qnrm2"), col("qsum"))
-            .as("acos"))
+        .select(col("qid"), col("id"), col("qv"), approx.as("acos"))
       val wa = Window.partitionBy(col("qid")).orderBy(col("acos").desc, col("id").asc)
       val cands = scored.withColumn("__rn", row_number().over(wa))
         .filter(col("__rn") <= k * rescore).select("qid", "qv", "id")
@@ -364,9 +387,13 @@ object VectorOps {
       */
     def load(spark: SparkSession, dir: String,
              vectors: DataFrame, idCol: String, vecCol: String): IvfSq8Index = {
-      val codes = spark.read.parquet(s"$dir/codes")
-        .select(col("cid").cast("long").as("cid"), col("id"), col("sq"))
-        .cache()
+      val raw0 = spark.read.parquet(s"$dir/codes")
+      // the saved layout self-describes the variant: residual codes
+      // carry the precomputed reconstructed norm
+      val residual = raw0.columns.contains("nrm2h")
+      val cols = col("cid").cast("long").as("cid") +: col("id") +: col("sq") +:
+        (if (residual) Seq(col("nrm2h")) else Nil)
+      val codes = raw0.select(cols: _*).cache()
       val cents = spark.read.parquet(s"$dir/centroids").cache()
       codes.count(); cents.count()
       val raw = graft.core.Graft.spread(vectors)
@@ -378,25 +405,50 @@ object VectorOps {
       require(st.isNullAt(0) || (st.getInt(0) == dim && st.getInt(1) == dim),
         s"loaded index is $dim-dim but the raw table has " +
           s"${st.getInt(0)}..${st.getInt(1)}-dim vectors")
-      new IvfSq8Index(codes, cents, raw)
+      new IvfSq8Index(codes, cents, raw, residual)
     }
 
     /** `trainCap` threads through to [[IvfIndex.build]]'s sampled
       * centroid training; SQ8 encoding itself is per-row (no training).
+      * `byResidual` quantizes the per-cell residual `v − cv` instead of
+      * `v` (finer steps over the cell's local spread); the reconstructed
+      * norm |cv + r̂|² is precomputed here from the code struct alone —
+      * dot(cv, r̂) expands over the code bytes exactly like a query dot,
+      * so nothing is ever dequantized, at build or at search.
       */
     def build(vectors: DataFrame, idCol: String, vecCol: String, c: Int = 16,
-              iters: Int = 1, trainCap: Int = 0): IvfSq8Index = {
+              iters: Int = 1, trainCap: Int = 0,
+              byResidual: Boolean = false): IvfSq8Index = {
       val ivf = IvfIndex.build(vectors, idCol, vecCol, c, iters, trainCap)
-      val codes = ivf.assigned
-        .select(col("cid"), col("id"), QuantKernels.sq8Encode(col("v")).as("sq"))
-        .cache()
+      val codes = (if (!byResidual)
+        ivf.assigned
+          .select(col("cid"), col("id"), QuantKernels.sq8Encode(col("v")).as("sq"))
+      else {
+        // per-cell scalars ride the (tiny, broadcast) centroid side
+        val centsX = ivf.centroids
+          .withColumn("cvsum", aggregate(col("cv"), lit(0.0), (s, x) => s + x))
+          .withColumn("cvnrm2", dot(col("cv"), col("cv")))
+        // two projections so the encode kernel runs ONCE per row — the
+        // norm below reads `sq` as an attribute (CollapseProject keeps
+        // non-cheap expressions single-use)
+        val enc = ivf.assigned.join(broadcast(centsX), "cid")
+          .select(col("cid"), col("id"), col("cv"), col("cvsum"), col("cvnrm2"),
+            QuantKernels.sq8Encode(zip_with(col("v"), col("cv"), _ - _)).as("sq"))
+        val dotCvR = col("sq").getField("mn") * col("cvsum") +
+          col("sq").getField("step") *
+            (QuantKernels.sq8Dot(col("sq").getField("code"), col("cv")) +
+              lit(128.0) * col("cvsum"))
+        enc.select(col("cid"), col("id"), col("sq"),
+          (col("cvnrm2") + lit(2.0) * dotCvR + col("sq").getField("nrm2"))
+            .as("nrm2h"))
+      }).cache()
       codes.count()
       // release the full-precision cached assignment: SQ8's point is that
       // only the byte codes stay resident
       ivf.assigned.unpersist(blocking = false)
       val raw = graft.core.Graft.spread(vectors)
         .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
-      new IvfSq8Index(codes, ivf.centroids, raw)
+      new IvfSq8Index(codes, ivf.centroids, raw, byResidual)
     }
   }
 

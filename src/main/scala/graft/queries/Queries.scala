@@ -885,6 +885,36 @@ object Queries {
         k = 10, nprobe = 16, rescore = fullRescore(e, 10)))
   }
 
+  /** Recentered IVF-SQ8 (FAISS by_residual): codes quantize the per-cell
+    * residual v − centroid, so the 256 levels span the cell's local
+    * spread — finer steps than q53's per-vector global range whenever
+    * cells are tight. Rows-only like q53 (approx recall; spec measures
+    * both variants' recall and pins the reconstructed-norm arithmetic);
+    * q83 is the exact full-probe rung.
+    */
+  def q82_ann_sq8r(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val idx = graft.functions.VectorOps.IvfSq8Index.build(
+      e, "vec_id", "embedding", c = 16, byResidual = true)
+    idx.search(e.filter(col("vec_id") === 0), "vec_id", "embedding", k = 10, nprobe = 4)
+      .select(col("id").as("vec_id"), col("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+  }
+
+  /** Residual SQ8 at full probe and full rescore: the recentered ADC
+    * (dot(q,cv) term + residual code dot + reconstructed norm) ranks,
+    * the cut keeps everything, the exact re-rank is brute force —
+    * hash-checked (q82 stays the approx operating point).
+    */
+  def q83_ann_sq8r_exact(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val idx = graft.functions.VectorOps.IvfSq8Index.build(
+      e, "vec_id", "embedding", c = 16, byResidual = true)
+    annExactShape(
+      idx.search(e.filter(col("vec_id") === 0), "vec_id", "embedding",
+        k = 10, nprobe = 16, rescore = fullRescore(e, 10)))
+  }
+
   /** Flat PQ at full rescore: ADC ranks, the cut keeps everything, the
     * exact re-rank is brute force — hash-checked (q56 stays the approx
     * operating point).
@@ -1165,7 +1195,9 @@ object Queries {
     "q78_lm_components" -> (q78_lm_components _),
     "q79_lm_score" -> (q79_lm_score _),
     "q80_prox_stats" -> (q80_prox_stats _),
-    "q81_prox_search" -> (q81_prox_search _)
+    "q81_prox_search" -> (q81_prox_search _),
+    "q82_ann_sq8r" -> (q82_ann_sq8r _),
+    "q83_ann_sq8r_exact" -> (q83_ann_sq8r_exact _)
   )
 }
 
@@ -1449,6 +1481,7 @@ object Oracles {
     "q68_ann_sq8_exact" -> BruteForceTop10Sql,
     "q69_ann_pq_exact" -> BruteForceTop10Sql,
     "q70_ann_ivfpq_exact" -> BruteForceTop10Sql,
+    "q83_ann_sq8r_exact" -> BruteForceTop10Sql,
     "q40_binary_meta" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, sha256(text) AS sha
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -1798,6 +1831,8 @@ object Oracles {
     // q42_multimodal_decode (stub decoder is Scala-side, not SQL),
     // q53_ann_sq8 (approx recall; codes/error/recall spec-asserted —
     // q68 is its exact full-probe rung, oracled above),
+    // q82_ann_sq8r (approx recall like q53; recentered-norm arithmetic
+    // spec-pinned — q83 is its exact full-probe rung, oracled above),
     // q56_ann_pq (approx recall; codebook grid + recall spec-asserted —
     // q69 is its exact full-rescore rung),
     // q57_ann_ivfpq (approx recall; per-cell grid + recall-vs-flat-PQ

@@ -155,6 +155,49 @@ class VectorOpsSpec extends SparkSpec {
     idx.close()
   }
 
+  test("residual SQ8: reconstructed norm exact, recall floor, save/load roundtrip") {
+    val e = Tables(spark, sfDir).embeddings
+    val idx = IvfSq8Index.build(e, "vec_id", "embedding", c = 16, byResidual = true)
+    assert(idx.residual)
+    // nrm2h must equal the driver-side |cv + r̂|² of the dequantized code
+    // (the search path divides by it — an arithmetic slip would skew
+    // every approximate score)
+    val cents = idx.centroids.select($"cid", $"cv").as[(Long, Seq[Double])]
+      .collect().toMap
+    val sample = idx.codes
+      .select($"cid", $"id", $"sq.mn", $"sq.step", $"sq.code", $"nrm2h")
+      .as[(Long, Long, Double, Double, Array[Byte], Double)]
+      .collect().take(50)
+    assert(sample.nonEmpty)
+    sample.foreach { case (cid, id, mn, step, code, nrm2h) =>
+      val cv = cents(cid)
+      val rHat = code.map(b => mn + (b.toDouble + 128.0) * step)
+      val want = cv.zip(rHat).map { case (c, r) => (c + r) * (c + r) }.sum
+      assert(math.abs(want - nrm2h) <= 1e-9 * math.max(1.0, want),
+        s"id=$id nrm2h=$nrm2h want=$want")
+    }
+    // recall at the q82 operating point (report both variants)
+    val queries = e.filter($"vec_id" < 5)
+    val exact = annBruteForce(e, "vec_id", "embedding", queries, "vec_id", "embedding", k = 10)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val approx = idx.search(queries, "vec_id", "embedding", k = 10, nprobe = 4)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(s"residual SQ8 recall@10 (c=16, nprobe=4): $recall")
+    assert(recall >= 0.6, s"residual SQ8 recall@10 too low: $recall")
+    // save/load: the layout self-describes the variant via nrm2h
+    val before = idx.search(queries, "vec_id", "embedding", k = 10, nprobe = 4)
+      .collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_sq8r").toString
+    idx.save(dir)
+    idx.close()
+    val loaded = IvfSq8Index.load(spark, dir, e, "vec_id", "embedding")
+    assert(loaded.residual, "loaded index must detect the residual layout")
+    assert(loaded.search(queries, "vec_id", "embedding", k = 10, nprobe = 4)
+      .collect().toSet == before)
+    loaded.close()
+  }
+
   test("PQ index: complete codebook grid, valid codes, recall after re-rank") {
     val e = Tables(spark, sfDir).embeddings
     val queries = e.filter($"vec_id" < 5)
