@@ -446,4 +446,100 @@ object Dedup {
     case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
     case _ => ()
   }
+
+  // non-token separator so joined grams cannot collide across boundaries
+  // ("ab"+"c" vs "a"+"bc"); mirrored as chr(1) in the DuckDB oracle
+  private val GramSep = "\u0001"
+
+  /** (id, p, g) positional n-token grams of every document — 1-based
+    * start position, gram key either the joined token string (the
+    * oracle-exact form) or its xxhash64 (8-byte keys — what actually
+    * shuffles at corpus scale; DedupSpec asserts the two agree on the
+    * fixture). Documents shorter than `n` tokens emit nothing; the
+    * empty-case guard matters because Spark's `sequence(1, 0)` counts
+    * DOWN rather than returning empty.
+    */
+  private def positionalGrams(df: DataFrame, textCol: String, idCol: String,
+                              n: Int): DataFrame = {
+    val toks = graft.core.Graft.spread(df)
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("t"))
+    val grams = when(size(col("t")) >= n,
+        transform(sequence(lit(1), size(col("t")) - lit(n - 1)),
+          i => concat_ws(GramSep, slice(col("t"), i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    toks.select(col("id"), size(col("t")).as("len"), grams.as("gs"))
+  }
+
+  /** Duplicated-substring statistics — the exact-substring rung of the
+    * dedup family (the MinHash/SimHash rungs catch near-identical whole
+    * documents; this catches verbatim PASSAGES pasted across otherwise
+    * unrelated documents, the contamination mode whole-doc similarity
+    * misses). A position is a duplicated span start when its n-token
+    * gram occurs more than once in the corpus (any document, including
+    * repeats within the same one). Per document:
+    * (id, n_spans, dup_spans, dup_tokens) — span-start count, duplicated
+    * span-start count, and tokens covered by the UNION of duplicated
+    * spans (interval merge: ordered by start, each span adds
+    * min(n, gap-from-previous) fresh tokens — one per-doc window pass,
+    * no interval list ever materializes).
+    *
+    * Scale shape: tokenize+gram is one projection, the duplicate test is
+    * one groupBy on the gram key (map-side combinable, 8-byte keys when
+    * `hashed`), coverage is a window over only the duplicated positions.
+    * Nothing is all-pairs; boilerplate grams cost their occurrence
+    * count, not its square.
+    */
+  def dupSpanStats(df: DataFrame, textCol: String, idCol: String, n: Int,
+                   hashed: Boolean = true): DataFrame = {
+    require(n >= 1, s"span length must be >= 1, got $n")
+    val perDoc = positionalGrams(df, textCol, idCol, n)
+    val pos = perDoc.select(col("id"), posexplode(col("gs")))
+      .select(col("id"), (col("pos") + 1).as("p"),
+        (if (hashed) xxhash64(col("col")) else col("col")).as("g"))
+    val hot = pos.groupBy("g").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).select("g")
+    val w = Window.partitionBy("id").orderBy("p")
+    val cov = pos.join(hot, "g")
+      .withColumn("__d",
+        least(lit(n), coalesce(col("p") - lag("p", 1).over(w), lit(n))))
+      .groupBy("id").agg(count(lit(1)).as("dup_spans"),
+        sum("__d").cast("long").as("dup_tokens"))
+    perDoc.select(col("id"), size(col("gs")).cast("long").as("n_spans"))
+      .join(cov, Seq("id"), "left")
+      .select(col("id"), col("n_spans"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+  }
+
+  /** Remove duplicated spans: every token covered by some duplicated
+    * n-gram span (per [[dupSpanStats]]'s corpus-wide rule) is dropped
+    * and the survivors re-joined with single spaces — the Lee et al.
+    * "deduplicating training data" repair, as a per-document rewrite.
+    * Output: (id, text). Duplicated-start positions collect into one
+    * bounded per-doc array (≤ token count); the per-token covered test
+    * is an interpreted HOF over that array — fine for a rewrite pass
+    * that runs once per corpus build, and only over docs that HAVE
+    * duplicated spans (the left-join keeps clean docs untouched on the
+    * no-op branch).
+    */
+  def stripDupSpans(df: DataFrame, textCol: String, idCol: String, n: Int,
+                    hashed: Boolean = true): DataFrame = {
+    require(n >= 1, s"span length must be >= 1, got $n")
+    val perDoc = positionalGrams(df, textCol, idCol, n)
+    val pos = perDoc.select(col("id"), posexplode(col("gs")))
+      .select(col("id"), (col("pos") + 1).as("p"),
+        (if (hashed) xxhash64(col("col")) else col("col")).as("g"))
+    val hot = pos.groupBy("g").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).select("g")
+    val starts = pos.join(hot, "g")
+      .groupBy("id").agg(sort_array(collect_list(col("p"))).as("ps"))
+    val toks = graft.core.Graft.spread(df)
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("t"))
+    toks.join(starts, Seq("id"), "left")
+      .select(col("id"),
+        when(col("ps").isNull, concat_ws(" ", col("t"))).otherwise(
+          concat_ws(" ", filter(col("t"), (_, i) =>
+            !exists(col("ps"), s => i + 1 >= s && i + 1 < s + n))))
+          .as("text"))
+  }
 }

@@ -1071,6 +1071,21 @@ object Queries {
       .select(col("id").as("doc_id"), col("score"))
       .orderBy(col("score").desc, col("doc_id"))
 
+  /** Exact-substring dedup statistics (Lee et al.'s "deduplicating
+    * training data" shape, the rung the whole-document rungs miss):
+    * positions whose 5-token gram occurs more than once in the corpus
+    * are duplicated spans; per doc the span-start count, duplicated-span
+    * count, and tokens covered by the union of duplicated spans
+    * (window-merged intervals). Exact oracle — this form keys on gram
+    * STRINGS; the 8-byte hashed scale path is spec-asserted identical
+    * on the fixture (DedupSpec).
+    */
+  def q84_dup_spans(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.dupSpanStats(
+        Tables(spark, dir).documents, "text", "doc_id", n = 5, hashed = false)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -1197,7 +1212,8 @@ object Queries {
     "q80_prox_stats" -> (q80_prox_stats _),
     "q81_prox_search" -> (q81_prox_search _),
     "q82_ann_sq8r" -> (q82_ann_sq8r _),
-    "q83_ann_sq8r_exact" -> (q83_ann_sq8r_exact _)
+    "q83_ann_sq8r_exact" -> (q83_ann_sq8r_exact _),
+    "q84_dup_spans" -> (q84_dup_spans _)
   )
 }
 
@@ -1863,6 +1879,22 @@ object Oracles {
         |       FROM pa JOIN pb USING (doc_id) GROUP BY pa.doc_id)
         |SELECT toks.doc_id, CAST(len(t) AS BIGINT) AS dl,
         |  CAST(sp.span AS BIGINT) AS span
-        |FROM toks LEFT JOIN sp USING (doc_id) ORDER BY toks.doc_id""".stripMargin
+        |FROM toks LEFT JOIN sp USING (doc_id) ORDER BY toks.doc_id""".stripMargin,
+    "q84_dup_spans" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |gr AS (SELECT doc_id, i AS p, list_aggr(t[i:i+4], 'string_agg', chr(1)) AS g
+        |       FROM toks CROSS JOIN unnest(generate_series(1, len(t) - 4)) AS u(i)),
+        |hot AS (SELECT g FROM gr GROUP BY g HAVING count(*) > 1),
+        |lagd AS (SELECT doc_id, p,
+        |           p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS d
+        |         FROM gr JOIN hot USING (g)),
+        |cov AS (SELECT doc_id, count(*) AS dup_spans,
+        |          sum(least(5, coalesce(d, 5))) AS dup_tokens
+        |        FROM lagd GROUP BY doc_id)
+        |SELECT toks.doc_id, CAST(greatest(len(t) - 4, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(dup_spans, 0) AS BIGINT) AS dup_spans,
+        |  CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens
+        |FROM toks LEFT JOIN cov USING (doc_id) ORDER BY toks.doc_id""".stripMargin
   )
 }

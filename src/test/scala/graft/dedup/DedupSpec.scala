@@ -303,6 +303,60 @@ class DedupSpec extends SparkSpec {
       s"(exact=${exactSame.size}, lsh=${lshSame.size})")
   }
 
+  test("dupSpanStats: crafted span semantics (overlap merge, within-doc repeats, short docs)") {
+    val docs = Seq(
+      // docs 1 and 2 share the 5-token run "v w x y z" twice over via a
+      // 6-token shared window: positions 1 and 2 of doc 1 both duplicate
+      // → merged coverage 6 tokens, not 10
+      (1L, "v w x y z q extra one"),
+      (2L, "other v w x y z q tail"),
+      (3L, "nothing shared here at all five"),
+      (4L, "short doc"),                       // < 5 tokens → 0 spans
+      // within-doc repetition: the same 5-gram twice in ONE doc is
+      // duplicated even though no other doc has it
+      (5L, "r1 r2 r3 r4 r5 sep r1 r2 r3 r4 r5")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpanStats(docs, "text", "doc_id", n = 5, hashed = false)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc1: 4 span starts; starts 1,2 duplicated ("v w x y z", "w x y z q")
+    //   → coverage = 5 + 1 = 6
+    assert(got(1L) == ((4L, 2L, 6L)), s"doc1: ${got(1L)}")
+    // doc2: 4 span starts; starts 2,3 duplicated → same merged coverage
+    assert(got(2L) == ((4L, 2L, 6L)), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((2L, 0L, 0L)), s"doc3: ${got(3L)}")
+    assert(got(4L) == ((0L, 0L, 0L)), s"doc4: ${got(4L)}")
+    // doc5: 7 span starts; starts 1 and 7 are the repeated gram — far
+    // apart → coverage 10
+    assert(got(5L) == ((7L, 2L, 10L)), s"doc5: ${got(5L)}")
+  }
+
+  test("dupSpanStats hashed scale path matches the string form; stripDupSpans repairs") {
+    val docs = Tables(spark, sfDir).documents
+    val s = Dedup.dupSpanStats(docs, "text", "doc_id", n = 5, hashed = false)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val h = Dedup.dupSpanStats(docs, "text", "doc_id", n = 5, hashed = true)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(s == h, "8-byte gram keys must not change any stat on the fixture")
+    assert(s.exists(_._3 > 0), "fixture should contain duplicated spans")
+    // repair: covered tokens drop, clean docs untouched
+    val crafted = Seq(
+      (1L, "a b c d e tail1"),
+      (2L, "head a b c d e"),
+      (3L, "totally distinct text right here")
+    ).toDF("doc_id", "text")
+    val fixed = Dedup.stripDupSpans(crafted, "text", "doc_id", n = 5, hashed = true)
+      .as[(Long, String)].collect().toMap
+    assert(fixed(1L) == "tail1", s"doc1: '${fixed(1L)}'")
+    assert(fixed(2L) == "head", s"doc2: '${fixed(2L)}'")
+    assert(fixed(3L) == "totally distinct text right here")
+    // post-repair: no duplicated 5-gram spans remain in the repaired corpus
+    val again = Dedup.dupSpanStats(
+        Dedup.stripDupSpans(crafted, "text", "doc_id", n = 5), "text", "id", n = 5)
+      .filter(col("dup_spans") > 0).count()
+    assert(again == 0L)
+  }
+
   test("simHashNearDups matches brute-force hamming join on the sf0.001 corpus") {
     val fps = Dedup.simHash(Tables(spark, sfDir).documents, "text", "doc_id").cache()
     val got = Dedup.simHashNearDups(fps, maxHamming = 10)
