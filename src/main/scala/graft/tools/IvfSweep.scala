@@ -58,6 +58,24 @@ object IvfSweep {
       }
       idx.close()
     }
+    // residual (recentered) SQ8: same geometry, codes quantize v − cv —
+    // the per-cell dynamic-range win the q82 rung exists to measure
+    println(f"${"sq8r"}%6s ${"nprobe"}%7s ${"recall@10"}%10s ${"search_s"}%9s ${"build_s"}%8s")
+    for (cells <- Seq(16, 64)) {
+      val t0 = System.nanoTime()
+      val idx = VectorOps.IvfSq8Index.build(e, "vec_id", "embedding", c = cells,
+        byResidual = true)
+      val buildS = (System.nanoTime() - t0) / 1e9
+      for (nprobe <- Seq(1, 2, 4, 8)) {
+        val t1 = System.nanoTime()
+        val approx = idx.search(queries, "vec_id", "embedding", k = 10, nprobe = nprobe)
+          .select("qid", "id").as[(Long, Long)].collect().toSet
+        val searchS = (System.nanoTime() - t1) / 1e9
+        val recall = exact.intersect(approx).size.toDouble / exact.size
+        println(f"$cells%6d $nprobe%7d $recall%10.3f $searchS%9.2f $buildS%8.2f")
+      }
+      idx.close()
+    }
     // PQ rungs: flat (full-code ADC scan) vs IVF+PQ (ADC only inside
     // nprobe cells) at the same m/k/rescore — the table BASELINE.md
     // cites for the composed index's recall/latency trade
