@@ -499,12 +499,16 @@ object Dedup {
     val hot = pos.groupBy("g").agg(count(lit(1)).as("__c"))
       .filter(col("__c") > 1).select("g")
     val w = Window.partitionBy("id").orderBy("p")
+    // n_spans comes straight off the token count — this branch never
+    // builds the gram array, so the transform+explode subtree is
+    // evaluated twice (occurrence count + join side), not three times
     val cov = pos.join(hot, "g")
       .withColumn("__d",
         least(lit(n), coalesce(col("p") - lag("p", 1).over(w), lit(n))))
       .groupBy("id").agg(count(lit(1)).as("dup_spans"),
         sum("__d").cast("long").as("dup_tokens"))
-    perDoc.select(col("id"), size(col("gs")).cast("long").as("n_spans"))
+    perDoc.select(col("id"),
+        greatest(col("len") - lit(n - 1), lit(0)).cast("long").as("n_spans"))
       .join(cov, Seq("id"), "left")
       .select(col("id"), col("n_spans"),
         coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
