@@ -66,6 +66,33 @@ object VectorOps {
     scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** Majority-vote k-NN label assignment over a neighbor frame
+    * (qid, id, cos) — the label-propagation / weak-supervision primitive
+    * a curation pipeline uses to spread a small set of human quality or
+    * domain labels across an unlabeled corpus. Joins each neighbor's
+    * label, counts votes per (query, label), and keeps the plurality
+    * label under a TOTAL order (votes desc, label asc — oracle-safe
+    * tie-break). Output: (qid, pred_label, votes).
+    *
+    * Composes with any neighbor source: [[annBruteForce]] (exact, the
+    * q85 oracled form) or an ANN index search (the corpus-scale path —
+    * same columns, so swapping the searcher never touches the vote).
+    * The labels side shuffles only (id, label) pairs; at 10⁹ vectors
+    * with a driver-sized query batch the join is broadcast on the
+    * neighbor side, never on the corpus.
+    */
+  def labelVote(neighbors: DataFrame, labels: DataFrame, idCol: String,
+                labelCol: String): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("votes").desc, col("pred_label").asc)
+    neighbors
+      .join(labels.select(col(idCol).as("id"),
+        col(labelCol).cast("long").as("pred_label")), "id")
+      .groupBy("qid", "pred_label").agg(count(lit(1)).as("votes"))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select("qid", "pred_label", "votes")
+  }
+
   /** Exact all-pairs cosine ≥ `threshold` — the near-dup baseline, same
     * role q34's brute-force scan plays for ANN: correct at any threshold
     * and oracle-checkable; O(n²) by nature, so [[cosineNearDupPairs]] is

@@ -1086,6 +1086,23 @@ object Queries {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** k-NN majority-vote label assignment (label propagation): classify
+    * vectors 0-49 by the plurality label of their 10 exact nearest
+    * neighbors (votes desc, label asc tie-break — total order). Exact
+    * oracle: the neighbor sets are the bit-identical q34 cosine ranking
+    * and the votes are integers. The ANN-index-routed form is the scale
+    * path (same vote over IvfIndex.search neighbors — spec-asserted
+    * against this exact form in VectorOpsSpec).
+    */
+  def q85_knn_classify(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val nbrs = graft.functions.VectorOps.annBruteForce(
+      e, "vec_id", "embedding", e.filter(col("vec_id") < 50), "vec_id", "embedding", k = 10)
+    graft.functions.VectorOps.labelVote(nbrs, e, "vec_id", "label")
+      .select(col("qid").as("vec_id"), col("pred_label"), col("votes"))
+      .orderBy("vec_id")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -1213,7 +1230,8 @@ object Queries {
     "q81_prox_search" -> (q81_prox_search _),
     "q82_ann_sq8r" -> (q82_ann_sq8r _),
     "q83_ann_sq8r_exact" -> (q83_ann_sq8r_exact _),
-    "q84_dup_spans" -> (q84_dup_spans _)
+    "q84_dup_spans" -> (q84_dup_spans _),
+    "q85_knn_classify" -> (q85_knn_classify _)
   )
 }
 
@@ -1895,6 +1913,24 @@ object Oracles {
         |SELECT toks.doc_id, CAST(greatest(len(t) - 4, 0) AS BIGINT) AS n_spans,
         |  CAST(coalesce(dup_spans, 0) AS BIGINT) AS dup_spans,
         |  CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens
-        |FROM toks LEFT JOIN cov USING (doc_id) ORDER BY toks.doc_id""".stripMargin
+        |FROM toks LEFT JOIN cov USING (doc_id) ORDER BY toks.doc_id""".stripMargin,
+    "q85_knn_classify" ->
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |n AS (SELECT vec_id, label, e,
+        |        (SELECT sum(x*x) FROM (SELECT unnest(e) AS x)) AS nm2 FROM v),
+        |p AS (SELECT a.vec_id AS qid, b.vec_id AS id, b.label AS lbl,
+        |        (SELECT sum(x*y) FROM (SELECT unnest(a.e) AS x, unnest(b.e) AS y)) /
+        |        sqrt(a.nm2 * b.nm2) AS cos
+        |      FROM n a JOIN n b ON a.vec_id < 50 AND b.vec_id <> a.vec_id),
+        |r AS (SELECT qid, lbl,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rn FROM p),
+        |votes AS (SELECT qid, lbl, count(*) AS votes FROM r WHERE rn <= 10
+        |          GROUP BY qid, lbl),
+        |best AS (SELECT qid, lbl, votes,
+        |           row_number() OVER (PARTITION BY qid ORDER BY votes DESC, lbl) AS rn
+        |         FROM votes)
+        |SELECT qid AS vec_id, CAST(lbl AS BIGINT) AS pred_label,
+        |  CAST(votes AS BIGINT) AS votes
+        |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin
   )
 }

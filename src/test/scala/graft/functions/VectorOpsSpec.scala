@@ -155,6 +155,41 @@ class VectorOpsSpec extends SparkSpec {
     idx.close()
   }
 
+  test("labelVote: plurality + tie-break semantics; vote composes over IVF neighbors") {
+    // crafted: q1 sees labels (7,7,3) → 7 by count; q2 sees (5,9) → 5 by
+    // the label-asc tie-break
+    val nbrs = Seq((1L, 10L, 0.9), (1L, 11L, 0.8), (1L, 12L, 0.7),
+      (2L, 10L, 0.9), (2L, 13L, 0.8))
+      .toDF("qid", "id", "cos")
+    val labels = Seq((10L, 5), (11L, 7), (12L, 7), (13L, 9)).toDF("vid", "lbl")
+    // q1: labels 5,7,7 → 7 with 2 votes; q2: 5,9 → tie, label 5 wins
+    val got = VectorOps.labelVote(nbrs, labels, "vid", "lbl")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 7L, 2L), (2L, 5L, 1L)), s"got $got")
+    // scale path: the vote composes unchanged over IVF-search neighbors —
+    // pin it by recomputing the plurality on the driver from the SAME
+    // neighbor frame (exact equality; fixture labels are random w.r.t.
+    // geometry, so cross-searcher vote AGREEMENT is inherently unstable
+    // and deliberately not asserted)
+    val e = Tables(spark, sfDir).embeddings
+    val queries = e.filter($"vec_id" < 50)
+    val idx = IvfIndex.build(e, "vec_id", "embedding", c = 16)
+    val nbrFrame = idx.search(queries, "vec_id", "embedding", k = 10, nprobe = 4)
+      .select("qid", "id").as[(Long, Long)].collect()
+    val ivfVote = VectorOps.labelVote(
+        idx.search(queries, "vec_id", "embedding", k = 10, nprobe = 4),
+        e, "vec_id", "label")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    idx.close()
+    val lbl = e.select($"vec_id", $"label".cast("long")).as[(Long, Long)].collect().toMap
+    val want = nbrFrame.groupBy(_._1).map { case (q, rows) =>
+      val counts = rows.map(r => lbl(r._2)).groupBy(identity)
+        .map { case (l, o) => (l, o.size.toLong) }
+      q -> counts.toSeq.sortBy { case (l, c) => (-c, l) }.head
+    }
+    assert(ivfVote == want, "vote over IVF neighbors must equal driver recomputation")
+  }
+
   test("residual SQ8: reconstructed norm exact, recall floor, save/load roundtrip") {
     val e = Tables(spark, sfDir).embeddings
     val idx = IvfSq8Index.build(e, "vec_id", "embedding", c = 16, byResidual = true)
