@@ -302,4 +302,29 @@ object CorpusOps {
     stats.orderBy(col("df").desc, col("token").asc).limit(k)
       .select("token", "df", "tf")
   }
+
+  /** Deterministic shard assignment for dataset export: shard =
+    * [[sampleRank]](id) mod `nShards` — uniform in expectation,
+    * reproducible on any re-run (retry-safe like every sampling op
+    * here), and independent of input partition layout, so a failed
+    * export job re-runs to the identical layout. Adds a `shard` column.
+    */
+  def assignShards(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"need at least one shard, got $nShards")
+    df.withColumn("shard", pmod(sampleRank(col(idCol)), lit(nShards.toLong)))
+  }
+
+  /** Terminal export stage of a training-data build: write the corpus
+    * as shard-partitioned parquet, one directory per shard with
+    * deterministic membership ([[assignShards]]). `repartition` on the
+    * shard key first so each shard lands in ~one task → ~one file
+    * (hash collisions between shard keys can co-locate two shards in a
+    * task; partitionBy still splits them into the right directories).
+    * Callers pick `nShards` to hit their target file size — at 100 TB
+    * that is tens of thousands of shards, each written independently.
+    */
+  def writeShards(df: DataFrame, idCol: String, nShards: Int, dir: String): Unit =
+    assignShards(df, idCol, nShards)
+      .repartition(nShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
 }

@@ -1103,6 +1103,18 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** Deterministic export-shard assignment (8 shards) with per-shard
+    * stats — the layout audit of the terminal write stage: shard
+    * membership is the Knuth-hash arithmetic of q48's sampling rail, so
+    * the oracle recomputes it exactly; n_chars sums are exact integers.
+    */
+  def q86_shard_stats(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusOps.assignShards(Tables(spark, dir).documents, "doc_id", nShards = 8)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("shard")
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -1231,7 +1243,8 @@ object Queries {
     "q82_ann_sq8r" -> (q82_ann_sq8r _),
     "q83_ann_sq8r_exact" -> (q83_ann_sq8r_exact _),
     "q84_dup_spans" -> (q84_dup_spans _),
-    "q85_knn_classify" -> (q85_knn_classify _)
+    "q85_knn_classify" -> (q85_knn_classify _),
+    "q86_shard_stats" -> (q86_shard_stats _)
   )
 }
 
@@ -1931,6 +1944,12 @@ object Oracles {
         |         FROM votes)
         |SELECT qid AS vec_id, CAST(lbl AS BIGINT) AS pred_label,
         |  CAST(votes AS BIGINT) AS votes
-        |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin
+        |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "q86_shard_stats" ->
+      """SELECT ((doc_id * 2654435761) % 1000000007) % 8 AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin
   )
 }
