@@ -93,6 +93,41 @@ object VectorOps {
       .select("qid", "pred_label", "votes")
   }
 
+  /** Deterministic ±1 sign matrix for [[randomProjection]]: outDim rows
+    * of inDim signs from a splitmix64-style mix of the flat index — no
+    * RNG state, so every engine (and the DuckDB oracle, which gets these
+    * as interpolated literals) sees the identical matrix.
+    */
+  def rpSigns(inDim: Int, outDim: Int): Array[Array[Double]] = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Array.tabulate(outDim, inDim)((j, i) =>
+      if ((mix(j.toLong * inDim + i) & 1L) == 0L) 1.0 else -1.0)
+  }
+
+  /** Signed random projection (Johnson-Lindenstrauss sketch): project
+    * each vector onto `signs.length` ±1 hyperplanes — one codegen'd
+    * native dot per output dimension against a LITERAL plane, so the
+    * whole reduction is a single shuffle-free projection over the scan.
+    * Cosines in the projected space concentrate around the originals
+    * (distortion ~1/√outDim), which is the point: downstream ANN /
+    * clustering / dedup run on outDim/inDim of the bytes. Deterministic
+    * ([[rpSigns]]) — re-runs and incremental appends project
+    * identically. Output: (id, pv: array<double>).
+    */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+                       signs: Array[Array[Double]]): DataFrame = {
+    require(signs.nonEmpty, "need at least one projection plane")
+    val v = graft.core.Graft.spread(df)
+      .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
+    val dims = signs.map(p => dot(col("v"), lit(p)))
+    v.select(col("id"), array(dims: _*).as("pv"))
+  }
+
   /** Exact all-pairs cosine ≥ `threshold` — the near-dup baseline, same
     * role q34's brute-force scan plays for ANN: correct at any threshold
     * and oracle-checkable; O(n²) by nature, so [[cosineNearDupPairs]] is

@@ -1115,6 +1115,23 @@ object Queries {
         min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
       .orderBy("shard")
 
+  /** Signed random projection (JL sketch, 64-d → 16-d) feeding ANN: the
+    * dimensionality-reduction rung of the embedding pipeline. Top-10 in
+    * the PROJECTED space for vec_id 0 — exact oracle (the ±1 planes are
+    * deterministic literals interpolated into both engines; projected
+    * dots follow the shared sequential fold, so the 16-d cosines are
+    * bit-identical). VectorOpsSpec owns the JL distortion bound vs the
+    * original space.
+    */
+  def q87_rp_ann(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val proj = graft.functions.VectorOps.randomProjection(
+      e, "vec_id", "embedding", graft.functions.VectorOps.rpSigns(64, 16))
+    annExactShape(
+      graft.functions.VectorOps.annBruteForce(proj, "id", "pv",
+        proj.filter(col("id") === 0), "id", "pv", k = 10))
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -1244,7 +1261,8 @@ object Queries {
     "q83_ann_sq8r_exact" -> (q83_ann_sq8r_exact _),
     "q84_dup_spans" -> (q84_dup_spans _),
     "q85_knn_classify" -> (q85_knn_classify _),
-    "q86_shard_stats" -> (q86_shard_stats _)
+    "q86_shard_stats" -> (q86_shard_stats _),
+    "q87_rp_ann" -> (q87_rp_ann _)
   )
 }
 
@@ -1950,6 +1968,29 @@ object Oracles {
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
-        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
+    "q87_rp_ann" -> RpAnnSql
   )
+
+  /** q87's oracle: the SAME deterministic ±1 planes interpolated as SQL
+    * literals (the QualityModel frozen-literal discipline), then q34's
+    * brute-force machinery over the 16-d projections.
+    */
+  private lazy val RpAnnSql: String = {
+    val signs = graft.functions.VectorOps.rpSigns(64, 16)
+    val dims = signs.map { p =>
+      val arr = p.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
+      s"(SELECT sum(x*y) FROM (SELECT unnest(e) AS x, unnest(CAST($arr AS DOUBLE[])) AS y))"
+    }.mkString("[", ",\n    ", "]")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |p AS (SELECT vec_id, $dims AS pv FROM v),
+       |n AS (SELECT vec_id, pv,
+       |        (SELECT sum(x*x) FROM (SELECT unnest(pv) AS x)) AS nm2 FROM p),
+       |q AS (SELECT pv AS qv, nm2 AS qn FROM n WHERE vec_id = 0),
+       |scored AS (SELECT n.vec_id,
+       |    (SELECT sum(x*y) FROM (SELECT unnest(n.pv) AS x, unnest(q.qv) AS y)) /
+       |    sqrt(n.nm2 * q.qn) AS cos
+       |  FROM n, q WHERE n.vec_id <> 0)
+       |SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+  }
 }

@@ -155,6 +155,30 @@ class VectorOpsSpec extends SparkSpec {
     idx.close()
   }
 
+  test("randomProjection: deterministic signs, JL cosine distortion in range") {
+    val signs = VectorOps.rpSigns(64, 16)
+    assert(signs.length == 16 && signs.forall(_.length == 64))
+    assert(signs.flatten.forall(s => s == 1.0 || s == -1.0))
+    // deterministic: same literals on every call (the oracle interpolates
+    // them independently)
+    assert(VectorOps.rpSigns(64, 16).map(_.toSeq).toSeq == signs.map(_.toSeq).toSeq)
+    // JL distortion: projected cosines concentrate around the originals
+    // with std ~ 1/sqrt(outDim) = 0.25 at 16 planes — assert the mean
+    // absolute distortion over a 50-vector sample stays inside that scale
+    val e = Tables(spark, sfDir).embeddings.filter($"vec_id" < 50)
+    val proj = VectorOps.randomProjection(e, "vec_id", "embedding", signs)
+    val v = e.select($"vec_id".as("id"), VectorOps.toDoubleArr($"embedding").as("v"))
+    val err = v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .select(VectorOps.cosine(col("a.v"), col("b.v")).as("c64"),
+        col("a.id").as("ia"), col("b.id").as("ib"))
+      .join(proj.select($"id".as("ia"), $"pv".as("pa")), "ia")
+      .join(proj.select($"id".as("ib"), $"pv".as("pb")), "ib")
+      .select(abs(VectorOps.cosine($"pa", $"pb") - $"c64").as("d"))
+      .agg(avg("d"), max("d")).head()
+    info(f"JL 64→16 cosine distortion: mean ${err.getDouble(0)}%.4f max ${err.getDouble(1)}%.4f")
+    assert(err.getDouble(0) < 0.3, s"mean distortion ${err.getDouble(0)}")
+  }
+
   test("labelVote: plurality + tie-break semantics; vote composes over IVF neighbors") {
     // crafted: q1 sees labels (7,7,3) → 7 by count; q2 sees (5,9) → 5 by
     // the label-asc tie-break
