@@ -93,6 +93,28 @@ object VectorOps {
       .select("qid", "pred_label", "votes")
   }
 
+  /** Semantic decontamination: for each corpus vector, its maximum
+    * cosine to ANY held-out (benchmark) vector — the embedding-space
+    * complement of [[graft.ops.CorpusOps.decontaminate]]'s n-gram
+    * overlap, catching paraphrased contamination that shares no exact
+    * shingle. The held-out side is broadcast (benchmarks are tiny next
+    * to a training corpus); the corpus streams through one scan-side
+    * max-aggregate — no corpus shuffle, same asymmetry as the n-gram
+    * form. Output: (id, max_cos); callers drop rows with
+    * `max_cos >= τ`. For held-out sets too large to broadcast, run the
+    * same max through an IVF probe instead (compose with
+    * [[IvfIndex.search]]).
+    */
+  def semanticDecontam(corpus: DataFrame, heldOut: DataFrame,
+                       idCol: String, vecCol: String): DataFrame = {
+    val c = graft.core.Graft.spread(corpus)
+      .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
+    val h = heldOut.select(toDoubleArr(col(vecCol)).as("hv"))
+    c.crossJoin(broadcast(h))
+      .select(col("id"), cosine(col("v"), col("hv")).as("cos"))
+      .groupBy("id").agg(max("cos").as("max_cos"))
+  }
+
   /** Deterministic ±1 sign matrix for [[randomProjection]]: outDim rows
     * of inDim signs from a splitmix64-style mix of the flat index — no
     * RNG state, so every engine (and the DuckDB oracle, which gets these

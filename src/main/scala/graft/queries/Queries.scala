@@ -1132,6 +1132,23 @@ object Queries {
         proj.filter(col("id") === 0), "id", "pv", k = 10))
   }
 
+  /** Semantic (embedding-space) decontamination: max cosine from each
+    * corpus vector (vec_id ≥ 50) to any held-out vector (vec_id < 50),
+    * keep = below 0.4 — the paraphrase-robust complement of q47's
+    * n-gram decontam. Exact oracle: max over bit-identical cosines is
+    * order-free, and the keep flag compares the same doubles on both
+    * engines.
+    */
+  def q88_semantic_decontam(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    graft.functions.VectorOps.semanticDecontam(
+        e.filter(col("vec_id") >= 50), e.filter(col("vec_id") < 50),
+        "vec_id", "embedding")
+      .select(col("id").as("vec_id"), col("max_cos"),
+        (col("max_cos") < 0.4).as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -1262,7 +1279,8 @@ object Queries {
     "q84_dup_spans" -> (q84_dup_spans _),
     "q85_knn_classify" -> (q85_knn_classify _),
     "q86_shard_stats" -> (q86_shard_stats _),
-    "q87_rp_ann" -> (q87_rp_ann _)
+    "q87_rp_ann" -> (q87_rp_ann _),
+    "q88_semantic_decontam" -> (q88_semantic_decontam _)
   )
 }
 
@@ -1969,7 +1987,17 @@ object Oracles {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
-    "q87_rp_ann" -> RpAnnSql
+    "q87_rp_ann" -> RpAnnSql,
+    "q88_semantic_decontam" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |        (SELECT sum(x*x) FROM (SELECT unnest(e) AS x)) AS nm2 FROM v),
+        |h AS (SELECT e AS he, nm2 AS hn FROM n WHERE vec_id < 50),
+        |m AS (SELECT c.vec_id,
+        |        max((SELECT sum(x*y) FROM (SELECT unnest(c.e) AS x, unnest(h.he) AS y)) /
+        |            sqrt(c.nm2 * h.hn)) AS max_cos
+        |      FROM n c, h WHERE c.vec_id >= 50 GROUP BY c.vec_id)
+        |SELECT vec_id, max_cos, max_cos < 0.4 AS keep FROM m ORDER BY vec_id""".stripMargin
   )
 
   /** q87's oracle: the SAME deterministic ±1 planes interpolated as SQL
