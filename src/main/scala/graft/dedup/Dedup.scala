@@ -187,6 +187,86 @@ object Dedup {
         .distinct()
   }
 
+  /** Asymmetric containment near-dups: ordered pairs (id_a, id_b),
+    * id_a ≠ id_b, where c(A→B) = |A∩B| / |A| ≥ `threshold` over n-gram
+    * sets — document A's content mostly present inside B. This is the
+    * quote / boilerplate / subsumption detector that symmetric Jaccard
+    * (q33) structurally misses: a 100-gram doc fully embedded in a
+    * 10 000-gram doc has jaccard ≈ 0.01 but containment 1.0. (The
+    * reference's LWW upsert treats byte-identical payloads as dups,
+    * kasper `README.md:31-33`; containment is the text-scale
+    * generalization a curation pipeline needs.)
+    *
+    * Candidate generation is prefix-filtered on the CONTAINED side only:
+    * overlap ≥ ⌈t·|A|⌉ forces a shared gram inside A's rare-first prefix
+    * of length |A| − ⌈t·|A|⌉ + 1 (else all shared grams would fit in the
+    * last ⌈t·|A|⌉ − 1 positions — pigeonhole). The container side indexes
+    * its full gram list (α depends on the *partner's* size, so no exact
+    * container-side prefix exists); rare-first ordering keeps the probe
+    * side tiny (~(1−t)·|A| grams), so join cost follows rare-gram posting
+    * lists, never all-pairs. Bounds are decimal-exact ([[exactDec]]);
+    * same accumulation bound as [[jaccardCandidates]]: uncounted shared
+    * grams rank after the globally-last counted gram on BOTH sides, so
+    * `opp + min(|A|−pa, |B|−pb) ≥ ⌈t·|A|⌉` is an exact upper-bound test.
+    * Same hot-gram guard + exactness contract as [[jaccardPairs]]:
+    * complete unless a shared prefix gram's document frequency exceeds
+    * `maxShingleDF` (observed, never silent).
+    */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       n: Int = 3, threshold: Double = 0.8,
+                       maxShingleDF: Long = 100000L): DataFrame = {
+    val perDoc = shingleSets(df, textCol, idCol, n)
+      .select(col("id"), size(col("set")).cast("long").as("sz"), col("set"))
+    val cands = containmentCandidates(perDoc, threshold, maxShingleDF)
+    val sets = perDoc.select("id", "set")
+    cands
+      .join(sets.select(col("id").as("id_a"), col("set").as("sa")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("set").as("sb")), "id_b")
+      .withColumn("__i",
+        graft.functions.HashKernels.sortedIntersectCount(col("sa"), col("sb")))
+      .select(col("id_a"), col("id_b"),
+        (col("__i").cast("double") / size(col("sa")).cast("double")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
+  /** Candidate (id_a, id_b) pairs for [[containmentPairs]] from a
+    * (id, sz, set) frame — probe-side prefix × full container index,
+    * with the PPJoin+-style overlap-accumulation bound (see
+    * [[containmentPairs]] for the exactness argument).
+    */
+  private[graft] def containmentCandidates(perDoc: DataFrame, threshold: Double,
+                                           maxShingleDF: Long): DataFrame = {
+    val sh = perDoc.select(col("id"), explode(col("set")).as("g"))
+    val sizes = perDoc.select("id", "sz")
+    val dfg = sh.groupBy("g").agg(count("*").as("dfg"))
+    val wDoc = Window.partitionBy(col("id")).orderBy(col("dfg"), col("g"))
+    val ranked = sh.join(dfg, "g").join(sizes, "id")
+      .withColumn("pos", row_number().over(wDoc))
+    // contained-side probe: rare-first prefix of length sz − ⌈t·sz⌉ + 1
+    val probe = ranked
+      .filter(col("pos") <= col("sz") - ceil(exactDec(threshold) * col("sz")) + 1)
+    // container-side index: full gram list, hot-gram skew guard only
+    // (recall-trading, observable — same contract as jaccardCandidates)
+    val indexed =
+      if (maxShingleDF == Long.MaxValue) ranked
+      else ranked
+        .observe(s"containment_index_prune_${observeSeq.incrementAndGet()}",
+          count(when(col("dfg") > maxShingleDF, true)).as("dropped_hot_gram_entries"))
+        .filter(col("dfg") <= maxShingleDF)
+    probe.as("a").join(indexed.as("b"),
+        col("a.g") === col("b.g") && col("a.id") =!= col("b.id") &&
+          // container must hold at least ⌈t·|A|⌉ grams at all
+          col("b.sz") >= ceil(exactDec(threshold) * col("a.sz")))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("__opp"),
+        max(col("a.pos")).as("__pa"), max(col("b.pos")).as("__pb"),
+        first(col("a.sz")).as("__sza"), first(col("b.sz")).as("__szb"))
+      .filter(col("__opp") +
+          least(col("__sza") - col("__pa"), col("__szb") - col("__pb")) >=
+        ceil(exactDec(threshold) * col("__sza")))
+      .select("id_a", "id_b")
+  }
+
   /** MinHash signature: `numHashes` independent min-hashes over the
     * shingle set, as one array column.
     *

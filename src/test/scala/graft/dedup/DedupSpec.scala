@@ -156,6 +156,47 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
   }
 
+  /** All-pairs containment ground truth (ordered pairs, both directions). */
+  private def bruteForceContainment(d: org.apache.spark.sql.DataFrame, t: Double): Set[(Long, Long)] = {
+    val sets = d.select(col("doc_id").as("id"),
+      graft.text.TextFunctions.shingles(col("text"), 3).as("sh"))
+    sets.as("a").join(sets.as("b"), col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(col("a.sh")).cast("double")).as("c"))
+      .filter(col("c") >= t)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+  }
+
+  test("containmentPairs finds the quoted doc asymmetrically; jaccard misses it") {
+    val quoted = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "intro words first alpha beta gamma delta epsilon zeta then lots of " +
+        "other unrelated trailing content tokens one two three four five six seven"),
+      (3L, "totally different content nothing shared anywhere at all today")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(quoted, "text", "doc_id", n = 3, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "doc 1 is fully quoted inside doc 2")
+    assert(!pairs.contains((2L, 1L)), "containment is asymmetric")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    val j = Dedup.jaccardPairs(quoted, "text", "doc_id", n = 3, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!j.contains((1L, 2L)), "symmetric jaccard structurally misses the quote")
+  }
+
+  test("containmentPairs matches brute force on the sf0.001 corpus (incl. integral-t·sz boundary)") {
+    val d = Tables(spark, sfDir).documents
+    for (t <- Seq(0.6, 0.8)) {
+      val got = Dedup.containmentPairs(d, "text", "doc_id", n = 3, threshold = t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val bf = bruteForceContainment(d, t)
+      assert(bf.nonEmpty, "fixture near-dups imply containment pairs")
+      assert(got == bf, s"threshold $t: filtered=${got.size} bruteforce=${bf.size}, " +
+        s"missed=${(bf -- got).take(5)}, extra=${(got -- bf).take(5)}")
+    }
+  }
+
   test("jaccardPairs is exact at integral-t·sz boundary thresholds (0.8, 0.9)") {
     val d = Tables(spark, sfDir).documents
     for (t <- Seq(0.8, 0.9)) {
