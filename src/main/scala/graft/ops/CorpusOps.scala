@@ -82,6 +82,37 @@ object CorpusOps {
       .groupBy("id").agg(count("*").as("n_shared"))
   }
 
+  /** Bloom-gated decontamination — [[decontaminate]]'s scale variant for
+    * when the held-out side itself is big. The held-out gram-hash set
+    * folds into a Bloom filter (distributed sketch aggregation, fpp
+    * 1e-6 ≈ 3.6 bytes/gram vs 16+ for the exact hashed relation); the
+    * corpus side then runs ONE shuffle-free codegen'd scan counting
+    * per-doc gram hits ([[graft.functions.BloomCountHits]]). No false
+    * negatives by construction — every exactly-contaminated doc is
+    * flagged; false positives over-flag at ≤ n_grams·fpp per doc, so use
+    * this as the cheap first pass (or alone when that rate is tolerable)
+    * and [[decontaminate]] as the exact re-check on the survivors.
+    * Two tiny jobs run on the held-out side only (count to size the
+    * filter, then the sketch build); the corpus never shuffles.
+    */
+  def decontamBloom(corpus: DataFrame, heldOut: DataFrame,
+                    idCol: String, textCol: String,
+                    n: Int = 4, fpp: Double = 1e-6): DataFrame = {
+    import graft.functions.{BloomKernel, HashKernels}
+    def grams(df: DataFrame) = graft.core.Graft.spread(df)
+      .select(col(idCol).as("id"),
+        HashKernels.ngramSetHashes(
+          HashKernels.arrayXxHash64(TextFunctions.tokens(col(textCol))), n).as("set"))
+    val held = grams(heldOut).select(explode(col("set")).as("g")).distinct()
+    val nGrams = math.max(held.count(), 1L)
+    val bloom = held.stat.bloomFilter("g", nGrams, fpp)
+    val bytes = BloomKernel.serialize(bloom)
+    grams(corpus).select(col("id"),
+        size(col("set")).cast("long").as("n_grams"),
+        BloomKernel.countHits(col("set"), bytes).as("n_flagged"))
+      .withColumn("contaminated", col("n_flagged") > 0)
+  }
+
   /** Deterministic arithmetic sampling rank: Knuth multiplicative hash of
     * the id modulo a prime. Both factors fit comfortably in BIGINT for
     * any realistic id (no overflow below ids of ~3.4e9; the engine runs

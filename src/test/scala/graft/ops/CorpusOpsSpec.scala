@@ -94,6 +94,34 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == Map(10L -> 2L))
   }
 
+  test("decontamBloom: zero false negatives vs the exact hashed-gram join; FP rate bounded") {
+    val d = graft.core.Tables(spark, sfDir).documents
+    val corpus = d.filter($"doc_id" >= 50)
+    val held = d.filter($"doc_id" < 50)
+    val got = CorpusOps.decontamBloom(corpus, held, "doc_id", "text", n = 4)
+      .select($"id", $"n_grams", $"n_flagged").as[(Long, Long, Long)].collect()
+    // exact ground truth over the SAME hashed-gram family the bloom indexes
+    import graft.functions.HashKernels
+    import graft.text.TextFunctions
+    def grams(df: org.apache.spark.sql.DataFrame) = df.select($"doc_id".as("id"),
+      explode(HashKernels.ngramSetHashes(
+        HashKernels.arrayXxHash64(TextFunctions.tokens($"text")), 4)).as("g"))
+    val heldG = grams(held).select("g").distinct()
+    val exact = grams(corpus).join(heldG, "g")
+      .groupBy("id").agg(count("*").as("n")).as[(Long, Long)].collect().toMap
+    val flagged = got.filter(_._3 > 0).map(_._1).toSet
+    assert(exact.keySet.subsetOf(flagged),
+      s"bloom missed exactly-contaminated docs: ${(exact.keySet -- flagged).take(5)}")
+    // per-doc hits can only over-count: n_flagged >= exact shared grams
+    got.foreach { case (id, _, nf) =>
+      assert(nf >= exact.getOrElse(id, 0L), s"doc $id under-counted") }
+    // false-positive budget: at fpp 1e-6 over ~1e5 corpus gram probes,
+    // expected extra flags ≈ 0; allow a generous slack of 1% of docs
+    val fpDocs = flagged -- exact.keySet
+    assert(fpDocs.size <= math.max(1, got.length / 100),
+      s"bloom over-flagged ${fpDocs.size} of ${got.length} docs")
+  }
+
   test("stratifiedSample is deterministic, capped at k, and within-stratum") {
     val df = (0L until 100L).map(i => (i, s"s${i % 3}")).toDF("id", "grp")
     val a = CorpusOps.stratifiedSample(df, "grp", "id", k = 5).orderBy("grp", "id").collect()
