@@ -1149,6 +1149,82 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** Bloom-gated decontamination (scale variant of q47): the held-out
+    * gram set folds into a Bloom filter (fpp 1e-6, ~3.6 bytes/gram vs
+    * 16+ exact), the corpus runs one shuffle-free codegen'd hit-count
+    * scan. Rows-only by design — the filter's bit layout is Spark's
+    * sketch implementation, not SQL-expressible; CorpusOpsSpec owns the
+    * contract (zero false negatives vs the exact hashed-gram join,
+    * bounded over-flagging).
+    */
+  def q90_decontam_bloom(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    graft.ops.CorpusOps.decontamBloom(
+        d.filter(col("doc_id") >= 50), d.filter(col("doc_id") < 50),
+        "doc_id", "text", n = 4)
+      .select(col("id").as("doc_id"), col("n_grams"), col("n_flagged"), col("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** Asymmetric containment near-dups (3-gram, c(A→B) = |A∩B|/|A| ≥
+    * 0.6): the quote / boilerplate / subsumption detector symmetric
+    * Jaccard (q33) structurally misses when the container is much
+    * longer. Exact oracle over the same string-gram CTE as q33;
+    * containment is one double division of exact integers, so scores
+    * hash-match bit-for-bit.
+    */
+  def q89_containment(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.containmentPairs(Tables(spark, dir).documents, "text", "doc_id",
+        n = 3, threshold = 0.6)
+      .orderBy("id_a", "id_b")
+
+  /** Per-language token-length distribution — the corpus-shape audit run
+    * before mixing/packing decisions. Percentiles are DISCRETE (value at
+    * integer-ceiling rank ⌈p·n⌉ under a total order), computed with
+    * integer-exact rank arithmetic on both engines — no interpolation,
+    * no float rank, so the oracle hash-matches exactly. One shuffle on
+    * lang; at 100 TB the per-lang sort is the standard distributed
+    * window (or swaps to approx_percentile when ±ε is acceptable).
+    */
+  def q91_length_percentiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = graft.core.Graft.spread(Tables(spark, dir).documents)
+      .select(col("lang"), graft.text.TextFunctions.tokenCount(col("text")).as("nt"))
+    val w = Window.partitionBy("lang").orderBy("nt")
+    val ranked = t.withColumn("rn", row_number().over(w))
+    val counts = t.groupBy("lang").agg(count(lit(1)).as("n"))
+    def atRank(rank: Column): Column = max(when(col("rn") === rank, col("nt")))
+    ranked.join(counts, "lang")
+      .groupBy("lang")
+      .agg(max(col("n")).as("n_docs"),
+        atRank(floor((col("n") + 3) / 4.0)).as("p25"),
+        atRank(floor((col("n") + 1) / 2.0)).as("p50"),
+        atRank(floor((col("n") * 3 + 3) / 4.0)).as("p75"),
+        atRank(floor((col("n") * 19 + 19) / 20.0)).as("p95"))
+      .orderBy("lang")
+  }
+
+  /** Per-document corpus novelty: the share of a doc's distinct 3-grams
+    * that occur NOWHERE else in the corpus — the inverse-boilerplate
+    * signal (novelty 1 = fully original, → 0 = assembled from corpus-
+    * common grams). Two keyed shuffles (gram df, then per-doc fold);
+    * exact oracle — counts and one double division. String grams keep
+    * the oracle reproducible; the hashed-gram family ([[graft.dedup]])
+    * is the 8-byte-key scale form of the same plan.
+    */
+  def q92_novelty(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions
+    val sh = graft.core.Graft.spread(Tables(spark, dir).documents)
+      .select(col("doc_id"), explode(TextFunctions.shingles(col("text"), 3)).as("g"))
+    val dfg = sh.groupBy("g").agg(count(lit(1)).as("dfg"))
+    sh.join(dfg, "g").groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("dfg") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_grams"), col("n_unique"),
+        (col("n_unique").cast("double") / col("n_grams").cast("double")).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -1280,7 +1356,11 @@ object Queries {
     "q85_knn_classify" -> (q85_knn_classify _),
     "q86_shard_stats" -> (q86_shard_stats _),
     "q87_rp_ann" -> (q87_rp_ann _),
-    "q88_semantic_decontam" -> (q88_semantic_decontam _)
+    "q88_semantic_decontam" -> (q88_semantic_decontam _),
+    "q89_containment" -> (q89_containment _),
+    "q90_decontam_bloom" -> (q90_decontam_bloom _),
+    "q91_length_percentiles" -> (q91_length_percentiles _),
+    "q92_novelty" -> (q92_novelty _)
   )
 }
 
@@ -1997,7 +2077,53 @@ object Oracles {
         |        max((SELECT sum(x*y) FROM (SELECT unnest(c.e) AS x, unnest(h.he) AS y)) /
         |            sqrt(c.nm2 * h.hn)) AS max_cos
         |      FROM n c, h WHERE c.vec_id >= 50 GROUP BY c.vec_id)
-        |SELECT vec_id, max_cos, max_cos < 0.4 AS keep FROM m ORDER BY vec_id""".stripMargin
+        |SELECT vec_id, max_cos, max_cos < 0.4 AS keep FROM m ORDER BY vec_id""".stripMargin,
+    "q89_containment" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |       FROM toks CROSS JOIN unnest(generate_series(1, len(t)-2)) AS u(i)
+        |       WHERE len(t) >= 3
+        |       UNION
+        |       SELECT doc_id, array_to_string(t, ' ') AS g FROM toks WHERE len(t) < 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |WHERE CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q91_length_percentiles" ->
+      """WITH t AS (SELECT lang,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS nt
+        |  FROM documents),
+        |r AS (SELECT lang, nt, row_number() OVER (PARTITION BY lang ORDER BY nt) AS rn FROM t),
+        |c AS (SELECT lang, count(*) AS n FROM t GROUP BY lang)
+        |SELECT r.lang, CAST(max(n) AS BIGINT) AS n_docs,
+        |  max(CASE WHEN rn = CAST(floor((n + 3) / 4.0) AS BIGINT) THEN nt END) AS p25,
+        |  max(CASE WHEN rn = CAST(floor((n + 1) / 2.0) AS BIGINT) THEN nt END) AS p50,
+        |  max(CASE WHEN rn = CAST(floor((n * 3 + 3) / 4.0) AS BIGINT) THEN nt END) AS p75,
+        |  max(CASE WHEN rn = CAST(floor((n * 19 + 19) / 20.0) AS BIGINT) THEN nt END) AS p95
+        |FROM r JOIN c ON r.lang = c.lang
+        |GROUP BY r.lang ORDER BY r.lang""".stripMargin,
+    "q92_novelty" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |       FROM toks CROSS JOIN unnest(generate_series(1, len(t)-2)) AS u(i)
+        |       WHERE len(t) >= 3
+        |       UNION
+        |       SELECT doc_id, array_to_string(t, ' ') AS g FROM toks WHERE len(t) < 3),
+        |d AS (SELECT g, count(*) AS dfg FROM sh GROUP BY g)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN dfg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |  CAST(sum(CASE WHEN dfg = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS novelty
+        |FROM sh JOIN d USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
   /** q87's oracle: the SAME deterministic ±1 planes interpolated as SQL
