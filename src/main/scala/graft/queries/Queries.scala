@@ -1225,6 +1225,22 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Two-phase salted aggregation ([[graft.ops.ScaleOps.saltedSum]])
+    * proven result-invariant under an exact oracle: rows fan out over 32
+    * salt buckets, partials combine per (key, salt), then merge per key
+    * — the within-one-group skew rail for when a single hot key would
+    * otherwise pin one reducer at 100 TB (AQE can't split a group).
+    * Decimal sums are associative, so the re-grouping is bit-exact
+    * against the direct one-phase GROUP BY the oracle runs.
+    */
+  def q93_salted_agg(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ScaleOps.saltedSum(
+        Tables(spark, dir).lineitem.select(col("l_returnflag"),
+          col("l_quantity").cast(DecimalType(18, 6)).as("qty")),
+        Seq("l_returnflag"), "qty", buckets = 32)
+      .select(col("l_returnflag"), col("sum_qty").cast("double").as("sum_qty"))
+      .orderBy("l_returnflag")
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -1360,7 +1376,8 @@ object Queries {
     "q89_containment" -> (q89_containment _),
     "q90_decontam_bloom" -> (q90_decontam_bloom _),
     "q91_length_percentiles" -> (q91_length_percentiles _),
-    "q92_novelty" -> (q92_novelty _)
+    "q92_novelty" -> (q92_novelty _),
+    "q93_salted_agg" -> (q93_salted_agg _)
   )
 }
 
@@ -2123,7 +2140,12 @@ object Oracles {
         |  CAST(sum(CASE WHEN dfg = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) AS novelty
         |FROM sh JOIN d USING (g)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q93_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 
   /** q87's oracle: the SAME deterministic ±1 planes interpolated as SQL
