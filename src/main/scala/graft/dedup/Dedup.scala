@@ -187,6 +187,62 @@ object Dedup {
         .distinct()
   }
 
+  /** Cross-corpus exact n-gram Jaccard near-dups: pairs (id_a ∈ `newDocs`,
+    * id_b ∈ `oldDocs`) with jaccard ≥ `threshold` — deduplication of an
+    * incoming batch against the EXISTING training corpus, without the
+    * corpus self-join q33 runs (the batch-ingest shape: |new| ≪ |old|,
+    * and old-vs-old pairs are already resolved). Same PPJoin+ machinery
+    * as [[jaccardPairs]] — the prefix/length/accumulation derivations
+    * never use that both pair members come from one frame — with the
+    * gram order SHARED across sides (document frequencies over the
+    * union) so both prefixes are taken under one total order.
+    * Caller contract: the two id spaces must be disjoint.
+    * Exactness contract as [[jaccardPairs]]: complete unless a shared
+    * prefix gram's (union) document frequency exceeds `maxShingleDF`
+    * (observed, never silent).
+    */
+  def crossJaccardPairs(newDocs: DataFrame, oldDocs: DataFrame,
+                        textCol: String, idCol: String,
+                        n: Int = 3, threshold: Double = 0.5,
+                        maxShingleDF: Long = 100000L): DataFrame = {
+    val perA = shingleSets(newDocs, textCol, idCol, n)
+      .select(col("id"), size(col("set")).cast("long").as("sz"), col("set"))
+    val perB = shingleSets(oldDocs, textCol, idCol, n)
+      .select(col("id"), size(col("set")).cast("long").as("sz"), col("set"))
+    val dfg = perA.select(explode(col("set")).as("g"))
+      .unionAll(perB.select(explode(col("set")).as("g")))
+      .groupBy("g").agg(count("*").as("dfg"))
+    def prefix(perDoc: DataFrame) = {
+      val sh = perDoc.select(col("id"), explode(col("set")).as("g"))
+      val wDoc = Window.partitionBy(col("id")).orderBy(col("dfg"), col("g"))
+      val p = sh.join(dfg, "g").join(perDoc.select("id", "sz"), "id")
+        .withColumn("__rn", row_number().over(wDoc))
+        .filter(col("__rn") <= col("sz") - ceil(exactDec(threshold) * col("sz")) + 1)
+        .select(col("id"), col("g"), col("dfg"), col("__rn").as("pos"), col("sz"))
+      if (maxShingleDF == Long.MaxValue) p
+      else p
+        .observe(s"cross_jaccard_prefix_prune_${observeSeq.incrementAndGet()}",
+          count(when(col("dfg") > maxShingleDF, true)).as("dropped_hot_gram_entries"))
+        .filter(col("dfg") <= maxShingleDF)
+    }
+    val tf = lit(new java.math.BigDecimal(threshold / (1.0 + threshold))
+      .setScale(10, java.math.RoundingMode.FLOOR))
+    val lengthOk = least(col("a.sz"), col("b.sz")) >=
+      ceil(exactDec(threshold) * greatest(col("a.sz"), col("b.sz")))
+    val cands = prefix(perA).as("a").join(prefix(perB).as("b"),
+        col("a.g") === col("b.g") && lengthOk)
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("__opp"),
+        max(col("a.pos")).as("__pa"), max(col("b.pos")).as("__pb"),
+        first(col("a.sz")).as("__sza"), first(col("b.sz")).as("__szb"))
+      .filter(col("__opp") +
+          least(col("__sza") - col("__pa"), col("__szb") - col("__pb")) >=
+        ceil(tf * (col("__sza") + col("__szb"))))
+      .select("id_a", "id_b")
+    verifyJaccard(cands, perA.select("id", "set").unionAll(perB.select("id", "set")),
+      threshold)
+  }
+
   /** Asymmetric containment near-dups: ordered pairs (id_a, id_b),
     * id_a ≠ id_b, where c(A→B) = |A∩B| / |A| ≥ `threshold` over n-gram
     * sets — document A's content mostly present inside B. This is the

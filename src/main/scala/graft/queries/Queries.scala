@@ -1241,6 +1241,19 @@ object Queries {
       .select(col("l_returnflag"), col("sum_qty").cast("double").as("sum_qty"))
       .orderBy("l_returnflag")
 
+  /** Cross-corpus dedup (3-gram jaccard ≥ 0.5): incoming batch (doc_id ≥
+    * 250) deduped against the existing corpus (doc_id < 250) without the
+    * corpus self-join — the batch-ingest shape. Exact oracle: the q33
+    * pair CTE restricted to cross-side pairs.
+    */
+  def q94_cross_dedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    graft.dedup.Dedup.crossJaccardPairs(
+        d.filter(col("doc_id") >= 250), d.filter(col("doc_id") < 250),
+        "text", "doc_id", n = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -1377,7 +1390,8 @@ object Queries {
     "q90_decontam_bloom" -> (q90_decontam_bloom _),
     "q91_length_percentiles" -> (q91_length_percentiles _),
     "q92_novelty" -> (q92_novelty _),
-    "q93_salted_agg" -> (q93_salted_agg _)
+    "q93_salted_agg" -> (q93_salted_agg _),
+    "q94_cross_dedup" -> (q94_cross_dedup _)
   )
 }
 
@@ -2145,7 +2159,27 @@ object Oracles {
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+    "q94_cross_dedup" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |       FROM toks CROSS JOIN unnest(generate_series(1, len(t)-2)) AS u(i)
+        |       WHERE len(t) >= 3
+        |       UNION
+        |       SELECT doc_id, array_to_string(t, ' ') AS g FROM toks WHERE len(t) < 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.g = b.g
+        |            AND a.doc_id >= 250 AND b.doc_id < 250
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin
   )
 
   /** q87's oracle: the SAME deterministic ±1 planes interpolated as SQL

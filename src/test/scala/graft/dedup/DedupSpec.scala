@@ -197,6 +197,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("crossJaccardPairs equals the self-join pairs restricted to cross-side") {
+    val d = Tables(spark, sfDir).documents
+    val cut = d.agg(max($"doc_id")).head.getLong(0) / 2 + 1
+    val newD = d.filter($"doc_id" >= cut); val oldD = d.filter($"doc_id" < cut)
+    for (t <- Seq(0.5, 0.8)) {
+      val cross = Dedup.crossJaccardPairs(newD, oldD, "text", "doc_id", n = 3, threshold = t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      // brute force emits id_a < id_b; old ids sort below the cut, so a
+      // cross pair (old, new) maps to (id_a=new, id_b=old)
+      val expected = bruteForceJaccard(d, t)
+        .collect { case (a, b) if a < cut && b >= cut => (b, a) }
+      assert(cross == expected, s"threshold $t: got=${cross.size} expected=${expected.size}, " +
+        s"missed=${(expected -- cross).take(5)}, extra=${(cross -- expected).take(5)}")
+    }
+  }
+
   test("jaccardPairs is exact at integral-t·sz boundary thresholds (0.8, 0.9)") {
     val d = Tables(spark, sfDir).documents
     for (t <- Seq(0.8, 0.9)) {
