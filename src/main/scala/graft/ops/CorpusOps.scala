@@ -135,6 +135,45 @@ object CorpusOps {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** Deterministic WEIGHTED sampling (integer weights, virtual-ticket
+    * scheme): row `id` with weight `w` holds tickets `h(id, 0..w-1)`
+    * and the k rows with the lowest minimum ticket win. The ticket hash
+    * SQUARES the linear mix mod p: a plain linear-in-`i` hash keeps a
+    * row's w tickets inside a ~w·stride window of the modulus (the min of
+    * 5000 such tickets is no better than one draw), while the quadratic
+    * polynomial `(c + i·s)² mod p` equidistributes (Weyl), so
+    * min-of-w ≈ p/w — heavy rows actually win. P(selected) grows with
+    * `w` (for k ≪ n it approaches proportionality), re-runs are
+    * byte-identical (no RNG),
+    * and — unlike the float Efraimidis–Spirakis exponential-key scheme —
+    * every comparison is integer arithmetic, so the selection is
+    * engine-exact and oracle-checkable. The per-row ticket fold is
+    * O(w): `maxWeight` guards against a degenerate weight column turning
+    * one row into a million-iteration loop (raise it consciously).
+    * Weights ≤ 0 never win a ticket (rank = +∞ sentinel) — documents
+    * explicitly weighted out stay out.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
+                     k: Int, maxWeight: Int = 10000): DataFrame = {
+    val w = least(weightCol.cast("long"), lit(maxWeight.toLong))
+    // min over the row's w tickets; sequence+aggregate is interpreted but
+    // row-local and integer-only — no shuffle until the global top-k
+    val P = 1000000007L
+    val rank = when(w <= 0, lit(Long.MaxValue)).otherwise(
+      aggregate(
+        sequence(lit(0L), w - 1),
+        lit(Long.MaxValue),
+        (acc, i) => {
+          // t < p ≈ 1e9 so t*t < 1e18 fits a Long in BOTH engines
+          val t = pmod(col(idCol).cast("long") * lit(2654435761L) + i * lit(40503L), lit(P))
+          least(acc, pmod(t * t, lit(P)))
+        }))
+    df.withColumn("__wrank", rank)
+      .orderBy(col("__wrank"), col(idCol))
+      .limit(k)
+      .drop("__wrank")
+  }
+
   /** Temperature-scaled domain mixing (the multilingual-training sampling
     * scheme, α = 0.5): stratum `s` keeps `min(|s|, ceil(scale · √|s|))`
     * rows, chosen by [[sampleRank]] — large domains are down-weighted,

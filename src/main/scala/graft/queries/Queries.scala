@@ -1254,6 +1254,40 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Dedup-then-sample — the two rails composed the way an export run
+    * actually chains them: exact-jaccard near-dup groups → keep one
+    * survivor per group → deterministic stratified sample (10 per lang)
+    * of the SURVIVORS. One end-to-end oracle (recursive-CTE closure +
+    * Knuth-hash rank re-derived in SQL) hash-checks the composition, so
+    * group labeling and sampling can't drift apart silently — the q52
+    * discipline applied to the dedup rail.
+    */
+  def q95_dedup_sample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val pairs = graft.dedup.Dedup.jaccardPairs(d, "text", "doc_id", n = 3, threshold = 0.5)
+      .select("id_a", "id_b")
+    val survivors = d.join(
+      graft.dedup.Dedup.labelGroups(d, "doc_id", pairs, "id_a", "id_b")
+        .filter(col("keep")).select("doc_id"), "doc_id")
+    graft.ops.CorpusOps.stratifiedSample(survivors, "lang", "doc_id", k = 10)
+      .select("doc_id", "lang")
+      .orderBy("lang", "doc_id")
+  }
+
+  /** Deterministic weighted sample (virtual-ticket scheme, weight =
+    * n_chars/100 + 1): longer documents proportionally likelier, yet
+    * every comparison is integer arithmetic — so unlike exponential-key
+    * weighted sampling the selection is engine-exact and the oracle
+    * re-derives the identical 25 rows. Plans as TakeOrderedAndProject
+    * (distributed top-k, no global sort).
+    */
+  def q96_weighted_sample(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusOps.weightedSample(
+        Tables(spark, dir).documents, "doc_id",
+        floor(col("n_chars") / 100.0) + 1, k = 25)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -1391,7 +1425,9 @@ object Queries {
     "q91_length_percentiles" -> (q91_length_percentiles _),
     "q92_novelty" -> (q92_novelty _),
     "q93_salted_agg" -> (q93_salted_agg _),
-    "q94_cross_dedup" -> (q94_cross_dedup _)
+    "q94_cross_dedup" -> (q94_cross_dedup _),
+    "q95_dedup_sample" -> (q95_dedup_sample _),
+    "q96_weighted_sample" -> (q96_weighted_sample _)
   )
 }
 
@@ -2179,7 +2215,50 @@ object Oracles {
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q95_dedup_sample" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |       FROM toks CROSS JOIN unnest(generate_series(1, len(t)-2)) AS u(i)
+        |       WHERE len(t) >= 3
+        |       UNION
+        |       SELECT doc_id, array_to_string(t, ' ') AS g FROM toks WHERE len(t) < 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |p AS (SELECT id_a, id_b FROM inter
+        |      JOIN sizes sa ON sa.doc_id = id_a
+        |      JOIN sizes sb ON sb.doc_id = id_b
+        |      WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+        |          UNION ALL SELECT id_b AS src, id_a AS dst FROM p),
+        |reach AS (
+        |  SELECT src AS id, dst AS r FROM edges
+        |  UNION
+        |  SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src
+        |),
+        |surv AS (SELECT d.doc_id, d.lang
+        |         FROM documents d LEFT JOIN reach ON d.doc_id = reach.id
+        |         GROUP BY d.doc_id, d.lang
+        |         HAVING coalesce(least(d.doc_id, min(reach.r)), d.doc_id) = d.doc_id)
+        |SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
+        |  FROM surv) WHERE rn <= 10 ORDER BY lang, doc_id""".stripMargin,
+    "q96_weighted_sample" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  LEAST(CAST(floor(n_chars / 100.0) AS BIGINT) + 1, 10000) AS w FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |        (SELECT min(t1 * t1 % 1000000007) FROM
+        |          (SELECT (doc_id * 2654435761 + i * 40503) % 1000000007 AS t1
+        |           FROM unnest(generate_series(0, w - 1)) AS u(i)) AS s) AS wrank
+        |      FROM t)
+        |SELECT doc_id, lang FROM
+        |  (SELECT doc_id, lang FROM r ORDER BY wrank, doc_id LIMIT 25)
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** q87's oracle: the SAME deterministic ±1 planes interpolated as SQL

@@ -122,6 +122,23 @@ class CorpusOpsSpec extends SparkSpec {
       s"bloom over-flagged ${fpDocs.size} of ${got.length} docs")
   }
 
+  test("weightedSample: deterministic, zero weights excluded, heavy rows favored") {
+    val rows = (1L to 200L).map(i => (i, 1L)).toDF("id", "w")
+      .unionAll(Seq((500L, 5000L), (501L, 0L)).toDF("id", "w"))
+    val pick = CorpusOps.weightedSample(rows, "id", $"w", k = 20)
+      .select("id").as[Long].collect().toSeq
+    val again = CorpusOps.weightedSample(rows, "id", $"w", k = 20)
+      .select("id").as[Long].collect().toSeq
+    assert(pick == again, "re-runs must be byte-identical")
+    assert(!pick.contains(501L), "zero-weight rows never win a ticket")
+    assert(pick.contains(500L),
+      "a 5000-ticket row among 200 single-ticket rows belongs in the top 20")
+    // maxWeight caps the per-row ticket loop, not correctness
+    val capped = CorpusOps.weightedSample(rows, "id", $"w", k = 20, maxWeight = 10)
+      .select("id").as[Long].collect().toSeq
+    assert(capped.nonEmpty && !capped.contains(501L))
+  }
+
   test("stratifiedSample is deterministic, capped at k, and within-stratum") {
     val df = (0L until 100L).map(i => (i, s"s${i % 3}")).toDF("id", "grp")
     val a = CorpusOps.stratifiedSample(df, "grp", "id", k = 5).orderBy("grp", "id").collect()
