@@ -369,7 +369,37 @@ object VectorOps {
 
     /** Probe the `nprobe` nearest cells per query, exact cosine inside. */
     def search(queries: DataFrame, queryIdCol: String, queryVecCol: String,
-               k: Int, nprobe: Int): DataFrame = {
+               k: Int, nprobe: Int): DataFrame =
+      searchImpl(assigned, queries, queryIdCol, queryVecCol, k, nprobe)
+
+    /** Filtered probe: [[search]] restricted to ids present in `allowed`
+      * — the predicate-constrained vector search a retrieval stack runs
+      * against a curated corpus ("nearest neighbors among the
+      * decontaminated / license-clean / lang-gated slice"). The
+      * allowed-id SEMI-join lands inside the probed-cell scan, BEFORE
+      * any cosine is computed, so the top-k window ranks filtered
+      * candidates only — there is no post-filter over-fetch factor to
+      * tune, and a candidate that fails the predicate never costs a
+      * distance. Recall under a selective predicate is recovered by
+      * raising `nprobe` (surviving density per probed cell scales with
+      * selectivity); at nprobe = c the result is provably the exact
+      * top-k of the filtered subset, which is how q97 hash-checks the
+      * whole path. Scale: `allowed` carries ids only (8 bytes/row) — a
+      * selective rail output broadcasts under AQE, a broad one degrades
+      * to a shuffle semi-join keyed on id, never a corpus re-scan. The
+      * same semi-join composes unchanged with the SQ8/PQ/IVF+PQ rungs
+      * (their code tables key on id too).
+      */
+    def searchFiltered(queries: DataFrame, queryIdCol: String, queryVecCol: String,
+                       k: Int, nprobe: Int,
+                       allowed: DataFrame, allowedIdCol: String): DataFrame =
+      searchImpl(
+        assigned.join(allowed.select(col(allowedIdCol).as("id")), Seq("id"), "left_semi"),
+        queries, queryIdCol, queryVecCol, k, nprobe)
+
+    private def searchImpl(base: DataFrame, queries: DataFrame,
+                           queryIdCol: String, queryVecCol: String,
+                           k: Int, nprobe: Int): DataFrame = {
       val q = queries.select(col(queryIdCol).as("qid"), toDoubleArr(col(queryVecCol)).as("qv"))
       val qCells = q.crossJoin(broadcast(centroids))
         .select(col("qid"), col("qv"), col("cid"), cosine(col("qv"), col("cv")).as("ccos"))
@@ -378,7 +408,7 @@ object VectorOps {
         .filter(col("__rn") <= nprobe).select("qid", "qv", "cid")
       // probe side = |queries| × nprobe rows — always the broadcast side;
       // without the hint Catalyst picks SMJ and shuffles the whole index
-      val scored = assigned.join(broadcast(probed), "cid")
+      val scored = base.join(broadcast(probed), "cid")
         .filter(col("id") =!= col("qid"))
         .select(col("qid"), col("id"), cosine(col("v"), col("qv")).as("cos"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id").asc)

@@ -1288,6 +1288,24 @@ object Queries {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** Filtered (predicate-constrained) vector search: top-10 among
+    * vectors with label = 3 only — the "search the curated slice"
+    * operation every retrieval stack needs. The allowed-id semi-join
+    * lands inside the probed-cell scan BEFORE any cosine, so the top-k
+    * ranks filtered candidates directly (no over-fetch factor). At
+    * nprobe = c the filtered probe is provably the exact top-k of the
+    * filtered subset, so this hash-checks against DuckDB brute force
+    * with the same WHERE; partial-probe recall is the spec's job.
+    */
+  def q97_filtered_ann(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val idx = graft.functions.VectorOps.IvfIndex.build(e, "vec_id", "embedding", c = 16)
+    annExactShape(
+      idx.searchFiltered(e.filter(col("vec_id") === 0), "vec_id", "embedding",
+        k = 10, nprobe = 16,
+        allowed = e.filter(col("label") === 3), allowedIdCol = "vec_id"))
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -1427,7 +1445,8 @@ object Queries {
     "q93_salted_agg" -> (q93_salted_agg _),
     "q94_cross_dedup" -> (q94_cross_dedup _),
     "q95_dedup_sample" -> (q95_dedup_sample _),
-    "q96_weighted_sample" -> (q96_weighted_sample _)
+    "q96_weighted_sample" -> (q96_weighted_sample _),
+    "q97_filtered_ann" -> (q97_filtered_ann _)
   )
 }
 
@@ -1712,6 +1731,16 @@ object Oracles {
     "q69_ann_pq_exact" -> BruteForceTop10Sql,
     "q70_ann_ivfpq_exact" -> BruteForceTop10Sql,
     "q83_ann_sq8r_exact" -> BruteForceTop10Sql,
+    "q97_filtered_ann" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.vec_id,
+        |    (SELECT sum(x*y) FROM (SELECT unnest(CAST(e.embedding AS DOUBLE[])) AS x,
+        |                                  unnest(q.qe) AS y)) /
+        |    sqrt((SELECT sum(x*x) FROM (SELECT unnest(CAST(e.embedding AS DOUBLE[])) AS x)) *
+        |         (SELECT sum(y*y) FROM (SELECT unnest(q.qe) AS y))) AS cos
+        |  FROM embeddings e, q WHERE e.vec_id <> 0 AND e.label = 3)
+        |SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     "q40_binary_meta" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, sha256(text) AS sha
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -94,6 +94,39 @@ class VectorOpsSpec extends SparkSpec {
     idx.close()
   }
 
+  test("filtered IVF search: only allowed ids, exact at full probe, recall at partial") {
+    val e = Tables(spark, sfDir).embeddings
+    val queries = e.filter($"vec_id" < 5)
+    val allowed = e.filter($"label" === 3)
+    val allowedIds = allowed.select("vec_id").as[Long].collect().toSet
+    // exact reference: brute force with the filtered subset as corpus
+    // (self-matches excluded by both paths identically)
+    val exact = annBruteForce(allowed, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val idx = IvfIndex.build(e, "vec_id", "embedding", c = 16)
+    // full probe on the filtered subset is provably exact
+    val full = idx.searchFiltered(queries, "vec_id", "embedding",
+        k = 10, nprobe = 16, allowed, "vec_id")
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    assert(full == exact, "full-probe filtered search must equal filtered brute force")
+    // partial probe: never leaks a disallowed id; recall is recovered by
+    // raising nprobe (the documented knob for selective predicates —
+    // surviving density per probed cell drops with selectivity)
+    def recallAt(np: Int): Double = {
+      val part = idx.searchFiltered(queries, "vec_id", "embedding",
+          k = 10, nprobe = np, allowed, "vec_id")
+        .select("qid", "id").as[(Long, Long)].collect().toSet
+      assert(part.forall { case (_, id) => allowedIds.contains(id) },
+        s"filtered search leaked a disallowed id at nprobe=$np")
+      exact.intersect(part).size.toDouble / exact.size
+    }
+    val r4 = recallAt(4); val r8 = recallAt(8)
+    assert(r8 >= r4, s"recall must not degrade with more probes: $r4 -> $r8")
+    assert(r8 >= 0.5, s"filtered IVF recall@10 at nprobe=8 too low: $r8")
+    idx.close()
+  }
+
   test("IVF multi-iteration Lloyd build is valid and at least as tight") {
     val e = Tables(spark, sfDir).embeddings
     val queries = e.filter($"vec_id" < 5)
