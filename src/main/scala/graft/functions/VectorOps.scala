@@ -262,6 +262,40 @@ object VectorOps {
       .filter(col("cos") >= threshold)
   }
 
+  /** Batch k-NN GRAPH: for every indexed vector, its top-`k` neighbors —
+    * the corpus-vs-corpus form of [[IvfIndex.search]] and the input
+    * builder for SemDeDup-style clustering, label propagation, and
+    * graph analyses. The probe side here is the CORPUS, so the
+    * driver-batch broadcast `search` uses would ship every query vector
+    * to every executor; instead both sides meet in a shuffle equi-join
+    * keyed on `cid` (co-partitioned, no broadcast anywhere): each
+    * vector PROBES its `probes` nearest cells while being POSTED only
+    * in its home cell (the standard IVF asymmetry — probing more cells
+    * recovers the neighbors that landed across a cell boundary).
+    * Candidate volume is Σ over cells of |probers|·|residents| — never
+    * all-pairs — and the per-query top-k is a window partitioned by
+    * qid. At `probes` = c the graph is provably exact (every pair
+    * shares the prober's cell), which is how q98 hash-checks the path;
+    * `probes` = 2 is the measured operating point.
+    */
+  def knnGraph(idx: IvfIndex, k: Int, probes: Int = 2): DataFrame = {
+    require(probes >= 1, s"probes must be >= 1, got $probes")
+    val v = idx.assigned.select(col("id"), col("v")) // cached by build
+    val qAsg =
+      (if (probes == 1) idx.assigned.select("cid", "id")
+       else IvfIndex.assignTop(v, idx.centroids, probes).select("cid", "id"))
+        .select(col("cid"), col("id").as("qid"))
+    val cand = qAsg.join(idx.assigned.select("cid", "id"), "cid")
+      .filter(col("qid") =!= col("id"))
+      .select("qid", "id").distinct()
+    val scored = cand
+      .join(v.select(col("id").as("qid"), col("v").as("qv")), "qid")
+      .join(v, "id")
+      .select(col("qid"), col("id"), cosine(col("v"), col("qv")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id").asc)
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** Semantic dedup GROUPS at corpus scale: clustered pairs → connected
     * components → min-id labels + survivor flag — the embedding analogue
     * of [[graft.dedup.Dedup.nearDupGroups]] (same output shape: idCol,

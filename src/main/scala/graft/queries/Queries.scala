@@ -1306,6 +1306,21 @@ object Queries {
         allowed = e.filter(col("label") === 3), allowedIdCol = "vec_id"))
   }
 
+  /** Batch k-NN graph (top-3 neighbors for EVERY vector) at full probe —
+    * corpus-vs-corpus search where the probe side is the corpus itself,
+    * so nothing broadcasts: probers and residents meet in a shuffle
+    * equi-join on cell id. probes = c makes the graph provably exact,
+    * hash-checked against DuckDB's all-pairs per-row top-3; the spec
+    * owns the probes=2 operating point's recall.
+    */
+  def q98_knn_graph(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val idx = graft.functions.VectorOps.IvfIndex.build(e, "vec_id", "embedding", c = 16)
+    graft.functions.VectorOps.knnGraph(idx, k = 3, probes = 16)
+      .select(col("qid"), col("id").as("nbr_id"), col("cos"))
+      .orderBy(col("qid"), col("cos").desc, col("nbr_id"))
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -1446,7 +1461,8 @@ object Queries {
     "q94_cross_dedup" -> (q94_cross_dedup _),
     "q95_dedup_sample" -> (q95_dedup_sample _),
     "q96_weighted_sample" -> (q96_weighted_sample _),
-    "q97_filtered_ann" -> (q97_filtered_ann _)
+    "q97_filtered_ann" -> (q97_filtered_ann _),
+    "q98_knn_graph" -> (q98_knn_graph _)
   )
 }
 
@@ -1741,6 +1757,19 @@ object Oracles {
         |         (SELECT sum(y*y) FROM (SELECT unnest(q.qe) AS y))) AS cos
         |  FROM embeddings e, q WHERE e.vec_id <> 0 AND e.label = 3)
         |SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "q98_knn_graph" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |        (SELECT sum(x*x) FROM (SELECT unnest(e) AS x)) AS nm2 FROM v),
+        |s AS (SELECT a.vec_id AS qid, b.vec_id AS nbr_id,
+        |        (SELECT sum(x*y) FROM (SELECT unnest(a.e) AS x, unnest(b.e) AS y)) /
+        |        sqrt(a.nm2 * b.nm2) AS cos
+        |      FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT qid, nbr_id, cos,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr_id) AS rn
+        |      FROM s)
+        |SELECT qid, nbr_id, cos FROM r WHERE rn <= 3
+        |ORDER BY qid, cos DESC, nbr_id""".stripMargin,
     "q40_binary_meta" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, sha256(text) AS sha
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -127,6 +127,30 @@ class VectorOpsSpec extends SparkSpec {
     idx.close()
   }
 
+  test("knnGraph: full probe equals brute-force graph; probes=2 recall; shape invariants") {
+    val e = Tables(spark, sfDir).embeddings.limit(300)
+    val idx = IvfIndex.build(e, "vec_id", "embedding", c = 8)
+    val exact = annBruteForce(e, "vec_id", "embedding", e, "vec_id", "embedding", k = 3)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val full = knnGraph(idx, k = 3, probes = 8)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    assert(full == exact, "full-probe knnGraph must equal the brute-force graph")
+    def graphAt(p: Int): Array[(Long, Long)] = {
+      val g = knnGraph(idx, k = 3, probes = p)
+        .select("qid", "id").as[(Long, Long)].collect()
+      assert(g.forall { case (q, i) => q != i }, "no self-edges")
+      assert(g.groupBy(_._1).values.forall(_.length <= 3),
+        "at most k neighbors per query")
+      g
+    }
+    def recall(g: Array[(Long, Long)]): Double =
+      exact.intersect(g.toSet).size.toDouble / exact.size
+    val r2 = recall(graphAt(2)); val r4 = recall(graphAt(4))
+    assert(r4 >= r2, s"recall must not degrade with more probes: $r2 -> $r4")
+    assert(r4 >= 0.6, s"knnGraph probes=4 recall too low: $r4")
+    idx.close()
+  }
+
   test("IVF multi-iteration Lloyd build is valid and at least as tight") {
     val e = Tables(spark, sfDir).embeddings
     val queries = e.filter($"vec_id" < 5)
