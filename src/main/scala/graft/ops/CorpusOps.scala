@@ -193,6 +193,58 @@ object CorpusOps {
       .filter(col("__rn") <= col("__k")).drop("__rn", "__k")
   }
 
+  /** Epoch-weighted mixture materialization — the data-recipe mixing op:
+    * each row is repeated per its domain's repeat factor, with
+    * NON-INTEGER factors handled deterministically. `factorBp` is the
+    * factor in BASIS POINTS (22500 = 2.25 epochs): a row gets
+    * ⌊f⌋ copies plus one more when its hash indicator lands below the
+    * fractional part — so factor 0.25 is a deterministic 25%
+    * downsample, 2.25 is two epochs plus a deterministic quarter, and
+    * expected copies equal the factor exactly. Everything is integer
+    * arithmetic on basis points (no float comparison anywhere), so the
+    * materialized mixture is engine-exact and re-runs are byte-identical
+    * — a retried 100 TB export job reproduces the same mixture, and an
+    * oracle can re-derive it. The indicator hash is offset from
+    * [[sampleRank]] so composing with the sampling rails doesn't reuse
+    * the same coin. Output: input row × `epoch` (1-based copy index);
+    * factors ≤ 0 contribute nothing.
+    */
+  def repeatMix(df: DataFrame, idCol: String, factorBp: Column): DataFrame = {
+    val f = factorBp.cast("long")
+    val indicator = (pmod(col(idCol).cast("long") * lit(2654435761L) + lit(40503L),
+      lit(1000000007L)) % 10000L < f % 10000L).cast("long")
+    // Column `/` is double division — divide the exact multiple of 10⁴
+    // instead (always a whole quotient, exact below 2⁵³)
+    val whole = ((f - f % lit(10000L)) / lit(10000L)).cast("long")
+    val copies = when(f <= 0, lit(0L)).otherwise(whole + indicator)
+    df.withColumn("epoch",
+        explode(when(copies >= 1, sequence(lit(1L), copies))
+          .otherwise(array().cast("array<long>"))))
+  }
+
+  /** Token-budget fill: per stratum, take rows in priority order until
+    * the cumulative token count would exceed `budget` — "fill the 1T
+    * budget per domain by quality rank", the final gate of a
+    * training-data recipe. One keyed shuffle (the per-stratum window);
+    * the running sum is integer-exact, the order total (priority desc,
+    * id asc), so the cut is reproducible and oracle-checkable. Rows are
+    * kept while their INCLUSIVE prefix sum fits. Rows that individually
+    * exceed the budget are dropped BEFORE the window — otherwise one
+    * oversized document at the head of a domain blocks the whole domain
+    * (truncating it is [[tokenChunks]]' job upstream); after that
+    * pre-filter the cut is a pure prefix: once the running sum passes
+    * the budget, every later (lower-priority) row is out.
+    */
+  def budgetFill(df: DataFrame, strataCol: String, idCol: String,
+                 tokensCol: Column, priority: Column, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(priority.desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(tokensCol.cast("long") <= budget)
+      .withColumn("cum_tokens", sum(tokensCol.cast("long")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
   /** Sequence packing: assign documents (in id order, independently per
     * shard) to fixed-token-budget bins by exclusive prefix sum — bin
     * `⌊prefix/budget⌋`, i.e. greedy concat-and-cut packing where a bin

@@ -1321,6 +1321,35 @@ object Queries {
       .orderBy(col("qid"), col("cos").desc, col("nbr_id"))
   }
 
+  /** Epoch-weighted mixture materialization: per-lang repeat factors in
+    * basis points (en 0.5, de 2.25, es 1.0, fr 3.0, zh 0.25) — the
+    * data-recipe mixing table. Non-integer factors resolve by a
+    * deterministic integer indicator on basis points, so the
+    * materialized mixture (doc_id × epoch) is engine-exact; the oracle
+    * re-derives every copy. Expected row count = Σ f·|lang|.
+    */
+  def q99_repeat_mix(spark: SparkSession, dir: String): DataFrame = {
+    val factors = map(
+      lit("en"), lit(5000L), lit("de"), lit(22500L), lit("es"), lit(10000L),
+      lit("fr"), lit(30000L), lit("zh"), lit(2500L))
+    graft.ops.CorpusOps.repeatMix(
+        Tables(spark, dir).documents, "doc_id",
+        coalesce(element_at(factors, col("lang")), lit(10000L)))
+      .select("doc_id", "lang", "epoch")
+      .orderBy("doc_id", "epoch")
+  }
+
+  /** Token-budget fill: per lang, longest documents first until 8000
+    * chars of budget are (inclusively) spent — the final per-domain gate
+    * of a recipe. Integer running sum, total order, hash-exact oracle.
+    */
+  def q100_budget_fill(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusOps.budgetFill(
+        Tables(spark, dir).documents, "lang", "doc_id",
+        tokensCol = col("n_chars"), priority = col("n_chars"), budget = 8000L)
+      .select(col("doc_id"), col("lang"), col("cum_tokens"))
+      .orderBy("lang", "cum_tokens", "doc_id")
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -1462,7 +1491,9 @@ object Queries {
     "q95_dedup_sample" -> (q95_dedup_sample _),
     "q96_weighted_sample" -> (q96_weighted_sample _),
     "q97_filtered_ann" -> (q97_filtered_ann _),
-    "q98_knn_graph" -> (q98_knn_graph _)
+    "q98_knn_graph" -> (q98_knn_graph _),
+    "q99_repeat_mix" -> (q99_repeat_mix _),
+    "q100_budget_fill" -> (q100_budget_fill _)
   )
 }
 
@@ -1757,6 +1788,27 @@ object Oracles {
         |         (SELECT sum(y*y) FROM (SELECT unnest(q.qe) AS y))) AS cos
         |  FROM embeddings e, q WHERE e.vec_id <> 0 AND e.label = 3)
         |SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "q99_repeat_mix" ->
+      """WITH f AS (SELECT doc_id, lang,
+        |  CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 22500 WHEN 'es' THEN 10000
+        |            WHEN 'fr' THEN 30000 WHEN 'zh' THEN 2500 ELSE 10000 END AS fbp
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang,
+        |  (fbp - fbp % 10000) // 10000 +
+        |  CASE WHEN (doc_id * 2654435761 + 40503) % 1000000007 % 10000 < fbp % 10000
+        |       THEN 1 ELSE 0 END AS copies
+        |  FROM f WHERE fbp > 0)
+        |SELECT doc_id, lang, CAST(epoch AS BIGINT) AS epoch
+        |FROM c CROSS JOIN unnest(generate_series(1, copies)) AS u(epoch)
+        |WHERE copies >= 1
+        |ORDER BY doc_id, epoch""".stripMargin,
+    "q100_budget_fill" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |  sum(n_chars) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id
+        |                     ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |  FROM documents WHERE n_chars <= 8000)
+        |SELECT doc_id, lang, CAST(cum_tokens AS BIGINT) AS cum_tokens FROM w
+        |WHERE cum_tokens <= 8000 ORDER BY lang, cum_tokens, doc_id""".stripMargin,
     "q98_knn_graph" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |n AS (SELECT vec_id, e,

@@ -139,6 +139,35 @@ class CorpusOpsSpec extends SparkSpec {
     assert(capped.nonEmpty && !capped.contains(501L))
   }
 
+  test("repeatMix: whole epochs exact, fractional part deterministic, <=0 drops") {
+    val rows = (1L to 1000L).map(i => (i, "d")).toDF("id", "grp")
+    // factor 2.25: every row gets 2 copies, ~25% get a third
+    val out = CorpusOps.repeatMix(rows, "id", lit(22500L))
+      .groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert(out.size == 1000 && out.values.forall(c => c == 2 || c == 3))
+    val extra = out.values.count(_ == 3)
+    assert(extra > 150 && extra < 350, s"fractional quarter off: $extra/1000")
+    // epochs are 1..copies with no gaps
+    val epochs = CorpusOps.repeatMix(rows.limit(1), "id", lit(22500L))
+      .select("epoch").as[Long].collect().sorted
+    assert(epochs.head == 1L && epochs.toSeq == (1L to epochs.length))
+    // deterministic + factor 0 drops everything
+    val a = CorpusOps.repeatMix(rows, "id", lit(2500L)).count()
+    val b = CorpusOps.repeatMix(rows, "id", lit(2500L)).count()
+    assert(a == b && a > 150 && a < 350, s"25% downsample off: $a")
+    assert(CorpusOps.repeatMix(rows, "id", lit(0L)).count() == 0)
+  }
+
+  test("budgetFill: inclusive prefix cut per stratum, priority order, oversized dropped") {
+    val rows = Seq(
+      (1L, "a", 50L), (2L, "a", 30L), (3L, "a", 30L), (4L, "a", 10L),
+      (5L, "b", 200L), (6L, "b", 90L)).toDF("id", "grp", "tok")
+    val got = CorpusOps.budgetFill(rows, "grp", "id", $"tok", $"tok", budget = 100L)
+      .select("id", "cum_tokens").as[(Long, Long)].collect().toMap
+    // a: 50(cum 50) + 30(80) + 30(110 > 100 → out) … id2 before id3 by tie-break
+    assert(got == Map(1L -> 50L, 2L -> 80L, 6L -> 90L), s"got $got")
+  }
+
   test("stratifiedSample is deterministic, capped at k, and within-stratum") {
     val df = (0L until 100L).map(i => (i, s"s${i % 3}")).toDF("id", "grp")
     val a = CorpusOps.stratifiedSample(df, "grp", "id", k = 5).orderBy("grp", "id").collect()
