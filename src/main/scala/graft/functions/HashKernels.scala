@@ -103,6 +103,20 @@ object HashKernels {
     */
   def sortedRunStats(a: Column): Column =
     GraftSqlBridge.column(SortedRunStats(GraftSqlBridge.expression(a)))
+
+  /** Minimum virtual ticket for deterministic weighted sampling: min over
+    * i ∈ [0, w) of `((id·2654435761 + i·40503) mod p)² mod p` with
+    * p = 1000000007 — BIT-IDENTICAL to the `sequence` + `aggregate` HOF
+    * fold of the same arithmetic, minus the up-to-`w`-element array each
+    * row of the HOF form materializes (interpreted, allocating — the
+    * exact pattern the project bans in hot paths). Returns
+    * `Long.MaxValue` when `w` ≤ 0 (the never-wins sentinel). Wrap
+    * semantics on `id·2654435761` are Java `long` overflow on both
+    * forms (ANSI off), so the swap is oracle-invisible.
+    */
+  def weightedMinTicket(id: Column, w: Column): Column =
+    GraftSqlBridge.column(WeightedMinTicket(
+      GraftSqlBridge.expression(id), GraftSqlBridge.expression(w)))
 }
 
 case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpression {
@@ -686,4 +700,59 @@ case class SimHashFingerprint(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Min virtual ticket over `w` quadratic-hash draws (see
+  * [[HashKernels.weightedMinTicket]]). Inputs are two LONGs (id, w);
+  * `w` ≤ 0 yields `Long.MaxValue`. The per-row loop is O(w) integer
+  * arithmetic with zero allocation — callers bound `w` (weightedSample's
+  * `maxWeight`) so a degenerate weight can't turn one row into a
+  * million-iteration task.
+  */
+case class WeightedMinTicket(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"inputs must be (bigint, bigint), got $other")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val id = l.asInstanceOf[Long]; val w = r.asInstanceOf[Long]
+    val base = id * 2654435761L
+    var best = Long.MaxValue
+    var i = 0L
+    while (i < w) {
+      var t = (base + i * 40503L) % 1000000007L
+      if (t < 0L) t += 1000000007L
+      val s = (t * t) % 1000000007L
+      if (s < best) best = s
+      i += 1L
+    }
+    java.lang.Long.valueOf(best)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (id, w) => {
+      val base = ctx.freshName("base"); val best = ctx.freshName("best")
+      val i = ctx.freshName("i"); val t = ctx.freshName("t"); val s = ctx.freshName("s")
+      s"""
+         |final long $base = $id * 2654435761L;
+         |long $best = Long.MAX_VALUE;
+         |for (long $i = 0L; $i < $w; $i++) {
+         |  long $t = ($base + $i * 40503L) % 1000000007L;
+         |  if ($t < 0L) $t += 1000000007L;
+         |  final long $s = ($t * $t) % 1000000007L;
+         |  if ($s < $best) $best = $s;
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }

@@ -156,18 +156,9 @@ object CorpusOps {
   def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
                      k: Int, maxWeight: Int = 10000): DataFrame = {
     val w = least(weightCol.cast("long"), lit(maxWeight.toLong))
-    // min over the row's w tickets; sequence+aggregate is interpreted but
-    // row-local and integer-only — no shuffle until the global top-k
-    val P = 1000000007L
-    val rank = when(w <= 0, lit(Long.MaxValue)).otherwise(
-      aggregate(
-        sequence(lit(0L), w - 1),
-        lit(Long.MaxValue),
-        (acc, i) => {
-          // t < p ≈ 1e9 so t*t < 1e18 fits a Long in BOTH engines
-          val t = pmod(col(idCol).cast("long") * lit(2654435761L) + i * lit(40503L), lit(P))
-          least(acc, pmod(t * t, lit(P)))
-        }))
+    // native one-pass ticket fold (zero allocation, whole-stage codegen);
+    // w <= 0 yields the Long.MaxValue never-wins sentinel inside the kernel
+    val rank = graft.functions.HashKernels.weightedMinTicket(col(idCol).cast("long"), w)
     df.withColumn("__wrank", rank)
       .orderBy(col("__wrank"), col(idCol))
       .limit(k)

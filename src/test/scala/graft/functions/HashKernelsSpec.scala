@@ -103,6 +103,27 @@ class HashKernelsSpec extends SparkSpec {
     assert(got == Seq(0L, 2L, 2L))
   }
 
+  test("WeightedMinTicket is bit-identical to the sequence+aggregate HOF fold") {
+    val P = 1000000007L
+    val rows = Seq(
+      (0L, 1L), (1L, 1L), (42L, 7L), (999999L, 10000L),
+      (-5L, 3L),                      // negative id: pmod branch
+      (3500000000L, 5L),              // id*K wraps Long — wrap must match
+      (7L, 0L), (7L, -2L)             // w <= 0: never-wins sentinel
+    ).toDF("id", "w")
+    val hof = when($"w" <= 0, lit(Long.MaxValue)).otherwise(
+      aggregate(sequence(lit(0L), $"w" - 1), lit(Long.MaxValue),
+        (acc, i) => {
+          val t = pmod($"id" * lit(2654435761L) + i * lit(40503L), lit(P))
+          least(acc, pmod(t * t, lit(P)))
+        }))
+    val got = rows.select(
+      HashKernels.weightedMinTicket($"id", $"w").as("native"), hof.as("ref"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (n, r) => assert(n == r, s"native $n != hof $r") }
+    assert(got.takeRight(2).forall(_._1 == Long.MaxValue))
+  }
+
   test("ArrayXxHash64 is bit-identical to transform(xxhash64) incl. nulls") {
     val corpus = Tables(spark, sfDir).documents
       .select(TextFunctions.tokens(col("text")).as("t"))
