@@ -239,6 +239,39 @@ object StatefulOps {
     else wm.dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
   }
 
+  case class BudgetDoc(domain: String, id: Long, tokens: Long)
+  case class Admitted(domain: String, id: Long, tokens: Long, cumTokens: Long)
+
+  /** Streaming token-budget gate — [[graft.ops.CorpusOps.budgetFill]]'s
+    * incremental sibling: per-domain running sum of ADMITTED tokens in
+    * keyed state; a document is admitted iff it still fits
+    * (cum + tokens ≤ budget). Where the batch form cuts a priority-
+    * ordered prefix, the stream cannot sort the future, so admission is
+    * arrival-order GREEDY with skip: a too-big document is rejected but
+    * a later smaller one may still be admitted — the budget fills
+    * monotonically and `cumTokens` never exceeds `budget`. Within a
+    * micro-batch, per-domain order is the batch iterator order (matching
+    * the reference's serial per-partition loop semantics); the state is
+    * one Long per domain, so the gate scales to any domain cardinality.
+    */
+  def budgetGate(docs: Dataset[BudgetDoc], budget: Long): Dataset[Admitted] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.domain)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (domain: String, rows: Iterator[BudgetDoc], state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          // materialize before updating state — the iterator is lazy
+          val admitted = rows.flatMap { d =>
+            if (d.tokens >= 0 && cum + d.tokens <= budget) {
+              cum += d.tokens
+              Some(Admitted(domain, d.id, d.tokens, cum))
+            } else None
+          }.toVector
+          state.update(cum)
+          admitted.iterator
+      }
+  }
+
   case class Keyed[V](key: String, ts: Long, value: V)
 
   /** KQ-11 streaming: last-write-wins upsert per key (store `Put`

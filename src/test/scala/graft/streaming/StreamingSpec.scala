@@ -38,6 +38,26 @@ class StreamingSpec extends SparkSpec {
     assert(last == Map("u1" -> "new", "u2" -> "x"))
   }
 
+  test("budgetGate admits greedily per domain across batches, never over budget") {
+    import StatefulOps.{BudgetDoc, Admitted}
+    val in = MemoryStream[BudgetDoc]
+    val q = StatefulOps.budgetGate(in.toDS(), budget = 100L)
+      .writeStream.format("memory").queryName(nextName()).outputMode(OutputMode.Update()).start()
+    val name = q.name
+    // batch 1: a: 60 in (cum 60), 50 skipped (110), 30 in (90); b: 90 in
+    in.addData(BudgetDoc("a", 1, 60), BudgetDoc("a", 2, 50),
+      BudgetDoc("a", 3, 30), BudgetDoc("b", 5, 90))
+    q.processAllAvailable()
+    // batch 2: a: 20 skipped (110), 10 in (exactly 100); b: 20 skipped
+    in.addData(BudgetDoc("a", 4, 20), BudgetDoc("a", 6, 10), BudgetDoc("b", 7, 20))
+    q.processAllAvailable()
+    val rows = spark.table(name).as[Admitted].collect()
+    q.stop()
+    assert(rows.map(r => r.id -> r.cumTokens).toMap ==
+      Map(1L -> 60L, 3L -> 90L, 5L -> 90L, 6L -> 100L))
+    assert(rows.groupBy(_.domain).values.forall(_.map(_.tokens).sum <= 100L))
+  }
+
   test("fictionsJoin: emit-suppression + re-emit on character arrival (KQ-8)") {
     val heroA = Character("c1", "Hero A", "http://w/a")
     val heroB = Character("c2", "Hero B", "http://w/b")
