@@ -285,9 +285,13 @@ object VectorOps {
       (if (probes == 1) idx.assigned.select("cid", "id")
        else IvfIndex.assignTop(v, idx.centroids, probes).select("cid", "id"))
         .select(col("cid"), col("id").as("qid"))
+    // (qid, id) pairs are already unique — assignTop emits each probed
+    // (qid, cid) once and a resident has exactly ONE home cell, so no
+    // pair can arise from two cells; a distinct() here would re-shuffle
+    // the job's largest intermediate for no semantic effect
     val cand = qAsg.join(idx.assigned.select("cid", "id"), "cid")
       .filter(col("qid") =!= col("id"))
-      .select("qid", "id").distinct()
+      .select("qid", "id")
     val scored = cand
       .join(v.select(col("id").as("qid"), col("v").as("qv")), "qid")
       .join(v, "id")

@@ -150,16 +150,21 @@ object CorpusOps {
     * engine-exact and oracle-checkable. The per-row ticket fold is
     * O(w): `maxWeight` guards against a degenerate weight column turning
     * one row into a million-iteration loop (raise it consciously).
-    * Weights ≤ 0 never win a ticket (rank = +∞ sentinel) — documents
-    * explicitly weighted out stay out.
+    * Weights ≤ 0 (and NULL weights) never win a ticket and are dropped
+    * outright — documents explicitly weighted out stay out even when
+    * k exceeds the positive-weight row count.
     */
   def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
                      k: Int, maxWeight: Int = 10000): DataFrame = {
-    val w = least(weightCol.cast("long"), lit(maxWeight.toLong))
+    // NULL weight = weight 0 (least() would otherwise SKIP the null and
+    // hand the row the maxWeight cap — the heaviest possible ticket set)
+    val w = least(coalesce(weightCol.cast("long"), lit(0L)), lit(maxWeight.toLong))
     // native one-pass ticket fold (zero allocation, whole-stage codegen);
     // w <= 0 yields the Long.MaxValue never-wins sentinel inside the kernel
     val rank = graft.functions.HashKernels.weightedMinTicket(col(idCol).cast("long"), w)
     df.withColumn("__wrank", rank)
+      // sentinel rows must not back-fill the tail when k > |w > 0|
+      .filter(col("__wrank") =!= Long.MaxValue)
       .orderBy(col("__wrank"), col(idCol))
       .limit(k)
       .drop("__wrank")
@@ -231,7 +236,10 @@ object CorpusOps {
     val w = Window.partitionBy(col(strataCol))
       .orderBy(priority.desc, col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.filter(tokensCol.cast("long") <= budget)
+    // negative token counts would make the running sum non-monotone and
+    // re-admit rows after the budget was passed — reject them with the
+    // oversized rows (the streaming budgetGate guards the same way)
+    df.filter(tokensCol.cast("long") >= 0 && tokensCol.cast("long") <= budget)
       .withColumn("cum_tokens", sum(tokensCol.cast("long")).over(w))
       .filter(col("cum_tokens") <= budget)
   }

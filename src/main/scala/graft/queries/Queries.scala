@@ -1806,7 +1806,7 @@ object Oracles {
       """WITH w AS (SELECT doc_id, lang,
         |  sum(n_chars) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id
         |                     ROWS UNBOUNDED PRECEDING) AS cum_tokens
-        |  FROM documents WHERE n_chars <= 8000)
+        |  FROM documents WHERE n_chars >= 0 AND n_chars <= 8000)
         |SELECT doc_id, lang, CAST(cum_tokens AS BIGINT) AS cum_tokens FROM w
         |WHERE cum_tokens <= 8000 ORDER BY lang, cum_tokens, doc_id""".stripMargin,
     "q98_knn_graph" ->

@@ -137,6 +137,12 @@ class CorpusOpsSpec extends SparkSpec {
     val capped = CorpusOps.weightedSample(rows, "id", $"w", k = 20, maxWeight = 10)
       .select("id").as[Long].collect().toSeq
     assert(capped.nonEmpty && !capped.contains(501L))
+    // k > |positive-weight rows|: zero/NULL-weight rows must NOT back-fill
+    val tiny = Seq((1L, Some(5L)), (2L, Some(0L)), (3L, None), (4L, Some(2L)))
+      .toDF("id", "w")
+    val kept = CorpusOps.weightedSample(tiny, "id", $"w", k = 10)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L), s"weighted-out rows leaked: $kept")
   }
 
   test("repeatMix: whole epochs exact, fractional part deterministic, <=0 drops") {
@@ -166,6 +172,12 @@ class CorpusOpsSpec extends SparkSpec {
       .select("id", "cum_tokens").as[(Long, Long)].collect().toMap
     // a: 50(cum 50) + 30(80) + 30(110 > 100 → out) … id2 before id3 by tie-break
     assert(got == Map(1L -> 50L, 2L -> 80L, 6L -> 90L), s"got $got")
+    // negative token counts are rejected, not allowed to un-break the prefix
+    val neg = Seq((1L, "a", 90L), (2L, "a", 60L), (3L, "a", -80L), (4L, "a", 20L))
+      .toDF("id", "grp", "tok")
+    val got2 = CorpusOps.budgetFill(neg, "grp", "id", $"tok", $"tok", budget = 100L)
+      .select("id").as[Long].collect().toSet
+    assert(got2 == Set(1L), s"negative-token row corrupted the prefix cut: $got2")
   }
 
   test("stratifiedSample is deterministic, capped at k, and within-stratum") {
