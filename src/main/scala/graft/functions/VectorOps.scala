@@ -93,6 +93,55 @@ object VectorOps {
       .select("qid", "pred_label", "votes")
   }
 
+  /** Iterated k-NN label propagation (semi-supervised label spreading):
+    * starting from `seeds` (id, label), repeat [[labelVote]] over the
+    * neighbor graph with CLAMPED seeds — every still-unlabeled node
+    * takes the plurality label of its labeled in-neighbors (votes desc,
+    * label asc: the oracle-safe total order), labeled nodes never
+    * change. Labels reach distance-d nodes after d rounds; the loop
+    * stops when a round labels nobody new, and `maxIters` is a
+    * propagation-DISTANCE cap, not a failure (unlike
+    * [[graft.dedup.Dedup.connectedComponents]], stopping early is a
+    * valid semantics: labels spread at most `maxIters` hops). Per-round
+    * `localCheckpoint` truncation + release keeps the plan from growing
+    * with rounds, the CC discipline. Each round is one equi-join of
+    * the edge list against the current label frame + one (qid, label)
+    * count shuffle — scale-safe for the same reason CC is. Output:
+    * (id, label, round) with round = 0 for seeds, d for nodes first
+    * labeled in round d; unreached nodes are absent.
+    */
+  def labelPropagate(neighbors: DataFrame, seeds: DataFrame,
+                     idCol: String, labelCol: String,
+                     maxIters: Int = 10): DataFrame = {
+    import graft.dedup.Dedup.releaseCheckpoint
+    val edges = neighbors.select(col("qid"), col("id")).cache()
+    var cur = seeds
+      .select(col(idCol).cast("long").as("id"),
+        col(labelCol).cast("long").as("label"), lit(0).as("round"))
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxIters) {
+      round += 1
+      val votes = edges
+        .join(cur.select(col("id"), col("label")), "id")
+        .join(cur.select(col("id").as("qid")), Seq("qid"), "left_anti") // clamp
+        .groupBy(col("qid"), col("label")).agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("votes").desc, col("label").asc)
+      val fresh = votes.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("qid").as("id"), col("label"), lit(round).as("round"))
+      val next = cur.unionAll(fresh).localCheckpoint(true)
+      val grew = next.count() > cur.count()
+      releaseCheckpoint(cur)
+      cur = next
+      converged = !grew
+    }
+    edges.unpersist(blocking = false)
+    cur
+  }
+
   /** Semantic decontamination: for each corpus vector, its maximum
     * cosine to ANY held-out (benchmark) vector — the embedding-space
     * complement of [[graft.ops.CorpusOps.decontaminate]]'s n-gram

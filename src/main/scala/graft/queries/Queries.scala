@@ -1350,6 +1350,25 @@ object Queries {
       .select(col("doc_id"), col("lang"), col("cum_tokens"))
       .orderBy("lang", "cum_tokens", "doc_id")
 
+  /** Iterated k-NN label propagation over the batch k-NN graph: labels
+    * seeded on vec_id < 100 spread up to 4 hops through probes=2
+    * neighbor edges with clamped seeds. Deterministic end to end (index
+    * build, graph, and vote tie-breaks all total-ordered) but declared
+    * rows-only: iterated plurality cannot aggregate inside a recursive
+    * CTE, so correctness is owned by the crafted-graph spec
+    * (hop-distance rounds, clamping, tie-break, distance cap) plus
+    * q85's one-round oracle.
+    */
+  def q101_label_spread(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val idx = graft.functions.VectorOps.IvfIndex.build(e, "vec_id", "embedding", c = 16)
+    val g = graft.functions.VectorOps.knnGraph(idx, k = 3, probes = 2)
+    graft.functions.VectorOps.labelPropagate(
+        g, e.filter(col("vec_id") < 100).select(col("vec_id"), col("label")),
+        "vec_id", "label", maxIters = 4)
+      .orderBy("id", "label")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -1493,7 +1512,8 @@ object Queries {
     "q97_filtered_ann" -> (q97_filtered_ann _),
     "q98_knn_graph" -> (q98_knn_graph _),
     "q99_repeat_mix" -> (q99_repeat_mix _),
-    "q100_budget_fill" -> (q100_budget_fill _)
+    "q100_budget_fill" -> (q100_budget_fill _),
+    "q101_label_spread" -> (q101_label_spread _)
   )
 }
 

@@ -127,6 +127,33 @@ class VectorOpsSpec extends SparkSpec {
     idx.close()
   }
 
+  test("labelPropagate: multi-hop spread, clamped seeds, tie-break, distance cap") {
+    // chain 1 -> 2 -> 3 -> 4 (qid receives from id); 9 isolated; 5 seeded
+    // conflicting next to 1's label; 6 hears 1 and 5 equally (tie)
+    val edges = Seq((2L, 1L), (3L, 2L), (4L, 3L), (6L, 1L), (6L, 5L))
+      .toDF("qid", "id").withColumn("cos", lit(1.0))
+    val seeds = Seq((1L, 7L), (5L, 3L)).toDF("vid", "lab")
+    val got = labelPropagate(edges, seeds, "vid", "lab")
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((7L, 0)) && got(5L) == ((3L, 0)), "seeds clamped at round 0")
+    assert(got(2L) == ((7L, 1)) && got(3L) == ((7L, 2)) && got(4L) == ((7L, 3)),
+      s"chain must label hop-d at round d: $got")
+    assert(got(6L)._1 == 3L, "equal votes tie-break to the smaller label")
+    assert(!got.contains(9L), "unreached nodes stay absent")
+    // maxIters caps propagation distance, not correctness
+    val capped = labelPropagate(edges, seeds, "vid", "lab", maxIters = 2)
+      .as[(Long, Long, Int)].collect().map(_._1).toSet
+    assert(capped == Set(1L, 5L, 2L, 3L, 6L), s"distance cap wrong: $capped")
+    // composes over knnGraph output schema (smoke)
+    val e = Tables(spark, sfDir).embeddings.limit(120)
+    val idx = IvfIndex.build(e, "vec_id", "embedding", c = 8)
+    val g = knnGraph(idx, k = 3, probes = 2)
+    val sd = e.filter($"vec_id" < 30).select($"vec_id", $"label")
+    val prop = labelPropagate(g, sd, "vec_id", "label", maxIters = 4)
+    assert(prop.count() >= 30, "propagation over a real k-NN graph must reach beyond seeds")
+    idx.close()
+  }
+
   test("knnGraph: full probe equals brute-force graph; probes=2 recall; shape invariants") {
     val e = Tables(spark, sfDir).embeddings.limit(300)
     val idx = IvfIndex.build(e, "vec_id", "embedding", c = 8)
