@@ -102,6 +102,27 @@ class PlanCheckSpec extends SparkSpec {
     assert(p.contains("Generate"), s"posexplode generate node missing:\n$p")
   }
 
+  test("q96 weighted sample plans as TakeOrderedAndProject, not a global sort") {
+    val p = plans("q96_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"weighted top-k must not globally sort:\n$p")
+  }
+
+  test("q97 filtered ANN applies the allowed-id predicate as a semi-join") {
+    // the predicate must gate candidates BEFORE scoring (a LeftSemi in
+    // the plan), not post-filter a scored top-k
+    val p = plans("q97_filtered_ann")
+    assert(p.contains("LeftSemi"), s"allowed-id semi-join missing:\n$p")
+  }
+
+  test("q99 mixture materialization is generate+project only (no shuffle before sort)") {
+    val p = plans("q99_repeat_mix")
+    assert(!p.contains("HashAggregate") && !p.contains("SortMergeJoin")
+      && !p.contains("BroadcastHashJoin"),
+      s"repeatMix must be generate+project only:\n$p")
+    assert(p.contains("Generate"), s"explode generate node missing:\n$p")
+  }
+
   test("q73 phrase constraint does not push a filter below the spread exchange") {
     // a deterministic filter on the token array re-derives the tokens
     // from raw text UNDER the repartition, on the scan's one-task
