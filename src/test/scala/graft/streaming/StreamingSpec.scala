@@ -187,6 +187,35 @@ class StreamingSpec extends SparkSpec {
       "checkpoint must record the committed epoch (kasper markOffsets analog)")
   }
 
+  test("IVF index absorbs a vector stream via foreachBatch append (ingest without retrain)") {
+    import graft.functions.VectorOps
+    val e = graft.core.Tables(spark, sfDir).embeddings
+    val base = e.filter($"vec_id" < 100)
+    var idx = VectorOps.IvfIndex.build(base, "vec_id", "embedding", c = 8)
+    assert(idx.size == 100)
+    val streamed = e.filter($"vec_id" >= 100 && $"vec_id" < 200)
+      .select($"vec_id",
+        org.apache.spark.sql.functions.transform($"embedding", _.cast("double")).as("emb"))
+      .as[(Long, Seq[Double])].collect()
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = in.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        idx = idx.append(b, "vec_id", "embedding")
+      }
+      .outputMode(OutputMode.Append()).start()
+    in.addData(streamed.take(50).toSeq); q.processAllAvailable()
+    in.addData(streamed.drop(50).toSeq); q.processAllAvailable()
+    q.stop()
+    assert(idx.size == 200, s"append lost rows: ${idx.size}")
+    // full probe: streamed vectors are searchable, exact top-k over union
+    val got = idx.search(e.filter($"vec_id" === 150), "vec_id", "embedding",
+        k = 200, nprobe = 8)
+      .select("id").as[Long].collect().toSet
+    assert(got == ((0L until 200L).toSet - 150L),
+      "full-probe search must see every built and streamed vector")
+    idx.close()
+  }
+
   test("DedupGroupMaintainer labels converge to the batch nearDupGroups result") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
