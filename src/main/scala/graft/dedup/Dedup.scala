@@ -79,7 +79,8 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
                    n: Int = 3, threshold: Double = 0.5,
-                   maxShingleDF: Long = 100000L): DataFrame = {
+                   maxShingleDF: Long = 100000L,
+                   histBuckets: Int = 16): DataFrame = {
     // the per-doc sorted gram set comes straight from the native kernel —
     // sizes and verify sets are row-local projections, and the
     // explode+groupBy roundtrip the string-shingle form needed to
@@ -87,21 +88,50 @@ object Dedup {
     val perDoc = shingleSets(df, textCol, idCol, n)
       .select(col("id"), size(col("set")).cast("long").as("sz"), col("set"))
     val cands = jaccardCandidates(perDoc, threshold, maxShingleDF)
-
-    // exact verification over the full gram sets: sets are sorted once
-    // per doc, then each candidate pair is a single codegen'd merge-count
-    // (i) with union size derived as |A|+|B|−i — no interpreted
-    // array_intersect/array_union allocation per pair
+    // suffix refinement (exact, see histRefine) before the full-set
+    // verify join; exact verification then runs over the full gram
+    // sets: sorted once per doc, each surviving pair is one codegen'd
+    // merge-count (i) with union size derived as |A|+|B|−i
     val sets = perDoc.select("id", "set")
+    val refined =
+      if (histBuckets <= 0) cands
+      else histRefine(cands, sets,
+        ceil(lit(new java.math.BigDecimal(threshold / (1.0 + threshold))
+          .setScale(10, java.math.RoundingMode.FLOOR)) *
+          (col("__hsza") + col("__hszb"))), histBuckets)
+    verifyJaccard(refined, sets, threshold)
+  }
+
+  /** PPJoin+-style suffix refinement of a candidate pair list: each doc
+    * carries a `buckets`-cell occupancy histogram of its gram hashes by
+    * top bits ([[graft.functions.HashKernels.hashBucketCounts]]); for
+    * any pair, |A∩B| ≤ Σᵢ min(hA[i], hB[i]) — every intersection gram
+    * falls in the same cell on both sides — so dropping pairs whose
+    * bound falls below the required overlap `alphaExpr` (which may read
+    * `__hsza`/`__hszb`, the two set sizes) is exact: the verify set only
+    * shrinks, never a true pair. The point at scale: the histogram is
+    * `buckets` longs per DOC, shipped on two id equi-joins over the
+    * (already accumulated-filtered) candidate list — pairs killed here
+    * never pull their full gram sets (KBs per doc) through the verify
+    * join's shuffle. This is the relational analogue of PPJoin+'s
+    * suffix filter: a divide-the-suffix occupancy bound checked before
+    * full verification, with hash-range cells instead of recursive
+    * median probes (Xiao et al., "Efficient Similarity Joins for Near
+    * Duplicate Detection", §4).
+    */
+  private[graft] def histRefine(cands: DataFrame, sets: DataFrame,
+                                alphaExpr: Column, buckets: Int): DataFrame = {
+    val hists = sets.select(col("id"),
+      graft.functions.HashKernels.hashBucketCounts(col("set"), buckets).as("__h"),
+      size(col("set")).cast("long").as("__hsz"))
     cands
-      .join(sets.select(col("id").as("id_a"), col("set").as("sa")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("set").as("sb")), "id_b")
-      .withColumn("__i",
-        graft.functions.HashKernels.sortedIntersectCount(col("sa"), col("sb")))
-      .select(col("id_a"), col("id_b"),
-        (col("__i").cast("double") /
-          (size(col("sa")) + size(col("sb")) - col("__i")).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .join(hists.select(col("id").as("id_a"), col("__h").as("__ha"),
+        col("__hsz").as("__hsza")), "id_a")
+      .join(hists.select(col("id").as("id_b"), col("__h").as("__hb"),
+        col("__hsz").as("__hszb")), "id_b")
+      .filter(graft.functions.HashKernels.minSumCounts(col("__ha"), col("__hb")) >=
+        alphaExpr)
+      .select("id_a", "id_b")
   }
 
   /** Candidate pairs for [[jaccardPairs]] from a (id, sz, set) frame.
@@ -204,7 +234,8 @@ object Dedup {
   def crossJaccardPairs(newDocs: DataFrame, oldDocs: DataFrame,
                         textCol: String, idCol: String,
                         n: Int = 3, threshold: Double = 0.5,
-                        maxShingleDF: Long = 100000L): DataFrame = {
+                        maxShingleDF: Long = 100000L,
+                        histBuckets: Int = 16): DataFrame = {
     val perA = shingleSets(newDocs, textCol, idCol, n)
       .select(col("id"), size(col("set")).cast("long").as("sz"), col("set"))
     val perB = shingleSets(oldDocs, textCol, idCol, n)
@@ -239,8 +270,12 @@ object Dedup {
           least(col("__sza") - col("__pa"), col("__szb") - col("__pb")) >=
         ceil(tf * (col("__sza") + col("__szb"))))
       .select("id_a", "id_b")
-    verifyJaccard(cands, perA.select("id", "set").unionAll(perB.select("id", "set")),
-      threshold)
+    val sets = perA.select("id", "set").unionAll(perB.select("id", "set"))
+    val refined =
+      if (histBuckets <= 0) cands
+      else histRefine(cands, sets,
+        ceil(tf * (col("__hsza") + col("__hszb"))), histBuckets)
+    verifyJaccard(refined, sets, threshold)
   }
 
   /** Asymmetric containment near-dups: ordered pairs (id_a, id_b),
@@ -270,11 +305,18 @@ object Dedup {
     */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
                        n: Int = 3, threshold: Double = 0.8,
-                       maxShingleDF: Long = 100000L): DataFrame = {
+                       maxShingleDF: Long = 100000L,
+                       histBuckets: Int = 16): DataFrame = {
     val perDoc = shingleSets(df, textCol, idCol, n)
       .select(col("id"), size(col("set")).cast("long").as("sz"), col("set"))
-    val cands = containmentCandidates(perDoc, threshold, maxShingleDF)
+    val cands0 = containmentCandidates(perDoc, threshold, maxShingleDF)
     val sets = perDoc.select("id", "set")
+    // same suffix refinement as jaccardPairs; here the required overlap
+    // is ⌈t·|A|⌉ (containment normalizes by the contained side only)
+    val cands =
+      if (histBuckets <= 0) cands0
+      else histRefine(cands0, sets,
+        ceil(exactDec(threshold) * col("__hsza")), histBuckets)
     cands
       .join(sets.select(col("id").as("id_a"), col("set").as("sa")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("set").as("sb")), "id_b")

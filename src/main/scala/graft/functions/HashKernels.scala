@@ -104,6 +104,27 @@ object HashKernels {
   def sortedRunStats(a: Column): Column =
     GraftSqlBridge.column(SortedRunStats(GraftSqlBridge.expression(a)))
 
+  /** `buckets` occupancy counts of an `array<long>` of gram hashes,
+    * bucketed by the hash's top log₂(buckets) bits, one pass — the
+    * compact per-document sketch behind the PPJoin+-style suffix
+    * refinement: for any two gram sets, |A∩B| ≤ Σᵢ min(hA[i], hB[i])
+    * (an intersection element lands in the same bucket on both sides),
+    * so the bound is exact while shipping `buckets` longs instead of
+    * the full set. `buckets` must be a power of two in [2, 256].
+    */
+  def hashBucketCounts(hashes: Column, buckets: Int): Column =
+    GraftSqlBridge.column(HashBucketCounts(GraftSqlBridge.expression(hashes), buckets))
+
+  /** Σᵢ min(a[i], b[i]) over two equal-length `array<long>` count
+    * columns — the candidate-side evaluation of the
+    * [[hashBucketCounts]] intersection bound (a `zip_with` +
+    * `aggregate` HOF would be two interpreted passes per candidate
+    * pair; this is one codegen'd loop).
+    */
+  def minSumCounts(a: Column, b: Column): Column =
+    GraftSqlBridge.column(MinSumCounts(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
   /** Minimum virtual ticket for deterministic weighted sampling: min over
     * i ∈ [0, w) of `((id·2654435761 + i·40503) mod p)² mod p` with
     * p = 1000000007 — BIT-IDENTICAL to the `sequence` + `aggregate` HOF
@@ -305,6 +326,106 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |  else { $c++; $i++; $j++; }
          |}
          |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Top-bits bucket occupancy counts of a hash array (see
+  * [[HashKernels.hashBucketCounts]]).
+  */
+case class HashBucketCounts(child: Expression, buckets: Int) extends UnaryExpression {
+  require(buckets >= 2 && buckets <= 256 && Integer.bitCount(buckets) == 1,
+    s"buckets must be a power of two in [2, 256], got $buckets")
+
+  private val shift = 64 - Integer.numberOfTrailingZeros(buckets)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"input must be array<bigint>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Long](buckets)
+    var i = 0
+    while (i < n) {
+      counts((arr.getLong(i) >>> shift).toInt) += 1L
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val counts = ctx.freshName("counts")
+      val i = ctx.freshName("i")
+      s"""
+         |final int $n = $a.numElements();
+         |final long[] $counts = new long[$buckets];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $counts[(int) ($a.getLong($i) >>> $shift)] += 1L;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($counts);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Σ min over two equal-length count arrays (see
+  * [[HashKernels.minSumCounts]]). Mismatched lengths sum over the
+  * shorter prefix (unreachable from the library paths, which always
+  * build both sides with one `buckets` constant).
+  */
+case class MinSumCounts(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"inputs must be array<bigint>, got $other")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0; var s = 0L
+    while (i < n) {
+      val x = a.getLong(i); val y = b.getLong(i)
+      s += (if (x < y) x else y)
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final long $x = $a.getLong($i);
+         |  final long $y = $b.getLong($i);
+         |  $s += ($x < $y) ? $x : $y;
+         |}
+         |${ev.value} = $s;
        """.stripMargin
     })
 

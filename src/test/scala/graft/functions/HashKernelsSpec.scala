@@ -124,6 +124,34 @@ class HashKernelsSpec extends SparkSpec {
     assert(got.takeRight(2).forall(_._1 == Long.MaxValue))
   }
 
+  test("HashBucketCounts matches the per-bucket HOF form; MinSumCounts is a valid ∩ bound") {
+    val B = 16
+    val sets = tokenHashes
+      .select(col("id"), array_sort(array_distinct(col("hh"))).as("s")).limit(30)
+    // reference: B interpreted filter passes (the form the kernel fuses)
+    val hof = transform(sequence(lit(0), lit(B - 1)),
+      b => size(filter(col("s"), g => shiftrightunsigned(g, 60) === b.cast("long")))
+        .cast("long"))
+    val diff = sets
+      .select(HashKernels.hashBucketCounts(col("s"), B).as("native"), hof.as("ref"))
+      .filter(col("native") =!= col("ref")).count()
+    assert(diff == 0L)
+    // MinSumCounts ≡ aggregate(zip_with(least)) and upper-bounds the true
+    // intersection on every pair (the exactness the suffix refine rests on)
+    val pairs = sets.as("a").crossJoin(sets.as("b"))
+      .select(col("a.s").as("sa"), col("b.s").as("sb"),
+        HashKernels.hashBucketCounts(col("a.s"), B).as("ha"),
+        HashKernels.hashBucketCounts(col("b.s"), B).as("hb"))
+    val checked = pairs.select(
+        HashKernels.minSumCounts(col("ha"), col("hb")).as("native"),
+        aggregate(zip_with(col("ha"), col("hb"), (x, y) => least(x, y)),
+          lit(0L), (acc, v) => acc + v).as("ref"),
+        HashKernels.sortedIntersectCount(col("sa"), col("sb")).as("isect"))
+    assert(checked.filter(col("native") =!= col("ref")).count() == 0L)
+    assert(checked.filter(col("native") < col("isect")).count() == 0L,
+      "Σ min bucket counts must upper-bound |A∩B|")
+  }
+
   test("ArrayXxHash64 is bit-identical to transform(xxhash64) incl. nulls") {
     val corpus = Tables(spark, sfDir).documents
       .select(TextFunctions.tokens(col("text")).as("t"))
