@@ -561,6 +561,46 @@ object Dedup {
       .withColumn("keep", col("group") === col(idCol))
   }
 
+  /** [[labelGroups]] with a quality-aware survivor rule: within each dup
+    * component the KEPT row is the one maximizing `quality` (a Column
+    * over `ids`' rows; ties break to the minimum id), not the minimum
+    * id. This is the curation form of dedup — near-dup clusters usually
+    * mix a clean original with truncated/boilerplated copies, and
+    * min-id keeps whichever was crawled first rather than whichever is
+    * best. Output: (idCol, group, quality, keeper, keep).
+    *
+    * Requirements: `idCol` is numeric (the tie-break negates it inside
+    * a struct-max) and `quality` is non-null (null would lose the
+    * struct comparison unpredictably — coalesce upstream). Scale shape:
+    * the argmax is ONE map-side-combinable struct-max groupBy over
+    * (group, quality) pairs — id-sized rows, never document payloads —
+    * followed by an id-keyed broadcast-or-shuffle join back.
+    *
+    * Reference: near-dup clustering keeps one survivor per group
+    * (kasper has no quality notion; rule generalizes
+    * /root/reference/examples's dedup-by-key pattern).
+    */
+  def keepBest(ids: DataFrame, idCol: String, pairs: DataFrame,
+               aCol: String, bCol: String, quality: Column,
+               maxIters: Int = 20): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol, maxIters)
+      .withColumnRenamed("id", idCol)
+    val labeled = ids.select(col(idCol), quality.as("quality"))
+      .join(comp, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("grp"), col(idCol)).as("group"),
+        col("quality"))
+    // argmax(quality, tie → min id) = max of struct(quality, −id):
+    // struct ordering is lexicographic, so the negated id resolves ties
+    // toward the smallest id without a second pass
+    val best = labeled.groupBy("group")
+      .agg(max(struct(col("quality").as("q"),
+        (-col(idCol)).as("nid"))).as("b"))
+      .select(col("group"), (-col("b.nid")).as("keeper"))
+    labeled.join(best, "group")
+      .select(col(idCol), col("group"), col("quality"), col("keeper"),
+        (col(idCol) === col("keeper")).as("keep"))
+  }
+
   /** Connected components over an undirected pair list (the step that
     * turns near-dup PAIRS into dedup GROUPS): iterated min-label
     * propagation — every node starts as its own label, each round takes

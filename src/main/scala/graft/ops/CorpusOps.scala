@@ -448,4 +448,36 @@ object CorpusOps {
     assignShards(df, idCol, nShards)
       .repartition(nShards, col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(dir)
+
+  /** Round-robin domain interleaving for export ordering: a `seq` key
+    * that cycles through domains — all domains' first rows, then all
+    * their second rows, … — so the materialized token stream never has
+    * long single-domain runs (which turn into correlated batches at
+    * training time). The global position is computed ARITHMETICALLY,
+    * `seq = (pos − 1) · D + domIdx`, from a per-domain row_number `pos`
+    * (one partitioned window — the only shuffle) and a dense domain
+    * index broadcast from the domain list; there is no corpus-wide
+    * window anywhere, so the plan survives 100 TB (sorting by `seq` at
+    * write time is a plain range-partitioned sort). When domain sizes
+    * differ, exhausted domains leave gaps in `seq` — it is an ordering
+    * key, not a dense rank. Output: (id, domain, pos, seq).
+    *
+    * Reference: kasper exports are per-topic ordered streams
+    * (/root/reference/topic_processor.go:190-263); interleaving is the
+    * batch-export generalization a mixture recipe needs.
+    */
+  def interleaveDomains(df: DataFrame, domainCol: String, idCol: String): DataFrame = {
+    // dense 0-based domain index + domain count: the window runs over
+    // the distinct-domain list (bounded, driver-sized), never the corpus
+    val domIdx = df.select(col(domainCol).as("domain")).distinct()
+      .withColumn("__di",
+        row_number().over(Window.orderBy(col("domain"))).cast("long") - 1L)
+    val d = domIdx.count()
+    val perDomain = Window.partitionBy(col("domain")).orderBy(col("id"))
+    df.select(col(idCol).as("id"), col(domainCol).as("domain"))
+      .withColumn("pos", row_number().over(perDomain).cast("long"))
+      .join(broadcast(domIdx), "domain")
+      .withColumn("seq", (col("pos") - 1L) * lit(d) + col("__di"))
+      .select("id", "domain", "pos", "seq")
+  }
 }

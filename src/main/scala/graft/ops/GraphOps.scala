@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterated graph computations over edge lists — the similarity-graph
+  * analytics a curation pipeline layers on the k-NN graph
+  * ([[graft.functions.VectorOps.knnGraph]]): importance scoring as a
+  * data-selection prior (web-graph PageRank as a quality signal is a
+  * standard pretraining-data move), alongside the label-propagation and
+  * connected-components rails that live with their operators.
+  *
+  * Scale shape (shared with [[graft.dedup.Dedup.connectedComponents]]):
+  * each iteration is two key shuffles over the EDGE list (join on src +
+  * groupBy dst, both map-side combinable) — never all-pairs, never a
+  * global window — with the per-round score frame
+  * localCheckpoint-truncated and the superseded round's blocks released,
+  * so lineage and block-manager memory stay O(1) in the iteration count.
+  *
+  * Reference: kasper has no graph layer; the edge substrate is the
+  * reassembly-join topology (/root/reference/examples, characters⋈fictions)
+  * generalized to iterated self-joins.
+  */
+object GraphOps {
+
+  /** Fixed-iteration PageRank in integer micro-units — deterministic to
+    * the last bit on ANY engine, because every step is 64-bit integer
+    * arithmetic: ranks live in millionths (node starts at 1,000,000),
+    * the damping factor is basis points (8500 = 0.85), and both the
+    * per-edge contribution `rank div outDeg` and the damped update
+    * `(dampingBp · Σ contrib) div 10000` use floor division (identical
+    * to truncation here — all quantities are non-negative). Float
+    * PageRank is not cross-engine reproducible (summation order); this
+    * form hash-checks against an unrolled SQL oracle and re-runs to
+    * identical ranks on retry, which is what a data-selection prior
+    * needs (the selected subset must not depend on partitioning).
+    *
+    * Semantics: `r₀(v) = 1,000,000`;
+    * `rₜ₊₁(v) = (10000 − dampingBp)·100 + (dampingBp · Σ_{u→v} (rₜ(u) div deg(u))) div 10000`.
+    * Dangling nodes (no out-edges) keep receiving but stop donating —
+    * the usual simplification; ranks are a relative prior, not a
+    * probability distribution. Overflow headroom: a node's inbound sum
+    * is ≤ inDeg · 1,000,000, so dampingBp·Σ fits i64 up to inbound
+    * degrees ~10¹⁴ — unreachable for k-NN graphs (inDeg ≈ k·skew).
+    *
+    * Output: (id, rank) — rank in micro-units after exactly `iters`
+    * rounds (fixed iterations, not convergence-tested: determinism and
+    * oracle-checkability beat adaptive stopping for a bounded prior).
+    */
+  def pageRankInt(nodes: DataFrame, idCol: String, edges: DataFrame,
+                  srcCol: String, dstCol: String, iters: Int = 5,
+                  dampingBp: Int = 8500): DataFrame = {
+    require(iters >= 1, s"need at least one iteration, got $iters")
+    require(dampingBp >= 0 && dampingBp <= 10000,
+      s"dampingBp must be basis points in [0, 10000], got $dampingBp")
+    val base = (10000L - dampingBp) * 100L
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).cache()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    var rank = nodes.select(col(idCol).as("id")).distinct()
+      .withColumn("rank", lit(1000000L))
+      .localCheckpoint(true)
+    var round = 0
+    while (round < iters) {
+      val contrib = rank.join(deg, rank("id") === deg("src"))
+        .select(col("src"), expr("rank div __deg").as("__c"))
+      val inbound = e.join(contrib, "src")
+        .groupBy(col("dst").as("id")).agg(sum(col("__c")).as("__s"))
+      val next = rank.select("id").join(inbound, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr(s"($dampingBp * coalesce(__s, 0L)) div 10000"))
+            .as("rank"))
+        .localCheckpoint(true)
+      graft.dedup.Dedup.releaseCheckpoint(rank)
+      rank = next
+      round += 1
+    }
+    e.unpersist(blocking = false)
+    rank
+  }
+}

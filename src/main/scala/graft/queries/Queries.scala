@@ -1369,6 +1369,54 @@ object Queries {
       .orderBy("id", "label")
   }
 
+  /** Quality-aware survivor selection: near-dup groups (exact-jaccard
+    * pairs → connected components) keep the HIGHEST-QUALITY member
+    * (quality = n_chars, ties → min doc_id) instead of the min-id — the
+    * curation form of dedup, where the survivor should be the best copy,
+    * not the first-crawled. Everything is integer arithmetic over the
+    * exact pair list, so the full (group, keeper, keep) assignment
+    * hash-checks against the recursive-CTE closure + window-argmax
+    * oracle.
+    */
+  def q102_keep_best(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val pairs = graft.dedup.Dedup.jaccardPairs(d, "text", "doc_id", n = 3, threshold = 0.5)
+      .select("id_a", "id_b")
+    graft.dedup.Dedup.keepBest(d, "doc_id", pairs, "id_a", "id_b",
+        col("n_chars").cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** Round-robin domain interleaving (domain = lang): the export
+    * ordering key that cycles langs so the materialized stream has no
+    * long single-domain runs. seq is computed arithmetically from a
+    * per-domain row_number — no corpus-wide window — and is engine-exact,
+    * so the whole (pos, seq) assignment hash-checks.
+    */
+  def q103_interleave(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusOps.interleaveDomains(
+        Tables(spark, dir).documents, "lang", "doc_id")
+      .orderBy("seq", "id")
+
+  /** Integer-micro-unit PageRank over the customer→supplier purchase
+    * graph (edge = customer ordered a part this supplier shipped):
+    * importance as a data-selection prior. Every step is 64-bit integer
+    * arithmetic (ranks in millionths, damping in basis points, floor
+    * division), so 3 rounds hash-check bit-exactly against a 3×-unrolled
+    * SQL oracle — float PageRank could never do this across engines.
+    */
+  def q104_pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val e = t.orders.join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").cast("long").as("src"),
+        (col("l_suppkey").cast("long") + 1000000L).as("dst"))
+      .distinct()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    graft.ops.GraphOps.pageRankInt(nodes, "id", e, "src", "dst", iters = 3)
+      .orderBy("id")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -1513,7 +1561,10 @@ object Queries {
     "q98_knn_graph" -> (q98_knn_graph _),
     "q99_repeat_mix" -> (q99_repeat_mix _),
     "q100_budget_fill" -> (q100_budget_fill _),
-    "q101_label_spread" -> (q101_label_spread _)
+    "q101_label_spread" -> (q101_label_spread _),
+    "q102_keep_best" -> (q102_keep_best _),
+    "q103_interleave" -> (q103_interleave _),
+    "q104_pagerank" -> (q104_pagerank _)
   )
 }
 
@@ -2388,7 +2439,74 @@ object Oracles {
         |      FROM t)
         |SELECT doc_id, lang FROM
         |  (SELECT doc_id, lang FROM r ORDER BY wrank, doc_id LIMIT 25)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "q102_keep_best" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |       FROM toks CROSS JOIN unnest(generate_series(1, len(t)-2)) AS u(i)
+        |       WHERE len(t) >= 3
+        |       UNION
+        |       SELECT doc_id, array_to_string(t, ' ') AS g FROM toks WHERE len(t) < 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |p AS (SELECT id_a, id_b FROM inter
+        |      JOIN sizes sa ON sa.doc_id = id_a
+        |      JOIN sizes sb ON sb.doc_id = id_b
+        |      WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+        |          UNION ALL SELECT id_b AS src, id_a AS dst FROM p),
+        |reach AS (
+        |  SELECT src AS id, dst AS r FROM edges
+        |  UNION
+        |  SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src
+        |),
+        |lab AS (SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS quality,
+        |          coalesce(least(d.doc_id, min(reach.r)), d.doc_id) AS "group"
+        |        FROM documents d LEFT JOIN reach ON d.doc_id = reach.id
+        |        GROUP BY d.doc_id, d.n_chars),
+        |best AS (SELECT doc_id, "group", quality,
+        |           first_value(doc_id) OVER (PARTITION BY "group"
+        |             ORDER BY quality DESC, doc_id ASC) AS keeper
+        |         FROM lab)
+        |SELECT doc_id, "group", quality, keeper, doc_id = keeper AS keep
+        |FROM best ORDER BY doc_id""".stripMargin,
+    "q103_interleave" ->
+      """WITH di AS (SELECT lang, CAST(row_number() OVER (ORDER BY lang) - 1 AS BIGINT) AS dix
+        |            FROM (SELECT DISTINCT lang FROM documents)),
+        |d AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM di),
+        |p AS (SELECT doc_id AS id, lang AS domain,
+        |        CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS pos
+        |      FROM documents)
+        |SELECT p.id, p.domain, p.pos, (p.pos - 1) * d.nd + di.dix AS seq
+        |FROM p JOIN di ON di.lang = p.domain CROSS JOIN d
+        |ORDER BY seq, id""".stripMargin,
+    "q104_pagerank" ->
+      """WITH e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+        |             CAST(l_suppkey AS BIGINT) + 1000000 AS dst
+        |           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |deg AS (SELECT src, count(*) AS dg FROM e GROUP BY src),
+        |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rnk FROM nodes),
+        |c1 AS (SELECT e.dst AS id, sum(r0.rnk // deg.dg) AS s
+        |       FROM r0 JOIN deg ON r0.id = deg.src JOIN e ON e.src = deg.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT n.id, CAST(150000 + (8500 * coalesce(c1.s, 0)) // 10000 AS BIGINT) AS rnk
+        |       FROM nodes n LEFT JOIN c1 ON n.id = c1.id),
+        |c2 AS (SELECT e.dst AS id, sum(r1.rnk // deg.dg) AS s
+        |       FROM r1 JOIN deg ON r1.id = deg.src JOIN e ON e.src = deg.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT n.id, CAST(150000 + (8500 * coalesce(c2.s, 0)) // 10000 AS BIGINT) AS rnk
+        |       FROM nodes n LEFT JOIN c2 ON n.id = c2.id),
+        |c3 AS (SELECT e.dst AS id, sum(r2.rnk // deg.dg) AS s
+        |       FROM r2 JOIN deg ON r2.id = deg.src JOIN e ON e.src = deg.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT n.id, CAST(150000 + (8500 * coalesce(c3.s, 0)) // 10000 AS BIGINT) AS rnk
+        |       FROM nodes n LEFT JOIN c3 ON n.id = c3.id)
+        |SELECT id, rnk AS "rank" FROM r3 ORDER BY id""".stripMargin
   )
 
   /** q87's oracle: the SAME deterministic ±1 planes interpolated as SQL

@@ -465,6 +465,26 @@ class DedupSpec extends SparkSpec {
     assert(again == 0L)
   }
 
+  test("keepBest: argmax-quality survivor per component, ties to min id") {
+    val ids = Seq(
+      (1L, 10L), (2L, 50L), (3L, 20L),   // component {1,2,3}: best = 2
+      (4L, 7L), (5L, 7L),                // component {4,5}: tie → min id 4
+      (6L, 1L)                           // singleton keeps itself
+    ).toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = Dedup.keepBest(ids, "doc_id", pairs, "id_a", "id_b", col("q"))
+      .select("doc_id", "group", "keeper", "keep")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 1L, 2L, false), (2L, 1L, 2L, true), (3L, 1L, 2L, false),
+      (4L, 4L, 4L, true), (5L, 4L, 4L, false),
+      (6L, 6L, 6L, true)))
+    // exactly one keeper per group, always a member of its group
+    val byGroup = got.groupBy(_._2)
+    assert(byGroup.values.forall(g => g.count(_._4) == 1))
+    assert(byGroup.values.forall(g => g.map(_._1).contains(g.head._3)))
+  }
+
   test("simHashNearDups matches brute-force hamming join on the sf0.001 corpus") {
     val fps = Dedup.simHash(Tables(spark, sfDir).documents, "text", "doc_id").cache()
     val got = Dedup.simHashNearDups(fps, maxHamming = 10)

@@ -377,6 +377,24 @@ class CorpusOpsSpec extends SparkSpec {
       "stats must fold row-locally")
   }
 
+  test("interleaveDomains: round-robin seq, gaps after exhaustion, no corpus-wide window") {
+    val d = Seq(
+      (10L, "a"), (11L, "a"), (12L, "a"),
+      (20L, "b"), (21L, "b"),
+      (30L, "c")
+    ).toDF("doc_id", "lang")
+    val got = CorpusOps.interleaveDomains(d, "lang", "doc_id")
+      .orderBy("seq").as[(Long, String, Long, Long)].collect().toSeq
+    // D=3, dix a=0 b=1 c=2: seq = (pos-1)*3 + dix — first rows of all
+    // domains, then second rows, with gaps where b/c ran out
+    assert(got == Seq(
+      (10L, "a", 1L, 0L), (20L, "b", 1L, 1L), (30L, "c", 1L, 2L),
+      (11L, "a", 2L, 3L), (21L, "b", 2L, 4L),
+      (12L, "a", 3L, 6L)))
+    // seq is an ordering key, not a dense rank: collision-free
+    assert(got.map(_._4).distinct.size == got.size)
+  }
+
   test("vocabTopK: df/tf correct, deterministic cut, no countDistinct Expand") {
     val d = Seq(
       (1L, "a a b c"),

@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Crafted graph: 3-cycle 1→2→3→1 plus a source node 4→1 (in-degree 0).
+  // All out-degrees are 1, so contributions are whole ranks.
+  private def cycleGraph = (
+    Seq(1L, 2L, 3L, 4L).toDF("id"),
+    Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
+  )
+
+  test("pageRankInt: hand-computed micro-unit ranks after 1 and 2 rounds") {
+    val (nodes, edges) = cycleGraph
+    // round 1: node1 ← {3,4} = 2,000,000 → 150000 + 1,700,000;
+    // nodes 2,3 ← one full rank → stay 1,000,000; node 4 ← ∅ → base only
+    val r1 = GraphOps.pageRankInt(nodes, "id", edges, "src", "dst", iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 1850000L, 2L -> 1000000L, 3L -> 1000000L, 4L -> 150000L))
+    // round 2 from r1: node1 ← 1,000,000 + 150,000;
+    // node2 ← 1,850,000; node3 ← 1,000,000
+    val r2 = GraphOps.pageRankInt(nodes, "id", edges, "src", "dst", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(1L -> 1127500L, 2L -> 1722500L, 3L -> 1000000L, 4L -> 150000L))
+  }
+
+  test("pageRankInt: deterministic across re-runs and partitioning") {
+    val (nodes, edges) = cycleGraph
+    val a = GraphOps.pageRankInt(nodes, "id", edges, "src", "dst", iters = 4)
+      .as[(Long, Long)].collect().toSet
+    val b = GraphOps.pageRankInt(nodes.repartition(7), "id",
+        edges.repartition(5), "src", "dst", iters = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(a == b, "integer ranks must not depend on partitioning")
+  }
+
+  test("pageRankInt: dangling nodes receive but never donate; duplicate node rows collapse") {
+    // 1→2 only: node 2 is dangling (keeps receiving, donates nothing)
+    val nodes = Seq(1L, 2L, 2L).toDF("id")
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val r = GraphOps.pageRankInt(nodes, "id", edges, "src", "dst", iters = 2)
+      .as[(Long, Long)].collect().toSeq.sorted
+    // round1: n1=150000, n2=1,000,000 → 150000+850000=1000000
+    // round2: n1=150000, n2 ← 150000 → 150000 + (8500*150000) div 10000 = 277500
+    assert(r == Seq((1L, 150000L), (2L, 277500L)))
+  }
+
+  test("pageRankInt: rejects bad damping and zero iterations") {
+    val (nodes, edges) = cycleGraph
+    intercept[IllegalArgumentException] {
+      GraphOps.pageRankInt(nodes, "id", edges, "src", "dst", iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      GraphOps.pageRankInt(nodes, "id", edges, "src", "dst", dampingBp = 10001)
+    }
+  }
+}
