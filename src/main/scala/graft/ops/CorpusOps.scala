@@ -466,6 +466,74 @@ object CorpusOps {
     * (/root/reference/topic_processor.go:190-263); interleaving is the
     * batch-export generalization a mixture recipe needs.
     */
+  /** Fractional n-gram contamination score — [[decontaminate]]'s
+    * thresholdable form. Per corpus document: how many of its distinct
+    * n-grams exist (`n_grams`), how many appear anywhere in the held-out
+    * set (`n_hit`), and the fraction `frac = n_hit / n_grams`. Real
+    * decontam pipelines gate on the FRACTION, not any-hit — a document
+    * quoting one benchmark line is not a test-set copy; a document whose
+    * gram set is 80 % held-out grams is. Counts are integers (hash-
+    * checkable); `frac` is one IEEE double division of two integers —
+    * bit-identical on any engine. Scale shape: the held side reduces to
+    * a distinct gram set and broadcasts ([[bloomDecontaminate]] is the
+    * big-held-side variant); the corpus makes one pass, one groupBy on
+    * the doc id — map-side combinable, no corpus self-join.
+    *
+    * Reference: kasper has no decontamination notion; this extends the
+    * anti-join example topology (/root/reference/examples) the way
+    * n-gram-overlap decontamination is described in public LLM dataset
+    * reports.
+    */
+  def contaminationStats(corpus: DataFrame, heldOut: DataFrame,
+                         idCol: String, textCol: String, n: Int = 4): DataFrame = {
+    def sh(df: DataFrame) = graft.core.Graft.spread(df)
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.shingles(col(textCol), n)).as("g"))
+    val held = sh(heldOut).select("g").distinct().withColumn("__hit", lit(1L))
+    sh(corpus).join(broadcast(held), Seq("g"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("frac",
+        col("n_hit").cast("double") / col("n_grams").cast("double"))
+  }
+
+  /** Leakage-safe train/val/test split: the split is a pure hash of the
+    * near-dup GROUP label (connected components over `pairs`), so every
+    * member of a dup component lands in the SAME split — the property
+    * that stops a near-duplicate of a held-out document from leaking
+    * into train. `cuts` are cumulative basis-point upper bounds summing
+    * to 10,000 (e.g. train 9000 / val 9500 / test 10000); the bucket is
+    * [[sampleRank]] of the group mod 10,000, so re-runs (and re-splits
+    * after appending new docs that don't join existing groups) are
+    * stable. Singletons coalesce to their own id. Output:
+    * (idCol, group, bucket, split).
+    *
+    * Scale shape: CC over the pair list (never all-pairs — feed it LSH
+    * or PPJoin pairs), then one id-keyed left join; the bucket/split
+    * columns are per-row arithmetic.
+    */
+  def groupSplit(ids: DataFrame, idCol: String, pairs: DataFrame,
+                 aCol: String, bCol: String,
+                 cuts: Seq[(String, Int)] =
+                   Seq(("train", 9000), ("val", 9500), ("test", 10000))): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 == 10000,
+      s"cuts must end at 10000 basis points, got $cuts")
+    require(cuts.map(_._2) == cuts.map(_._2).sorted && cuts.map(_._2).distinct == cuts.map(_._2),
+      s"cuts must be strictly increasing, got $cuts")
+    val comp = graft.dedup.Dedup.connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("id", idCol)
+    val bucket = pmod(sampleRank(col("group")), lit(10000L))
+    val split = cuts.init.foldRight(lit(cuts.last._1): Column) {
+      case ((name, ub), rest) => when(col("bucket") < ub, name).otherwise(rest)
+    }
+    ids.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("grp"), col(idCol)).as("group"))
+      .withColumn("bucket", bucket)
+      .withColumn("split", split)
+  }
+
   def interleaveDomains(df: DataFrame, domainCol: String, idCol: String): DataFrame = {
     // dense 0-based domain index + domain count: the window runs over
     // the distinct-domain list (bounded, driver-sized), never the corpus

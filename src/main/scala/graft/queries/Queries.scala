@@ -1417,6 +1417,34 @@ object Queries {
       .orderBy("id")
   }
 
+  /** Leakage-safe split: train/val/test assignment hashed from the
+    * near-dup GROUP label (exact-jaccard pairs → connected components),
+    * so near-duplicates can never straddle a split boundary. Buckets
+    * are integer basis points of the Knuth hash — the whole assignment
+    * hash-checks against the recursive-CTE closure + CASE oracle.
+    */
+  def q105_group_split(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val pairs = graft.dedup.Dedup.jaccardPairs(d, "text", "doc_id", n = 3, threshold = 0.5)
+      .select("id_a", "id_b")
+    graft.ops.CorpusOps.groupSplit(d, "doc_id", pairs, "id_a", "id_b")
+      .orderBy("doc_id")
+  }
+
+  /** Fractional n-gram contamination vs the held-out slice (doc_id < 50):
+    * per corpus doc, distinct 4-grams, held-out hits, and the hit
+    * fraction — the thresholdable decontam signal (q47 is the any-hit
+    * form). Integer counts + one IEEE division → exact oracle.
+    */
+  def q106_contamination(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    graft.ops.CorpusOps.contaminationStats(
+        d.filter(col("doc_id") >= 50), d.filter(col("doc_id") < 50),
+        "doc_id", "text", n = 4)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -1564,7 +1592,9 @@ object Queries {
     "q101_label_spread" -> (q101_label_spread _),
     "q102_keep_best" -> (q102_keep_best _),
     "q103_interleave" -> (q103_interleave _),
-    "q104_pagerank" -> (q104_pagerank _)
+    "q104_pagerank" -> (q104_pagerank _),
+    "q105_group_split" -> (q105_group_split _),
+    "q106_contamination" -> (q106_contamination _)
   )
 }
 
@@ -2506,7 +2536,59 @@ object Oracles {
         |       GROUP BY e.dst),
         |r3 AS (SELECT n.id, CAST(150000 + (8500 * coalesce(c3.s, 0)) // 10000 AS BIGINT) AS rnk
         |       FROM nodes n LEFT JOIN c3 ON n.id = c3.id)
-        |SELECT id, rnk AS "rank" FROM r3 ORDER BY id""".stripMargin
+        |SELECT id, rnk AS "rank" FROM r3 ORDER BY id""".stripMargin,
+    "q105_group_split" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |       FROM toks CROSS JOIN unnest(generate_series(1, len(t)-2)) AS u(i)
+        |       WHERE len(t) >= 3
+        |       UNION
+        |       SELECT doc_id, array_to_string(t, ' ') AS g FROM toks WHERE len(t) < 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |p AS (SELECT id_a, id_b FROM inter
+        |      JOIN sizes sa ON sa.doc_id = id_a
+        |      JOIN sizes sb ON sb.doc_id = id_b
+        |      WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+        |          UNION ALL SELECT id_b AS src, id_a AS dst FROM p),
+        |reach AS (
+        |  SELECT src AS id, dst AS r FROM edges
+        |  UNION
+        |  SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src
+        |),
+        |lab AS (SELECT d.doc_id,
+        |          coalesce(least(d.doc_id, min(reach.r)), d.doc_id) AS "group"
+        |        FROM documents d LEFT JOIN reach ON d.doc_id = reach.id
+        |        GROUP BY d.doc_id),
+        |b AS (SELECT doc_id, "group",
+        |        CAST(("group" * 2654435761) % 1000000007 % 10000 AS BIGINT) AS bucket
+        |      FROM lab)
+        |SELECT doc_id, "group", bucket,
+        |  CASE WHEN bucket < 9000 THEN 'train'
+        |       WHEN bucket < 9500 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "q106_contamination" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
+        |       FROM toks CROSS JOIN unnest(generate_series(1, len(t)-3)) AS u(i)
+        |       WHERE len(t) >= 4
+        |       UNION
+        |       SELECT doc_id, array_to_string(t, ' ') AS g FROM toks WHERE len(t) < 4),
+        |held AS (SELECT DISTINCT g FROM sh WHERE doc_id < 50),
+        |hits AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |           CAST(sum(CASE WHEN h.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        |         FROM sh s LEFT JOIN held h ON s.g = h.g WHERE s.doc_id >= 50
+        |         GROUP BY s.doc_id)
+        |SELECT doc_id, n_grams, n_hit,
+        |  CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE) AS frac
+        |FROM hits ORDER BY doc_id""".stripMargin
   )
 
   /** q87's oracle: the SAME deterministic ±1 planes interpolated as SQL

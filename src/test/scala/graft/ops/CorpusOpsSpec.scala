@@ -395,6 +395,51 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.map(_._4).distinct.size == got.size)
   }
 
+  test("groupSplit: dup components never straddle a split; singletons hash on own id") {
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = CorpusOps.groupSplit(ids, "doc_id", pairs, "id_a", "id_b")
+      .select("doc_id", "group", "bucket", "split")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    // every member of a component shares group, bucket, and split
+    val byGroup = got.groupBy(_._2)
+    assert(byGroup(1L).map(g => (g._3, g._4)).distinct.size == 1)
+    assert(byGroup(5L).map(g => (g._3, g._4)).distinct.size == 1)
+    assert(got.find(_._1 == 4L).get._2 == 4L, "singleton keeps own id as group")
+    // bucket is the Knuth hash of the group in basis points
+    got.foreach { case (_, grp, bucket, split) =>
+      val expect = ((grp * 2654435761L) % 1000000007L) % 10000L
+      assert(bucket == expect)
+      val want = if (bucket < 9000) "train" else if (bucket < 9500) "val" else "test"
+      assert(split == want)
+    }
+    // custom cuts validate
+    intercept[IllegalArgumentException] {
+      CorpusOps.groupSplit(ids, "doc_id", pairs, "id_a", "id_b",
+        cuts = Seq(("train", 5000), ("val", 4000)))
+    }
+  }
+
+  test("contaminationStats: fraction of distinct grams hit, any-hit agrees with decontaminate") {
+    val corpus = Seq(
+      (100L, "a b c d e f"),      // grams: abcd bcde cdef
+      (101L, "x y z w v"),        // no overlap
+      (102L, "a b c d x y z w")   // abcd hit, rest clean
+    ).toDF("doc_id", "text")
+    val held = Seq((1L, "a b c d e")).toDF("doc_id", "text") // abcd bcde
+    val got = CorpusOps.contaminationStats(corpus, held, "doc_id", "text", n = 4)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (100L, 3L, 2L, 2.0 / 3.0),
+      (101L, 2L, 0L, 0.0),
+      (102L, 5L, 1L, 1.0 / 5.0)))
+    // any-hit (frac > 0) must agree with the q47 decontaminate hit list
+    val anyHit = got.filter(_._4 > 0).map(_._1).toSet
+    val q47 = CorpusOps.decontaminate(corpus, held, "doc_id", "text", n = 4)
+      .select("id").as[Long].collect().toSet
+    assert(anyHit == q47)
+  }
+
   test("vocabTopK: df/tf correct, deterministic cut, no countDistinct Expand") {
     val d = Seq(
       (1L, "a a b c"),
