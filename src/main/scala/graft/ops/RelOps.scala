@@ -83,6 +83,51 @@ object RelOps {
     * null-extend (widen the horizon and re-join those if completeness
     * matters more than the bound).
     */
+  /** Floor division of a long column by a positive long literal, exact at
+    * any magnitude: the numerator is reduced to an exact multiple first
+    * (`pmod` is nonnegative, so this floors for negative values too), and
+    * a double division whose operands divide exactly is itself exact for
+    * quotients below 2⁵³ — no `expr`-string needed, no near-boundary ulp
+    * risk.
+    */
+  private def floorDiv(c: Column, w: Long): Column =
+    ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+
+  /** Interval-overlap join: all (left, right) pairs with
+    * `lStart ≤ rEnd && rStart ≤ lEnd` (closed intervals), optionally
+    * gated by `keys` equality — the range-join shape (event correlation,
+    * session × incident windows) that naively plans as a nested-loop
+    * over every key group.
+    *
+    * Scale path: each interval explodes onto the `bucketWidth`-wide time
+    * buckets it touches, the join is an EQUI-join on (keys…, bucket) —
+    * shuffle-partitionable, AQE-splittable — and the overlap predicate
+    * merely verifies within a bucket. A pair overlapping across several
+    * buckets is emitted exactly once: only in the bucket containing the
+    * later of the two starts (that bucket is inside both spans whenever
+    * the pair truly overlaps), so no distinct pass is needed. Cost is
+    * occupancy-driven: rows duplicate by ⌈span/bucketWidth⌉, so pick
+    * `bucketWidth` near the typical interval length (the knob trades
+    * duplication against per-bucket pair volume). Both frames must carry
+    * distinct column names (alias before a self-join).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   lStart: String, lEnd: String, rStart: String, rEnd: String,
+                   bucketWidth: Long,
+                   keys: Seq[(String, String)] = Nil): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val l = left.withColumn("__bucket",
+      explode(sequence(floorDiv(col(lStart), bucketWidth), floorDiv(col(lEnd), bucketWidth))))
+    val r = right.withColumn("__bucket",
+      explode(sequence(floorDiv(col(rStart), bucketWidth), floorDiv(col(rEnd), bucketWidth))))
+    val cond = (Seq(
+      l("__bucket") === r("__bucket"),
+      l(lStart) <= r(rEnd), r(rStart) <= l(lEnd),
+      l("__bucket") === floorDiv(greatest(l(lStart), r(rStart)), bucketWidth)) ++
+      keys.map { case (a, b) => l(a) === r(b) }).reduce(_ && _)
+    l.join(r, cond, "inner").drop("__bucket")
+  }
+
   def asOfJoin(left: DataFrame, right: DataFrame,
                leftKeys: Seq[String], rightKeys: Seq[String],
                leftId: String, leftTs: String, rightTs: String,
