@@ -109,16 +109,22 @@ final class Tables(spark: SparkSession, dir: String) {
   lazy val documents: DataFrame = t("documents")
   lazy val embeddings: DataFrame = t("embeddings")
 
-  /** The events table carries nanosecond parquet timestamps (written by
-    * arrow); Spark has no nanos timestamp type, so read them as longs and
-    * truncate to microseconds — exactly what DuckDB's reader does, keeping
-    * the oracle comparable.
+  /** The events table's `ts` has been written two ways across fixture
+    * generations: nanosecond parquet timestamps (arrow writers; Spark has
+    * no nanos type, so read as long and truncate to micros — what DuckDB's
+    * reader does, keeping the oracle comparable) and native micros
+    * timestamps. Adapt on the discovered schema so both read identically.
     */
   lazy val events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => raw
+    }
   }
 }
 
