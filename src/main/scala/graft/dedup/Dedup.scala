@@ -764,4 +764,42 @@ object Dedup {
             !exists(col("ps"), s => i + 1 >= s && i + 1 < s + n))))
           .as("text"))
   }
+
+  /** Prefix-blocked edit-distance near-dup pairs: all (a, b) with
+    * `a.id < b.id`, equal `blockCols`, equal first two tokens, and
+    * Levenshtein distance ≤ `maxDist` over the raw text. Character-level
+    * edit distance is the classic near-dup test that token-set measures
+    * (Jaccard/MinHash) miss: it sees reorderings and small in-word edits
+    * as cheap, and is the right tool for short, high-value strings
+    * (titles, URLs, code lines).
+    *
+    * Scale design: Levenshtein is O(|a|·|b|) per pair, so candidate
+    * generation must be an equi-join, never all-pairs. Blocking key =
+    * (blockCols…, first two tokens): near-identical docs agree on their
+    * opening tokens with overwhelming probability (an edit in the first
+    * two tokens is the declared, documented miss — the standard
+    * prefix-blocking trade). The verify uses Spark's thresholded
+    * `levenshtein(l, r, maxDist)` (banded Ukkonen under the hood: cost
+    * O(|a|·maxDist), returns -1 past the bound) so the per-pair cost is
+    * linear in the threshold, not quadratic in the text.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int, blockCols: Seq[String] = Nil): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    def side(s: String): DataFrame = {
+      val t = TextFunctions.tokens(col(textCol))
+      df.select(col(idCol).as("id" + s) +: col(textCol).as("t" + s) +:
+        element_at(t, 1).as("w1" + s) +: element_at(t, 2).as("w2" + s) +:
+        blockCols.map(c => col(c).as(c + s)): _*)
+    }
+    val a = side("_a"); val b = side("_b")
+    val block = Seq(
+      a("w1_a") === b("w1_b"), a("w2_a") === b("w2_b"),
+      a("id_a") < b("id_b")) ++
+      blockCols.map(c => a(c + "_a") === b(c + "_b"))
+    a.join(b, block.reduce(_ && _), "inner")
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

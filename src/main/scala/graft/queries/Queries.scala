@@ -1445,6 +1445,82 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Interval-overlap self-join on order fulfillment windows
+    * ([orderdate, orderdate + (orderkey mod 7) days]), gated on equal
+    * (priority, status) — the range-join shape (event correlation,
+    * session × incident windows) that naively plans as a nested loop.
+    * [[graft.ops.RelOps.intervalJoin]] explodes each window onto 7-day
+    * time buckets and EQUI-joins on (keys…, bucket) — shuffle-
+    * partitionable, AQE-splittable — with each true pair emitted exactly
+    * once (no distinct pass). Output: per-order count of overlapping
+    * peers; all integer arithmetic, exact oracle vs DuckDB's theta join.
+    * Plan-guarded in PlanCheckSpec: no BroadcastNestedLoopJoin.
+    */
+  def q107_interval_overlap(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+    def iv(s: String): DataFrame =
+      o.select(col("o_orderkey").as("k" + s),
+          col("o_orderpriority").as("p" + s),
+          col("o_orderstatus").as("st" + s),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+            .cast("long").as("s" + s))
+        .withColumn("e" + s, col("s" + s) + pmod(col("k" + s), lit(7L)))
+    val pairs = graft.ops.RelOps.intervalJoin(iv("a"), iv("b"),
+        "sa", "ea", "sb", "eb", bucketWidth = 7L,
+        keys = Seq("pa" -> "pb", "sta" -> "stb"))
+      .filter(col("ka") < col("kb"))
+      .select(col("ka"), col("kb"))
+    pairs.select(col("ka").as("k")).unionAll(pairs.select(col("kb").as("k")))
+      .groupBy(col("k").as("o_orderkey"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Collocation mining: corpus-wide bigram lift
+    * `c_xy · N / (c_x · c_y)` (PMI without the log — the same ranking,
+    * kept exact: integer products, one IEEE division of exactly-
+    * represented longs, so the double hash-checks across engines).
+    * Top-100 by (lift desc, w1, w2) under a min-support of 5 — the
+    * phrase-mining signal a tokenizer/vocab build reads. One tokenize
+    * pass feeds both the unigram and bigram counts; the count frames are
+    * vocab-sized, so both scoring joins broadcast.
+    */
+  def q108_collocations(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions
+    val toks = graft.core.Graft.spread(Tables(spark, dir).documents)
+      .select(TextFunctions.tokens(col("text")).as("t")).cache()
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).as("n"))
+    val bg = toks.select(explode(TextFunctions.bigramsOf(col("t"))).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= 5)
+    val scored = bg
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c_xy"),
+        ((col("c_xy") * col("n")).cast("double") /
+          (col("c1") * col("c2")).cast("double")).as("lift"))
+    // total order (lift desc, w1, w2) → deterministic top-100 cut;
+    // orderBy+limit plans as TakeOrderedAndProject (no global sort)
+    scored.orderBy(col("lift").desc, col("w1"), col("w2")).limit(100)
+  }
+
+  /** Character-level near-dup pairs: prefix-blocked Levenshtein join
+    * ([[graft.dedup.Dedup.editDistancePairs]]) at distance ≤ 24, blocked
+    * on (lang, first two tokens) — the measure that catches small
+    * in-word edits and reorderings token-set similarity misses. Exact
+    * oracle: DuckDB's `levenshtein` computes the identical classic
+    * distance, and the blocking predicate is mirrored verbatim.
+    */
+  def q109_edit_neardup(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.editDistancePairs(
+        graft.core.Graft.spread(Tables(spark, dir).documents),
+        "doc_id", "text", maxDist = 24, blockCols = Seq("lang"))
+      .orderBy("id_a", "id_b")
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -1594,7 +1670,10 @@ object Queries {
     "q103_interleave" -> (q103_interleave _),
     "q104_pagerank" -> (q104_pagerank _),
     "q105_group_split" -> (q105_group_split _),
-    "q106_contamination" -> (q106_contamination _)
+    "q106_contamination" -> (q106_contamination _),
+    "q107_interval_overlap" -> (q107_interval_overlap _),
+    "q108_collocations" -> (q108_collocations _),
+    "q109_edit_neardup" -> (q109_edit_neardup _)
   )
 }
 
@@ -2588,7 +2667,46 @@ object Oracles {
         |         GROUP BY s.doc_id)
         |SELECT doc_id, n_grams, n_hit,
         |  CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE) AS frac
-        |FROM hits ORDER BY doc_id""".stripMargin
+        |FROM hits ORDER BY doc_id""".stripMargin,
+    "q107_interval_overlap" ->
+      """WITH iv AS (SELECT o_orderkey AS k, o_orderpriority AS p, o_orderstatus AS st,
+        |  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS s,
+        |  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |       + o_orderkey % 7 AS BIGINT) AS e
+        |FROM orders),
+        |pairs AS (SELECT a.k AS ka, b.k AS kb FROM iv a JOIN iv b
+        |  ON a.p = b.p AND a.st = b.st AND a.k < b.k AND a.s <= b.e AND b.s <= a.e)
+        |SELECT k AS o_orderkey, CAST(count(*) AS BIGINT) AS n_overlap
+        |FROM (SELECT ka AS k FROM pairs UNION ALL SELECT kb AS k FROM pairs)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q108_collocations" ->
+      """WITH toks AS (SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+        |        FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+        |bg AS (SELECT t[i] AS w1, t[i+1] AS w2
+        |       FROM toks CROSS JOIN unnest(generate_series(1, len(t)-1)) AS u(i)
+        |       WHERE len(t) >= 2),
+        |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+        |       FROM bg GROUP BY w1, w2 HAVING count(*) >= 5)
+        |SELECT bc.w1, bc.w2, bc.c_xy,
+        |  CAST(bc.c_xy * n.n AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE) AS lift
+        |FROM bc
+        |JOIN uni u1 ON bc.w1 = u1.w
+        |JOIN uni u2 ON bc.w2 = u2.w
+        |CROSS JOIN n
+        |ORDER BY lift DESC, bc.w1, bc.w2 LIMIT 100""".stripMargin,
+    "q109_edit_neardup" ->
+      """WITH d AS (SELECT doc_id, text, lang,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+        |FROM d a JOIN d b
+        |  ON a.lang = b.lang AND a.t[1] = b.t[1] AND a.t[2] = b.t[2]
+        |  AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.text, b.text) <= 24
+        |ORDER BY id_a, id_b""".stripMargin
   )
 
   /** q87's oracle: the SAME deterministic ±1 planes interpolated as SQL

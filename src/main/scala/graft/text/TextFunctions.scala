@@ -42,6 +42,17 @@ object TextFunctions {
         i => concat_ws(" ", slice(t, i + 1, lit(n))))))
       .otherwise(array(concat_ws(" ", t)))
 
+  /** Adjacent token pairs (with multiplicity, in order) from a token
+    * array — the collocation/bigram-LM unit. Documents under two tokens
+    * yield null (explode() drops nulls, so they simply contribute no
+    * pairs). Pure array HOF: stays inside the scan, no shuffle.
+    */
+  def bigramsOf(t: Column): Column =
+    when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+      .otherwise(lit(null))
+
   /** Fraction of tokens found in `stops` (exact int/int division —
     * deterministic across engines).
     */

@@ -495,4 +495,28 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(got == bf, s"candidates missed ${(bf -- got).size} of ${bf.size} pairs")
   }
+
+  test("editDistancePairs: blocked Levenshtein pairs with threshold and key gating") {
+    val d = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog"),
+      (2L, "en", "the quick brown fox jumped over the lazy cat"),  // dist 5 from 1
+      (3L, "en", "the quick entirely different tail of words here"), // same 2-prefix, far
+      (4L, "de", "the quick brown fox jumps over the lazy dog"),   // lang blocks the pair
+      (5L, "en", "a quick brown fox jumps over the lazy dog"),     // first token differs: declared miss
+      (6L, "en", "word")                                           // <2 tokens: no block key
+    ).toDF("doc_id", "lang", "text")
+    val got = Dedup.editDistancePairs(d, "doc_id", "text", maxDist = 10,
+        blockCols = Seq("lang"))
+      .select("id_a", "id_b", "dist").as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 5L)))
+    // distance value is the classic Levenshtein: verify against the
+    // unthresholded builtin on the one surviving pair
+    val full = d.filter($"doc_id" === 1L).crossJoin(
+        d.filter($"doc_id" === 2L).withColumnRenamed("text", "t2"))
+      .select(levenshtein($"text", $"t2")).as[Int].head()
+    assert(full == 5)
+    // tight threshold drops the pair instead of clamping its distance
+    assert(Dedup.editDistancePairs(d, "doc_id", "text", maxDist = 4,
+      blockCols = Seq("lang")).count() == 0)
+  }
 }

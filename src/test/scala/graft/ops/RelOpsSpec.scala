@@ -90,6 +90,32 @@ class RelOpsSpec extends SparkSpec {
     assert(bounded.count() == unbounded.count()) // still one row per event
   }
 
+  test("intervalJoin matches brute-force overlap, each pair exactly once") {
+    // spans chosen to cross bucket boundaries (width 10): a long interval
+    // touching 3 buckets, touching-endpoint pairs, disjoint pairs, and
+    // negative coordinates (floorDiv must floor, not truncate)
+    val l = Seq((1L, 0L, 25L), (2L, 8L, 12L), (3L, 40L, 41L), (4L, -15L, -5L))
+      .toDF("lid", "ls", "le")
+    val r = Seq((10L, 25L, 30L), (11L, 9L, 9L), (12L, 100L, 110L), (13L, -7L, 3L))
+      .toDF("rid", "rs", "re")
+    val got = RelOps.intervalJoin(l, r, "ls", "le", "rs", "re", bucketWidth = 10L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq.sorted
+    val brute = l.crossJoin(r)
+      .filter($"ls" <= $"re" && $"rs" <= $"le")
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq.sorted
+    assert(got == brute) // == catches both misses AND duplicate emissions
+    assert(got.contains((1L, 10L)) && got.contains((4L, 13L)))
+  }
+
+  test("intervalJoin key gating restricts pairs to matching keys") {
+    val l = Seq(("a", 1L, 0L, 10L), ("b", 2L, 0L, 10L)).toDF("kl", "lid", "ls", "le")
+    val r = Seq(("a", 10L, 5L, 15L), ("b", 11L, 50L, 60L)).toDF("kr", "rid", "rs", "re")
+    val got = RelOps.intervalJoin(l, r, "ls", "le", "rs", "re",
+        bucketWidth = 4L, keys = Seq("kl" -> "kr"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 10L))) // b-b pair is disjoint; a-b never joined
+  }
+
   test("q06 wordcount on fixtures is non-empty and ordered") {
     val rows = graft.queries.Queries.q06_wordcount(spark, sfDir).as[(String, Long)].collect()
     assert(rows.nonEmpty)

@@ -136,4 +136,30 @@ class PlanCheckSpec extends SparkSpec {
       s"filter pushed below the spread exchange:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-k degraded:\n$p")
   }
+
+  test("q107 interval join is a bucketed equi-join, never a nested loop") {
+    // the whole point of intervalJoin: the range predicate only VERIFIES
+    // inside a (keys, bucket) equi-join — a BroadcastNestedLoopJoin means
+    // the bucket key fell out of the join condition
+    val p = plans("q107_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"interval join degraded to a nested loop:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"no equi-join node in interval join plan:\n$p")
+  }
+
+  test("q108 collocations: vocab joins broadcast, top-100 is TakeOrderedAndProject") {
+    val p = plans("q108_collocations")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"collocation top-k must not globally sort:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"vocab-sized count frames must broadcast, found SMJ:\n$p")
+  }
+
+  test("q109 edit-distance join is blocked (equi-join), never all-pairs") {
+    val p = plans("q109_edit_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"edit-distance join degraded to all-pairs:\n$p")
+  }
 }
