@@ -548,4 +548,64 @@ object CorpusOps {
       .withColumn("seq", (col("pos") - 1L) * lit(d) + col("__di"))
       .select("id", "domain", "pos", "seq")
   }
+
+  /** Distributed BPE merge training: the `iters` highest-count adjacent
+    * symbol-pair merges over the corpus, learned exactly the way
+    * sentencepiece/HF trainers do — greedy, one pair per round, ties
+    * broken deterministically (count desc, then pair lexicographic).
+    * Output: one row per learned merge (merge_rank, lhs, rhs, merged,
+    * pair_count) — the tokenizer artifact a training pipeline ships.
+    *
+    * Scale design: the ONLY corpus-scale pass is the word-frequency
+    * reduce (one map-side-combinable groupBy); every merge round runs
+    * over the distinct-word table (vocabulary-sized, cached) — one
+    * pair-count aggregation plus a one-row argmax collect per round.
+    * Words are separator-joined symbol strings (unit separator U+001F), so applying
+    * a merge is a literal left-to-right `replace` — which is exactly
+    * BPE's greedy non-overlapping merge semantics ("a a a" merges to
+    * ["aa","a"], never ["a","aa"]), and is mirrorable verbatim in the
+    * DuckDB oracle. A production 30k-merge run would add pair-count
+    * delta maintenance (only words containing the merged pair change);
+    * at demo iteration counts the full per-round aggregate is simpler
+    * and the same number of shuffles.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"iters must be in [1,64], got $iters")
+    val SEP = "\u001F"
+    val spark = docs.sparkSession
+    var words = graft.core.Graft.spread(docs)
+      .select(explode(graft.text.TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(concat_ws(SEP, filter(split(col("w"), ""), c => c =!= "")).as("s"),
+        col("cnt"))
+      .cache()
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= iters && !exhausted) {
+      val best = words
+        .select(explode(graft.text.TextFunctions.bigramsOf(split(col("s"), SEP)))
+          .as("p"), col("cnt"))
+        .groupBy(col("p.w1").as("a"), col("p.w2").as("b"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b")).limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true // every word is a single symbol
+      else {
+        val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r.toLong, a, b, a + b, c))
+        val prev = words
+        words = words
+          .select(replace(col("s"), lit(a + SEP + b), lit(a + b)).as("s"), col("cnt"))
+          .cache()
+        words.count() // materialize before releasing the previous round
+        prev.unpersist()
+      }
+      r += 1
+    }
+    val out = spark.createDataFrame(merges.result())
+      .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+    words.unpersist()
+    out
+  }
 }

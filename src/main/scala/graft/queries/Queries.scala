@@ -1521,6 +1521,18 @@ object Queries {
         "doc_id", "text", maxDist = 24, blockCols = Seq("lang"))
       .orderBy("id_a", "id_b")
 
+  /** Distributed BPE tokenizer training
+    * ([[graft.ops.CorpusOps.bpeTrain]]): the first 4 greedy merges
+    * learned from the corpus word-frequency table. Every selection is
+    * integer counts + binary string order, so the whole merge table
+    * hash-checks against a 4×-unrolled SQL oracle (the q104 PageRank
+    * discipline applied to tokenizer land) — the merge loop itself, not
+    * just one pair count, is proven equal across engines.
+    */
+  def q110_bpe_merges(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusOps.bpeTrain(Tables(spark, dir).documents, "text", iters = 4)
+      .orderBy("merge_rank")
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -1673,7 +1685,8 @@ object Queries {
     "q106_contamination" -> (q106_contamination _),
     "q107_interval_overlap" -> (q107_interval_overlap _),
     "q108_collocations" -> (q108_collocations _),
-    "q109_edit_neardup" -> (q109_edit_neardup _)
+    "q109_edit_neardup" -> (q109_edit_neardup _),
+    "q110_bpe_merges" -> (q110_bpe_merges _)
   )
 }
 
@@ -2706,8 +2719,38 @@ object Oracles {
         |  ON a.lang = b.lang AND a.t[1] = b.t[1] AND a.t[2] = b.t[2]
         |  AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.text, b.text) <= 24
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q110_bpe_merges" -> BpeMergesSql
   )
+
+  /** q110's oracle: the BPE merge loop unrolled 4 rounds (the q104
+    * PageRank discipline). Words are chr(31)-joined symbol strings on
+    * both engines, so a merge is the same literal left-to-right
+    * `replace`; each round's argmax is deterministic under
+    * (count desc, pair asc) binary string order.
+    */
+  private lazy val BpeMergesSql: String = {
+    val round = (i: Int) => {
+      val prev = s"w${i - 1}"
+      s"""p$i AS (SELECT t[i] AS a, t[i+1] AS b, CAST(sum(cnt) AS BIGINT) AS c
+         |       FROM (SELECT string_split(s, chr(31)) AS t, cnt FROM $prev)
+         |       CROSS JOIN unnest(generate_series(1, len(t)-1)) AS u(i)
+         |       GROUP BY 1, 2),
+         |m$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+         |w$i AS (SELECT replace(s, a || chr(31) || b, a || b) AS s, cnt FROM $prev, m$i)""".stripMargin
+    }
+    val selects = (1 to 4).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, a || b AS merged, c AS pair_count FROM m$i")
+    s"""WITH wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS w
+       |        FROM documents) GROUP BY w),
+       |w0 AS (SELECT array_to_string(
+       |    list_transform(generate_series(1, length(w)), i -> w[i]), chr(31)) AS s, cnt
+       |  FROM wc),
+       |${(1 to 4).map(round).mkString(",\n")}
+       |${selects.mkString("\nUNION ALL ")}
+       |ORDER BY merge_rank""".stripMargin
+  }
 
   /** q87's oracle: the SAME deterministic ±1 planes interpolated as SQL
     * literals (the QualityModel frozen-literal discipline), then q34's

@@ -455,4 +455,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), "top-k must not global-sort")
     assert(!plan.contains("Expand"), "df must come from pre-grouped rows, not countDistinct")
   }
+
+  test("bpeTrain: greedy merges, non-overlapping left-to-right, early exhaust") {
+    // wc: "aaaa"×2, "ab"×1 → round 1 merges (a,a) with count 2·3=6... no:
+    // pair count is SUM OVER WORDS of per-word occurrences: "aaaa" has 3
+    // adjacent (a,a) positions × cnt 2 = 6; plus (a,b)=1
+    val d = Seq((1L, "aaaa ab"), (2L, "aaaa")).toDF("doc_id", "text")
+    val got = CorpusOps.bpeTrain(d, "text", iters = 10)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(got.head == ((1L, "a", "a", "aa", 6L)))
+    // greedy left-to-right: "a a a a" → ["aa","aa"], never ["a","aa","a"],
+    // so round 2 sees (aa,aa)=2 and (a,b)=1
+    assert(got(1) == ((2L, "aa", "aa", "aaaa", 2L)))
+    assert(got(2) == ((3L, "a", "b", "ab", 1L)))
+    // nothing left to merge: loop exhausts before iters
+    assert(got.size == 3)
+  }
+
+  test("bpeTrain tie-break is (count desc, pair lexicographic)") {
+    val d = Seq((1L, "xy"), (2L, "ab")).toDF("doc_id", "text")
+    val got = CorpusOps.bpeTrain(d, "text", iters = 1)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "a", "b", "ab", 1L))) // (a,b) < (x,y) at equal count
+  }
 }
