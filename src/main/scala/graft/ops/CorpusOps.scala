@@ -608,4 +608,34 @@ object CorpusOps {
     words.unpersist()
     out
   }
+
+  /** Apply a learned BPE merge list ([[bpeTrain]]'s artifact, in rank
+    * order) to the corpus and report per-document tokenization stats:
+    * character count, post-merge BPE token count, and the compression
+    * ratio — the "how many tokens is this corpus" question every
+    * training-budget calculation starts from. The merge list is a
+    * driver-side literal (rank-bounded, exactly like a shipped
+    * tokenizer's merges.txt), so encoding is a chain of codegen'd
+    * literal `replace`s inside ONE shuffle-free scan; the only shuffle
+    * is the per-doc aggregation. Ratio = one IEEE division of exact
+    * longs → hash-stable across engines.
+    */
+  def bpeEncodeStats(docs: DataFrame, idCol: String, textCol: String,
+                     merges: Seq[(String, String)]): DataFrame = {
+    val SEP = "\u001F"
+    val perWord = graft.core.Graft.spread(docs)
+      .select(col(idCol).as("id"),
+        explode(graft.text.TextFunctions.tokens(col(textCol))).as("w"))
+    val encoded = merges.foldLeft(
+        concat_ws(SEP, filter(split(col("w"), ""), c => c =!= ""))) {
+      case (s, (a, b)) => replace(s, lit(a + SEP + b), lit(a + b))
+    }
+    perWord
+      .select(col("id"), length(col("w")).cast("long").as("chars"),
+        size(split(encoded, SEP)).cast("long").as("toks"))
+      .groupBy("id")
+      .agg(sum(col("chars")).as("n_chars"), sum(col("toks")).as("n_bpe_tokens"))
+      .withColumn("compression",
+        col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
+  }
 }

@@ -1533,6 +1533,25 @@ object Queries {
     graft.ops.CorpusOps.bpeTrain(Tables(spark, dir).documents, "text", iters = 4)
       .orderBy("merge_rank")
 
+  /** BPE encoding with the q110-trained merges: per-document character
+    * count, post-merge token count, and compression ratio — the
+    * tokens-per-corpus number every training-budget calculation starts
+    * from. The trained merge list is collected (rank-bounded, the
+    * shipped-merges.txt pattern) and applied as a chain of literal
+    * codegen'd `replace`s in one shuffle-free scan; the oracle re-trains
+    * the same 4 merges in SQL and encodes with the same replace chain,
+    * so train→encode composition is hash-checked end to end.
+    */
+  def q111_bpe_encode(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val merges = graft.ops.CorpusOps.bpeTrain(d, "text", iters = 4)
+      .orderBy("merge_rank").select("lhs", "rhs").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    graft.ops.CorpusOps.bpeEncodeStats(d, "doc_id", "text", merges)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -1686,7 +1705,8 @@ object Queries {
     "q107_interval_overlap" -> (q107_interval_overlap _),
     "q108_collocations" -> (q108_collocations _),
     "q109_edit_neardup" -> (q109_edit_neardup _),
-    "q110_bpe_merges" -> (q110_bpe_merges _)
+    "q110_bpe_merges" -> (q110_bpe_merges _),
+    "q111_bpe_encode" -> (q111_bpe_encode _)
   )
 }
 
@@ -2720,16 +2740,17 @@ object Oracles {
         |  AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.text, b.text) <= 24
         |ORDER BY id_a, id_b""".stripMargin,
-    "q110_bpe_merges" -> BpeMergesSql
+    "q110_bpe_merges" -> BpeMergesSql,
+    "q111_bpe_encode" -> BpeEncodeSql
   )
 
-  /** q110's oracle: the BPE merge loop unrolled 4 rounds (the q104
-    * PageRank discipline). Words are chr(31)-joined symbol strings on
-    * both engines, so a merge is the same literal left-to-right
-    * `replace`; each round's argmax is deterministic under
+  /** q110/q111's shared oracle CTE chain: the BPE merge loop unrolled 4
+    * rounds (the q104 PageRank discipline). Words are chr(31)-joined
+    * symbol strings on both engines, so a merge is the same literal
+    * left-to-right `replace`; each round's argmax is deterministic under
     * (count desc, pair asc) binary string order.
     */
-  private lazy val BpeMergesSql: String = {
+  private lazy val BpeCtes: String = {
     val round = (i: Int) => {
       val prev = s"w${i - 1}"
       s"""p$i AS (SELECT t[i] AS a, t[i+1] AS b, CAST(sum(cnt) AS BIGINT) AS c
@@ -2739,17 +2760,43 @@ object Oracles {
          |m$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
          |w$i AS (SELECT replace(s, a || chr(31) || b, a || b) AS s, cnt FROM $prev, m$i)""".stripMargin
     }
-    val selects = (1 to 4).map(i =>
-      s"SELECT CAST($i AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, a || b AS merged, c AS pair_count FROM m$i")
     s"""WITH wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
        |  FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS w
        |        FROM documents) GROUP BY w),
        |w0 AS (SELECT array_to_string(
        |    list_transform(generate_series(1, length(w)), i -> w[i]), chr(31)) AS s, cnt
        |  FROM wc),
-       |${(1 to 4).map(round).mkString(",\n")}
-       |${selects.mkString("\nUNION ALL ")}
-       |ORDER BY merge_rank""".stripMargin
+       |${(1 to 4).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  private lazy val BpeMergesSql: String = {
+    val selects = (1 to 4).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, a || b AS merged, c AS pair_count FROM m$i")
+    s"""$BpeCtes,
+       |out AS (${selects.mkString("\nUNION ALL ")})
+       |SELECT * FROM out ORDER BY merge_rank""".stripMargin
+  }
+
+  /** q111's oracle: re-train the 4 merges (shared CTEs), then encode
+    * every document word through the same replace chain and aggregate
+    * per doc. One IEEE division for the ratio — hash-stable.
+    */
+  private lazy val BpeEncodeSql: String = {
+    val chain = (1 to 4).map(i =>
+      s"""e$i AS (SELECT doc_id, chars,
+         |  replace(s, (SELECT a FROM m$i) || chr(31) || (SELECT b FROM m$i),
+         |             (SELECT a FROM m$i) || (SELECT b FROM m$i)) AS s FROM e${i - 1})""".stripMargin)
+    s"""$BpeCtes,
+       |dw AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS w
+       |       FROM documents),
+       |e0 AS (SELECT doc_id, CAST(length(w) AS BIGINT) AS chars,
+       |         array_to_string(list_transform(generate_series(1, length(w)), i -> w[i]), chr(31)) AS s
+       |       FROM dw),
+       |${chain.mkString(",\n")}
+       |SELECT doc_id, CAST(sum(chars) AS BIGINT) AS n_chars,
+       |  CAST(sum(len(string_split(s, chr(31)))) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum(chars) AS DOUBLE) / CAST(sum(len(string_split(s, chr(31)))) AS DOUBLE) AS compression
+       |FROM e4 GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** q87's oracle: the SAME deterministic ±1 planes interpolated as SQL

@@ -472,6 +472,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  test("bpeEncodeStats applies merges in rank order inside one scan") {
+    val d = Seq((1L, "aaaa ab"), (2L, "cd")).toDF("doc_id", "text")
+    // merges (a,a) then (aa,aa): "aaaa"→1 token, "ab"→2, "cd"→2
+    val got = CorpusOps.bpeEncodeStats(d, "doc_id", "text",
+        Seq(("a", "a"), ("aa", "aa")))
+      .orderBy("id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 6L, 3L, 2.0), (2L, 2L, 2L, 1.0)))
+    // rank order matters: (aa,aa) before (a,a) can't fire on raw chars
+    val rev = CorpusOps.bpeEncodeStats(d, "doc_id", "text",
+        Seq(("aa", "aa"), ("a", "a")))
+      .orderBy("id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(rev.head._3 == 4L) // "aaaa" only pairs down to ["aa","aa"]
+    val plan = CorpusOps.bpeEncodeStats(d, "doc_id", "text", Seq(("a", "a")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"encode must be a literal replace chain, not a join:\n$plan")
+  }
+
   test("bpeTrain tie-break is (count desc, pair lexicographic)") {
     val d = Seq((1L, "xy"), (2L, "ab")).toDF("doc_id", "text")
     val got = CorpusOps.bpeTrain(d, "text", iters = 1)
