@@ -77,4 +77,49 @@ object GraphOps {
     e.unpersist(blocking = false)
     rank
   }
+
+  /** Per-node triangle counts on an undirected simple graph — the local
+    * clustering signal (community structure, near-dup cluster shape)
+    * over a similarity or co-occurrence graph. Input edges in any
+    * orientation; self-loops dropped, parallel edges collapsed.
+    *
+    * Scale design: the classic all-triples join explodes on hubs, so
+    * edges are ORIENTED along the total order (degree, id) — every edge
+    * points from its lower-degree endpoint — before the two-hop join.
+    * Each triangle then has exactly one source vertex (no distinct
+    * pass), and the join fan-out per vertex is bounded by its ORIENTED
+    * out-degree, which is O(√m) for any graph (the classic
+    * compact-forward bound) — hubs receive edges instead of fanning
+    * out. Two equi-joins + one aggregation; the triangle SET is
+    * identical to the id-ordered enumeration, which is what the DuckDB
+    * oracle uses.
+    *
+    * Output: (id, n_triangles) for every vertex in at least one
+    * triangle.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // orient: (deg, id) lexicographic — lower endpoint fans out
+    val withDeg = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("w")))
+        .otherwise(struct(col("b").as("u"), col("a").as("w"))).as("e"))
+      .select(col("e.u").as("u"), col("e.w").as("w"))
+    // two-hop paths u→m→t plus the closing edge u→t
+    val paths = oriented.select(col("u"), col("w").as("m"))
+      .join(oriented.select(col("u").as("m"), col("w").as("t")), "m")
+    val tri = paths.join(oriented.select(col("u"), col("w").as("t")), Seq("u", "t"),
+      "left_semi")
+    tri.select(explode(array(col("u"), col("m"), col("t"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+  }
 }

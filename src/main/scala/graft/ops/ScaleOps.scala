@@ -40,6 +40,31 @@ object ScaleOps {
       .agg(sum(col("__partial")).as("cnt"))
   }
 
+  /** Skew-safe fact⋈dim equi-join via salt replication: each fact row
+    * gets a salt in [0, salt), the dim side replicates `salt`× (explode
+    * over a literal sequence — dim rows are the small side by contract),
+    * and the join key becomes (key, salt) — a key that hot-spots one
+    * reducer under a plain shuffle join spreads over `salt` of them.
+    * Use when ONE join key dominates (null-ish tenant, boilerplate hash)
+    * and the dim side is too big to broadcast outright but cheap to
+    * replicate `salt`×; AQE's skew-join split handles partition-level
+    * skew, this handles single-key skew beyond what a split can fix.
+    * The salt derives from `monotonically_increasing_id` — any
+    * distribution-only value is correct here, because the salt never
+    * reaches the output: the result multiset is invariant (proven by
+    * q112's plain-join oracle).
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame,
+                 factKey: String, dimKey: String, salt: Int = 16): DataFrame = {
+    require(salt >= 1, s"salt must be >= 1, got $salt")
+    val f = fact.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(salt.toLong)))
+    val d = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salt.toLong - 1L))))
+    f.join(d, f(factKey) === d(dimKey) && f("__salt") === d("__salt"), "inner")
+      .drop("__salt")
+  }
+
   /** Write a table bucketed + sorted by its join key. Two tables bucketed
     * the same way join with ZERO shuffle (the Exchange disappears from
     * the plan — asserted in ScaleOpsSpec): the 100 TB co-located-join

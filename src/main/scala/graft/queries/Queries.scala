@@ -1552,6 +1552,46 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Skew-safe salted join ([[graft.ops.ScaleOps.saltedJoin]]): lineitem
+    * ⋈ supplier with the join key widened to (key, salt) — the dim side
+    * replicated 8×, the hot key spread over 8 reducers. The oracle is
+    * the PLAIN join + aggregation: like q93, it proves the salting is
+    * result-invariant (the only thing it may change is the plan).
+    */
+  def q112_salted_join(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    graft.ops.ScaleOps.saltedJoin(t.lineitem, t.supplier,
+        "l_suppkey", "s_suppkey", salt = 8)
+      .groupBy("s_name")
+      .agg(sumExact(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy("s_name")
+  }
+
+  /** Triangle counts on the top-3 co-supply similarity graph: suppliers
+    * are linked by the parts they both ship, each keeps its 3 strongest
+    * partners (shared-part count desc, id — deterministic), and
+    * [[graft.ops.GraphOps.triangleCounts]] counts triangles per node
+    * with degree-oriented (compact-forward) enumeration — the local
+    * clustering signal over a similarity graph, all integer-exact. The
+    * oracle enumerates the SAME triangle set id-ordered in SQL.
+    */
+  def q113_cosupply_triangles(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Tables(spark, dir).lineitem
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+    val co = ps.select(col("p"), col("s").as("sa"))
+      .join(ps.select(col("p"), col("s").as("sb")), "p")
+      .filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("shared"))
+    val de = co.select(col("sa").as("src"), col("sb").as("dst"), col("shared"))
+      .unionAll(co.select(col("sb").as("src"), col("sa").as("dst"), col("shared")))
+    val w = Window.partitionBy(col("src")).orderBy(col("shared").desc, col("dst"))
+    val top3 = de.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 3).select("src", "dst")
+    graft.ops.GraphOps.triangleCounts(top3, "src", "dst")
+      .select(col("id").as("s_suppkey"), col("n_triangles"))
+      .orderBy("s_suppkey")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -1706,7 +1746,9 @@ object Queries {
     "q108_collocations" -> (q108_collocations _),
     "q109_edit_neardup" -> (q109_edit_neardup _),
     "q110_bpe_merges" -> (q110_bpe_merges _),
-    "q111_bpe_encode" -> (q111_bpe_encode _)
+    "q111_bpe_encode" -> (q111_bpe_encode _),
+    "q112_salted_join" -> (q112_salted_join _),
+    "q113_cosupply_triangles" -> (q113_cosupply_triangles _)
   )
 }
 
@@ -2741,7 +2783,34 @@ object Oracles {
         |WHERE levenshtein(a.text, b.text) <= 24
         |ORDER BY id_a, id_b""".stripMargin,
     "q110_bpe_merges" -> BpeMergesSql,
-    "q111_bpe_encode" -> BpeEncodeSql
+    "q111_bpe_encode" -> BpeEncodeSql,
+    "q112_salted_join" ->
+      """SELECT s_name,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
+    "q113_cosupply_triangles" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+        |co AS (SELECT a.s AS sa, b.s AS sb, CAST(count(*) AS BIGINT) AS shared
+        |       FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2),
+        |de AS (SELECT sa AS src, sb AS dst, shared FROM co
+        |       UNION ALL SELECT sb AS src, sa AS dst, shared FROM co),
+        |top3 AS (SELECT src, dst FROM (
+        |    SELECT src, dst,
+        |      row_number() OVER (PARTITION BY src ORDER BY shared DESC, dst) AS rn
+        |    FROM de) WHERE rn <= 3),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |        FROM top3 WHERE src <> dst),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM und e1
+        |        JOIN und e2 ON e1.b = e2.a
+        |        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |nodes AS (SELECT x AS id FROM tri
+        |          UNION ALL SELECT y AS id FROM tri
+        |          UNION ALL SELECT z AS id FROM tri)
+        |SELECT id AS s_suppkey, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM nodes GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** q110/q111's shared oracle CTE chain: the BPE merge loop unrolled 4

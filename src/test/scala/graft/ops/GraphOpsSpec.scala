@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 class GraphOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -45,6 +46,34 @@ class GraphOpsSpec extends SparkSpec {
     // round1: n1=150000, n2=1,000,000 → 150000+850000=1000000
     // round2: n1=150000, n2 ← 150000 → 150000 + (8500*150000) div 10000 = 277500
     assert(r == Seq((1L, 150000L), (2L, 277500L)))
+  }
+
+  test("triangleCounts: K4 minus an edge, any input orientation, loops dropped") {
+    // vertices 1..4, complete except (3,4); triangles {1,2,3} and {1,2,4}
+    // — edges given in mixed orientation, with a duplicate and a loop
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L), (2L, 3L), (4L, 1L), (2L, 4L), (5L, 5L))
+      .toDF("x", "y")
+    val got = GraphOps.triangleCounts(edges, "x", "y")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("triangleCounts matches brute force on a hashed random graph") {
+    // deterministic pseudo-random graph: edge (i,j) present iff
+    // xxhash64(i*97+j) lands in the bottom 30% — dense enough for many
+    // triangles, no RNG
+    val ids = (1L to 30L)
+    val all = for (i <- ids; j <- ids if i < j) yield (i, j)
+    val edges = all.toDF("x", "y")
+      .filter(pmod(xxhash64($"x" * 97 + $"y"), lit(10L)) < 3)
+    val got = GraphOps.triangleCounts(edges, "x", "y")
+      .as[(Long, Long)].collect().toMap
+    val e = edges.as[(Long, Long)].collect().toSet
+    def has(i: Long, j: Long) = e.contains((i min j, i max j))
+    val triples = for (i <- ids; j <- ids if i < j; k <- ids if j < k
+      if has(i, j) && has(j, k) && has(i, k)) yield Seq(i, j, k)
+    val brute = triples.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == brute)
   }
 
   test("pageRankInt: rejects bad damping and zero iterations") {

@@ -70,4 +70,21 @@ class ScaleOpsSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("foldable") || err.getMessage.contains("constant"))
   }
+
+  test("saltedJoin result multiset equals the plain join at any salt") {
+    val fact = Seq((1L, 10.0), (1L, 20.0), (2L, 5.0), (3L, 7.0), (1L, 30.0))
+      .toDF("fk", "v")
+    val dim = Seq((1L, "a"), (2L, "b"), (4L, "d")).toDF("dk", "name")
+    val plain = fact.join(dim, $"fk" === $"dk").select("fk", "v", "name")
+    for (s <- Seq(1, 3, 16)) {
+      val salted = ScaleOps.saltedJoin(fact, dim, "fk", "dk", salt = s)
+        .select("fk", "v", "name")
+      assert(salted.exceptAll(plain).count() == 0
+        && plain.exceptAll(salted).count() == 0, s"salt=$s changed the result")
+    }
+    // the join key actually widens: the salt equality is in the join plan
+    val p = ScaleOps.saltedJoin(fact, dim, "fk", "dk", salt = 4)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("__salt"), s"salt fell out of the join:\n$p")
+  }
 }
