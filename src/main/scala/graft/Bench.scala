@@ -36,7 +36,10 @@ object Bench {
     // one tiny warmup so JVM/codegen startup isn't charged to the first query
     run("warmup", (s, d) => graft.queries.Queries.q14_sort_distinct(s, d))
 
+    // optional query-name filter (dev use; the driver passes no args)
+    val only = args.toSet
     val ordered = graft.queries.Queries.all.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only.contains(n) }
     val passes = (1 to 2).map(_ => ordered.map { case (name, fn) => name -> run(name, fn) })
     val results = ordered.map { case (name, _) =>
       // min over the passes that succeeded; -1 only if every pass failed

@@ -98,11 +98,17 @@ object GraphOps {
     * triangle.
     */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // und is referenced 5× (degree both ways, the degree joins) and
+    // oriented 3× (two path sides + the closing semi-join): without
+    // materialization the upstream pipeline re-expands into the tree
+    // once per reference — a DAG-reuse blowup that turns one pair-count
+    // pass into a dozen. Both frames are edge-sized.
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .cache()
     val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
     // orient: (deg, id) lexicographic — lower endpoint fans out
@@ -114,6 +120,7 @@ object GraphOps {
         struct(col("a").as("u"), col("b").as("w")))
         .otherwise(struct(col("b").as("u"), col("a").as("w"))).as("e"))
       .select(col("e.u").as("u"), col("e.w").as("w"))
+      .cache()
     // two-hop paths u→m→t plus the closing edge u→t
     val paths = oriented.select(col("u"), col("w").as("m"))
       .join(oriented.select(col("u").as("m"), col("w").as("t")), "m")

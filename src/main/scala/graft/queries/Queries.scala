@@ -1457,7 +1457,9 @@ object Queries {
     * Plan-guarded in PlanCheckSpec: no BroadcastNestedLoopJoin.
     */
   def q107_interval_overlap(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables(spark, dir).orders
+    // spread: the bucket explode + join-key hashing must not run on the
+    // fixture's single-row-group scan task
+    val o = graft.core.Graft.spread(Tables(spark, dir).orders)
     def iv(s: String): DataFrame =
       o.select(col("o_orderkey").as("k" + s),
           col("o_orderpriority").as("p" + s),
@@ -1576,8 +1578,11 @@ object Queries {
     * oracle enumerates the SAME triangle set id-ordered in SQL.
     */
   def q113_cosupply_triangles(spark: SparkSession, dir: String): DataFrame = {
-    val ps = Tables(spark, dir).lineitem
+    // cache: both self-join sides read the deduped (part, supplier) set —
+    // without it the 600k-row spread+distinct runs twice
+    val ps = graft.core.Graft.spread(Tables(spark, dir).lineitem)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+      .cache()
     val co = ps.select(col("p"), col("s").as("sa"))
       .join(ps.select(col("p"), col("s").as("sb")), "p")
       .filter(col("sa") < col("sb"))
