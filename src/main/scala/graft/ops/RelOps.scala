@@ -128,6 +128,51 @@ object RelOps {
     l.join(r, cond, "inner").drop("__bucket")
   }
 
+  /** SCD-type-2 dimension build from an event stream: per key, collapse
+    * consecutive equal `attrCol` values and emit validity intervals
+    * [valid_from, valid_to) — valid_to null on the current (open) row.
+    * The dimension side [[asOfJoin]] and [[intervalJoin]] consume, built
+    * from the same events they correlate against. Deterministic: ties on
+    * `tsCol` break by `tieCol` (a unique event id). `attrCol` is assumed
+    * non-null (null-vs-value transitions would need null-safe equality).
+    * One shuffle on the key; both windows share its partitioning.
+    */
+  def scd2(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+           attrCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    df.withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(attrCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select(col(keyCol), col(tieCol), col(attrCol),
+        col(tsCol).as("valid_from"), col("valid_to"))
+  }
+
+  /** Ordered funnel: users reaching step i did step i-1 first and step i
+    * within `within` of their step-(i-1) time; each stage anchors on the
+    * EARLIEST qualifying event (deterministic, no pattern backtracking).
+    * Output: (step, event_type, users) — the drop-off table. Each stage
+    * is one filtered scan + a per-key min; the per-key frames are
+    * key-cardinality-sized, so the stage joins shuffle only user-level
+    * rows at scale.
+    */
+  def funnel(df: DataFrame, keyCol: String, typeCol: String, tsCol: String,
+             steps: Seq[String], within: Column): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var cur = df.filter(col(typeCol) === steps.head)
+      .groupBy(col(keyCol)).agg(min(col(tsCol)).as("__t"))
+    def stage(i: Int, s: String, frame: DataFrame): DataFrame =
+      frame.agg(count(lit(1)).as("users"))
+        .select(lit(i.toLong).as("step"), lit(s).as("event_type"), col("users"))
+    var rows = stage(1, steps.head, cur)
+    for ((s, i) <- steps.tail.zipWithIndex) {
+      cur = df.filter(col(typeCol) === s).join(cur, keyCol)
+        .filter(col(tsCol) >= col("__t") && col(tsCol) <= col("__t") + within)
+        .groupBy(col(keyCol)).agg(min(col(tsCol)).as("__t"))
+      rows = rows.unionAll(stage(i + 2, s, cur))
+    }
+    rows
+  }
+
   def asOfJoin(left: DataFrame, right: DataFrame,
                leftKeys: Seq[String], rightKeys: Seq[String],
                leftId: String, leftTs: String, rightTs: String,

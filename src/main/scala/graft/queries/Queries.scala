@@ -1597,6 +1597,29 @@ object Queries {
       .orderBy("s_suppkey")
   }
 
+  /** SCD-type-2 dimension build ([[graft.ops.RelOps.scd2]]): per-user
+    * event_type validity intervals from the event stream — consecutive
+    * duplicates collapsed, [valid_from, valid_to) windows, open row
+    * null-terminated. The temporal-dimension builder whose output feeds
+    * q43's as-of join and q107's interval join. Exact oracle: identical
+    * lag/lead windows in DuckDB, (ts, event_id) total order.
+    */
+  def q114_scd2(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.RelOps.scd2(Tables(spark, dir).events,
+        "user_id", "ts", "event_id", "event_type")
+      .orderBy("user_id", "valid_from", "event_id")
+
+  /** Ordered conversion funnel ([[graft.ops.RelOps.funnel]]):
+    * view → click → purchase, each stage within 1 hour of the previous
+    * stage's earliest qualifying event — the drop-off table. Integer
+    * counts and micros-exact interval arithmetic → exact oracle.
+    */
+  def q115_funnel(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.RelOps.funnel(Tables(spark, dir).events,
+        "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), expr("INTERVAL 1 HOUR"))
+      .orderBy("step")
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -1753,7 +1776,9 @@ object Queries {
     "q110_bpe_merges" -> (q110_bpe_merges _),
     "q111_bpe_encode" -> (q111_bpe_encode _),
     "q112_salted_join" -> (q112_salted_join _),
-    "q113_cosupply_triangles" -> (q113_cosupply_triangles _)
+    "q113_cosupply_triangles" -> (q113_cosupply_triangles _),
+    "q114_scd2" -> (q114_scd2 _),
+    "q115_funnel" -> (q115_funnel _)
   )
 }
 
@@ -2815,7 +2840,32 @@ object Oracles {
         |          UNION ALL SELECT y AS id FROM tri
         |          UNION ALL SELECT z AS id FROM tri)
         |SELECT id AS s_suppkey, CAST(count(*) AS BIGINT) AS n_triangles
-        |FROM nodes GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM nodes GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q114_scd2" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |ch AS (SELECT user_id, event_id, event_type, ts FROM marked
+        |       WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |FROM ch ORDER BY user_id, valid_from, event_id""".stripMargin,
+    "q115_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts >= v.t
+        |        AND e.ts <= v.t + INTERVAL 1 HOUR GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.t
+        |        AND e.ts <= c.t + INTERVAL 1 HOUR GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+        |         CAST(count(*) AS BIGINT) AS users FROM v
+        |  UNION ALL SELECT CAST(2 AS BIGINT), 'click', CAST(count(*) AS BIGINT) FROM c
+        |  UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT) FROM p)
+        |ORDER BY step""".stripMargin
   )
 
   /** q110/q111's shared oracle CTE chain: the BPE merge loop unrolled 4

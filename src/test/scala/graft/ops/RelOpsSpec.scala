@@ -116,6 +116,42 @@ class RelOpsSpec extends SparkSpec {
     assert(got == Seq((1L, 10L))) // b-b pair is disjoint; a-b never joined
   }
 
+  test("scd2 collapses consecutive duplicates into validity intervals") {
+    val e = Seq(
+      (1L, 10L, "a"), (1L, 20L, "a"), (1L, 30L, "b"), (1L, 40L, "a"),
+      (2L, 5L, "x"),
+      (3L, 7L, "p"), (3L, 7L, "q") // same ts: event_id breaks the tie
+    ).toDF("uid", "ts", "attr")
+    val got = RelOps.scd2(e.withColumn("eid", $"ts"), "uid", "ts", "eid", "attr")
+      .select("uid", "attr", "valid_from", "valid_to")
+      .as[(Long, String, Long, Option[Long])].collect().toSet
+    assert(got == Set(
+      (1L, "a", 10L, Some(30L)), // 20L collapsed into the first interval
+      (1L, "b", 30L, Some(40L)),
+      (1L, "a", 40L, None),      // a-again after b is a NEW interval
+      (2L, "x", 5L, None),
+      (3L, "p", 7L, Some(7L)), (3L, "q", 7L, None)))
+  }
+
+  test("funnel: ordered steps, time bound enforced, monotone drop-off") {
+    val e = Seq(
+      // u1 completes all three in order within bounds
+      (1L, "view", 100L), (1L, "click", 150L), (1L, "purchase", 200L),
+      // u2 clicks BEFORE viewing: click doesn't count
+      (2L, "click", 90L), (2L, "view", 100L),
+      // u3 clicks too late (view at 100, window 100)
+      (3L, "view", 100L), (3L, "click", 201L),
+      // u4 views only
+      (4L, "view", 50L),
+      // u5 purchase without click
+      (5L, "view", 10L), (5L, "purchase", 20L)
+    ).toDF("uid", "etype", "ts")
+    val got = RelOps.funnel(e, "uid", "etype", "ts",
+        Seq("view", "click", "purchase"), lit(100L))
+      .orderBy("step").as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "view", 5L), (2L, "click", 1L), (3L, "purchase", 1L)))
+  }
+
   test("q06 wordcount on fixtures is non-empty and ordered") {
     val rows = graft.queries.Queries.q06_wordcount(spark, sfDir).as[(String, Long)].collect()
     assert(rows.nonEmpty)
