@@ -272,6 +272,42 @@ object StatefulOps {
       }
   }
 
+  case class FunnelEvent(uid: Long, etype: String, ts: Long)
+  case class FunnelProgress(uid: Long, stage: Int, stageTs: Long)
+
+  /** Streaming funnel — [[graft.ops.RelOps.funnel]]'s incremental
+    * sibling: per-user state is (stage reached, that stage's anchor
+    * ts); an event advances the funnel iff it is the next step and
+    * falls within `within` of the previous stage's anchor. Rows are
+    * sorted by (ts, type) inside each micro-batch, so the gate equals
+    * the batch funnel whenever each user's events arrive in event-time
+    * order ACROSS batches (the in-order delivery kasper's per-partition
+    * consumers guarantee; a late cross-batch event cannot retroactively
+    * become an earlier anchor — documented divergence, same trade as
+    * [[budgetGate]]'s greedy admission). State is one (int, long) per
+    * user; emits each user's progress whenever it advances.
+    */
+  def funnelGate(events: Dataset[FunnelEvent], steps: Seq[String],
+                 within: Long): Dataset[FunnelProgress] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.uid)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelProgress]) =>
+          var st = state.getOption.getOrElse(FunnelProgress(uid, 0, 0L))
+          val before = st.stage
+          for (e <- rows.toVector.sortBy(e => (e.ts, e.etype))
+               if st.stage < steps.length) {
+            val qualifies = e.etype == steps(st.stage) &&
+              (st.stage == 0 ||
+                (e.ts >= st.stageTs && e.ts <= st.stageTs + within))
+            if (qualifies) st = FunnelProgress(uid, st.stage + 1, e.ts)
+          }
+          state.update(st)
+          if (st.stage > before) Iterator(st) else Iterator.empty
+      }
+  }
+
   case class Keyed[V](key: String, ts: Long, value: V)
 
   /** KQ-11 streaming: last-write-wins upsert per key (store `Put`

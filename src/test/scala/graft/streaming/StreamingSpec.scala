@@ -58,6 +58,41 @@ class StreamingSpec extends SparkSpec {
     assert(rows.groupBy(_.domain).values.forall(_.map(_.tokens).sum <= 100L))
   }
 
+  test("funnelGate tracks per-user stages across batches, equals the batch funnel") {
+    import StatefulOps.{FunnelEvent, FunnelProgress}
+    val steps = Seq("view", "click", "purchase")
+    val in = MemoryStream[FunnelEvent]
+    val q = StatefulOps.funnelGate(in.toDS(), steps, within = 100L)
+      .writeStream.format("memory").queryName(nextName()).outputMode(OutputMode.Update()).start()
+    val name = q.name
+    // batch 1 (deliberately out of ts order within the batch): u1 views
+    // then clicks; u2 clicks BEFORE viewing; u3 views
+    in.addData(FunnelEvent(1, "click", 150), FunnelEvent(1, "view", 100),
+      FunnelEvent(2, "click", 90), FunnelEvent(2, "view", 100),
+      FunnelEvent(3, "view", 100))
+    q.processAllAvailable()
+    // batch 2: u1 purchases in window; u3 clicks too late; u2 clicks in window
+    in.addData(FunnelEvent(1, "purchase", 200), FunnelEvent(3, "click", 201),
+      FunnelEvent(2, "click", 120))
+    q.processAllAvailable()
+    val rows = spark.table(name).as[FunnelProgress].collect()
+    q.stop()
+    val finalStage = rows.groupBy(_.uid).map { case (u, vs) => u -> vs.map(_.stage).max }
+    assert(finalStage == Map(1L -> 3, 2L -> 2, 3L -> 1))
+    // the same events through the batch funnel give the same drop-off counts
+    val allEvents = Seq(
+      (1L, "click", 150L), (1L, "view", 100L), (2L, "click", 90L),
+      (2L, "view", 100L), (3L, "view", 100L), (1L, "purchase", 200L),
+      (3L, "click", 201L), (2L, "click", 120L)).toDF("uid", "etype", "ts")
+    val batch = graft.ops.RelOps.funnel(
+        allEvents, "uid", "etype", "ts", steps, lit(100L))
+      .orderBy("step").as[(Long, String, Long)].collect().toSeq
+    assert(batch == Seq((1L, "view", 3L), (2L, "click", 2L), (3L, "purchase", 1L)))
+    // cross-check: streaming stage counts imply the same funnel table
+    val streamCounts = (1 to 3).map(s => finalStage.values.count(_ >= s).toLong)
+    assert(streamCounts == batch.map(_._3))
+  }
+
   test("fictionsJoin: emit-suppression + re-emit on character arrival (KQ-8)") {
     val heroA = Character("c1", "Hero A", "http://w/a")
     val heroB = Character("c2", "Hero B", "http://w/b")
