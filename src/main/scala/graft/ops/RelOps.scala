@@ -147,6 +147,27 @@ object RelOps {
         col(tsCol).as("valid_from"), col("valid_to"))
   }
 
+  /** Cohort retention matrix: users cohorted by the DAY of their first
+    * event; cell (cohort, k) counts distinct users active k days after
+    * their cohort day. Calendar-day arithmetic is integer (datediff),
+    * so the whole matrix is exact across engines. Two shuffles: the
+    * per-user first-event reduce and the (user, day) distinct; the
+    * cohort join ships only user-level rows.
+    */
+  def cohortRetention(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val firsts = df.groupBy(col(keyCol).as("k"))
+      .agg(min(col(tsCol)).as("__ft"))
+      .select(col("k"), to_date(col("__ft")).as("cohort"))
+    val active = df
+      .select(col(keyCol).as("k"), to_date(col(tsCol)).as("d"))
+      .distinct()
+    active.join(firsts, "k")
+      .select(col("cohort"),
+        datediff(col("d"), col("cohort")).cast("long").as("days_since"))
+      .groupBy("cohort", "days_since")
+      .agg(count(lit(1)).as("users"))
+  }
+
   /** Ordered funnel: users reaching step i did step i-1 first and step i
     * within `within` of their step-(i-1) time; each stage anchors on the
     * EARLIEST qualifying event (deterministic, no pattern backtracking).

@@ -1620,6 +1620,15 @@ object Queries {
         Seq("view", "click", "purchase"), expr("INTERVAL 1 HOUR"))
       .orderBy("step")
 
+  /** Cohort retention matrix ([[graft.ops.RelOps.cohortRetention]]):
+    * users cohorted by first-event day, distinct active users per
+    * (cohort, days-since) cell. Integer calendar-day arithmetic →
+    * exact oracle.
+    */
+  def q116_retention(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.RelOps.cohortRetention(Tables(spark, dir).events, "user_id", "ts")
+      .orderBy("cohort", "days_since")
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -1778,7 +1787,8 @@ object Queries {
     "q112_salted_join" -> (q112_salted_join _),
     "q113_cosupply_triangles" -> (q113_cosupply_triangles _),
     "q114_scd2" -> (q114_scd2 _),
-    "q115_funnel" -> (q115_funnel _)
+    "q115_funnel" -> (q115_funnel _),
+    "q116_retention" -> (q116_retention _)
   )
 }
 
@@ -2865,7 +2875,16 @@ object Oracles {
         |         CAST(count(*) AS BIGINT) AS users FROM v
         |  UNION ALL SELECT CAST(2 AS BIGINT), 'click', CAST(count(*) AS BIGINT) FROM c
         |  UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT) FROM p)
-        |ORDER BY step""".stripMargin
+        |ORDER BY step""".stripMargin,
+    "q116_retention" ->
+      """WITH firsts AS (SELECT user_id AS k, CAST(min(ts) AS DATE) AS cohort
+        |  FROM events GROUP BY 1),
+        |active AS (SELECT DISTINCT user_id AS k, CAST(ts AS DATE) AS d FROM events)
+        |SELECT cohort,
+        |  CAST(date_diff('day', cohort, d) AS BIGINT) AS days_since,
+        |  CAST(count(*) AS BIGINT) AS users
+        |FROM active JOIN firsts USING (k)
+        |GROUP BY cohort, days_since ORDER BY cohort, days_since""".stripMargin
   )
 
   /** q110/q111's shared oracle CTE chain: the BPE merge loop unrolled 4

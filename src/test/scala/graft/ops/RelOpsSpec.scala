@@ -133,6 +133,23 @@ class RelOpsSpec extends SparkSpec {
       (3L, "p", 7L, Some(7L)), (3L, "q", 7L, None)))
   }
 
+  test("cohortRetention: day cohorts, distinct per cell, gaps preserved") {
+    val e = Seq(
+      (1L, "2024-01-01 08:00:00"), (1L, "2024-01-01 21:00:00"), // same day twice: 1 cell row
+      (1L, "2024-01-03 09:00:00"),                              // day 2 skipped
+      (2L, "2024-01-01 10:00:00"), (2L, "2024-01-02 10:00:00"),
+      (3L, "2024-01-02 23:59:59")
+    ).toDF("uid", "s").withColumn("ts", to_timestamp($"s"))
+    val got = RelOps.cohortRetention(e, "uid", "ts")
+      .select(col("cohort").cast("string"), col("days_since"), col("users"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("2024-01-01", 0L, 2L), // u1+u2 on their first day
+      ("2024-01-01", 1L, 1L), // only u2 returns next day
+      ("2024-01-01", 2L, 1L), // u1 returns on day 2 (gap at day 1)
+      ("2024-01-02", 0L, 1L))) // u3's own cohort
+  }
+
   test("funnel: ordered steps, time bound enforced, monotone drop-off") {
     val e = Seq(
       // u1 completes all three in order within bounds
