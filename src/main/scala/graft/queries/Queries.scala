@@ -1629,6 +1629,24 @@ object Queries {
     graft.ops.RelOps.cohortRetention(Tables(spark, dir).events, "user_id", "ts")
       .orderBy("cohort", "days_since")
 
+  /** q101's exactness rung (the q67-q70 discipline applied to label
+    * propagation): at probes = c the k-NN graph is exact, so 4 rounds
+    * of clamped plurality spreading hash-check against a 4×-unrolled
+    * window-argmax SQL oracle over the brute-force graph — iterated
+    * plurality CAN be oracle-checked; only the approximate-graph form
+    * (q101) stays rows-only. cos ranking survives cross-engine because
+    * sqrt (unlike ln/exp) is IEEE-correctly-rounded.
+    */
+  def q117_label_spread_exact(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val idx = graft.functions.VectorOps.IvfIndex.build(e, "vec_id", "embedding", c = 16)
+    val g = graft.functions.VectorOps.knnGraph(idx, k = 3, probes = 16)
+    graft.functions.VectorOps.labelPropagate(
+        g, e.filter(col("vec_id") < 100).select(col("vec_id"), col("label")),
+        "vec_id", "label", maxIters = 4)
+      .orderBy("id", "label")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -1788,7 +1806,8 @@ object Queries {
     "q113_cosupply_triangles" -> (q113_cosupply_triangles _),
     "q114_scd2" -> (q114_scd2 _),
     "q115_funnel" -> (q115_funnel _),
-    "q116_retention" -> (q116_retention _)
+    "q116_retention" -> (q116_retention _),
+    "q117_label_spread_exact" -> (q117_label_spread_exact _)
   )
 }
 
@@ -2884,8 +2903,46 @@ object Oracles {
         |  CAST(date_diff('day', cohort, d) AS BIGINT) AS days_since,
         |  CAST(count(*) AS BIGINT) AS users
         |FROM active JOIN firsts USING (k)
-        |GROUP BY cohort, days_since ORDER BY cohort, days_since""".stripMargin
+        |GROUP BY cohort, days_since ORDER BY cohort, days_since""".stripMargin,
+    "q117_label_spread_exact" -> LabelSpreadSql
   )
+
+  /** q117's oracle: brute-force exact 3-NN graph (q98's SQL) + the
+    * plurality-spread loop unrolled 4 rounds — per round, unlabeled
+    * nodes take the (votes desc, label asc) argmax over their labeled
+    * neighbors; the labeled set only grows, so early convergence in the
+    * engine and fixed unrolling in SQL reach the same fixpoint.
+    */
+  private lazy val LabelSpreadSql: String = {
+    val round = (i: Int) => {
+      val prev = s"lab${i - 1}"
+      s"""v$i AS (SELECT e.qid, l.label, count(*) AS c
+         |       FROM g e JOIN $prev l ON e.id = l.id
+         |       WHERE e.qid NOT IN (SELECT id FROM $prev)
+         |       GROUP BY 1, 2),
+         |f$i AS (SELECT qid AS id, label, CAST($i AS INTEGER) AS round FROM (
+         |         SELECT qid, label,
+         |           row_number() OVER (PARTITION BY qid ORDER BY c DESC, label) AS rn
+         |         FROM v$i) WHERE rn = 1),
+         |lab$i AS (SELECT * FROM $prev UNION ALL SELECT * FROM f$i)""".stripMargin
+    }
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |n AS (SELECT vec_id, e,
+       |        (SELECT sum(x*x) FROM (SELECT unnest(e) AS x)) AS nm2 FROM v),
+       |s AS (SELECT a.vec_id AS qid, b.vec_id AS nbr_id,
+       |        (SELECT sum(x*y) FROM (SELECT unnest(a.e) AS x, unnest(b.e) AS y)) /
+       |        sqrt(a.nm2 * b.nm2) AS cos
+       |      FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+       |r AS (SELECT qid, nbr_id,
+       |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr_id) AS rn
+       |      FROM s),
+       |g AS (SELECT qid, nbr_id AS id FROM r WHERE rn <= 3),
+       |lab0 AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS label,
+       |                CAST(0 AS INTEGER) AS round
+       |         FROM embeddings WHERE vec_id < 100),
+       |${(1 to 4).map(round).mkString(",\n")}
+       |SELECT id, label, round FROM lab4 ORDER BY id, label""".stripMargin
+  }
 
   /** q110/q111's shared oracle CTE chain: the BPE merge loop unrolled 4
     * rounds (the q104 PageRank discipline). Words are chr(31)-joined
