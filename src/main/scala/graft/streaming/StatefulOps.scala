@@ -272,6 +272,40 @@ object StatefulOps {
       }
   }
 
+  case class Scd2Event(key: Long, ts: Long, attr: String)
+  case class Scd2Row(key: Long, attr: String, validFrom: Long,
+                     validTo: Option[Long])
+
+  /** Streaming SCD2 maintenance — [[graft.ops.RelOps.scd2]]'s
+    * incremental sibling (the CDC shape: a dimension table maintained
+    * from a change stream). State per key is the OPEN interval
+    * (attr, since); an attribute change closes it (emitting the closed
+    * row) and opens a new one. Every batch re-emits the key's current
+    * open row, so an upsert sink keyed on (key, validFrom) converges to
+    * exactly the batch scd2 output — proven in the spec. Same in-order
+    * per-key delivery assumption as [[funnelGate]]; within a batch rows
+    * sort by (ts, attr).
+    */
+  def scd2Gate(events: Dataset[Scd2Event]): Dataset[Scd2Row] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[Scd2Event], state: GroupState[(String, Long)]) =>
+          var cur = state.getOption.orNull
+          val closed = Vector.newBuilder[Scd2Row]
+          for (e <- rows.toVector.sortBy(e => (e.ts, e.attr))) {
+            if (cur == null) cur = (e.attr, e.ts)
+            else if (e.attr != cur._1) {
+              closed += Scd2Row(key, cur._1, cur._2, Some(e.ts))
+              cur = (e.attr, e.ts)
+            } // same attr: consecutive duplicate, collapse
+          }
+          state.update(cur)
+          closed.result().iterator ++
+            Iterator(Scd2Row(key, cur._1, cur._2, None))
+      }
+  }
+
   case class FunnelEvent(uid: Long, etype: String, ts: Long)
   case class FunnelProgress(uid: Long, stage: Int, stageTs: Long)
 

@@ -58,6 +58,34 @@ class StreamingSpec extends SparkSpec {
     assert(rows.groupBy(_.domain).values.forall(_.map(_.tokens).sum <= 100L))
   }
 
+  test("scd2Gate converges to the batch scd2 output under an upsert sink") {
+    import StatefulOps.{Scd2Event, Scd2Row}
+    val in = MemoryStream[Scd2Event]
+    val q = StatefulOps.scd2Gate(in.toDS())
+      .writeStream.format("memory").queryName(nextName()).outputMode(OutputMode.Update()).start()
+    val name = q.name
+    // batch 1: k1 a@10, a@20 (collapse), b@30; k2 x@5
+    in.addData(Scd2Event(1, 10, "a"), Scd2Event(1, 20, "a"),
+      Scd2Event(1, 30, "b"), Scd2Event(2, 5, "x"))
+    q.processAllAvailable()
+    // batch 2: k1 returns to a@40 (closes b); k2 stays x@50 (collapse)
+    in.addData(Scd2Event(1, 40, "a"), Scd2Event(2, 50, "x"))
+    q.processAllAvailable()
+    val rows = spark.table(name).as[Scd2Row].collect()
+    q.stop()
+    // upsert semantics: last emission per (key, validFrom) wins
+    val upserted = rows.zipWithIndex
+      .groupBy { case (r, _) => (r.key, r.validFrom) }
+      .map { case (_, vs) => vs.maxBy(_._2)._1 }.toSet
+    val df = Seq((1L, 10L, "a"), (1L, 20L, "a"), (1L, 30L, "b"),
+      (2L, 5L, "x"), (1L, 40L, "a"), (2L, 50L, "x")).toDF("key", "ts", "attr")
+    val batch = graft.ops.RelOps.scd2(df.withColumn("eid", $"ts"), "key", "ts", "eid", "attr")
+      .select("key", "attr", "valid_from", "valid_to")
+      .as[(Long, String, Long, Option[Long])].collect()
+      .map { case (k, a, f, t) => Scd2Row(k, a, f, t) }.toSet
+    assert(upserted == batch)
+  }
+
   test("funnelGate tracks per-user stages across batches, equals the batch funnel") {
     import StatefulOps.{FunnelEvent, FunnelProgress}
     val steps = Seq("view", "click", "purchase")
