@@ -168,6 +168,26 @@ object RelOps {
       .agg(count(lit(1)).as("users"))
   }
 
+  /** Per-key daily gap filling: one row per (key, day) for every
+    * calendar day between the key's first and last event, with the
+    * day's event count (0 on gap days) — the resampling step before any
+    * time-series aggregate or model. The day range explodes from the
+    * per-key (min, max) pair, so generated volume is Σ spans, not
+    * keys × global range; one per-(key, day) count shuffle + one
+    * per-key extent reduce; the join back ships only day-level rows.
+    */
+  def gapFillDaily(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val counts = df
+      .select(col(keyCol).as("k"), to_date(col(tsCol)).as("d"))
+      .groupBy("k", "d").agg(count(lit(1)).as("__c"))
+    val spans = counts.groupBy("k")
+      .agg(min(col("d")).as("__lo"), max(col("d")).as("__hi"))
+    spans
+      .select(col("k"), explode(sequence(col("__lo"), col("__hi"))).as("d"))
+      .join(counts, Seq("k", "d"), "left")
+      .select(col("k"), col("d"), coalesce(col("__c"), lit(0L)).as("n"))
+  }
+
   /** Ordered funnel: users reaching step i did step i-1 first and step i
     * within `within` of their step-(i-1) time; each stage anchors on the
     * EARLIEST qualifying event (deterministic, no pattern backtracking).

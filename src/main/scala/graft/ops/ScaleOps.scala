@@ -65,6 +65,24 @@ object ScaleOps {
       .drop("__salt")
   }
 
+  /** Morton (Z-order) value of two non-negative integer keys: bit i of
+    * `x` lands at position 2i, bit i of `y` at 2i+1. Sorting or
+    * range-partitioning a table by this value clusters rows that are
+    * close in BOTH dimensions — the multi-dimensional layout trick
+    * (Delta/Iceberg Z-ORDER) that lets min/max zone maps prune scans on
+    * either predicate column, where a lexicographic sort only prunes the
+    * leading one. Pure integer bit arithmetic (shift/and/or), identical
+    * on any engine, built as one codegen'd expression.
+    */
+  def zOrderValue(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+                  bits: Int): org.apache.spark.sql.Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftrightunsigned(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftrightunsigned(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** Write a table bucketed + sorted by its join key. Two tables bucketed
     * the same way join with ZERO shuffle (the Exchange disappears from
     * the plan — asserted in ScaleOpsSpec): the 100 TB co-located-join

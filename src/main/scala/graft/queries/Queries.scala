@@ -1647,6 +1647,35 @@ object Queries {
       .orderBy("id", "label")
   }
 
+  /** Z-order layout audit ([[graft.ops.ScaleOps.zOrderValue]]): Morton
+    * value over (partkey, suppkey), rows summarized per high-order
+    * z-bucket — the min/max-per-bucket zone map a Z-ordered rewrite
+    * gives a scan planner, pruning on EITHER key. Pure integer bit
+    * arithmetic, identical expression interpolated into both engines.
+    */
+  def q118_zorder(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ScaleOps
+    graft.core.Graft.spread(Tables(spark, dir).lineitem)
+      .select(ScaleOps.zOrderValue(col("l_partkey"), col("l_suppkey"), bits = 16).as("zv"),
+        col("l_partkey"), col("l_suppkey"))
+      .groupBy(shiftrightunsigned(col("zv"), 16).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_partkey")).as("min_p"), max(col("l_partkey")).as("max_p"),
+        min(col("l_suppkey")).as("min_s"), max(col("l_suppkey")).as("max_s"))
+      .orderBy("bucket")
+  }
+
+  /** Per-user daily gap filling ([[graft.ops.RelOps.gapFillDaily]]):
+    * one row per calendar day in each user's active span with that
+    * day's event count, zeros on gap days — the resampling step before
+    * time-series work. Integer counts + calendar-day sequences → exact
+    * oracle.
+    */
+  def q119_gapfill(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.RelOps.gapFillDaily(Tables(spark, dir).events, "user_id", "ts")
+      .select(col("k").as("user_id"), col("d").as("day"), col("n"))
+      .orderBy("user_id", "day")
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -1807,7 +1836,9 @@ object Queries {
     "q114_scd2" -> (q114_scd2 _),
     "q115_funnel" -> (q115_funnel _),
     "q116_retention" -> (q116_retention _),
-    "q117_label_spread_exact" -> (q117_label_spread_exact _)
+    "q117_label_spread_exact" -> (q117_label_spread_exact _),
+    "q118_zorder" -> (q118_zorder _),
+    "q119_gapfill" -> (q119_gapfill _)
   )
 }
 
@@ -2904,8 +2935,34 @@ object Oracles {
         |  CAST(count(*) AS BIGINT) AS users
         |FROM active JOIN firsts USING (k)
         |GROUP BY cohort, days_since ORDER BY cohort, days_since""".stripMargin,
-    "q117_label_spread_exact" -> LabelSpreadSql
+    "q117_label_spread_exact" -> LabelSpreadSql,
+    "q118_zorder" -> ZOrderSql,
+    "q119_gapfill" ->
+      """WITH counts AS (SELECT user_id AS k, CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (SELECT k, min(d) AS lo, max(d) AS hi FROM counts GROUP BY 1),
+        |days AS (SELECT k, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+        |         FROM spans)
+        |SELECT k AS user_id, d AS day, coalesce(c, CAST(0 AS BIGINT)) AS n
+        |FROM days LEFT JOIN counts USING (k, d)
+        |ORDER BY user_id, day""".stripMargin
   )
+
+  /** q118's oracle: the SAME 16-bit Morton interleave, generated once in
+    * Scala and interpolated into both engines — integer shift/and/or
+    * only, so the z-values agree bit for bit.
+    */
+  private lazy val ZOrderSql: String = {
+    val z = (0 until 16).map(i =>
+      s"((((l_partkey >> $i) & 1) << ${2 * i}) | (((l_suppkey >> $i) & 1) << ${2 * i + 1}))")
+      .mkString(" | ")
+    s"""WITH z AS (SELECT ($z) AS zv, l_partkey, l_suppkey FROM lineitem)
+       |SELECT zv >> 16 AS bucket, CAST(count(*) AS BIGINT) AS n,
+       |  min(l_partkey) AS min_p, max(l_partkey) AS max_p,
+       |  min(l_suppkey) AS min_s, max(l_suppkey) AS max_s
+       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   /** q117's oracle: brute-force exact 3-NN graph (q98's SQL) + the
     * plurality-spread loop unrolled 4 rounds — per round, unlabeled

@@ -133,6 +133,21 @@ class RelOpsSpec extends SparkSpec {
       (3L, "p", 7L, Some(7L)), (3L, "q", 7L, None)))
   }
 
+  test("gapFillDaily: zero rows on gap days, per-key spans only") {
+    val e = Seq(
+      (1L, "2024-01-01 08:00:00"), (1L, "2024-01-01 09:00:00"),
+      (1L, "2024-01-04 10:00:00"), // gap: Jan 2-3 filled with 0
+      (2L, "2024-02-10 12:00:00")  // single day: span of one, no fill
+    ).toDF("uid", "s").withColumn("ts", to_timestamp($"s"))
+    val got = RelOps.gapFillDaily(e, "uid", "ts")
+      .select(col("k"), col("d").cast("string"), col("n"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set(
+      (1L, "2024-01-01", 2L), (1L, "2024-01-02", 0L),
+      (1L, "2024-01-03", 0L), (1L, "2024-01-04", 1L),
+      (2L, "2024-02-10", 1L)))
+  }
+
   test("cohortRetention: day cohorts, distinct per cell, gaps preserved") {
     val e = Seq(
       (1L, "2024-01-01 08:00:00"), (1L, "2024-01-01 21:00:00"), // same day twice: 1 cell row

@@ -71,6 +71,23 @@ class ScaleOpsSpec extends SparkSpec {
     assert(err.getMessage.contains("foldable") || err.getMessage.contains("constant"))
   }
 
+  test("zOrderValue interleaves bits; sorting by it clusters both dimensions") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L))
+      .toDF("x", "y")
+    val got = df.select(ScaleOps.zOrderValue($"x", $"y", 16)).as[Long].collect().toSeq
+    // z(3,5): x bits 0,1 -> pos 0,2; y bits 0,2 -> pos 1,5 = 100111b = 39
+    assert(got == Seq(0L, 1L, 2L, 39L, (1L << 32) - 1))
+    // locality: z-sorted buckets of a 16x16 grid span at most a few rows
+    // of each dimension, unlike an x-sorted layout which spans ALL of y
+    val grid = (for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)).toDF("x", "y")
+    val spans = grid.select(ScaleOps.zOrderValue($"x", $"y", 4).as("z"), $"x", $"y")
+      .groupBy(($"z" / 16).cast("long").as("b")) // 16 buckets of 16 cells
+      .agg((max($"x") - min($"x")).as("sx"), (max($"y") - min($"y")).as("sy"))
+      .as[(Long, Long, Long)].collect()
+    assert(spans.forall { case (_, sx, sy) => sx <= 3 && sy <= 3 },
+      s"z-buckets must be 4x4 tiles, got ${spans.toSeq}")
+  }
+
   test("saltedJoin result multiset equals the plain join at any salt") {
     val fact = Seq((1L, 10.0), (1L, 20.0), (2L, 5.0), (3L, 7.0), (1L, 30.0))
       .toDF("fk", "v")
