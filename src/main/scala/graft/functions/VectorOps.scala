@@ -1268,4 +1268,28 @@ object VectorOps {
       (1 to iters).foldLeft(seeds)((cents, _) => mean(assignTop(vTrain, cents, 1)))
     }
   }
+
+  /** Exact Gram / scatter matrix over int8-quantized embeddings: the
+    * upper triangle of `Σ_v code_i·code_j` — the d×d statistic behind
+    * PCA/whitening of an embedding corpus (SemDeDup et al. whiten before
+    * clustering), computed on the engine-exact integer codes so the
+    * corpus-order-dependent float summation problem disappears and the
+    * whole matrix hash-checks across engines. The eigensolve on the d×d
+    * result is driver-side arithmetic (the QualityModel ridge pattern) —
+    * d², not n, sized.
+    *
+    * Shape: the quantized (id, pos, code) stream self-joins on id (an
+    * equi-join; the pair explosion is d(d+1)/2 per vector) and the
+    * (i, j) hash-aggregate is map-side combinable into d(d+1)/2 cells,
+    * so the only corpus-sized shuffle is the id co-location — at 100 TB
+    * the join is collocated (both sides derive from one scan) and AQE
+    * coalesces the tiny aggregate.
+    */
+  def quantizedGram(vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val codes = graft.ops.CorpusOps.quantizeInt8(vectors, idCol, vecCol).cache()
+    val a = codes.select(col("id"), col("pos").as("i"), col("code").as("ci"))
+    val b = codes.select(col("id"), col("pos").as("j"), col("code").as("cj"))
+    a.join(b, a("id") === b("id") && col("i") <= col("j"))
+      .groupBy("i", "j").agg(sum(col("ci") * col("cj")).as("s"))
+  }
 }

@@ -638,4 +638,49 @@ object CorpusOps {
       .withColumn("compression",
         col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
   }
+
+  /** Corpus snapshot diff: classify every key across two snapshot frames
+    * as added / removed / changed / same by comparing a caller-supplied
+    * fingerprint column (md5 of the payload, a content hash column the
+    * lake already stores, …). The audit step between pipeline runs — at
+    * 100 TB only fingerprints shuffle (one full-outer equi-join on the
+    * key), never payloads. Keys must be unique per snapshot.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keyCol: String, fpCol: String): DataFrame = {
+    val o = oldSnap.select(col(keyCol).as("__k"), col(fpCol).as("__old"))
+    val n = newSnap.select(col(keyCol).as("__k"), col(fpCol).as("__new"))
+    o.join(n, Seq("__k"), "full_outer")
+      .select(col("__k").as(keyCol),
+        when(col("__old").isNull, lit("added"))
+          .when(col("__new").isNull, lit("removed"))
+          .when(col("__old") =!= col("__new"), lit("changed"))
+          .otherwise(lit("same")).as("status"))
+  }
+
+  /** σ-clip outlier gate, cross-engine exact: flags rows where
+    * |x − mean| > k·σ (population σ), evaluated WITHOUT any float
+    * division or sqrt by comparing the squared inequality in integer
+    * form — `(n·x − Σx)² > k²·(n·Σx² − (Σx)²)`, both sides being the
+    * n²-scaled images of (x−mean)² and k²σ² — with DECIMAL(38,0)
+    * intermediates (the products overflow BIGINT at corpus scale; the
+    * q104 widening lesson). One tiny stats reduce broadcast into a
+    * second scan; the length/quality clipping pass every curation
+    * pipeline runs before training.
+    */
+  def sigmaClip(df: DataFrame, idCol: String, xCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val x = col(xCol).cast("long")
+    val stats = df.agg(count(lit(1)).as("__n"),
+      sum(x).as("__s1"), sum(x * x).as("__s2"))
+    val dev = (col("__n") * col("x") - col("__s1")).cast(d38)
+    df.select(col(idCol), x.as("x"))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("x"),
+        (dev * dev >
+          lit(k.toLong * k) *
+            (col("__n").cast(d38) * col("__s2").cast(d38) -
+              col("__s1").cast(d38) * col("__s1").cast(d38))).as("is_outlier"))
+  }
 }

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed mergeable sketches (Cormode & Muthukrishnan 2005,
+  * "An improved data stream summary: the count-min sketch and its
+  * applications").
+  *
+  * The reference's streaming counters live in per-partition key-value
+  * stores (kasper `examples/word_count_example.go:30-67` keeps exact
+  * per-key counts in a store); at 100 TB of events the exact per-key
+  * table is itself huge, and the CM sketch is the standard sublinear
+  * stand-in: a depth×width grid of counters that answers point
+  * frequency queries with one-sided error (never under-estimates,
+  * over-estimates by ≤ e·N/width w.h.p.).
+  *
+  * Spark shape: the build is ONE map-side-combinable hash aggregate
+  * into depth·width cells — the smallest shuffle an aggregation can
+  * have — and sketches MERGE by cell-wise addition, so per-executor
+  * partial sketches combine exactly like partial sums (the property
+  * that makes the sketch work as a streaming aggregation state or a
+  * per-day sketch rollup). Estimation broadcasts the (tiny, bounded by
+  * literals) sketch to the probe side.
+  *
+  * Hashing is the engine's shared modular family
+  * `((k mod P)·(A + r·B) + r·C) mod P mod width` — all intermediates
+  * < 2⁶³, so the arithmetic is exact (and oracle-reproducible) on any
+  * engine, no wraparound involved.
+  */
+object SketchOps {
+
+  val P = 1000000007L
+  private val A = 2654435761L
+  private val B = 40503L
+  private val C = 97L
+
+  /** Bucket of `key` in sketch row `row` (both columns; `width` a literal). */
+  def cmsBucket(key: Column, row: Column, width: Int): Column =
+    ((key % P) * (lit(A) + row * B) + row * C) % P % width
+
+  /** Build a count-min sketch over `keyCol`: one row per non-empty cell,
+    * `(r, b, cnt)`. Cells never touched by a key are absent (semantically
+    * zero — [[cmsEstimate]] coalesces).
+    */
+  def cmsBuild(df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth > 0 && width > 0, s"depth/width must be positive, got $depth/$width")
+    df.select(col(keyCol).cast("long").as("__k"))
+      .select(col("__k"), explode(sequence(lit(0L), lit(depth - 1L))).as("r"))
+      .select(col("r"), cmsBucket(col("__k"), col("r"), width).as("b"))
+      .groupBy("r", "b").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge two sketches built with the same (depth, width, hash family):
+    * cell-wise addition. sketch(A ∪ B) ≡ merge(sketch(A), sketch(B)) —
+    * spec-asserted.
+    */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionAll(b).groupBy("r", "b").agg(sum("cnt").as("cnt"))
+
+  /** Point-frequency estimates for every row of `keys`: min over the
+    * key's `depth` cells, 0 for never-seen keys. The sketch (≤
+    * depth·width rows) broadcasts; `keys` keeps all its columns and
+    * gains `n_est`.
+    */
+  def cmsEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
+                  depth: Int, width: Int): DataFrame = {
+    val probes = keys.select(col(keyCol))
+      .withColumn("r", explode(sequence(lit(0L), lit(depth - 1L))))
+      .withColumn("b", cmsBucket(col(keyCol).cast("long"), col("r"), width))
+    val est = probes.join(broadcast(sketch), Seq("r", "b"), "left")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
+    keys.join(est, keyCol)
+  }
+}

@@ -1676,6 +1676,91 @@ object Queries {
       .select(col("k").as("user_id"), col("d").as("day"), col("n"))
       .orderBy("user_id", "day")
 
+  /** Count-min-sketch heavy hitters ([[graft.ops.SketchOps]]): build a
+    * 4×64 CM sketch over the event stream's user ids, then report the
+    * exact top-20 users beside their sketch estimates — the sublinear
+    * frequency surface a 100 TB event log gets instead of an exact
+    * per-key table. The sketch's modular hash family is exact integer
+    * arithmetic, so the WHOLE sketch (and thus every estimate) is
+    * hash-checked against DuckDB; the one-sided-error and mergeability
+    * guarantees are spec-owned in SketchOpsSpec.
+    */
+  def q120_heavy_hitters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.SketchOps
+    val ev = Tables(spark, dir).events
+    val sketch = SketchOps.cmsBuild(ev, "user_id", depth = 4, width = 64)
+    val top = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("user_id")).limit(20)
+    SketchOps.cmsEstimate(sketch, top, "user_id", depth = 4, width = 64)
+      .select(col("user_id"), col("n_exact"), col("n_est"))
+      .orderBy(col("n_exact").desc, col("user_id"))
+  }
+
+  /** Hopping/sliding window aggregation: 1-hour windows sliding every
+    * 15 minutes over the event stream (each event lands in 4 windows) —
+    * the smoothed-rate view KQ-23's tumbling windows can't give. Uses
+    * Spark's native `window()` slide form; the oracle regenerates the
+    * same epoch-aligned window starts with integer µs arithmetic, so the
+    * result is exact (counts + decimal-summed values).
+    */
+  def q121_hopping_window(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"), col("value"))
+      .groupBy(col("w.start").as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumExact(col("value")).as("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  /** Inverted-index build ([[graft.text.TextSearch.invertedIndex]]): the
+    * corpus's top-20 tokens by document frequency with their sorted
+    * posting lists — the keyword-retrieval structure whose partitioned
+    * save/load (bucket-pruned term lookup, the IVF cell layout applied
+    * to tokens) is plan-guarded in TextSearchSpec. Exact oracle
+    * including the posting arrays (the q08 array discipline).
+    */
+  def q122_inverted_index(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextSearch.invertedIndex(Tables(spark, dir).documents, "doc_id", "text")
+      .orderBy(col("df").desc, col("token")).limit(20)
+      .orderBy(col("df").desc, col("token"))
+
+  /** Corpus snapshot diff ([[graft.ops.CorpusOps.snapshotDiff]]): the
+    * run-over-run audit — old snapshot drops every 10th doc, new
+    * snapshot rewrites every 7th, and the diff classifies each key
+    * added/removed/changed/same from md5 fingerprints (only fingerprints
+    * ever shuffle). Exact oracle (md5 hex agrees across engines).
+    */
+  def q123_snapshot_diff(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val oldSnap = d.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val newSnap = d.select(col("doc_id"),
+      md5(when(col("doc_id") % 7 === 0, upper(col("text")))
+        .otherwise(col("text"))).as("fp"))
+    graft.ops.CorpusOps.snapshotDiff(oldSnap, newSnap, "doc_id", "fp")
+      .orderBy("doc_id")
+  }
+
+  /** σ-clip outlier gate ([[graft.ops.CorpusOps.sigmaClip]]): flag docs
+    * whose length deviates from the corpus mean by > 2σ — evaluated as
+    * the squared integer inequality, so the gate is hash-exact across
+    * engines despite being a variance test (no sqrt, no division).
+    */
+  def q124_outlier_gate(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusOps.sigmaClip(Tables(spark, dir).documents,
+        "doc_id", "n_chars", k = 2)
+      .orderBy("doc_id")
+
+  /** Quantized Gram matrix ([[graft.functions.VectorOps.quantizedGram]]):
+    * the upper-triangle d×d scatter matrix over int8 codes — the
+    * PCA/whitening statistic computed integer-exact (q49's quantization
+    * composed into a second-moment aggregate), hash-checked cell by
+    * cell against DuckDB.
+    */
+  def q125_quantized_gram(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.VectorOps.quantizedGram(
+        Tables(spark, dir).embeddings, "vec_id", "embedding")
+      .orderBy("i", "j")
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -1838,7 +1923,13 @@ object Queries {
     "q116_retention" -> (q116_retention _),
     "q117_label_spread_exact" -> (q117_label_spread_exact _),
     "q118_zorder" -> (q118_zorder _),
-    "q119_gapfill" -> (q119_gapfill _)
+    "q119_gapfill" -> (q119_gapfill _),
+    "q120_heavy_hitters" -> (q120_heavy_hitters _),
+    "q121_hopping_window" -> (q121_hopping_window _),
+    "q122_inverted_index" -> (q122_inverted_index _),
+    "q123_snapshot_diff" -> (q123_snapshot_diff _),
+    "q124_outlier_gate" -> (q124_outlier_gate _),
+    "q125_quantized_gram" -> (q125_quantized_gram _)
   )
 }
 
@@ -2946,7 +3037,75 @@ object Oracles {
         |         FROM spans)
         |SELECT k AS user_id, d AS day, coalesce(c, CAST(0 AS BIGINT)) AS n
         |FROM days LEFT JOIN counts USING (k, d)
-        |ORDER BY user_id, day""".stripMargin
+        |ORDER BY user_id, day""".stripMargin,
+    "q120_heavy_hitters" ->
+      """WITH sk AS (
+        |  SELECT r, ((user_id % 1000000007) * (2654435761 + r * 40503) + r * 97)
+        |           % 1000000007 % 64 AS b,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events CROSS JOIN unnest(generate_series(0, 3)) AS u(r)
+        |  GROUP BY 1, 2),
+        |top AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
+        |        FROM events GROUP BY 1
+        |        ORDER BY n_exact DESC, user_id LIMIT 20)
+        |SELECT t.user_id, t.n_exact, CAST(min(sk.cnt) AS BIGINT) AS n_est
+        |FROM top t CROSS JOIN unnest(generate_series(0, 3)) AS u(r)
+        |JOIN sk ON sk.r = u.r
+        |  AND sk.b = ((t.user_id % 1000000007) * (2654435761 + u.r * 40503) + u.r * 97)
+        |             % 1000000007 % 64
+        |GROUP BY 1, 2 ORDER BY n_exact DESC, user_id""".stripMargin,
+    "q121_hopping_window" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, event_type,
+        |             CAST(value AS DECIMAL(18,6)) AS v FROM events),
+        |w AS (SELECT make_timestamp((us // 900000000) * 900000000 - k * 900000000)
+        |               AS window_start, event_type, v
+        |      FROM e CROSS JOIN unnest(generate_series(0, 3)) AS u(k)
+        |      WHERE us < (us // 900000000) * 900000000 - k * 900000000 + 3600000000)
+        |SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(v) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q122_inverted_index" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |dt AS (SELECT DISTINCT doc_id, token
+        |       FROM (SELECT doc_id, unnest(t) AS token FROM toks)),
+        |idx AS (SELECT token, CAST(count(*) AS BIGINT) AS df,
+        |          list_sort(list(doc_id)) AS postings
+        |        FROM dt GROUP BY token)
+        |SELECT token, df, postings FROM idx
+        |ORDER BY df DESC, token LIMIT 20""".stripMargin,
+    "q123_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 10 <> 0),
+        |n AS (SELECT doc_id,
+        |        md5(CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END) AS fp
+        |      FROM documents)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.fp IS NULL THEN 'added'
+        |       WHEN n.fp IS NULL THEN 'removed'
+        |       WHEN o.fp <> n.fp THEN 'changed' ELSE 'same' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "q124_outlier_gate" ->
+      """WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(n_chars) AS BIGINT) AS s1,
+        |             CAST(sum(n_chars * n_chars) AS BIGINT) AS s2 FROM documents)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
+        |  (CAST(n * n_chars - s1 AS HUGEINT) * CAST(n * n_chars - s1 AS HUGEINT) >
+        |   4 * (CAST(n AS HUGEINT) * CAST(s2 AS HUGEINT) -
+        |        CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT))) AS is_outlier
+        |FROM documents, s ORDER BY doc_id""".stripMargin,
+    "q125_quantized_gram" ->
+      """WITH v AS (SELECT vec_id, embedding AS e,
+        |  CAST(list_min(embedding) AS DOUBLE) AS mn,
+        |  CAST(list_max(embedding) AS DOUBLE) AS mx FROM embeddings),
+        |c AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+        |        CASE WHEN mx = mn THEN 0
+        |          ELSE CAST(floor((CAST(e[i] AS DOUBLE) - mn) * 255.0 / (mx - mn)) AS BIGINT) - 128
+        |        END AS code
+        |      FROM v CROSS JOIN unnest(generate_series(1, len(e))) AS u(i))
+        |SELECT a.pos AS i, b.pos AS j, CAST(sum(a.code * b.code) AS BIGINT) AS s
+        |FROM c a JOIN c b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+        |GROUP BY 1, 2 ORDER BY i, j""".stripMargin
   )
 
   /** q118's oracle: the SAME 16-bit Morton interleave, generated once in

@@ -202,4 +202,52 @@ object TextSearch {
       contrib.reduce(_ unionAll _).groupBy("id").agg(sum("rrf").as("score")),
       col("score"), col("id"), k)
   }
+
+  /** Inverted index over the corpus: one row per token with its document
+    * frequency and the sorted posting list. The structure behind every
+    * keyword-search engine; [[bm25TopK]] deliberately avoids building it
+    * (two scans beat an index for one-off queries), but a REUSED query
+    * workload amortizes the build. Build = one (doc, token) distinct +
+    * one token groupBy — both map-side combinable. Postings collect into
+    * an array per token; a token appearing in a large fraction of a
+    * 100 TB corpus would make that row huge, which is exactly the
+    * stopword class a real index drops — callers cap with
+    * `maxDf`, mirroring the hot-gram drop in the jaccard rail.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    maxDf: Option[Long] = None): DataFrame = {
+    val idx = graft.core.Graft.spread(docs)
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .distinct()
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(col("doc_id"))).as("postings"))
+    maxDf.fold(idx)(m => idx.filter(col("df") <= m))
+  }
+
+  /** Persist an inverted index partitioned by a token-hash bucket so a
+    * term lookup prunes to `|terms|` partitions (the cell-partitioned
+    * layout the IVF family uses for vectors, applied to tokens).
+    */
+  def saveIndex(idx: DataFrame, dir: String, buckets: Int): Unit =
+    idx.withColumn("bucket", pmod(xxhash64(col("token")), lit(buckets.toLong)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+
+  /** Load postings for `terms` from a saved index, reading ONLY the
+    * terms' bucket partitions: bucket ids come from one tiny bounded job
+    * (literal hashing — the probed-cell-collect pattern), and the bucket
+    * IN-filter is a partition filter on the saved layout, so the scan
+    * touches |terms| directories no matter the vocabulary size.
+    */
+  def loadPostings(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   terms: Seq[String], buckets: Int): DataFrame = {
+    require(terms.nonEmpty, "loadPostings needs at least one term")
+    val bks = spark.range(1)
+      .select(terms.map(t => pmod(xxhash64(lit(t)), lit(buckets.toLong))): _*)
+      .head().toSeq.map(_.asInstanceOf[Long]).distinct
+    spark.read.parquet(dir)
+      .filter(col("bucket").isin(bks: _*) && col("token").isin(terms: _*))
+      .drop("bucket")
+  }
 }

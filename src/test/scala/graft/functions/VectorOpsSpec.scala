@@ -666,4 +666,27 @@ class VectorOpsSpec extends SparkSpec {
     assert(got == want, "full-probe clustered groups must equal exact groups")
     assert(want.exists { case (id, g) => g != id }, "fixture has non-trivial groups")
   }
+
+  test("quantizedGram matches a driver-side recomputation on crafted vectors") {
+    val vecs = Seq(
+      (1L, Array(0.0f, 1.0f, 2.0f)),
+      (2L, Array(4.0f, 0.0f, 2.0f)),
+      (3L, Array(3.0f, 3.0f, 3.0f))) // constant vector codes to all-zero
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = quantizedGram(df, "vec_id", "embedding")
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // reference: same min-max int8 arithmetic per vector, then Σ ci·cj
+    def codes(v: Array[Float]): Array[Long] = {
+      val mn = v.min.toDouble; val mx = v.max.toDouble
+      if (mx == mn) v.map(_ => 0L)
+      else v.map(x => math.floor((x - mn) * 255.0 / (mx - mn)).toLong - 128L)
+    }
+    val cs = vecs.map { case (_, v) => codes(v) }
+    val want = (for { i <- 0 until 3; j <- i until 3 } yield
+      (i.toLong, j.toLong) -> cs.map(c => c(i) * c(j)).sum).toMap
+    assert(got == want)
+    // upper triangle only, diagonal non-negative
+    assert(got.size == 6 && got.keys.forall { case (i, j) => i <= j })
+    assert((0 until 3).forall(i => got((i.toLong, i.toLong)) >= 0L))
+  }
 }

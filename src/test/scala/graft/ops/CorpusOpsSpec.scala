@@ -496,4 +496,28 @@ class CorpusOpsSpec extends SparkSpec {
       .as[(Long, String, String, String, Long)].collect().toSeq
     assert(got == Seq((1L, "a", "b", "ab", 1L))) // (a,b) < (x,y) at equal count
   }
+
+  test("snapshotDiff classifies added/removed/changed/same") {
+    val old = Seq((1L, "h1"), (2L, "h2"), (3L, "h3")).toDF("id", "fp")
+    val neu = Seq((2L, "h2"), (3L, "h3x"), (4L, "h4")).toDF("id", "fp")
+    val got = CorpusOps.snapshotDiff(old, neu, "id", "fp")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "removed", 2L -> "same", 3L -> "changed", 4L -> "added"))
+  }
+
+  test("sigmaClip flags exactly the >kσ rows (checked against a double-math reference)") {
+    // crafted: nine near-mean values and one far outlier
+    val xs = Seq(100L, 101L, 99L, 100L, 102L, 98L, 100L, 101L, 99L, 500L)
+    val d = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("id", "x")
+    val got = CorpusOps.sigmaClip(d, "id", "x", k = 2)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    val n = xs.size.toDouble
+    val mean = xs.sum / n
+    val sd = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / n)
+    got.foreach { case (id, x, flag) =>
+      val want = math.abs(x - mean) > 2 * sd
+      assert(flag == want, s"id=$id x=$x: got $flag want $want")
+    }
+    assert(got.count(_._3) == 1 && got.find(_._3).get._2 == 500L)
+  }
 }

@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val D = 4
+  private val W = 32
+
+  test("cms estimates never under-count and bound the over-count") {
+    val ev = graft.core.Tables(spark, sfDir).events
+    val sketch = SketchOps.cmsBuild(ev, "user_id", D, W)
+    val exact = ev.groupBy($"user_id").agg(count(lit(1)).as("n_exact"))
+    val est = SketchOps.cmsEstimate(sketch, exact, "user_id", D, W)
+      .select($"user_id", $"n_exact", $"n_est").collect()
+    val n = ev.count()
+    est.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"under-estimate for key ${r.getLong(0)}: ${r.getLong(2)} < ${r.getLong(1)}")
+      // generous factual bound: the CMS guarantee is est ≤ exact + e·N/W
+      // w.h.p.; assert 4× that so the test owns the property, not the seed
+      assert(r.getLong(2) - r.getLong(1) <= 4 * math.E * n / W)
+    }
+  }
+
+  test("cms merge of split halves equals the sketch of the union") {
+    val ev = graft.core.Tables(spark, sfDir).events
+    val a = ev.filter($"event_id" % 2 === 0)
+    val b = ev.filter($"event_id" % 2 =!= 0)
+    val merged = SketchOps.cmsMerge(
+        SketchOps.cmsBuild(a, "user_id", D, W),
+        SketchOps.cmsBuild(b, "user_id", D, W))
+      .as[(Long, Long, Long)].collect()
+      .map { case (r, bkt, c) => ((r, bkt), c) }.toMap
+    val full = SketchOps.cmsBuild(ev, "user_id", D, W)
+      .as[(Long, Long, Long)].collect()
+      .map { case (r, bkt, c) => ((r, bkt), c) }.toMap
+    assert(merged == full)
+  }
+
+  test("cms estimate for a never-seen key is the bucket floor (0 on empty cells)") {
+    val df = Seq(1L, 1L, 2L).toDF("k")
+    val sketch = SketchOps.cmsBuild(df, "k", D, W)
+    val unseen = Seq(999999L).toDF("k")
+    val est = SketchOps.cmsEstimate(sketch, unseen, "k", D, W)
+      .select($"n_est").as[Long].head()
+    // with 3 keys in 32 buckets a collision on ALL 4 rows is essentially
+    // impossible; the estimate must fall back to an absent-cell zero
+    assert(est == 0L)
+  }
+}

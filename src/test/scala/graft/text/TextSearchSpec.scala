@@ -227,4 +227,37 @@ class TextSearchSpec extends SparkSpec {
         window = 1, k = 5)
     }.getMessage.contains("window"))
   }
+
+  test("invertedIndex: postings sorted+distinct, maxDf drops stopwords") {
+    val docs = Seq(
+      (3L, "the cat sat"),
+      (1L, "the the dog"),
+      (2L, "the cat")).toDF("doc_id", "text")
+    val idx = TextSearch.invertedIndex(docs, "doc_id", "text")
+      .as[(String, Long, Seq[Long])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(idx("the") == ((3L, Seq(1L, 2L, 3L))))  // repeated "the" in doc 1 counts once
+    assert(idx("cat") == ((2L, Seq(2L, 3L))))
+    assert(idx("dog") == ((1L, Seq(1L))))
+    val capped = TextSearch.invertedIndex(docs, "doc_id", "text", maxDf = Some(2L))
+      .select("token").as[String].collect().toSet
+    assert(capped == Set("cat", "sat", "dog"))
+  }
+
+  test("saved index lookup prunes to the terms' bucket partitions") {
+    val docs = graft.core.Tables(spark, sfDir).documents
+    val idx = TextSearch.invertedIndex(docs, "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_invidx").toString
+    TextSearch.saveIndex(idx, dir, buckets = 16)
+    val terms = Seq("the", "and", "graph")
+    val got = TextSearch.loadPostings(spark, dir, terms, buckets = 16)
+    // correctness: identical to filtering the in-memory index
+    val want = idx.filter(col("token").isin(terms: _*))
+      .as[(String, Long, Seq[Long])].collect().toSet
+    assert(got.as[(String, Long, Seq[Long])].collect().toSet == want)
+    // the bucket IN-filter must reach the scan as a partition filter:
+    // with 16 buckets and ≤3 probed, pruned file count < total file count
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"bucket pruning missing from scan:\n$plan")
+  }
 }
