@@ -1287,9 +1287,11 @@ object VectorOps {
     */
   def quantizedGram(vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val codes = graft.ops.CorpusOps.quantizeInt8(vectors, idCol, vecCol).cache()
-    val a = codes.select(col("id"), col("pos").as("i"), col("code").as("ci"))
-    val b = codes.select(col("id"), col("pos").as("j"), col("code").as("cj"))
-    a.join(b, a("id") === b("id") && col("i") <= col("j"))
+    // explicit renames on both sides: self-join disambiguation by Dataset
+    // identity would otherwise log a trivially-true `id == id` predicate
+    val a = codes.select(col("id").as("__ida"), col("pos").as("i"), col("code").as("ci"))
+    val b = codes.select(col("id").as("__idb"), col("pos").as("j"), col("code").as("cj"))
+    a.join(b, col("__ida") === col("__idb") && col("i") <= col("j"))
       .groupBy("i", "j").agg(sum(col("ci") * col("cj")).as("s"))
   }
 }

@@ -188,6 +188,23 @@ object RelOps {
       .select(col("k"), col("d"), coalesce(col("__c"), lit(0L)).as("n"))
   }
 
+  /** Trailing `windowDays`-day rolling event count per key, computed on
+    * the gap-filled daily series ([[gapFillDaily]]) with a RANGE frame —
+    * the time-series feature step (7-day activity, 28-day trend) after
+    * resampling. The frame is integer-day RANGE over `unix_date`, so a
+    * key with sparse history still gets calendar-true windows; one
+    * shuffle on the key, shared by the gap fill and the window. Output:
+    * (k, d, n, n_roll).
+    */
+  def rollingDaily(df: DataFrame, keyCol: String, tsCol: String,
+                   windowDays: Int): DataFrame = {
+    require(windowDays > 0, s"windowDays must be positive, got $windowDays")
+    val w = Window.partitionBy(col("k")).orderBy(unix_date(col("d")))
+      .rangeBetween(-(windowDays - 1).toLong, 0L)
+    gapFillDaily(df, keyCol, tsCol)
+      .select(col("k"), col("d"), col("n"), sum(col("n")).over(w).as("n_roll"))
+  }
+
   /** Ordered funnel: users reaching step i did step i-1 first and step i
     * within `within` of their step-(i-1) time; each stage anchors on the
     * EARLIEST qualifying event (deterministic, no pattern backtracking).

@@ -96,4 +96,18 @@ object ScaleOps {
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Key-multiplicity profile (frequency of frequencies): how many keys
+    * have exactly n rows — the skew diagnostic that decides between a
+    * plain join and [[saltedJoin]]/[[saltedSum]] BEFORE the expensive
+    * join runs. Two map-side-combinable aggregations; the second one's
+    * key space is the distinct multiplicity set (tiny — bounded by the
+    * heaviest key), so the profile costs one pass over the data however
+    * skewed it is.
+    */
+  def multiplicityProfile(df: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("n_keys"))
+  }
 }

@@ -1761,6 +1761,120 @@ object Queries {
         Tables(spark, dir).embeddings, "vec_id", "embedding")
       .orderBy("i", "j")
 
+  /** Trailing 7-day rolling activity per user
+    * ([[graft.ops.RelOps.rollingDaily]]): the gap-filled daily series
+    * with a calendar-true RANGE-frame sum — the time-series feature step
+    * after q119's resampling. Integer counts over integer day frames →
+    * exact oracle (DuckDB RANGE INTERVAL window).
+    */
+  def q126_rolling(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.RelOps.rollingDaily(Tables(spark, dir).events, "user_id", "ts",
+        windowDays = 7)
+      .select(col("k").as("user_id"), col("d").as("day"), col("n"),
+        col("n_roll").as("n_7d"))
+      .orderBy("user_id", "day")
+
+  /** Boolean keyword retrieval: documents containing BOTH "join" AND
+    * "hash" and NOT "slow", with the conjuncts' term frequencies — the
+    * filter rail beside BM25's ranked rail. One shuffle-free scan: the
+    * membership tests and tf counts are per-row array expressions, so at
+    * 100 TB this is scan-bound with nothing to spill (the inverted-index
+    * composition answers the same query from postings when the corpus is
+    * indexed; the scan form needs no build).
+    */
+  def q127_boolean_search(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions
+    def tf(t: Column, term: String): Column =
+      (size(t) - size(array_remove(t, term))).cast("long")
+    graft.core.Graft.spread(Tables(spark, dir).documents)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+      .filter(array_contains(col("t"), "join") && array_contains(col("t"), "hash") &&
+        !array_contains(col("t"), "slow"))
+      .select(col("doc_id"), tf(col("t"), "join").as("tf_join"),
+        tf(col("t"), "hash").as("tf_hash"))
+      .orderBy("doc_id")
+  }
+
+  /** Key-multiplicity profile
+    * ([[graft.ops.ScaleOps.multiplicityProfile]]): frequency of
+    * frequencies over lineitem's order key — the one-pass skew
+    * diagnostic that picks plain vs salted join shapes. Integer counts →
+    * exact oracle.
+    */
+  def q128_skew_profile(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ScaleOps.multiplicityProfile(
+        Tables(spark, dir).lineitem, Seq("l_orderkey"))
+      .orderBy("n")
+
+  /** TPC-H Q3-shaped shipping-priority query: top-10 unshipped orders by
+    * revenue for one market segment — the classic 3-table
+    * filter→join→agg→top-k analytic. Declarative throughout: both
+    * date filters push to the scans, the segment-filtered customer side
+    * broadcasts under AQE, and the final top-k is
+    * TakeOrderedAndProject. Exact oracle via the q06 decimal pricing
+    * discipline.
+    */
+  def q129_ship_priority(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cutoff = to_timestamp(lit("1997-01-01 00:00:00"))
+    val c = t.customer.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = t.orders.filter(col("o_orderdate") < cutoff)
+    val l = t.lineitem.filter(col("l_shipdate") > cutoff)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+  }
+
+  /** TPC-H Q5-shaped local-supplier volume: revenue per nation from
+    * orders where customer and supplier share the nation, region-gated —
+    * the 6-table join Catalyst gets to reorder (region/nation broadcast
+    * down the tree; the c_nationkey = s_nationkey equi-condition rides
+    * IN the supplier join). Exact oracle, decimal pricing discipline.
+    */
+  def q130_local_volume(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val n = t.nation
+      .join(broadcast(t.region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val c = t.customer.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "c_nationkey", "n_name")
+    val o = t.orders
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+    val ol = o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+    ol.join(t.supplier,
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Grouped top-k: the 3 highest-value orders per priority class via a
+    * rank window — planned as WindowGroupLimit (Spark 4 pushes the
+    * rank ≤ k filter into the shuffle, keeping k+ε rows per partition
+    * instead of sorting whole groups; plan-guarded in PlanCheckSpec).
+    * The per-group cut is (price desc, key asc) → deterministic →
+    * exact oracle.
+    */
+  def q131_top_per_group(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(spark, dir).orders
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_orderpriority"), col("rk").cast("long").as("rk"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_orderpriority", "rk")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -1929,7 +2043,13 @@ object Queries {
     "q122_inverted_index" -> (q122_inverted_index _),
     "q123_snapshot_diff" -> (q123_snapshot_diff _),
     "q124_outlier_gate" -> (q124_outlier_gate _),
-    "q125_quantized_gram" -> (q125_quantized_gram _)
+    "q125_quantized_gram" -> (q125_quantized_gram _),
+    "q126_rolling" -> (q126_rolling _),
+    "q127_boolean_search" -> (q127_boolean_search _),
+    "q128_skew_profile" -> (q128_skew_profile _),
+    "q129_ship_priority" -> (q129_ship_priority _),
+    "q130_local_volume" -> (q130_local_volume _),
+    "q131_top_per_group" -> (q131_top_per_group _)
   )
 }
 
@@ -3105,7 +3225,68 @@ object Oracles {
         |      FROM v CROSS JOIN unnest(generate_series(1, len(e))) AS u(i))
         |SELECT a.pos AS i, b.pos AS j, CAST(sum(a.code * b.code) AS BIGINT) AS s
         |FROM c a JOIN c b ON a.vec_id = b.vec_id AND a.pos <= b.pos
-        |GROUP BY 1, 2 ORDER BY i, j""".stripMargin
+        |GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
+    "q126_rolling" ->
+      """WITH counts AS (SELECT user_id AS k, CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (SELECT k, min(d) AS lo, max(d) AS hi FROM counts GROUP BY 1),
+        |days AS (SELECT k, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+        |         FROM spans),
+        |daily AS (SELECT k, d, coalesce(c, CAST(0 AS BIGINT)) AS n
+        |          FROM days LEFT JOIN counts USING (k, d))
+        |SELECT k AS user_id, d AS day, n,
+        |  CAST(sum(n) OVER (PARTITION BY k ORDER BY d
+        |    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
+        |FROM daily ORDER BY user_id, day""".stripMargin,
+    "q127_boolean_search" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(t) - len(list_filter(t, x -> x <> 'join')) AS BIGINT) AS tf_join,
+        |  CAST(len(t) - len(list_filter(t, x -> x <> 'hash')) AS BIGINT) AS tf_hash
+        |FROM toks
+        |WHERE list_contains(t, 'join') AND list_contains(t, 'hash')
+        |  AND NOT list_contains(t, 'slow')
+        |ORDER BY doc_id""".stripMargin,
+    "q128_skew_profile" ->
+      """SELECT n, CAST(count(*) AS BIGINT) AS n_keys FROM
+        |  (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n
+        |   FROM lineitem GROUP BY 1)
+        |GROUP BY n ORDER BY n""".stripMargin,
+    "q129_ship_priority" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q130_local_volume" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "q131_top_per_group" ->
+      """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin
   )
 
   /** q118's oracle: the SAME 16-bit Morton interleave, generated once in

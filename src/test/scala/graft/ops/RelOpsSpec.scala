@@ -148,6 +148,23 @@ class RelOpsSpec extends SparkSpec {
       (2L, "2024-02-10", 1L)))
   }
 
+  test("rollingDaily: calendar-true trailing window over the gap-filled series") {
+    val e = Seq(
+      (1L, "2024-01-01 08:00:00"), (1L, "2024-01-01 09:00:00"),
+      (1L, "2024-01-03 10:00:00"), (1L, "2024-01-05 11:00:00")
+    ).toDF("uid", "s").withColumn("ts", to_timestamp($"s"))
+    val got = RelOps.rollingDaily(e, "uid", "ts", windowDays = 3)
+      .select(col("d").cast("string"), col("n"), col("n_roll"))
+      .as[(String, Long, Long)].collect()
+      .map { case (d, n, r) => d -> ((n, r)) }.toMap
+    assert(got == Map(
+      "2024-01-01" -> ((2L, 2L)),       // window covers Jan 1 only
+      "2024-01-02" -> ((0L, 2L)),       // Jan 1-2
+      "2024-01-03" -> ((1L, 3L)),       // Jan 1-3
+      "2024-01-04" -> ((0L, 1L)),       // Jan 2-4 (Jan 1 rolls off)
+      "2024-01-05" -> ((1L, 2L))))      // Jan 3-5
+  }
+
   test("cohortRetention: day cohorts, distinct per cell, gaps preserved") {
     val e = Seq(
       (1L, "2024-01-01 08:00:00"), (1L, "2024-01-01 21:00:00"), // same day twice: 1 cell row

@@ -40,6 +40,28 @@ class SketchOpsSpec extends SparkSpec {
     assert(merged == full)
   }
 
+  test("cms as a streaming aggregation: the running sketch equals the batch sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Long]
+    val q = SketchOps.cmsBuild(in.toDF().withColumnRenamed("value", "k"), "k", D, W)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      in.addData(1L, 2L, 3L, 1L); q.processAllAvailable()
+      in.addData(1L, 5L, 9L, 2L); q.processAllAvailable()
+      val got = spark.table("cms_stream")
+        .as[(Long, Long, Long)].collect()
+        .map { case (r, b, c) => ((r, b), c) }.toMap
+      val want = SketchOps.cmsBuild(
+          Seq(1L, 2L, 3L, 1L, 1L, 5L, 9L, 2L).toDF("k"), "k", D, W)
+        .as[(Long, Long, Long)].collect()
+        .map { case (r, b, c) => ((r, b), c) }.toMap
+      assert(got == want,
+        "streaming sketch state must equal the batch-built sketch")
+    } finally q.stop()
+  }
+
   test("cms estimate for a never-seen key is the bucket floor (0 on empty cells)") {
     val df = Seq(1L, 1L, 2L).toDF("k")
     val sketch = SketchOps.cmsBuild(df, "k", D, W)

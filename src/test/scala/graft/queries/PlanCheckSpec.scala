@@ -162,4 +162,25 @@ class PlanCheckSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"edit-distance join degraded to all-pairs:\n$p")
   }
+
+  test("q129 ship-priority: filters pushed, top-10 is TakeOrderedAndProject") {
+    val p = plans("q129_ship_priority")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"Q3 top-k must not globally sort:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull"),
+      s"date/segment pushdown missing from scans:\n$p")
+  }
+
+  test("q130 local-volume: region/nation dims broadcast down the 6-table tree") {
+    val p = plans("q130_local_volume")
+    assert(p.contains("BroadcastHashJoin"), s"dim broadcasts missing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"join tree degraded to all-pairs:\n$p")
+  }
+
+  test("q131 grouped top-k plans as WindowGroupLimit (rank filter pushed into shuffle)") {
+    val p = plans("q131_top_per_group")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k pushdown missing — whole groups get sorted:\n$p")
+  }
 }

@@ -218,6 +218,27 @@ class StreamingSpec extends SparkSpec {
     assert(rows.sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("hopping window streaming: each event lands in size/slide windows (q121 form)") {
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    val agg = in.toDF().toDF("ts", "v")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "20 minutes", "10 minutes"))
+      .agg(count("*").as("n"))
+    val q = agg.writeStream.format("memory").queryName(nextName())
+      .outputMode(OutputMode.Complete()).start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    in.addData((t(5), 1L), (t(15), 2L))
+    q.processAllAvailable()
+    val rows = spark.table(q.name)
+      .select($"window.start".cast("string"), $"n").as[(String, Long)].collect().toMap
+    q.stop()
+    // 10:05 → [09:50,10:10) + [10:00,10:20); 10:15 → [10:00,10:20) + [10:10,10:30)
+    assert(rows == Map(
+      "2024-01-01 09:50:00" -> 1L,
+      "2024-01-01 10:00:00" -> 2L,
+      "2024-01-01 10:10:00" -> 1L))
+  }
+
   test("session window streaming smoke (KQ-25)") {
     val in = MemoryStream[(java.sql.Timestamp, String)]
     val agg = in.toDF().toDF("ts", "user")
