@@ -231,6 +231,52 @@ object RelOps {
     rows
   }
 
+  /** Basket co-occurrence: for every unordered item pair sharing a
+    * basket, the pair count plus each item's basket frequency — the
+    * support/confidence/lift surface of association mining (confidence
+    * and lift are one division away; kept integer so the surface is
+    * engine-exact). The per-basket pair explosion is quadratic in BASKET
+    * size (small and bounded — an order's lines, a session's pages), not
+    * corpus size; the self-join is an equi-join on the basket key and the
+    * frequency joins ship item-cardinality frames (AQE broadcasts them).
+    */
+  def basketPairs(df: DataFrame, basketCol: String, itemCol: String): DataFrame = {
+    val ps = df.select(col(basketCol).as("o"), col(itemCol).as("p")).distinct().cache()
+    val pairs = ps.select(col("o"), col("p").as("pa"))
+      .join(ps.select(col("o"), col("p").as("pb")), "o")
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
+    val freq = ps.groupBy(col("p")).agg(count(lit(1)).as("n"))
+    pairs
+      .join(freq.select(col("p").as("pa"), col("n").as("n_a")), "pa")
+      .join(freq.select(col("p").as("pb"), col("n").as("n_b")), "pb")
+      .select("pa", "pb", "n_ab", "n_a", "n_b")
+  }
+
+  /** Data-quality audit in one pass: violation counts for named boolean
+    * predicates (each a per-row expression folded by ONE aggregate scan)
+    * plus a duplicate-key check (the one constraint that needs a
+    * shuffle). The pre-flight every 100 TB ingest runs; output is
+    * (check_name, violations), one row per check. Predicate names must
+    * be valid SQL identifiers.
+    */
+  def auditChecks(df: DataFrame, checks: Seq[(String, Column)],
+                  dupKeys: Seq[String]): DataFrame = {
+    require(checks.nonEmpty, "auditChecks needs at least one predicate")
+    val aggs = checks.map { case (n, c) =>
+      sum(when(c, lit(1L)).otherwise(lit(0L))).as(n)
+    }
+    val stacked = df.agg(aggs.head, aggs.tail: _*).select(expr(
+      s"stack(${checks.size}, " +
+        checks.map { case (n, _) => s"'$n', $n" }.mkString(", ") +
+        ") AS (check_name, violations)"))
+    val dups = df.groupBy(dupKeys.map(col): _*).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1)
+      .agg(coalesce(sum(col("__c") - 1L), lit(0L)).as("violations"))
+      .select(lit("duplicate_key").as("check_name"), col("violations"))
+    stacked.unionAll(dups)
+  }
+
   def asOfJoin(left: DataFrame, right: DataFrame,
                leftKeys: Seq[String], rightKeys: Seq[String],
                leftId: String, leftTs: String, rightTs: String,

@@ -1875,6 +1875,36 @@ object Queries {
       .orderBy("o_orderpriority", "rk")
   }
 
+  /** Market-basket co-occurrence ([[graft.ops.RelOps.basketPairs]]): the
+    * top-20 part pairs most often bought in the same order, with the
+    * parts' basket frequencies — the integer support surface of
+    * association mining (confidence/lift are one division away). Pair
+    * explosion is quadratic in basket size, never corpus size. Exact
+    * oracle.
+    */
+  def q132_market_basket(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.RelOps.basketPairs(
+        graft.core.Graft.spread(Tables(spark, dir).lineitem),
+        "l_orderkey", "l_partkey")
+      .orderBy(col("n_ab").desc, col("pa"), col("pb")).limit(20)
+      .orderBy(col("n_ab").desc, col("pa"), col("pb"))
+
+  /** Data-quality audit ([[graft.ops.RelOps.auditChecks]]): one-pass
+    * violation counts over lineitem — non-positive quantities, discount
+    * out of [0,1], null part keys, duplicate (orderkey, linenumber)
+    * identities. The ingest pre-flight; integer counts → exact oracle
+    * (zeros on the clean fixture; RelOpsSpec proves detection on
+    * crafted dirty rows).
+    */
+  def q133_data_audit(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.RelOps.auditChecks(Tables(spark, dir).lineitem,
+        Seq(
+          "nonpositive_quantity" -> (col("l_quantity") <= 0),
+          "discount_range" -> (col("l_discount") < 0 || col("l_discount") > 1),
+          "null_partkey" -> col("l_partkey").isNull),
+        dupKeys = Seq("l_orderkey", "l_linenumber"))
+      .orderBy("check_name")
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -2049,7 +2079,9 @@ object Queries {
     "q128_skew_profile" -> (q128_skew_profile _),
     "q129_ship_priority" -> (q129_ship_priority _),
     "q130_local_volume" -> (q130_local_volume _),
-    "q131_top_per_group" -> (q131_top_per_group _)
+    "q131_top_per_group" -> (q131_top_per_group _),
+    "q132_market_basket" -> (q132_market_basket _),
+    "q133_data_audit" -> (q133_data_audit _)
   )
 }
 
@@ -3286,7 +3318,33 @@ object Oracles {
         |    CAST(row_number() OVER (PARTITION BY o_orderpriority
         |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
         |  FROM orders)
-        |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin
+        |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+    "q132_market_basket" ->
+      """WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |pairs AS (SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS n_ab
+        |          FROM ps a JOIN ps b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+        |freq AS (SELECT p, CAST(count(*) AS BIGINT) AS n FROM ps GROUP BY 1)
+        |SELECT pa, pb, n_ab, fa.n AS n_a, fb.n AS n_b
+        |FROM pairs JOIN freq fa ON fa.p = pa JOIN freq fb ON fb.p = pb
+        |ORDER BY n_ab DESC, pa, pb LIMIT 20""".stripMargin,
+    "q133_data_audit" ->
+      """WITH s AS (SELECT
+        |  CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS nonpositive_quantity,
+        |  CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS discount_range,
+        |  CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS null_partkey
+        |  FROM lineitem),
+        |d AS (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS v FROM
+        |        (SELECT count(*) AS c FROM lineitem
+        |         GROUP BY l_orderkey, l_linenumber) WHERE c > 1)
+        |SELECT * FROM (
+        |  SELECT 'nonpositive_quantity' AS check_name, nonpositive_quantity AS violations FROM s
+        |  UNION ALL SELECT 'discount_range', discount_range FROM s
+        |  UNION ALL SELECT 'null_partkey', null_partkey FROM s
+        |  UNION ALL SELECT 'duplicate_key', v FROM d)
+        |ORDER BY check_name""".stripMargin
   )
 
   /** q118's oracle: the SAME 16-bit Morton interleave, generated once in

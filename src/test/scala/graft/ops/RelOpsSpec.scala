@@ -165,6 +165,35 @@ class RelOpsSpec extends SparkSpec {
       "2024-01-05" -> ((1L, 2L))))      // Jan 3-5
   }
 
+  test("basketPairs: unordered pair counts, repeats collapsed, item frequencies") {
+    val b = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L), (2L, 20L), // repeated item in a basket counts once
+      (3L, 30L)                        // singleton basket: no pairs
+    ).toDF("basket", "item")
+    val got = RelOps.basketPairs(b, "basket", "item")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (10L, 20L, 2L, 2L, 2L),   // together in baskets 1 and 2
+      (10L, 30L, 1L, 2L, 2L),
+      (20L, 30L, 1L, 2L, 2L)))
+  }
+
+  test("auditChecks: crafted violations counted; clean checks report zero") {
+    val d = Seq(
+      (1L, 1L, 5L, 0.1),
+      (1L, 2L, -3L, 0.2),   // nonpositive qty
+      (2L, 1L, 4L, 1.5),    // discount out of range
+      (2L, 1L, 7L, 0.0)     // duplicate (orderkey, line) identity
+    ).toDF("ok", "line", "qty", "disc")
+    val got = RelOps.auditChecks(d,
+        Seq("bad_qty" -> (col("qty") <= 0),
+          "bad_disc" -> (col("disc") < 0 || col("disc") > 1)),
+        dupKeys = Seq("ok", "line"))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("bad_qty" -> 1L, "bad_disc" -> 1L, "duplicate_key" -> 1L))
+  }
+
   test("cohortRetention: day cohorts, distinct per cell, gaps preserved") {
     val e = Seq(
       (1L, "2024-01-01 08:00:00"), (1L, "2024-01-01 21:00:00"), // same day twice: 1 cell row
