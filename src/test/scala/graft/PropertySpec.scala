@@ -149,4 +149,44 @@ class PropertySpec extends SparkSpec {
     val want = pairs.map { case (a, b) => a.toSet.intersect(b.toSet).size.toLong }
     assert(got == want)
   }
+
+  test("CM sketch: estimate never under-counts on generated key streams") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val streams: Gen[List[Long]] =
+      Gen.listOfN(200, Gen.chooseNum(0L, 50L)) // small key space forces collisions
+    samples(streams, 10).filter(_.nonEmpty).foreach { ks =>
+      val df = ks.toDF("k")
+      val sketch = graft.ops.SketchOps.cmsBuild(df, "k", depth = 3, width = 8)
+      val exact = df.groupBy(col("k")).agg(count(lit(1)).as("n_exact"))
+      val rows = graft.ops.SketchOps.cmsEstimate(sketch, exact, "k", depth = 3, width = 8)
+        .select(col("k"), col("n_exact"), col("n_est"))
+        .as[(Long, Long, Long)].collect()
+      rows.foreach { case (k, ex, est) =>
+        assert(est >= ex, s"under-count for key $k: est $est < exact $ex")
+        assert(est <= ks.size, s"estimate $est exceeds stream length ${ks.size}")
+      }
+    }
+  }
+
+  test("sigmaClip agrees with double-math |x-mean| > kσ on generated data away from ties") {
+    import org.apache.spark.sql.functions.col
+    val data: Gen[List[Long]] = Gen.listOfN(40, Gen.chooseNum(0L, 10000L))
+    samples(data, 10).filter(_.size > 1).foreach { xs =>
+      val df = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("id", "x")
+      val got = graft.ops.CorpusOps.sigmaClip(df, "id", "x", k = 2)
+        .select(col("id"), col("is_outlier")).as[(Long, Boolean)].collect().toMap
+      val n = xs.size.toDouble
+      val mean = xs.sum / n
+      val variance = xs.map(x => (x - mean) * (x - mean)).sum / n
+      xs.zipWithIndex.foreach { case (x, i) =>
+        val lhs = (x - mean) * (x - mean)
+        val rhs = 4 * variance
+        // only check away from the float boundary — the integer form is the
+        // exact tie-breaker there and double math is not
+        if (math.abs(lhs - rhs) > 1e-6 * math.max(1.0, rhs))
+          assert(got(i.toLong) == (lhs > rhs),
+            s"x=$x mean=$mean var=$variance: got ${got(i.toLong)}")
+      }
+    }
+  }
 }

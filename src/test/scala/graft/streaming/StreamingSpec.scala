@@ -349,6 +349,33 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Seq("a"), "only the in-band pair joins")
   }
 
+  test("stream-stream LEFT OUTER join null-extends once the watermark closes the band") {
+    def t(h: Int, min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$min%02d:00")
+    val lhs = MemoryStream[(String, java.sql.Timestamp)]
+    val rhs = MemoryStream[(String, java.sql.Timestamp)]
+    val l = lhs.toDF().toDF("k", "lts").withWatermark("lts", "5 minutes")
+    val r = rhs.toDF().toDF("rk", "rts").withWatermark("rts", "5 minutes")
+    val joined = l.join(r,
+      $"k" === $"rk" && $"rts" >= $"lts" && $"rts" <= $"lts" + expr("interval 10 minutes"),
+      "left_outer")
+    val q = joined.writeStream.format("memory").queryName(nextName())
+      .outputMode(OutputMode.Append()).start()
+    lhs.addData(("a", t(10, 0)), ("m", t(10, 0))) // m never gets a match
+    rhs.addData(("a", t(10, 5)))
+    q.processAllAvailable()
+    // push both watermarks far past m's band so its null row finalizes
+    lhs.addData(("zz", t(12, 0))); rhs.addData(("zz", t(12, 0)))
+    q.processAllAvailable()
+    lhs.addData(("zz2", t(13, 0))); rhs.addData(("zz2", t(13, 0)))
+    q.processAllAvailable()
+    val rows = spark.table(q.name).select($"k", $"rk").as[(String, Option[String])]
+      .collect().toMap
+    q.stop()
+    assert(rows("a").contains("a"), "matched pair must join")
+    assert(rows.contains("m") && rows("m").isEmpty,
+      s"unmatched left row must null-extend after the watermark, got $rows")
+  }
+
   test("idempotent parquet sink: replayed epoch does not duplicate output") {
     val dir = java.nio.file.Files.createTempDirectory("graft_idem").toString
     val in = MemoryStream[String]
