@@ -658,6 +658,32 @@ object CorpusOps {
           .otherwise(lit("same")).as("status"))
   }
 
+  /** Incremental aggregate maintenance: fold row deltas into a
+    * previously materialized (keys, n, s) aggregate instead of
+    * recomputing it from the full snapshot — the 100 TB move where the
+    * daily delta is GBs against a PBs-scale history. `added`/`removed`
+    * are row-level frames carrying `valueCol`; a changed row is one
+    * removed (old version) + one added (new version), exactly the
+    * classification [[snapshotDiff]] emits. Count-sum measures form an
+    * abelian group, so the maintenance is one union + one keyed
+    * aggregate; groups whose count reaches zero disappear (matching a
+    * recompute). Correctness is an invariance oracle: the maintained
+    * aggregate must hash-equal the full recompute on the new snapshot
+    * (q134).
+    */
+  def incrementalAgg(prev: DataFrame, added: DataFrame, removed: DataFrame,
+                     keys: Seq[String], valueCol: String): DataFrame = {
+    def delta(df: DataFrame, sign: Long): DataFrame =
+      df.groupBy(keys.map(col): _*)
+        .agg((count(lit(1)) * sign).as("dn"),
+          (sum(col(valueCol).cast("long")) * sign).as("ds"))
+    prev.select(keys.map(col) :+ col("n").as("dn") :+ col("s").as("ds"): _*)
+      .unionAll(delta(added, 1L)).unionAll(delta(removed, -1L))
+      .groupBy(keys.map(col): _*)
+      .agg(sum("dn").as("n"), sum("ds").as("s"))
+      .filter(col("n") > 0)
+  }
+
   /** σ-clip outlier gate, cross-engine exact: flags rows where
     * |x − mean| > k·σ (population σ), evaluated WITHOUT any float
     * division or sqrt by comparing the squared inequality in integer

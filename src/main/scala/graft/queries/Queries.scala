@@ -1905,6 +1905,37 @@ object Queries {
         dupKeys = Seq("l_orderkey", "l_linenumber"))
       .orderBy("check_name")
 
+  /** Incremental aggregate maintenance
+    * ([[graft.ops.CorpusOps.incrementalAgg]]) across the q123 snapshot
+    * transition: the per-lang (count, Σ length) aggregate of the OLD
+    * snapshot is folded forward with row deltas (every 10th doc added,
+    * every 7th lengthened by 6 chars) instead of recomputed. The oracle
+    * is the FULL RECOMPUTE on the new snapshot — hash equality proves
+    * the delta path is exact, the q93/q112 invariance discipline
+    * applied to pipeline-run maintenance.
+    */
+  def q134_incremental_agg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.CorpusOps
+    val meas = length(col("text")).cast("long")
+    val d = Tables(spark, dir).documents
+    val oldSnap = d.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), col("lang"), meas.as("len"))
+    val newSnap = d.select(col("doc_id"), col("lang"),
+      when(col("doc_id") % 7 === 0, meas + 6L).otherwise(meas).as("len"))
+    val prevAgg = oldSnap.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("len")).as("s"))
+    val j = oldSnap.select(col("doc_id"), col("lang").as("ol"), col("len").as("olen"))
+      .join(newSnap.select(col("doc_id"), col("lang").as("nl"), col("len").as("nlen")),
+        Seq("doc_id"), "full_outer")
+    val added = j.filter(col("olen").isNull || col("nlen") =!= col("olen"))
+      .select(col("nl").as("lang"), col("nlen").as("len"))
+    val removed = j.filter(col("olen").isNotNull &&
+        (col("nlen").isNull || col("nlen") =!= col("olen")))
+      .select(col("ol").as("lang"), col("olen").as("len"))
+    CorpusOps.incrementalAgg(prevAgg, added, removed, Seq("lang"), "len")
+      .orderBy("lang")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -2081,7 +2112,8 @@ object Queries {
     "q130_local_volume" -> (q130_local_volume _),
     "q131_top_per_group" -> (q131_top_per_group _),
     "q132_market_basket" -> (q132_market_basket _),
-    "q133_data_audit" -> (q133_data_audit _)
+    "q133_data_audit" -> (q133_data_audit _),
+    "q134_incremental_agg" -> (q134_incremental_agg _)
   )
 }
 
@@ -3344,7 +3376,14 @@ object Oracles {
         |  UNION ALL SELECT 'discount_range', discount_range FROM s
         |  UNION ALL SELECT 'null_partkey', null_partkey FROM s
         |  UNION ALL SELECT 'duplicate_key', v FROM d)
-        |ORDER BY check_name""".stripMargin
+        |ORDER BY check_name""".stripMargin,
+    "q134_incremental_agg" ->
+      // the ORACLE is the full recompute on the new snapshot — hash
+      // equality proves the engine's delta-maintenance path exact
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN doc_id % 7 = 0 THEN length(text) + 6
+        |                ELSE length(text) END) AS BIGINT) AS s
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   )
 
   /** q118's oracle: the SAME 16-bit Morton interleave, generated once in

@@ -497,6 +497,15 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == Seq((1L, "a", "b", "ab", 1L))) // (a,b) < (x,y) at equal count
   }
 
+  test("incrementalAgg: deltas fold exactly; emptied groups vanish, new groups appear") {
+    val prev = Seq(("a", 2L, 30L), ("b", 1L, 5L)).toDF("g", "n", "s")
+    val added = Seq(("a", 7L), ("c", 1L)).toDF("g", "v")     // grow a, create c
+    val removed = Seq(("b", 5L), ("a", 10L)).toDF("g", "v")  // empty b, shrink a
+    val got = CorpusOps.incrementalAgg(prev, added, removed, Seq("g"), "v")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("a", 2L, 27L), ("c", 1L, 1L)))
+  }
+
   test("snapshotDiff classifies added/removed/changed/same") {
     val old = Seq((1L, "h1"), (2L, "h2"), (3L, "h3")).toDF("id", "fp")
     val neu = Seq((2L, "h2"), (3L, "h3x"), (4L, "h4")).toDF("id", "fp")
