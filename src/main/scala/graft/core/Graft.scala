@@ -53,6 +53,10 @@ object Graft {
     */
   def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // native kernels on the SQL surface from session build time
+      // (GraftExtensions); sessions built elsewhere can call
+      // GraftSqlBridge.registerFunctions instead
+      .config("spark.sql.extensions", "graft.core.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       // classic (non-ANSI) arithmetic: hash remixing (MinHash seed family,
       // SimHash) relies on wraparound long multiply/add

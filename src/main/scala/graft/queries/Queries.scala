@@ -1936,6 +1936,29 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** SQL-text surface: the brute-force cosine top-5-per-query written as
+    * a `spark.sql` string using the injected `vector_cosine` kernel
+    * (`graft.core.GraftExtensions` via `spark.sql.extensions`; the
+    * in-query `registerFunctions` keeps the entry session-agnostic for
+    * harness-built sessions). Proves the SQL API end-to-end through the
+    * oracle gate — same exactness as q34 (sqrt is correctly rounded, tie
+    * break by id).
+    */
+  def q135_sql_surface(spark: SparkSession, dir: String): DataFrame = {
+    org.apache.spark.sql.GraftSqlBridge.registerFunctions(spark)
+    Tables(spark, dir).embeddings.createOrReplaceTempView("emb")
+    spark.sql("""
+      SELECT qid, id, cos FROM (
+        SELECT qid, id, cos,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rn
+        FROM (SELECT a.vec_id AS qid, b.vec_id AS id,
+                     vector_cosine(CAST(a.embedding AS ARRAY<DOUBLE>),
+                                   CAST(b.embedding AS ARRAY<DOUBLE>)) AS cos
+              FROM emb a JOIN emb b ON b.vec_id <> a.vec_id
+              WHERE a.vec_id < 5))
+      WHERE rn <= 5 ORDER BY qid, cos DESC, id""")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -2113,7 +2136,8 @@ object Queries {
     "q131_top_per_group" -> (q131_top_per_group _),
     "q132_market_basket" -> (q132_market_basket _),
     "q133_data_audit" -> (q133_data_audit _),
-    "q134_incremental_agg" -> (q134_incremental_agg _)
+    "q134_incremental_agg" -> (q134_incremental_agg _),
+    "q135_sql_surface" -> (q135_sql_surface _)
   )
 }
 
@@ -3383,7 +3407,21 @@ object Oracles {
       """SELECT lang, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CASE WHEN doc_id % 7 = 0 THEN length(text) + 6
         |                ELSE length(text) END) AS BIGINT) AS s
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q135_sql_surface" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |        (SELECT sum(x*x) FROM (SELECT unnest(e) AS x)) AS nm2 FROM v),
+        |s AS (SELECT a.vec_id AS qid, b.vec_id AS id,
+        |        (SELECT sum(x*y) FROM (SELECT unnest(a.e) AS x, unnest(b.e) AS y)) /
+        |        sqrt(a.nm2 * b.nm2) AS cos
+        |      FROM n a JOIN n b ON b.vec_id <> a.vec_id
+        |      WHERE a.vec_id < 5),
+        |r AS (SELECT qid, id, cos,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rn
+        |      FROM s)
+        |SELECT qid, id, cos FROM r WHERE rn <= 5
+        |ORDER BY qid, cos DESC, id""".stripMargin
   )
 
   /** q118's oracle: the SAME 16-bit Morton interleave, generated once in
