@@ -1269,6 +1269,58 @@ object VectorOps {
     }
   }
 
+  /** MMR (maximal-marginal-relevance) diversity re-ranking, Carbonell &
+    * Goldstein 1998: greedily select `k` results from the query's top-`m`
+    * cosine candidates, each step taking
+    * `argmax λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` — the
+    * redundancy-suppressing re-rank RAG retrieval applies after ANN.
+    *
+    * Scale shape: the corpus-sized work is the ONE top-m candidate scan
+    * (swap in an IVF probe for the brute-force rel scan at scale); the
+    * greedy loop then runs k−1 bounded steps over the m-row pool (m²
+    * pairwise sims computed once) — the rrfFuse driver-sized-list
+    * rationale. `selected` is localCheckpoint-truncated per step so the
+    * union lineage stays flat. All arithmetic is IEEE-stable (sqrt,
+    * mul, sub), so the selection hash-checks against a greedy-unrolled
+    * SQL oracle (q136, the q104/q110 unrolling discipline).
+    */
+  def mmrSelect(vectors: DataFrame, idCol: String, vecCol: String,
+                queryId: Long, m: Int, k: Int, lambda: Double): DataFrame = {
+    require(m > 0 && k > 0 && k <= m, s"need 0 < k <= m, got k=$k m=$m")
+    val v = vectors.select(col(idCol).cast("long").as("id"),
+      toDoubleArr(col(vecCol)).as("v"))
+    val q = v.filter(col("id") === queryId).select(col("v").as("qv"))
+    val rel = v.filter(col("id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("id"), col("v"), cosine(col("v"), col("qv")).as("rel"))
+      .orderBy(col("rel").desc, col("id")).limit(m)
+      .cache()
+    val sims = rel.select(col("id").as("ia"), col("v").as("va"))
+      .join(rel.select(col("id").as("ib"), col("v").as("vb")),
+        col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"), cosine(col("va"), col("vb")).as("sim"))
+      .cache()
+    var selected = rel.orderBy(col("rel").desc, col("id")).limit(1)
+      .select(col("id"), col("rel"), lit(1L).as("rank"))
+      .localCheckpoint(true)
+    for (step <- 2 to k) {
+      val pen = sims.join(selected.select(col("id").as("ib")), Seq("ib"))
+        .groupBy(col("ia").as("id")).agg(max(col("sim")).as("maxsim"))
+      val next = rel.join(selected.select(col("id")), Seq("id"), "left_anti")
+        .join(pen, "id")
+        .select(col("id"), col("rel"),
+          (col("rel") * lambda - col("maxsim") * (1 - lambda)).as("score"))
+        .orderBy(col("score").desc, col("id")).limit(1)
+        .select(col("id"), col("rel"), lit(step.toLong).as("rank"))
+      val grown = selected.unionAll(next).localCheckpoint(true)
+      graft.dedup.Dedup.releaseCheckpoint(selected)
+      selected = grown
+    }
+    rel.unpersist(blocking = false)
+    sims.unpersist(blocking = false)
+    selected
+  }
+
   /** Exact Gram / scatter matrix over int8-quantized embeddings: the
     * upper triangle of `Σ_v code_i·code_j` — the d×d statistic behind
     * PCA/whitening of an embedding corpus (SemDeDup et al. whiten before

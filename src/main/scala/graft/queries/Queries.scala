@@ -1944,6 +1944,18 @@ object Queries {
     * oracle gate — same exactness as q34 (sqrt is correctly rounded, tie
     * break by id).
     */
+  /** MMR diversity re-ranking ([[graft.functions.VectorOps.mmrSelect]]):
+    * greedy maximal-marginal-relevance selection of 5 from the query's
+    * top-20 cosine candidates (λ = 0.5) — the redundancy-suppressing
+    * re-rank RAG applies after ANN. Exact oracle: the greedy loop
+    * unrolled 4 steps in SQL (the q104/q110 discipline); cosine, mul
+    * and sub are IEEE-stable so scores agree bit-for-bit.
+    */
+  def q136_mmr(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.VectorOps.mmrSelect(Tables(spark, dir).embeddings,
+        "vec_id", "embedding", queryId = 0L, m = 20, k = 5, lambda = 0.5)
+      .orderBy("rank")
+
   def q135_sql_surface(spark: SparkSession, dir: String): DataFrame = {
     org.apache.spark.sql.GraftSqlBridge.registerFunctions(spark)
     Tables(spark, dir).embeddings.createOrReplaceTempView("emb")
@@ -2137,7 +2149,8 @@ object Queries {
     "q132_market_basket" -> (q132_market_basket _),
     "q133_data_audit" -> (q133_data_audit _),
     "q134_incremental_agg" -> (q134_incremental_agg _),
-    "q135_sql_surface" -> (q135_sql_surface _)
+    "q135_sql_surface" -> (q135_sql_surface _),
+    "q136_mmr" -> (q136_mmr _)
   )
 }
 
@@ -3421,8 +3434,49 @@ object Oracles {
         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rn
         |      FROM s)
         |SELECT qid, id, cos FROM r WHERE rn <= 5
-        |ORDER BY qid, cos DESC, id""".stripMargin
+        |ORDER BY qid, cos DESC, id""".stripMargin,
+    "q136_mmr" -> MmrSql
   )
+
+  /** q136's oracle: the MMR greedy loop unrolled 4 steps — per step the
+    * remaining candidates score `0.5·rel − 0.5·max-sim-to-selected` and
+    * the (score desc, id) argmax joins the selection. Same IEEE ops in
+    * the same order as the engine, so the selection is bit-identical.
+    */
+  private lazy val MmrSql: String = {
+    val step = (i: Int) => {
+      val prev = s"sel${i - 1}"
+      s"""c$i AS (SELECT r.id, r.rel,
+         |  0.5 * r.rel - 0.5 * (SELECT max(s.sim) FROM sims s
+         |                       JOIN $prev p ON s.ib = p.id
+         |                       WHERE s.ia = r.id) AS score
+         |  FROM rel r WHERE r.id NOT IN (SELECT id FROM $prev)),
+         |s$i AS (SELECT id, rel, CAST($i AS BIGINT) AS rank FROM c$i
+         |        ORDER BY score DESC, id LIMIT 1),
+         |sel$i AS (SELECT id FROM $prev UNION ALL SELECT id FROM s$i)""".stripMargin
+    }
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |n AS (SELECT vec_id, e,
+       |        (SELECT sum(x*x) FROM (SELECT unnest(e) AS x)) AS nm2 FROM v),
+       |q AS (SELECT e, nm2 FROM n WHERE vec_id = 0),
+       |rel0 AS (SELECT b.vec_id AS id, b.e, b.nm2,
+       |          (SELECT sum(x*y) FROM (SELECT unnest(b.e) AS x, unnest(q.e) AS y)) /
+       |          sqrt(b.nm2 * q.nm2) AS rel
+       |        FROM n b, q WHERE b.vec_id <> 0),
+       |rel AS (SELECT id, e, nm2, rel FROM rel0 ORDER BY rel DESC, id LIMIT 20),
+       |sims AS (SELECT x.id AS ia, y.id AS ib,
+       |          (SELECT sum(a*b) FROM (SELECT unnest(x.e) AS a, unnest(y.e) AS b)) /
+       |          sqrt(x.nm2 * y.nm2) AS sim
+       |         FROM rel x JOIN rel y ON x.id <> y.id),
+       |s1 AS (SELECT id, rel, CAST(1 AS BIGINT) AS rank FROM rel
+       |       ORDER BY rel DESC, id LIMIT 1),
+       |sel1 AS (SELECT id FROM s1),
+       |${(2 to 5).map(step).mkString(",\n")}
+       |SELECT id, rel, rank FROM (
+       |  SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+       |  UNION ALL SELECT * FROM s4 UNION ALL SELECT * FROM s5)
+       |ORDER BY rank""".stripMargin
+  }
 
   /** q118's oracle: the SAME 16-bit Morton interleave, generated once in
     * Scala and interpolated into both engines — integer shift/and/or

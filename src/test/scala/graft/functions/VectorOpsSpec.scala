@@ -667,6 +667,23 @@ class VectorOpsSpec extends SparkSpec {
     assert(want.exists { case (id, g) => g != id }, "fixture has non-trivial groups")
   }
 
+  test("mmrSelect: diversity beats a redundant higher-relevance candidate") {
+    // query 0 on the x-axis; 1 is its duplicate, 2 and 3 are near-dups of
+    // each other, 4 is equally relevant but orthogonal to 2's direction
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.8f, 0.6f, 0.0f)),
+      (3L, Array(0.8f, 0.59f, 0.1f)),  // rel(3) > rel(4), but 3 ≈ 2
+      (4L, Array(0.8f, 0.0f, 0.6f))
+    ).toDF("vec_id", "embedding")
+    val got = mmrSelect(vecs, "vec_id", "embedding",
+        queryId = 0L, m = 4, k = 3, lambda = 0.5)
+      .orderBy("rank").select("id").as[Long].collect().toSeq
+    // pure relevance would rank 3 before 4; MMR suppresses the near-dup
+    assert(got == Seq(1L, 2L, 4L), s"got $got")
+  }
+
   test("quantizedGram matches a driver-side recomputation on crafted vectors") {
     val vecs = Seq(
       (1L, Array(0.0f, 1.0f, 2.0f)),
