@@ -78,6 +78,57 @@ object GraphOps {
     rank
   }
 
+  /** Fixed-round k-core peeling on an undirected simple graph: each
+    * round computes degrees, drops every vertex with degree < `k`, and
+    * restricts the edge set to surviving endpoints — after enough
+    * rounds the fixpoint is exactly the classic k-core (the maximal
+    * subgraph where every vertex has degree ≥ k), the standard
+    * web-graph spam/quality filter (Seidman 1983 "Network structure and
+    * minimum degree"; Batagelj & Zaveršnik's peel is the sequential
+    * form of the same fixpoint). Fixed `rounds` rather than
+    * convergence-tested, for the same reason as [[pageRankInt]]:
+    * deterministic output, an unrollable oracle, and a bounded plan —
+    * the spec owns the "fixpoint reached ⇒ true k-core" claim on a
+    * crafted graph.
+    *
+    * Scale shape: each round is one degree aggregation plus two
+    * left-semi joins over the EDGE list (all key shuffles, map-side
+    * combinable) — never all-pairs — with the per-round edge frame
+    * localCheckpoint-truncated and the superseded round released, the
+    * [[graft.dedup.Dedup.connectedComponents]] iteration discipline.
+    *
+    * Input edges in any orientation; self-loops dropped, parallel edges
+    * collapsed. Output: (id, deg) — every vertex still present after
+    * `rounds` peels, with its degree in the remaining subgraph.
+    */
+  def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
+                k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(rounds >= 1, s"need at least one peel round, got $rounds")
+    var und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+    var round = 0
+    while (round < rounds) {
+      val keep = degrees(und).filter(col("deg") >= k)
+      val next = und
+        .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+      graft.dedup.Dedup.releaseCheckpoint(und)
+      und = next
+      round += 1
+    }
+    val out = degrees(und).select(col("v").as("id"), col("deg"))
+    out
+  }
+
   /** Per-node triangle counts on an undirected simple graph — the local
     * clustering signal (community structure, near-dup cluster shape)
     * over a similarity or co-occurrence graph. Input edges in any

@@ -58,6 +58,39 @@ object SketchOps {
   def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionAll(b).groupBy("r", "b").agg(sum("cnt").as("cnt"))
 
+  /** Equi-join size estimation from two count-min sketches (the
+    * AMS/CM inner-product estimator, Cormode & Muthukrishnan 2005 §4.2):
+    * |A ⋈ B on k| = Σ_k fA(k)·fB(k), and for each sketch row r,
+    * Σ_b cntA[r,b]·cntB[r,b] counts every true (k-match) product plus
+    * non-negative collision products — so the per-row sums never
+    * under-estimate, and the reported estimate is their minimum.
+    *
+    * This is the shuffle-cost predictor: before committing a 100 TB
+    * equi-join (or a self-join on a possibly-skewed key) the planner
+    * reads two tiny sketches instead of sampling either side. Both
+    * sketches are depth·width rows, so the product join is trivially
+    * broadcast; the whole computation after the two builds is
+    * driver-scale. Exact integer arithmetic throughout → the estimate
+    * itself is oracle-reproducible, and `estimate ≥ exact` is
+    * spec-owned in SketchOpsSpec.
+    *
+    * Returns one row: `(est_join_size)`.
+    */
+  def cmsJoinSize(a: DataFrame, keyColA: String, b: DataFrame, keyColB: String,
+                  depth: Int, width: Int): DataFrame = {
+    val sa = cmsBuild(a, keyColA, depth, width)
+    val sb = cmsBuild(b, keyColB, depth, width)
+    // inner join drops cells empty on either side — their product is 0
+    // anyway; the 0..depth-1 spine restores rows whose cells never
+    // overlap (per-row sum 0, so the min — and the estimate — is 0)
+    val rows = sa.select(col("r"), col("b"), col("cnt").as("ca"))
+      .join(sb.select(col("r"), col("b"), col("cnt").as("cb")), Seq("r", "b"))
+      .groupBy("r").agg(sum(col("ca") * col("cb")).as("__s"))
+    val spine = a.sparkSession.range(0, depth).select(col("id").as("r"))
+    spine.join(rows, Seq("r"), "left")
+      .agg(min(coalesce(col("__s"), lit(0L))).as("est_join_size"))
+  }
+
   /** Point-frequency estimates for every row of `keys`: min over the
     * key's `depth` cells, 0 for never-seen keys. The sketch (≤
     * depth·width rows) broadcasts; `keys` keeps all its columns and

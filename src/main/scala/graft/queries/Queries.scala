@@ -1971,6 +1971,49 @@ object Queries {
       WHERE rn <= 5 ORDER BY qid, cos DESC, id""")
   }
 
+  /** Join-size estimation from count-min sketches
+    * ([[graft.ops.SketchOps.cmsJoinSize]]): the predicted size of the
+    * events self-join on user_id (the q128 skew profile's shuffle-cost
+    * question answered from two 4×64 sketches instead of a key scan)
+    * beside the exact answer Σ_k f(k)². The estimator never
+    * under-counts (spec-owned); the modular hash family is exact
+    * integer arithmetic, so BOTH numbers hash-check against DuckDB.
+    */
+  def q137_join_size_est(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * col("n")).as("exact_join_size"))
+    val est = graft.ops.SketchOps.cmsJoinSize(ev, "user_id", ev, "user_id",
+      depth = 4, width = 64)
+    exact.crossJoin(est)
+  }
+
+  /** Fixed-round k-core peeling ([[graft.ops.GraphOps.kCorePeel]]) on
+    * the q113 top-3 co-supply graph: three peels at k = 3 strip
+    * low-degree fringe suppliers, leaving the densely inter-supplying
+    * core — the web-graph quality/spam filter applied to the supplier
+    * network. Integer degrees + deterministic peel order → the
+    * surviving (id, deg) set hash-checks against a 3×-unrolled SQL
+    * oracle (the q104/q110 discipline).
+    */
+  def q138_kcore(spark: SparkSession, dir: String): DataFrame = {
+    val ps = graft.core.Graft.spread(Tables(spark, dir).lineitem)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+      .cache()
+    val co = ps.select(col("p"), col("s").as("sa"))
+      .join(ps.select(col("p"), col("s").as("sb")), "p")
+      .filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("shared"))
+    val de = co.select(col("sa").as("src"), col("sb").as("dst"), col("shared"))
+      .unionAll(co.select(col("sb").as("src"), col("sa").as("dst"), col("shared")))
+    val w = Window.partitionBy(col("src")).orderBy(col("shared").desc, col("dst"))
+    val top3 = de.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 3).select("src", "dst")
+    graft.ops.GraphOps.kCorePeel(top3, "src", "dst", k = 3, rounds = 3)
+      .select(col("id").as("s_suppkey"), col("deg"))
+      .orderBy("s_suppkey")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -2150,7 +2193,9 @@ object Queries {
     "q133_data_audit" -> (q133_data_audit _),
     "q134_incremental_agg" -> (q134_incremental_agg _),
     "q135_sql_surface" -> (q135_sql_surface _),
-    "q136_mmr" -> (q136_mmr _)
+    "q136_mmr" -> (q136_mmr _),
+    "q137_join_size_est" -> (q137_join_size_est _),
+    "q138_kcore" -> (q138_kcore _)
   )
 }
 
@@ -3435,8 +3480,52 @@ object Oracles {
         |      FROM s)
         |SELECT qid, id, cos FROM r WHERE rn <= 5
         |ORDER BY qid, cos DESC, id""".stripMargin,
-    "q136_mmr" -> MmrSql
+    "q136_mmr" -> MmrSql,
+    "q137_join_size_est" ->
+      """WITH sk AS (
+        |  SELECT r, ((user_id % 1000000007) * (2654435761 + r * 40503) + r * 97)
+        |           % 1000000007 % 64 AS b,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events CROSS JOIN unnest(generate_series(0, 3)) AS u(r)
+        |  GROUP BY 1, 2),
+        |rowsum AS (SELECT r, CAST(sum(cnt * cnt) AS BIGINT) AS s FROM sk GROUP BY r),
+        |est AS (SELECT CAST(min(s) AS BIGINT) AS est_join_size FROM rowsum),
+        |ex AS (SELECT CAST(sum(n * n) AS BIGINT) AS exact_join_size
+        |       FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id))
+        |SELECT exact_join_size, est_join_size FROM ex CROSS JOIN est""".stripMargin,
+    "q138_kcore" -> KCoreSql
   )
+
+  /** q138's oracle: the q113 co-supply top-3 graph, then the k = 3 peel
+    * unrolled 3 rounds — per round the degree table filters the vertex
+    * set and the edge set restricts to surviving endpoints. Integer
+    * degrees, so the surviving set is engine-independent.
+    */
+  private lazy val KCoreSql: String = {
+    val round = (i: Int) =>
+      s"""deg$i AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+         |  SELECT a AS v FROM e${i - 1} UNION ALL SELECT b AS v FROM e${i - 1}) GROUP BY v),
+         |keep$i AS (SELECT v FROM deg$i WHERE d >= 3),
+         |e$i AS (SELECT a, b FROM e${i - 1}
+         |        WHERE a IN (SELECT v FROM keep$i) AND b IN (SELECT v FROM keep$i))""".stripMargin
+    s"""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+       |co AS (SELECT a.s AS sa, b.s AS sb, CAST(count(*) AS BIGINT) AS shared
+       |       FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2),
+       |de AS (SELECT sa AS src, sb AS dst, shared FROM co
+       |       UNION ALL SELECT sb AS src, sa AS dst, shared FROM co),
+       |top3 AS (SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      row_number() OVER (PARTITION BY src ORDER BY shared DESC, dst) AS rn
+       |    FROM de) WHERE rn <= 3),
+       |e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |       FROM top3 WHERE src <> dst),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT v AS s_suppkey, CAST(count(*) AS BIGINT) AS deg FROM (
+       |  SELECT a AS v FROM e3 UNION ALL SELECT b AS v FROM e3) GROUP BY v
+       |ORDER BY s_suppkey""".stripMargin
+  }
 
   /** q136's oracle: the MMR greedy loop unrolled 4 steps — per step the
     * remaining candidates score `0.5·rel − 0.5·max-sim-to-selected` and

@@ -76,6 +76,40 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("kCorePeel: fixpoint equals the true k-core on a crafted graph") {
+    // triangle {1,2,3} each also linked to hub 4 → K4-ish dense core
+    // {1,2,3,4}; a pendant chain 4—5—6 and a spur 3—7 must peel away.
+    // True 2-core = {1,2,3,4} with all six core edges.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (3L, 7L)).toDF("x", "y")
+    val got = GraphOps.kCorePeel(edges, "x", "y", k = 2, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"expected the dense 2-core, got $got")
+    // once at fixpoint, more rounds change nothing
+    val more = GraphOps.kCorePeel(edges, "x", "y", k = 2, rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(more == got)
+  }
+
+  test("kCorePeel: cascade — each round peels the next fringe layer") {
+    // path 1—2—3—4—5: k=2 peel removes both endpoints each round until
+    // nothing is left (a path has no 2-core)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("x", "y")
+    val r1 = GraphOps.kCorePeel(edges, "x", "y", k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(2L -> 1L, 3L -> 2L, 4L -> 1L), s"round 1: $r1")
+    val r3 = GraphOps.kCorePeel(edges, "x", "y", k = 2, rounds = 3)
+    assert(r3.isEmpty, "a path graph must peel to nothing at k = 2")
+  }
+
+  test("kCorePeel: orientation, duplicates and loops are normalized") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (4L, 4L)).toDF("x", "y")
+    val got = GraphOps.kCorePeel(edges, "x", "y", k = 2, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("pageRankInt: rejects bad damping and zero iterations") {
     val (nodes, edges) = cycleGraph
     intercept[IllegalArgumentException] {

@@ -62,6 +62,35 @@ class SketchOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cmsJoinSize never under-estimates the exact equi-join size") {
+    val ev = graft.core.Tables(spark, sfDir).events
+    val li = graft.core.Tables(spark, sfDir).lineitem
+      .select($"l_orderkey".as("k"))
+    val ord = graft.core.Tables(spark, sfDir).orders
+      .select($"o_orderkey".as("k"))
+    // self-join (skew-shaped) and a fk join both covered
+    val selfExact = ev.groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .agg(sum($"n" * $"n")).as[Long].head()
+    val selfEst = SketchOps.cmsJoinSize(ev, "user_id", ev, "user_id", D, W)
+      .as[Long].head()
+    assert(selfEst >= selfExact, s"self-join under-estimate: $selfEst < $selfExact")
+    val fkExact = li.join(ord, "k").count()
+    val fkEst = SketchOps.cmsJoinSize(li, "k", ord, "k", D, W).as[Long].head()
+    assert(fkEst >= fkExact, s"fk-join under-estimate: $fkEst < $fkExact")
+    // width large enough to keep the estimate informative, not a blow-up:
+    // the CM inner-product error bound is e·|A|·|B|/W w.h.p.; own 4× that
+    assert(fkEst - fkExact <= 4 * math.E * li.count() * ord.count() / W)
+  }
+
+  test("cmsJoinSize of disjoint key sets is 0 when no cells collide") {
+    val a = Seq(1L, 2L, 3L).toDF("k")
+    val b = Seq(1000000L).toDF("k")
+    // 4 keys in 32 buckets: a collision on every one of the 4 rows is
+    // essentially impossible, so at least one row-sum must be exactly 0
+    val est = SketchOps.cmsJoinSize(a, "k", b, "k", D, W).as[Long].head()
+    assert(est == 0L)
+  }
+
   test("cms estimate for a never-seen key is the bucket floor (0 on empty cells)") {
     val df = Seq(1L, 1L, 2L).toDF("k")
     val sketch = SketchOps.cmsBuild(df, "k", D, W)
