@@ -694,6 +694,50 @@ object CorpusOps {
     * second scan; the length/quality clipping pass every curation
     * pipeline runs before training.
     */
+  /** Per-group winsorized statistics: clamp `xCol` into the group's
+    * discrete [p·n-th, (1−p)·n-th] rank values (the q91 integer-ceiling
+    * rank discipline — the value AT rank ⌈p·n⌉ under the total order,
+    * no interpolation, no float rank), then report the clamped sum and
+    * mean. Winsorization is the robust-stats companion to
+    * [[sigmaClip]]: instead of flagging outliers it pulls them to the
+    * percentile fence, the standard treatment for length/quality
+    * features before a model fit sees them (Tukey; Dixon 1960).
+    *
+    * Exactness: fences and clamped sums are integers; the mean is one
+    * double division of exact integers (IEEE-identical on any engine).
+    * Scale shape: one per-group sort window for the fence ranks + one
+    * group aggregate — same as q91's percentile audit.
+    *
+    * `pTailBp` is the tail mass in basis points (500 = clip 5% each
+    * side). Output: (group, n_docs, lo, hi, sum_winsorized, mean_winsorized).
+    */
+  def winsorizedStats(df: DataFrame, groupCol: String, xCol: String,
+                      pTailBp: Int = 500): DataFrame = {
+    require(pTailBp > 0 && pTailBp < 5000,
+      s"tail basis points must be in (0, 5000), got $pTailBp")
+    import org.apache.spark.sql.expressions.Window
+    val t = df.select(col(groupCol).as("g"), col(xCol).cast("long").as("x"))
+    val w = Window.partitionBy("g").orderBy("x")
+    val ranked = t.withColumn("rn", row_number().over(w))
+    val counts = t.groupBy("g").agg(count(lit(1)).as("n"))
+    def atRank(rank: Column): Column = max(when(col("rn") === rank, col("x")))
+    // ⌈p·n⌉ and ⌈(1−p)·n⌉ via exact integer arithmetic: ⌈a·n/10000⌉ =
+    // floor((a·n + 9999) / 10000)
+    val fences = ranked.join(counts, "g").groupBy("g")
+      .agg(max(col("n")).as("n_docs"),
+        atRank(floor((col("n") * pTailBp + 9999) / 10000.0)).as("lo"),
+        atRank(floor((col("n") * (10000 - pTailBp) + 9999) / 10000.0)).as("hi"))
+    t.join(fences, "g")
+      .select(col("g"), col("n_docs"), col("lo"), col("hi"),
+        greatest(col("lo"), least(col("hi"), col("x"))).as("xw"))
+      .groupBy("g")
+      .agg(max(col("n_docs")).as("n_docs"), max(col("lo")).as("lo"),
+        max(col("hi")).as("hi"), sum(col("xw")).as("sum_winsorized"))
+      .withColumn("mean_winsorized",
+        col("sum_winsorized").cast("double") / col("n_docs").cast("double"))
+      .withColumnRenamed("g", groupCol)
+  }
+
   def sigmaClip(df: DataFrame, idCol: String, xCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val d38 = DecimalType(38, 0)

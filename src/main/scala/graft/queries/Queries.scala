@@ -2014,6 +2014,32 @@ object Queries {
       .orderBy("s_suppkey")
   }
 
+  /** TF-IDF keyword extraction ([[graft.text.TextSearch.tfIdfTopTerms]]):
+    * each document's top-3 terms by integer ppm-scaled tf-idf — the
+    * document-fingerprinting / topic-tagging rail beside BM25 retrieval
+    * (q63) and phrase search (q73). Integer idf (`(N·1e6) div df`)
+    * orders terms exactly like log-idf at fixed N but hash-checks
+    * bit-for-bit against DuckDB.
+    */
+  def q139_tfidf_keywords(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextSearch.tfIdfTopTerms(Tables(spark, dir).documents,
+        "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank")
+
+  /** Per-language winsorized length statistics
+    * ([[graft.ops.CorpusOps.winsorizedStats]]): token counts clamped to
+    * the discrete [p05, p95] rank fences, then summed/averaged — the
+    * robust corpus-shape number the raw mean (skewed by outliers) and
+    * the σ-clip gate (q124, which drops rows) both miss. Integer fences
+    * and sums → exact oracle; the mean is one IEEE division.
+    */
+  def q140_winsorized(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.core.Graft.spread(Tables(spark, dir).documents)
+      .select(col("lang"), graft.text.TextFunctions.tokenCount(col("text")).as("nt"))
+    graft.ops.CorpusOps.winsorizedStats(t, "lang", "nt", pTailBp = 500)
+      .orderBy("lang")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -2195,7 +2221,9 @@ object Queries {
     "q135_sql_surface" -> (q135_sql_surface _),
     "q136_mmr" -> (q136_mmr _),
     "q137_join_size_est" -> (q137_join_size_est _),
-    "q138_kcore" -> (q138_kcore _)
+    "q138_kcore" -> (q138_kcore _),
+    "q139_tfidf_keywords" -> (q139_tfidf_keywords _),
+    "q140_winsorized" -> (q140_winsorized _)
   )
 }
 
@@ -3493,7 +3521,40 @@ object Oracles {
         |ex AS (SELECT CAST(sum(n * n) AS BIGINT) AS exact_join_size
         |       FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id))
         |SELECT exact_join_size, est_join_size FROM ex CROSS JOIN est""".stripMargin,
-    "q138_kcore" -> KCoreSql
+    "q138_kcore" -> KCoreSql,
+    "q139_tfidf_keywords" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY 1, 2),
+        |dfx AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |scored AS (SELECT doc_id, token, tf, df,
+        |             CAST(tf * ((n * 1000000) // df) AS BIGINT) AS score
+        |           FROM tf JOIN dfx USING (token) CROSS JOIN nn),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                 ORDER BY score DESC, token) AS rank FROM scored)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tf, df, score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q140_winsorized" ->
+      """WITH t AS (SELECT lang,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS x
+        |  FROM documents),
+        |r AS (SELECT lang, x, row_number() OVER (PARTITION BY lang ORDER BY x) AS rn FROM t),
+        |c AS (SELECT lang, count(*) AS n FROM t GROUP BY lang),
+        |f AS (SELECT r.lang, CAST(max(n) AS BIGINT) AS n_docs,
+        |        max(CASE WHEN rn = CAST(floor((n * 500 + 9999) / 10000.0) AS BIGINT)
+        |            THEN x END) AS lo,
+        |        max(CASE WHEN rn = CAST(floor((n * 9500 + 9999) / 10000.0) AS BIGINT)
+        |            THEN x END) AS hi
+        |      FROM r JOIN c ON r.lang = c.lang GROUP BY r.lang)
+        |SELECT t.lang, max(n_docs) AS n_docs, max(lo) AS lo, max(hi) AS hi,
+        |  CAST(sum(greatest(lo, least(hi, x))) AS BIGINT) AS sum_winsorized,
+        |  CAST(sum(greatest(lo, least(hi, x))) AS DOUBLE) / CAST(max(n_docs) AS DOUBLE)
+        |    AS mean_winsorized
+        |FROM t JOIN f ON t.lang = f.lang
+        |GROUP BY t.lang ORDER BY t.lang""".stripMargin
   )
 
   /** q138's oracle: the q113 co-supply top-3 graph, then the k = 3 peel

@@ -234,6 +234,40 @@ object TextSearch {
     idx.withColumn("bucket", pmod(xxhash64(col("token")), lit(buckets.toLong)))
       .write.mode("overwrite").partitionBy("bucket").parquet(dir)
 
+  /** Top-`k` TF-IDF keywords per document, in exact integer arithmetic:
+    * idf is the parts-per-million ratio `(N · 1000000) div df` (floor
+    * division — larger for rarer terms, exactly reproducible on any
+    * engine) and the score is `tf · idf_ppm`. Float-log idf
+    * (Salton & Buckley 1988) orders terms the same way for fixed N —
+    * both are monotone decreasing in df — but its libm `ln` is not
+    * bit-stable across engines; the ppm form keeps the whole keyword
+    * table hash-checkable (the q104/q124 integer-exactness discipline).
+    *
+    * Scale shape: tf is one map-side-combinable aggregate over the
+    * token stream, df one more over the (doc, token) table, N a 1-row
+    * broadcast, and the top-k is a per-doc WindowGroupLimit — no
+    * corpus-wide window, no collect. Output:
+    * (doc_id, rank, token, tf, df, score).
+    */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3, idfScale: Long = 1000000L): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val tf = graft.core.Graft.spread(docs)
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfTbl = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(dfTbl, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * expr(s"(__n * $idfScale) div df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "token", "tf", "df", "score")
+  }
+
   /** Load postings for `terms` from a saved index, reading ONLY the
     * terms' bucket partitions: bucket ids come from one tiny bounded job
     * (literal hashing — the probed-cell-collect pattern), and the bucket

@@ -529,4 +529,36 @@ class CorpusOpsSpec extends SparkSpec {
     }
     assert(got.count(_._3) == 1 && got.find(_._3).get._2 == 500L)
   }
+
+  test("winsorizedStats clamps to the discrete rank fences") {
+    // 20 values in one group: p05 fence = value at rank ⌈0.05·20⌉ = 1,
+    // p95 = rank ⌈0.95·20⌉ = 19 → lo = 2nd-smallest... rank 1 IS the
+    // minimum here, so craft a clear case: ranks 1..20 hold 0,10,20,…,190
+    val xs = (0L until 20L).map(_ * 10L)
+    val d = xs.zipWithIndex.map { case (x, i) => ("g", i.toLong, x) }
+      .toDF("grp", "id", "x")
+    val r = CorpusOps.winsorizedStats(d, "grp", "x", pTailBp = 500)
+      .as[(String, Long, Long, Long, Long, Double)].head()
+    // lo = value at rank 1 = 0; hi = value at rank 19 = 180 → only 190
+    // clamps (to 180): sum = Σ(0..190 by 10) − 10 = 1900 − 10
+    assert(r == (("g", 20L, 0L, 180L, 1890L, 94.5)))
+  }
+
+  test("winsorizedStats with wider tails pulls both fences in; untouched data keeps its sum") {
+    val xs = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L)
+    val d = xs.zipWithIndex.map { case (x, i) => ("g", i.toLong, x) }
+      .toDF("grp", "id", "x")
+    // 20% tails: lo = rank ⌈2⌉ = 2, hi = rank 8 → clamp 1→2, 9→8, 10→8
+    val r = CorpusOps.winsorizedStats(d, "grp", "x", pTailBp = 2000)
+      .as[(String, Long, Long, Long, Long, Double)].head()
+    assert((r._3, r._4) == ((2L, 8L)))
+    assert(r._5 == xs.map(x => math.max(2L, math.min(8L, x))).sum)
+    // 5% tails on 10 rows: fences at ranks 1 and 10 = min/max → no-op
+    val id0 = CorpusOps.winsorizedStats(d, "grp", "x", pTailBp = 500)
+      .as[(String, Long, Long, Long, Long, Double)].head()
+    assert(id0._5 == xs.sum)
+    intercept[IllegalArgumentException] {
+      CorpusOps.winsorizedStats(d, "grp", "x", pTailBp = 5000)
+    }
+  }
 }

@@ -260,4 +260,33 @@ class TextSearchSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
       s"bucket pruning missing from scan:\n$plan")
   }
+
+  test("tfIdfTopTerms: hand-computed ppm scores, rare terms outrank common ones") {
+    val docs = Seq(
+      (1L, "alpha alpha common"),
+      (2L, "beta common common"),
+      (3L, "common gamma gamma gamma")).toDF("doc_id", "text")
+    val got = TextSearch.tfIdfTopTerms(docs, "doc_id", "text", k = 2)
+      .as[(Long, Long, String, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    // N=3; df: alpha 1, beta 1, gamma 1, common 3
+    // idf_ppm: rare = 3000000, common = 1000000
+    // doc1: alpha tf2 → 6000000 beats common tf1 → 1000000
+    assert(got(1L) == Seq((1L, 1L, "alpha", 2L, 1L, 6000000L),
+      (1L, 2L, "common", 1L, 3L, 1000000L)))
+    // doc2: beta 3000000; common tf2 → 2000000
+    assert(got(2L) == Seq((2L, 1L, "beta", 1L, 1L, 3000000L),
+      (2L, 2L, "common", 2L, 3L, 2000000L)))
+    // doc3: gamma tf3 → 9000000; common 1000000
+    assert(got(3L) == Seq((3L, 1L, "gamma", 3L, 1L, 9000000L),
+      (3L, 2L, "common", 1L, 3L, 1000000L)))
+  }
+
+  test("tfIdfTopTerms tie-break is (score desc, token asc) and k caps per doc") {
+    val docs = Seq((1L, "aa bb cc")).toDF("doc_id", "text")
+    val got = TextSearch.tfIdfTopTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("rank").as[(Long, Long, String, Long, Long, Long)].collect().toSeq
+    // all three terms score identically → lexicographic order, capped at 2
+    assert(got.map(_._3) == Seq("aa", "bb"))
+  }
 }
