@@ -213,6 +213,75 @@ object RelOps {
     * key-cardinality-sized, so the stage joins shuffle only user-level
     * rows at scale.
     */
+  /** Trailing exponential smoothing over the gap-filled daily series
+    * ([[gapFillDaily]]) with DYADIC decay — weights 1/2, 1/4, …, 1/2⁷,
+    * 1/2⁷ over the trailing 8 calendar days (the final weight repeats so
+    * the kernel sums to exactly 1). Classic float EWMA (`α·x + (1−α)·ŷ`)
+    * is not cross-engine reproducible (libm, accumulation order); with
+    * dyadic weights the ×128-scaled smoothed value is pure 64-bit
+    * integer arithmetic — a lag-chain of shifted adds — so the whole
+    * series hash-checks, and `ewma = ewma_x128 / 128.0` is an exact
+    * double. Days before a key's first observation count as 0 (partial
+    * kernel at series start — deterministic, documented).
+    *
+    * Scale shape: one shuffle on the key shared by the gap fill and the
+    * lag window; the 8-term lag chain is one window pass, codegen'd.
+    * Output: (k, d, n, ewma_x128, ewma).
+    */
+  def ewmaDyadicDaily(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("d"))
+    // weights ×128: today 64, then 32 16 8 4 2 1, and 1 again for t−7
+    val wts = Seq(64L, 32L, 16L, 8L, 4L, 2L, 1L, 1L)
+    val x128 = wts.zipWithIndex.map { case (wt, i) =>
+      coalesce(lag(col("n"), i).over(w), lit(0L)) * wt
+    }.reduce(_ + _)
+    gapFillDaily(df, keyCol, tsCol)
+      .select(col("k"), col("d"), col("n"), x128.as("ewma_x128"))
+      .withColumn("ewma", col("ewma_x128").cast("double") / 128.0)
+  }
+
+  /** Session-level first-touch attribution: sessionize per key on a
+    * 30-minute inactivity gap (the q25/KQ-25 semantics), tag each
+    * session with its FIRST event's type under the (ts, tie) total
+    * order, and report per first-touch channel how many sessions
+    * started there, how many converted (contain ≥1 `convType` event),
+    * and the converted value — the marketing-attribution rail on top of
+    * sessionization. Counts are integers and the value sum uses the
+    * DECIMAL(18,6) discipline, so the whole table is oracle-exact.
+    *
+    * Scale shape: one shuffle on the key for the session window + one
+    * aggregation per (key, session), then a small reduce by channel —
+    * no corpus-wide window.
+    */
+  def firstTouchAttribution(df: DataFrame, keyCol: String, tsCol: String,
+                            tieCol: String, typeCol: String, valueCol: String,
+                            convType: String,
+                            gapMinutes: Int = 30): DataFrame = {
+    val marked = df.select(col(keyCol).as("k"), col(tsCol).as("ts"),
+        col(tieCol).as("tie"), col(typeCol).as("et"), col(valueCol).as("v"))
+      .withColumn("__prev",
+        lag(col("ts"), 1).over(Window.partitionBy("k").orderBy("ts", "tie")))
+      .withColumn("__new",
+        // ts may be TIMESTAMP or TIMESTAMP_NTZ — interval arithmetic
+        // covers both at full microsecond precision
+        when(col("__prev").isNull ||
+          col("ts") >= col("__prev") + expr(s"INTERVAL $gapMinutes MINUTES"),
+          1L).otherwise(0L))
+      .withColumn("sid", sum(col("__new"))
+        .over(Window.partitionBy("k").orderBy(col("ts"), col("tie"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val sessions = marked.groupBy("k", "sid")
+      .agg(min_by(col("et"), struct(col("ts"), col("tie"))).as("first_touch"),
+        sum(when(col("et") === convType, 1L).otherwise(0L)).as("__nc"),
+        sum(when(col("et") === convType,
+          col("v").cast("decimal(18,6)")).otherwise(lit(null))).as("__cv"))
+    sessions.groupBy("first_touch")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("__nc") > 0, 1L).otherwise(0L)).as("n_converted"),
+        coalesce(sum(col("__cv")), lit(java.math.BigDecimal.ZERO))
+          .cast("double").as("conv_value"))
+  }
+
   def funnel(df: DataFrame, keyCol: String, typeCol: String, tsCol: String,
              steps: Seq[String], within: Column): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")

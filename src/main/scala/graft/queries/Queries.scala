@@ -2040,6 +2040,31 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Dyadic-decay EWMA over the per-event-type daily series
+    * ([[graft.ops.RelOps.ewmaDyadicDaily]]): trailing exponential
+    * smoothing with power-of-two weights, ×128-scaled to pure integer
+    * arithmetic — the trend feature float EWMA computes
+    * non-reproducibly, made hash-checkable. Oracle: the same 8-term lag
+    * chain in SQL over the same gap-filled series.
+    */
+  def q141_ewma(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.RelOps.ewmaDyadicDaily(Tables(spark, dir).events, "event_type", "ts")
+      .select(col("k").as("event_type"), col("d").as("day"),
+        col("n"), col("ewma_x128"), col("ewma"))
+      .orderBy("event_type", "day")
+
+  /** Session first-touch attribution
+    * ([[graft.ops.RelOps.firstTouchAttribution]]): 30-minute-gap
+    * sessions (the q25 semantics) tagged with their opening event type;
+    * per channel, sessions started / sessions converted (≥1 purchase) /
+    * converted value — the marketing analytics rail composed on
+    * sessionization. Integer counts + DECIMAL value sum → exact oracle.
+    */
+  def q142_attribution(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.RelOps.firstTouchAttribution(Tables(spark, dir).events,
+        "user_id", "ts", "event_id", "event_type", "value", convType = "purchase")
+      .orderBy("first_touch")
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -2223,7 +2248,9 @@ object Queries {
     "q137_join_size_est" -> (q137_join_size_est _),
     "q138_kcore" -> (q138_kcore _),
     "q139_tfidf_keywords" -> (q139_tfidf_keywords _),
-    "q140_winsorized" -> (q140_winsorized _)
+    "q140_winsorized" -> (q140_winsorized _),
+    "q141_ewma" -> (q141_ewma _),
+    "q142_attribution" -> (q142_attribution _)
   )
 }
 
@@ -3554,7 +3581,47 @@ object Oracles {
         |  CAST(sum(greatest(lo, least(hi, x))) AS DOUBLE) / CAST(max(n_docs) AS DOUBLE)
         |    AS mean_winsorized
         |FROM t JOIN f ON t.lang = f.lang
-        |GROUP BY t.lang ORDER BY t.lang""".stripMargin
+        |GROUP BY t.lang ORDER BY t.lang""".stripMargin,
+    "q141_ewma" ->
+      """WITH counts AS (SELECT event_type AS k, CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (SELECT k, min(d) AS lo, max(d) AS hi FROM counts GROUP BY 1),
+        |days AS (SELECT k, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+        |         FROM spans),
+        |dense AS (SELECT k, d, coalesce(c, CAST(0 AS BIGINT)) AS n
+        |          FROM days LEFT JOIN counts USING (k, d)),
+        |sm AS (SELECT k, d, n,
+        |  64 * n
+        |  + 32 * coalesce(lag(n, 1) OVER w, 0) + 16 * coalesce(lag(n, 2) OVER w, 0)
+        |  +  8 * coalesce(lag(n, 3) OVER w, 0) +  4 * coalesce(lag(n, 4) OVER w, 0)
+        |  +  2 * coalesce(lag(n, 5) OVER w, 0) +  1 * coalesce(lag(n, 6) OVER w, 0)
+        |  +  1 * coalesce(lag(n, 7) OVER w, 0) AS ex
+        |  FROM dense WINDOW w AS (PARTITION BY k ORDER BY d))
+        |SELECT k AS event_type, d AS day, n, CAST(ex AS BIGINT) AS ewma_x128,
+        |  CAST(ex AS DOUBLE) / 128.0 AS ewma
+        |FROM sm ORDER BY event_type, day""".stripMargin,
+    "q142_attribution" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked),
+        |per_sess AS (
+        |  SELECT user_id, sid,
+        |    first(event_type ORDER BY ts, event_id) AS first_touch,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS nc,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(value AS DECIMAL(18,6)) END) AS cv
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT first_touch, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(CASE WHEN nc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+        |  CAST(coalesce(sum(cv), 0) AS DOUBLE) AS conv_value
+        |FROM per_sess GROUP BY 1 ORDER BY first_touch""".stripMargin
   )
 
   /** q138's oracle: the q113 co-supply top-3 graph, then the k = 3 peel

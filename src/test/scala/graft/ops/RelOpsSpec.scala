@@ -230,6 +230,71 @@ class RelOpsSpec extends SparkSpec {
     assert(got == Seq((1L, "view", 5L), (2L, "click", 1L), (3L, "purchase", 1L)))
   }
 
+  test("ewmaDyadicDaily: hand-computed ×128 kernel over a gapped series") {
+    // key "a": 2 events on day 1, gap on day 2, 1 event on day 3
+    val d = Seq(
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 11:00:00")),
+      ("a", java.sql.Timestamp.valueOf("2024-01-03 09:00:00"))
+    ).toDF("k", "ts")
+    val got = RelOps.ewmaDyadicDaily(d, "k", "ts")
+      .orderBy("d").as[(String, java.sql.Date, Long, Long, Double)].collect().toSeq
+    // day1: 64·2 = 128 (ewma 1.0); day2: 64·0 + 32·2 = 64 (0.5);
+    // day3: 64·1 + 32·0 + 16·2 = 96 (0.75)
+    assert(got.map(r => (r._3, r._4, r._5)) ==
+      Seq((2L, 128L, 1.0), (0L, 64L, 0.5), (1L, 96L, 0.75)))
+  }
+
+  test("ewmaDyadicDaily kernel sums to exactly 1 on a constant series") {
+    // 10 consecutive days of exactly 3 events: once the kernel is fully
+    // inside the series (day ≥ 8) the smoothed value must equal 3
+    val d = (0 until 10).flatMap(i => Seq.fill(3)(
+      ("k", java.sql.Timestamp.valueOf(f"2024-02-${i + 1}%02d 12:00:00"))))
+      .toDF("k", "ts")
+    val got = RelOps.ewmaDyadicDaily(d, "k", "ts")
+      .orderBy("d").as[(String, java.sql.Date, Long, Long, Double)].collect()
+    got.drop(7).foreach { r =>
+      assert(r._4 == 384L && r._5 == 3.0, s"full-kernel day off: $r")
+    }
+  }
+
+  test("firstTouchAttribution: sessions split on the gap, first event tags, conversions counted") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val d = Seq(
+      // user 1, session 1: view → purchase (converts, value 10)
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 4.0),
+      (1L, ts("2024-01-01 10:10:00"), 2L, "purchase", 10.0),
+      // user 1, session 2 (exactly 30 min after previous → new session):
+      // click only, no conversion
+      (1L, ts("2024-01-01 10:40:00"), 3L, "click", 1.0),
+      // user 2, one session: click → purchase ×2 (values 5 + 7)
+      (2L, ts("2024-01-02 09:00:00"), 4L, "click", 2.0),
+      (2L, ts("2024-01-02 09:05:00"), 5L, "purchase", 5.0),
+      (2L, ts("2024-01-02 09:10:00"), 6L, "purchase", 7.0)
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = RelOps.firstTouchAttribution(d, "user_id", "ts", "event_id",
+        "event_type", "value", convType = "purchase")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("view") == (("view", 1L, 1L, 10.0)))
+    assert(got("click") == (("click", 2L, 1L, 12.0)))
+    assert(got.size == 2)
+  }
+
+  test("firstTouchAttribution: ties on ts break by the tie column; sub-gap events stay in session") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val d = Seq(
+      // two events at the same instant: event_id order decides first touch
+      (1L, ts("2024-01-01 10:00:00"), 2L, "click", 0.0),
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),
+      // 29m59s later — still the same session
+      (1L, ts("2024-01-01 10:29:59"), 3L, "purchase", 3.0)
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = RelOps.firstTouchAttribution(d, "user_id", "ts", "event_id",
+        "event_type", "value", convType = "purchase")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("view", 1L, 1L, 3.0)))
+  }
+
   test("q06 wordcount on fixtures is non-empty and ordered") {
     val rows = graft.queries.Queries.q06_wordcount(spark, sfDir).as[(String, Long)].collect()
     assert(rows.nonEmpty)
