@@ -1337,6 +1337,57 @@ object VectorOps {
     * the join is collocated (both sides derive from one scan) and AQE
     * coalesces the tiny aggregate.
     */
+  /** Per-group centroid drift between two embedding snapshots — the
+    * corpus-drift monitor a training pipeline runs when a source
+    * refreshes: has each label/domain's embedding centroid moved?
+    * Reported as the cosine between the old and new centroid vectors.
+    *
+    * Cross-engine exactness: float centroid sums are corpus-order-
+    * dependent, so components are first quantized to integer
+    * milli-units (`floor(x·1000)` — one IEEE multiply + exact floor,
+    * deterministic on any engine; the [[quantizedGram]] trick with a
+    * fixed scale). All sums are then 64-bit integers, and cosine is
+    * scale-invariant so the SUM vectors stand in for the centroids —
+    * no division until the final IEEE cosine of exact integers.
+    * Overflow headroom: |m| ≤ 1000·|x|, so per-component sums hold to
+    * ~10¹² rows and the dot products to ~2⁵³/d of that — far past any
+    * per-group snapshot this runs on; groups empty on either side
+    * report null drift.
+    *
+    * Scale shape: one posexplode scan per side into a (group, dim)
+    * hash-aggregate (map-side combinable, d rows per group), a
+    * dim-aligned full-outer join of two d-sized-per-group frames, and a
+    * group-level reduce. The corpus never self-joins.
+    *
+    * Output: (group, n_a, n_b, cos_drift).
+    */
+  def centroidDrift(a: DataFrame, b: DataFrame, groupCol: String,
+                    vecCol: String): DataFrame = {
+    def sums(df: DataFrame, out: String): DataFrame = df
+      .select(col(groupCol).as("g"), posexplode(col(vecCol)).as(Seq("i", "x")))
+      .select(col("g"), col("i"),
+        floor(col("x").cast("double") * 1000d).cast("long").as("m"))
+      .groupBy("g", "i").agg(sum(col("m")).as(out))
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.groupBy(col(groupCol).as("g")).agg(count(lit(1)).as(out))
+    val j = sums(a, "sa").join(sums(b, "sb"), Seq("g", "i"), "full_outer")
+      .select(col("g"), coalesce(col("sa"), lit(0L)).as("sa"),
+        coalesce(col("sb"), lit(0L)).as("sb"))
+    val agg = j.groupBy("g")
+      .agg(sum(col("sa") * col("sb")).as("__dot"),
+        sum(col("sa") * col("sa")).as("__na2"),
+        sum(col("sb") * col("sb")).as("__nb2"))
+    agg.join(counts(a, "n_a"), Seq("g"), "full_outer")
+      .join(counts(b, "n_b"), Seq("g"), "full_outer")
+      .select(col("g").as(groupCol),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        when(col("__na2") > 0 && col("__nb2") > 0,
+          col("__dot").cast("double") /
+            (sqrt(col("__na2").cast("double")) * sqrt(col("__nb2").cast("double"))))
+          .as("cos_drift"))
+  }
+
   def quantizedGram(vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val codes = graft.ops.CorpusOps.quantizeInt8(vectors, idCol, vecCol).cache()
     // explicit renames on both sides: self-join disambiguation by Dataset

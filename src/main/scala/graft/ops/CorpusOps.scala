@@ -424,6 +424,35 @@ object CorpusOps {
       .select("token", "df", "tf")
   }
 
+  /** Per-group vocabulary coverage: with the corpus's [[vocabTopK]]
+    * top-`k` vocabulary (df-desc, token-asc deterministic cut), what
+    * fraction of each group's token OCCURRENCES is covered, and so what
+    * is the out-of-vocabulary rate — the number that decides whether a
+    * tokenizer vocabulary is big enough per language/domain before a
+    * training run commits to it. Integer occurrence counts + one double
+    * division → exact oracle.
+    *
+    * Scale shape: the vocab is k rows (broadcast); coverage is one
+    * token-explode scan with a broadcast left-join and a group
+    * aggregate — no corpus-sized shuffle beyond the group reduce.
+    * Output: (group, n_tokens, n_covered, oov_rate).
+    */
+  def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
+                    groupCol: String, k: Int): DataFrame = {
+    val vocab = vocabTopK(docs, idCol, textCol, k)
+      .select(col("token"), lit(1L).as("__inv"))
+    graft.core.Graft.spread(docs)
+      .select(col(groupCol).as("g"),
+        explode(graft.text.TextFunctions.tokens(col(textCol))).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__inv").isNotNull, 1L).otherwise(0L)).as("n_covered"))
+      .select(col("g").as(groupCol), col("n_tokens"), col("n_covered"),
+        ((col("n_tokens") - col("n_covered")).cast("double") /
+          col("n_tokens").cast("double")).as("oov_rate"))
+  }
+
   /** Deterministic shard assignment for dataset export: shard =
     * [[sampleRank]](id) mod `nShards` — uniform in expectation,
     * reproducible on any re-run (retry-safe like every sampling op

@@ -2065,6 +2065,34 @@ object Queries {
         "user_id", "ts", "event_id", "event_type", "value", convType = "purchase")
       .orderBy("first_touch")
 
+  /** Per-label embedding centroid drift
+    * ([[graft.functions.VectorOps.centroidDrift]]) between the even- and
+    * odd-id halves of the embedding corpus — the refresh-monitoring
+    * number (has a class's centroid moved?) computed with milli-unit
+    * integer quantization so the centroid sums are exact and the final
+    * cosine IEEE-deterministic. Exact oracle including the cosine.
+    */
+  def q143_centroid_drift(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    graft.functions.VectorOps.centroidDrift(
+        e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+        "label", "embedding")
+      .withColumn("label", col("label").cast("long"))
+      .orderBy("label")
+  }
+
+  /** Vocabulary coverage / OOV rate per language
+    * ([[graft.ops.CorpusOps.vocabCoverage]]): with the corpus top-500
+    * vocabulary (q77's deterministic cut), the fraction of each
+    * language's token occurrences left out-of-vocabulary — the
+    * tokenizer-sizing number. Integer counts + one division → exact
+    * oracle.
+    */
+  def q144_vocab_coverage(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusOps.vocabCoverage(Tables(spark, dir).documents,
+        "doc_id", "text", "lang", k = 500)
+      .orderBy("lang")
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -2250,7 +2278,9 @@ object Queries {
     "q139_tfidf_keywords" -> (q139_tfidf_keywords _),
     "q140_winsorized" -> (q140_winsorized _),
     "q141_ewma" -> (q141_ewma _),
-    "q142_attribution" -> (q142_attribution _)
+    "q142_attribution" -> (q142_attribution _),
+    "q143_centroid_drift" -> (q143_centroid_drift _),
+    "q144_vocab_coverage" -> (q144_vocab_coverage _)
   )
 }
 
@@ -3621,7 +3651,45 @@ object Oracles {
         |SELECT first_touch, CAST(count(*) AS BIGINT) AS n_sessions,
         |  CAST(sum(CASE WHEN nc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
         |  CAST(coalesce(sum(cv), 0) AS DOUBLE) AS conv_value
-        |FROM per_sess GROUP BY 1 ORDER BY first_touch""".stripMargin
+        |FROM per_sess GROUP BY 1 ORDER BY first_touch""".stripMargin,
+    "q143_centroid_drift" ->
+      """WITH ex AS (SELECT vec_id, CAST(label AS BIGINT) AS g,
+        |    unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |m AS (SELECT vec_id % 2 AS c, g, i,
+        |        CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS m FROM ex),
+        |sa AS (SELECT g, i, CAST(sum(m) AS BIGINT) AS s FROM m WHERE c = 0 GROUP BY 1, 2),
+        |sb AS (SELECT g, i, CAST(sum(m) AS BIGINT) AS s FROM m WHERE c = 1 GROUP BY 1, 2),
+        |j AS (SELECT g, coalesce(sa.s, 0) AS s0, coalesce(sb.s, 0) AS s1
+        |      FROM sa FULL OUTER JOIN sb USING (g, i)),
+        |agg AS (SELECT g, CAST(sum(s0 * s1) AS BIGINT) AS dot,
+        |          CAST(sum(s0 * s0) AS BIGINT) AS n0,
+        |          CAST(sum(s1 * s1) AS BIGINT) AS n1
+        |        FROM j GROUP BY 1),
+        |cnt AS (SELECT CAST(label AS BIGINT) AS g,
+        |          CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |          CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |        FROM embeddings GROUP BY 1)
+        |SELECT cnt.g AS label, n_a, n_b,
+        |  CASE WHEN n0 > 0 AND n1 > 0
+        |    THEN CAST(dot AS DOUBLE) / (sqrt(CAST(n0 AS DOUBLE)) * sqrt(CAST(n1 AS DOUBLE)))
+        |  END AS cos_drift
+        |FROM cnt LEFT JOIN agg ON cnt.g = agg.g
+        |ORDER BY label""".stripMargin,
+    "q144_vocab_coverage" ->
+      """WITH toks AS (SELECT doc_id, lang,
+        |  unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |perdoc AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS n
+        |           FROM toks GROUP BY 1, 2),
+        |stats AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM perdoc GROUP BY 1),
+        |vocab AS (SELECT token FROM stats ORDER BY df DESC, token LIMIT 500)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN token IN (SELECT token FROM vocab) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_covered,
+        |  CAST(count(*) - sum(CASE WHEN token IN (SELECT token FROM vocab)
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate
+        |FROM toks GROUP BY lang ORDER BY lang""".stripMargin
   )
 
   /** q138's oracle: the q113 co-supply top-3 graph, then the k = 3 peel

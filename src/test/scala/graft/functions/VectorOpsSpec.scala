@@ -706,4 +706,37 @@ class VectorOpsSpec extends SparkSpec {
     assert(got.size == 6 && got.keys.forall { case (i, j) => i <= j })
     assert((0 until 3).forall(i => got((i.toLong, i.toLong)) >= 0L))
   }
+
+  test("centroidDrift: identical snapshots score 1, a flipped axis scores its milli cosine") {
+    val a = Seq((1, Array(1.0f, 0.0f)), (1, Array(1.0f, 0.5f)),
+      (2, Array(0.0f, 1.0f))).toDF("label", "embedding")
+    // group 1: identical distribution → drift 1.0; group 2: centroid
+    // rotated onto the other axis → drift 0.0
+    val b = Seq((1, Array(1.0f, 0.0f)), (1, Array(1.0f, 0.5f)),
+      (2, Array(1.0f, 0.0f))).toDF("label", "embedding")
+    val got = VectorOps.centroidDrift(a, b, "label", "embedding")
+      .as[(Int, Long, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
+    assert(got(1) == ((1, 2L, 2L, Some(1.0))))
+    assert(got(2) == ((2, 1L, 1L, Some(0.0))))
+  }
+
+  test("centroidDrift: groups empty on one side report null drift, counts survive") {
+    val a = Seq((7, Array(1.0f, 1.0f))).toDF("label", "embedding")
+    val b = Seq((8, Array(1.0f, 1.0f))).toDF("label", "embedding")
+    val got = VectorOps.centroidDrift(a, b, "label", "embedding")
+      .as[(Int, Long, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
+    assert(got(7) == ((7, 1L, 0L, None)) && got(8) == ((8, 0L, 1L, None)))
+  }
+
+  test("centroidDrift is invariant to row order and partitioning (integer sums)") {
+    val e = graft.core.Tables(spark, sfDir).embeddings
+    val a = e.filter($"vec_id" % 2 === 0)
+    val b = e.filter($"vec_id" % 2 === 1)
+    val r1 = VectorOps.centroidDrift(a, b, "label", "embedding")
+      .as[(Int, Long, Long, Option[Double])].collect().toSet
+    val r2 = VectorOps.centroidDrift(a.repartition(17), b.repartition(3),
+        "label", "embedding")
+      .as[(Int, Long, Long, Option[Double])].collect().toSet
+    assert(r1 == r2, "drift must be bit-identical under any partitioning")
+  }
 }

@@ -530,6 +530,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.count(_._3) == 1 && got.find(_._3).get._2 == 500L)
   }
 
+  test("vocabCoverage: OOV rate counts occurrences, not types; deterministic cut") {
+    val docs = Seq(
+      (1L, "en", "the the the cat"),
+      (2L, "en", "the dog"),
+      (3L, "fr", "le le zèbre")).toDF("doc_id", "lang", "text")
+    // top-2 vocab by df: "the" (df 2) and "le"? df: the=2, cat=1, dog=1,
+    // le=1, zèbre=1 → ties at df 1 cut lexicographically: vocab = {the, cat}
+    val got = CorpusOps.vocabCoverage(docs, "doc_id", "text", "lang", k = 2)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // en: 6 tokens, covered = the×4 + cat×1 = 5 → oov 1/6
+    assert(got("en") == (("en", 6L, 5L, 1.0 / 6.0)))
+    // fr: 3 tokens, none in vocab → oov 1.0
+    assert(got("fr") == (("fr", 3L, 0L, 1.0)))
+  }
+
   test("winsorizedStats clamps to the discrete rank fences") {
     // 20 values in one group: p05 fence = value at rank ⌈0.05·20⌉ = 1,
     // p95 = rank ⌈0.95·20⌉ = 19 → lo = 2nd-smallest... rank 1 IS the
