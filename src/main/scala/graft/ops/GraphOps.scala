@@ -120,9 +120,14 @@ object GraphOps {
       val next = und
         .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
-        .localCheckpoint(true)
-      graft.dedup.Dedup.releaseCheckpoint(und)
-      und = next
+      // lineage per round is shallow (one agg + two semi-joins), so
+      // checkpoint only every 4th round — an eager localCheckpoint is a
+      // full materialization JOB, and paying one per round dominated
+      // short peels; long peels still get periodic truncation
+      val doCkpt = (round + 1) % 4 == 0 && round != rounds - 1
+      val mat = if (doCkpt) next.localCheckpoint(true) else next
+      if (doCkpt) graft.dedup.Dedup.releaseCheckpoint(und)
+      und = mat
       round += 1
     }
     val out = degrees(und).select(col("v").as("id"), col("deg"))
