@@ -58,6 +58,53 @@ object SketchOps {
   def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionAll(b).groupBy("r", "b").agg(sum("cnt").as("cnt"))
 
+  /** Per-group fixed-width histogram sketch over a non-negative integer
+    * column: one row per non-empty bucket `(g, b, cnt)` with
+    * `b = x div width`. The quantile-sketch rail beside [[cmsBuild]]'s
+    * frequency rail: at 100 TB the exact per-group percentile
+    * (q91-style sort window) is a full shuffle of the data, while this
+    * sketch is one map-side-combinable aggregate into
+    * `range/width` cells, MERGES by cell-wise addition like the CM
+    * sketch, and answers any quantile from the cumulative scan with
+    * error < `width` — deterministic integer arithmetic end to end, so
+    * unlike t-digest/KLL the whole sketch AND its answers are
+    * oracle-reproducible.
+    */
+  def histSketch(df: DataFrame, groupCol: String, xCol: String,
+                 width: Long): DataFrame = {
+    require(width > 0, s"bucket width must be positive, got $width")
+    df.select(col(groupCol).as("g"),
+        expr(s"CAST($xCol AS BIGINT) div $width").as("b"))
+      .groupBy("g", "b").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile answers from a [[histSketch]]: for each group and each
+    * requested basis-point rank p, the LOWER BOUND `b·width` of the
+    * first bucket whose cumulative count reaches the discrete rank
+    * ⌈p·n⌉ (the q91 integer-ceiling discipline). The true percentile is
+    * sandwiched in `[answer, answer + width)` — spec-owned. One window
+    * over the bucket-sized sketch (range/width rows per group), nothing
+    * data-sized.
+    *
+    * Output: (g, n, q_<bp> per requested rank).
+    */
+  def histQuantiles(sketch: DataFrame, width: Long, bps: Seq[Int]): DataFrame = {
+    require(bps.nonEmpty && bps.forall(p => p > 0 && p <= 10000),
+      s"ranks must be basis points in (0, 10000], got $bps")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("b")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = sketch.withColumn("cum", sum(col("cnt")).over(w))
+    val n = sketch.groupBy("g").agg(sum(col("cnt")).as("n"))
+    val qs = bps.map { p =>
+      // first bucket with cum ≥ ⌈p·n/10000⌉; ⌈a/10000⌉ = (a+9999) div 10000
+      min(when(col("cum") >= expr(s"(n * $p + 9999) div 10000"), col("b") * width))
+        .as(s"q_$p")
+    }
+    val aggs = max(col("n")).as("n") +: qs
+    cum.join(n, "g").groupBy("g").agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Equi-join size estimation from two count-min sketches (the
     * AMS/CM inner-product estimator, Cormode & Muthukrishnan 2005 §4.2):
     * |A ⋈ B on k| = Σ_k fA(k)·fB(k), and for each sketch row r,

@@ -2093,6 +2093,39 @@ object Queries {
         "doc_id", "text", "lang", k = 500)
       .orderBy("lang")
 
+  /** Histogram-sketch quantiles ([[graft.ops.SketchOps.histSketch]] +
+    * [[graft.ops.SketchOps.histQuantiles]]): per-language p50/p90/p99
+    * token-length answers from a width-16 mergeable bucket sketch — the
+    * sublinear stand-in for q91's exact sort-window percentiles at
+    * 100 TB (one hash-aggregate instead of a data-sized shuffle; error
+    * < width, spec-owned). Deterministic integer arithmetic → unlike
+    * t-digest/KLL the sketch answers hash-check exactly.
+    */
+  def q145_hist_quantiles(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.core.Graft.spread(Tables(spark, dir).documents)
+      .select(col("lang"), graft.text.TextFunctions.tokenCount(col("text")).as("nt"))
+    val sk = graft.ops.SketchOps.histSketch(t, "lang", "nt", width = 16L)
+    graft.ops.SketchOps.histQuantiles(sk, 16L, Seq(5000, 9000, 9900))
+      .withColumnRenamed("g", "lang")
+      .orderBy("lang")
+  }
+
+  /** Distinct-count sketches via Spark's native DataSketches surface
+    * (`hll_sketch_agg` / `hll_sketch_estimate`): per-language distinct
+    * token estimates beside the exact count. Rows-only by design — the
+    * HLL register state is library-specific (no DuckDB counterpart) —
+    * with the ≤5%-relative-error and union-merge consistency contracts
+    * spec-owned in SketchOpsSpec.
+    */
+  def q146_hll_distinct(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Graft.spread(Tables(spark, dir).documents)
+      .select(col("lang"),
+        explode(graft.text.TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy("lang")
+      .agg(countDistinct(col("token")).as("n_exact"),
+        hll_sketch_estimate(hll_sketch_agg(col("token"))).as("n_est"))
+      .orderBy("lang")
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -2280,7 +2313,9 @@ object Queries {
     "q141_ewma" -> (q141_ewma _),
     "q142_attribution" -> (q142_attribution _),
     "q143_centroid_drift" -> (q143_centroid_drift _),
-    "q144_vocab_coverage" -> (q144_vocab_coverage _)
+    "q144_vocab_coverage" -> (q144_vocab_coverage _),
+    "q145_hist_quantiles" -> (q145_hist_quantiles _),
+    "q146_hll_distinct" -> (q146_hll_distinct _)
   )
 }
 
@@ -3689,7 +3724,26 @@ object Oracles {
         |    AS BIGINT) AS n_covered,
         |  CAST(count(*) - sum(CASE WHEN token IN (SELECT token FROM vocab)
         |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate
-        |FROM toks GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM toks GROUP BY lang ORDER BY lang""".stripMargin,
+    "q145_hist_quantiles" ->
+      """WITH t AS (SELECT lang AS g,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS x
+        |  FROM documents),
+        |sk AS (SELECT g, x // 16 AS b, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM t GROUP BY 1, 2),
+        |c AS (SELECT g, b, cnt,
+        |        sum(cnt) OVER (PARTITION BY g ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM sk),
+        |nn AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n FROM sk GROUP BY 1)
+        |SELECT c.g AS lang, max(nn.n) AS n,
+        |  CAST(min(CASE WHEN cum >= (nn.n * 5000 + 9999) // 10000 THEN b * 16 END)
+        |    AS BIGINT) AS q_5000,
+        |  CAST(min(CASE WHEN cum >= (nn.n * 9000 + 9999) // 10000 THEN b * 16 END)
+        |    AS BIGINT) AS q_9000,
+        |  CAST(min(CASE WHEN cum >= (nn.n * 9900 + 9999) // 10000 THEN b * 16 END)
+        |    AS BIGINT) AS q_9900
+        |FROM c JOIN nn ON c.g = nn.g
+        |GROUP BY c.g ORDER BY lang""".stripMargin
   )
 
   /** q138's oracle: the q113 co-supply top-3 graph, then the k = 3 peel

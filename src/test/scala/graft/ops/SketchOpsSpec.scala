@@ -91,6 +91,67 @@ class SketchOpsSpec extends SparkSpec {
     assert(est == 0L)
   }
 
+  test("histSketch quantiles sandwich the exact percentile within one bucket width") {
+    val docs = graft.core.Tables(spark, sfDir).documents
+    val t = docs.select($"lang",
+      graft.text.TextFunctions.tokenCount($"text").as("nt"))
+    val width = 16L
+    val sk = SketchOps.histSketch(t, "lang", "nt", width)
+    val got = SketchOps.histQuantiles(sk, width, Seq(5000, 9500))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // exact discrete percentiles per lang (the q91 rank discipline)
+    val vals = t.as[(String, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    for ((lang, xs) <- vals) {
+      val n = xs.size
+      def exact(p: Int) = xs((p * n + 9999) / 10000 - 1)
+      val (_, gn, q50, q95) = got(lang)
+      assert(gn == n)
+      assert(q50 <= exact(5000) && exact(5000) < q50 + width,
+        s"$lang p50: sketch $q50 vs exact ${exact(5000)}")
+      assert(q95 <= exact(9500) && exact(9500) < q95 + width,
+        s"$lang p95: sketch $q95 vs exact ${exact(9500)}")
+    }
+  }
+
+  test("histSketch merges by cell-wise addition (split halves = union)") {
+    val docs = graft.core.Tables(spark, sfDir).documents
+    val t = docs.select($"lang",
+      graft.text.TextFunctions.tokenCount($"text").as("nt"), $"doc_id")
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      SketchOps.histSketch(df, "lang", "nt", 16L)
+    val merged = sk(t.filter($"doc_id" % 2 === 0))
+      .unionAll(sk(t.filter($"doc_id" % 2 =!= 0)))
+      .groupBy("g", "b").agg(sum("cnt").as("cnt"))
+      .as[(String, Long, Long)].collect().toSet
+    val full = sk(t).as[(String, Long, Long)].collect().toSet
+    assert(merged == full)
+  }
+
+  test("hll sketch estimates track exact distincts within 5% at real cardinality") {
+    val n = 100000L
+    val df = spark.range(n).select((col("id") % 2).as("g"), col("id").cast("string").as("v"))
+    val got = df.groupBy("g")
+      .agg(countDistinct($"v").as("n_exact"),
+        hll_sketch_estimate(hll_sketch_agg($"v")).as("n_est"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (g, exact, est) =>
+      assert(math.abs(est - exact).toDouble / exact < 0.05,
+        s"group $g: est $est vs exact $exact")
+    }
+    // union-merge consistency: merging per-half sketches estimates the
+    // union like the single-pass sketch does
+    val half1 = df.filter($"id" < n / 2).agg(hll_sketch_agg($"v").as("sk"))
+    val half2 = df.filter($"id" >= n / 2).agg(hll_sketch_agg($"v").as("sk"))
+    val merged = half1.unionAll(half2)
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"))
+      .as[Long].head()
+    val single = df.agg(hll_sketch_estimate(hll_sketch_agg($"v")).as("est"))
+      .as[Long].head()
+    assert(math.abs(merged - single).toDouble / single < 0.01,
+      s"merged $merged vs single-pass $single")
+  }
+
   test("cms estimate for a never-seen key is the bucket floor (0 on empty cells)") {
     val df = Seq(1L, 1L, 2L).toDF("k")
     val sketch = SketchOps.cmsBuild(df, "k", D, W)
