@@ -213,6 +213,58 @@ object RelOps {
     * key-cardinality-sized, so the stage joins shuffle only user-level
     * rows at scale.
     */
+  /** Zone-map (data-skipping) effectiveness audit: simulate the
+    * file-level min/max statistics a lakehouse keeps per parquet file,
+    * for a given physical LAYOUT (an ordering expression), and count
+    * how many files a range predicate could prune. The number that
+    * justifies sort-on-write: the same predicate on the same data
+    * prunes ~0 files under insertion order and almost all of them when
+    * the layout clusters the predicate column ([[graft.queries]] q118's
+    * Z-order audit is the multi-column sibling). Integer min/max +
+    * counts → exact oracle.
+    *
+    * The file assignment `(row_number over layout − 1) div rowsPerFile`
+    * is a global window — correct for an AUDIT (file layout is a total
+    * order by definition) and run at audit scale, not inside a data
+    * pipeline. Output: one row (n_files, files_pruned) for the
+    * predicate `loInclusive ≤ xCol ≤ hiInclusive`.
+    */
+  def zoneMapAudit(df: DataFrame, xCol: String, layout: Seq[Column],
+                   rowsPerFile: Int, loInclusive: Long,
+                   hiInclusive: Long): DataFrame = {
+    require(rowsPerFile > 0, s"rowsPerFile must be positive, got $rowsPerFile")
+    val w = Window.orderBy(layout: _*)
+    df.select(col(xCol).cast("long").as("x"),
+        (row_number().over(w) - 1).cast("long").as("rn"))
+      .select(col("x"), expr(s"rn div $rowsPerFile").as("fid"))
+      .groupBy("fid").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("mx") < loInclusive || col("mn") > hiInclusive, 1L)
+          .otherwise(0L)).as("files_pruned"))
+  }
+
+  /** Per-key next-state transition counts over an ordered event stream —
+    * the Markov-chain surface of behavioral analytics (what follows a
+    * `view`?): adjacent event-type bigrams under the (ts, tie) total
+    * order per key, with the per-source transition probability. Integer
+    * counts + one division → exact. One key shuffle for the lag window,
+    * then a tiny aggregate.
+    * Output: (from_type, to_type, n, p).
+    */
+  def transitionCounts(df: DataFrame, keyCol: String, tsCol: String,
+                       tieCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = df
+      .select(col(keyCol), col(tsCol), col(tieCol), col(typeCol).as("to_type"))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum(col("n")).as("__t"))
+    pairs.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("__t").cast("double")).as("p"))
+  }
+
   /** Trailing exponential smoothing over the gap-filled daily series
     * ([[gapFillDaily]]) with DYADIC decay — weights 1/2, 1/4, …, 1/2⁷,
     * 1/2⁷ over the trailing 8 calendar days (the final weight repeats so

@@ -2126,6 +2126,58 @@ object Queries {
         hll_sketch_estimate(hll_sketch_agg(col("token"))).as("n_est"))
       .orderBy("lang")
 
+  /** Zone-map pruning audit ([[graft.ops.RelOps.zoneMapAudit]]): the
+    * same range predicate (500 ≤ n_chars ≤ 999) against simulated
+    * 256-row files under insertion order vs sorted-by-column layout —
+    * the file-skipping contrast that justifies sort-on-write, q118's
+    * Z-order audit for the single-column case. Integer min/max stats →
+    * exact oracle.
+    */
+  def q147_zonemap(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val natural = graft.ops.RelOps.zoneMapAudit(d, "n_chars",
+        Seq(col("doc_id")), rowsPerFile = 256, loInclusive = 500L, hiInclusive = 999L)
+      .withColumn("layout", lit("natural"))
+    val sorted = graft.ops.RelOps.zoneMapAudit(d, "n_chars",
+        Seq(col("n_chars"), col("doc_id")), rowsPerFile = 256,
+        loInclusive = 500L, hiInclusive = 999L)
+      .withColumn("layout", lit("sorted"))
+    natural.unionAll(sorted).select("layout", "n_files", "files_pruned")
+      .orderBy("layout")
+  }
+
+  /** Time-in-state shares from the SCD2 validity intervals (q114's
+    * build): per user, the fraction of closed-interval time spent in
+    * each event_type state — the temporal-DB aggregation (duration-
+    * weighted profile) layered on the dimension build. Microsecond
+    * integer durations + one division → exact oracle.
+    */
+  def q148_time_in_state(spark: SparkSession, dir: String): DataFrame = {
+    val iv = graft.ops.RelOps.scd2(Tables(spark, dir).events,
+        "user_id", "ts", "event_id", "event_type")
+      .filter(col("valid_to").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        expr("timestampdiff(MICROSECOND, valid_from, valid_to)").as("us"))
+    val per = iv.groupBy("user_id", "event_type").agg(sum(col("us")).as("micros"))
+    val tot = per.groupBy("user_id").agg(sum(col("micros")).as("__t"))
+    per.join(tot, "user_id")
+      .select(col("user_id"), col("event_type"), col("micros"),
+        (col("micros").cast("double") / col("__t").cast("double")).as("share"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Event-type transition matrix
+    * ([[graft.ops.RelOps.transitionCounts]]): adjacent event bigrams
+    * per user under the (ts, event_id) total order, with per-source
+    * transition probabilities — the Markov surface of behavioral
+    * analytics beside the funnel (q115) and attribution (q142) rails.
+    * Exact oracle.
+    */
+  def q149_transitions(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.RelOps.transitionCounts(Tables(spark, dir).events,
+        "user_id", "ts", "event_id", "event_type")
+      .orderBy("from_type", "to_type")
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -2315,7 +2367,10 @@ object Queries {
     "q143_centroid_drift" -> (q143_centroid_drift _),
     "q144_vocab_coverage" -> (q144_vocab_coverage _),
     "q145_hist_quantiles" -> (q145_hist_quantiles _),
-    "q146_hll_distinct" -> (q146_hll_distinct _)
+    "q146_hll_distinct" -> (q146_hll_distinct _),
+    "q147_zonemap" -> (q147_zonemap _),
+    "q148_time_in_state" -> (q148_time_in_state _),
+    "q149_transitions" -> (q149_transitions _)
   )
 }
 
@@ -3743,7 +3798,54 @@ object Oracles {
         |  CAST(min(CASE WHEN cum >= (nn.n * 9900 + 9999) // 10000 THEN b * 16 END)
         |    AS BIGINT) AS q_9900
         |FROM c JOIN nn ON c.g = nn.g
-        |GROUP BY c.g ORDER BY lang""".stripMargin
+        |GROUP BY c.g ORDER BY lang""".stripMargin,
+    "q147_zonemap" ->
+      """WITH x AS (SELECT CAST(n_chars AS BIGINT) AS x, doc_id FROM documents),
+        |a AS (SELECT x, (row_number() OVER (ORDER BY doc_id) - 1) // 256 AS fid FROM x),
+        |b AS (SELECT x, (row_number() OVER (ORDER BY x, doc_id) - 1) // 256 AS fid FROM x),
+        |fa AS (SELECT fid, min(x) AS mn, max(x) AS mx FROM a GROUP BY 1),
+        |fb AS (SELECT fid, min(x) AS mn, max(x) AS mx FROM b GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 'natural' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+        |    CAST(sum(CASE WHEN mx < 500 OR mn > 999 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS files_pruned
+        |  FROM fa
+        |  UNION ALL
+        |  SELECT 'sorted', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN mx < 500 OR mn > 999 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM fb)
+        |ORDER BY layout""".stripMargin,
+    "q148_time_in_state" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |ch AS (SELECT user_id, event_id, event_type, ts FROM marked
+        |       WHERE prev IS NULL OR prev <> event_type),
+        |iv AS (SELECT user_id, event_type, ts AS valid_from,
+        |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |       FROM ch),
+        |cl AS (SELECT user_id, event_type,
+        |         epoch_us(valid_to) - epoch_us(valid_from) AS us
+        |       FROM iv WHERE valid_to IS NOT NULL),
+        |per AS (SELECT user_id, event_type, CAST(sum(us) AS BIGINT) AS micros
+        |        FROM cl GROUP BY 1, 2),
+        |tot AS (SELECT user_id, CAST(sum(micros) AS BIGINT) AS t FROM per GROUP BY 1)
+        |SELECT per.user_id, event_type, micros,
+        |  CAST(micros AS DOUBLE) / CAST(t AS DOUBLE) AS share
+        |FROM per JOIN tot ON per.user_id = tot.user_id
+        |ORDER BY per.user_id, event_type""".stripMargin,
+    "q149_transitions" ->
+      """WITH p AS (SELECT user_id, event_type AS to_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS from_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS t FROM c GROUP BY 1)
+        |SELECT c.from_type, to_type, n, CAST(n AS DOUBLE) / CAST(t.t AS DOUBLE) AS p
+        |FROM c JOIN t ON c.from_type = t.from_type
+        |ORDER BY c.from_type, to_type""".stripMargin
   )
 
   /** q138's oracle: the q113 co-supply top-3 graph, then the k = 3 peel

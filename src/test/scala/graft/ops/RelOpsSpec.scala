@@ -295,6 +295,39 @@ class RelOpsSpec extends SparkSpec {
     assert(got == Seq(("view", 1L, 1L, 3.0)))
   }
 
+  test("zoneMapAudit: sorted layout prunes, shuffled layout doesn't") {
+    // 40 rows, 4 "files" of 10; values 0..39. Predicate 25..29 touches
+    // one file when sorted by x, but every file when x is scattered by
+    // a stride permutation
+    val d = (0L until 40L).map(i => (i, (i * 13) % 40)).toDF("id", "x")
+    val sorted = RelOps.zoneMapAudit(d, "x", Seq($"x", $"id"),
+        rowsPerFile = 10, loInclusive = 25L, hiInclusive = 29L)
+      .as[(Long, Long)].head()
+    assert(sorted == ((4L, 3L)), s"sorted layout: $sorted")
+    val scattered = RelOps.zoneMapAudit(d, "x", Seq($"id"),
+        rowsPerFile = 10, loInclusive = 25L, hiInclusive = 29L)
+      .as[(Long, Long)].head()
+    // stride-13 permutation spreads 25..29 across all 4 files → 0 pruned
+    assert(scattered == ((4L, 0L)), s"scattered layout: $scattered")
+  }
+
+  test("transitionCounts: bigrams respect per-key order, probabilities sum to 1 per source") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val d = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "b"),
+      (1L, ts("2024-01-01 10:02:00"), 3L, "a"),
+      (2L, ts("2024-01-01 09:00:00"), 4L, "a"),
+      (2L, ts("2024-01-01 09:01:00"), 5L, "c")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = RelOps.transitionCounts(d, "user_id", "ts", "event_id", "event_type")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // from a: →b (user1), →c (user2); from b: →a
+    assert(got == Map(("a", "b") -> ((1L, 0.5)), ("a", "c") -> ((1L, 0.5)),
+      ("b", "a") -> ((1L, 1.0))))
+  }
+
   test("q06 wordcount on fixtures is non-empty and ordered") {
     val rows = graft.queries.Queries.q06_wordcount(spark, sfDir).as[(String, Long)].collect()
     assert(rows.nonEmpty)
