@@ -2178,6 +2178,31 @@ object Queries {
         "user_id", "ts", "event_id", "event_type")
       .orderBy("from_type", "to_type")
 
+  /** TPC-H Q17-shaped correlated aggregate join: revenue from
+    * small-quantity orders — lineitems of Brand#23 parts whose quantity
+    * is under 20% of that part's average. The classic
+    * correlated-subquery decorrelation: the per-part aggregate computes
+    * once and joins back (part-cardinality frame → broadcast), and the
+    * 0.2·avg comparison is cross-multiplied to integers
+    * (`5·q·n < Σq` — quantities are integral) so the whole filter is
+    * exact. Completes the TPC-H plan-shape set beside Q3 (q129) and
+    * Q5 (q130).
+    */
+  def q150_small_qty_revenue(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val li = t.lineitem.select(col("l_partkey"),
+      col("l_quantity").cast("long").as("lq"), col("l_extendedprice"))
+    val stats = li.groupBy("l_partkey")
+      .agg(count(lit(1)).as("np"), sum(col("lq")).as("sq"))
+    val parts = t.part.filter(col("p_brand") === "Brand#23")
+      .select(col("p_partkey").as("l_partkey"))
+    li.join(broadcast(parts), Seq("l_partkey"), "left_semi")
+      .join(stats, "l_partkey")
+      .filter(lit(5L) * col("lq") * col("np") < col("sq"))
+      .agg(count(lit(1)).as("n_rows"),
+        sumExact(col("l_extendedprice")).as("revenue"))
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -2370,7 +2395,8 @@ object Queries {
     "q146_hll_distinct" -> (q146_hll_distinct _),
     "q147_zonemap" -> (q147_zonemap _),
     "q148_time_in_state" -> (q148_time_in_state _),
-    "q149_transitions" -> (q149_transitions _)
+    "q149_transitions" -> (q149_transitions _),
+    "q150_small_qty_revenue" -> (q150_small_qty_revenue _)
   )
 }
 
@@ -3845,7 +3871,18 @@ object Oracles {
         |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS t FROM c GROUP BY 1)
         |SELECT c.from_type, to_type, n, CAST(n AS DOUBLE) / CAST(t.t AS DOUBLE) AS p
         |FROM c JOIN t ON c.from_type = t.from_type
-        |ORDER BY c.from_type, to_type""".stripMargin
+        |ORDER BY c.from_type, to_type""".stripMargin,
+    "q150_small_qty_revenue" ->
+      """WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS lq,
+        |    l_extendedprice FROM lineitem),
+        |st AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS np,
+        |         CAST(sum(lq) AS BIGINT) AS sq FROM li GROUP BY 1),
+        |p AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23')
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM li JOIN st USING (l_partkey)
+        |WHERE l_partkey IN (SELECT p_partkey FROM p)
+        |  AND 5 * lq * np < sq""".stripMargin
   )
 
   /** q138's oracle: the q113 co-supply top-3 graph, then the k = 3 peel

@@ -342,6 +342,35 @@ object StatefulOps {
       }
   }
 
+  case class TransEvent(uid: Long, etype: String, ts: Long, tie: Long)
+  case class Transition(fromType: String, toType: String)
+
+  /** Streaming transition extraction —
+    * [[graft.ops.RelOps.transitionCounts]]'s incremental sibling: per
+    * key, the state is just the LAST event type seen; each micro-batch
+    * emits the adjacent (from, to) bigrams including the one spanning
+    * the batch boundary, so a downstream count aggregation converges to
+    * the batch transition matrix. Same in-order per-key delivery
+    * assumption as [[funnelGate]] (kasper's per-partition consumers);
+    * within a batch rows sort by (ts, tie). State is one string per
+    * key.
+    */
+  def transitionGate(events: Dataset[TransEvent]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.uid)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[TransEvent], state: GroupState[String]) =>
+          var last = state.getOption.orNull
+          val out = Vector.newBuilder[Transition]
+          for (e <- rows.toVector.sortBy(e => (e.ts, e.tie))) {
+            if (last != null) out += Transition(last, e.etype)
+            last = e.etype
+          }
+          if (last != null) state.update(last)
+          out.result().iterator
+      }
+  }
+
   case class Keyed[V](key: String, ts: Long, value: V)
 
   /** KQ-11 streaming: last-write-wins upsert per key (store `Put`

@@ -183,4 +183,27 @@ class PlanCheckSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"),
       s"rank<=k pushdown missing — whole groups get sorted:\n$p")
   }
+
+  test("q139 per-doc keyword top-k plans as WindowGroupLimit; N broadcast") {
+    val p = plans("q139_tfidf_keywords")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k pushdown missing — whole docs get sorted:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row N crossJoin must broadcast:\n$p")
+  }
+
+  test("q137 sketch join-size stays sketch-sized (no corpus-side join)") {
+    // the only joins allowed are over the ≤ depth·width sketch frames —
+    // an SMJ node would mean a corpus-sized side leaked into the product
+    val p = plans("q137_join_size_est")
+    assert(!p.contains("SortMergeJoin"),
+      s"sketch product degraded to a corpus shuffle join:\n$p")
+  }
+
+  test("q144 vocab coverage joins the vocabulary as a broadcast") {
+    val p = plans("q144_vocab_coverage")
+    assert(p.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"token stream shuffled against a k-row vocab:\n$p")
+  }
 }

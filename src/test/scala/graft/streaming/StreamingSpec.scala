@@ -86,6 +86,36 @@ class StreamingSpec extends SparkSpec {
     assert(upserted == batch)
   }
 
+  test("transitionGate emits cross-batch bigrams; counts converge to the batch matrix") {
+    import StatefulOps.{TransEvent, Transition}
+    val in = MemoryStream[TransEvent]
+    val q = StatefulOps.transitionGate(in.toDS())
+      .writeStream.format("memory").queryName(nextName())
+      .outputMode(OutputMode.Append()).start()
+    val name = q.name
+    // batch 1 (out of ts order inside the batch): u1 a→b; u2 a alone
+    in.addData(TransEvent(1, "b", 20L, 2), TransEvent(1, "a", 10L, 1),
+      TransEvent(2, "a", 5L, 3))
+    q.processAllAvailable()
+    // batch 2: u1 b→a (boundary bigram from stored state); u2 a→c
+    in.addData(TransEvent(1, "a", 30L, 4), TransEvent(2, "c", 15L, 5))
+    q.processAllAvailable()
+    val got = spark.table(name).as[Transition].collect()
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    q.stop()
+    val events = Seq((1L, "a", 10L, 1L), (1L, "b", 20L, 2L), (2L, "a", 5L, 3L),
+      (1L, "a", 30L, 4L), (2L, "c", 15L, 5L))
+      .map { case (u, e, t, i) =>
+        (u, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(t)), i, e) }
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val batch = graft.ops.RelOps.transitionCounts(events,
+        "user_id", "ts", "event_id", "event_type")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => Transition(r._1, r._2) -> r._3).toMap
+    assert(got == batch,
+      s"streaming transition counts $got must equal batch $batch")
+  }
+
   test("funnelGate tracks per-user stages across batches, equals the batch funnel") {
     import StatefulOps.{FunnelEvent, FunnelProgress}
     val steps = Seq("view", "click", "purchase")
