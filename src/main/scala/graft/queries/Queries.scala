@@ -2203,6 +2203,29 @@ object Queries {
         sumExact(col("l_extendedprice")).as("revenue"))
   }
 
+  /** Multimodal near-dup retrieval: binary payloads → partition-wise
+    * decode ([[graft.multimodal.Multimodal.decodeStub]] — stub decoder,
+    * real featurizer) → exact top-3 cosine neighbors for a 100-item
+    * probe batch over the feature vectors — image/audio dedup's shape
+    * (decode → embed → ANN) run end-to-end on the binary column rail.
+    * Rows-only by declared design (byte-level featurization has no
+    * DuckDB counterpart); duplicate-payload-ranks-first is spec-owned
+    * in MultimodalSpec.
+    */
+  def q151_media_neardup(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val media = graft.multimodal.Multimodal.asMedia(
+      graft.core.Graft.spread(Tables(spark, dir).documents), "doc_id", "text", "image")
+    val feats = graft.multimodal.Multimodal.decodeStub(media).toDF()
+      .select(col("id"), col("feature"))
+    graft.functions.VectorOps.annBruteForce(
+        feats, "id", "feature",
+        feats.filter(col("id") < 100), "id", "feature", k = 3)
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("neighbor"), col("cos"))
+      .orderBy(col("qid"), col("cos").desc, col("neighbor"))
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -2396,7 +2419,8 @@ object Queries {
     "q147_zonemap" -> (q147_zonemap _),
     "q148_time_in_state" -> (q148_time_in_state _),
     "q149_transitions" -> (q149_transitions _),
-    "q150_small_qty_revenue" -> (q150_small_qty_revenue _)
+    "q150_small_qty_revenue" -> (q150_small_qty_revenue _),
+    "q151_media_neardup" -> (q151_media_neardup _)
   )
 }
 

@@ -40,6 +40,28 @@ class MultimodalSpec extends SparkSpec {
     assert(padded.pixels.toSeq == Seq[Byte](7, 0, 0, 0))
   }
 
+  test("media near-dup: duplicate payload ranks first at cosine 1, disjoint ranges score 0") {
+    // q151's composition on crafted media: doc 10 duplicates doc 1's
+    // payload byte-for-byte; doc 11's bytes live in a disjoint histogram
+    // range (low nibbles vs high nibbles), so its feature is orthogonal
+    val lo = Array.tabulate[Byte](64)(i => (i % 16).toByte)         // bins 0
+    val hi = Array.tabulate[Byte](64)(i => (0xF0 | (i % 16)).toByte) // bin 15
+    val rows = Seq((1L, lo), (10L, lo.clone()), (11L, hi))
+      .toDF("id", "payload")
+      .select($"id", lit("image").as("kind"), $"payload",
+        map(lit("source"), lit("spec")).as("meta"))
+      .as[MediaRow]
+    val feats = Multimodal.decodeStub(rows).toDF().select($"id", $"feature")
+    val nn = graft.functions.VectorOps.annBruteForce(
+        feats, "id", "feature", feats.filter($"id" === 1L), "id", "feature", k = 3)
+      .filter($"id" =!= $"qid")
+      .orderBy($"cos".desc, $"id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(nn.head == ((1L, 10L, 1.0)), s"duplicate payload must rank first: $nn")
+    assert(nn.last._2 == 11L && math.abs(nn.last._3) < 1e-9,
+      s"disjoint byte ranges must be orthogonal: $nn")
+  }
+
   test("sampleFrames chunks the payload at stride") {
     val payload = Array.tabulate[Byte](100)(_.toByte)
     val df = Seq(Tuple1(payload)).toDF("p")
