@@ -453,6 +453,39 @@ object CorpusOps {
           col("n_tokens").cast("double")).as("oov_rate"))
   }
 
+  /** Deterministic negative sampling for contrastive training: for each
+    * probe id, the `k` candidates ranking lowest under the modular pair
+    * hash `(pid·A + cid·B + C) mod P` — uniform pseudo-random but fully
+    * reproducible (the retry-safe arithmetic-hash discipline of
+    * [[stratifiedSample]]; constants from [[graft.ops.SketchOps]]'s
+    * family), with `exclude` pairs (known positives/near-dups) and
+    * self-pairs anti-joined out BEFORE ranking, so a negative can never
+    * be a disguised positive. Output: (pid, neg_id, h).
+    *
+    * Scale shape: probes broadcast against the candidate set (one scan,
+    * |P|·|C| ranked rows) and the per-probe top-k is a WindowGroupLimit
+    * — at corpus scale the candidate side is first cut by any cheap
+    * blocking predicate (the caller passes the pre-sampled pool), the
+    * standard two-stage negative-mining layout.
+    */
+  def negativeSample(candidates: DataFrame, idCol: String,
+                     probes: DataFrame, pidCol: String,
+                     exclude: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val P = 1000000007L
+    val ranked = candidates.select(col(idCol).as("cid"))
+      .crossJoin(broadcast(probes.select(col(pidCol).as("pid"))))
+      .filter(col("cid") =!= col("pid"))
+      .join(exclude.select(col("pid"), col("cid")), Seq("pid", "cid"), "left_anti")
+      .withColumn("h",
+        (col("pid") * 2654435761L + col("cid") * 40503L + 97L) % P)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy(col("h"), col("cid"))
+    ranked.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("pid"), col("cid").as("neg_id"), col("h"))
+  }
+
   /** Deterministic shard assignment for dataset export: shard =
     * [[sampleRank]](id) mod `nShards` — uniform in expectation,
     * reproducible on any re-run (retry-safe like every sampling op

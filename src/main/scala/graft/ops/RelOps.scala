@@ -292,6 +292,71 @@ object RelOps {
       .withColumn("ewma", col("ewma_x128").cast("double") / 128.0)
   }
 
+  /** Per-group ordinary-least-squares trend over the gap-filled daily
+    * series: slope/intercept of `n ~ day` per key from the closed-form
+    * normal equations — grouped model fitting as ONE map-side-combinable
+    * aggregate of five integer sums (n, Σx, Σy, Σxy, Σx²), the
+    * [[graft.ops.QualityModel]] Gram-matrix idea at p = 1 applied
+    * per group. `slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)` and the
+    * intercept are each ONE IEEE division/expression over exact
+    * integers, so the whole trend table is oracle-exact; x is epoch-day
+    * (integer), y the day's count. Degenerate groups (a single day:
+    * zero variance) report null slope.
+    * Output: (k, n_days, slope, intercept).
+    */
+  def olsTrendDaily(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val s = gapFillDaily(df, keyCol, tsCol)
+      .select(col("k"), unix_date(col("d")).cast("long").as("x"), col("n").as("y"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("nd"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val det = col("nd") * col("sxx") - col("sx") * col("sx")
+    val slope = (col("nd") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      det.cast("double")
+    s.select(col("k"), col("nd").as("n_days"),
+      when(det =!= 0L, slope).as("slope"),
+      when(det =!= 0L,
+        (col("sy").cast("double") - slope * col("sx").cast("double")) /
+          col("nd").cast("double")).as("intercept"))
+  }
+
+  /** Peak concurrency via the sweep-line: sessionize per key (the q25
+    * 30-minute gap), turn each session into (+1 at start, −1 at end)
+    * deltas, and run the global running sum in (ts, delta) order — the
+    * −1 sorts first at ties, so back-to-back sessions never
+    * double-count. Reports the maximum number of simultaneously active
+    * sessions and the earliest instant it is reached — the peak-load
+    * number capacity planning reads off an event log. The running sum
+    * is a global window over 2·|sessions| delta rows (session-sized,
+    * not event-sized; an audit-scale total order like
+    * [[zoneMapAudit]]'s). Integer counts and microsecond timestamps →
+    * exact.
+    * Output: one row (max_concurrent, at_ts).
+    */
+  def concurrencyPeak(df: DataFrame, keyCol: String, tsCol: String,
+                      tieCol: String, gapMinutes: Int = 30): DataFrame = {
+    val marked = df.select(col(keyCol).as("k"), col(tsCol).as("ts"), col(tieCol).as("tie"))
+      .withColumn("__prev",
+        lag(col("ts"), 1).over(Window.partitionBy("k").orderBy("ts", "tie")))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          col("ts") >= col("__prev") + expr(s"INTERVAL $gapMinutes MINUTES"),
+          1L).otherwise(0L))
+      .withColumn("sid", sum(col("__new"))
+        .over(Window.partitionBy("k").orderBy(col("ts"), col("tie"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val sessions = marked.groupBy("k", "sid")
+      .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+    val deltas = sessions.select(col("s").as("ts"), lit(1L).as("d"))
+      .unionAll(sessions.select(col("e").as("ts"), lit(-1L).as("d")))
+    val w = Window.orderBy(col("ts"), col("d"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val run = deltas.select(col("ts"), sum(col("d")).over(w).as("c"))
+    val mx = run.agg(max(col("c")).as("m"))
+    run.crossJoin(broadcast(mx)).filter(col("c") === col("m"))
+      .agg(max(col("m")).as("max_concurrent"), min(col("ts")).as("at_ts"))
+  }
+
   /** Session-level first-touch attribution: sessionize per key on a
     * 30-minute inactivity gap (the q25/KQ-25 semantics), tag each
     * session with its FIRST event's type under the (ts, tie) total

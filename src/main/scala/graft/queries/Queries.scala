@@ -2226,6 +2226,47 @@ object Queries {
       .orderBy(col("qid"), col("cos").desc, col("neighbor"))
   }
 
+  /** Deterministic negative sampling
+    * ([[graft.ops.CorpusOps.negativeSample]]): 3 contrastive negatives
+    * for each of the first 50 docs, with exact-duplicate partners
+    * (shared md5 fingerprint) anti-joined out before the modular-hash
+    * ranking — the contrastive-training pair miner, retry-reproducible.
+    * Exact oracle (the hash family is plain integer arithmetic).
+    */
+  def q152_negative_sample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val fp = d.select(col("doc_id"), md5(col("text")).as("fp"))
+    val dupPairs = fp.as("a").join(fp.as("b"), Seq("fp"))
+      .select(col("a.doc_id").as("pid"), col("b.doc_id").as("cid"))
+      .filter(col("pid") =!= col("cid"))
+    graft.ops.CorpusOps.negativeSample(
+        d.select("doc_id"), "doc_id",
+        d.filter(col("doc_id") < 50).select("doc_id"), "doc_id",
+        dupPairs, k = 3)
+      .orderBy("pid", "h", "neg_id")
+  }
+
+  /** Per-event-type daily activity trend
+    * ([[graft.ops.RelOps.olsTrendDaily]]): closed-form OLS slope and
+    * intercept of count-per-day over the gap-filled series — grouped
+    * regression as one five-sum aggregate, the growth/decay number a
+    * pipeline watches per source. Integer sums, IEEE-exact final
+    * division → exact oracle.
+    */
+  def q153_daily_trend(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.RelOps.olsTrendDaily(Tables(spark, dir).events, "event_type", "ts")
+      .withColumnRenamed("k", "event_type")
+      .orderBy("event_type")
+
+  /** Peak session concurrency ([[graft.ops.RelOps.concurrencyPeak]]):
+    * the sweep-line maximum of simultaneously active 30-minute-gap
+    * sessions with its earliest instant — the capacity-planning number.
+    * Exact oracle (integer deltas, microsecond order).
+    */
+  def q154_peak_concurrency(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.RelOps.concurrencyPeak(Tables(spark, dir).events,
+      "user_id", "ts", "event_id")
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -2420,7 +2461,10 @@ object Queries {
     "q148_time_in_state" -> (q148_time_in_state _),
     "q149_transitions" -> (q149_transitions _),
     "q150_small_qty_revenue" -> (q150_small_qty_revenue _),
-    "q151_media_neardup" -> (q151_media_neardup _)
+    "q151_media_neardup" -> (q151_media_neardup _),
+    "q152_negative_sample" -> (q152_negative_sample _),
+    "q153_daily_trend" -> (q153_daily_trend _),
+    "q154_peak_concurrency" -> (q154_peak_concurrency _)
   )
 }
 
@@ -3906,7 +3950,65 @@ object Oracles {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |FROM li JOIN st USING (l_partkey)
         |WHERE l_partkey IN (SELECT p_partkey FROM p)
-        |  AND 5 * lq * np < sq""".stripMargin
+        |  AND 5 * lq * np < sq""".stripMargin,
+    "q152_negative_sample" ->
+      """WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |dup AS (SELECT a.doc_id AS pid, b.doc_id AS cid
+        |        FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id <> b.doc_id),
+        |cand AS (SELECT p.doc_id AS pid, c.doc_id AS cid
+        |         FROM (SELECT doc_id FROM documents WHERE doc_id < 50) p
+        |         CROSS JOIN (SELECT doc_id FROM documents) c
+        |         WHERE p.doc_id <> c.doc_id),
+        |ok AS (SELECT pid, cid,
+        |         (pid * 2654435761 + cid * 40503 + 97) % 1000000007 AS h
+        |       FROM cand ANTI JOIN dup USING (pid, cid)),
+        |r AS (SELECT pid, cid, h,
+        |        row_number() OVER (PARTITION BY pid ORDER BY h, cid) AS rn
+        |      FROM ok)
+        |SELECT pid, cid AS neg_id, CAST(h AS BIGINT) AS h
+        |FROM r WHERE rn <= 3 ORDER BY pid, h, neg_id""".stripMargin,
+    "q153_daily_trend" ->
+      """WITH counts AS (SELECT event_type AS k, CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (SELECT k, min(d) AS lo, max(d) AS hi FROM counts GROUP BY 1),
+        |days AS (SELECT k, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+        |         FROM spans),
+        |dense AS (SELECT k, date_diff('day', DATE '1970-01-01', d) AS x,
+        |            coalesce(c, CAST(0 AS BIGINT)) AS y
+        |          FROM days LEFT JOIN counts USING (k, d)),
+        |s AS (SELECT k, CAST(count(*) AS BIGINT) AS nd, CAST(sum(x) AS BIGINT) AS sx,
+        |        CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+        |        CAST(sum(x * x) AS BIGINT) AS sxx
+        |      FROM dense GROUP BY 1)
+        |SELECT k AS event_type, nd AS n_days,
+        |  CASE WHEN nd * sxx - sx * sx <> 0 THEN
+        |    CAST(nd * sxy - sx * sy AS DOUBLE) / CAST(nd * sxx - sx * sx AS DOUBLE)
+        |  END AS slope,
+        |  CASE WHEN nd * sxx - sx * sx <> 0 THEN
+        |    (CAST(sy AS DOUBLE)
+        |     - (CAST(nd * sxy - sx * sy AS DOUBLE) / CAST(nd * sxx - sx * sx AS DOUBLE))
+        |       * CAST(sx AS DOUBLE)) / CAST(nd AS DOUBLE)
+        |  END AS intercept
+        |FROM s ORDER BY event_type""".stripMargin,
+    "q154_peak_concurrency" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                       ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked),
+        |iv AS (SELECT user_id, sid, min(ts) AS s, max(ts) AS e FROM sess GROUP BY 1, 2),
+        |deltas AS (SELECT s AS ts, CAST(1 AS BIGINT) AS d FROM iv
+        |           UNION ALL SELECT e, CAST(-1 AS BIGINT) FROM iv),
+        |run AS (SELECT ts, sum(d) OVER (ORDER BY ts, d ROWS UNBOUNDED PRECEDING) AS c
+        |        FROM deltas),
+        |m AS (SELECT max(c) AS m FROM run)
+        |SELECT CAST(max(m.m) AS BIGINT) AS max_concurrent, min(ts) AS at_ts
+        |FROM run CROSS JOIN m WHERE c = m.m""".stripMargin
   )
 
   /** q138's oracle: the q113 co-supply top-3 graph, then the k = 3 peel

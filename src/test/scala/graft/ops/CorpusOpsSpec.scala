@@ -530,6 +530,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.count(_._3) == 1 && got.find(_._3).get._2 == 500L)
   }
 
+  test("negativeSample: excluded pairs never surface, ranking is deterministic") {
+    val cands = (0L until 40L).toDF("id")
+    val probes = Seq(1L, 2L).toDF("id")
+    // exclude everything but ids 30..39 for probe 1 — negatives must
+    // come only from the allowed tail
+    val excl = (0L until 30L).map(c => (1L, c)).toDF("pid", "cid")
+    val got = CorpusOps.negativeSample(cands, "id", probes, "id", excl, k = 3)
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    assert(got(1L).forall(_._2 >= 30L),
+      s"excluded candidate sampled: ${got(1L).toSeq}")
+    assert(got(1L).length == 3 && got(2L).length == 3)
+    got(2L).foreach { case (p, c, _) => assert(c != p, "self-pair sampled") }
+    // reproducible under any partitioning
+    val again = CorpusOps.negativeSample(cands.repartition(7), "id",
+        probes.repartition(2), "id", excl, k = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(again == got.values.flatten.toSet)
+  }
+
   test("vocabCoverage: OOV rate counts occurrences, not types; deterministic cut") {
     val docs = Seq(
       (1L, "en", "the the the cat"),

@@ -328,6 +328,41 @@ class RelOpsSpec extends SparkSpec {
       ("b", "a") -> ((1L, 1.0))))
   }
 
+  test("olsTrendDaily: exact slope on a linear series; degenerate group nulls") {
+    // key "up": counts 1,2,3 on three consecutive days → slope exactly 1
+    // (one event on day1, two on day2, three on day3)
+    val rows =
+      (1 to 1).map(_ => ("up", java.sql.Timestamp.valueOf("2024-03-01 01:00:00"))) ++
+      (1 to 2).map(_ => ("up", java.sql.Timestamp.valueOf("2024-03-02 01:00:00"))) ++
+      (1 to 3).map(_ => ("up", java.sql.Timestamp.valueOf("2024-03-03 01:00:00"))) ++
+      Seq(("one", java.sql.Timestamp.valueOf("2024-03-01 01:00:00")))
+    val got = RelOps.olsTrendDaily(rows.toDF("k", "ts"), "k", "ts")
+      .as[(String, Long, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, nd, slope, _) = got("up")
+    assert(nd == 3L && slope.contains(1.0), s"expected slope 1: ${got("up")}")
+    // single-day group: zero x-variance → null slope/intercept
+    assert(got("one") == (("one", 1L, None, None)))
+  }
+
+  test("concurrencyPeak: overlapping sessions counted, touching endpoints not double-counted") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val d = Seq(
+      // three users whose sessions overlap at 10:10
+      (1L, ts("2024-01-01 10:00:00"), 1L), (1L, ts("2024-01-01 10:15:00"), 2L),
+      (2L, ts("2024-01-01 10:05:00"), 3L), (2L, ts("2024-01-01 10:12:00"), 4L),
+      (3L, ts("2024-01-01 10:10:00"), 5L), (3L, ts("2024-01-01 10:11:00"), 6L),
+      // user 4 starts exactly when user 1's session ends — the −1 sorts
+      // first, so the peak must stay 3
+      (4L, ts("2024-01-01 10:15:00"), 7L)
+    ).toDF("user_id", "ts", "event_id")
+    val got = RelOps.concurrencyPeak(d, "user_id", "ts", "event_id")
+      .as[(Long, java.sql.Timestamp)].head()
+    assert(got._1 == 3L, s"peak should be 3: $got")
+    assert(got._2 == ts("2024-01-01 10:10:00"),
+      s"earliest peak instant should be user 3's start: $got")
+  }
+
   test("q06 wordcount on fixtures is non-empty and ordered") {
     val rows = graft.queries.Queries.q06_wordcount(spark, sfDir).as[(String, Long)].collect()
     assert(rows.nonEmpty)
