@@ -2267,6 +2267,76 @@ object Queries {
     graft.ops.RelOps.concurrencyPeak(Tables(spark, dir).events,
       "user_id", "ts", "event_id")
 
+  /** Length-decile calibration table: global ntile(10) buckets over the
+    * (token count, doc_id) total order, each decile reporting its size,
+    * boundary lengths, and mean BPE-token estimate — the
+    * bucket-vs-feature calibration read before length-conditioned
+    * sampling. ntile's equal-fill semantics agree across engines on a
+    * total order; integer sums + one division → exact. Global window at
+    * audit scale (the q147 exception).
+    */
+  def q155_length_deciles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions
+    val t = graft.core.Graft.spread(Tables(spark, dir).documents)
+      .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("nt"),
+        TextFunctions.bpeTokenCount(col("text")).as("bt"))
+    val w = Window.orderBy(col("nt"), col("doc_id"))
+    t.withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"), min(col("nt")).as("min_nt"),
+        max(col("nt")).as("max_nt"), sum(col("bt")).as("sum_bt"))
+      .withColumn("mean_bt",
+        col("sum_bt").cast("double") / col("n").cast("double"))
+      .orderBy("decile")
+  }
+
+  /** Pivot (wide aggregation) surface: per-day event counts spread into
+    * one column per event type via `RelationalGroupedDataset.pivot`
+    * with explicit values (no extra distinct pass) — the
+    * cross-tab/report shape. Exact oracle via conditional sums.
+    */
+  def q156_pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+      .groupBy("day")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("day")
+
+  /** Distribution analytics windows: percent_rank and cume_dist of
+    * order value within each priority class — the remaining SQL window
+    * surface beside q26's row_number/lag/sum. Both are pure rank
+    * arithmetic over a total order ((price, key) is duplicate-free),
+    * so the doubles agree bit-for-bit.
+    */
+  def q157_rank_distribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables(spark, dir).orders
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+      .filter(col("o_orderkey") % 10 === 0)
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
+  /** Unpivot (wide → long) surface: the per-returnflag pricing report
+    * melted into (metric, value) rows via `Dataset.unpivot` — the
+    * inverse of q156's pivot, closing the reshape API pair. Decimal
+    * sums keep the melted values exact.
+    */
+  def q158_unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(sumExact(col("l_quantity")).as("sum_qty"),
+        sumExact(col("l_extendedprice")).as("sum_price"),
+        sumExact(col("l_discount")).as("sum_disc"))
+    wide.unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "metric", "value")
+      .orderBy("l_returnflag", "metric")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -2464,7 +2534,11 @@ object Queries {
     "q151_media_neardup" -> (q151_media_neardup _),
     "q152_negative_sample" -> (q152_negative_sample _),
     "q153_daily_trend" -> (q153_daily_trend _),
-    "q154_peak_concurrency" -> (q154_peak_concurrency _)
+    "q154_peak_concurrency" -> (q154_peak_concurrency _),
+    "q155_length_deciles" -> (q155_length_deciles _),
+    "q156_pivot" -> (q156_pivot _),
+    "q157_rank_distribution" -> (q157_rank_distribution _),
+    "q158_unpivot" -> (q158_unpivot _)
   )
 }
 
@@ -4008,7 +4082,47 @@ object Oracles {
         |        FROM deltas),
         |m AS (SELECT max(c) AS m FROM run)
         |SELECT CAST(max(m.m) AS BIGINT) AS max_concurrent, min(ts) AS at_ts
-        |FROM run CROSS JOIN m WHERE c = m.m""".stripMargin
+        |FROM run CROSS JOIN m WHERE c = m.m""".stripMargin,
+    "q155_length_deciles" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS nt,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[\p{L}]+|[\p{N}]+|[^ \t\n\x0B\f\r\p{L}\p{N}]')) AS BIGINT) AS bt
+        |  FROM documents),
+        |d AS (SELECT nt, bt,
+        |        CAST(ntile(10) OVER (ORDER BY nt, doc_id) AS BIGINT) AS decile
+        |      FROM t)
+        |SELECT decile, CAST(count(*) AS BIGINT) AS n, min(nt) AS min_nt,
+        |  max(nt) AS max_nt, CAST(sum(bt) AS BIGINT) AS sum_bt,
+        |  CAST(sum(bt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_bt
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
+    "q156_pivot" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q157_rank_distribution" ->
+      """SELECT o_orderpriority, o_orderkey, pr, cd FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey))
+        |WHERE o_orderkey % 10 = 0
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "q158_unpivot" ->
+      """WITH wide AS (SELECT l_returnflag,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc
+        |  FROM lineitem GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+        |  UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM wide
+        |  UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM wide)
+        |ORDER BY l_returnflag, metric""".stripMargin
   )
 
   /** q138's oracle: the q113 co-supply top-3 graph, then the k = 3 peel
