@@ -97,6 +97,40 @@ object ScaleOps {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Sort-on-write: range-partition by `key`, sort within each
+    * partition, and cap file size — the layout whose zone-map payoff
+    * the q147 audit measures. Every output file covers a disjoint key
+    * range (ScaleOpsSpec reads the files back and asserts it), so a
+    * range predicate on `key` prunes to the touched files under any
+    * min/max-stats reader (parquet row-group stats, Delta/Iceberg file
+    * stats). `partitions` bounds the range shuffle;
+    * `maxRecordsPerFile` caps file size WITHIN a range partition
+    * without another shuffle.
+    */
+  def writeSorted(df: DataFrame, dir: String, key: String,
+                  partitions: Int, maxRecordsPerFile: Int): Unit = {
+    require(partitions >= 1 && maxRecordsPerFile >= 1)
+    df.repartitionByRange(partitions, col(key))
+      .sortWithinPartitions(key)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .parquet(dir)
+  }
+
+  /** Compaction: rewrite a many-small-files table into
+    * `ceil(n / targetRows)` evenly-sized files — the small-file problem
+    * (each file is a task, a name-node entry, an open-file handle; 10⁶
+    * kilobyte files ruin a 100 TB scan) fixed with ONE round-robin
+    * repartition, no sort. For a layout that should also prune, use
+    * [[writeSorted]] instead.
+    */
+  def writeCompacted(df: DataFrame, dir: String, targetRows: Long): Unit = {
+    require(targetRows >= 1)
+    val n = df.count()
+    val files = math.max(1L, (n + targetRows - 1) / targetRows).toInt
+    df.repartition(files).write.mode("overwrite").parquet(dir)
+  }
+
   /** Key-multiplicity profile (frequency of frequencies): how many keys
     * have exactly n rows — the skew diagnostic that decides between a
     * plain join and [[saltedJoin]]/[[saltedSum]] BEFORE the expensive

@@ -2337,6 +2337,30 @@ object Queries {
       .orderBy("l_returnflag", "metric")
   }
 
+  /** Vocabulary drift between snapshot halves: per-token occurrence
+    * counts in the even- vs odd-id half, new-half share in integer ppm
+    * (`(tf_new·1e6) div (tf_old+tf_new)`), and the top-20 most skewed
+    * tokens above a 10-occurrence noise floor — the term-level
+    * companion to q143's embedding centroid drift (which terms moved,
+    * not just whether the centroid did). Pure integer arithmetic →
+    * exact oracle.
+    */
+  def q159_vocab_drift(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.core.Graft.spread(Tables(spark, dir).documents)
+      .select(col("doc_id"),
+        explode(graft.text.TextFunctions.tokens(col("text"))).as("token"))
+    val counts = toks.groupBy("token")
+      .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("tf_old"),
+        sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("tf_new"))
+      .filter(col("tf_old") + col("tf_new") >= 10L)
+      .withColumn("share_new_ppm",
+        expr("(tf_new * 1000000) div (tf_old + tf_new)"))
+      .withColumn("skew", abs(lit(2L) * col("share_new_ppm") - 1000000L))
+    counts.orderBy(col("skew").desc, col("token")).limit(20)
+      .select("token", "tf_old", "tf_new", "share_new_ppm", "skew")
+      .orderBy(col("skew").desc, col("token"))
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -2538,7 +2562,8 @@ object Queries {
     "q155_length_deciles" -> (q155_length_deciles _),
     "q156_pivot" -> (q156_pivot _),
     "q157_rank_distribution" -> (q157_rank_distribution _),
-    "q158_unpivot" -> (q158_unpivot _)
+    "q158_unpivot" -> (q158_unpivot _),
+    "q159_vocab_drift" -> (q159_vocab_drift _)
   )
 }
 
@@ -4122,7 +4147,21 @@ object Oracles {
         |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
         |  UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM wide
         |  UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM wide)
-        |ORDER BY l_returnflag, metric""".stripMargin
+        |ORDER BY l_returnflag, metric""".stripMargin,
+    "q159_vocab_drift" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |c AS (SELECT token,
+        |        CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tf_old,
+        |        CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tf_new
+        |      FROM toks GROUP BY 1),
+        |s AS (SELECT token, tf_old, tf_new,
+        |        CAST((tf_new * 1000000) // (tf_old + tf_new) AS BIGINT) AS share_new_ppm
+        |      FROM c WHERE tf_old + tf_new >= 10),
+        |k AS (SELECT *, CAST(abs(2 * share_new_ppm - 1000000) AS BIGINT) AS skew FROM s)
+        |SELECT token, tf_old, tf_new, share_new_ppm, skew FROM k
+        |ORDER BY skew DESC, token LIMIT 20""".stripMargin
   )
 
   /** q138's oracle: the q113 co-supply top-3 graph, then the k = 3 peel

@@ -88,6 +88,40 @@ class ScaleOpsSpec extends SparkSpec {
       s"z-buckets must be 4x4 tiles, got ${spans.toSeq}")
   }
 
+  test("writeSorted: files cover disjoint key ranges, file size capped") {
+    import org.apache.spark.sql.functions.{col, input_file_name, min, max, count, lit}
+    val dir = java.nio.file.Files.createTempDirectory("graft_sorted").toString
+    val df = spark.range(0, 10000).select((col("id") * 7919 % 10000).as("k"))
+    ScaleOps.writeSorted(df, dir, "k", partitions = 4, maxRecordsPerFile = 2000)
+    val files = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("k")).as("mn"), max(col("k")).as("mx"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(files.forall(_._3 <= 2000), s"file over cap: ${files.toSeq}")
+    // disjoint, ordered ranges: each file's min exceeds the previous max
+    files.sliding(2).foreach {
+      case Array((_, mxA, _), (mnB, _, _)) =>
+        assert(mnB > mxA, s"overlapping file ranges: ${files.toSeq}")
+      case _ => ()
+    }
+    // nothing lost in the rewrite
+    assert(spark.read.parquet(dir).count() == 10000)
+  }
+
+  test("writeCompacted: ceil(n/target) evenly-sized files, content preserved") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    // start deliberately fragmented: 64 partitions of ~16 rows
+    val df = spark.range(0, 1000).repartition(64).select(col("id"))
+    ScaleOps.writeCompacted(df, dir, targetRows = 300)
+    val parts = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parts == 4, s"expected ceil(1000/300)=4 files, got $parts")
+    assert(spark.read.parquet(dir).as[Long].collect().sorted.toSeq ==
+      (0L until 1000L))
+  }
+
   test("saltedJoin result multiset equals the plain join at any salt") {
     val fact = Seq((1L, 10.0), (1L, 20.0), (2L, 5.0), (3L, 7.0), (1L, 30.0))
       .toDF("fk", "v")
