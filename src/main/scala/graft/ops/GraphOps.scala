@@ -121,10 +121,14 @@ object GraphOps {
         .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
       // lineage per round is shallow (one agg + two semi-joins), so
-      // checkpoint only every 4th round — an eager localCheckpoint is a
+      // checkpoint only every 3rd round — an eager localCheckpoint is a
       // full materialization JOB, and paying one per round dominated
-      // short peels; long peels still get periodic truncation
-      val doCkpt = (round + 1) % 4 == 0 && round != rounds - 1
+      // short peels. The cadence is capped at 3 because an unchecked
+      // round references its predecessor 3× (degree agg + two semi
+      // joins): k checkpoint-free rounds re-execute the span's tiny
+      // edge ops up to 3^k times, fine at 3 (27× of map-side work over
+      // a materialized RDD), not at arbitrary k.
+      val doCkpt = (round + 1) % 3 == 0 && round != rounds - 1
       val mat = if (doCkpt) next.localCheckpoint(true) else next
       if (doCkpt) graft.dedup.Dedup.releaseCheckpoint(und)
       und = mat

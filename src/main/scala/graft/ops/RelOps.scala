@@ -351,7 +351,10 @@ object RelOps {
       .unionAll(sessions.select(col("e").as("ts"), lit(-1L).as("d")))
     val w = Window.orderBy(col("ts"), col("d"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val run = deltas.select(col("ts"), sum(col("d")).over(w).as("c"))
+    // run is read twice (max + the peak filter): cache it, or the whole
+    // sessionize+sweep pipeline re-executes per reference (the DAG-reuse
+    // rule)
+    val run = deltas.select(col("ts"), sum(col("d")).over(w).as("c")).cache()
     val mx = run.agg(max(col("c")).as("m"))
     run.crossJoin(broadcast(mx)).filter(col("c") === col("m"))
       .agg(max(col("m")).as("max_concurrent"), min(col("ts")).as("at_ts"))
