@@ -60,6 +60,7 @@ object GraphOps {
       .withColumn("rank", lit(1000000L))
       .localCheckpoint(true)
     var round = 0
+    var lastCkpt = rank
     while (round < iters) {
       val contrib = rank.join(deg, rank("id") === deg("src"))
         .select(col("src"), expr("rank div __deg").as("__c"))
@@ -69,9 +70,19 @@ object GraphOps {
         .select(col("id"),
           (lit(base) + expr(s"($dampingBp * coalesce(__s, 0L)) div 10000"))
             .as("rank"))
-        .localCheckpoint(true)
-      graft.dedup.Dedup.releaseCheckpoint(rank)
-      rank = next
+      // an eager localCheckpoint is a full materialization JOB per
+      // round; with fixed iterations (no convergence count consuming
+      // each round) checkpoint on a 3-round cadence instead — rank is
+      // referenced 2× per round, so an unchecked span of k rounds
+      // duplicates its (identical, exchange-reusable) subplan ≤ 2^k
+      // times, bounded at 8 (the q138 k-core cadence lesson)
+      val doCkpt = (round + 1) % 3 == 0 && round != iters - 1
+      val mat = if (doCkpt) next.localCheckpoint(true) else next
+      if (doCkpt) {
+        graft.dedup.Dedup.releaseCheckpoint(lastCkpt)
+        lastCkpt = mat
+      }
+      rank = mat
       round += 1
     }
     e.unpersist(blocking = false)
