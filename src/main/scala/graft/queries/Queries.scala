@@ -1577,25 +1577,36 @@ object Queries {
     * clustering signal over a similarity graph, all integer-exact. The
     * oracle enumerates the SAME triangle set id-ordered in SQL.
     */
-  def q113_cosupply_triangles(spark: SparkSession, dir: String): DataFrame = {
-    // cache: both self-join sides read the deduped (part, supplier) set —
-    // without it the 600k-row spread+distinct runs twice
+  /** Top-3 co-supply similarity edges, shared by q113/q138: suppliers
+    * linked by shared parts, each keeping its 3 strongest partners
+    * (shared-part count desc, id). Pair generation folds each part's
+    * sorted supplier set into its i<j combinations with one array
+    * transform instead of a per-part self-join — per-part fan-out is
+    * identical (supplier sets are small by data contract) but the join
+    * exchange disappears: groupBy(part) + groupBy(pair) are the only
+    * two shuffles.
+    */
+  private def coSupplyTop3(spark: SparkSession, dir: String): DataFrame = {
     val ps = graft.core.Graft.spread(Tables(spark, dir).lineitem)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
-      .cache()
-    val co = ps.select(col("p"), col("s").as("sa"))
-      .join(ps.select(col("p"), col("s").as("sb")), "p")
-      .filter(col("sa") < col("sb"))
-      .groupBy("sa", "sb").agg(count(lit(1)).as("shared"))
+    val grouped = ps.groupBy("p").agg(sort_array(collect_list(col("s"))).as("ss"))
+    val pairs = grouped.select(explode(expr(
+        "flatten(transform(ss, (x, i) -> " +
+          "transform(slice(ss, i + 2, size(ss) - i - 1), " +
+          "y -> struct(x AS sa, y AS sb))))")).as("e"))
+      .select(col("e.sa").as("sa"), col("e.sb").as("sb"))
+    val co = pairs.groupBy("sa", "sb").agg(count(lit(1)).as("shared"))
     val de = co.select(col("sa").as("src"), col("sb").as("dst"), col("shared"))
       .unionAll(co.select(col("sb").as("src"), col("sa").as("dst"), col("shared")))
     val w = Window.partitionBy(col("src")).orderBy(col("shared").desc, col("dst"))
-    val top3 = de.withColumn("__rn", row_number().over(w))
+    de.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= 3).select("src", "dst")
-    graft.ops.GraphOps.triangleCounts(top3, "src", "dst")
+  }
+
+  def q113_cosupply_triangles(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.GraphOps.triangleCounts(coSupplyTop3(spark, dir), "src", "dst")
       .select(col("id").as("s_suppkey"), col("n_triangles"))
       .orderBy("s_suppkey")
-  }
 
   /** SCD-type-2 dimension build ([[graft.ops.RelOps.scd2]]): per-user
     * event_type validity intervals from the event stream — consecutive
@@ -1996,23 +2007,11 @@ object Queries {
     * surviving (id, deg) set hash-checks against a 3×-unrolled SQL
     * oracle (the q104/q110 discipline).
     */
-  def q138_kcore(spark: SparkSession, dir: String): DataFrame = {
-    val ps = graft.core.Graft.spread(Tables(spark, dir).lineitem)
-      .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
-      .cache()
-    val co = ps.select(col("p"), col("s").as("sa"))
-      .join(ps.select(col("p"), col("s").as("sb")), "p")
-      .filter(col("sa") < col("sb"))
-      .groupBy("sa", "sb").agg(count(lit(1)).as("shared"))
-    val de = co.select(col("sa").as("src"), col("sb").as("dst"), col("shared"))
-      .unionAll(co.select(col("sb").as("src"), col("sa").as("dst"), col("shared")))
-    val w = Window.partitionBy(col("src")).orderBy(col("shared").desc, col("dst"))
-    val top3 = de.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= 3).select("src", "dst")
-    graft.ops.GraphOps.kCorePeel(top3, "src", "dst", k = 3, rounds = 3)
+  def q138_kcore(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.GraphOps.kCorePeel(coSupplyTop3(spark, dir), "src", "dst",
+        k = 3, rounds = 3)
       .select(col("id").as("s_suppkey"), col("deg"))
       .orderBy("s_suppkey")
-  }
 
   /** TF-IDF keyword extraction ([[graft.text.TextSearch.tfIdfTopTerms]]):
     * each document's top-3 terms by integer ppm-scaled tf-idf — the
