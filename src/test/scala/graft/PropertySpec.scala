@@ -168,6 +168,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("histSketch quantiles sandwich the exact discrete percentile for generated data") {
+    val data: Gen[List[Long]] = Gen.listOfN(60, Gen.chooseNum(0L, 500L))
+    val widths = Seq(1L, 7L, 32L)
+    samples(data, 8).filter(_.nonEmpty).zipWithIndex.foreach { case (xs, i) =>
+      val width = widths(i % widths.length)
+      val df = xs.map(x => ("g", x)).toDF("grp", "x")
+      val sk = graft.ops.SketchOps.histSketch(df, "grp", "x", width)
+      val got = graft.ops.SketchOps.histQuantiles(sk, width, Seq(2500, 5000, 9900))
+        .as[(String, Long, Long, Long, Long)].head()
+      val sorted = xs.sorted.toIndexedSeq
+      def exact(p: Int) = sorted(((p.toLong * xs.size + 9999) / 10000).toInt - 1)
+      for ((q, p) <- Seq(got._3 -> 2500, got._4 -> 5000, got._5 -> 9900)) {
+        assert(q <= exact(p) && exact(p) < q + width,
+          s"width=$width p=$p: sketch $q vs exact ${exact(p)} (xs=$xs)")
+      }
+      // width 1 degenerates to the exact answer
+      if (width == 1L)
+        assert(Seq(got._3, got._4, got._5) == Seq(exact(2500), exact(5000), exact(9900)))
+    }
+  }
+
+  test("winsorizedStats: fences bound the clamped sum; idempotent on pre-clamped data") {
+    val data: Gen[List[Long]] = Gen.listOfN(30, Gen.chooseNum(0L, 100000L))
+    samples(data, 8).filter(_.size >= 3).foreach { xs =>
+      val df = xs.zipWithIndex.map { case (x, i) => ("g", i.toLong, x) }
+        .toDF("grp", "id", "x")
+      val r = graft.ops.CorpusOps.winsorizedStats(df, "grp", "x", pTailBp = 1000)
+        .as[(String, Long, Long, Long, Long, Double)].head()
+      val (_, n, lo, hi, sumW, meanW) = r
+      assert(n == xs.size && lo <= hi)
+      assert(sumW >= n * lo && sumW <= n * hi, s"clamped sum out of fence bounds: $r")
+      assert(meanW >= lo.toDouble && meanW <= hi.toDouble)
+      // clamping an already-clamped series is a no-op
+      val clamped = xs.map(x => math.max(lo, math.min(hi, x)))
+      assert(sumW == clamped.sum, s"clamped sum mismatch: $r vs ${clamped.sum}")
+    }
+  }
+
   test("sigmaClip agrees with double-math |x-mean| > kσ on generated data away from ties") {
     import org.apache.spark.sql.functions.col
     val data: Gen[List[Long]] = Gen.listOfN(40, Gen.chooseNum(0L, 10000L))
