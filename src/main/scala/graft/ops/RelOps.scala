@@ -243,6 +243,24 @@ object RelOps {
           .otherwise(0L)).as("files_pruned"))
   }
 
+  /** Incremental equi-join maintenance — the join-side sibling of
+    * [[graft.ops.CorpusOps.incrementalAgg]]'s aggregate IVM: given old
+    * snapshots A₀/B₀ and insert deltas ΔA/ΔB, the NEW join rows are
+    * exactly `ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB` (the classic delta-join
+    * decomposition every materialized-view maintainer and stream-stream
+    * join runs on) — at 100 TB the deltas are GB-sized against PB-sized
+    * snapshots, so two of the three joins have a tiny (broadcastable)
+    * side and the third is delta×delta. Returns only the delta join
+    * rows; the caller unions them onto the previously materialized
+    * J₀ = A₀⋈B₀. Correctness is an invariance oracle: J₀ ∪ delta must
+    * equal the full recompute A₁⋈B₁ (q160).
+    */
+  def deltaJoin(a0: DataFrame, da: DataFrame, b0: DataFrame, db: DataFrame,
+                keys: Seq[String]): DataFrame =
+    broadcast(da).join(b0, keys)
+      .unionByName(a0.join(broadcast(db), keys))
+      .unionByName(broadcast(da).join(broadcast(db), keys))
+
   /** Per-key next-state transition counts over an ordered event stream —
     * the Markov-chain surface of behavioral analytics (what follows a
     * `view`?): adjacent event-type bigrams under the (ts, tie) total

@@ -2360,6 +2360,30 @@ object Queries {
       .orderBy(col("skew").desc, col("token"))
   }
 
+  /** Incremental join maintenance ([[graft.ops.RelOps.deltaJoin]]):
+    * orders⋈lineitem kept up to date under insert deltas on BOTH sides
+    * via the `ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB` decomposition, then aggregated
+    * per priority class. The oracle is the FULL recompute on the new
+    * snapshots — like q134 and q112 it proves the incremental plan is
+    * result-invariant, here for the join operator.
+    */
+  def q160_delta_join(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val a = t.orders.select(col("o_orderkey").as("k"),
+      col("o_orderpriority"), col("o_totalprice"))
+    val b = t.lineitem.select(col("l_orderkey").as("k"),
+      col("l_linenumber"), col("l_quantity"))
+    val (a0, da) = (a.filter(col("k") % 10 =!= 0), a.filter(col("k") % 10 === 0))
+    val (b0, db) = (b.filter(col("l_linenumber") % 7 =!= 0),
+      b.filter(col("l_linenumber") % 7 === 0))
+    val j0 = a0.join(b0, Seq("k"))
+    val full = j0.unionByName(
+      graft.ops.RelOps.deltaJoin(a0, da, b0, db, Seq("k")))
+    full.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sumExact(col("l_quantity")).as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -2562,7 +2586,8 @@ object Queries {
     "q156_pivot" -> (q156_pivot _),
     "q157_rank_distribution" -> (q157_rank_distribution _),
     "q158_unpivot" -> (q158_unpivot _),
-    "q159_vocab_drift" -> (q159_vocab_drift _)
+    "q159_vocab_drift" -> (q159_vocab_drift _),
+    "q160_delta_join" -> (q160_delta_join _)
   )
 }
 
@@ -4160,7 +4185,12 @@ object Oracles {
         |      FROM c WHERE tf_old + tf_new >= 10),
         |k AS (SELECT *, CAST(abs(2 * share_new_ppm - 1000000) AS BIGINT) AS skew FROM s)
         |SELECT token, tf_old, tf_new, share_new_ppm, skew FROM k
-        |ORDER BY skew DESC, token LIMIT 20""".stripMargin
+        |ORDER BY skew DESC, token LIMIT 20""".stripMargin,
+    "q160_delta_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
   )
 
   /** q138's oracle: the q113 co-supply top-3 graph, then the k = 3 peel

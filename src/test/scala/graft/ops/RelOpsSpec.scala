@@ -363,6 +363,25 @@ class RelOpsSpec extends SparkSpec {
       s"earliest peak instant should be user 3's start: $got")
   }
 
+  test("deltaJoin emits exactly the new join rows, each once (multiset identity)") {
+    val a0 = Seq((1L, "a1"), (2L, "a2")).toDF("k", "av")
+    val da = Seq((2L, "a2x"), (3L, "a3")).toDF("k", "av")
+    val b0 = Seq((1L, "b1"), (3L, "b3"), (3L, "b3b")).toDF("k", "bv")
+    val db = Seq((2L, "b2"), (3L, "b3c")).toDF("k", "bv")
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String, String)].collect().toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+    val delta = multiset(RelOps.deltaJoin(a0, da, b0, db, Seq("k")))
+    val full = multiset(a0.unionByName(da).join(b0.unionByName(db), Seq("k")))
+    val old = multiset(a0.join(b0, Seq("k")))
+    // full = old ⊎ delta, as multisets
+    val recombined = (old.keySet ++ delta.keySet).map(k =>
+      k -> (old.getOrElse(k, 0) + delta.getOrElse(k, 0))).toMap
+    assert(recombined == full,
+      s"old ⊎ delta != full:\nold=$old\ndelta=$delta\nfull=$full")
+    assert(delta.nonEmpty && delta.values.forall(_ >= 1))
+  }
+
   test("q06 wordcount on fixtures is non-empty and ordered") {
     val rows = graft.queries.Queries.q06_wordcount(spark, sfDir).as[(String, Long)].collect()
     assert(rows.nonEmpty)
