@@ -149,6 +149,50 @@ object GraphOps {
     out
   }
 
+  /** Bounded-hop BFS distances on an undirected graph: minimum hop
+    * count from any node in `sources`, explored for exactly `rounds`
+    * expansion rounds (so `dist ≤ rounds`; unreached nodes are absent)
+    * — the reachability/blast-radius primitive (which suppliers sit
+    * within 3 hops of a flagged set; which docs are ≤ k links from a
+    * spam seed). Deterministic integer distances → the whole frontier
+    * table hash-checks against a rounds×-unrolled SQL oracle.
+    *
+    * Scale shape: each round is one equi-join of the current distance
+    * frame against the edge list + a min-aggregate — the
+    * [[pageRankInt]] iteration shape, with the same 3-round checkpoint
+    * cadence.
+    */
+  def bfsWithin(edges: DataFrame, srcCol: String, dstCol: String,
+                sources: DataFrame, idCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"need at least one round, got $rounds")
+    val bidir = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .unionAll(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .cache()
+    var dist = sources.select(col(idCol).as("id")).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    var lastCkpt = dist
+    var round = 0
+    while (round < rounds) {
+      val nbr = bidir.join(dist.select(col("id").as("u"), col("dist")), "u")
+        .select(col("v").as("id"), (col("dist") + 1L).as("dist"))
+      val next = dist.unionAll(nbr)
+        .groupBy("id").agg(min(col("dist")).as("dist"))
+      val doCkpt = (round + 1) % 3 == 0 && round != rounds - 1
+      val mat = if (doCkpt) next.localCheckpoint(true) else next
+      if (doCkpt) {
+        graft.dedup.Dedup.releaseCheckpoint(lastCkpt)
+        lastCkpt = mat
+      }
+      dist = mat
+      round += 1
+    }
+    bidir.unpersist(blocking = false)
+    dist
+  }
+
   /** Per-node triangle counts on an undirected simple graph — the local
     * clustering signal (community structure, near-dup cluster shape)
     * over a similarity or co-occurrence graph. Input edges in any

@@ -2384,6 +2384,20 @@ object Queries {
       .orderBy("o_orderpriority")
   }
 
+  /** Bounded-hop reachability ([[graft.ops.GraphOps.bfsWithin]]): BFS
+    * distances within 3 hops of the seed suppliers (id ≤ 10) on the
+    * q113 co-supply graph — the blast-radius query (what does a flagged
+    * set touch?) beside the global rungs (components, ranks, cores).
+    * Exact oracle: the expansion unrolled 3 rounds in SQL.
+    */
+  def q161_reachability(spark: SparkSession, dir: String): DataFrame = {
+    val g = coSupplyTop3(spark, dir)
+    val seeds = g.select(col("src").as("id")).distinct().filter(col("id") <= 10)
+    graft.ops.GraphOps.bfsWithin(g, "src", "dst", seeds, "id", rounds = 3)
+      .select(col("id").as("s_suppkey"), col("dist"))
+      .orderBy("s_suppkey")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -2587,7 +2601,8 @@ object Queries {
     "q157_rank_distribution" -> (q157_rank_distribution _),
     "q158_unpivot" -> (q158_unpivot _),
     "q159_vocab_drift" -> (q159_vocab_drift _),
-    "q160_delta_join" -> (q160_delta_join _)
+    "q160_delta_join" -> (q160_delta_join _),
+    "q161_reachability" -> (q161_reachability _)
   )
 }
 
@@ -4190,8 +4205,41 @@ object Oracles {
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "q161_reachability" -> ReachSql
   )
+
+  /** q161's oracle: the q113 co-supply top-3 graph, bidirected, then the
+    * BFS frontier expansion unrolled 3 rounds (the q104/q138
+    * discipline) — each round joins the distance table to the edge list
+    * and takes the per-node minimum.
+    */
+  private lazy val ReachSql: String = {
+    val round = (i: Int) =>
+      s"""d$i AS (SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM (
+         |  SELECT id, dist FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT b.v AS id, d${i - 1}.dist + 1 AS dist
+         |  FROM bid b JOIN d${i - 1} ON b.u = d${i - 1}.id) GROUP BY id)""".stripMargin
+    s"""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+       |co AS (SELECT a.s AS sa, b.s AS sb, CAST(count(*) AS BIGINT) AS shared
+       |       FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2),
+       |de AS (SELECT sa AS src, sb AS dst, shared FROM co
+       |       UNION ALL SELECT sb AS src, sa AS dst, shared FROM co),
+       |top3 AS (SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      row_number() OVER (PARTITION BY src ORDER BY shared DESC, dst) AS rn
+       |    FROM de) WHERE rn <= 3),
+       |bid AS (SELECT DISTINCT u, v FROM (
+       |    SELECT src AS u, dst AS v FROM top3
+       |    UNION ALL SELECT dst AS u, src AS v FROM top3) WHERE u <> v),
+       |d0 AS (SELECT DISTINCT src AS id, CAST(0 AS BIGINT) AS dist
+       |       FROM top3 WHERE src <= 10),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT id AS s_suppkey, dist FROM d3 ORDER BY s_suppkey""".stripMargin
+  }
 
   /** q138's oracle: the q113 co-supply top-3 graph, then the k = 3 peel
     * unrolled 3 rounds — per round the degree table filters the vertex

@@ -110,6 +110,25 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("bfsWithin: hop distances on a path graph, bounded by rounds") {
+    // path 1—2—3—4—5, source {1}: after 3 rounds dists are 0,1,2,3; 5 unreached
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("x", "y")
+    val src = Seq(1L).toDF("id")
+    val got = GraphOps.bfsWithin(edges, "x", "y", src, "id", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L), s"got $got")
+  }
+
+  test("bfsWithin: multiple sources take the minimum; undirected traversal; loops dropped") {
+    // sources {1, 6}; edge given as 6→5 but traversal must go 5←6 too
+    val edges = Seq((1L, 2L), (2L, 3L), (6L, 5L), (5L, 4L), (7L, 7L)).toDF("x", "y")
+    val src = Seq(1L, 6L, 6L).toDF("id")
+    val got = GraphOps.bfsWithin(edges, "x", "y", src, "id", rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L,
+      6L -> 0L, 5L -> 1L, 4L -> 2L), s"got $got")
+  }
+
   test("pageRankInt: rejects bad damping and zero iterations") {
     val (nodes, edges) = cycleGraph
     intercept[IllegalArgumentException] {
