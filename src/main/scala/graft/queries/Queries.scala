@@ -2391,7 +2391,9 @@ object Queries {
     * Exact oracle: the expansion unrolled 3 rounds in SQL.
     */
   def q161_reachability(spark: SparkSession, dir: String): DataFrame = {
-    val g = coSupplyTop3(spark, dir)
+    // cache: seeds AND the BFS edge list both read the constructed graph —
+    // uncached, the whole co-supply pipeline materializes twice
+    val g = coSupplyTop3(spark, dir).cache()
     val seeds = g.select(col("src").as("id")).distinct().filter(col("id") <= 10)
     graft.ops.GraphOps.bfsWithin(g, "src", "dst", seeds, "id", rounds = 3)
       .select(col("id").as("s_suppkey"), col("dist"))
