@@ -2400,6 +2400,49 @@ object Queries {
       .orderBy("s_suppkey")
   }
 
+  /** Dataset manifest (the "dataset card" profile): one row per
+    * (column, metric) over the documents table — row count, null count,
+    * exact distinct, min/max — the self-describing summary a dataset
+    * release ships next to its shards (q86's layout manifest, lifted to
+    * content). Values stringified so one long table carries mixed
+    * types; every number is an exact count or an order statistic →
+    * exact oracle.
+    */
+  def q162_manifest(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    def prof(c: String) = d.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+      countDistinct(col(c)).as("n_distinct"),
+      min(col(c)).cast("string").as("min"),
+      max(col(c)).cast("string").as("max"))
+      .select(lit(c).as("column"), expr("stack(5, " +
+        "'n_rows', CAST(n_rows AS STRING), 'n_null', CAST(n_null AS STRING), " +
+        "'n_distinct', CAST(n_distinct AS STRING), 'min', min, 'max', max) " +
+        "AS (metric, value)"))
+    Seq("doc_id", "lang", "source", "n_chars").map(prof).reduce(_ unionByName _)
+      .orderBy("column", "metric")
+  }
+
+  /** Contingency/independence audit: the lang × source cross-tab with
+    * expected-under-independence cell counts in integer ppm
+    * (`row_tot·col_tot·1e6 div n`) — the leakage check (is source
+    * balanced across languages?) run before per-source mixing. Pure
+    * integer arithmetic → exact oracle.
+    */
+  def q163_contingency(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents.select("lang", "source")
+    val cells = d.groupBy("lang", "source").agg(count(lit(1)).as("n_cell"))
+    val rows = d.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val cols = d.groupBy("source").agg(count(lit(1)).as("n_source"))
+    val tot = d.agg(count(lit(1)).as("n_tot"))
+    cells.join(rows, "lang").join(cols, "source").crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("n_cell"),
+        expr("(n_lang * n_source * 1000000) div n_tot").as("expected_ppm_total"),
+        expr("n_cell * 1000000").as("actual_ppm_total"))
+      .orderBy("lang", "source")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -2604,7 +2647,9 @@ object Queries {
     "q158_unpivot" -> (q158_unpivot _),
     "q159_vocab_drift" -> (q159_vocab_drift _),
     "q160_delta_join" -> (q160_delta_join _),
-    "q161_reachability" -> (q161_reachability _)
+    "q161_reachability" -> (q161_reachability _),
+    "q162_manifest" -> (q162_manifest _),
+    "q163_contingency" -> (q163_contingency _)
   )
 }
 
@@ -4208,8 +4253,38 @@ object Oracles {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
-    "q161_reachability" -> ReachSql
+    "q161_reachability" -> ReachSql,
+    "q162_manifest" -> ManifestSql,
+    "q163_contingency" ->
+      """WITH cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_cell
+        |               FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM documents GROUP BY 1),
+        |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_source FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM documents)
+        |SELECT cells.lang, cells.source, n_cell,
+        |  CAST((n_lang * n_source * 1000000) // n_tot AS BIGINT) AS expected_ppm_total,
+        |  CAST(n_cell * 1000000 AS BIGINT) AS actual_ppm_total
+        |FROM cells JOIN r ON cells.lang = r.lang
+        |JOIN c ON cells.source = c.source CROSS JOIN t
+        |ORDER BY cells.lang, cells.source""".stripMargin
   )
+
+  /** q162's oracle: per-column profile rows unioned — metric names and
+    * stringified values mirror the engine's stack() exactly. */
+  private lazy val ManifestSql: String = {
+    val prof = (c: String) =>
+      s"""SELECT '$c' AS "column", m.metric, m.value FROM (
+         |  SELECT CAST(count(*) AS VARCHAR) AS n_rows,
+         |    CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS VARCHAR) AS n_null,
+         |    CAST(count(DISTINCT $c) AS VARCHAR) AS n_distinct,
+         |    CAST(min($c) AS VARCHAR) AS mn, CAST(max($c) AS VARCHAR) AS mx
+         |  FROM documents) s,
+         |  LATERAL (VALUES ('n_rows', s.n_rows), ('n_null', s.n_null),
+         |    ('n_distinct', s.n_distinct), ('min', s.mn), ('max', s.mx))
+         |    AS m(metric, value)""".stripMargin
+    Seq("doc_id", "lang", "source", "n_chars").map(prof)
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY \"column\", metric")
+  }
 
   /** q161's oracle: the q113 co-supply top-3 graph, bidirected, then the
     * BFS frontier expansion unrolled 3 rounds (the q104/q138
