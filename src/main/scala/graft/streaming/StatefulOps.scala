@@ -110,6 +110,51 @@ object StatefulOps {
     }
   }
 
+  /** [[funnelGate]] on the modern `transformWithState` API — the same
+    * per-user (stage, anchor ts) progression, held in a typed
+    * `ValueState` on the RocksDB store (incremental checkpoints,
+    * spillable state) instead of a `flatMapGroupsWithState` blob. Same
+    * semantics contract as [[funnelGate]] (in-order per-key delivery,
+    * (ts, type) sort within a batch); the spec asserts the two gates
+    * emit identical progressions. Requires the RocksDB provider like
+    * [[runningCountTws]].
+    */
+  def funnelGateTws(events: Dataset[FunnelEvent], steps: Seq[String],
+                    within: Long): Dataset[FunnelProgress] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.uid)
+      .transformWithState(new FunnelProcessor(steps, within),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
+  private final class FunnelProcessor(steps: Seq[String], within: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, FunnelEvent, FunnelProgress] {
+    @transient private var prog: org.apache.spark.sql.streaming.ValueState[(Int, Long)] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      prog = getHandle.getValueState[(Int, Long)]("prog",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaInt,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[FunnelEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[FunnelProgress] = {
+      var (stage, anchor) = if (prog.exists()) prog.get() else (0, 0L)
+      val before = stage
+      for (e <- rows.toVector.sortBy(e => (e.ts, e.etype)) if stage < steps.length) {
+        val qualifies = e.etype == steps(stage) &&
+          (stage == 0 || (e.ts >= anchor && e.ts <= anchor + within))
+        if (qualifies) { stage += 1; anchor = e.ts }
+      }
+      prog.update((stage, anchor))
+      if (stage > before) Iterator(FunnelProgress(uid, stage, anchor))
+      else Iterator.empty
+    }
+  }
+
   /** Intermediate record of the two-stage scalable fictions join: either
     * a fiction's metadata passthrough or one resolved (fiction, position,
     * character) triple from the character-keyed stage.

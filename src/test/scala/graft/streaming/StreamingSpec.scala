@@ -548,6 +548,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("funnelGateTws on transformWithState emits the same progressions as funnelGate") {
+    import StatefulOps.{FunnelEvent, FunnelProgress}
+    val steps = Seq("view", "click", "purchase")
+    val batch1 = Seq(FunnelEvent(1, "click", 20L), FunnelEvent(1, "view", 10L),
+      FunnelEvent(2, "view", 5L), FunnelEvent(3, "click", 7L))
+    val batch2 = Seq(FunnelEvent(1, "purchase", 90L), FunnelEvent(2, "click", 300L),
+      FunnelEvent(3, "view", 10L))
+    def run(gate: org.apache.spark.sql.Dataset[FunnelEvent]
+        => org.apache.spark.sql.Dataset[FunnelProgress]): Seq[FunnelProgress] = {
+      val in = MemoryStream[FunnelEvent]
+      val q = gate(in.toDS())
+        .writeStream.format("memory").queryName(nextName())
+        .outputMode(OutputMode.Update()).start()
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+      val rows = spark.table(q.name).as[FunnelProgress].collect().toSeq
+      q.stop()
+      rows.sortBy(p => (p.uid, p.stage))
+    }
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    graft.core.Graft.useRocksDbStateStore(spark)
+    try {
+      val tws = run(StatefulOps.funnelGateTws(_, steps, within = 100L))
+      val legacy = run(StatefulOps.funnelGate(_, steps, within = 100L))
+      assert(tws == legacy, s"tws $tws != legacy $legacy")
+      // u1 completes the funnel (view@10 → click@20 → purchase@90);
+      // u2's click at 300 misses the 100-tick window; u3's view can't
+      // follow a click
+      assert(tws.filter(_.uid == 1).map(_.stage).max == 3)
+      assert(tws.filter(_.uid == 2).map(_.stage).max == 1)
+      assert(tws.filter(_.uid == 3).map(_.stage).max == 1)
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("metrics listener observes incoming rows (A16)") {
     val listener = new graft.metrics.GraftMetricsListener
     spark.streams.addListener(listener)
