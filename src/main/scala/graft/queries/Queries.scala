@@ -2443,6 +2443,19 @@ object Queries {
       .orderBy("lang", "source")
   }
 
+  /** Integer-exact BM25 ([[graft.text.TextSearch.bm25IntTopK]]): the
+    * q63 keyword search with k1/b in basis points and ppm idf — same
+    * data path, same plan (stats broadcast + shuffle-free scoring +
+    * TakeOrderedAndProject), but the ENTIRE ranked result hash-checks,
+    * retiring the float form's libm caveat as the family's exactness
+    * rung (the q67-q70 pattern applied to keyword retrieval).
+    */
+  def q164_keyword_search_int(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextSearch.bm25IntTopK(Tables(spark, dir).documents,
+        "doc_id", "text", Seq("hash", "join", "spark"), k = 10)
+      .select(col("id").as("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -2649,7 +2662,8 @@ object Queries {
     "q160_delta_join" -> (q160_delta_join _),
     "q161_reachability" -> (q161_reachability _),
     "q162_manifest" -> (q162_manifest _),
-    "q163_contingency" -> (q163_contingency _)
+    "q163_contingency" -> (q163_contingency _),
+    "q164_keyword_search_int" -> (q164_keyword_search_int _)
   )
 }
 
@@ -4254,6 +4268,7 @@ object Oracles {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "q161_reachability" -> ReachSql,
+    "q164_keyword_search_int" -> Bm25IntSql,
     "q162_manifest" -> ManifestSql,
     "q163_contingency" ->
       """WITH cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_cell
@@ -4268,6 +4283,43 @@ object Oracles {
         |JOIN c ON cells.source = c.source CROSS JOIN t
         |ORDER BY cells.lang, cells.source""".stripMargin
   )
+
+  /** q164's oracle: the integer BM25 arithmetic mirrored term-by-term —
+    * ppm idf, bp length norm, millionth saturation — over the q71 tf
+    * discipline. */
+  private lazy val Bm25IntSql: String = {
+    val terms = Seq("hash", "join", "spark")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(t) - len(list_filter(t, x -> x <> '$t')) AS BIGINT) AS tf$i"
+    }.mkString(",\n|  ")
+    val dfCols = terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(",\n|        ")
+    val termScore = terms.indices.map(i =>
+      s"""CASE WHEN tf$i > 0 AND df$i > 0 THEN
+         |    ((n * 1000000) // df$i) *
+         |      ((tf$i * 22000 * 10000000000) // (tf$i * 100000000 + 12000 * blen_bp))
+         |      // 1000000 ELSE 0 END""".stripMargin)
+      .mkString("\n|  + ")
+    s"""WITH toks AS (SELECT doc_id,
+       |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t FROM documents),
+       |comp AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+       |  $tfCols
+       |  FROM toks),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS tdl,
+       |        $dfCols
+       |      FROM comp),
+       |pre AS (SELECT comp.*, n, tdl, df0, df1, df2,
+       |          (tdl * 1000000) // n AS avgdl_ppm
+       |        FROM comp CROSS JOIN st),
+       |bl AS (SELECT *,
+       |         ((10000 - 7500) * avgdl_ppm + 7500 * dl * 1000000) // avgdl_ppm
+       |           AS blen_bp
+       |       FROM pre),
+       |sc AS (SELECT doc_id, CAST($termScore AS BIGINT) AS score FROM bl)
+       |SELECT doc_id, score FROM sc WHERE score > 0
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+  }
 
   /** q162's oracle: per-column profile rows unioned — metric names and
     * stringified values mirror the engine's stack() exactly. */

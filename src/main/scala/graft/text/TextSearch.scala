@@ -234,6 +234,52 @@ object TextSearch {
     idx.withColumn("bucket", pmod(xxhash64(col("token")), lit(buckets.toLong)))
       .write.mode("overwrite").partitionBy("bucket").parquet(dir)
 
+  /** BM25 made hash-checkable: the same (tf, df, dl) data path as
+    * [[bm25Components]] and the same saturation/length-normalization
+    * SHAPE as classical BM25 (Robertson & Spärks Jones BM25 with
+    * k1/b), but every step in scaled 64-bit integer arithmetic —
+    * k1/b in basis points, idf as the [[tfIdfTopTerms]] ppm ratio
+    * `(N·1e6) div df` (monotone in df like log-idf at fixed N), length
+    * norm `1−b+b·dl/avgdl` in bp via a ppm avgdl, saturation in
+    * millionths:
+    * `S = (tf·(1e4+k1)·1e10) div (tf·1e8 + k1·blen_bp)`,
+    * `score = Σ_t (idf_ppm·S) div 1e6`. Deterministic on any engine,
+    * so — unlike the float form's libm `ln` (q63, rows-only) — the
+    * ENTIRE ranked result hash-checks against DuckDB (q164).
+    *
+    * Scale shape: one stats reduce broadcast into a shuffle-free
+    * scoring scan, top-k as TakeOrderedAndProject — q63's plan,
+    * unchanged.
+    */
+  def bm25IntTopK(docs: DataFrame, idCol: String, textCol: String,
+                  queryTerms: Seq[String], k: Int,
+                  k1Bp: Long = 12000L, bBp: Long = 7500L): DataFrame = {
+    val terms = queryTerms.distinct
+    require(terms.nonEmpty && k >= 1)
+    require(k1Bp >= 0 && bBp >= 0 && bBp <= 10000)
+    val comp = bm25Components(docs, idCol, textCol, terms)
+    val statAggs = (count(lit(1)).as("__n") +: sum(col("dl")).as("__tdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i")))
+    val stats = comp.agg(statAggs.head, statAggs.tail: _*)
+    val scored = comp.crossJoin(broadcast(stats))
+      .withColumn("__avgdl_ppm", expr("(__tdl * 1000000) div __n"))
+      .withColumn("__blen_bp", expr(
+        s"((10000 - $bBp) * __avgdl_ppm + $bBp * dl * 1000000) div __avgdl_ppm"))
+    val termScores = terms.indices.map { i =>
+      when(col(s"tf$i") > 0 && col(s"__df$i") > 0,
+        expr(s"((__n * 1000000) div __df$i) * " +
+          s"((tf$i * ${10000L + k1Bp} * 10000000000) div " +
+          s"(tf$i * 100000000 + $k1Bp * __blen_bp)) div 1000000"))
+        .otherwise(lit(0L))
+    }
+    scored.withColumn("score", termScores.reduce(_ + _))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+      .select("id", "score")
+  }
+
   /** Top-`k` TF-IDF keywords per document, in exact integer arithmetic:
     * idf is the parts-per-million ratio `(N · 1000000) div df` (floor
     * division — larger for rarer terms, exactly reproducible on any

@@ -261,6 +261,35 @@ class TextSearchSpec extends SparkSpec {
       s"bucket pruning missing from scan:\n$plan")
   }
 
+  test("bm25IntTopK: tf saturates, rarity wins, length normalization penalizes padding") {
+    val docs = Seq(
+      (1L, "cat cat cat dog"),                    // tf(cat)=3, short
+      (2L, "cat dog"),                            // tf(cat)=1
+      (3L, "cat " + ("filler " * 40).trim),       // tf(cat)=1, long → penalized
+      (4L, "rare dog"),                           // the only 'rare' doc
+      (5L, "dog dog")).toDF("doc_id", "text")
+    def top(terms: Seq[String]) =
+      TextSearch.bm25IntTopK(docs, "doc_id", "text", terms, k = 5)
+        .as[(Long, Long)].collect().toSeq
+    val cats = top(Seq("cat"))
+    // tf ordering: doc1 (tf 3) above doc2 (tf 1); doc3 (tf 1 but long)
+    // scores below doc2
+    val byId = cats.toMap
+    assert(cats.head._1 == 1L, s"highest tf must rank first: $cats")
+    assert(byId(2L) > byId(3L), s"length norm must penalize the padded doc: $cats")
+    assert(!byId.contains(5L), "docs without the term must not appear")
+    // rarity: 'rare' (df 1) outscores 'dog' (df 4) for the doc holding both
+    val both = top(Seq("rare", "dog"))
+    val dogOnly = top(Seq("dog"))
+    assert(both.head._1 == 4L, s"the rare-term doc must lead the combined query: $both")
+    assert(both.toMap.apply(4L) > dogOnly.toMap.apply(4L),
+      "adding the rare matched term must raise the score")
+    // determinism across partitioning
+    val again = TextSearch.bm25IntTopK(docs.repartition(5), "doc_id", "text",
+        Seq("cat"), k = 5).as[(Long, Long)].collect().toSeq
+    assert(again == cats)
+  }
+
   test("tfIdfTopTerms: hand-computed ppm scores, rare terms outrank common ones") {
     val docs = Seq(
       (1L, "alpha alpha common"),
