@@ -2456,6 +2456,18 @@ object Queries {
       .select(col("id").as("doc_id"), col("score"))
       .orderBy(col("score").desc, col("doc_id"))
 
+  /** Integer-exact phrase search
+    * ([[graft.text.TextSearch.phraseIntTopK]]): the "hash join" phrase
+    * query ranked by integer BM25 plus the native-kernel adjacency
+    * count weighted at the anchor word's ppm idf — q73's ranking with
+    * every bit hash-checked (the q164 discipline extended to phrases).
+    */
+  def q165_phrase_search_int(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextSearch.phraseIntTopK(Tables(spark, dir).documents,
+        "doc_id", "text", Seq("hash", "join"), k = 10)
+      .select(col("id").as("doc_id"), col("ptf"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -2663,7 +2675,8 @@ object Queries {
     "q161_reachability" -> (q161_reachability _),
     "q162_manifest" -> (q162_manifest _),
     "q163_contingency" -> (q163_contingency _),
-    "q164_keyword_search_int" -> (q164_keyword_search_int _)
+    "q164_keyword_search_int" -> (q164_keyword_search_int _),
+    "q165_phrase_search_int" -> (q165_phrase_search_int _)
   )
 }
 
@@ -4269,6 +4282,7 @@ object Oracles {
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "q161_reachability" -> ReachSql,
     "q164_keyword_search_int" -> Bm25IntSql,
+    "q165_phrase_search_int" -> PhraseIntSql,
     "q162_manifest" -> ManifestSql,
     "q163_contingency" ->
       """WITH cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_cell
@@ -4318,6 +4332,49 @@ object Oracles {
        |       FROM pre),
        |sc AS (SELECT doc_id, CAST($termScore AS BIGINT) AS score FROM bl)
        |SELECT doc_id, score FROM sc WHERE score > 0
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+  }
+
+  /** q165's oracle: the q164 integer arithmetic over the two phrase
+    * words plus the adjacency-count boost at the anchor word's ppm idf
+    * (the q72 phrase-tf SQL discipline). */
+  private lazy val PhraseIntSql: String = {
+    val terms = Seq("hash", "join")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(t) - len(list_filter(t, x -> x <> '$t')) AS BIGINT) AS tf$i"
+    }.mkString(",\n|  ")
+    val dfCols = terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(",\n|        ")
+    val termScore = terms.indices.map(i =>
+      s"""CASE WHEN tf$i > 0 AND df$i > 0 THEN
+         |    ((n * 1000000) // df$i) *
+         |      ((tf$i * 22000 * 10000000000) // (tf$i * 100000000 + 12000 * blen_bp))
+         |      // 1000000 ELSE 0 END""".stripMargin)
+      .mkString("\n|  + ")
+    s"""WITH toks AS (SELECT doc_id,
+       |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t FROM documents),
+       |comp AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+       |  CAST(CASE WHEN len(t) < 2 THEN 0 ELSE
+       |    len(list_filter(generate_series(1, len(t) - 1),
+       |        i -> t[i] = 'hash' AND t[i+1] = 'join')) END AS BIGINT) AS ptf,
+       |  $tfCols
+       |  FROM toks),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS tdl,
+       |        $dfCols
+       |      FROM comp),
+       |pre AS (SELECT comp.*, n, tdl, df0, df1,
+       |          (tdl * 1000000) // n AS avgdl_ppm
+       |        FROM comp CROSS JOIN st),
+       |bl AS (SELECT *,
+       |         ((10000 - 7500) * avgdl_ppm + 7500 * dl * 1000000) // avgdl_ppm
+       |           AS blen_bp
+       |       FROM pre),
+       |sc AS (SELECT doc_id, ptf,
+       |         CAST(($termScore)
+       |           + ptf * ((n * 1000000) // greatest(df0, 1)) AS BIGINT) AS score
+       |       FROM bl)
+       |SELECT doc_id, ptf, score FROM sc WHERE score > 0
        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
   }
 

@@ -256,17 +256,30 @@ object TextSearch {
                   k1Bp: Long = 12000L, bBp: Long = 7500L): DataFrame = {
     val terms = queryTerms.distinct
     require(terms.nonEmpty && k >= 1)
-    require(k1Bp >= 0 && bBp >= 0 && bBp <= 10000)
     val comp = bm25Components(docs, idCol, textCol, terms)
+    withIntBm25Score(comp, terms.size, k1Bp, bBp)
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+      .select("id", "score")
+  }
+
+  /** Attach the [[bm25IntTopK]] integer score to a components frame
+    * carrying `(id, dl, tf0..tf{n−1}, …)` — extra columns flow through,
+    * so phrase/proximity variants can boost on top.
+    */
+  private def withIntBm25Score(comp: DataFrame, nTerms: Int,
+                               k1Bp: Long, bBp: Long): DataFrame = {
+    require(k1Bp >= 0 && bBp >= 0 && bBp <= 10000)
     val statAggs = (count(lit(1)).as("__n") +: sum(col("dl")).as("__tdl") +:
-      terms.indices.map(i =>
+      (0 until nTerms).map(i =>
         sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i")))
     val stats = comp.agg(statAggs.head, statAggs.tail: _*)
     val scored = comp.crossJoin(broadcast(stats))
       .withColumn("__avgdl_ppm", expr("(__tdl * 1000000) div __n"))
       .withColumn("__blen_bp", expr(
         s"((10000 - $bBp) * __avgdl_ppm + $bBp * dl * 1000000) div __avgdl_ppm"))
-    val termScores = terms.indices.map { i =>
+    val termScores = (0 until nTerms).map { i =>
       when(col(s"tf$i") > 0 && col(s"__df$i") > 0,
         expr(s"((__n * 1000000) div __df$i) * " +
           s"((tf$i * ${10000L + k1Bp} * 10000000000) div " +
@@ -274,10 +287,36 @@ object TextSearch {
         .otherwise(lit(0L))
     }
     scored.withColumn("score", termScores.reduce(_ + _))
+  }
+
+  /** Integer-exact phrase search: [[bm25IntTopK]]'s term score plus an
+    * exact-phrase boost `ptf · idf_ppm(first phrase word)` (the native
+    * [[phraseTf]] adjacency count weighted like the phrase's anchor
+    * word) — q73's phrase ranking with the whole ranked result
+    * hash-checkable, completing the retrieval family's exactness rungs
+    * (q164 keyword, q165 phrase).
+    */
+  def phraseIntTopK(docs: DataFrame, idCol: String, textCol: String,
+                    phrase: Seq[String], k: Int,
+                    k1Bp: Long = 12000L, bBp: Long = 7500L): DataFrame = {
+    require(phrase.nonEmpty && k >= 1)
+    val terms = phrase.distinct
+    val toks = graft.core.Graft.spread(docs)
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("t"))
+    val tfCols = terms.zipWithIndex.map { case (term, i) =>
+      (size(col("t")) - size(array_remove(col("t"), lit(term))))
+        .cast("long").as(s"tf$i")
+    }
+    val comp = toks.select(
+      col("id") +: size(col("t")).cast("long").as("dl") +:
+        phraseTf(col("t"), phrase).cast("long").as("ptf") +: tfCols: _*)
+    withIntBm25Score(comp, terms.size, k1Bp, bBp)
+      .withColumn("score",
+        col("score") + col("ptf") * expr("(__n * 1000000) div greatest(__df0, 1)"))
       .filter(col("score") > 0)
       .orderBy(col("score").desc, col("id"))
       .limit(k)
-      .select("id", "score")
+      .select("id", "ptf", "score")
   }
 
   /** Top-`k` TF-IDF keywords per document, in exact integer arithmetic:

@@ -290,6 +290,20 @@ class TextSearchSpec extends SparkSpec {
     assert(again == cats)
   }
 
+  test("phraseIntTopK: adjacency beats bag-of-words at equal term counts") {
+    val docs = Seq(
+      (1L, "hash join planner"),       // adjacent phrase
+      (2L, "join order hash cost"),    // both words, not adjacent
+      (3L, "hash hash table")).toDF("doc_id", "text")
+    val got = TextSearch.phraseIntTopK(docs, "doc_id", "text",
+        Seq("hash", "join"), k = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.head._1 == 1L && got.head._2 == 1L,
+      s"the adjacent-phrase doc must rank first with ptf 1: $got")
+    val byId = got.map(r => r._1 -> r._3).toMap
+    assert(byId(1L) > byId(2L), s"phrase boost missing: $got")
+  }
+
   test("tfIdfTopTerms: hand-computed ppm scores, rare terms outrank common ones") {
     val docs = Seq(
       (1L, "alpha alpha common"),
