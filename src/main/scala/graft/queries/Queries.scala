@@ -2468,6 +2468,23 @@ object Queries {
       .select(col("id").as("doc_id"), col("ptf"), col("score"))
       .orderBy(col("score").desc, col("doc_id"))
 
+  /** Explicit GROUPING SETS (the third of the grouped-subtotal trio
+    * beside q27's rollup/cube): pricing sums at exactly the
+    * (returnflag, linestatus), (returnflag), and grand-total levels —
+    * the hand-picked-subtotals report shape, via the Spark 4
+    * `Dataset.groupingSets` API. Decimal sums + grouping_id → exact.
+    */
+  def q166_grouping_sets(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sumExact(col("l_extendedprice")).as("sum_price"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -2676,7 +2693,8 @@ object Queries {
     "q162_manifest" -> (q162_manifest _),
     "q163_contingency" -> (q163_contingency _),
     "q164_keyword_search_int" -> (q164_keyword_search_int _),
-    "q165_phrase_search_int" -> (q165_phrase_search_int _)
+    "q165_phrase_search_int" -> (q165_phrase_search_int _),
+    "q166_grouping_sets" -> (q166_grouping_sets _)
   )
 }
 
@@ -4283,6 +4301,13 @@ object Oracles {
     "q161_reachability" -> ReachSql,
     "q164_keyword_search_int" -> Bm25IntSql,
     "q165_phrase_search_int" -> PhraseIntSql,
+    "q166_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+        |  CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q162_manifest" -> ManifestSql,
     "q163_contingency" ->
       """WITH cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_cell

@@ -128,6 +128,27 @@ class SketchOpsSpec extends SparkSpec {
     assert(merged == full)
   }
 
+  test("histSketch as a streaming aggregation: the running sketch equals the batch sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val q = SketchOps.histSketch(in.toDF().toDF("g", "x"), "g", "x", width = 8L)
+      .writeStream.format("memory").queryName("hist_stream")
+      .outputMode("complete").start()
+    try {
+      in.addData(("a", 3L), ("a", 9L), ("b", 20L)); q.processAllAvailable()
+      in.addData(("a", 10L), ("b", 100L)); q.processAllAvailable()
+      val got = spark.table("hist_stream")
+        .as[(String, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      val want = SketchOps.histSketch(
+          Seq(("a", 3L), ("a", 9L), ("b", 20L), ("a", 10L), ("b", 100L))
+            .toDF("g", "x"), "g", "x", 8L)
+        .as[(String, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      assert(got == want,
+        "streaming histogram state must equal the batch-built sketch")
+    } finally q.stop()
+  }
+
   test("hll sketch estimates track exact distincts within 5% at real cardinality") {
     val n = 100000L
     val df = spark.range(n).select((col("id") % 2).as("g"), col("id").cast("string").as("v"))
