@@ -285,6 +285,34 @@ class StreamingSpec extends SparkSpec {
     assert(rows.sorted.toSeq == Seq(1L, 2L), "two sessions: gap > 30min splits")
   }
 
+  test("streaming session attribution: first-touch tag + conversion flag per session window") {
+    // q142's attribution computed DECLARATIVELY on a stream: session
+    // windows + min_by first event + conditional conversion sums —
+    // no custom state, the whole rail rides native streaming aggregation
+    val in = MemoryStream[(java.sql.Timestamp, Long, Long, String, Double)]
+    val agg = in.toDF().toDF("ts", "user_id", "event_id", "etype", "value")
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(min_by($"etype", struct($"ts", $"event_id")).as("first_touch"),
+        sum(when($"etype" === "purchase", 1L).otherwise(0L)).as("n_purch"),
+        sum(when($"etype" === "purchase", $"value")).as("conv_value"))
+    val q = agg.writeStream.format("memory").queryName(nextName())
+      .outputMode(OutputMode.Complete()).start()
+    def t(h: Int, min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$min%02d:00")
+    in.addData(
+      (t(10, 0), 1L, 1L, "view", 0.0), (t(10, 10), 1L, 2L, "purchase", 10.0),
+      (t(11, 0), 1L, 3L, "click", 0.0),   // > 30 min gap → session 2
+      (t(9, 0), 2L, 4L, "click", 0.0), (t(9, 5), 2L, 5L, "purchase", 7.0))
+    q.processAllAvailable()
+    val rows = spark.table(q.name)
+      .select($"user_id", $"first_touch", $"n_purch", $"conv_value")
+      .as[(Long, String, Long, Option[Double])].collect().toSet
+    q.stop()
+    assert(rows == Set(
+      (1L, "view", 1L, Some(10.0)), (1L, "click", 0L, None),
+      (2L, "click", 1L, Some(7.0))), s"got $rows")
+  }
+
   test("at-least-once foreachBatch sink writes batches before commit (KQ-2 streaming)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink_test").toString
     val in = MemoryStream[String]
