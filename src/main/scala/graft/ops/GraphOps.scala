@@ -122,6 +122,11 @@ object GraphOps {
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint(true)
+    // releaseCheckpoint only matches a LogicalRDD root, so the frame to
+    // release is the last CHECKPOINTED one — at a checkpoint round `und`
+    // is usually a lazy frame from the intervening rounds and releasing
+    // it would be a no-op, leaking the prior checkpoint's blocks.
+    var lastCkpt = und
     def degrees(e: DataFrame): DataFrame =
       e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("deg"))
@@ -140,12 +145,17 @@ object GraphOps {
       // edge ops up to 3^k times, fine at 3 (27× of map-side work over
       // a materialized RDD), not at arbitrary k.
       val doCkpt = (round + 1) % 3 == 0 && round != rounds - 1
-      val mat = if (doCkpt) next.localCheckpoint(true) else next
-      if (doCkpt) graft.dedup.Dedup.releaseCheckpoint(und)
-      und = mat
+      if (doCkpt) {
+        val mat = next.localCheckpoint(true)
+        graft.dedup.Dedup.releaseCheckpoint(lastCkpt)
+        lastCkpt = mat
+        und = mat
+      } else und = next
       round += 1
     }
     val out = degrees(und).select(col("v").as("id"), col("deg"))
+      .localCheckpoint(true)
+    graft.dedup.Dedup.releaseCheckpoint(lastCkpt)
     out
   }
 

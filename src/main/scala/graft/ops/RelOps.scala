@@ -342,7 +342,11 @@ object RelOps {
     * 30-minute gap), turn each session into (+1 at start, −1 at end)
     * deltas, and run the global running sum in (ts, delta) order — the
     * −1 sorts first at ties, so back-to-back sessions never
-    * double-count. Reports the maximum number of simultaneously active
+    * double-count. A single-event (zero-duration) session is defined to
+    * be active for one instant: its −1 lands at e + 1 µs, so it raises
+    * the running count instead of cancelling itself at the same
+    * timestamp (and the running sum never transiently dips negative).
+    * Reports the maximum number of simultaneously active
     * sessions and the earliest instant it is reached — the peak-load
     * number capacity planning reads off an event log. The running sum
     * is a global window over 2·|sessions| delta rows (session-sized,
@@ -366,7 +370,10 @@ object RelOps {
     val sessions = marked.groupBy("k", "sid")
       .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
     val deltas = sessions.select(col("s").as("ts"), lit(1L).as("d"))
-      .unionAll(sessions.select(col("e").as("ts"), lit(-1L).as("d")))
+      .unionAll(sessions.select(
+        when(col("e") === col("s"),
+          col("e") + expr("INTERVAL 1 MICROSECOND")).otherwise(col("e")).as("ts"),
+        lit(-1L).as("d")))
     val w = Window.orderBy(col("ts"), col("d"))
       .rowsBetween(Window.unboundedPreceding, 0)
     // run is read twice (max + the peak filter): cache it, or the whole

@@ -126,9 +126,16 @@ object ScaleOps {
     */
   def writeCompacted(df: DataFrame, dir: String, targetRows: Long): Unit = {
     require(targetRows >= 1)
-    val n = df.count()
-    val files = math.max(1L, (n + targetRows - 1) / targetRows).toInt
-    df.repartition(files).write.mode("overwrite").parquet(dir)
+    // count() + write would execute the input lineage TWICE — for the
+    // expensive upstream pipelines compaction typically follows, that
+    // doubles the rewrite's compute. Materialize once, size from the
+    // materialized blocks, release after the write.
+    val mat = df.localCheckpoint(true)
+    try {
+      val n = mat.count()
+      val files = math.max(1L, (n + targetRows - 1) / targetRows).toInt
+      mat.repartition(files).write.mode("overwrite").parquet(dir)
+    } finally graft.dedup.Dedup.releaseCheckpoint(mat)
   }
 
   /** Key-multiplicity profile (frequency of frequencies): how many keys

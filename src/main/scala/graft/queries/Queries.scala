@@ -1726,12 +1726,17 @@ object Queries {
     * corpus's top-20 tokens by document frequency with their sorted
     * posting lists — the keyword-retrieval structure whose partitioned
     * save/load (bucket-pruned term lookup, the IVF cell layout applied
-    * to tokens) is plan-guarded in TextSearchSpec. Exact oracle
-    * including the posting arrays (the q08 array discipline).
+    * to tokens) is plan-guarded in TextSearchSpec. The postings list is
+    * serialized to a CSV string (`concat_ws`) so the exact oracle runs
+    * on scalar columns — array-typed output isn't hashable in the
+    * driver's pandas re-sort, which turned a correct answer into a gate
+    * error in round 6.
     */
   def q122_inverted_index(spark: SparkSession, dir: String): DataFrame =
     graft.text.TextSearch.invertedIndex(Tables(spark, dir).documents, "doc_id", "text")
       .orderBy(col("df").desc, col("token")).limit(20)
+      .select(col("token"), col("df"),
+        concat_ws(",", col("postings")).as("postings_csv"))
       .orderBy(col("df").desc, col("token"))
 
   /** Corpus snapshot diff ([[graft.ops.CorpusOps.snapshotDiff]]): the
@@ -2215,8 +2220,12 @@ object Queries {
     implicit val s: SparkSession = spark
     val media = graft.multimodal.Multimodal.asMedia(
       graft.core.Graft.spread(Tables(spark, dir).documents), "doc_id", "text", "image")
+    // feats feeds BOTH sides of the self-join below: cache it, or the
+    // decode+featurize pipeline re-expands per reference (DAG-reuse
+    // rule; Verify/Bench clearCache() releases it)
     val feats = graft.multimodal.Multimodal.decodeStub(media).toDF()
       .select(col("id"), col("feature"))
+      .cache()
     graft.functions.VectorOps.annBruteForce(
         feats, "id", "feature",
         feats.filter(col("id") < 100), "id", "feature", k = 3)
@@ -3835,9 +3844,9 @@ object Oracles {
         |dt AS (SELECT DISTINCT doc_id, token
         |       FROM (SELECT doc_id, unnest(t) AS token FROM toks)),
         |idx AS (SELECT token, CAST(count(*) AS BIGINT) AS df,
-        |          list_sort(list(doc_id)) AS postings
+        |          array_to_string(list_sort(list(doc_id)), ',') AS postings_csv
         |        FROM dt GROUP BY token)
-        |SELECT token, df, postings FROM idx
+        |SELECT token, df, postings_csv FROM idx
         |ORDER BY df DESC, token LIMIT 20""".stripMargin,
     "q123_snapshot_diff" ->
       """WITH o AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 10 <> 0),
@@ -4233,7 +4242,8 @@ object Oracles {
         |  FROM marked),
         |iv AS (SELECT user_id, sid, min(ts) AS s, max(ts) AS e FROM sess GROUP BY 1, 2),
         |deltas AS (SELECT s AS ts, CAST(1 AS BIGINT) AS d FROM iv
-        |           UNION ALL SELECT e, CAST(-1 AS BIGINT) FROM iv),
+        |           UNION ALL SELECT CASE WHEN e = s THEN e + INTERVAL 1 MICROSECOND
+        |                                 ELSE e END, CAST(-1 AS BIGINT) FROM iv),
         |run AS (SELECT ts, sum(d) OVER (ORDER BY ts, d ROWS UNBOUNDED PRECEDING) AS c
         |        FROM deltas),
         |m AS (SELECT max(c) AS m FROM run)
@@ -4326,6 +4336,19 @@ object Oracles {
   /** q164's oracle: the integer BM25 arithmetic mirrored term-by-term —
     * ppm idf, bp length norm, millionth saturation — over the q71 tf
     * discipline. */
+  /** The [[graft.text.TextSearch]] integer-BM25 overflow guards at the
+    * frozen default k1 = 12000 bp: tf saturates at Long.MaxValue div
+    * (22000·1e10) and idf_ppm at Long.MaxValue div (22000·100) — both
+    * value-preserving at any realistic corpus, both mirrored here so
+    * the arithmetic stays total on BOTH engines (Spark with ANSI off
+    * wraps silently; DuckDB raises).
+    */
+  // defs, not vals: `Oracles.all` is declared earlier and forces these
+  // lazy SQL strings during object construction — a later val would
+  // still read as 0 at that point
+  private def IntBm25TfCap: Long = Long.MaxValue / 220000000000000L
+  private def IntBm25IdfCap: Long = Long.MaxValue / 2200000L
+
   private lazy val Bm25IntSql: String = {
     val terms = Seq("hash", "join", "spark")
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
@@ -4336,8 +4359,9 @@ object Oracles {
       .mkString(",\n|        ")
     val termScore = terms.indices.map(i =>
       s"""CASE WHEN tf$i > 0 AND df$i > 0 THEN
-         |    ((n * 1000000) // df$i) *
-         |      ((tf$i * 22000 * 10000000000) // (tf$i * 100000000 + 12000 * blen_bp))
+         |    least((n * 1000000) // df$i, $IntBm25IdfCap) *
+         |      ((least(tf$i, $IntBm25TfCap) * 22000 * 10000000000)
+         |       // (least(tf$i, $IntBm25TfCap) * 100000000 + 12000 * blen_bp))
          |      // 1000000 ELSE 0 END""".stripMargin)
       .mkString("\n|  + ")
     s"""WITH toks AS (SELECT doc_id,
@@ -4373,8 +4397,9 @@ object Oracles {
       .mkString(",\n|        ")
     val termScore = terms.indices.map(i =>
       s"""CASE WHEN tf$i > 0 AND df$i > 0 THEN
-         |    ((n * 1000000) // df$i) *
-         |      ((tf$i * 22000 * 10000000000) // (tf$i * 100000000 + 12000 * blen_bp))
+         |    least((n * 1000000) // df$i, $IntBm25IdfCap) *
+         |      ((least(tf$i, $IntBm25TfCap) * 22000 * 10000000000)
+         |       // (least(tf$i, $IntBm25TfCap) * 100000000 + 12000 * blen_bp))
          |      // 1000000 ELSE 0 END""".stripMargin)
       .mkString("\n|  + ")
     s"""WITH toks AS (SELECT doc_id,
@@ -4397,7 +4422,8 @@ object Oracles {
        |       FROM pre),
        |sc AS (SELECT doc_id, ptf,
        |         CAST(($termScore)
-       |           + ptf * ((n * 1000000) // greatest(df0, 1)) AS BIGINT) AS score
+       |           + ptf * least((n * 1000000) // greatest(df0, 1), $IntBm25IdfCap)
+       |           AS BIGINT) AS score
        |       FROM bl)
        |SELECT doc_id, ptf, score FROM sc WHERE score > 0
        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin

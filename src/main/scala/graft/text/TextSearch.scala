@@ -270,7 +270,17 @@ object TextSearch {
     */
   private def withIntBm25Score(comp: DataFrame, nTerms: Int,
                                k1Bp: Long, bBp: Long): DataFrame = {
-    require(k1Bp >= 0 && bBp >= 0 && bBp <= 10000)
+    require(k1Bp >= 0 && k1Bp <= 100000 && bBp >= 0 && bBp <= 10000)
+    // Keep every product inside exact 64-bit range on BOTH engines: with
+    // ANSI off Spark wraps silently on overflow while DuckDB raises, so
+    // a pathological tf (≥ ~42k at default k1) would break the
+    // hash-check claim exactly where it silently mis-ranks. The clamps
+    // are value-preserving everywhere they matter — saturation is flat
+    // in tf far below the cap (S has converged to within 1 millionth by
+    // tf ≈ 1e4·blen_bp), and idf_ppm only reaches its cap past ~4e12/df
+    // docs — so the caps are exactness GUARDS, not scoring changes.
+    val tfCap = Long.MaxValue / ((10000L + k1Bp) * 10000000000L)
+    val idfCap = Long.MaxValue / ((10000L + k1Bp) * 100L)
     val statAggs = (count(lit(1)).as("__n") +: sum(col("dl")).as("__tdl") +:
       (0 until nTerms).map(i =>
         sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i")))
@@ -281,9 +291,9 @@ object TextSearch {
         s"((10000 - $bBp) * __avgdl_ppm + $bBp * dl * 1000000) div __avgdl_ppm"))
     val termScores = (0 until nTerms).map { i =>
       when(col(s"tf$i") > 0 && col(s"__df$i") > 0,
-        expr(s"((__n * 1000000) div __df$i) * " +
-          s"((tf$i * ${10000L + k1Bp} * 10000000000) div " +
-          s"(tf$i * 100000000 + $k1Bp * __blen_bp)) div 1000000"))
+        expr(s"least((__n * 1000000) div __df$i, $idfCap) * " +
+          s"((least(tf$i, $tfCap) * ${10000L + k1Bp} * 10000000000) div " +
+          s"(least(tf$i, $tfCap) * 100000000 + $k1Bp * __blen_bp)) div 1000000"))
         .otherwise(lit(0L))
     }
     scored.withColumn("score", termScores.reduce(_ + _))
@@ -310,9 +320,11 @@ object TextSearch {
     val comp = toks.select(
       col("id") +: size(col("t")).cast("long").as("dl") +:
         phraseTf(col("t"), phrase).cast("long").as("ptf") +: tfCols: _*)
+    val idfCap = Long.MaxValue / ((10000L + k1Bp) * 100L)
     withIntBm25Score(comp, terms.size, k1Bp, bBp)
       .withColumn("score",
-        col("score") + col("ptf") * expr("(__n * 1000000) div greatest(__df0, 1)"))
+        col("score") +
+          col("ptf") * expr(s"least((__n * 1000000) div greatest(__df0, 1), $idfCap)"))
       .filter(col("score") > 0)
       .orderBy(col("score").desc, col("id"))
       .limit(k)

@@ -363,6 +363,22 @@ class RelOpsSpec extends SparkSpec {
       s"earliest peak instant should be user 3's start: $got")
   }
 
+  test("concurrencyPeak: point (single-event) sessions are visible for an instant") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // a log of ONLY zero-duration sessions: two users fire a lone event
+    // at the same instant, a third an hour later — the end-exclusive
+    // sweep would report max_concurrent = 0 here
+    val d = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 1L),
+      (2L, ts("2024-01-01 09:00:00"), 2L),
+      (3L, ts("2024-01-01 10:00:00"), 3L)
+    ).toDF("user_id", "ts", "event_id")
+    val got = RelOps.concurrencyPeak(d, "user_id", "ts", "event_id")
+      .as[(Long, java.sql.Timestamp)].head()
+    assert(got._1 == 2L && got._2 == ts("2024-01-01 09:00:00"),
+      s"two simultaneous point sessions should peak at 2: $got")
+  }
+
   test("deltaJoin emits exactly the new join rows, each once (multiset identity)") {
     val a0 = Seq((1L, "a1"), (2L, "a2")).toDF("k", "av")
     val da = Seq((2L, "a2x"), (3L, "a3")).toDF("k", "av")

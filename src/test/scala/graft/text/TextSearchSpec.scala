@@ -290,6 +290,24 @@ class TextSearchSpec extends SparkSpec {
     assert(again == cats)
   }
 
+  test("bm25IntTopK: pathological tf beyond the 64-bit cap stays exact (no silent wrap)") {
+    // tf = 50k exceeds the pre-guard overflow point (~42k at default k1:
+    // tf·22000·1e10 > Long.MaxValue) — before the clamp Spark (ANSI off)
+    // wrapped to a junk score here while DuckDB would raise
+    val docs = Seq(
+      (1L, ("cat " * 50000).trim),
+      (2L, "cat dog"),
+      (3L, "dog dog")).toDF("doc_id", "text")
+    val got = TextSearch.bm25IntTopK(docs, "doc_id", "text", Seq("cat"), k = 3)
+      .as[(Long, Long)].collect().toSeq
+    val byId = got.toMap
+    assert(got.nonEmpty && got.forall(_._2 > 0),
+      s"clamped scores must stay positive (wrap would go negative): $got")
+    // the monster doc's tf is saturated AND length-normalized far below
+    // the short doc's per-term value, but it must still beat absence
+    assert(byId.contains(1L) && byId.contains(2L) && !byId.contains(3L), s"$got")
+  }
+
   test("phraseIntTopK: adjacency beats bag-of-words at equal term counts") {
     val docs = Seq(
       (1L, "hash join planner"),       // adjacent phrase
