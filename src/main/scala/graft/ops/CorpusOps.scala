@@ -611,63 +611,157 @@ object CorpusOps {
       .select("id", "domain", "pos", "seq")
   }
 
-  /** Distributed BPE merge training: the `iters` highest-count adjacent
-    * symbol-pair merges over the corpus, learned exactly the way
-    * sentencepiece/HF trainers do — greedy, one pair per round, ties
-    * broken deterministically (count desc, then pair lexicographic).
-    * Output: one row per learned merge (merge_rank, lhs, rhs, merged,
-    * pair_count) — the tokenizer artifact a training pipeline ships.
-    *
-    * Scale design: the ONLY corpus-scale pass is the word-frequency
-    * reduce (one map-side-combinable groupBy); every merge round runs
-    * over the distinct-word table (vocabulary-sized, cached) — one
-    * pair-count aggregation plus a one-row argmax collect per round.
-    * Words are separator-joined symbol strings (unit separator U+001F), so applying
-    * a merge is a literal left-to-right `replace` — which is exactly
-    * BPE's greedy non-overlapping merge semantics ("a a a" merges to
-    * ["aa","a"], never ["a","aa"]), and is mirrorable verbatim in the
-    * DuckDB oracle. A production 30k-merge run would add pair-count
-    * delta maintenance (only words containing the merged pair change);
-    * at demo iteration counts the full per-round aggregate is simpler
-    * and the same number of shuffles.
+  /** Word representation shared by [[bpeTrain]] and [[bpeEncodeStats]]:
+    * U+001F-sentinelled, DOUBLE-separator-joined symbol strings —
+    * `␟a␟␟b␟␟c␟` for symbols [a, b, c] (shown with the visible
+    * ␟ stand-in). A merge of (a, b) is then the literal left-to-right
+    * replace `␟a␟␟b␟ -> ␟ab␟`, which is exactly BPE's greedy
+    * non-overlapping semantics ("a a a" merges to ["aa","a"], never
+    * ["a","aa"]) AND is boundary-exact: each pattern occurrence is
+    * flanked by full symbol delimiters, so the tail of a multi-char
+    * symbol can never false-match (`␟xa␟␟b␟` does NOT contain
+    * `␟a␟␟b␟`; the previous single-separator form had exactly that
+    * bug — "xa␟b" contains "a␟b" and merged across the symbol
+    * boundary), and adjacent occurrences share no characters, so
+    * greedy replace never skips one (single-separator `␟a␟b␟a␟b␟`
+    * would consume the shared ␟ and miss the second merge).
+    * Plain-string replace on both engines — mirrored verbatim in the
+    * DuckDB oracle.
     */
-  def bpeTrain(docs: DataFrame, textCol: String, iters: Int): DataFrame = {
-    require(iters >= 1 && iters <= 64, s"iters must be in [1,64], got $iters")
-    val SEP = "\u001F"
+  private val BpeSep = "\u001F"
+  private[graft] def bpeWordRepr(word: Column): Column =
+    concat(lit(BpeSep),
+      concat_ws(BpeSep + BpeSep, filter(split(word, ""), c => c =!= "")),
+      lit(BpeSep))
+  private[graft] def bpeMergePattern(a: String, b: String): (String, String) =
+    (BpeSep + a + BpeSep + BpeSep + b + BpeSep, BpeSep + a + b + BpeSep)
+
+  /** Distributed BPE merge training: the `iters` highest-count adjacent
+    * symbol-pair merges over the corpus, with EXACTLY the sequential
+    * greedy semantics of sentencepiece/HF trainers — one conceptual
+    * pair per step, ties broken deterministically (count desc, then
+    * pair lexicographic). Output: one row per learned merge
+    * (merge_rank, lhs, rhs, merged, pair_count) — the tokenizer
+    * artifact a training pipeline ships.
+    *
+    * Scale design — built for real merge counts, not demo loops:
+    *
+    *  - The ONLY corpus-scale pass is the word-frequency reduce (one
+    *    map-side-combinable groupBy). Everything after runs over the
+    *    vocabulary table.
+    *  - Pair counts are DELTA-MAINTAINED: each round recounts bigrams
+    *    only over words CONTAINING a merged pattern (the affected
+    *    slice), unions `-old +new` into the persisted pair table, and
+    *    drops emptied pairs — never a full vocabulary recount.
+    *  - Merges commit in BATCHES per driver round-trip. A collected
+    *    top-(B+1) prefix is accepted while (i) the pairs are pairwise
+    *    symbol-disjoint — including each pair's merged result, and
+    *    excluding results colliding with a previously created symbol —
+    *    (ii) a self-pair (a,a) closes its batch, and (iii) every
+    *    accepted count strictly exceeds the first non-accepted entry's
+    *    count. Under (i)-(iii) the batch equals sequential greedy:
+    *    accepted pairs' counts cannot change during the batch (no
+    *    symbol sharing), and every pair CREATED by an accepted merge
+    *    maps occurrence-for-occurrence into a pre-existing
+    *    non-accepted pair, so its count stays strictly below every
+    *    accepted count. When validation accepts nothing (boundary
+    *    ties, symbol collisions), the round commits the exact top-1 —
+    *    plain greedy, always correct, always progress. The batch size
+    *    doubles after a fully-committed round (up to `batchCap`), so
+    *    cooperative corpora converge in O(log merges) driver
+    *    round-trips — 3 Spark jobs per round-trip, sublinear in
+    *    merges (CorpusOpsSpec counts the jobs at 256 merges).
+    *
+    * Reference behavior target: greedy BPE merge learning (Sennrich et
+    * al. 2016, "Neural Machine Translation of Rare Words with Subword
+    * Units"); kasper has no tokenizer — beyond-parity surface.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, iters: Int,
+               batchCap: Int = 256): DataFrame = {
+    require(iters >= 1, s"iters must be positive, got $iters")
+    require(batchCap >= 1, s"batchCap must be positive, got $batchCap")
+    val SEP = BpeSep
     val spark = docs.sparkSession
+    import graft.dedup.Dedup.releaseCheckpoint
+
+    def pairCountsOf(w: DataFrame): DataFrame =
+      w.select(explode(graft.text.TextFunctions.bigramsOf(
+          filter(split(col("s"), SEP), x => x =!= ""))).as("p"), col("cnt"))
+        .groupBy(col("p.w1").as("a"), col("p.w2").as("b"))
+        .agg(sum(col("cnt")).as("c"))
+
     var words = graft.core.Graft.spread(docs)
       .select(explode(graft.text.TextFunctions.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(concat_ws(SEP, filter(split(col("w"), ""), c => c =!= "")).as("s"),
-        col("cnt"))
-      .cache()
+      .select(bpeWordRepr(col("w")).as("s"), col("cnt"))
+      .localCheckpoint(true)
+    var pairs = pairCountsOf(words).localCheckpoint(true)
+
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
-    var r = 1
+    val mergedSyms = scala.collection.mutable.Set.empty[String]
+    var done = 0
+    var batch = math.min(16, iters)
     var exhausted = false
-    while (r <= iters && !exhausted) {
-      val best = words
-        .select(explode(graft.text.TextFunctions.bigramsOf(split(col("s"), SEP)))
-          .as("p"), col("cnt"))
-        .groupBy(col("p.w1").as("a"), col("p.w2").as("b"))
-        .agg(sum(col("cnt")).as("c"))
-        .orderBy(col("c").desc, col("a"), col("b")).limit(1)
-        .collect()
-      if (best.isEmpty) exhausted = true // every word is a single symbol
+    while (done < iters && !exhausted) {
+      val want = math.min(batch, iters - done)
+      val top = pairs.orderBy(col("c").desc, col("a"), col("b"))
+        .limit(want + 1).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .filter(_._3 > 0)
+      if (top.isEmpty) exhausted = true // every word is a single symbol
       else {
-        val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((r.toLong, a, b, a + b, c))
-        val prev = words
-        words = words
-          .select(replace(col("s"), lit(a + SEP + b), lit(a + b)).as("s"), col("cnt"))
-          .cache()
-        words.count() // materialize before releasing the previous round
-        prev.unpersist()
+        // greedy-exact batch prefix: symbol-disjoint (incl. merged
+        // results and previously created symbols); self-pairs close
+        // their batch (their created (m,a) pairs can outrank later
+        // entries, e.g. "a a a"xN creates (aa,a) at count N)
+        val used = scala.collection.mutable.Set.empty[String]
+        var k = 0
+        var stop = false
+        while (!stop && k < math.min(want, top.length)) {
+          val (a, b, _) = top(k)
+          val m = a + b
+          if (used(a) || used(b) || used(m) || mergedSyms(m)) stop = true
+          else {
+            used ++= Seq(a, b, m); k += 1
+            if (a == b) stop = true
+          }
+        }
+        // trim to a strict count descent at the acceptance boundary so
+        // nothing outside the batch (incl. created pairs) can tie in
+        def beyondAt(kk: Int): Long = if (kk < top.length) top(kk)._3 else 0L
+        while (k > 1 && top(k - 1)._3 <= beyondAt(k)) k -= 1
+        if (k == 0) k = 1 // exact top-1 is always the true argmax
+
+        val prefix = top.take(k)
+        val pats = prefix.map { case (a, b, _) => bpeMergePattern(a, b) }
+        val applied = pats.foldLeft(col("s")) { case (s, (pat, rep)) =>
+          replace(s, lit(pat), lit(rep)) }
+        val affected = words.filter(
+          pats.map(p => col("s").contains(p._1)).reduce(_ || _))
+        val newWords = words.select(applied.as("s"), col("cnt"))
+          .localCheckpoint(true)
+        val delta = pairCountsOf(affected)
+          .select(col("a"), col("b"), (-col("c")).as("c"))
+          .unionAll(pairCountsOf(affected.select(applied.as("s"), col("cnt"))))
+        val newPairs = pairs.unionAll(delta)
+          .groupBy("a", "b").agg(sum(col("c")).as("c"))
+          .filter(col("c") > 0)
+          .localCheckpoint(true)
+        releaseCheckpoint(words); releaseCheckpoint(pairs)
+        words = newWords; pairs = newPairs
+        prefix.zipWithIndex.foreach { case ((a, b, c), i) =>
+          merges += ((done + i + 1L, a, b, a + b, c))
+          mergedSyms += (a + b)
+        }
+        done += k
+        batch =
+          if (k >= want) math.min(math.max(batch * 2, 16), batchCap)
+          else math.max(batch / 2, 16)
       }
-      r += 1
     }
     val out = spark.createDataFrame(merges.result())
       .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
-    words.unpersist()
+    releaseCheckpoint(words); releaseCheckpoint(pairs)
     out
   }
 
@@ -684,17 +778,18 @@ object CorpusOps {
     */
   def bpeEncodeStats(docs: DataFrame, idCol: String, textCol: String,
                      merges: Seq[(String, String)]): DataFrame = {
-    val SEP = "\u001F"
+    val SEP = BpeSep
     val perWord = graft.core.Graft.spread(docs)
       .select(col(idCol).as("id"),
         explode(graft.text.TextFunctions.tokens(col(textCol))).as("w"))
-    val encoded = merges.foldLeft(
-        concat_ws(SEP, filter(split(col("w"), ""), c => c =!= ""))) {
-      case (s, (a, b)) => replace(s, lit(a + SEP + b), lit(a + b))
+    val encoded = merges.foldLeft(bpeWordRepr(col("w"))) {
+      case (s, (a, b)) =>
+        val (pat, rep) = bpeMergePattern(a, b)
+        replace(s, lit(pat), lit(rep))
     }
     perWord
       .select(col("id"), length(col("w")).cast("long").as("chars"),
-        size(split(encoded, SEP)).cast("long").as("toks"))
+        size(filter(split(encoded, SEP), x => x =!= "")).cast("long").as("toks"))
       .groupBy("id")
       .agg(sum(col("chars")).as("n_chars"), sum(col("toks")).as("n_bpe_tokens"))
       .withColumn("compression",

@@ -4602,26 +4602,35 @@ object Oracles {
   }
 
   /** q110/q111's shared oracle CTE chain: the BPE merge loop unrolled 4
-    * rounds (the q104 PageRank discipline). Words are chr(31)-joined
-    * symbol strings on both engines, so a merge is the same literal
-    * left-to-right `replace`; each round's argmax is deterministic under
-    * (count desc, pair asc) binary string order.
+    * rounds (the q104 PageRank discipline). Words use the
+    * sentinel+double-separator representation of
+    * [[graft.ops.CorpusOps]] — `chr(31)` flanking each symbol, so a
+    * merge is the same boundary-exact literal left-to-right `replace`
+    * on both engines; each round's argmax is deterministic under
+    * (count desc, pair asc) binary string order. Because the Spark
+    * side's batched acceptance rule is provably equal to sequential
+    * greedy, THIS sequential unroll is also the proof the batcher
+    * commits the same merges.
     */
   private lazy val BpeCtes: String = {
     val round = (i: Int) => {
       val prev = s"w${i - 1}"
       s"""p$i AS (SELECT t[i] AS a, t[i+1] AS b, CAST(sum(cnt) AS BIGINT) AS c
-         |       FROM (SELECT string_split(s, chr(31)) AS t, cnt FROM $prev)
+         |       FROM (SELECT list_filter(string_split(s, chr(31)), x -> x <> '') AS t,
+         |                    cnt FROM $prev)
          |       CROSS JOIN unnest(generate_series(1, len(t)-1)) AS u(i)
          |       GROUP BY 1, 2),
          |m$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
-         |w$i AS (SELECT replace(s, a || chr(31) || b, a || b) AS s, cnt FROM $prev, m$i)""".stripMargin
+         |w$i AS (SELECT replace(s, chr(31) || a || chr(31) || chr(31) || b || chr(31),
+         |                          chr(31) || a || b || chr(31)) AS s, cnt
+         |        FROM $prev, m$i)""".stripMargin
     }
     s"""WITH wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
        |  FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS w
        |        FROM documents) GROUP BY w),
-       |w0 AS (SELECT array_to_string(
-       |    list_transform(generate_series(1, length(w)), i -> w[i]), chr(31)) AS s, cnt
+       |w0 AS (SELECT chr(31) || array_to_string(
+       |    list_transform(generate_series(1, length(w)), i -> w[i]),
+       |    chr(31) || chr(31)) || chr(31) AS s, cnt
        |  FROM wc),
        |${(1 to 4).map(round).mkString(",\n")}""".stripMargin
   }
@@ -4639,21 +4648,31 @@ object Oracles {
     * per doc. One IEEE division for the ratio — hash-stable.
     */
   private lazy val BpeEncodeSql: String = {
+    // NB: the outer query template stripMargins AGAIN over these lines,
+    // so no continuation line may start with '|' (a leading '||' loses
+    // its first char and turns string concat into bitwise-or)
     val chain = (1 to 4).map(i =>
       s"""e$i AS (SELECT doc_id, chars,
-         |  replace(s, (SELECT a FROM m$i) || chr(31) || (SELECT b FROM m$i),
-         |             (SELECT a FROM m$i) || (SELECT b FROM m$i)) AS s FROM e${i - 1})""".stripMargin)
+         |  replace(s, chr(31) || (SELECT a FROM m$i) || chr(31) ||
+         |             chr(31) || (SELECT b FROM m$i) || chr(31),
+         |             chr(31) || (SELECT a FROM m$i) || (SELECT b FROM m$i) || chr(31))
+         |    AS s FROM e${i - 1})""".stripMargin)
     s"""$BpeCtes,
        |dw AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS w
        |       FROM documents),
        |e0 AS (SELECT doc_id, CAST(length(w) AS BIGINT) AS chars,
-       |         array_to_string(list_transform(generate_series(1, length(w)), i -> w[i]), chr(31)) AS s
+       |         chr(31) || array_to_string(
+       |           list_transform(generate_series(1, length(w)), i -> w[i]),
+       |           chr(31) || chr(31)) || chr(31) AS s
        |       FROM dw),
-       |${chain.mkString(",\n")}
+       |${chain.mkString(",\n")},
+       |tok AS (SELECT doc_id, chars,
+       |          CAST(len(list_filter(string_split(s, chr(31)), x -> x <> '')) AS BIGINT) AS toks
+       |        FROM e4)
        |SELECT doc_id, CAST(sum(chars) AS BIGINT) AS n_chars,
-       |  CAST(sum(len(string_split(s, chr(31)))) AS BIGINT) AS n_bpe_tokens,
-       |  CAST(sum(chars) AS DOUBLE) / CAST(sum(len(string_split(s, chr(31)))) AS DOUBLE) AS compression
-       |FROM e4 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |  CAST(sum(toks) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum(chars) AS DOUBLE) / CAST(sum(toks) AS DOUBLE) AS compression
+       |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** q87's oracle: the SAME deterministic ±1 planes interpolated as SQL

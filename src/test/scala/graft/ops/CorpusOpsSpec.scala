@@ -497,6 +497,105 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == Seq((1L, "a", "b", "ab", 1L))) // (a,b) < (x,y) at equal count
   }
 
+  test("bpeTrain/bpeEncodeStats: merges never cross symbol boundaries") {
+    // merge 1 creates symbol "xa"; the later (a,b) merge must NOT fire
+    // inside "xab"'s ["xa","b"] form — the single-separator replace
+    // ("xa<sep>b" contains "a<sep>b") merged exactly there
+    val d = Seq((1L, ("xa " * 10).trim), (2L, "ab ab ab ab"),
+      (3L, "xab xab xab")).toDF("doc_id", "text")
+    val got = CorpusOps.bpeTrain(d, "text", iters = 4)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    // (x,a)=13 > (a,b)=7; after merging (x,a), "xab" holds NO (a,b) pair
+    assert(got == Seq(
+      (1L, "x", "a", "xa", 13L),
+      (2L, "a", "b", "ab", 4L),
+      (3L, "xa", "b", "xab", 3L)), s"got $got")
+    val enc = CorpusOps.bpeEncodeStats(d, "doc_id", "text",
+        Seq(("x", "a"), ("a", "b")))
+      .orderBy("id").as[(Long, Long, Long, Double)].collect().toSeq
+    // "xab" encodes to ["xa","b"] (2 tokens), not a boundary-crossed ["xab"]
+    assert(enc(2) == ((3L, 9L, 6L, 1.5)), s"got $enc")
+  }
+
+  test("bpeTrain batched commits equal sequential greedy on random corpora") {
+    // driver-side reference: the textbook one-merge-at-a-time trainer
+    def refBpe(wordCnts: Seq[(String, Long)], iters: Int): Seq[(String, String, Long)] = {
+      var words: Map[Vector[String], Long] = wordCnts
+        .map { case (w, c) => w.split("").filter(_.nonEmpty).toVector -> c }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val out = Seq.newBuilder[(String, String, Long)]
+      var r = 0
+      var stop = false
+      while (r < iters && !stop) {
+        val pairs = words.toSeq.flatMap { case (syms, c) =>
+          syms.sliding(2).collect { case Vector(a, b) => (a, b) -> c }.toSeq
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        if (pairs.isEmpty) stop = true
+        else {
+          val ((a, b), c) = pairs.minBy { case ((a, b), c) => (-c, a, b) }
+          out += ((a, b, c))
+          words = words.toSeq.map { case (syms, cnt) =>
+            val nb = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                nb += (a + b); i += 2
+              } else { nb += syms(i); i += 1 }
+            }
+            nb.result() -> cnt
+          }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+          r += 1
+        }
+      }
+      out.result()
+    }
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val alphabet = "abc"
+      val wordCnts = (1 to 10).map { _ =>
+        val len = 1 + rng.nextInt(5)
+        val w = (1 to len).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+        (w, 1L + rng.nextInt(4))
+      }
+      val docs = wordCnts.zipWithIndex.map { case ((w, c), i) =>
+        (i.toLong, (s"$w " * c.toInt).trim)
+      }.toDF("doc_id", "text")
+      val want = refBpe(wordCnts, iters = 8)
+      val got = CorpusOps.bpeTrain(docs, "text", iters = 8)
+        .orderBy("merge_rank")
+        .as[(Long, String, String, String, Long)].collect().toSeq
+        .map(r => (r._2, r._3, r._5))
+      assert(got == want, s"trial $trial: batched $got != sequential $want")
+    }
+  }
+
+  test("bpeTrain: 256 merges commit in sublinearly many Spark jobs") {
+    // 256 symbol-disjoint two-char words with strictly decreasing
+    // frequencies: every batch validates fully, so the doubling batch
+    // schedule needs ~5 driver rounds (~3 jobs each), not 256 loops
+    val words = (0 until 256).map { i =>
+      val w = "" + (0x4E00 + 2 * i).toChar + (0x4E00 + 2 * i + 1).toChar
+      (w, 300L - i)
+    }
+    val docs = words.zipWithIndex.map { case ((w, c), i) =>
+      (i.toLong, (s"$w " * c.toInt).trim)
+    }.toDF("doc_id", "text")
+    val tracker = spark.sparkContext.statusTracker
+    val before = tracker.getJobIdsForGroup(null).length
+    val got = CorpusOps.bpeTrain(docs, "text", iters = 256)
+      .orderBy("merge_rank")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    val jobs = tracker.getJobIdsForGroup(null).length - before
+    assert(got.size == 256)
+    // every merge is the expected rank-ordered pair with its exact count
+    got.zipWithIndex.foreach { case ((rank, lhs, rhs, merged, c), i) =>
+      val (w, cnt) = words(i)
+      assert(rank == i + 1L && lhs == w.substring(0, 1) && rhs == w.substring(1)
+        && merged == w && c == cnt, s"merge $i: ${got(i)} vs $w x$cnt")
+    }
+    assert(jobs < 64, s"expected sublinear job count for 256 merges, ran $jobs jobs")
+  }
+
   test("incrementalAgg: deltas fold exactly; emptied groups vanish, new groups appear") {
     val prev = Seq(("a", 2L, 30L), ("b", 1L, 5L)).toDF("g", "n", "s")
     val added = Seq(("a", 7L), ("c", 1L)).toDF("g", "v")     // grow a, create c
