@@ -602,58 +602,89 @@ object Dedup {
   }
 
   /** Connected components over an undirected pair list (the step that
-    * turns near-dup PAIRS into dedup GROUPS): iterated min-label
-    * propagation — every node starts as its own label, each round takes
-    * the min of its own and its neighbors' labels, converging to the
-    * component-wide minimum id in O(component diameter) rounds. Rounds
-    * are plain equi-join + groupBy-min (one shuffle each, map-side
-    * combinable) with the label frame localCheckpoint-truncated per
-    * round and a driver-side convergence count — the standard
-    * Spark-idiomatic CC shape (GraphFrames' default is the same
-    * propagation); near-dup components are dense and shallow, so
-    * real-corpus convergence is 2-4 rounds.
+    * turns near-dup PAIRS into dedup GROUPS): alternating
+    * LARGE-STAR / SMALL-STAR edge contraction (Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond"), which converges
+    * in O(log n) rounds on ANY graph shape — unlike min-label
+    * propagation, whose round count is the component DIAMETER and
+    * which therefore *failed loudly* on chain-shaped components longer
+    * than `maxIters` (a 100 TB boilerplate chain doc A≈B≈C≈… is
+    * exactly that graph). Each round:
+    *
+    *  - large-star: every strictly-larger neighbor of u re-points to
+    *    `min(N(u) ∪ {u})` — hubs pull their tails onto their minimum;
+    *  - small-star: over the canonical (hi, lo) orientation, every
+    *    neighbor of hi (all smaller) and hi itself re-point to
+    *    `min(N(hi))` — stars flatten onto the component minimum.
+    *
+    * Both phases are plain groupBy-min + equi-join shuffles (map-side
+    * combinable, never all-pairs); the edge frame is
+    * localCheckpoint-truncated per round with the superseded round
+    * released, and convergence is detected when the edge set is a
+    * fixpoint (two edge-sized anti-join counts). At the fixpoint the
+    * edges form min-stars: every node points directly at its
+    * component's minimum id.
     *
     * Returns (id, group) for every id that appears in `pairs`; callers
     * left-join + coalesce to give isolated rows their own group.
     * Throws if `maxIters` rounds don't converge (loud, not silently
-    * wrong — raise the cap for pathological chain-shaped graphs).
+    * wrong; at O(log n) rounds the default cap covers any realistic
+    * graph).
     *
-    * Memory contract: each round's superseded label checkpoint is
-    * released as soon as the next round has consumed it (nothing drops
-    * localCheckpoint blocks implicitly — on large graphs they would
-    * otherwise accumulate in block-manager memory for the session's
-    * life). The RETURNED frame still holds its own checkpoint blocks;
-    * call [[releaseCheckpoint]] on it once fully consumed if labeling
-    * many corpora in one long-lived session.
+    * Memory contract: each round's superseded checkpoint is released
+    * as soon as the next round has consumed it. The RETURNED frame
+    * still holds its own checkpoint blocks; call [[releaseCheckpoint]]
+    * on it once fully consumed if labeling many corpora in one
+    * long-lived session.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val nodes = pairs.select(col(aCol).as("id"))
+      .unionAll(pairs.select(col(bCol).as("id")))
       .distinct()
-      .cache() // scanned every round
-    var cur = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("grp"))
+      .localCheckpoint(true)
+    var cur = pairs.select(greatest(col(aCol), col(bCol)).as("hi"),
+        least(col(aCol), col(bCol)).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
       .localCheckpoint(true)
     var round = 0
     var converged = false
     while (!converged && round < maxIters) {
-      val viaNbr = edges.join(cur.select(col("id").as("dst"), col("grp")), "dst")
-        .select(col("src").as("id"), col("grp"))
-      val next = viaNbr.unionAll(cur)
-        .groupBy("id").agg(min("grp").as("grp"))
+      // large-star: strictly-larger neighbors re-point to min(N(u) ∪ {u})
+      val dir = cur.select(col("hi").as("u"), col("lo").as("v"))
+        .unionAll(cur.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = dir.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = dir.filter(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+      // small-star: hi's smaller neighbors and hi itself re-point to
+      // min(N(hi)); output stays canonical (hi > lo)
+      val mins2 = ls.groupBy("hi").agg(min(col("lo")).as("m"))
+      val ss = ls.join(mins2, "hi")
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .unionAll(mins2.select(col("hi"), col("m").as("lo")))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
         .localCheckpoint(true)
-      val changed = next.select(col("id"), col("grp").as("__g2"))
-        .join(cur, "id").filter(col("__g2") =!= col("grp")).count()
-      releaseCheckpoint(cur) // `changed` was the last consumer of this round
-      cur = next
+      val changed = ss.join(cur, Seq("hi", "lo"), "left_anti").count() +
+        cur.join(ss, Seq("hi", "lo"), "left_anti").count()
+      releaseCheckpoint(cur) // the anti-joins were this round's last consumer
+      cur = ss
       converged = changed == 0
       round += 1
     }
-    edges.unpersist(blocking = false)
     require(converged,
       s"connectedComponents did not converge in $maxIters rounds — raise maxIters")
-    cur
+    val out = nodes
+      .join(cur.select(col("hi").as("id"), col("lo").as("grp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("grp"), col("id")).as("grp"))
+      .localCheckpoint(true)
+    releaseCheckpoint(nodes); releaseCheckpoint(cur)
+    out
   }
 
   /** Release the persisted blocks behind a localCheckpoint-ed frame (a

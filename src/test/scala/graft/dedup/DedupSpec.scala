@@ -259,15 +259,35 @@ class DedupSpec extends SparkSpec {
   }
 
   test("connectedComponents converges on a long chain (diameter > 2)") {
-    // a 9-node path: min label must walk the whole diameter
+    // a 9-node path — and the convergence guard still fails loudly
+    // when starved of rounds
     val pairs = (1L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
       .as[(Long, Long)].collect().toMap
     assert(got == (1L to 9L).map(_ -> 1L).toMap)
-    // and the convergence guard fails loudly when starved of rounds
     assert(intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(pairs, "id_a", "id_b", maxIters = 2)
+      Dedup.connectedComponents(pairs, "id_a", "id_b", maxIters = 1)
     }.getMessage.contains("converge"))
+  }
+
+  test("connectedComponents labels a 64-node path within the default round cap") {
+    // diameter 63 >> maxIters 20: min-label propagation (rounds ∝
+    // diameter) threw here; star contraction needs O(log n) rounds —
+    // the 100 TB boilerplate-chain component (doc A≈B≈C≈…) is exactly
+    // this graph
+    val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == (1L to 64L).map(_ -> 1L).toMap)
+    // shuffled ids (min somewhere in the middle of the walk) converge
+    // just as fast — the algorithm must not depend on the path being
+    // monotonically labeled
+    def p(i: Int): Long = (i * 37) % 64 + 1L // 37 coprime to 64 → a permutation
+    val perm = (0 until 63).map(i => (p(i), p(i + 1)))
+    val got2 = Dedup.connectedComponents(
+      perm.toDF("id_a", "id_b"), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got2 == (1L to 64L).map(_ -> 1L).toMap, s"one component labeled 1: $got2")
   }
 
   test("accumulated PPJoin bound prunes a candidate the per-row filter keeps, exactly") {
