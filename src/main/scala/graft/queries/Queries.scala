@@ -1350,22 +1350,23 @@ object Queries {
       .select(col("doc_id"), col("lang"), col("cum_tokens"))
       .orderBy("lang", "cum_tokens", "doc_id")
 
-  /** Iterated k-NN label propagation over the batch k-NN graph: labels
-    * seeded on vec_id < 100 spread up to 4 hops through probes=2
-    * neighbor edges with clamped seeds. Deterministic end to end (index
-    * build, graph, and vote tie-breaks all total-ordered) but declared
-    * rows-only: iterated plurality cannot aggregate inside a recursive
-    * CTE, so correctness is owned by the crafted-graph spec
-    * (hop-distance rounds, clamping, tie-break, distance cap) plus
-    * q85's one-round oracle.
+  /** DEEP iterated k-NN label propagation: a SPARSE seed set
+    * (vec_id < 20 — 5× fewer than q117's) spread up to 8 hops over the
+    * exact full-probe 3-NN graph, so late-round labeling is actually
+    * exercised (q117 is the 4-round/100-seed rung). Exact oracle: the
+    * propagation loop unrolled 8 rounds over q98's brute-force graph
+    * SQL — the labeled set only grows, so engine-side early convergence
+    * and fixed SQL unrolling reach the same fixpoint. The
+    * probes=2 APPROXIMATE-graph form of this query stays spec-owned in
+    * VectorOpsSpec (a truncated probe set has no SQL mirror).
     */
   def q101_label_spread(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings
     val idx = graft.functions.VectorOps.IvfIndex.build(e, "vec_id", "embedding", c = 16)
-    val g = graft.functions.VectorOps.knnGraph(idx, k = 3, probes = 2)
+    val g = graft.functions.VectorOps.knnGraph(idx, k = 3, probes = 16)
     graft.functions.VectorOps.labelPropagate(
-        g, e.filter(col("vec_id") < 100).select(col("vec_id"), col("label")),
-        "vec_id", "label", maxIters = 4)
+        g, e.filter(col("vec_id") < 20).select(col("vec_id"), col("label")),
+        "vec_id", "label", maxIters = 8)
       .orderBy("id", "label")
   }
 
@@ -2212,9 +2213,12 @@ object Queries {
     * real featurizer) → exact top-3 cosine neighbors for a 100-item
     * probe batch over the feature vectors — image/audio dedup's shape
     * (decode → embed → ANN) run end-to-end on the binary column rail.
-    * Rows-only by declared design (byte-level featurization has no
-    * DuckDB counterpart); duplicate-payload-ranks-first is spec-owned
-    * in MultimodalSpec.
+    * EXACT oracle: the stub features are a deterministic 16-bin
+    * normalized byte histogram, and the fixture text is pure ASCII, so
+    * DuckDB rebuilds the identical float32 histogram from code points
+    * (`ascii(c) // 16` = `(byte & 0xFF) >> 4`) and runs q34's
+    * brute-force cosine machinery over it. Duplicate-payload-ranks-
+    * first stays spec-owned in MultimodalSpec.
     */
   def q151_media_neardup(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
@@ -3012,6 +3016,7 @@ object Oracles {
         |FROM c CROSS JOIN unnest(generate_series(1, copies)) AS u(epoch)
         |WHERE copies >= 1
         |ORDER BY doc_id, epoch""".stripMargin,
+    "q101_label_spread" -> labelSpreadSql(8, 20),
     "q100_budget_fill" ->
       """WITH w AS (SELECT doc_id, lang,
         |  sum(n_chars) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id
@@ -4190,6 +4195,29 @@ object Oracles {
         |FROM li JOIN st USING (l_partkey)
         |WHERE l_partkey IN (SELECT p_partkey FROM p)
         |  AND 5 * lq * np < sq""".stripMargin,
+    "q151_media_neardup" ->
+      """WITH ch AS (SELECT doc_id, length(text) AS n,
+        |    list_transform(generate_series(1, length(text)), i -> ascii(text[i]) // 16)
+        |      AS bsrc
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |    list_transform(generate_series(0, 15), b ->
+        |      CAST(CAST(len(list_filter(bsrc, x -> x = b)) AS REAL)
+        |           / CAST(n AS REAL) AS REAL)) AS f
+        |  FROM ch WHERE n > 0),
+        |v AS (SELECT doc_id, CAST(f AS DOUBLE[]) AS e FROM h),
+        |n2 AS (SELECT doc_id, e,
+        |        (SELECT sum(x*x) FROM (SELECT unnest(e) AS x)) AS nm2 FROM v),
+        |s AS (SELECT a.doc_id AS qid, b.doc_id AS id,
+        |        (SELECT sum(x*y) FROM (SELECT unnest(a.e) AS x, unnest(b.e) AS y)) /
+        |        sqrt(a.nm2 * b.nm2) AS cos
+        |      FROM n2 a JOIN n2 b ON b.doc_id <> a.doc_id
+        |      WHERE a.doc_id < 100),
+        |r AS (SELECT qid, id, cos,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rn
+        |      FROM s)
+        |SELECT qid, id AS neighbor, cos FROM r WHERE rn <= 3
+        |ORDER BY qid, cos DESC, neighbor""".stripMargin,
     "q152_negative_sample" ->
       """WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
         |dup AS (SELECT a.doc_id AS pid, b.doc_id AS cid
@@ -4564,13 +4592,20 @@ object Oracles {
        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
-  /** q117's oracle: brute-force exact 3-NN graph (q98's SQL) + the
-    * plurality-spread loop unrolled 4 rounds — per round, unlabeled
-    * nodes take the (votes desc, label asc) argmax over their labeled
-    * neighbors; the labeled set only grows, so early convergence in the
-    * engine and fixed unrolling in SQL reach the same fixpoint.
+  /** q117's (4 rounds, 100 seeds) and q101's (8 rounds, 20 seeds)
+    * oracle: brute-force exact 3-NN graph (q98's SQL) + the
+    * plurality-spread loop unrolled `rounds` times — per round,
+    * unlabeled nodes take the (votes desc, label asc) argmax over their
+    * labeled neighbors; the labeled set only grows, so early
+    * convergence in the engine and fixed unrolling in SQL reach the
+    * same fixpoint.
     */
-  private lazy val LabelSpreadSql: String = {
+  private lazy val LabelSpreadSql: String = labelSpreadSql(4, 100)
+  private def labelSpreadSql(rounds: Int, seedMax: Int): String = {
+    // MATERIALIZED is load-bearing: lab$i is referenced 3× per round
+    // (vote join + NOT IN + union) and inlining re-expands the whole
+    // chain — incl. the brute-force graph — 3^rounds times; q101's
+    // 8-round unroll never finished without it
     val round = (i: Int) => {
       val prev = s"lab${i - 1}"
       s"""v$i AS (SELECT e.qid, l.label, count(*) AS c
@@ -4581,7 +4616,7 @@ object Oracles {
          |         SELECT qid, label,
          |           row_number() OVER (PARTITION BY qid ORDER BY c DESC, label) AS rn
          |         FROM v$i) WHERE rn = 1),
-         |lab$i AS (SELECT * FROM $prev UNION ALL SELECT * FROM f$i)""".stripMargin
+         |lab$i AS MATERIALIZED (SELECT * FROM $prev UNION ALL SELECT * FROM f$i)""".stripMargin
     }
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |n AS (SELECT vec_id, e,
@@ -4593,12 +4628,12 @@ object Oracles {
        |r AS (SELECT qid, nbr_id,
        |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr_id) AS rn
        |      FROM s),
-       |g AS (SELECT qid, nbr_id AS id FROM r WHERE rn <= 3),
-       |lab0 AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS label,
+       |g AS MATERIALIZED (SELECT qid, nbr_id AS id FROM r WHERE rn <= 3),
+       |lab0 AS MATERIALIZED (SELECT vec_id AS id, CAST(label AS BIGINT) AS label,
        |                CAST(0 AS INTEGER) AS round
-       |         FROM embeddings WHERE vec_id < 100),
-       |${(1 to 4).map(round).mkString(",\n")}
-       |SELECT id, label, round FROM lab4 ORDER BY id, label""".stripMargin
+       |         FROM embeddings WHERE vec_id < $seedMax),
+       |${(1 to rounds).map(round).mkString(",\n")}
+       |SELECT id, label, round FROM lab$rounds ORDER BY id, label""".stripMargin
   }
 
   /** q110/q111's shared oracle CTE chain: the BPE merge loop unrolled 4

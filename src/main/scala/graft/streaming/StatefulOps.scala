@@ -317,6 +317,47 @@ object StatefulOps {
       }
   }
 
+  /** [[budgetGate]] on the modern `transformWithState` API — the same
+    * greedy-with-skip admission, with the per-domain running sum in a
+    * typed `ValueState[Long]` on the RocksDB store instead of a
+    * `flatMapGroupsWithState` blob. The PREFERRED form going forward
+    * (flatMapGroupsWithState is the deprecation-bound API); the legacy
+    * gate stays as the reference implementation and the spec asserts
+    * the two admit identically. Requires the RocksDB provider
+    * ([[graft.core.Graft.useRocksDbStateStore]]).
+    */
+  def budgetGateTws(docs: Dataset[BudgetDoc], budget: Long): Dataset[Admitted] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.domain)
+      .transformWithState(new BudgetProcessor(budget),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
+  private final class BudgetProcessor(budget: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, BudgetDoc, Admitted] {
+    @transient private var cum: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      cum = getHandle.getValueState[Long]("cum",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(domain: String, rows: Iterator[BudgetDoc],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Admitted] = {
+      var c = if (cum.exists()) cum.get() else 0L
+      // materialize before updating state — the iterator is lazy
+      val admitted = rows.flatMap { d =>
+        if (d.tokens >= 0 && c + d.tokens <= budget) {
+          c += d.tokens
+          Some(Admitted(domain, d.id, d.tokens, c))
+        } else None
+      }.toVector
+      cum.update(c)
+      admitted.iterator
+    }
+  }
+
   case class Scd2Event(key: Long, ts: Long, attr: String)
   case class Scd2Row(key: Long, attr: String, validFrom: Long,
                      validTo: Option[Long])
@@ -414,6 +455,42 @@ object StatefulOps {
           if (last != null) state.update(last)
           out.result().iterator
       }
+  }
+
+  /** [[transitionGate]] on the modern `transformWithState` API — the
+    * last-seen event type in a typed `ValueState[String]` on RocksDB;
+    * same cross-batch bigram emission, spec-asserted emission-equal to
+    * the legacy gate (which stays as the reference implementation).
+    * Requires the RocksDB provider like [[budgetGateTws]].
+    */
+  def transitionGateTws(events: Dataset[TransEvent]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.uid)
+      .transformWithState(new TransitionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
+  private final class TransitionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TransEvent, Transition] {
+    @transient private var last: org.apache.spark.sql.streaming.ValueState[String] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      last = getHandle.getValueState[String]("last",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[TransEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Transition] = {
+      var prev = if (last.exists()) last.get() else null
+      val out = Vector.newBuilder[Transition]
+      for (e <- rows.toVector.sortBy(e => (e.ts, e.tie))) {
+        if (prev != null) out += Transition(prev, e.etype)
+        prev = e.etype
+      }
+      if (prev != null) last.update(prev)
+      out.result().iterator
+    }
   }
 
   case class Keyed[V](key: String, ts: Long, value: V)

@@ -576,6 +576,68 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("budgetGateTws on transformWithState admits identically to budgetGate") {
+    import StatefulOps.{BudgetDoc, Admitted}
+    val batch1 = Seq(BudgetDoc("a", 1, 60), BudgetDoc("a", 2, 50),
+      BudgetDoc("a", 3, 30), BudgetDoc("b", 5, 90))
+    val batch2 = Seq(BudgetDoc("a", 4, 20), BudgetDoc("a", 6, 10), BudgetDoc("b", 7, 20))
+    def run(gate: org.apache.spark.sql.Dataset[BudgetDoc]
+        => org.apache.spark.sql.Dataset[Admitted]): Seq[Admitted] = {
+      val in = MemoryStream[BudgetDoc]
+      val q = gate(in.toDS())
+        .writeStream.format("memory").queryName(nextName())
+        .outputMode(OutputMode.Update()).start()
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+      val rows = spark.table(q.name).as[Admitted].collect().toSeq
+      q.stop()
+      rows.sortBy(a => (a.domain, a.id))
+    }
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    graft.core.Graft.useRocksDbStateStore(spark)
+    try {
+      val tws = run(StatefulOps.budgetGateTws(_, budget = 100L))
+      val legacy = run(StatefulOps.budgetGate(_, budget = 100L))
+      assert(tws == legacy, s"tws $tws != legacy $legacy")
+      assert(tws.map(r => r.id -> r.cumTokens).toMap ==
+        Map(1L -> 60L, 3L -> 90L, 5L -> 90L, 6L -> 100L))
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("transitionGateTws on transformWithState emits the same bigrams as transitionGate") {
+    import StatefulOps.{TransEvent, Transition}
+    val batch1 = Seq(TransEvent(1, "b", 20L, 2), TransEvent(1, "a", 10L, 1),
+      TransEvent(2, "a", 5L, 3))
+    val batch2 = Seq(TransEvent(1, "a", 30L, 4), TransEvent(2, "c", 15L, 5))
+    def run(gate: org.apache.spark.sql.Dataset[TransEvent]
+        => org.apache.spark.sql.Dataset[Transition]): Map[Transition, Long] = {
+      val in = MemoryStream[TransEvent]
+      val q = gate(in.toDS())
+        .writeStream.format("memory").queryName(nextName())
+        .outputMode(OutputMode.Append()).start()
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+      val rows = spark.table(q.name).as[Transition].collect()
+      q.stop()
+      rows.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    }
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    graft.core.Graft.useRocksDbStateStore(spark)
+    try {
+      val tws = run(StatefulOps.transitionGateTws(_))
+      val legacy = run(StatefulOps.transitionGate(_))
+      assert(tws == legacy, s"tws $tws != legacy $legacy")
+      assert(tws == Map(Transition("a", "b") -> 1L, Transition("b", "a") -> 1L,
+        Transition("a", "c") -> 1L))
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("funnelGateTws on transformWithState emits the same progressions as funnelGate") {
     import StatefulOps.{FunnelEvent, FunnelProgress}
     val steps = Seq("view", "click", "purchase")
