@@ -44,16 +44,6 @@ object LanguageModel {
       .select(explode(bigramsOf(TextFunctions.tokens(col(textCol)))).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("cnt"))
 
-  /** Per-document (id, w1, w2, tf) distinct bigrams with occurrence
-    * counts — the deduplicated row set every downstream join/score rides.
-    */
-  private def docBigramTf(docs: DataFrame, idCol: String,
-                          textCol: String): DataFrame =
-    graft.core.Graft.spread(docs)
-      .select(col(idCol).as("id"),
-        explode(bigramsOf(TextFunctions.tokens(col(textCol)))).as("bigram"))
-      .groupBy("id", "bigram").agg(count(lit(1)).as("tf"))
-
   /** The integer surface under [[lmScore]], hash-checkable across engines
     * (the q63/q71 discipline: components oracle exactly, the ln-scored
     * combination does not). Per document:
@@ -65,21 +55,45 @@ object LanguageModel {
     * Documents with < 2 tokens survive with zeros (left join).
     */
   def lmComponents(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val perDoc = docBigramTf(docs, idCol, textCol)
-      .withColumn("w1", split(col("bigram"), " ", 2).getItem(0))
+    val (toks, uni, big, perDoc) = tokenizedOnce(docs, idCol, textCol)
     val joined = perDoc
-      .join(bigramCounts(docs, textCol), Seq("bigram"))
-      .join(unigramCounts(docs, textCol).withColumnRenamed("token", "w1")
+      .join(big, Seq("bigram"))
+      .join(uni.withColumnRenamed("token", "w1")
         .withColumnRenamed("cnt", "ucnt"), Seq("w1"))
       .groupBy("id")
       .agg(sum(col("tf")).as("n_bigrams"),
         sum(col("tf") * col("cnt")).as("sum_bg_cnt"),
         sum(col("tf") * col("ucnt")).as("sum_ug_cnt"))
+      .localCheckpoint(true)
+    toks.unpersist(false)
     docs.select(col(idCol).as("id")).join(joined, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("sum_bg_cnt"), lit(0L)).as("sum_bg_cnt"),
         coalesce(col("sum_ug_cnt"), lit(0L)).as("sum_ug_cnt"))
+  }
+
+  /** One cached tokenization feeding every count table: (token arrays,
+    * unigram counts, bigram counts, per-doc bigram tf). The regex
+    * tokenize is the dominant scan cost, and the previous shape re-ran
+    * it once per count table (4× per score) — the round-7 q79 fix. The
+    * token cache is released by the callers after materializing their
+    * doc-sized result; the returned frames must all be consumed before
+    * that.
+    */
+  private def tokenizedOnce(docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val toks = graft.core.Graft.spread(docs)
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("t"))
+      .cache()
+    val uni = toks.select(explode(col("t")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val big = toks.select(explode(bigramsOf(col("t"))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+    val perDoc = toks.select(col("id"), explode(bigramsOf(col("t"))).as("bigram"))
+      .groupBy("id", "bigram").agg(count(lit(1)).as("tf"))
+      .withColumn("w1", split(col("bigram"), " ", 2).getItem(0))
+    (toks, uni, big, perDoc)
   }
 
   /** Per-document add-k-smoothed bigram log-likelihood and perplexity:
@@ -98,18 +112,17 @@ object LanguageModel {
   def lmScore(docs: DataFrame, idCol: String, textCol: String,
               k: Double = 1.0): DataFrame = {
     require(k > 0, s"smoothing k must be positive, got $k")
-    // V is one tiny driver scalar (vocabulary-sized aggregation); the
-    // count table itself is re-derived lazily for the join rather than
-    // cached — a leaked cache would outlive the returned frame, and the
-    // extra exploded scan is the cheaper contract (a cluster deployment
-    // would persist the trained counts as a TABLE, not executor cache)
-    val vocab = unigramCounts(docs, textCol).count().toDouble
-    val perDoc = docBigramTf(docs, idCol, textCol)
-      .withColumn("w1", split(col("bigram"), " ", 2).getItem(0))
+    // every count table rides ONE cached tokenization ([[tokenizedOnce]]);
+    // the cache is released once the doc-sized score frame materializes,
+    // so nothing outlives the call (a cluster deployment would persist
+    // the trained counts as a TABLE, not executor cache). V is the one
+    // driver scalar (vocabulary-sized aggregation, also warms the cache)
+    val (toks, uni, big, perDoc) = tokenizedOnce(docs, idCol, textCol)
+    val uniC = uni.cache() // read twice: V count + the score join
+    val vocab = uniC.count().toDouble
     val scored = perDoc
-      .join(bigramCounts(docs, textCol), Seq("bigram"))
-      .join(unigramCounts(docs, textCol)
-        .withColumnRenamed("token", "w1").withColumnRenamed("cnt", "ucnt"),
+      .join(big, Seq("bigram"))
+      .join(uniC.withColumnRenamed("token", "w1").withColumnRenamed("cnt", "ucnt"),
         Seq("w1"))
       .groupBy("id")
       .agg(sum(col("tf")).as("n"),
@@ -117,6 +130,8 @@ object LanguageModel {
           (col("ucnt") + lit(k * vocab)))).as("ll"))
       .select(col("id"), (col("ll") / col("n")).as("avg_logprob"))
       .withColumn("ppl", exp(-col("avg_logprob")))
+      .localCheckpoint(true)
+    toks.unpersist(false); uniC.unpersist(false)
     docs.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
   }
 }
