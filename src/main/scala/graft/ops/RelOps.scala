@@ -427,6 +427,48 @@ object RelOps {
           .cast("double").as("conv_value"))
   }
 
+  /** Session path mining: sessionize per key (the q25 30-minute gap),
+    * take each session's first `depth` event types in (ts, tie) order,
+    * and count the resulting paths corpus-wide — the
+    * behavior-discovery complement of [[funnel]] (a funnel checks ONE
+    * hypothesized sequence; this surfaces which opening sequences
+    * actually happen and how often). Output:
+    * (path, n_sessions) — '>'-joined type prefix, sessions following
+    * it — ordered (n desc, path).
+    *
+    * Scale shape: sessionization is the one key shuffle; each
+    * session's prefix is assembled with collect_list of (rn, type)
+    * structs + array_sort — order-DETERMINISTIC regardless of
+    * partition iteration order, never an order-sensitive collect —
+    * and rows past `depth` are filtered before the aggregation, so
+    * the collected lists are bounded at `depth` entries. The path
+    * count is a map-side-combinable string groupBy.
+    */
+  def sessionPaths(df: DataFrame, keyCol: String, tsCol: String,
+                   tieCol: String, typeCol: String,
+                   depth: Int = 3, gapMinutes: Int = 30): DataFrame = {
+    require(depth >= 1, s"depth must be positive, got $depth")
+    val marked = df.select(col(keyCol).as("k"), col(tsCol).as("ts"),
+        col(tieCol).as("tie"), col(typeCol).as("et"))
+      .withColumn("__prev",
+        lag(col("ts"), 1).over(Window.partitionBy("k").orderBy("ts", "tie")))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          col("ts") >= col("__prev") + expr(s"INTERVAL $gapMinutes MINUTES"),
+          1L).otherwise(0L))
+      .withColumn("sid", sum(col("__new"))
+        .over(Window.partitionBy("k").orderBy(col("ts"), col("tie"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy("k", "sid").orderBy(col("ts"), col("tie"))))
+      .filter(col("rn") <= depth)
+    val paths = marked.groupBy("k", "sid")
+      .agg(array_sort(collect_list(struct(col("rn"), col("et")))).as("steps"))
+      .select(concat_ws(">", transform(col("steps"), s => s("et"))).as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+  }
+
   def funnel(df: DataFrame, keyCol: String, typeCol: String, tsCol: String,
              steps: Seq[String], within: Column): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Skew- and shuffle-management operators for the 100 TB deployment
@@ -136,6 +137,40 @@ object ScaleOps {
       val files = math.max(1L, (n + targetRows - 1) / targetRows).toInt
       mat.repartition(files).write.mode("overwrite").parquet(dir)
     } finally graft.dedup.Dedup.releaseCheckpoint(mat)
+  }
+
+  /** Equi-depth range split points from a DETERMINISTIC sample — the
+    * planning half of range-partitioned layout
+    * (`RangePartitioner.sketch` made reproducible): sample rows whose
+    * [[graft.ops.CorpusOps.sampleRank]] bucket (id-keyed arithmetic
+    * hash, no RNG) falls under `sampleBp` basis points, ntile the
+    * sample into `buckets` equal-depth ranges under the (key, id)
+    * total order, and report each bucket's key span. Re-runs and both
+    * engines produce byte-identical bounds — unlike
+    * `repartitionByRange`'s opaque reservoir sketch, these bounds can
+    * be persisted, diffed run-over-run, and fed to a writer as the
+    * stable partition contract.
+    *
+    * Scale shape: the only total order is over the SAMPLE
+    * (sampleBp/10000 of the rows — audit-scale, like zoneMapAudit's),
+    * after a scan-side hash filter; at 100 TB with 10 bp that is a
+    * 0.1% single-partition sort, the same cost class Spark's own range
+    * sampling pays. Output: (bucket, lo, hi, n_sample).
+    */
+  def sampledRangeBounds(df: DataFrame, keyCol: String, idCol: String,
+                         buckets: Int, sampleBp: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be positive, got $buckets")
+    require(sampleBp >= 1 && sampleBp <= 10000,
+      s"sampleBp must be basis points in [1, 10000], got $sampleBp")
+    import graft.ops.CorpusOps.sampleRank
+    val s = df.select(col(keyCol).as("k"), col(idCol).as("id"))
+      .filter(pmod(sampleRank(col("id")), lit(10000L)) < sampleBp)
+    s.withColumn("bucket",
+        ntile(buckets).over(Window.orderBy(col("k"), col("id"))).cast("long"))
+      .groupBy("bucket")
+      .agg(min(col("k")).as("lo"), max(col("k")).as("hi"),
+        count(lit(1)).as("n_sample"))
+      .orderBy("bucket")
   }
 
   /** Key-multiplicity profile (frequency of frequencies): how many keys

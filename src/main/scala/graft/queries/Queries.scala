@@ -2498,6 +2498,41 @@ object Queries {
       .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** Next-token suggestion table
+    * ([[graft.text.LanguageModel.nextTokenTopK]]): top-3 successors
+    * with bigram/unigram counts for the corpus's 50 most frequent
+    * tokens — the categorical LM artifact (autocomplete, Markov
+    * baseline) over one cached tokenization. Integer counts,
+    * total-ordered tie-breaks → exact oracle; the per-token top-k is
+    * plan-guarded as WindowGroupLimit.
+    */
+  def q167_next_token(spark: SparkSession, dir: String): DataFrame =
+    graft.text.LanguageModel.nextTokenTopK(
+        Tables(spark, dir).documents, "text", k = 3, topTokens = 50)
+      .orderBy("w1", "rank")
+
+  /** Session path mining ([[graft.ops.RelOps.sessionPaths]]): the
+    * opening 3-step event-type sequences of 30-minute-gap sessions,
+    * counted corpus-wide — funnel DISCOVERY where q115 is funnel
+    * CHECKING. Deterministic prefix assembly (array_sort over
+    * (rn, type) structs, never an order-sensitive collect) → exact
+    * oracle.
+    */
+  def q168_session_paths(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.RelOps.sessionPaths(Tables(spark, dir).events,
+      "user_id", "ts", "event_id", "event_type")
+
+  /** Sampled equi-depth range bounds
+    * ([[graft.ops.ScaleOps.sampledRangeBounds]]): 8 range-partition
+    * split points for orders by o_totalprice from a deterministic
+    * ~20% arithmetic-hash sample — the reproducible planning half of
+    * range layout (RangePartitioner's sketch without the RNG). Exact
+    * oracle: the same hash filter + ntile in both engines.
+    */
+  def q169_range_bounds(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ScaleOps.sampledRangeBounds(Tables(spark, dir).orders,
+      "o_totalprice", "o_orderkey", buckets = 8, sampleBp = 2000)
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -2707,7 +2742,10 @@ object Queries {
     "q163_contingency" -> (q163_contingency _),
     "q164_keyword_search_int" -> (q164_keyword_search_int _),
     "q165_phrase_search_int" -> (q165_phrase_search_int _),
-    "q166_grouping_sets" -> (q166_grouping_sets _)
+    "q166_grouping_sets" -> (q166_grouping_sets _),
+    "q167_next_token" -> (q167_next_token _),
+    "q168_session_paths" -> (q168_session_paths _),
+    "q169_range_bounds" -> (q169_range_bounds _)
   )
 }
 
@@ -4346,6 +4384,48 @@ object Oracles {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q167_next_token" ->
+      """WITH toks AS (SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |              FROM documents),
+        |uc AS (SELECT w1, CAST(count(*) AS BIGINT) AS w1_cnt
+        |       FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY 1),
+        |top AS (SELECT w1, w1_cnt FROM uc ORDER BY w1_cnt DESC, w1 LIMIT 50),
+        |pc AS (SELECT t[i] AS w1, t[i+1] AS w2, CAST(count(*) AS BIGINT) AS pair_cnt
+        |       FROM toks CROSS JOIN unnest(generate_series(1, len(t)-1)) AS u(i)
+        |       GROUP BY 1, 2),
+        |j AS (SELECT pc.w1, pc.w2, pair_cnt, top.w1_cnt
+        |      FROM pc JOIN top ON pc.w1 = top.w1),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY w1 ORDER BY pair_cnt DESC, w2) AS rn
+        |      FROM j)
+        |SELECT w1, CAST(rn AS BIGINT) AS rank, w2, pair_cnt, w1_cnt FROM r
+        |WHERE rn <= 3 ORDER BY w1, rank""".stripMargin,
+    "q168_session_paths" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked),
+        |rns AS (SELECT *, row_number() OVER (PARTITION BY user_id, sid
+        |                                     ORDER BY ts, event_id) AS rn
+        |        FROM sess),
+        |p AS (SELECT user_id, sid,
+        |        array_to_string(array_agg(event_type ORDER BY rn), '>') AS path
+        |      FROM rns WHERE rn <= 3 GROUP BY 1, 2)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM p
+        |GROUP BY 1 ORDER BY n_sessions DESC, path""".stripMargin,
+    "q169_range_bounds" ->
+      """WITH s AS (SELECT o_totalprice AS k, o_orderkey AS id FROM orders
+        |           WHERE ((id * 2654435761) % 1000000007) % 10000 < 2000),
+        |d AS (SELECT k, id, CAST(ntile(8) OVER (ORDER BY k, id) AS BIGINT) AS bucket
+        |      FROM s)
+        |SELECT bucket, min(k) AS lo, max(k) AS hi,
+        |  CAST(count(*) AS BIGINT) AS n_sample
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "q162_manifest" -> ManifestSql,
     "q163_contingency" ->
       """WITH cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_cell

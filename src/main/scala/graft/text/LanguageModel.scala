@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Count-based n-gram language-model quality scoring — the CCNet-style
@@ -109,6 +110,44 @@ object LanguageModel {
     * `ln`/`exp`, so query entries over this are rows-only
     * (LanguageModelSpec owns correctness by exact driver recomputation).
     */
+  /** Next-token suggestion table: for each of the `topTokens`
+    * highest-occurrence tokens (ties → token lexicographic), its `k`
+    * most frequent successors by bigram count (ties → successor
+    * lexicographic) with both counts — the LM-as-a-table artifact
+    * (autocomplete, next-word features, Markov baselines) and the
+    * categorical view of [[lmScore]]'s conditional P(w2|w1).
+    *
+    * Scale shape: unigram + bigram counts are two map-side-combinable
+    * exploded groupBys over ONE cached tokenization; the token cut is
+    * a TakeOrderedAndProject broadcast into the successor side; the
+    * per-token top-k is a WindowGroupLimit (rank over vocabulary-sized
+    * count rows), never a corpus-wide window. Integer counts → exact
+    * oracle. Output: (w1, rank, w2, pair_cnt, w1_cnt).
+    */
+  def nextTokenTopK(docs: DataFrame, textCol: String,
+                    k: Int = 3, topTokens: Int = 50): DataFrame = {
+    require(k >= 1 && topTokens >= 1)
+    val toks = graft.core.Graft.spread(docs)
+      .select(TextFunctions.tokens(col(textCol)).as("t"))
+      .cache()
+    val uni = toks.select(explode(col("t")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("w1_cnt"))
+    val top = uni.orderBy(col("w1_cnt").desc, col("w1")).limit(topTokens)
+    val pairs = toks
+      .select(explode(TextFunctions.bigramsOf(col("t"))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("pair_cnt"))
+      .join(broadcast(top), Seq("w1"))
+    val w = Window.partitionBy(col("w1"))
+      .orderBy(col("pair_cnt").desc, col("w2"))
+    // toks stays cached until the caller's clearCache() (the q151
+    // convention) — an eager checkpoint here would hide the window
+    // plan behind a LogicalRDD and re-cost tiny vocab artifacts
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("w1"), col("rank"), col("w2"), col("pair_cnt"), col("w1_cnt"))
+  }
+
   def lmScore(docs: DataFrame, idCol: String, textCol: String,
               k: Double = 1.0): DataFrame = {
     require(k > 0, s"smoothing k must be positive, got $k")

@@ -363,6 +363,36 @@ class RelOpsSpec extends SparkSpec {
       s"earliest peak instant should be user 3's start: $got")
   }
 
+  test("sessionPaths: gap-split sessions, depth-bounded prefixes, deterministic order") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val d = Seq(
+      // user 1, session 1: view > click > buy > extra (extra beyond depth 3)
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 10:05:00"), 2L, "click"),
+      (1L, ts("2024-01-01 10:10:00"), 3L, "buy"),
+      (1L, ts("2024-01-01 10:15:00"), 4L, "extra"),
+      // user 1, session 2 (90-min gap): view > click > buy again
+      (1L, ts("2024-01-01 12:00:00"), 5L, "view"),
+      (1L, ts("2024-01-01 12:01:00"), 6L, "click"),
+      (1L, ts("2024-01-01 12:02:00"), 7L, "buy"),
+      // user 2: a lone view (single-event session)
+      (2L, ts("2024-01-01 10:00:00"), 8L, "view"),
+      // user 3: ts tie broken by event_id (10 before 11)
+      (3L, ts("2024-01-01 09:00:00"), 11L, "click"),
+      (3L, ts("2024-01-01 09:00:00"), 10L, "view")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = RelOps.sessionPaths(d, "user_id", "ts", "event_id", "event_type")
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(
+      ("view>click>buy", 2L), // highest count first
+      ("view", 1L),
+      ("view>click", 1L)), s"got $got")
+    // partitioning must not change the assembled prefixes
+    val again = RelOps.sessionPaths(d.repartition(7), "user_id", "ts",
+      "event_id", "event_type").as[(String, Long)].collect().toSeq
+    assert(again == got)
+  }
+
   test("concurrencyPeak: point (single-event) sessions are visible for an instant") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     // a log of ONLY zero-duration sessions: two users fire a lone event

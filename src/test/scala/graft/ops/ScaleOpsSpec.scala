@@ -138,4 +138,29 @@ class ScaleOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("__salt"), s"salt fell out of the join:\n$p")
   }
+
+  test("sampledRangeBounds: equi-depth, ordered, deterministic; full sample = exact ntile") {
+    val df = (1L to 200L).map(i => ((i * 37) % 200, i)).toDF("k", "id")
+    // sampleBp = 10000: every row sampled → plain ntile over the data
+    val full = ScaleOps.sampledRangeBounds(df, "k", "id", buckets = 4, sampleBp = 10000)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(full.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    assert(full.map(_._4) == Seq(50L, 50L, 50L, 50L), s"equi-depth: $full")
+    // spans are ordered and non-overlapping except possibly at the seam key
+    full.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._3 <= b._2, s"bucket spans out of order: $a then $b")
+    case _ => ()
+    }
+    // a real sample is a subset, still ordered, and re-runs identically
+    // under any partitioning (arithmetic hash, no RNG)
+    val s1 = ScaleOps.sampledRangeBounds(df, "k", "id", buckets = 4, sampleBp = 2500)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val s2 = ScaleOps.sampledRangeBounds(df.repartition(13), "k", "id",
+      buckets = 4, sampleBp = 2500).as[(Long, Long, Long, Long)].collect().toSeq
+    assert(s1 == s2, s"sampling must be deterministic: $s1 vs $s2")
+    val n = s1.map(_._4).sum
+    assert(n > 0 && n < 200, s"2500 bp should sample a strict subset, got $n")
+    assert(math.abs(s1.map(_._4).max - s1.map(_._4).min) <= 1,
+      s"ntile depth imbalance: $s1")
+  }
 }

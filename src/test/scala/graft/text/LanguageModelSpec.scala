@@ -87,4 +87,24 @@ class LanguageModelSpec extends SparkSpec {
     assert(scored.count() > 0)
     assert(scored.filter($"ppl" <= 0.0 || isnan($"ppl")).count() == 0)
   }
+
+  test("nextTokenTopK: hand-checked successors, token cut, tie-breaks, plan") {
+    val d = Seq(
+      (1L, "the cat sat"), (2L, "the cat ran"), (3L, "the dog sat"),
+      (4L, "a cat"), (5L, "the cat sat")).toDF("doc_id", "text")
+    // occurrences: the=4, cat=4, sat=3, ran=1, dog=1, a=1
+    val got = LanguageModel.nextTokenTopK(d, "text", k = 2, topTokens = 2)
+      .as[(String, Long, String, Long, Long)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    // top-2 tokens by (count desc, token): "cat" (4) then "the" (4)
+    // cat → sat(2), ran(1); the → cat(3), dog(1)
+    assert(got == Seq(
+      ("cat", 1L, "sat", 2L, 4L), ("cat", 2L, "ran", 1L, 4L),
+      ("the", 1L, "cat", 3L, 4L), ("the", 2L, "dog", 1L, 4L)), s"got $got")
+    // the per-token top-k must be a rank-limited window, not a sort+filter
+    val plan = LanguageModel.nextTokenTopK(d, "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-token top-k should plan as WindowGroupLimit:\n$plan")
+  }
 }
