@@ -82,6 +82,43 @@ case class BloomCountHits(child: Expression, bloomBytes: Array[Byte])
     copy(child = c)
 }
 
+/** Scalar sibling of [[BloomCountHits]]: membership of ONE long key —
+  * the join-pruning form (see [[graft.ops.ScaleOps.bloomSemiJoin]]),
+  * kept scalar so the hot scan never allocates a per-row array. Same
+  * ship-once/rebuild-per-task filter lifecycle.
+  */
+case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"input must be bigint, got $other")
+  }
+
+  @transient private lazy val bloom: BloomFilter =
+    BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes))
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Boolean.valueOf(bloom.mightContainLong(input.asInstanceOf[Long]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, k => {
+      val bytesRef = ctx.addReferenceObj("graftBloomBytes", bloomBytes, "byte[]")
+      val filterCls = classOf[BloomFilter].getName
+      val bloomVar = ctx.addMutableState(filterCls, "graftBloom",
+        v => s"""try {
+                |  $v = $filterCls.readFrom(new java.io.ByteArrayInputStream($bytesRef));
+                |} catch (java.io.IOException e) { throw new RuntimeException(e); }
+                |""".stripMargin)
+      s"${ev.value} = $bloomVar.mightContainLong($k);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object BloomKernel {
 
   /** Number of hits of an `array<long>` column against a serialized
@@ -90,6 +127,10 @@ object BloomKernel {
     */
   def countHits(grams: Column, bloomBytes: Array[Byte]): Column =
     GraftSqlBridge.column(BloomCountHits(GraftSqlBridge.expression(grams), bloomBytes))
+
+  /** Scalar membership of a long key ([[BloomMightContain]]). */
+  def mightContain(key: Column, bloomBytes: Array[Byte]): Column =
+    GraftSqlBridge.column(BloomMightContain(GraftSqlBridge.expression(key), bloomBytes))
 
   /** Serialize a built filter for shipping inside [[BloomCountHits]]. */
   def serialize(bloom: BloomFilter): Array[Byte] = {

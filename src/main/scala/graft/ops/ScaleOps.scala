@@ -139,6 +139,43 @@ object ScaleOps {
     } finally graft.dedup.Dedup.releaseCheckpoint(mat)
   }
 
+  /** Bloom-pruned semi-join: filter the BIG side's scan with a compact
+    * Bloom filter built from the small side's keys BEFORE the exact
+    * semi-join runs — the classic shuffle-reduction rail when the big
+    * side must shuffle anyway (key sets too large to broadcast-join
+    * outright, but whose MEMBERSHIP fits in a few MB of bloom bits at
+    * ~10 bits/key). Spark's own InjectRuntimeFilter plays this trick
+    * for eligible shuffle joins; this form makes it explicit,
+    * deterministic, and composable with any downstream shape.
+    *
+    * Correctness is unconditional: the filter has NO false negatives,
+    * so the pre-filter only drops rows the semi-join would drop, and
+    * the residual exact semi-join removes the false positives — the
+    * result EQUALS the plain semi-join at any fpp (the salting/IVM
+    * result-invariance discipline; q170's oracle is the plain
+    * semi-join). The per-row probe is the scalar codegen'd
+    * [[graft.functions.BloomKernel.mightContain]] — no allocation, no
+    * shuffle, stays inside the scan's WholeStageCodegen span.
+    *
+    * `expectedItems` sizes the filter (overestimate is just bits); the
+    * build is Spark's distributed `stat.bloomFilter` aggregation, not
+    * a driver loop. Keys must be integral (cast to long on both sides).
+    */
+  def bloomSemiJoin(big: DataFrame, small: DataFrame,
+                    bigKey: String, smallKey: String,
+                    expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    require(expectedItems > 0 && fpp > 0 && fpp < 1)
+    import graft.functions.BloomKernel
+    val bytes = BloomKernel.serialize(
+      small.select(col(smallKey).cast("long").as("k"))
+        .stat.bloomFilter(col("k"), expectedItems, fpp))
+    val pre = big.filter(
+      BloomKernel.mightContain(col(bigKey).cast("long"), bytes))
+    pre.join(small.select(col(smallKey).cast("long").as(s"__$bigKey"))
+        .distinct(),
+      pre(bigKey).cast("long") === col(s"__$bigKey"), "left_semi")
+  }
+
   /** Equi-depth range split points from a DETERMINISTIC sample — the
     * planning half of range-partitioned layout
     * (`RangePartitioner.sketch` made reproducible): sample rows whose

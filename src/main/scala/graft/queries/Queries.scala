@@ -2533,6 +2533,24 @@ object Queries {
     graft.ops.ScaleOps.sampledRangeBounds(Tables(spark, dir).orders,
       "o_totalprice", "o_orderkey", buckets = 8, sampleBp = 2000)
 
+  /** Bloom-pruned semi-join ([[graft.ops.ScaleOps.bloomSemiJoin]]):
+    * lineitem restricted to suppliers of nations 0-4 with the big-side
+    * scan pre-filtered by the scalar codegen'd bloom probe before the
+    * exact semi-join. The oracle is the PLAIN semi-join + aggregation —
+    * like q93/q112/q160 it proves the scale rail is result-invariant
+    * (no false negatives; the residual join removes false positives),
+    * at any fpp.
+    */
+  def q170_bloom_semijoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    graft.ops.ScaleOps.bloomSemiJoin(
+        t.lineitem, t.supplier.filter(col("s_nationkey") < 5),
+        "l_suppkey", "s_suppkey", expectedItems = 10000L)
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n"), sumExact(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_suppkey")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -2745,7 +2763,8 @@ object Queries {
     "q166_grouping_sets" -> (q166_grouping_sets _),
     "q167_next_token" -> (q167_next_token _),
     "q168_session_paths" -> (q168_session_paths _),
-    "q169_range_bounds" -> (q169_range_bounds _)
+    "q169_range_bounds" -> (q169_range_bounds _),
+    "q170_bloom_semijoin" -> (q170_bloom_semijoin _)
   )
 }
 
@@ -4426,6 +4445,12 @@ object Oracles {
         |SELECT bucket, min(k) AS lo, max(k) AS hi,
         |  CAST(count(*) AS BIGINT) AS n_sample
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q170_bloom_semijoin" ->
+      """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q162_manifest" -> ManifestSql,
     "q163_contingency" ->
       """WITH cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_cell

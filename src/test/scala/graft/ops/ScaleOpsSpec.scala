@@ -139,6 +139,26 @@ class ScaleOpsSpec extends SparkSpec {
     assert(p.contains("__salt"), s"salt fell out of the join:\n$p")
   }
 
+  test("bloomSemiJoin equals the plain semi-join at any fpp; probe is in the scan") {
+    // Range-backed, not a local Seq: ConvertToLocalRelation would fold
+    // the bloom filter into the LocalTableScan and hide it from the plan
+    val big = spark.range(1, 501)
+      .select(($"id" % 50).as("fk"), $"id".as("payload"))
+    val dim = Seq(3L, 7L, 11L, 42L).toDF("dk")
+    val plain = big.join(dim.select($"dk".as("fk")), Seq("fk"), "left_semi")
+      .as[(Long, Long)].collect().toSet
+    for (fpp <- Seq(0.3, 0.01)) { // even a sloppy filter must not change results
+      val got = ScaleOps.bloomSemiJoin(big, dim, "fk", "dk",
+          expectedItems = 10L, fpp = fpp)
+        .select($"fk", $"payload").as[(Long, Long)].collect().toSet
+      assert(got == plain, s"fpp=$fpp changed the result")
+    }
+    // the scalar bloom probe must sit in the plan before the exact join
+    val p = ScaleOps.bloomSemiJoin(big, dim, "fk", "dk", expectedItems = 10L)
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(p.contains("bloommightcontain"), s"bloom pre-filter missing:\n$p")
+  }
+
   test("sampledRangeBounds: equi-depth, ordered, deterministic; full sample = exact ntile") {
     val df = (1L to 200L).map(i => ((i * 37) % 200, i)).toDF("k", "id")
     // sampleBp = 10000: every row sampled → plain ntile over the data
