@@ -313,6 +313,34 @@ class StreamingSpec extends SparkSpec {
       (2L, "click", 1L, Some(7.0))), s"got $rows")
   }
 
+  test("streaming session paths: opening sequences assemble declaratively per session window") {
+    // RelOps.sessionPaths' discovery rail on a stream: session windows +
+    // order-deterministic prefix assembly (array_sort over (ts, id, type)
+    // structs — collect_list order never leaks) — no custom state
+    val in = MemoryStream[(java.sql.Timestamp, Long, Long, String)]
+    val agg = in.toDF().toDF("ts", "user_id", "event_id", "etype")
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(array_sort(collect_list(struct($"ts", $"event_id", $"etype"))).as("evs"))
+      .select($"user_id",
+        concat_ws(">", transform(slice($"evs", 1, 3), e => e("etype"))).as("path"))
+    val q = agg.writeStream.format("memory").queryName(nextName())
+      .outputMode(OutputMode.Complete()).start()
+    def t(h: Int, min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$min%02d:00")
+    in.addData( // deliberately out of event-time order within the batch
+      (t(10, 10), 1L, 3L, "buy"), (t(10, 0), 1L, 1L, "view"),
+      (t(10, 5), 1L, 2L, "click"), (t(10, 15), 1L, 4L, "extra"),
+      (t(12, 0), 1L, 5L, "view"), (t(12, 1), 1L, 6L, "click"),
+      (t(9, 0), 2L, 7L, "view"))
+    q.processAllAvailable()
+    val rows = spark.table(q.name).as[(Long, String)].collect().toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    q.stop()
+    assert(rows == Map(
+      (1L, "view>click>buy") -> 1, (1L, "view>click") -> 1,
+      (2L, "view") -> 1), s"got $rows")
+  }
+
   test("at-least-once foreachBatch sink writes batches before commit (KQ-2 streaming)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink_test").toString
     val in = MemoryStream[String]
