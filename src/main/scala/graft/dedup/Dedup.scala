@@ -602,88 +602,142 @@ object Dedup {
   }
 
   /** Connected components over an undirected pair list (the step that
-    * turns near-dup PAIRS into dedup GROUPS): alternating
-    * LARGE-STAR / SMALL-STAR edge contraction (Kiveris et al. 2014,
-    * "Connected Components in MapReduce and Beyond"), which converges
-    * in O(log n) rounds on ANY graph shape — unlike min-label
-    * propagation, whose round count is the component DIAMETER and
-    * which therefore *failed loudly* on chain-shaped components longer
-    * than `maxIters` (a 100 TB boilerplate chain doc A≈B≈C≈… is
-    * exactly that graph). Each round:
+    * turns near-dup PAIRS into dedup GROUPS), in two phases:
     *
-    *  - large-star: every strictly-larger neighbor of u re-points to
-    *    `min(N(u) ∪ {u})` — hubs pull their tails onto their minimum;
-    *  - small-star: over the canonical (hi, lo) orientation, every
-    *    neighbor of hi (all smaller) and hi itself re-point to
-    *    `min(N(hi))` — stars flatten onto the component minimum.
+    *  1. MIN-LABEL PROPAGATION, up to 6 rounds — the cheap shape (one
+    *     equi-join + one groupBy-min per round, map-side combinable).
+    *     Near-dup components are dense and shallow, so almost every
+    *     real workload converges here in 2-4 rounds and pays nothing
+    *     for phase 2.
+    *  2. If not converged: alternating LARGE-STAR / SMALL-STAR edge
+    *     contraction (Kiveris et al. 2014, "Connected Components in
+    *     MapReduce and Beyond") over the LABEL-QUOTIENT graph —
+    *     O(log n) rounds on ANY shape, so chain-shaped components
+    *     longer than the round cap (a 100 TB boilerplate chain doc
+    *     A≈B≈C≈…), where diameter-bound propagation *failed loudly*
+    *     before round 7, converge. Large-star points every
+    *     strictly-larger neighbor of u at `min(N(u) ∪ {u})`;
+    *     small-star flattens each canonical star onto `min(N(hi))`;
+    *     the fixpoint (set equality, count + one anti-join) is the
+    *     min-star forest. Quotient node ids are original ids, so the
+    *     composed label is still the component-wide minimum.
     *
-    * Both phases are plain groupBy-min + equi-join shuffles (map-side
-    * combinable, never all-pairs); the edge frame is
-    * localCheckpoint-truncated per round with the superseded round
-    * released, and convergence is detected when the edge set is a
-    * fixpoint (two edge-sized anti-join counts). At the fixpoint the
-    * edges form min-stars: every node points directly at its
-    * component's minimum id.
+    * Every round in both phases is plain groupBy-min + equi-join
+    * shuffles — never all-pairs — with the superseded round's
+    * checkpoint released as soon as it is consumed.
     *
     * Returns (id, group) for every id that appears in `pairs`; callers
     * left-join + coalesce to give isolated rows their own group.
-    * Throws if `maxIters` rounds don't converge (loud, not silently
-    * wrong; at O(log n) rounds the default cap covers any realistic
-    * graph).
+    * Throws if `maxIters` total rounds don't converge (loud, not
+    * silently wrong; at O(log n) contraction rounds the default cap
+    * covers any realistic graph).
     *
-    * Memory contract: each round's superseded checkpoint is released
-    * as soon as the next round has consumed it. The RETURNED frame
-    * still holds its own checkpoint blocks; call [[releaseCheckpoint]]
-    * on it once fully consumed if labeling many corpora in one
-    * long-lived session.
+    * Memory contract: the RETURNED frame holds its own checkpoint
+    * blocks; call [[releaseCheckpoint]] on it once fully consumed if
+    * labeling many corpora in one long-lived session.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIters: Int = 20): DataFrame = {
     val nodes = pairs.select(col(aCol).as("id"))
       .unionAll(pairs.select(col(bCol).as("id")))
+      .distinct() // consumed once by the final join — no checkpoint job
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint(true)
-    var cur = pairs.select(greatest(col(aCol), col(bCol)).as("hi"),
-        least(col(aCol), col(bCol)).as("lo"))
-      .filter(col("hi") =!= col("lo"))
-      .distinct()
+      .cache() // scanned every phase-1 round
+    // phase 1: min-label propagation — the CHEAP round shape (one join +
+    // one groupBy-min per round); near-dup components are dense and
+    // shallow, so almost every real workload converges here in 2-4
+    // rounds and never pays for contraction
+    val propRounds = math.min(6, maxIters)
+    var lab = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("grp"))
       .localCheckpoint(true)
     var round = 0
     var converged = false
-    while (!converged && round < maxIters) {
-      // large-star: strictly-larger neighbors re-point to min(N(u) ∪ {u})
-      val dir = cur.select(col("hi").as("u"), col("lo").as("v"))
-        .unionAll(cur.select(col("lo").as("u"), col("hi").as("v")))
-      val mins = dir.groupBy("u").agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
-      val ls = dir.filter(col("v") > col("u"))
-        .join(mins, "u")
-        .select(col("v").as("hi"), col("m").as("lo"))
-        .filter(col("hi") =!= col("lo"))
-        .distinct()
-      // small-star: hi's smaller neighbors and hi itself re-point to
-      // min(N(hi)); output stays canonical (hi > lo)
-      val mins2 = ls.groupBy("hi").agg(min(col("lo")).as("m"))
-      val ss = ls.join(mins2, "hi")
-        .select(col("lo").as("hi"), col("m").as("lo"))
-        .unionAll(mins2.select(col("hi"), col("m").as("lo")))
-        .filter(col("hi") =!= col("lo"))
-        .distinct()
+    while (!converged && round < propRounds) {
+      val viaNbr = edges.join(lab.select(col("id").as("dst"), col("grp")), "dst")
+        .select(col("src").as("id"), col("grp"))
+      val next = viaNbr.unionAll(lab)
+        .groupBy("id").agg(min("grp").as("grp"))
         .localCheckpoint(true)
-      val changed = ss.join(cur, Seq("hi", "lo"), "left_anti").count() +
-        cur.join(ss, Seq("hi", "lo"), "left_anti").count()
-      releaseCheckpoint(cur) // the anti-joins were this round's last consumer
-      cur = ss
+      val changed = next.select(col("id"), col("grp").as("__g2"))
+        .join(lab, "id").filter(col("__g2") =!= col("grp")).count()
+      releaseCheckpoint(lab) // `changed` was the last consumer of this round
+      lab = next
       converged = changed == 0
       round += 1
     }
-    require(converged,
-      s"connectedComponents did not converge in $maxIters rounds — raise maxIters")
+    if (!converged) {
+      // phase 2: alternating large-star/small-star contraction (Kiveris
+      // et al. 2014) over the LABEL-QUOTIENT graph — O(log n) rounds on
+      // any shape, so chain-shaped components (doc A≈B≈C≈… boilerplate
+      // runs at 100 TB) converge where diameter-bound propagation
+      // cannot. Quotient labels are original node ids, so the final
+      // label is still the component-wide minimum id.
+      val qEdges = edges
+        .join(lab.select(col("id").as("src"), col("grp").as("ga")), "src")
+        .join(lab.select(col("id").as("dst"), col("grp").as("gb")), "dst")
+        .select(greatest(col("ga"), col("gb")).as("hi"),
+          least(col("ga"), col("gb")).as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+        .localCheckpoint(true)
+      var cur = qEdges
+      var curCnt = cur.count()
+      var starConverged = curCnt == 0L
+      while (!starConverged && round < maxIters) {
+        // large-star: strictly-larger neighbors re-point to
+        // min(N(u) ∪ {u}). ls is NOT distinct-ed — duplicates (≤ 2 per
+        // edge) change neither mins2's min nor ss's final distinct
+        val dir = cur.select(col("hi").as("u"), col("lo").as("v"))
+          .unionAll(cur.select(col("lo").as("u"), col("hi").as("v")))
+        val mins = dir.groupBy("u").agg(min(col("v")).as("mn"))
+          .select(col("u"), least(col("u"), col("mn")).as("m"))
+        val ls = dir.filter(col("v") > col("u"))
+          .join(mins, "u")
+          .select(col("v").as("hi"), col("m").as("lo"))
+          .filter(col("hi") =!= col("lo"))
+          .cache() // read twice (mins2 + the ss join) — DAG-reuse rule
+        // small-star: hi's smaller neighbors and hi itself re-point to
+        // min(N(hi)); output stays canonical (hi > lo)
+        val mins2 = ls.groupBy("hi").agg(min(col("lo")).as("m"))
+        val ss = ls.join(mins2, "hi")
+          .select(col("lo").as("hi"), col("m").as("lo"))
+          .unionAll(mins2.select(col("hi"), col("m").as("lo")))
+          .filter(col("hi") =!= col("lo"))
+          .distinct()
+          .localCheckpoint(true)
+        ls.unpersist(false)
+        // both sides are distinct sets: equal counts + one empty
+        // one-sided anti-join ⇔ set equality
+        val ssCnt = ss.count()
+        val changed = ssCnt != curCnt ||
+          ss.join(cur, Seq("hi", "lo"), "left_anti").count() > 0
+        releaseCheckpoint(cur) // the anti-join was this round's last consumer
+        cur = ss
+        curCnt = ssCnt
+        starConverged = !changed
+        round += 1
+      }
+      require(starConverged,
+        s"connectedComponents did not converge in $maxIters rounds — raise maxIters")
+      // compose: node → phase-1 label → its quotient component minimum
+      val next = lab
+        .join(cur.select(col("hi").as("grp"), col("lo").as("__g2")), Seq("grp"), "left")
+        .select(col("id"), coalesce(col("__g2"), col("grp")).as("grp"))
+        .localCheckpoint(true)
+      releaseCheckpoint(lab); releaseCheckpoint(qEdges); releaseCheckpoint(cur)
+      lab = next
+      converged = true
+    }
     val out = nodes
-      .join(cur.select(col("hi").as("id"), col("lo").as("grp")), Seq("id"), "left")
+      .join(lab, Seq("id"), "left")
       .select(col("id"), coalesce(col("grp"), col("id")).as("grp"))
       .localCheckpoint(true)
-    releaseCheckpoint(nodes); releaseCheckpoint(cur)
+    edges.unpersist(blocking = false)
+    releaseCheckpoint(lab)
     out
   }
 
