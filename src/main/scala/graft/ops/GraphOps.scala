@@ -89,6 +89,64 @@ object GraphOps {
     rank
   }
 
+  /** Personalized PageRank in the same exact integer arithmetic as
+    * [[pageRankInt]]: teleport mass lands ONLY on the seed set, so
+    * ranks measure proximity to the seeds rather than global
+    * importance — the "more like these" data-selection prior
+    * (seed = curated high-quality docs / trusted suppliers / known-good
+    * users; rank = how strongly the graph pulls each node toward them).
+    *
+    * Semantics: `r₀(v) = 1,000,000 · [v ∈ S]`;
+    * `rₜ₊₁(v) = [v ∈ S]·(10000 − dampingBp)·100 +
+    * (dampingBp · Σ_{u→v} (rₜ(u) div deg(u))) div 10000`. Nodes
+    * unreachable from the seeds stay at 0 — exact, not approximately
+    * small. Same overflow headroom, floor-division determinism, and
+    * 3-round checkpoint cadence as [[pageRankInt]]; hash-checks against
+    * an unrolled SQL oracle with a seed CASE per round.
+    *
+    * Output: (id, rank) in micro-units after exactly `iters` rounds.
+    */
+  def personalizedPageRankInt(nodes: DataFrame, idCol: String,
+                              seeds: DataFrame, seedIdCol: String,
+                              edges: DataFrame, srcCol: String, dstCol: String,
+                              iters: Int = 3, dampingBp: Int = 8500): DataFrame = {
+    require(iters >= 1, s"need at least one iteration, got $iters")
+    require(dampingBp >= 0 && dampingBp <= 10000,
+      s"dampingBp must be basis points in [0, 10000], got $dampingBp")
+    val base = (10000L - dampingBp) * 100L
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).cache()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    val seedSet = seeds.select(col(seedIdCol).as("id")).distinct()
+      .withColumn("__s1", lit(1L))
+    var rank = nodes.select(col(idCol).as("id")).distinct()
+      .join(seedSet, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__s1"), lit(0L)).as("__seed"))
+      .withColumn("rank", col("__seed") * 1000000L)
+      .localCheckpoint(true)
+    var round = 0
+    var lastCkpt = rank
+    while (round < iters) {
+      val contrib = rank.join(deg, rank("id") === deg("src"))
+        .select(col("src"), expr("rank div __deg").as("__c"))
+      val inbound = e.join(contrib, "src")
+        .groupBy(col("dst").as("id")).agg(sum(col("__c")).as("__s"))
+      val next = rank.select("id", "__seed").join(inbound, Seq("id"), "left")
+        .select(col("id"), col("__seed"),
+          (col("__seed") * base +
+            expr(s"($dampingBp * coalesce(__s, 0L)) div 10000")).as("rank"))
+      val doCkpt = (round + 1) % 3 == 0 && round != iters - 1
+      val mat = if (doCkpt) next.localCheckpoint(true) else next
+      if (doCkpt) {
+        graft.dedup.Dedup.releaseCheckpoint(lastCkpt)
+        lastCkpt = mat
+      }
+      rank = mat
+      round += 1
+    }
+    e.unpersist(blocking = false)
+    rank.select("id", "rank")
+  }
+
   /** Fixed-round k-core peeling on an undirected simple graph: each
     * round computes degrees, drops every vertex with degree < `k`, and
     * restricts the edge set to surviving endpoints — after enough

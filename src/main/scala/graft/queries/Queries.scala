@@ -2551,6 +2551,28 @@ object Queries {
       .orderBy("l_suppkey")
   }
 
+  /** Personalized PageRank
+    * ([[graft.ops.GraphOps.personalizedPageRankInt]]): proximity to a
+    * seed set (customers with custkey < 50) over the q104 purchase
+    * graph — the "more like these" selection prior, in the same exact
+    * micro-unit integer arithmetic, hash-checked against a
+    * 3×-unrolled oracle whose teleport term is a per-round seed CASE.
+    * Nodes unreachable from the seeds rank exactly 0.
+    */
+  def q171_ppr(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val e = t.orders.join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").cast("long").as("src"),
+        (col("l_suppkey").cast("long") + 1000000L).as("dst"))
+      .distinct()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    graft.ops.GraphOps.personalizedPageRankInt(
+        nodes, "id", nodes.filter(col("id") < 50), "id",
+        e, "src", "dst", iters = 3)
+      .orderBy("id")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -2764,7 +2786,8 @@ object Queries {
     "q167_next_token" -> (q167_next_token _),
     "q168_session_paths" -> (q168_session_paths _),
     "q169_range_bounds" -> (q169_range_bounds _),
-    "q170_bloom_semijoin" -> (q170_bloom_semijoin _)
+    "q170_bloom_semijoin" -> (q170_bloom_semijoin _),
+    "q171_ppr" -> (q171_ppr _)
   )
 }
 
@@ -3708,6 +3731,26 @@ object Oracles {
         |r3 AS (SELECT n.id, CAST(150000 + (8500 * coalesce(c3.s, 0)) // 10000 AS BIGINT) AS rnk
         |       FROM nodes n LEFT JOIN c3 ON n.id = c3.id)
         |SELECT id, rnk AS "rank" FROM r3 ORDER BY id""".stripMargin,
+    "q171_ppr" -> {
+      val round = (i: Int) =>
+        s"""c$i AS (SELECT e.dst AS id, sum(r${i - 1}.rnk // deg.dg) AS s
+           |       FROM r${i - 1} JOIN deg ON r${i - 1}.id = deg.src
+           |       JOIN e ON e.src = deg.src
+           |       GROUP BY e.dst),
+           |r$i AS (SELECT n.id,
+           |         CAST(CASE WHEN n.id < 50 THEN 150000 ELSE 0 END
+           |              + (8500 * coalesce(c$i.s, 0)) // 10000 AS BIGINT) AS rnk
+           |       FROM nodes n LEFT JOIN c$i ON n.id = c$i.id)""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+         |             CAST(l_suppkey AS BIGINT) + 1000000 AS dst
+         |           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |deg AS (SELECT src, count(*) AS dg FROM e GROUP BY src),
+         |r0 AS (SELECT id, CAST(CASE WHEN id < 50 THEN 1000000 ELSE 0 END AS BIGINT)
+         |                    AS rnk FROM nodes),
+         |${(1 to 3).map(round).mkString(",\n")}
+         |SELECT id, rnk AS "rank" FROM r3 ORDER BY id""".stripMargin
+    },
     "q105_group_split" ->
       """WITH RECURSIVE
         |toks AS (SELECT doc_id,

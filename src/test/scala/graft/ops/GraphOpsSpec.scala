@@ -27,6 +27,26 @@ class GraphOpsSpec extends SparkSpec {
     assert(r2 == Map(1L -> 1127500L, 2L -> 1722500L, 3L -> 1000000L, 4L -> 150000L))
   }
 
+  test("personalizedPageRankInt: seed teleport only, unreachable nodes rank exactly 0") {
+    // chain 1→2→3 plus a disconnected 4→5; seed = {1}
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val seeds = Seq(1L).toDF("id")
+    // r0 = 1e6 on the seed; round 1: 1→150000 (base only),
+    // 2→(8500·1e6)//1e4 = 850000; round 2: 2←(8500·150000)//1e4 =
+    // 127500, 3←(8500·850000)//1e4 = 722500; 4,5 stay 0 exactly
+    val r2 = GraphOps.personalizedPageRankInt(nodes, "id", seeds, "id",
+        edges, "src", "dst", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(1L -> 150000L, 2L -> 127500L, 3L -> 722500L,
+      4L -> 0L, 5L -> 0L), s"got $r2")
+    // determinism under partitioning (integer arithmetic, no float sums)
+    val again = GraphOps.personalizedPageRankInt(nodes.repartition(7), "id",
+        seeds, "id", edges.repartition(5), "src", "dst", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(again == r2)
+  }
+
   test("pageRankInt: deterministic across re-runs and partitioning") {
     val (nodes, edges) = cycleGraph
     val a = GraphOps.pageRankInt(nodes, "id", edges, "src", "dst", iters = 4)
