@@ -721,8 +721,15 @@ object Dedup {
         starConverged = !changed
         round += 1
       }
-      require(starConverged,
-        s"connectedComponents did not converge in $maxIters rounds — raise maxIters")
+      if (!starConverged) {
+        // release BEFORE throwing: the loud-failure path's own advice is
+        // "retry with a raised cap", and a long-lived session must not
+        // accumulate pinned blocks per failed attempt
+        edges.unpersist(blocking = false)
+        releaseCheckpoint(lab); releaseCheckpoint(qEdges); releaseCheckpoint(cur)
+        throw new IllegalArgumentException(
+          s"connectedComponents did not converge in $maxIters rounds — raise maxIters")
+      }
       // compose: node → phase-1 label → its quotient component minimum
       val next = lab
         .join(cur.select(col("hi").as("grp"), col("lo").as("__g2")), Seq("grp"), "left")

@@ -125,18 +125,28 @@ object ScaleOps {
     * repartition, no sort. For a layout that should also prune, use
     * [[writeSorted]] instead.
     */
+  private val compactSeq = new java.util.concurrent.atomic.AtomicLong()
+
   def writeCompacted(df: DataFrame, dir: String, targetRows: Long): Unit = {
     require(targetRows >= 1)
-    // count() + write would execute the input lineage TWICE — for the
-    // expensive upstream pipelines compaction typically follows, that
-    // doubles the rewrite's compute. Materialize once, size from the
-    // materialized blocks, release after the write.
-    val mat = df.localCheckpoint(true)
-    try {
-      val n = mat.count()
-      val files = math.max(1L, (n + targetRows - 1) / targetRows).toInt
-      mat.repartition(files).write.mode("overwrite").parquet(dir)
-    } finally graft.dedup.Dedup.releaseCheckpoint(mat)
+    // The input lineage executes exactly ONCE: the first write stages
+    // the data to a sibling dir with the row count observed for free on
+    // the way through; the compaction pass then rereads the staged
+    // parquet (columnar, already computed — cheap relative to the
+    // expensive pipelines compaction typically follows) into
+    // ceil(n/targetRows) files. No count() double-scan, and no
+    // localCheckpoint of a possibly-100TB input into executor storage.
+    val spark = df.sparkSession
+    val tmp = s"$dir.graft_compact_staging"
+    val obs = new org.apache.spark.sql.Observation(
+      s"graft_compact_${compactSeq.incrementAndGet()}") // observe names must be unique per plan
+    df.observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(tmp)
+    val n = obs.get("n").asInstanceOf[Long]
+    val files = math.max(1L, (n + targetRows - 1) / targetRows).toInt
+    spark.read.parquet(tmp).repartition(files).write.mode("overwrite").parquet(dir)
+    val path = new org.apache.hadoop.fs.Path(tmp)
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(path, true)
   }
 
   /** Bloom-pruned semi-join: filter the BIG side's scan with a compact

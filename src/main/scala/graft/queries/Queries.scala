@@ -4524,6 +4524,7 @@ object Oracles {
   // still read as 0 at that point
   private def IntBm25TfCap: Long = Long.MaxValue / 220000000000000L
   private def IntBm25IdfCap: Long = Long.MaxValue / 2200000L
+  private def IntBm25PtfCap: Long = Long.MaxValue / IntBm25IdfCap / 2L
 
   private lazy val Bm25IntSql: String = {
     val terms = Seq("hash", "join", "spark")
@@ -4598,7 +4599,8 @@ object Oracles {
        |       FROM pre),
        |sc AS (SELECT doc_id, ptf,
        |         CAST(($termScore)
-       |           + ptf * least((n * 1000000) // greatest(df0, 1), $IntBm25IdfCap)
+       |           + least(ptf, $IntBm25PtfCap)
+       |             * least((n * 1000000) // greatest(df0, 1), $IntBm25IdfCap)
        |           AS BIGINT) AS score
        |       FROM bl)
        |SELECT doc_id, ptf, score FROM sc WHERE score > 0

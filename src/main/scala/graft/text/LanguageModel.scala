@@ -33,18 +33,6 @@ object LanguageModel {
         (a, b) => concat_ws(" ", a, b)))
       .otherwise(array().cast("array<string>"))
 
-  /** Corpus unigram counts: (token, cnt) — one exploded groupBy. */
-  def unigramCounts(docs: DataFrame, textCol: String): DataFrame =
-    graft.core.Graft.spread(docs)
-      .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("cnt"))
-
-  /** Corpus bigram counts: (bigram, cnt) — one exploded groupBy. */
-  def bigramCounts(docs: DataFrame, textCol: String): DataFrame =
-    graft.core.Graft.spread(docs)
-      .select(explode(bigramsOf(TextFunctions.tokens(col(textCol)))).as("bigram"))
-      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
-
   /** The integer surface under [[lmScore]], hash-checkable across engines
     * (the q63/q71 discipline: components oracle exactly, the ln-scored
     * combination does not). Per document:
@@ -140,9 +128,14 @@ object LanguageModel {
       .join(broadcast(top), Seq("w1"))
     val w = Window.partitionBy(col("w1"))
       .orderBy(col("pair_cnt").desc, col("w2"))
-    // toks stays cached until the caller's clearCache() (the q151
-    // convention) — an eager checkpoint here would hide the window
-    // plan behind a LogicalRDD and re-cost tiny vocab artifacts
+    // DELIBERATE divergence from lmScore's checkpoint-and-release: toks
+    // stays cached until the caller's clearCache() (the q151
+    // convention), because (a) an eager checkpoint would hide the
+    // WindowGroupLimit plan behind a LogicalRDD — the spec asserts the
+    // plan shape — and (b) an immediate unpersist would force the
+    // tokenization to recompute 3× at action time, which is the exact
+    // 4-scan shape the LM refactor removed. Long-lived sessions:
+    // clearCache() after consuming, or wrap in a fresh session.
     pairs.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("w1"), col("rank"), col("w2"), col("pair_cnt"), col("w1_cnt"))

@@ -320,11 +320,15 @@ object TextSearch {
     val comp = toks.select(
       col("id") +: size(col("t")).cast("long").as("dl") +:
         phraseTf(col("t"), phrase).cast("long").as("ptf") +: tfCols: _*)
+    // ptf must also be clamped: ptf·idf with idf at its cap overflows
+    // past ptf ≈ 2.2e6; halving the headroom keeps the final score sum
+    // (boost + a handful of ≤1e13 term scores) in range too
     val idfCap = Long.MaxValue / ((10000L + k1Bp) * 100L)
+    val ptfCap = Long.MaxValue / idfCap / 2L
     withIntBm25Score(comp, terms.size, k1Bp, bBp)
       .withColumn("score",
-        col("score") +
-          col("ptf") * expr(s"least((__n * 1000000) div greatest(__df0, 1), $idfCap)"))
+        col("score") + expr(s"least(ptf, $ptfCap)") *
+          expr(s"least((__n * 1000000) div greatest(__df0, 1), $idfCap)"))
       .filter(col("score") > 0)
       .orderBy(col("score").desc, col("id"))
       .limit(k)
