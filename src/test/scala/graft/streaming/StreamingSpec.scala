@@ -341,6 +341,40 @@ class StreamingSpec extends SparkSpec {
       (2L, "view") -> 1), s"got $rows")
   }
 
+  test("streaming index maintenance: foreachBatch appends keep full-probe search exact") {
+    // the 100 TB ingest shape: a base index absorbs micro-batch appends
+    // via IvfIndex.append (assign-only, no retrain); at FULL probe the
+    // streamed index must search identically to a from-scratch rebuild
+    // over the union (centroids differ, but full probe scans every cell)
+    import graft.functions.VectorOps
+    val e = graft.core.Tables(spark, sfDir).embeddings
+      .select($"vec_id", $"embedding")
+    var idx = VectorOps.IvfIndex.build(
+      e.filter($"vec_id" < 100), "vec_id", "embedding", c = 4)
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = in.toDS().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        idx = idx.append(batch, "vec_id", "embedding")
+      }
+      .start()
+    def rows(lo: Long, hi: Long) = e.filter($"vec_id" >= lo && $"vec_id" < hi)
+      .as[(Long, Array[Float])].collect().toSeq
+    in.addData(rows(100, 120): _*); q.processAllAvailable()
+    in.addData(rows(120, 140): _*); q.processAllAvailable()
+    q.stop()
+    assert(idx.size == 140)
+    val probes = e.filter($"vec_id" < 3)
+    val got = idx.search(probes, "vec_id", "embedding", k = 5, nprobe = 4)
+      .select($"qid", $"id", $"cos").as[(Long, Long, Double)].collect().toSet
+    val rebuilt = VectorOps.IvfIndex.build(
+      e.filter($"vec_id" < 140), "vec_id", "embedding", c = 4)
+    val want = rebuilt.search(probes, "vec_id", "embedding", k = 5, nprobe = 4)
+      .select($"qid", $"id", $"cos").as[(Long, Long, Double)].collect().toSet
+    idx.close(); rebuilt.close()
+    assert(got == want, s"streamed-index search diverged:\n$got\nvs\n$want")
+  }
+
   test("at-least-once foreachBatch sink writes batches before commit (KQ-2 streaming)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink_test").toString
     val in = MemoryStream[String]
