@@ -233,4 +233,31 @@ object ScaleOps {
     df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
       .groupBy("n").agg(count(lit(1)).as("n_keys"))
   }
+
+  /** Profile-driven aggregation: run [[multiplicityProfile]]'s one-pass
+    * skew diagnostic, then pick plain vs [[saltedSum]] by whether the
+    * heaviest key exceeds `skewThreshold` rows — the decide-BEFORE-the-
+    * expensive-shuffle discipline the profile exists for, packaged as
+    * an operator so pipelines don't hand-roll the branch. The result
+    * is IDENTICAL either way (addition is associative-commutative; the
+    * q93 invariance oracle proves it) — only the plan changes: salted
+    * two-stage aggregation when a key would hot-spot one reducer,
+    * plain map-side-combinable groupBy otherwise.
+    *
+    * Cost model honesty: the profile is one extra map-side-combinable
+    * pass over the input. Worth it exactly when the input is reused or
+    * large enough that a hot-key straggler dominates; for one-shot
+    * small aggregations call [[saltedSum]]/plain directly.
+    */
+  def skewAwareSum(df: DataFrame, keys: Seq[String], valueCol: String,
+                   skewThreshold: Long = 1000000L,
+                   buckets: Int = 32): DataFrame = {
+    require(skewThreshold >= 1 && buckets >= 1)
+    val hottest = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("mx")).head()
+    val maxMult = if (hottest.isNullAt(0)) 0L else hottest.getLong(0)
+    if (maxMult > skewThreshold) saltedSum(df, keys, valueCol, buckets)
+    else df.groupBy(keys.map(col): _*)
+      .agg(sum(col(valueCol)).as(s"sum_$valueCol"))
+  }
 }

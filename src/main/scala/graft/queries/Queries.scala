@@ -2573,6 +2573,21 @@ object Queries {
       .orderBy("id")
   }
 
+  /** Profile-driven skew-aware aggregation
+    * ([[graft.ops.ScaleOps.skewAwareSum]]): per-supplier quantity sums
+    * where the one-pass multiplicity probe picks the salted two-stage
+    * plan (threshold 100 rows/key — exceeded at every SF, so the
+    * salted branch runs). Like q93/q112, the oracle is the PLAIN
+    * aggregation: the decision rail must be result-invariant.
+    */
+  def q172_skew_aware_agg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .select(col("l_suppkey"), col("l_quantity").cast("decimal(18,6)").as("q"))
+    graft.ops.ScaleOps.skewAwareSum(li, Seq("l_suppkey"), "q", skewThreshold = 100L)
+      .select(col("l_suppkey"), col("sum_q").cast("double").as("sum_q"))
+      .orderBy("l_suppkey")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -2787,7 +2802,8 @@ object Queries {
     "q168_session_paths" -> (q168_session_paths _),
     "q169_range_bounds" -> (q169_range_bounds _),
     "q170_bloom_semijoin" -> (q170_bloom_semijoin _),
-    "q171_ppr" -> (q171_ppr _)
+    "q171_ppr" -> (q171_ppr _),
+    "q172_skew_aware_agg" -> (q172_skew_aware_agg _)
   )
 }
 
@@ -4488,6 +4504,10 @@ object Oracles {
         |SELECT bucket, min(k) AS lo, max(k) AS hi,
         |  CAST(count(*) AS BIGINT) AS n_sample
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q172_skew_aware_agg" ->
+      """SELECT l_suppkey,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_q
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q170_bloom_semijoin" ->
       """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty

@@ -139,6 +139,21 @@ class ScaleOpsSpec extends SparkSpec {
     assert(p.contains("__salt"), s"salt fell out of the join:\n$p")
   }
 
+  test("skewAwareSum: profile picks the branch, result identical either way") {
+    val df = spark.range(0, 1000)
+      .select(($"id" % 4).as("k"), lit(1L).as("v")) // 250 rows per key
+    val plain = df.groupBy("k").agg(sum($"v").as("sum_v"))
+      .as[(Long, Long)].collect().toSet
+    // threshold above the max multiplicity → plain plan (no salt column)
+    val under = ScaleOps.skewAwareSum(df, Seq("k"), "v", skewThreshold = 1000L)
+    assert(!under.queryExecution.executedPlan.toString.contains("__salt"))
+    assert(under.as[(Long, Long)].collect().toSet == plain)
+    // threshold below → salted two-stage plan, same result
+    val over = ScaleOps.skewAwareSum(df, Seq("k"), "v", skewThreshold = 10L)
+    assert(over.queryExecution.executedPlan.toString.contains("__salt"))
+    assert(over.as[(Long, Long)].collect().toSet == plain)
+  }
+
   test("bloomSemiJoin equals the plain semi-join at any fpp; probe is in the scan") {
     // Range-backed, not a local Seq: ConvertToLocalRelation would fold
     // the bloom filter into the LocalTableScan and hide it from the plan
