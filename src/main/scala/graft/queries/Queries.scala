@@ -2588,6 +2588,29 @@ object Queries {
       .orderBy("l_suppkey")
   }
 
+  /** Ensemble near-dup groups: the UNION of lexical evidence
+    * (exact 3-gram Jaccard ≥ 0.5 — q102's pair source) and semantic
+    * evidence (exact embedding cosine ≥ 0.45 — q62's) feeding ONE
+    * connected-components pass — the production dedup posture, where
+    * paraphrases that share no shingles and boilerplate variants that
+    * embed far apart both still merge. Both pair sources are exact, so
+    * the whole grouping hash-checks against a recursive-CTE closure
+    * over the unioned pair CTEs.
+    */
+  def q173_ensemble_dedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val e = Tables(spark, dir).embeddings
+    val lex = graft.dedup.Dedup.jaccardPairs(d, "text", "doc_id", n = 3, threshold = 0.5)
+      .select("id_a", "id_b")
+    val sem = graft.functions.VectorOps
+      .cosineAllPairs(e, "vec_id", "embedding", threshold = 0.45)
+      .select("id_a", "id_b")
+    graft.dedup.Dedup.labelGroups(d, "doc_id",
+        lex.unionAll(sem), "id_a", "id_b")
+      .select(col("doc_id"), col("group").as("group_id"))
+      .orderBy("doc_id")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -2803,7 +2826,8 @@ object Queries {
     "q169_range_bounds" -> (q169_range_bounds _),
     "q170_bloom_semijoin" -> (q170_bloom_semijoin _),
     "q171_ppr" -> (q171_ppr _),
-    "q172_skew_aware_agg" -> (q172_skew_aware_agg _)
+    "q172_skew_aware_agg" -> (q172_skew_aware_agg _),
+    "q173_ensemble_dedup" -> (q173_ensemble_dedup _)
   )
 }
 
@@ -4504,6 +4528,42 @@ object Oracles {
         |SELECT bucket, min(k) AS lo, max(k) AS hi,
         |  CAST(count(*) AS BIGINT) AS n_sample
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q173_ensemble_dedup" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |       FROM toks CROSS JOIN unnest(generate_series(1, len(t)-2)) AS u(i)
+        |       WHERE len(t) >= 3
+        |       UNION
+        |       SELECT doc_id, array_to_string(t, ' ') AS g FROM toks WHERE len(t) < 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |plex AS (SELECT id_a, id_b FROM inter
+        |      JOIN sizes sa ON sa.doc_id = id_a
+        |      JOIN sizes sb ON sb.doc_id = id_b
+        |      WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |nv AS (SELECT vec_id, e,
+        |        (SELECT sum(x*x) FROM (SELECT unnest(e) AS x)) AS nm2 FROM v),
+        |psem AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |      FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+        |      WHERE (SELECT sum(x*y) FROM (SELECT unnest(a.e) AS x, unnest(b.e) AS y)) /
+        |            sqrt(a.nm2 * b.nm2) >= 0.45),
+        |p AS (SELECT id_a, id_b FROM plex UNION SELECT id_a, id_b FROM psem),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+        |          UNION ALL SELECT id_b AS src, id_a AS dst FROM p),
+        |reach AS (
+        |  SELECT src AS id, dst AS r FROM edges
+        |  UNION
+        |  SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src
+        |)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(least(d.doc_id, min(reach.r)), d.doc_id) AS BIGINT) AS group_id
+        |FROM documents d LEFT JOIN reach ON d.doc_id = reach.id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     "q172_skew_aware_agg" ->
       """SELECT l_suppkey,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_q
