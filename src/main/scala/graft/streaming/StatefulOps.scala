@@ -392,6 +392,48 @@ object StatefulOps {
       }
   }
 
+  /** [[scd2Gate]] on the modern `transformWithState` API — the open
+    * (attr, since) interval in a typed `ValueState`; same
+    * close-and-reopen emission, spec-asserted emission-equal to the
+    * legacy gate. Completes the TWS ports of the keyed-gate family
+    * (budget/transition/funnel/scd2).
+    */
+  def scd2GateTws(events: Dataset[Scd2Event]): Dataset[Scd2Row] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .transformWithState(new Scd2Processor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
+  private final class Scd2Processor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Scd2Event, Scd2Row] {
+    @transient private var open: org.apache.spark.sql.streaming.ValueState[(String, Long)] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      open = getHandle.getValueState[(String, Long)]("open",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Scd2Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Scd2Row] = {
+      var cur = if (open.exists()) open.get() else null
+      val closed = Vector.newBuilder[Scd2Row]
+      for (e <- rows.toVector.sortBy(e => (e.ts, e.attr))) {
+        if (cur == null) cur = (e.attr, e.ts)
+        else if (e.attr != cur._1) {
+          closed += Scd2Row(key, cur._1, cur._2, Some(e.ts))
+          cur = (e.attr, e.ts)
+        } // same attr: consecutive duplicate, collapse
+      }
+      open.update(cur)
+      closed.result().iterator ++
+        Iterator(Scd2Row(key, cur._1, cur._2, None))
+    }
+  }
+
   case class FunnelEvent(uid: Long, etype: String, ts: Long)
   case class FunnelProgress(uid: Long, stage: Int, stageTs: Long)
 

@@ -638,6 +638,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("scd2GateTws on transformWithState emits identically to scd2Gate") {
+    import StatefulOps.{Scd2Event, Scd2Row}
+    val batch1 = Seq(Scd2Event(1, 10, "a"), Scd2Event(1, 20, "a"),
+      Scd2Event(1, 30, "b"), Scd2Event(2, 5, "x"))
+    val batch2 = Seq(Scd2Event(1, 40, "a"), Scd2Event(2, 50, "x"))
+    def run(gate: org.apache.spark.sql.Dataset[Scd2Event]
+        => org.apache.spark.sql.Dataset[Scd2Row]): Seq[Scd2Row] = {
+      val in = MemoryStream[Scd2Event]
+      val q = gate(in.toDS())
+        .writeStream.format("memory").queryName(nextName())
+        .outputMode(OutputMode.Update()).start()
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+      val rows = spark.table(q.name).as[Scd2Row].collect().toSeq
+      q.stop()
+      rows.sortBy(r => (r.key, r.validFrom, r.validTo.getOrElse(Long.MaxValue)))
+    }
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    graft.core.Graft.useRocksDbStateStore(spark)
+    try {
+      val tws = run(StatefulOps.scd2GateTws(_))
+      val legacy = run(StatefulOps.scd2Gate(_))
+      assert(tws == legacy, s"tws $tws != legacy $legacy")
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("budgetGateTws on transformWithState admits identically to budgetGate") {
     import StatefulOps.{BudgetDoc, Admitted}
     val batch1 = Seq(BudgetDoc("a", 1, 60), BudgetDoc("a", 2, 50),
