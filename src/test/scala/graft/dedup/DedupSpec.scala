@@ -431,6 +431,44 @@ class DedupSpec extends SparkSpec {
       s"(exact=${exactSame.size}, lsh=${lshSame.size})")
   }
 
+  test("scale ensemble dedup (LSH + clustered cosine) refines the exact ensemble, recall >= 0.9") {
+    // q173's production form: swap both exact pair sources for their
+    // index-backed siblings. Every scale pair is exact-VERIFIED
+    // (LSH candidates re-scored on gram sets; clustered candidates on
+    // true cosine), so the same-group relation can only refine —
+    // subset + recall is the whole contract
+    import graft.functions.VectorOps
+    val d = Tables(spark, sfDir).documents
+    val e = Tables(spark, sfDir).embeddings
+    def samePairs(labels: Map[Long, Long]): Set[(Long, Long)] =
+      labels.groupBy(_._2).values.flatMap { g =>
+        val ids = g.keys.toSeq.sorted
+        for (i <- ids.indices; j <- i + 1 until ids.size) yield (ids(i), ids(j))
+      }.toSet
+    val exactPairs = Dedup.jaccardPairs(d, "text", "doc_id", n = 3, threshold = 0.5)
+      .select("id_a", "id_b")
+      .unionAll(VectorOps.cosineAllPairs(e, "vec_id", "embedding", threshold = 0.45)
+        .select("id_a", "id_b"))
+    val exact = Dedup.labelGroups(d, "doc_id", exactPairs, "id_a", "id_b")
+      .select(col("doc_id"), col("group")).as[(Long, Long)].collect().toMap
+    val idx = VectorOps.IvfIndex.build(e, "vec_id", "embedding", c = 8)
+    val scalePairs = Dedup.minHashNearDups(d, "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b")
+      .unionAll(VectorOps.clusteredCosinePairs(idx, threshold = 0.45, probes = 2)
+        .select("id_a", "id_b"))
+    val scale = Dedup.labelGroups(d, "doc_id", scalePairs, "id_a", "id_b")
+      .select(col("doc_id"), col("group")).as[(Long, Long)].collect().toMap
+    idx.close()
+    val exactSame = samePairs(exact)
+    val scaleSame = samePairs(scale)
+    assert(exactSame.nonEmpty)
+    assert(scaleSame.subsetOf(exactSame),
+      s"scale ensemble grouped non-dups: ${(scaleSame -- exactSame).take(5)}")
+    val recall = exactSame.intersect(scaleSame).size.toDouble / exactSame.size
+    assert(recall >= 0.9, s"ensemble recall $recall too low " +
+      s"(exact=${exactSame.size}, scale=${scaleSame.size})")
+  }
+
   test("dupSpanStats: crafted span semantics (overlap merge, within-doc repeats, short docs)") {
     val docs = Seq(
       // docs 1 and 2 share the 5-token run "v w x y z" twice over via a
