@@ -550,4 +550,39 @@ object RelOps {
     joined.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** Bidirectional nearest-match join: for each left row, the right row
+    * whose timestamp is CLOSEST in absolute distance within ±`within` —
+    * the temporal-alignment primitive ([[asOfJoin]] only looks
+    * backward; sensor/event alignment and media↔transcript pairing
+    * want nearest-either-side). Ties break toward the EARLIER right
+    * timestamp, then the tie column — a total order, so the result
+    * hash-checks. Left rows with no right row in the window
+    * null-extend.
+    *
+    * Scale shape: the ±window bound lives INSIDE the join condition
+    * (the q59 lesson — per-key expansion is bounded by the horizon,
+    * not the partner's full history), and the per-left argmin is a
+    * rank-1 window. The distance is interval arithmetic
+    * (`greatest(l−r, r−l)`), never epoch extraction — TIMESTAMP_NTZ
+    * safe (the q142 lesson).
+    */
+  def nearestJoin(left: DataFrame, right: DataFrame,
+                  leftKeys: Seq[String], rightKeys: Seq[String],
+                  leftId: String, leftTs: String, rightTs: String,
+                  rightTie: String, within: Column): DataFrame = {
+    val cond = leftKeys.zip(rightKeys)
+      .map { case (l, r) => left(l) === right(r) }
+      .reduce(_ && _) &&
+      right(rightTs) >= left(leftTs) - within &&
+      right(rightTs) <= left(leftTs) + within
+    val joined = left.join(right, cond, "left_outer")
+    val dist = greatest(left(leftTs) - right(rightTs),
+      right(rightTs) - left(leftTs))
+    val w = Window.partitionBy(left(leftId))
+      .orderBy(dist.asc_nulls_last, right(rightTs).asc_nulls_last,
+        right(rightTie).asc_nulls_last)
+    joined.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
 }

@@ -2588,6 +2588,28 @@ object Queries {
       .orderBy("l_suppkey")
   }
 
+  /** Bidirectional nearest-match join ([[graft.ops.RelOps.nearestJoin]]):
+    * each event paired with the CLOSEST order of the same customer
+    * within ±30 days — where q43's as-of only looks back, alignment
+    * workloads (sensor↔event, media↔transcript) want
+    * nearest-either-side. Interval-arithmetic distance with a total
+    * tie order → exact oracle; unmatched events null-extend.
+    */
+  def q174_nearest_join(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    graft.ops.RelOps.nearestJoin(
+        t.events.select("event_id", "user_id", "ts"),
+        t.orders.select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("timestamp_ntz").as("ots"), col("o_totalprice")),
+        leftKeys = Seq("user_id"), rightKeys = Seq("o_custkey"),
+        leftId = "event_id", leftTs = "ts",
+        rightTs = "ots", rightTie = "o_orderkey",
+        within = expr("INTERVAL 30 DAYS"))
+      .select(col("event_id"), col("user_id"), col("o_orderkey"),
+        col("ots").as("order_ts"), col("o_totalprice"))
+      .orderBy("event_id")
+  }
+
   /** Ensemble near-dup groups: the UNION of lexical evidence
     * (exact 3-gram Jaccard ≥ 0.5 — q102's pair source) and semantic
     * evidence (exact embedding cosine ≥ 0.45 — q62's) feeding ONE
@@ -2827,7 +2849,8 @@ object Queries {
     "q170_bloom_semijoin" -> (q170_bloom_semijoin _),
     "q171_ppr" -> (q171_ppr _),
     "q172_skew_aware_agg" -> (q172_skew_aware_agg _),
-    "q173_ensemble_dedup" -> (q173_ensemble_dedup _)
+    "q173_ensemble_dedup" -> (q173_ensemble_dedup _),
+    "q174_nearest_join" -> (q174_nearest_join _)
   )
 }
 
@@ -4528,6 +4551,19 @@ object Oracles {
         |SELECT bucket, min(k) AS lo, max(k) AS hi,
         |  CAST(count(*) AS BIGINT) AS n_sample
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q174_nearest_join" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey,
+        |             CAST(o_orderdate AS TIMESTAMP) AS ots, o_totalprice
+        |           FROM orders),
+        |j AS (SELECT e.event_id, e.user_id, r.o_orderkey, r.ots, r.o_totalprice,
+        |        row_number() OVER (PARTITION BY e.event_id
+        |          ORDER BY abs(epoch_us(e.ts) - epoch_us(r.ots)) ASC NULLS LAST,
+        |                   r.ots ASC NULLS LAST, r.o_orderkey ASC NULLS LAST) AS rn
+        |      FROM events e LEFT JOIN r ON e.user_id = r.o_custkey
+        |        AND r.ots >= e.ts - INTERVAL 30 DAY
+        |        AND r.ots <= e.ts + INTERVAL 30 DAY)
+        |SELECT event_id, user_id, o_orderkey, ots AS order_ts, o_totalprice
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "q173_ensemble_dedup" ->
       """WITH RECURSIVE
         |toks AS (SELECT doc_id,

@@ -363,6 +363,36 @@ class RelOpsSpec extends SparkSpec {
       s"earliest peak instant should be user 3's start: $got")
   }
 
+  test("nearestJoin: closest either side, earlier-ts tie-break, horizon gates, null-extend") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, ts("2024-01-10 12:00:00")), // nearest is AFTER (+2d vs -5d)
+      (2L, 10L, ts("2024-01-04 00:00:00")), // equidistant ±1d → earlier wins
+      (3L, 10L, ts("2024-03-01 00:00:00")), // nothing within 30d → null
+      (4L, 99L, ts("2024-01-10 12:00:00"))  // key gating: no user-99 orders
+    ).toDF("eid", "uid", "ts")
+    val right = Seq(
+      (10L, 100L, ts("2024-01-05 12:00:00"), 1.0),
+      (10L, 101L, ts("2024-01-12 12:00:00"), 2.0),
+      (10L, 102L, ts("2024-01-03 00:00:00"), 3.0)
+    ).toDF("cust", "oid", "ots", "price")
+    val got = RelOps.nearestJoin(left, right, Seq("uid"), Seq("cust"),
+        "eid", "ts", "ots", "oid", expr("INTERVAL 30 DAYS"))
+      .select($"eid", $"oid", $"price")
+      .as[(Long, Option[Long], Option[Double])].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (1L, Some(101L), Some(2.0)), // +2d beats -5d and -7.5d
+      (2L, Some(102L), Some(3.0)), // tie ±1d: 01-03 (earlier) beats 01-05
+      (3L, None, None),
+      (4L, None, None)), s"got $got")
+    // the ±horizon must sit INSIDE the join condition (q59 discipline)
+    val plan = RelOps.nearestJoin(left, right, Seq("uid"), Seq("cust"),
+        "eid", "ts", "ots", "oid", expr("INTERVAL 30 DAYS"))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("Join") && plan.contains("30"),
+      s"horizon missing from join:\n$plan")
+  }
+
   test("sessionPaths: gap-split sessions, depth-bounded prefixes, deterministic order") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val d = Seq(
