@@ -551,6 +551,44 @@ object RelOps {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Seasonal-naive outlier days: daily counts per key, residual vs the
+    * SAME WEEKDAY `lagDays` back (an explicit (key, day−lag) self-join,
+    * so calendar gaps yield no residual rather than a wrong lag-row),
+    * then a per-key integer σ-gate on the residual population — the
+    * squared inequality `(m·x − Σx)² > k²·(m·Σx² − (Σx)²)` evaluated in
+    * DECIMAL(38,0), the [[graft.ops.CorpusOps.sigmaClip]] discipline
+    * made per-group. The volume-anomaly monitor a pipeline reads over
+    * its ingest log; everything integer → the whole flag table
+    * hash-checks.
+    *
+    * Scale shape: one map-side-combinable daily reduce, a day-keyed
+    * self-join over the (tiny) daily table, a per-key stats aggregate
+    * broadcast back. Output:
+    * (key, day, n, resid, is_outlier), ordered (key, day).
+    */
+  def seasonalOutliers(df: DataFrame, keyCol: String, tsCol: String,
+                       lagDays: Int = 7, k: Int = 2): DataFrame = {
+    require(lagDays >= 1 && k >= 1)
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val daily = df.select(col(keyCol).as("k"), to_date(col(tsCol)).as("d"))
+      .groupBy("k", "d").agg(count(lit(1)).as("n"))
+      .cache() // self-joined below (DAG-reuse rule; clearCache releases)
+    val prev = daily.select(col("k"), date_add(col("d"), lagDays).as("d"),
+      col("n").as("pn"))
+    val resid = daily.join(prev, Seq("k", "d"))
+      .select(col("k"), col("d"), col("n"), (col("n") - col("pn")).as("resid"))
+    val stats = resid.groupBy("k").agg(count(lit(1)).as("m"),
+      sum(col("resid")).as("s1"), sum(col("resid") * col("resid")).as("s2"))
+    val dev = (col("m") * col("resid") - col("s1")).cast(d38)
+    resid.join(broadcast(stats), "k")
+      .select(col("k"), col("d"), col("n"), col("resid"),
+        (dev * dev >
+          lit(k.toLong * k) * (col("m").cast(d38) * col("s2").cast(d38) -
+            col("s1").cast(d38) * col("s1").cast(d38))).as("is_outlier"))
+      .orderBy("k", "d")
+  }
+
   /** Bidirectional nearest-match join: for each left row, the right row
     * whose timestamp is CLOSEST in absolute distance within ±`within` —
     * the temporal-alignment primitive ([[asOfJoin]] only looks

@@ -2610,6 +2610,18 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Seasonal volume anomalies ([[graft.ops.RelOps.seasonalOutliers]]):
+    * daily event counts per type vs the same weekday one week back,
+    * residuals σ-gated per type with the q124 integer-squared
+    * inequality — the ingest-log monitor, fully hash-checked (counts,
+    * residuals, and flags are all integer/boolean).
+    */
+  def q175_seasonal_outliers(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.RelOps.seasonalOutliers(Tables(spark, dir).events,
+        "event_type", "ts")
+      .withColumnRenamed("k", "event_type")
+      .orderBy("event_type", "d")
+
   /** Ensemble near-dup groups: the UNION of lexical evidence
     * (exact 3-gram Jaccard ≥ 0.5 — q102's pair source) and semantic
     * evidence (exact embedding cosine ≥ 0.45 — q62's) feeding ONE
@@ -2850,7 +2862,8 @@ object Queries {
     "q171_ppr" -> (q171_ppr _),
     "q172_skew_aware_agg" -> (q172_skew_aware_agg _),
     "q173_ensemble_dedup" -> (q173_ensemble_dedup _),
-    "q174_nearest_join" -> (q174_nearest_join _)
+    "q174_nearest_join" -> (q174_nearest_join _),
+    "q175_seasonal_outliers" -> (q175_seasonal_outliers _)
   )
 }
 
@@ -4551,6 +4564,23 @@ object Oracles {
         |SELECT bucket, min(k) AS lo, max(k) AS hi,
         |  CAST(count(*) AS BIGINT) AS n_sample
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q175_seasonal_outliers" ->
+      """WITH daily AS (SELECT event_type AS k, CAST(ts AS DATE) AS d,
+        |                 CAST(count(*) AS BIGINT) AS n
+        |               FROM events GROUP BY 1, 2),
+        |r AS (SELECT c.k, c.d, c.n, c.n - p.pn AS resid
+        |      FROM daily c JOIN (SELECT k, d + 7 AS d, n AS pn FROM daily) p
+        |      USING (k, d)),
+        |st AS (SELECT k, CAST(count(*) AS BIGINT) AS m,
+        |         CAST(sum(resid) AS BIGINT) AS s1,
+        |         CAST(sum(resid * resid) AS BIGINT) AS s2
+        |       FROM r GROUP BY 1)
+        |SELECT r.k AS event_type, r.d, r.n, CAST(r.resid AS BIGINT) AS resid,
+        |  (CAST(st.m * r.resid - st.s1 AS HUGEINT) *
+        |     CAST(st.m * r.resid - st.s1 AS HUGEINT) >
+        |   4 * (CAST(st.m AS HUGEINT) * CAST(st.s2 AS HUGEINT) -
+        |        CAST(st.s1 AS HUGEINT) * CAST(st.s1 AS HUGEINT))) AS is_outlier
+        |FROM r JOIN st USING (k) ORDER BY r.k, r.d""".stripMargin,
     "q174_nearest_join" ->
       """WITH r AS (SELECT o_custkey, o_orderkey,
         |             CAST(o_orderdate AS TIMESTAMP) AS ots, o_totalprice

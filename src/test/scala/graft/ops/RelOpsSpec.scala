@@ -363,6 +363,30 @@ class RelOpsSpec extends SparkSpec {
       s"earliest peak instant should be user 3's start: $got")
   }
 
+  test("seasonalOutliers: spike flagged, calendar gaps skip, steady days pass") {
+    // 21 days of 10 events/day for key "a", except: day 15 spikes to 50
+    // and day 10 is MISSING entirely (so day 17 has no lag partner)
+    def dayRows(day: Int, cnt: Int) = (1 to cnt).map { i =>
+      ("a", java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"), i)
+    }
+    val rows = (1 to 21).filter(_ != 10).flatMap { d =>
+      dayRows(d, if (d == 15) 50 else 10)
+    }
+    val got = RelOps.seasonalOutliers(rows.toDF("event_type", "ts", "i"),
+        "event_type", "ts")
+      .as[(String, java.sql.Date, Long, Long, Boolean)].collect().toSeq
+    val byDay = got.map(r => r._2.toString -> r).toMap
+    // residual rows exist only where day AND day-7 both exist:
+    // 8,9,11..16,18..21 = 12 rows (no 10, no 17)
+    assert(got.size == 12, s"got ${got.map(_._2)}")
+    assert(!byDay.contains("2024-01-17") && !byDay.contains("2024-01-10"))
+    assert(byDay("2024-01-15")._4 == 40L && byDay("2024-01-15")._5,
+      s"spike must flag: ${byDay("2024-01-15")}")
+    assert(got.filter(_._5).map(_._2.toString) == Seq("2024-01-15"),
+      s"only the spike flags: $got")
+    assert(byDay("2024-01-16")._4 == 0L && !byDay("2024-01-16")._5)
+  }
+
   test("nearestJoin: closest either side, earlier-ts tie-break, horizon gates, null-extend") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val left = Seq(
