@@ -97,6 +97,36 @@ class MetricsSpec extends SparkSpec {
     assert(text.contains("s_count{job=\"t\"} 2") && text.contains("s_sum{job=\"t\"} 4.0"))
   }
 
+  test("PrometheusExporter serves the live text exposition over HTTP") {
+    val prov = new InProcessMetricsProvider("exp")
+    val c = prov.newCounter("msgs_total", "messages", "topic")
+    c.add(3.0, "words")
+    val exporter = new PrometheusExporter(prov).start()
+    try {
+      def scrape(): (Int, String, String) = {
+        val url = new java.net.URL(s"http://127.0.0.1:${exporter.boundPort}/metrics")
+        val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val code = conn.getResponseCode
+        val body = scala.io.Source.fromInputStream(conn.getInputStream).mkString
+        (code, body, conn.getContentType)
+      }
+      val (code, body, ctype) = scrape()
+      assert(code == 200 && ctype.startsWith("text/plain"))
+      assert(body.contains("# TYPE msgs_total counter"), body)
+      assert(body.contains("msgs_total{topic=\"words\",job=\"exp\"} 3.0"), body)
+      // the endpoint is LIVE — a later increment shows on the next scrape
+      c.add(2.0, "words")
+      assert(scrape()._2.contains("msgs_total{topic=\"words\",job=\"exp\"} 5.0"))
+      // non-GET is rejected
+      val conn2 = new java.net.URL(s"http://127.0.0.1:${exporter.boundPort}/metrics")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn2.setRequestMethod("POST"); conn2.setDoOutput(true)
+      conn2.getOutputStream.write(Array[Byte]())
+      assert(conn2.getResponseCode == 405)
+    } finally exporter.stop()
+    exporter.stop() // idempotent
+  }
+
   test("sources without latestOffset (file, memory) leave the gauge unset, not wrong") {
     val listener = new GraftMetricsListener
     val desc = "FileStreamSource[file:/tmp/x]"
