@@ -482,8 +482,15 @@ object Queries {
         threshold = 0.45, bits = 4, tables = 16)
       .orderBy("id_a", "id_b")
 
-  /** Multimodal decode pipeline (stub decoder, real plumbing) — rows-only:
-    * binary payload → partition-wise decode → per-kind feature stats.
+  /** Multimodal decode pipeline (stub decoder, real plumbing): binary
+    * payload → partition-wise decode → per-item dimensions + feature
+    * head. EXACT oracle since round 7: the stub's dimensions are the
+    * Java `Arrays.hashCode` 31-polynomial over the payload bytes
+    * (reproduced in SQL as a `list_reduce` mod 2³², with the signed
+    * reinterpretation and floor-div/floorMod mirroring `>>`/`floorMod`),
+    * frame count is integer division, and the feature head is the q151
+    * float32 byte-histogram bin — deterministic end to end on the
+    * ASCII fixture.
     */
   def q42_multimodal_decode(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
@@ -3228,6 +3235,29 @@ object Oracles {
         |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+    "q42_multimodal_decode" ->
+      """WITH b AS (SELECT doc_id, length(text) AS n,
+        |    list_transform(generate_series(1, length(text)),
+        |                   i -> CAST(ascii(text[i]) AS BIGINT)) AS bytes
+        |  FROM documents),
+        |h AS (SELECT doc_id, n, bytes,
+        |        list_reduce(list_prepend(CAST(1 AS BIGINT), bytes),
+        |          (acc, x) -> (31 * acc + x) % 4294967296) AS hu
+        |      FROM b),
+        |hs AS (SELECT doc_id, n, bytes,
+        |         CASE WHEN hu >= 2147483648 THEN hu - 4294967296 ELSE hu END AS h
+        |       FROM h),
+        |sh AS (SELECT doc_id, n, bytes, h,
+        |         (h - (((h % 1024) + 1024) % 1024)) // 1024 AS h10
+        |       FROM hs)
+        |SELECT doc_id AS id,
+        |  CAST(16 + ((h % 1024) + 1024) % 1024 AS INTEGER) AS width,
+        |  CAST(16 + ((h10 % 1024) + 1024) % 1024 AS INTEGER) AS height,
+        |  CAST(1 + n // 256 AS INTEGER) AS "nFrames",
+        |  CAST(CASE WHEN n = 0 THEN CAST(0 AS REAL) ELSE
+        |    CAST(CAST(len(list_filter(bytes, x -> x // 16 = 0)) AS REAL)
+        |         / CAST(n AS REAL) AS REAL) END AS DOUBLE) AS f0
+        |FROM sh ORDER BY doc_id""".stripMargin,
     "q43_asof_join" ->
       """SELECT event_id, user_id, o_orderkey, o_orderdate, o_totalprice FROM (
         |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate, o.o_totalprice,
