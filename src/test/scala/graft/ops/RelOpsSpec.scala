@@ -363,6 +363,32 @@ class RelOpsSpec extends SparkSpec {
       s"earliest peak instant should be user 3's start: $got")
   }
 
+  test("nearestJoin matches a driver-side brute force on random data") {
+    val rng = new scala.util.Random(7)
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val left = (1L to 40L).map(i => (i, 1L + rng.nextInt(3), ts(rng.nextInt(5000))))
+    val right = (100L to 130L).map(i => (1L + rng.nextInt(3), i, ts(rng.nextInt(5000)), i * 0.5))
+    val w = 900L // seconds
+    val want = left.map { case (eid, k, lts) =>
+      val cands = right.filter { case (rk, _, rts, _) =>
+        rk == k && math.abs(rts.getTime - lts.getTime) <= w * 1000L
+      }
+      if (cands.isEmpty) (eid, None)
+      else {
+        val best = cands.minBy { case (_, oid, rts, _) =>
+          (math.abs(rts.getTime - lts.getTime), rts.getTime, oid)
+        }
+        (eid, Some(best._2))
+      }
+    }.toMap
+    val got = RelOps.nearestJoin(
+        left.toDF("eid", "uid", "ts"), right.toDF("cust", "oid", "ots", "price"),
+        Seq("uid"), Seq("cust"), "eid", "ts", "ots", "oid",
+        expr(s"INTERVAL $w SECONDS"))
+      .select($"eid", $"oid").as[(Long, Option[Long])].collect().toMap
+    assert(got == want, s"diff: ${got.toSet.diff(want.toSet).take(5)}")
+  }
+
   test("seasonalOutliers: spike flagged, calendar gaps skip, steady days pass") {
     // 21 days of 10 events/day for key "a", except: day 15 spikes to 50
     // and day 10 is MISSING entirely (so day 17 has no lag partner)
