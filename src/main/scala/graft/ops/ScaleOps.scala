@@ -84,6 +84,25 @@ object ScaleOps {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** N-column Morton value — [[zOrderValue]] generalized: bit i of
+    * column j lands at position `i·n + j` (round-robin interleave), so
+    * the curve clusters on ALL `n` dimensions at once — the 3-4-column
+    * layouts real lakehouse Z-ORDER jobs run. Same pure shift/and/or
+    * arithmetic, one codegen'd expression; `n·bits ≤ 63` keeps the
+    * value in a signed long. The 2-column form stays as the
+    * hand-unrolled special case (identical value for n = 2).
+    */
+  def zOrderValueN(cols: Seq[org.apache.spark.sql.Column],
+                   bits: Int): org.apache.spark.sql.Column = {
+    val n = cols.size
+    require(n >= 2, s"need at least 2 columns, got $n")
+    require(bits >= 1 && n * bits <= 63,
+      s"n*bits must fit a signed long: n=$n bits=$bits")
+    (for { i <- 0 until bits; (c, j) <- cols.zipWithIndex } yield
+      shiftleft(shiftrightunsigned(c, i).bitwiseAND(lit(1L)), i * n + j)
+    ).reduce(_ bitwiseOR _)
+  }
+
   /** Write a table bucketed + sorted by its join key. Two tables bucketed
     * the same way join with ZERO shuffle (the Exchange disappears from
     * the plan — asserted in ScaleOpsSpec): the 100 TB co-located-join

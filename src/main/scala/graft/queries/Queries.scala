@@ -1684,6 +1684,27 @@ object Queries {
       .orderBy("bucket")
   }
 
+  /** Three-column Z-order audit ([[graft.ops.ScaleOps.zOrderValueN]]):
+    * q118's zone-map view over a (partkey, suppkey, quantity) Morton
+    * curve — the 3-4-dimension layouts real lakehouse Z-ORDER jobs
+    * run, pruning on ANY of the three predicate columns. Same pure
+    * bit arithmetic interpolated into both engines → exact.
+    */
+  def q176_zorder3(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ScaleOps
+    graft.core.Graft.spread(Tables(spark, dir).lineitem)
+      .select(ScaleOps.zOrderValueN(Seq(col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast("long")), bits = 12).as("zv"),
+        col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("lq"))
+      .groupBy(shiftrightunsigned(col("zv"), 18).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_partkey")).as("min_p"), max(col("l_partkey")).as("max_p"),
+        min(col("l_suppkey")).as("min_s"), max(col("l_suppkey")).as("max_s"),
+        min(col("lq")).as("min_q"), max(col("lq")).as("max_q"))
+      .orderBy("bucket")
+  }
+
   /** Per-user daily gap filling ([[graft.ops.RelOps.gapFillDaily]]):
     * one row per calendar day in each user's active span with that
     * day's event count, zeros on gap days — the resampling step before
@@ -2870,7 +2891,8 @@ object Queries {
     "q172_skew_aware_agg" -> (q172_skew_aware_agg _),
     "q173_ensemble_dedup" -> (q173_ensemble_dedup _),
     "q174_nearest_join" -> (q174_nearest_join _),
-    "q175_seasonal_outliers" -> (q175_seasonal_outliers _)
+    "q175_seasonal_outliers" -> (q175_seasonal_outliers _),
+    "q176_zorder3" -> (q176_zorder3 _)
   )
 }
 
@@ -4013,6 +4035,7 @@ object Oracles {
         |GROUP BY cohort, days_since ORDER BY cohort, days_since""".stripMargin,
     "q117_label_spread_exact" -> LabelSpreadSql,
     "q118_zorder" -> ZOrderSql,
+    "q176_zorder3" -> ZOrder3Sql,
     "q119_gapfill" ->
       """WITH counts AS (SELECT user_id AS k, CAST(ts AS DATE) AS d,
         |    CAST(count(*) AS BIGINT) AS c
@@ -4907,6 +4930,19 @@ object Oracles {
     * Scala and interpolated into both engines — integer shift/and/or
     * only, so the z-values agree bit for bit.
     */
+  private lazy val ZOrder3Sql: String = {
+    val cols = Seq("l_partkey", "l_suppkey", "CAST(l_quantity AS BIGINT)")
+    val z = (for { i <- 0 until 12; (c, j) <- cols.zipWithIndex } yield
+      s"((($c >> $i) & 1) << ${i * 3 + j})").mkString(" | ")
+    s"""WITH z AS (SELECT ($z) AS zv, l_partkey, l_suppkey,
+       |             CAST(l_quantity AS BIGINT) AS lq FROM lineitem)
+       |SELECT zv >> 18 AS bucket, CAST(count(*) AS BIGINT) AS n,
+       |  min(l_partkey) AS min_p, max(l_partkey) AS max_p,
+       |  min(l_suppkey) AS min_s, max(l_suppkey) AS max_s,
+       |  min(lq) AS min_q, max(lq) AS max_q
+       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   private lazy val ZOrderSql: String = {
     val z = (0 until 16).map(i =>
       s"((((l_partkey >> $i) & 1) << ${2 * i}) | (((l_suppkey >> $i) & 1) << ${2 * i + 1}))")

@@ -139,6 +139,22 @@ class ScaleOpsSpec extends SparkSpec {
     assert(p.contains("__salt"), s"salt fell out of the join:\n$p")
   }
 
+  test("zOrderValueN: n=2 equals the unrolled form; 3-col bits land round-robin") {
+    val df = spark.range(0, 256)
+      .select(($"id" % 16).as("x"), (($"id" / 16) % 16).as("y"),
+        (($"id" * 7) % 16).as("z"))
+    val two = df.select(
+      ScaleOps.zOrderValue($"x", $"y", bits = 8).as("a"),
+      ScaleOps.zOrderValueN(Seq($"x", $"y"), bits = 8).as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(two == 0L, "n=2 generalized form must equal the unrolled zOrderValue")
+    // hand-checked 3-col interleave: x=1,y=2,z=4 → bits at 0, 4, 8
+    val v = Seq((1L, 2L, 4L)).toDF("x", "y", "z")
+      .select(ScaleOps.zOrderValueN(Seq($"x", $"y", $"z"), bits = 3))
+      .as[Long].head()
+    assert(v == 273L, s"expected 1|16|256 = 273, got $v")
+  }
+
   test("skewAwareSum: profile picks the branch, result identical either way") {
     val df = spark.range(0, 1000)
       .select(($"id" % 4).as("k"), lit(1L).as("v")) // 250 rows per key
