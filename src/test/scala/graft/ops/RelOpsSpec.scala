@@ -389,6 +389,31 @@ class RelOpsSpec extends SparkSpec {
     assert(got == want, s"diff: ${got.toSet.diff(want.toSet).take(5)}")
   }
 
+  test("sessionPaths matches a driver-side brute force on random event logs") {
+    val rng = new scala.util.Random(11)
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val types = Array("view", "click", "buy")
+    val rows = (1L to 120L).map { i =>
+      (1L + rng.nextInt(4), ts(rng.nextInt(3 * 3600)), i, types(rng.nextInt(3)))
+    }
+    // reference: sort per key by (ts, tie), split at >= 30-min gaps,
+    // take each session's first 3 types
+    val want = rows.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.sortBy(r => (r._2.getTime, r._3))
+      val sessions = sorted.foldLeft(Vector.empty[Vector[(Long, String)]]) {
+        case (acc, (_, t, _, et)) =>
+          if (acc.nonEmpty && t.getTime - acc.last.last._1 < 30 * 60 * 1000L)
+            acc.init :+ (acc.last :+ (t.getTime, et))
+          else acc :+ Vector((t.getTime, et))
+      }
+      sessions.map(_.take(3).map(_._2).mkString(">"))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = RelOps.sessionPaths(rows.toDF("user_id", "ts", "event_id", "event_type"),
+        "user_id", "ts", "event_id", "event_type")
+      .as[(String, Long)].collect().toMap
+    assert(got == want, s"diff: ${got.toSet.diff(want.toSet).take(5)} / ${want.toSet.diff(got.toSet).take(5)}")
+  }
+
   test("seasonalOutliers: spike flagged, calendar gaps skip, steady days pass") {
     // 21 days of 10 events/day for key "a", except: day 15 spikes to 50
     // and day 10 is MISSING entirely (so day 17 has no lag partner)
