@@ -50,6 +50,10 @@ final class PrometheusExporter(provider: InProcessMetricsProvider,
   def boundPort: Int = server.getAddress.getPort
 
   def stop(): Unit = synchronized {
-    if (started) { server.stop(0); started = false }
+    // Unconditional: HttpServer.create binds the socket in the
+    // constructor, so a constructed-but-never-started exporter still
+    // holds the port until stop(0) releases it (safe before start()).
+    server.stop(0)
+    started = false
   }
 }

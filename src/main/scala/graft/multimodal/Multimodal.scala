@@ -61,6 +61,104 @@ object Multimodal {
     }
   }
 
+  /** REAL image decode via JDK ImageIO — the codec-backed sibling of
+    * [[decodeStub]] behind the same seam (same input/output shape, same
+    * partition-wise iteration), using only the codecs the JDK ships
+    * (PNG/BMP/GIF/JPEG/WBMP — no new dependencies, works offline).
+    * Emits TRUE dimensions from the decoded image, `nFrames = 1`, and
+    * the [[byteHistogram]] featurizer over the decoded 8-bit LUMA grid
+    * (integer BT.601 weights → deterministic for the lossless formats).
+    * Undecodable payloads are dropped (flatMap) — the standard posture
+    * for corrupt media in a training-data sweep, where a poison blob
+    * must not kill a 100 TB pass. `ImageIO.setUseCache(false)` keeps
+    * the decode on-heap (no temp-file spooling per image).
+    */
+  def decodeImage(ds: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    ds.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+      rows.flatMap { m =>
+        decodeLuma(m.payload).map { case (w, h, luma) =>
+          DecodedMedia(m.id, m.kind, w, h, 1, byteHistogram(luma))
+        }
+      }
+    }
+  }
+
+  /** Decode to the raw luma GRID (one byte per pixel, row-major) — the
+    * real-pixels input for [[resizeGrid]] and any downstream
+    * vision featurizer. Same drop-on-corrupt contract as [[decodeImage]].
+    */
+  def decodeImageGrid(ds: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    ds.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { m =>
+        decodeLuma(m.payload).map { case (w, h, luma) =>
+          ResizedMedia(m.id, m.kind, w, h, luma)
+        }
+      }
+    }
+  }
+
+  /** Nearest-neighbor resample of PER-ROW-dimensioned grids (the decoded
+    * form, where every image carries its own width/height) to a fixed
+    * `targetW`×`targetH` — the variable-input sibling of [[resize]],
+    * completing the real chain decode → resize → featurize.
+    */
+  def resizeGrid(ds: Dataset[ResizedMedia], targetW: Int, targetH: Int)
+                (implicit spark: SparkSession): Dataset[ResizedMedia] = {
+    require(targetW > 0 && targetH > 0)
+    import spark.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { m =>
+        val out = new Array[Byte](targetW * targetH)
+        if (m.width > 0 && m.height > 0) {
+          var y = 0
+          while (y < targetH) {
+            val sy = y * m.height / targetH
+            var x = 0
+            while (x < targetW) {
+              val sx = x * m.width / targetW
+              val idx = sy * m.width + sx
+              out(y * targetW + x) =
+                if (idx < m.pixels.length) m.pixels(idx) else 0
+              x += 1
+            }
+            y += 1
+          }
+        }
+        ResizedMedia(m.id, m.kind, targetW, targetH, out)
+      }
+    }
+  }
+
+  /** ImageIO decode + integer BT.601 luma ((299·R + 587·G + 114·B)/1000
+    * over the ARGB int — exact integer arithmetic, platform-stable for
+    * lossless codecs). Returns None when no installed reader accepts the
+    * payload or decoding fails.
+    */
+  private def decodeLuma(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))).map { bi =>
+        val (w, h) = (bi.getWidth, bi.getHeight)
+        val luma = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = bi.getRGB(x, y)
+            val l = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+              114 * (rgb & 0xFF)) / 1000
+            luma(y * w + x) = l.toByte
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, luma)
+      }
+    } catch { case _: Exception => None }
+
   /** 16-bin normalized byte histogram — a deterministic stand-in for a
     * learned feature vector.
     */

@@ -113,6 +113,43 @@ object CorpusOps {
       .withColumn("contaminated", col("n_flagged") > 0)
   }
 
+  /** Bloom-gated decontamination with the EXACT residual verify —
+    * [[decontamBloom]]'s prefilter speed with [[decontaminate]]'s
+    * answer: the held-out STRING gram set builds the Bloom filter
+    * (hashed via xxhash64 — deterministic, so every held gram's hash is
+    * in the filter and a shared gram can never miss: NO false
+    * negatives), the corpus gram stream is gated by the codegen'd
+    * scalar probe INSIDE the scan, and only surviving grams reach the
+    * exact gram join that removes the false positives. The result
+    * therefore EQUALS [[decontaminate]] at ANY fpp (q179's oracle IS
+    * q47's SQL — the salting/IVM result-invariance discipline, q170's
+    * pattern applied to the decontam rail).
+    *
+    * Scale shape: where [[decontaminate]] requires the held gram set to
+    * broadcast, here the residual join only sees the ≤ n_shared +
+    * n_grams·fpp fraction the bloom lets through — the shuffle-volume
+    * reduction that matters when the held-out side is itself too big to
+    * broadcast (the q170 regime).
+    */
+  def decontamBloomExact(corpus: DataFrame, heldOut: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 4, fpp: Double = 1e-4): DataFrame = {
+    import graft.functions.BloomKernel
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    def sh(df: DataFrame) = graft.core.Graft.spread(df)
+      .select(col(idCol).as("id"), explode(TextFunctions.shingles(col(textCol), n)).as("g"))
+    // held grams feed the bloom build AND the residual join (DAG-reuse
+    // rule: cache a frame referenced twice; Verify/Bench clearCache)
+    val held = sh(heldOut).select("g").distinct().cache()
+    val nGrams = math.max(held.count(), 1L)
+    val bloom = held.select(xxhash64(col("g")).as("h")).stat.bloomFilter("h", nGrams, fpp)
+    val bytes = BloomKernel.serialize(bloom)
+    sh(corpus)
+      .filter(BloomKernel.mightContain(xxhash64(col("g")), bytes))
+      .join(held, "g")
+      .groupBy("id").agg(count("*").as("n_shared"))
+  }
+
   /** Deterministic arithmetic sampling rank: Knuth multiplicative hash of
     * the id modulo a prime. Both factors fit comfortably in BIGINT for
     * any realistic id (no overflow below ids of ~3.4e9; the engine runs

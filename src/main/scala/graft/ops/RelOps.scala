@@ -580,7 +580,10 @@ object RelOps {
       .select(col("k"), col("d"), col("n"), (col("n") - col("pn")).as("resid"))
     val stats = resid.groupBy("k").agg(count(lit(1)).as("m"),
       sum(col("resid")).as("s1"), sum(col("resid") * col("resid")).as("s2"))
-    val dev = (col("m") * col("resid") - col("s1")).cast(d38)
+    // m·resid − s1 must widen BEFORE the multiply: the DuckDB oracle
+    // computes this term in HUGEINT, so a BIGINT wrap here (ANSI off)
+    // would silently diverge at astronomically large daily counts.
+    val dev = col("m").cast(d38) * col("resid").cast(d38) - col("s1").cast(d38)
     resid.join(broadcast(stats), "k")
       .select(col("k"), col("d"), col("n"), col("resid"),
         (dev * dev >

@@ -156,7 +156,14 @@ object ScaleOps {
     // ceil(n/targetRows) files. No count() double-scan, and no
     // localCheckpoint of a possibly-100TB input into executor storage.
     val spark = df.sparkSession
-    val tmp = s"$dir.graft_compact_staging"
+    // Staging dir resolved via hadoop Path so it is a TRUE SIBLING of
+    // the output regardless of trailing slashes in `dir` (a string
+    // concat on "out/" would stage INSIDE the output dir, and the
+    // final overwrite of `dir` would delete the staged parquet before
+    // the lazy read of it executes).
+    val outPath = new org.apache.hadoop.fs.Path(dir)
+    val tmp = new org.apache.hadoop.fs.Path(
+      outPath.getParent, outPath.getName + ".graft_compact_staging").toString
     val obs = new org.apache.spark.sql.Observation(
       s"graft_compact_${compactSeq.incrementAndGet()}") // observe names must be unique per plan
     df.observe(obs, count(lit(1)).as("n"))

@@ -2673,6 +2673,74 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Ensemble near-dup groups, PRODUCTION-SCALE form — q173's topology
+    * with both exact pair sources swapped for their index-backed
+    * siblings: lexical evidence from MinHash+LSH banding
+    * (exact-Jaccard-verified candidates, never all-pairs) and semantic
+    * evidence from IVF-clustered cosine pairs (cell-bucketed
+    * candidates, exact-cosine-verified), feeding the SAME
+    * connected-components closure. Every emitted pair is
+    * exact-verified, so the grouping can only REFINE q173's — the
+    * subset + recall ≥ 0.9 contract lives in DedupSpec/QueriesSpec.
+    * Rows-only (LSH banding is hash-seeded); this is the topology that
+    * survives 100 TB — both candidate generators are
+    * blocked/bucketed, the all-pairs BroadcastNestedLoopJoin of the
+    * q173 exactness rung never appears.
+    */
+  def q177_ensemble_dedup_scale(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val e = Tables(spark, dir).embeddings
+    val lex = graft.dedup.Dedup.minHashNearDups(d, "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b")
+    val idx = graft.functions.VectorOps.IvfIndex.build(e, "vec_id", "embedding", c = 8)
+    val sem = graft.functions.VectorOps
+      .clusteredCosinePairs(idx, threshold = 0.45, probes = 2)
+      .select("id_a", "id_b")
+    graft.dedup.Dedup.labelGroups(d, "doc_id", lex.unionAll(sem), "id_a", "id_b")
+      .select(col("doc_id"), col("group").as("group_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Integer-exact RRF hybrid search
+    * ([[graft.text.TextSearch.rrfFuseInt]]): q64's BM25+ANN fusion with
+    * every fused bit hash-checked — the integer-BM25 top-20 (q164's
+    * scoring) and the exact-cosine top-20 (q34's ranking) fused with
+    * scaled integer reciprocal ranks `1e12 div (60 + rank)`. Rank order
+    * inside each list is deterministic (integer scores / the q34
+    * hash-green cosine), so — unlike float RRF (q64, rows-only) — the
+    * ENTIRE hybrid ranking hash-checks, closing the last retrieval rail
+    * without an exactness rung.
+    */
+  def q178_hybrid_search_int(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val kw = graft.text.TextSearch.bm25IntTopK(t.documents, "doc_id", "text",
+      Seq("hash", "join", "spark"), k = 20)
+    val ann = graft.functions.VectorOps.annBruteForce(
+        t.embeddings, "vec_id", "embedding",
+        t.embeddings.filter(col("vec_id") === 0), "vec_id", "embedding", k = 20)
+      .select(col("id"), col("cos").as("score"))
+    graft.text.TextSearch.rrfFuseInt(Seq(kw, ann), "id", "score", k = 10)
+      .select(col("id").as("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  /** Bloom decontamination with the exact residual verify
+    * ([[graft.ops.CorpusOps.decontamBloomExact]]): q90's bloom
+    * prefilter feeding an exact gram re-join, so the result is
+    * INVARIANT at any fpp — the oracle is q47's plain-decontaminate
+    * SQL verbatim (the q170 invariance discipline applied to the
+    * decontam rail; fpp=0.01 guarantees false positives flow through
+    * the prefilter at this scale and are removed by the residual join).
+    */
+  def q179_decontam_bloom_exact(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    graft.ops.CorpusOps.decontamBloomExact(
+        d.filter(col("doc_id") >= 50), d.filter(col("doc_id") < 50),
+        "doc_id", "text", n = 4, fpp = 0.01)
+      .select(col("id").as("doc_id"), col("n_shared"))
+      .orderBy("doc_id")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -2892,7 +2960,10 @@ object Queries {
     "q173_ensemble_dedup" -> (q173_ensemble_dedup _),
     "q174_nearest_join" -> (q174_nearest_join _),
     "q175_seasonal_outliers" -> (q175_seasonal_outliers _),
-    "q176_zorder3" -> (q176_zorder3 _)
+    "q176_zorder3" -> (q176_zorder3 _),
+    "q177_ensemble_dedup_scale" -> (q177_ensemble_dedup_scale _),
+    "q178_hybrid_search_int" -> (q178_hybrid_search_int _),
+    "q179_decontam_bloom_exact" -> (q179_decontam_bloom_exact _)
   )
 }
 
@@ -2907,8 +2978,8 @@ object Oracles {
   /** Brute-force cosine top-10 for the vec_id=0 query — shared by q34
     * and the exact-probe ANN rungs q67-q70, which must all reduce to it.
     */
-  private val BruteForceTop10Sql =
-    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+  private def bruteForceTopSql(limit: Int): String =
+    s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
       |scored AS (
       |  SELECT e.vec_id,
       |    (SELECT sum(x*y) FROM (SELECT unnest(CAST(e.embedding AS DOUBLE[])) AS x,
@@ -2916,7 +2987,9 @@ object Oracles {
       |    sqrt((SELECT sum(x*x) FROM (SELECT unnest(CAST(e.embedding AS DOUBLE[])) AS x)) *
       |         (SELECT sum(y*y) FROM (SELECT unnest(q.qe) AS y))) AS cos
       |  FROM embeddings e, q WHERE e.vec_id <> 0)
-      |SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+      |SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT $limit""".stripMargin
+
+  private lazy val BruteForceTop10Sql = bruteForceTopSql(10)
 
   /** Exact embedding dedup groups (all-pairs cosine ≥ 0.45 → transitive
     * closure → min-id label) — shared by q62 (the oracle-checkable
@@ -3300,19 +3373,10 @@ object Oracles {
         |    / CAST(sum(c) AS DOUBLE) AS dup_frac,
         |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_frac
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "q47_decontam" ->
-      """WITH toks AS (SELECT doc_id,
-        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
-        |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
-        |       FROM toks CROSS JOIN unnest(generate_series(1, len(t)-3)) AS u(i)
-        |       WHERE len(t) >= 4
-        |       UNION
-        |       SELECT doc_id, array_to_string(t, ' ') AS g FROM toks WHERE len(t) < 4),
-        |held AS (SELECT DISTINCT g FROM sh WHERE doc_id < 50)
-        |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
-        |FROM sh s JOIN held USING (g) WHERE s.doc_id >= 50
-        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    "q47_decontam" -> DecontamSql,
+    // q179 = the bloom-prefiltered form; the plain-decontaminate SQL is
+    // the oracle BECAUSE the result must be fpp-invariant (q170 pattern)
+    "q179_decontam_bloom_exact" -> DecontamSql,
     "q48_sample" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
@@ -4568,6 +4632,7 @@ object Oracles {
     "q161_reachability" -> ReachSql,
     "q164_keyword_search_int" -> Bm25IntSql,
     "q165_phrase_search_int" -> PhraseIntSql,
+    "q178_hybrid_search_int" -> HybridIntSql,
     "q166_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
@@ -4725,7 +4790,9 @@ object Oracles {
   private def IntBm25IdfCap: Long = Long.MaxValue / 2200000L
   private def IntBm25PtfCap: Long = Long.MaxValue / IntBm25IdfCap / 2L
 
-  private lazy val Bm25IntSql: String = {
+  private lazy val Bm25IntSql: String = bm25IntSqlTop(10)
+
+  private def bm25IntSqlTop(limit: Int): String = {
     val terms = Seq("hash", "join", "spark")
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(t) - len(list_filter(t, x -> x <> '$t')) AS BIGINT) AS tf$i"
@@ -4757,8 +4824,46 @@ object Oracles {
        |       FROM pre),
        |sc AS (SELECT doc_id, CAST($termScore AS BIGINT) AS score FROM bl)
        |SELECT doc_id, score FROM sc WHERE score > 0
-       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+       |ORDER BY score DESC, doc_id LIMIT $limit""".stripMargin
   }
+
+  /** Shared by q47 (plain broadcast decontaminate) and q179 (bloom
+    * prefilter + exact residual join), which must return the SAME rows
+    * at any fpp — the bloom rail's result-invariance contract.
+    */
+  private lazy val DecontamSql: String =
+    """WITH toks AS (SELECT doc_id,
+      |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
+      |       FROM toks CROSS JOIN unnest(generate_series(1, len(t)-3)) AS u(i)
+      |       WHERE len(t) >= 4
+      |       UNION
+      |       SELECT doc_id, array_to_string(t, ' ') AS g FROM toks WHERE len(t) < 4),
+      |held AS (SELECT DISTINCT g FROM sh WHERE doc_id < 50)
+      |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+      |FROM sh s JOIN held USING (g) WHERE s.doc_id >= 50
+      |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
+  /** q178's oracle: integer RRF over the q164 integer-BM25 top-20 and
+    * the q34 exact-cosine top-20 — each list ranked by (score desc, id),
+    * contributions `1e12 // (60 + rank)` (floor division on both
+    * engines), fused by BIGINT sum, top-10 by (score desc, id). The two
+    * input rankings are verbatim the hash-green q164/q34 SQL bodies
+    * (as CTE subqueries), so the fused ranking inherits their
+    * determinism end-to-end.
+    */
+  private lazy val HybridIntSql: String =
+    s"""WITH kw AS (SELECT doc_id AS id, score FROM (${bm25IntSqlTop(20)})),
+       |ann AS (SELECT vec_id AS id, cos FROM (${bruteForceTopSql(20)})),
+       |kwr AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS r FROM kw),
+       |annr AS (SELECT id, row_number() OVER (ORDER BY cos DESC, id) AS r FROM ann),
+       |contrib AS (SELECT id, 1000000000000 // (60 + r) AS rrf FROM kwr
+       |            UNION ALL
+       |            SELECT id, 1000000000000 // (60 + r) AS rrf FROM annr)
+       |SELECT id AS doc_id, CAST(sum(rrf) AS BIGINT) AS score
+       |FROM contrib GROUP BY id
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
   /** q165's oracle: the q164 integer arithmetic over the two phrase
     * words plus the adjacency-count boost at the anchor word's ppm idf

@@ -555,6 +555,41 @@ object StatefulOps {
       }
   }
 
+  /** [[latestByKey]] on the modern `transformWithState` API — the same
+    * last-write-wins upsert (ties on ts resolve to the later element in
+    * batch order, kasper's serial-loop semantics), held in a typed
+    * `ValueState` on the RocksDB store instead of a
+    * `flatMapGroupsWithState` blob; flatMapGroupsWithState is
+    * deprecation-bound, so this is the forward path (the
+    * funnel/budget/transition/scd2 gate pattern applied to KQ-11). The
+    * spec asserts the two forms emit identical winners per batch.
+    */
+  def latestByKeyTws[V: Encoder](rows: Dataset[Keyed[V]]): Dataset[Keyed[V]] = {
+    implicit val keyedEnc: Encoder[Keyed[V]] = rows.encoder
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.key)
+      .transformWithState(new LatestByKeyProcessor[V](rows.encoder),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
+  private final class LatestByKeyProcessor[V](enc: Encoder[Keyed[V]])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, Keyed[V], Keyed[V]] {
+    @transient private var best: org.apache.spark.sql.streaming.ValueState[Keyed[V]] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      best = getHandle.getValueState[Keyed[V]]("best", enc,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Keyed[V]],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Keyed[V]] = {
+      var b = if (best.exists()) best.get() else null.asInstanceOf[Keyed[V]]
+      rows.foreach { r => if (b == null || r.ts >= b.ts) b = r }
+      best.update(b)
+      Iterator(b)
+    }
+  }
+
   /** KQ-8: the characters⋈fictions incremental join with emit
     * suppression, exactly the reference topology
     * (`topic_processor_test.go:76-155`):
@@ -615,5 +650,193 @@ object StatefulOps {
           state.update(st)
           out.values.iterator
       }
+  }
+
+  /** [[resolveCharacters]] on the modern `transformWithState` API — the
+    * same two-stage entity-keyed topology's stage 1 (character-keyed
+    * resolution with the reverse re-emit), with the per-character state
+    * in a typed `ValueState[CharState]` on the RocksDB store;
+    * flatMapGroupsWithState is deprecation-bound, so this is the forward
+    * path (the budget/scd2/funnel/transition/latestByKey gate pattern
+    * applied to KQ-8). Emission-equal spec vs the legacy stage.
+    */
+  def resolveCharactersTws(input: Dataset[JoinInput]): Dataset[StageRecord] = {
+    import input.sparkSession.implicits._
+    val meta = input.flatMap(j =>
+      j.fiction.map(f => StageRecord(f.id, "meta", -1, None, Some(f))))
+    val keyed = input.flatMap {
+      case JoinInput(_, Some(c), _) => Seq(CharEvent(c.id, Some(c), None, -1))
+      case JoinInput(_, _, Some(f)) =>
+        f.characterIds.zipWithIndex.map { case (cid, pos) =>
+          CharEvent(cid, None, Some(f.id), pos)
+        }
+      case _ => Nil
+    }
+    val resolved = keyed.groupByKey(_.cid)
+      .transformWithState(new CharResolveProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+    meta.unionByName(resolved)
+  }
+
+  private final class CharResolveProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, CharEvent, StageRecord] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[CharState] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[CharState]("char",
+        org.apache.spark.sql.Encoders.product[CharState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(cid: String, rows: Iterator[CharEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[StageRecord] = {
+      var s = if (st.exists()) st.get() else CharState(None, Nil)
+      val out = scala.collection.mutable.ArrayBuffer.empty[StageRecord]
+      rows.foreach {
+        case CharEvent(_, Some(c), _, _) =>
+          s = s.copy(character = Some(c))
+          s.refs.foreach { case (fid, pos) =>
+            out += StageRecord(fid, "resolved", pos, Some(c), None)
+          }
+        case CharEvent(_, _, Some(fid), pos) =>
+          val ref = (fid, pos)
+          if (!s.refs.contains(ref)) s = s.copy(refs = s.refs :+ ref)
+          s.character.foreach(c =>
+            out += StageRecord(fid, "resolved", pos, Some(c), None))
+        case _ => ()
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  /** [[assembleFictions]] on `transformWithState` — stage 2 of the
+    * entity-keyed topology (fiction-keyed assembly with emit
+    * suppression), per-fiction state in a typed
+    * `ValueState[FictionAsmState]`. Emission-equal spec vs the legacy
+    * stage; chains after [[resolveCharactersTws]] exactly as the legacy
+    * stages chain.
+    */
+  def assembleFictionsTws(stage: Dataset[StageRecord]): Dataset[FictionAndCharacters] = {
+    import stage.sparkSession.implicits._
+    stage.groupByKey(_.fictionId)
+      .transformWithState(new FictionAsmProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
+  /** [[FictionAsmState]] with the resolved map flattened to an array of
+    * (pos, character) structs — the transformWithState state encoder is
+    * Avro-backed, and Avro maps require STRING keys, so `Map[Int, _]`
+    * is not encodable as state (the legacy `GroupState` form uses the
+    * catalyst encoder, which allows it).
+    */
+  private case class FictionAsmStateTws(fiction: Option[Fiction],
+                                        resolved: Seq[(Int, Character)])
+
+  private final class FictionAsmProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, StageRecord, FictionAndCharacters] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[FictionAsmStateTws] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[FictionAsmStateTws]("asm",
+        org.apache.spark.sql.Encoders.product[FictionAsmStateTws],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(fictionId: String, rows: Iterator[StageRecord],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[FictionAndCharacters] = {
+      val stored = if (st.exists()) st.get() else FictionAsmStateTws(None, Nil)
+      var s = FictionAsmState(stored.fiction, stored.resolved.toMap)
+      var dirty = false
+      rows.foreach { r =>
+        if (r.kind == "meta") {
+          val f = r.fiction.get
+          val valid = s.resolved.filter { case (pos, c) =>
+            pos < f.characterIds.length && f.characterIds(pos) == c.id
+          }
+          s = FictionAsmState(Some(f), valid); dirty = true
+        } else r.character.foreach { c =>
+          val ok = s.fiction.forall(f =>
+            r.pos < f.characterIds.length && f.characterIds(r.pos) == c.id)
+          if (ok) { s = s.copy(resolved = s.resolved + (r.pos -> c)); dirty = true }
+        }
+      }
+      st.update(FictionAsmStateTws(s.fiction, s.resolved.toSeq))
+      val complete = for {
+        f <- s.fiction
+        if dirty && f.characterIds.indices.forall(s.resolved.contains)
+      } yield FictionAndCharacters(f.id, f.fictionType, f.title,
+        f.characterIds.indices.map(s.resolved).toSeq)
+      complete.iterator
+    }
+  }
+
+  /** [[fictionsJoin]] on `transformWithState` — the partition-keyed
+    * characters⋈fictions topology with the state decomposed into three
+    * typed `MapState`s (characters, fictions, char→fictions reverse
+    * index) instead of one partition-sized `GroupState` blob. THIS is
+    * the scale win of the port: each entity is its own RocksDB row, so
+    * a micro-batch touching k entities reads/writes O(k) state rows,
+    * where the legacy form deserializes and rewrites the ENTIRE
+    * partition state (every character and fiction ever seen) on every
+    * batch — the difference between O(batch) and O(history) state I/O
+    * per trigger. Same co-partitioning contract and emit rules as
+    * [[fictionsJoin]]; emission-equal spec, including the
+    * character-update re-emit path through the reverse index.
+    */
+  def fictionsJoinTws(input: Dataset[JoinInput]): Dataset[FictionAndCharacters] = {
+    import input.sparkSession.implicits._
+    input.groupByKey(_.partition)
+      .transformWithState(new FictionsJoinProcessor(implicitly[Encoder[Seq[String]]]),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
+  private final class FictionsJoinProcessor(seqEnc: Encoder[Seq[String]])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Int, JoinInput, FictionAndCharacters] {
+    import org.apache.spark.sql.streaming.{MapState, TTLConfig}
+    import org.apache.spark.sql.Encoders
+    @transient private var chars: MapState[String, Character] = _
+    @transient private var fics: MapState[String, Fiction] = _
+    @transient private var rev: MapState[String, Seq[String]] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      chars = getHandle.getMapState[String, Character]("characters",
+        Encoders.STRING, Encoders.product[Character], TTLConfig.NONE)
+      fics = getHandle.getMapState[String, Fiction]("fictions",
+        Encoders.STRING, Encoders.product[Fiction], TTLConfig.NONE)
+      rev = getHandle.getMapState[String, Seq[String]]("charToFictions",
+        Encoders.STRING, seqEnc, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(partition: Int, msgs: Iterator[JoinInput],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[FictionAndCharacters] = {
+      val out = scala.collection.mutable.LinkedHashMap.empty[String, FictionAndCharacters]
+
+      def tryEmit(f: Fiction): Unit = {
+        val resolved = f.characterIds.flatMap(cid =>
+          if (chars.containsKey(cid)) Some(chars.getValue(cid)) else None)
+        if (resolved.size == f.characterIds.size)
+          out(f.id) = FictionAndCharacters(f.id, f.fictionType, f.title, resolved)
+      }
+
+      msgs.foreach {
+        case JoinInput(_, Some(c), _) =>
+          chars.updateValue(c.id, c)
+          val affected = if (rev.containsKey(c.id)) rev.getValue(c.id) else Nil
+          affected.flatMap(fid =>
+              if (fics.containsKey(fid)) Some(fics.getValue(fid)) else None)
+            .sortBy(_.id).foreach(tryEmit)
+        case JoinInput(_, _, Some(f)) =>
+          f.characterIds.foreach { cid =>
+            val cur = if (rev.containsKey(cid)) rev.getValue(cid) else Nil
+            if (!cur.contains(f.id)) rev.updateValue(cid, cur :+ f.id)
+          }
+          fics.updateValue(f.id, f)
+          tryEmit(f)
+        case _ => ()
+      }
+      out.values.iterator
+    }
   }
 }

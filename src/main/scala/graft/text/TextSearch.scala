@@ -189,17 +189,54 @@ object TextSearch {
     * searches). `c = 60` per the original RRF paper's robust default.
     */
   def rrfFuse(rankings: Seq[DataFrame], idCol: String, scoreCol: String,
-              k: Int, c: Int = 60): DataFrame = {
+              k: Int, c: Int = 60, inputCap: Int = 10000): DataFrame = {
     require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
     require(k > 0 && c > 0, s"k and c must be positive, got k=$k c=$c")
+    require(inputCap >= k, s"inputCap $inputCap must be >= k $k")
     import org.apache.spark.sql.expressions.Window
     val contrib = rankings.map { df =>
       val w = Window.orderBy(col(scoreCol).desc, col(idCol).asc)
-      df.select(col(idCol).as("id"),
+      // inputCap makes the top-k-list contract STRUCTURAL: the global
+      // rank window below is a single-partition sort, safe on a
+      // bounded list and a silent serialization hazard on a corpus —
+      // the ordered limit bounds what can ever reach it (and ranks
+      // beyond the cap cannot alter the fused top-k ordering anyway:
+      // 1/(c+rank) contributions that small only break ties the id
+      // tiebreak already resolves deterministically).
+      val bounded = df.orderBy(col(scoreCol).desc, col(idCol).asc).limit(inputCap)
+      bounded.select(col(idCol).as("id"),
           (lit(1.0) / (lit(c.toDouble) + row_number().over(w))).as("rrf"))
     }
     graft.ops.RelOps.topK(
       contrib.reduce(_ unionAll _).groupBy("id").agg(sum("rrf").as("score")),
+      col("score"), col("id"), k)
+  }
+
+  /** Integer-exact reciprocal-rank fusion — [[rrfFuse]]'s q164-discipline
+    * sibling: each list contributes `1e12 div (c + rank)` (scaled
+    * integer reciprocal rank; floor division on BOTH engines), the fused
+    * score is the BIGINT sum, ties break by id. Rank order within each
+    * input list is (scoreCol desc, id asc) — deterministic whenever the
+    * upstream scores are (integer BM25, exact cosine), so the ENTIRE
+    * fused ranking hash-checks against DuckDB (q178), closing the one
+    * retrieval rail (RRF) that had no exactness rung. Same top-k-list
+    * contract and structural `inputCap` bound as [[rrfFuse]].
+    */
+  def rrfFuseInt(rankings: Seq[DataFrame], idCol: String, scoreCol: String,
+                 k: Int, c: Int = 60, inputCap: Int = 10000): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuseInt needs at least one ranking")
+    require(k > 0 && c > 0, s"k and c must be positive, got k=$k c=$c")
+    require(inputCap >= k, s"inputCap $inputCap must be >= k $k")
+    import org.apache.spark.sql.expressions.Window
+    val contrib = rankings.map { df =>
+      val w = Window.orderBy(col(scoreCol).desc, col(idCol).asc)
+      df.orderBy(col(scoreCol).desc, col(idCol).asc).limit(inputCap)
+        .select(col(idCol).as("id"), row_number().over(w).as("__r"))
+        .select(col("id"), expr(s"1000000000000 div (${c.toLong} + __r)").as("rrf"))
+    }
+    graft.ops.RelOps.topK(
+      contrib.reduce(_ unionAll _).groupBy("id")
+        .agg(sum("rrf").cast("long").as("score")),
       col("score"), col("id"), k)
   }
 

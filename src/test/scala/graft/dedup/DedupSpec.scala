@@ -469,6 +469,33 @@ class DedupSpec extends SparkSpec {
       s"(exact=${exactSame.size}, scale=${scaleSame.size})")
   }
 
+  test("q177 (scale-form ensemble query) refines q173's exact grouping, recall >= 0.9") {
+    // The declared-query-surface contract for the scale ensemble: q177's
+    // labels partition q173's components (every scale pair is
+    // exact-verified, so CC can only refine) with group-pair recall
+    // >= 0.9 at the query's shipped settings
+    import graft.queries.Queries
+    def samePairs(labels: Map[Long, Long]): Set[(Long, Long)] =
+      labels.groupBy(_._2).values.flatMap { g =>
+        val ids = g.keys.toSeq.sorted
+        for (i <- ids.indices; j <- i + 1 until ids.size) yield (ids(i), ids(j))
+      }.toSet
+    val exact = Queries.q173_ensemble_dedup(spark, sfDir)
+      .select(col("doc_id"), col("group_id")).as[(Long, Long)].collect().toMap
+    val scale = Queries.q177_ensemble_dedup_scale(spark, sfDir)
+      .select(col("doc_id"), col("group_id")).as[(Long, Long)].collect().toMap
+    spark.catalog.clearCache() // both queries cache index/CC state
+    assert(scale.keySet == exact.keySet, "q177 must label every document")
+    val exactSame = samePairs(exact)
+    val scaleSame = samePairs(scale)
+    assert(exactSame.nonEmpty, "fixture should contain ensemble dup groups")
+    assert(scaleSame.subsetOf(exactSame),
+      s"q177 grouped non-dups together: ${(scaleSame -- exactSame).take(5)}")
+    val recall = exactSame.intersect(scaleSame).size.toDouble / exactSame.size
+    assert(recall >= 0.9, s"q177 recall $recall too low " +
+      s"(exact=${exactSame.size}, scale=${scaleSame.size})")
+  }
+
   test("dupSpanStats: crafted span semantics (overlap merge, within-doc repeats, short docs)") {
     val docs = Seq(
       // docs 1 and 2 share the 5-token run "v w x y z" twice over via a

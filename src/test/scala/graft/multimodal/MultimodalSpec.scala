@@ -62,6 +62,71 @@ class MultimodalSpec extends SparkSpec {
       s"disjoint byte ranges must be orthogonal: $nn")
   }
 
+  // --- real codec path: JDK ImageIO, no new dependencies -------------
+
+  /** Encode a grayscale grid (r=g=b=v, so BT.601 luma == v exactly) as
+    * real `format` bytes via ImageIO.write.
+    */
+  private def encodeGray(w: Int, h: Int, v: (Int, Int) => Int, format: String): Array[Byte] = {
+    val bi = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = v(x, y) & 0xFF
+      bi.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, format, bos), s"no $format writer")
+    bos.toByteArray
+  }
+
+  test("decodeImage: REAL PNG/BMP bytes decode to true dimensions and luma features") {
+    val png = encodeGray(4, 4, (x, y) => (y * 4 + x) * 16, "png")
+    val bmp = encodeGray(6, 3, (x, y) => x * 40 + y, "bmp")
+    val corrupt = Array.tabulate[Byte](32)(i => (i * 7 + 3).toByte) // no magic bytes
+    val rows = Seq((1L, png), (2L, bmp), (3L, corrupt)).toDF("id", "payload")
+      .select($"id", lit("image").as("kind"), $"payload",
+        map(lit("source"), lit("spec")).as("meta"))
+      .as[MediaRow]
+    val out = Multimodal.decodeImage(rows).collect().sortBy(_.id)
+    // corrupt payload dropped, never a task failure
+    assert(out.map(_.id).toSeq == Seq(1L, 2L))
+    assert((out(0).width, out(0).height, out(0).nFrames) == ((4, 4, 1)))
+    assert((out(1).width, out(1).height) == ((6, 3)))
+    // luma grid round-trips exactly for lossless codecs → the feature is
+    // the byte histogram of the ORIGINAL gray values
+    val expected = Multimodal.byteHistogram(
+      Array.tabulate[Byte](16)(i => (i * 16).toByte))
+    assert(out(0).feature.toSeq == expected.toSeq)
+  }
+
+  test("decodeImageGrid → resizeGrid: the real chain decode → resize → featurize") {
+    // 4x4 gray ramp 0,16,...,240 written as PNG; decoded luma must equal
+    // the source grid bit-for-bit, and the 2x2 nearest-neighbor resample
+    // keeps rows/cols 0 and 2 (same contract the stub-grid resize test pins)
+    val png = encodeGray(4, 4, (x, y) => (y * 4 + x) * 16, "png")
+    val rows = Seq((1L, png)).toDF("id", "payload")
+      .select($"id", lit("image").as("kind"), $"payload",
+        map(lit("source"), lit("spec")).as("meta"))
+      .as[MediaRow]
+    val grid = Multimodal.decodeImageGrid(rows).collect().head
+    assert((grid.width, grid.height) == ((4, 4)))
+    assert(grid.pixels.toSeq == (0 until 16).map(i => (i * 16).toByte).toSeq)
+    val small = Multimodal.resizeGrid(Multimodal.decodeImageGrid(rows), 2, 2)
+      .collect().head
+    assert((small.width, small.height) == ((2, 2)))
+    assert(small.pixels.toSeq == Seq(0, 2, 8, 10).map(i => (i * 16).toByte))
+    // per-row dimensions: a second image with different w/h resizes in the
+    // same pass (the variable-input contract resize() can't express)
+    val bmp = encodeGray(8, 2, (x, y) => 255, "bmp")
+    val both = Seq((1L, png), (2L, bmp)).toDF("id", "payload")
+      .select($"id", lit("image").as("kind"), $"payload",
+        map(lit("source"), lit("spec")).as("meta"))
+      .as[MediaRow]
+    val resized = Multimodal.resizeGrid(Multimodal.decodeImageGrid(both), 2, 2)
+      .collect().sortBy(_.id)
+    assert(resized.forall(r => r.pixels.length == 4))
+    assert(resized(1).pixels.toSeq == Seq[Byte](-1, -1, -1, -1)) // 255 everywhere
+  }
+
   test("sampleFrames chunks the payload at stride") {
     val payload = Array.tabulate[Byte](100)(_.toByte)
     val df = Seq(Tuple1(payload)).toDF("p")

@@ -94,6 +94,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == Map(10L -> 2L))
   }
 
+  test("decontamBloomExact equals plain decontaminate at ANY fpp (invariance, q179's contract)") {
+    val d = graft.core.Tables(spark, sfDir).documents
+    val corpus = d.filter($"doc_id" >= 50)
+    val held = d.filter($"doc_id" < 50)
+    val exact = CorpusOps.decontaminate(corpus, held, "doc_id", "text", n = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(exact.nonEmpty, "fixture should contain contaminated docs")
+    // fpp 0.5: the bloom lets roughly half of ALL grams through, so the
+    // residual join does real false-positive removal — and the result
+    // must STILL be byte-equal to the plain form
+    for (fpp <- Seq(0.5, 1e-4)) {
+      val got = CorpusOps.decontamBloomExact(corpus, held, "doc_id", "text",
+          n = 4, fpp = fpp)
+        .as[(Long, Long)].collect().toMap
+      spark.catalog.clearCache()
+      assert(got == exact, s"fpp=$fpp diverged: " +
+        s"missing=${(exact.keySet -- got.keySet).take(3)} " +
+        s"extra=${(got.keySet -- exact.keySet).take(3)}")
+    }
+  }
+
   test("decontamBloom: zero false negatives vs the exact hashed-gram join; FP rate bounded") {
     val d = graft.core.Tables(spark, sfDir).documents
     val corpus = d.filter($"doc_id" >= 50)

@@ -766,6 +766,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("latestByKeyTws on transformWithState emits the same winners as latestByKey") {
+    import StatefulOps.Keyed
+    val batch1 = Seq(Keyed("u1", 10L, "old"), Keyed("u2", 5L, "x"))
+    val batch2 = Seq(Keyed("u1", 20L, "new"), Keyed("u1", 15L, "stale"),
+      Keyed("u2", 5L, "tie-later")) // ts tie → later element in batch order wins
+    def run(gate: org.apache.spark.sql.Dataset[Keyed[String]]
+        => org.apache.spark.sql.Dataset[Keyed[String]]): Seq[Keyed[String]] = {
+      val in = MemoryStream[Keyed[String]]
+      val q = gate(in.toDS())
+        .writeStream.format("memory").queryName(nextName())
+        .outputMode(OutputMode.Update()).start()
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+      val rows = spark.table(q.name).as[Keyed[String]].collect().toSeq
+      q.stop()
+      rows.sortBy(k => (k.key, k.ts, k.value))
+    }
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    graft.core.Graft.useRocksDbStateStore(spark)
+    try {
+      val tws = run(StatefulOps.latestByKeyTws(_))
+      val legacy = run(StatefulOps.latestByKey(_))
+      assert(tws == legacy, s"tws $tws != legacy $legacy")
+      val last = tws.groupBy(_.key).map { case (k, vs) => k -> vs.maxBy(_.ts).value }
+      assert(last == Map("u1" -> "new", "u2" -> "tie-later"))
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("metrics listener observes incoming rows (A16)") {
     val listener = new graft.metrics.GraftMetricsListener
     spark.streams.addListener(listener)

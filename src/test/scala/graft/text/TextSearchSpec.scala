@@ -1,6 +1,7 @@
 package graft.text
 
 import graft.SparkSpec
+import graft.core.Tables
 import org.apache.spark.sql.functions._
 
 class TextSearchSpec extends SparkSpec {
@@ -73,6 +74,41 @@ class TextSearchSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       TextSearch.rrfFuse(Seq.empty, "id", "score", k = 5)
     }.getMessage.contains("ranking"))
+  }
+
+  test("rrfFuseInt: integer contributions 1e12 div (c+rank); order matches float rrfFuse") {
+    val a = Seq((10L, 9L), (20L, 5L), (30L, 1L)).toDF("id", "score")
+    val bl = Seq((20L, 9L), (40L, 8L)).toDF("id", "score")
+    val got = TextSearch.rrfFuseInt(Seq(a, bl), "id", "score", k = 10, c = 60)
+      .as[(Long, Long)].collect().toMap
+    def t(r: Int): Long = 1000000000000L / (60 + r)
+    assert(got(20L) == t(2) + t(1)) // rank 2 in A, rank 1 in B
+    assert(got(10L) == t(1))
+    assert(got(40L) == t(2))
+    assert(got(30L) == t(3))
+    val order = TextSearch.rrfFuseInt(Seq(a, bl), "id", "score", k = 4)
+      .as[(Long, Long)].collect().map(_._1).toSeq
+    assert(order == Seq(20L, 10L, 40L, 30L))
+  }
+
+  test("q178 integer hybrid ranks agree with q64's float fusion on the shared top") {
+    // Same rails, same fusion topology; the integer reciprocal-rank
+    // table is a monotone image of the float one at equal c, so the
+    // fused ORDER must be identical whenever the float form has no
+    // cross-list precision ties — pinned here on the fixture corpus
+    val int = graft.queries.Queries.q178_hybrid_search_int(spark, sfDir)
+      .as[(Long, Long)].collect().map(_._1).toSeq
+    assert(int.size == 10)
+    val kw = TextSearch.bm25IntTopK(Tables(spark, sfDir).documents,
+      "doc_id", "text", Seq("hash", "join", "spark"), k = 20)
+    val ann = graft.functions.VectorOps.annBruteForce(
+        Tables(spark, sfDir).embeddings, "vec_id", "embedding",
+        Tables(spark, sfDir).embeddings.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 20)
+      .select(col("id"), col("cos").as("score"))
+    val float = TextSearch.rrfFuse(Seq(kw, ann), "id", "score", k = 10)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    assert(int == float, s"integer fusion order $int != float order $float")
   }
 
   test("q64 hybrid fusion returns k rows drawn from both rails") {
