@@ -150,6 +150,47 @@ object CorpusOps {
       .groupBy("id").agg(count("*").as("n_shared"))
   }
 
+  /** Corpus-level chunk deduplication with document reassembly — the
+    * C4/RefinedWeb curation step "drop any span that occurs verbatim
+    * elsewhere in the corpus, keep the first occurrence" lifted to
+    * fixed-size token chunks: split every document into non-overlapping
+    * `chunkSize`-token chunks ([[chunkTokens]], overlap 0 — one
+    * shuffle-free projection pass), elect one WINNER per distinct chunk
+    * text (the minimum (doc, chunk_idx) — deterministic), and rebuild
+    * each document from only its winning chunks, in original order.
+    * Documents whose every chunk lost elsewhere come back empty (kept
+    * as rows — the caller decides whether to drop empties).
+    *
+    * Scale shape: one hash-partitioned groupBy on the chunk text (the
+    * dedup shuffle — map-side combinable min), one equi-join back, one
+    * per-doc reassembly agg; no all-pairs anything. The reassembly
+    * sorts WITHIN each doc's collected chunk array (`sort_array` on
+    * (idx, text) structs — per-row, not a shuffle order dependency), so
+    * the output text is deterministic under any execution order.
+    */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+                 chunkSize: Int): DataFrame = {
+    val ch = chunkTokens(df, idCol, textCol, chunkSize, overlap = 0)
+      .select(col("id"), col("chunk_idx"), col("chunk_text"))
+    val winners = ch
+      .groupBy("chunk_text")
+      .agg(min(struct(col("id"), col("chunk_idx"))).as("__w"))
+      .select(col("chunk_text"), col("__w.id").as("__wid"),
+        col("__w.chunk_idx").as("__widx"))
+    val kept = ch.join(winners, "chunk_text")
+      .filter(col("id") === col("__wid") && col("chunk_idx") === col("__widx"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+          s => s.getField("chunk_text"))).as("clean_text"))
+    df.select(col(idCol).as("id")).distinct()
+      .join(kept, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Deterministic arithmetic sampling rank: Knuth multiplicative hash of
     * the id modulo a prime. Both factors fit comfortably in BIGINT for
     * any realistic id (no overflow below ids of ~3.4e9; the engine runs

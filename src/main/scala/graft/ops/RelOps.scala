@@ -626,4 +626,65 @@ object RelOps {
     joined.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** Exact 2-D Pareto frontier (skyline): the rows not STRICTLY
+    * dominated on two maximize-objectives — B dominates A iff
+    * `x_B ≥ x_A ∧ y_B ≥ y_A` with at least one strict; exact ties on
+    * both objectives all survive. The multi-objective data-selection
+    * primitive (pick documents no other document beats on BOTH quality
+    * axes) and a preference-query operator family of its own (Börzsönyi
+    * et al., "The Skyline Operator", ICDE'01).
+    *
+    * Fully distributed and exact with NO single-partition pass:
+    * range-repartition on x (equal x co-locate, so every row in a
+    * higher partition has STRICTLY greater x than every row in a lower
+    * one), then a row is dominated iff
+    *  - a same-partition row beats it: max(y) over locally-strictly-
+    *    greater x (RANGE frame, x integral) ≥ y, or same-x max(y) > y —
+    *    both windows PARTITIONED by the range partition, or
+    *  - any higher partition reaches y: the broadcast suffix-max of
+    *    per-partition max(y) (one collect, bounded by the partition
+    *    count) ≥ y — those rows all have strictly greater x.
+    * Lower partitions can never dominate (strictly smaller x). The
+    * three checks together are the exact dominance test, so the output
+    * IS the skyline — same discipline as [[graft.ops.ScaleOps
+    * .globalRank]]: a bounded per-partition stat collect instead of a
+    * global sort. `xCol` must be integral (the strict-greater RANGE
+    * frame steps by 1).
+    */
+  def paretoFrontier2(df: DataFrame, xCol: String, yCol: String,
+                      partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val np = if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df
+      .withColumn("__x", col(xCol).cast("long"))
+      .withColumn("__y", col(yCol).cast("long"))
+      .repartitionByRange(np, col("__x"))
+      .withColumn("__pid", spark_partition_id())
+      .cache() // read twice: partition maxes + the filtered output
+    val maxes = ranged.groupBy("__pid").agg(max(col("__y")).as("__my"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // suffixAbove(p) = max y over all partitions STRICTLY above p
+    val suffixAbove = (np - 1 to 0 by -1).scanLeft(Long.MinValue) { (acc, p) =>
+      math.max(acc, maxes.getOrElse(p, Long.MinValue))
+    }.reverse.tail // index p = max over partitions > p
+    val aboveDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (0 until np).map(p => org.apache.spark.sql.Row(p, suffixAbove(p))), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__pid",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("__above",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val wGreater = Window.partitionBy(col("__pid")).orderBy(col("__x"))
+      .rangeBetween(1L, Window.unboundedFollowing)
+    val wSameX = Window.partitionBy(col("__pid"), col("__x"))
+    ranged.join(broadcast(aboveDf), "__pid")
+      .withColumn("__mg", max(col("__y")).over(wGreater))
+      .withColumn("__ms", max(col("__y")).over(wSameX))
+      .filter((col("__mg").isNull || col("__mg") < col("__y")) &&
+        col("__ms") <= col("__y") && col("__above") < col("__y"))
+      .drop("__pid", "__above", "__mg", "__ms", "__x", "__y")
+  }
 }

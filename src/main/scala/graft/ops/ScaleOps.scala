@@ -275,6 +275,56 @@ object ScaleOps {
     * large enough that a hot-key straggler dominates; for one-shot
     * small aggregations call [[saltedSum]]/plain directly.
     */
+  /** Distributed global rank: `row_number()` under a TOTAL order
+    * without the single-partition Window a bare
+    * `Window.orderBy(...)` compiles to (the classic driver-melting
+    * anti-pattern at scale — WindowExec warns and serializes). Shape:
+    * range-repartition on the order columns (equal keys co-locate, so
+    * partition p's keys sort strictly before partition p+1's), count
+    * rows per partition (one collect bounded by the partition count),
+    * broadcast the cumulative offsets back, and add each partition's
+    * offset to its LOCAL row_number — which is exact because the local
+    * order within a range partition extends to the global order across
+    * them. `orderCols` must be a total order (break ties with a unique
+    * id) or ranks are nondeterministic across runs.
+    *
+    * Cost: one range shuffle + one count pass over the shuffled frame
+    * (cached between the two reads; caller releases via clearCache) vs
+    * the single-partition sort's one-node materialization of the whole
+    * input. Reference workloads sort per partition only
+    * (`partition_processor.go` consumes in offset order); a corpus-wide
+    * rank is exactly the op that must NOT be expressed with their
+    * single-threaded shape at 100 TB.
+    */
+  def globalRank(df: DataFrame, rankCol: String,
+                 orderCols: Seq[org.apache.spark.sql.Column],
+                 partitions: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "globalRank needs at least one order column")
+    val spark = df.sparkSession
+    val np = if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(np, orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .cache() // referenced twice: counts + ranked output (DAG-reuse rule)
+    val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until np).scanLeft(0L) { (acc, p) =>
+      acc + counts.getOrElse(p, 0L)
+    }
+    val offsetDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (0 until np).map(p => org.apache.spark.sql.Row(p, offsets(p))), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__pid",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("__off",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+    ranged.join(broadcast(offsetDf), "__pid")
+      .withColumn(rankCol, row_number().over(w).cast("long") + col("__off"))
+      .drop("__pid", "__off")
+  }
+
   def skewAwareSum(df: DataFrame, keys: Seq[String], valueCol: String,
                    skewThreshold: Long = 1000000L,
                    buckets: Int = 32): DataFrame = {

@@ -2741,6 +2741,113 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** TPC-H Q2-shaped min-cost supplier: for every small part
+    * (p_size < 10), the ASIA-region supplier(s) whose cheapest lineitem
+    * quote hits the part's minimum over all ASIA suppliers — the
+    * correlated-aggregate-subquery join shape (Q2's
+    * `ps_supplycost = (SELECT min...)`) expressed as groupBy-min +
+    * equi-join back. Plan: dimension chain region→nation→supplier and
+    * the part filter both BROADCAST into the lineitem scan (no fact
+    * shuffle before the grouped aggregation), per-(part,supplier) min
+    * is map-side combinable, and the per-part best is a WINDOW min
+    * partitioned by part — not a join back to a second aggregate of the
+    * same frame (that planned as a sort-merge self-join; the window
+    * form is one hash exchange on the already-grouped rows). Exact
+    * DECIMAL money arithmetic throughout.
+    */
+  def q180_min_cost_supplier(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val asiaNations = t.nation
+      .join(t.region.filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val sup = t.supplier
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    val parts = t.part.filter(col("p_size") < 10).select(col("p_partkey"))
+    val quotes = t.lineitem
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"), col("s_suppkey"), col("s_name"))
+      .agg(min(dec(col("l_extendedprice"))).as("cost"))
+    val wPart = Window.partitionBy(col("l_partkey"))
+    quotes.withColumn("best", min(col("cost")).over(wPart))
+      .filter(col("cost") === col("best"))
+      .select(col("l_partkey").as("p_partkey"), col("s_name"),
+        col("cost").cast("double").as("cost"))
+      .orderBy("p_partkey", "s_name")
+  }
+
+  /** Cross-domain quantile calibration
+    * ([[graft.ops.ScaleOps.globalRank]]): every document's quality
+    * score (n_chars) is replaced by the GLOBAL score at the same
+    * quantile its rank occupies WITHIN its source — quantile
+    * normalization, the curation step that makes per-domain quality
+    * thresholds comparable before mixing (domain A's "top quarter"
+    * and domain B's "top quarter" map to the same calibrated scale).
+    * Rank arithmetic is all-integer (`⌈r·N/m⌉` by ceil-division), and
+    * the global rank rides globalRank's range-partition + offset
+    * shape — NO single-partition Window anywhere in the plan
+    * (plan-guarded), unlike the textbook `row_number() OVER (ORDER BY
+    * score)` formulation that serializes the corpus at scale.
+    */
+  def q181_quantile_calibration(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("score"))
+    val total = d.agg(count(lit(1)).as("__N"))
+    val wSrc = Window.partitionBy("source").orderBy(col("score"), col("doc_id"))
+    val perSrc = d
+      .withColumn("r", row_number().over(wSrc).cast("long"))
+      .withColumn("m",
+        count(lit(1)).over(Window.partitionBy("source")).cast("long"))
+    val ranked = graft.ops.ScaleOps
+      .globalRank(d, "g", Seq(col("score").asc, col("doc_id").asc))
+      .select(col("g"), col("score").as("calib"))
+    perSrc.crossJoin(broadcast(total))
+      .withColumn("i", expr("(r * __N + m - 1) div m"))
+      .join(ranked, col("i") === col("g"))
+      .select(col("doc_id"), col("source"), col("score"), col("calib"))
+      .orderBy("doc_id")
+  }
+
+  /** Pareto-frontier document selection
+    * ([[graft.ops.RelOps.paretoFrontier2]]): the documents no other
+    * document beats on BOTH quality axes (length in chars, distinct
+    * token count) — the skyline operator over the corpus, i.e.
+    * multi-objective data selection without collapsing the axes into
+    * one weighted score. Exact strict-dominance semantics (ties on
+    * both axes all survive), computed fully distributed: range
+    * partition on x + per-partition windows + a broadcast suffix-max
+    * of partition maxima — no single-partition sort (plan-guarded).
+    * Exact oracle: DuckDB NOT-EXISTS dominance scan.
+    */
+  def q182_pareto_frontier(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.core.Graft.spread(Tables(spark, dir).documents)
+      .select(col("doc_id"), col("n_chars").cast("long").as("len"),
+        size(array_distinct(graft.text.TextFunctions.tokens(col("text"))))
+          .cast("long").as("n_distinct"))
+    graft.ops.RelOps.paretoFrontier2(d, "len", "n_distinct")
+      .select(col("doc_id"), col("len"), col("n_distinct"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-level chunk dedup with reassembly
+    * ([[graft.ops.CorpusOps.chunkDedup]]): C4/RefinedWeb's "drop any
+    * span duplicated elsewhere, keep the first occurrence" over
+    * non-overlapping 16-token chunks, then each document rebuilt from
+    * its surviving chunks in order — the repair step q84's span STATS
+    * diagnose, as a corpus-wide exact operator (hash-groupBy winner
+    * election, equi-join back, per-row sorted reassembly; no
+    * all-pairs). Exact oracle: same chunk arithmetic + window winner +
+    * ordered string_agg in DuckDB.
+    */
+  def q183_chunk_dedup(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusOps.chunkDedup(Tables(spark, dir).documents,
+        "doc_id", "text", chunkSize = 16)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -2963,7 +3070,11 @@ object Queries {
     "q176_zorder3" -> (q176_zorder3 _),
     "q177_ensemble_dedup_scale" -> (q177_ensemble_dedup_scale _),
     "q178_hybrid_search_int" -> (q178_hybrid_search_int _),
-    "q179_decontam_bloom_exact" -> (q179_decontam_bloom_exact _)
+    "q179_decontam_bloom_exact" -> (q179_decontam_bloom_exact _),
+    "q180_min_cost_supplier" -> (q180_min_cost_supplier _),
+    "q181_quantile_calibration" -> (q181_quantile_calibration _),
+    "q182_pareto_frontier" -> (q182_pareto_frontier _),
+    "q183_chunk_dedup" -> (q183_chunk_dedup _)
   )
 }
 
@@ -4633,6 +4744,64 @@ object Oracles {
     "q164_keyword_search_int" -> Bm25IntSql,
     "q165_phrase_search_int" -> PhraseIntSql,
     "q178_hybrid_search_int" -> HybridIntSql,
+    "q180_min_cost_supplier" ->
+      """WITH asia AS (SELECT n_nationkey FROM nation
+        |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'),
+        |sup AS (SELECT s_suppkey, s_name FROM supplier
+        |        WHERE s_nationkey IN (SELECT n_nationkey FROM asia)),
+        |p AS (SELECT p_partkey FROM part WHERE p_size < 10),
+        |q AS (SELECT l_partkey, s_suppkey, s_name,
+        |        min(CAST(l_extendedprice AS DECIMAL(18,6))) AS cost
+        |      FROM lineitem JOIN sup ON l_suppkey = s_suppkey
+        |      WHERE l_partkey IN (SELECT p_partkey FROM p)
+        |      GROUP BY 1, 2, 3),
+        |b AS (SELECT l_partkey, min(cost) AS best FROM q GROUP BY 1)
+        |SELECT q.l_partkey AS p_partkey, q.s_name, CAST(q.cost AS DOUBLE) AS cost
+        |FROM q JOIN b ON q.l_partkey = b.l_partkey AND q.cost = b.best
+        |ORDER BY p_partkey, s_name""".stripMargin,
+    "q181_quantile_calibration" ->
+      """WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS score
+        |           FROM documents),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |ps AS (SELECT doc_id, source, score,
+        |        CAST(row_number() OVER (PARTITION BY source ORDER BY score, doc_id)
+        |          AS BIGINT) AS r,
+        |        CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS m
+        |       FROM d),
+        |g AS (SELECT CAST(row_number() OVER (ORDER BY score, doc_id) AS BIGINT) AS gr,
+        |        score AS calib FROM d)
+        |SELECT ps.doc_id, ps.source, ps.score, g.calib
+        |FROM ps CROSS JOIN t
+        |JOIN g ON ((ps.r * t.n + ps.m - 1) // ps.m) = g.gr
+        |ORDER BY doc_id""".stripMargin,
+    "q182_pareto_frontier" ->
+      """WITH m AS MATERIALIZED (SELECT doc_id, CAST(n_chars AS BIGINT) AS len,
+        |  CAST(len(list_distinct(list_filter(string_split_regex(text, '\s+'),
+        |    x -> x <> ''))) AS BIGINT) AS n_distinct FROM documents)
+        |SELECT doc_id, len, n_distinct FROM m a
+        |WHERE NOT EXISTS (SELECT 1 FROM m b
+        |  WHERE b.len >= a.len AND b.n_distinct >= a.n_distinct
+        |    AND (b.len > a.len OR b.n_distinct > a.n_distinct))
+        |ORDER BY doc_id""".stripMargin,
+    "q183_chunk_dedup" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id, CAST(i // 16 AS BIGINT) AS chunk_idx,
+        |        array_to_string(list_slice(t, i+1, i+16), ' ') AS chunk_text
+        |      FROM toks CROSS JOIN unnest(generate_series(0, len(t)-1, 16)) AS u(i)
+        |      WHERE len(t) > 0),
+        |w AS (SELECT doc_id, chunk_idx, chunk_text,
+        |        row_number() OVER (PARTITION BY chunk_text
+        |          ORDER BY doc_id, chunk_idx) AS rn
+        |      FROM c),
+        |k AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |        string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS clean_text
+        |      FROM w WHERE rn = 1 GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |  COALESCE(k.clean_text, '') AS clean_text
+        |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN k USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q166_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,

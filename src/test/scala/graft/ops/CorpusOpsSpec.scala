@@ -115,6 +115,24 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("chunkDedup: first occurrence wins, reassembly ordered, all-lost docs come back empty") {
+    val docs = Seq(
+      (1L, "a b c d e f"),      // both chunks win (first occurrence)
+      (2L, "a b c x y z"),      // "a b c" loses to doc 1; "x y z" survives
+      (3L, "d e f"),            // single chunk loses to doc 1's chunk 1
+      (4L, "p q"),              // short tail chunk, unique — survives
+      (5L, "m n o m n o")       // within-doc repeat: idx 0 wins, idx 1 loses
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.chunkDedup(docs, "doc_id", "text", chunkSize = 3)
+      .orderBy("id").as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, "a b c d e f"),
+      (2L, 1L, "x y z"),
+      (3L, 0L, ""),
+      (4L, 1L, "p q"),
+      (5L, 1L, "m n o")))
+  }
+
   test("decontamBloom: zero false negatives vs the exact hashed-gram join; FP rate bounded") {
     val d = graft.core.Tables(spark, sfDir).documents
     val corpus = d.filter($"doc_id" >= 50)

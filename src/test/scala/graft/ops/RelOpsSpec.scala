@@ -538,4 +538,37 @@ class RelOpsSpec extends SparkSpec {
     assert(rows.nonEmpty)
     assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
   }
+
+  test("paretoFrontier2: crafted strict-dominance semantics incl. both-axes ties") {
+    // (8,5) twice: exact ties on both axes all survive; (8,4) loses to
+    // (8,5) same-x; (7,5) loses to (8,5) strictly-greater-x; (0,0)
+    // loses to everything; the staircase (10,1),(8,5),(6,6),(5,9),(1,10)
+    // is the frontier
+    val pts = Seq(
+      (1L, 10L, 1L), (2L, 8L, 5L), (3L, 8L, 5L), (4L, 8L, 4L),
+      (5L, 6L, 6L), (6L, 5L, 9L), (7L, 2L, 9L), (8L, 1L, 10L),
+      (9L, 7L, 5L), (10L, 0L, 0L))
+    val df = spark.createDataFrame(pts).toDF("id", "x", "y")
+      .repartition(5) // non-local input + multi-partition range split
+    val got = RelOps.paretoFrontier2(df, "x", "y", partitions = 4)
+      .select("id").as[Long].collect().toSet
+    spark.catalog.clearCache()
+    assert(got == Set(1L, 2L, 3L, 5L, 6L, 8L),
+      s"frontier mismatch: $got")
+  }
+
+  test("paretoFrontier2 matches the brute-force dominance scan on dense random ties") {
+    val rnd = new scala.util.Random(42)
+    val pts = (1L to 400L).map(i => (i, rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+    def dominated(a: (Long, Long, Long)) = pts.exists(b =>
+      b._2 >= a._2 && b._3 >= a._3 && (b._2 > a._2 || b._3 > a._3))
+    val expected = pts.filterNot(dominated).map(_._1).toSet
+    val df = spark.createDataFrame(pts).toDF("id", "x", "y").repartition(7)
+    for (np <- Seq(1, 3, 32)) {
+      val got = RelOps.paretoFrontier2(df, "x", "y", partitions = np)
+        .select("id").as[Long].collect().toSet
+      spark.catalog.clearCache()
+      assert(got == expected, s"partitions=$np: $got vs $expected")
+    }
+  }
 }

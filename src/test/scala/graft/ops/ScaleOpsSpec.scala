@@ -214,4 +214,33 @@ class ScaleOpsSpec extends SparkSpec {
     assert(math.abs(s1.map(_._4).max - s1.map(_._4).min) <= 1,
       s"ntile depth imbalance: $s1")
   }
+
+  test("globalRank equals the single-partition row_number, with no unpartitioned Window in the plan") {
+    // non-local input (plan-guard rule: ConvertToLocalRelation folds Seq
+    // inputs); multiplicative hash gives heavy score ties so the
+    // id tie-break is load-bearing
+    val df = spark.range(0, 1000)
+      .select(col("id"), (col("id") * 2654435761L % 97).as("score"))
+    val got = ScaleOps.globalRank(df, "rank",
+        Seq(col("score").asc, col("id").asc))
+      .select("id", "rank").as[(Long, Long)].collect().toMap
+    spark.catalog.clearCache() // globalRank caches the ranged frame
+    val expected = (0L until 1000L).map(i => i -> (i * 2654435761L % 97))
+      .sortBy { case (i, s) => (s, i) }
+      .zipWithIndex.map { case ((i, _), r) => i -> (r + 1L) }.toMap
+    assert(got == expected)
+    // the scale contract itself: every Window in the plan is partitioned
+    val ranked = ScaleOps.globalRank(df, "rank",
+      Seq(col("score").asc, col("id").asc), partitions = 8)
+    val unpartitioned = ranked.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty,
+      "globalRank must never plan a single-partition Window")
+    // explicit partition count: same ranks (offsets re-derive)
+    val got8 = ranked.select("id", "rank").as[(Long, Long)].collect().toMap
+    spark.catalog.clearCache()
+    assert(got8 == expected)
+  }
 }

@@ -206,4 +206,29 @@ class PlanCheckSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"token stream shuffled against a k-row vocab:\n$p")
   }
+
+  test("q181/q182 corpus-wide rank and skyline plan no single-partition Window") {
+    // the whole point of globalRank / paretoFrontier2: the textbook
+    // row_number() OVER (ORDER BY ...) / dominance-window formulations
+    // serialize the corpus; these plans must keep every Window
+    // partitioned (the global order is re-created from range-partition
+    // offsets instead)
+    for (name <- Seq("q181_quantile_calibration", "q182_pareto_frontier")) {
+      val unpartitioned = Queries.all(name)(spark, sfDir)
+        .queryExecution.executedPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+        }
+      spark.catalog.clearCache()
+      assert(unpartitioned.isEmpty,
+        s"$name contains a single-partition Window")
+    }
+  }
+
+  test("q180 min-cost supplier: dims broadcast, no fact-side SMJ") {
+    val p = plans("q180_min_cost_supplier")
+    assert(p.contains("BroadcastHashJoin"), s"dim chain not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"lineitem shuffled against a dim:\n$p")
+  }
 }
