@@ -293,6 +293,36 @@ object VectorOps {
     * The caller owns `idx` (build/close lifecycle), matching the
     * index-reuse pattern: one clustering serves many dedup sweeps.
     */
+  /** [[clusteredCosinePairs]] straight from vectors — the train/assign
+    * split [[semanticDedupGroups]] rides, without materializing (and
+    * caching) a full [[IvfIndex]] whose probes-1 final assignment the
+    * pair generator never reads. The shape the scale ensemble (q177)
+    * wants: sampled Lloyd train, probes-cell assignment, cell-bucketed
+    * candidates, exact-cosine verify. Caches the vector projection and
+    * centroids for the query's duration; the session releases them via
+    * clearCache (Bench/Verify do so between queries).
+    */
+  def clusteredCosinePairs(vectors: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, c: Int, probes: Int,
+                           iters: Int, trainCap: Int): DataFrame = {
+    require(probes >= 1 && probes <= c, s"probes must be in [1, c=$c], got $probes")
+    val v = graft.core.Graft.spread(vectors)
+      .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
+      .cache()
+    val dim = IvfIndex.checkedDim(v, "clustered cosine pairs")
+    val cents = IvfIndex.trainCentroids(v, c, iters, trainCap, dim).cache()
+    val asgIds = IvfIndex.assignTop(v, cents, probes).select("cid", "id")
+    val cand = asgIds.as("a").join(asgIds.as("b"),
+        col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(v.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   def clusteredCosinePairs(idx: IvfIndex, threshold: Double,
                            probes: Int = 2): DataFrame = {
     require(probes >= 1, s"probes must be >= 1, got $probes")

@@ -2692,9 +2692,9 @@ object Queries {
     val e = Tables(spark, dir).embeddings
     val lex = graft.dedup.Dedup.minHashNearDups(d, "text", "doc_id", threshold = 0.5)
       .select("id_a", "id_b")
-    val idx = graft.functions.VectorOps.IvfIndex.build(e, "vec_id", "embedding", c = 8)
     val sem = graft.functions.VectorOps
-      .clusteredCosinePairs(idx, threshold = 0.45, probes = 2)
+      .clusteredCosinePairs(e, "vec_id", "embedding",
+        threshold = 0.45, c = 8, probes = 2, iters = 1, trainCap = 0)
       .select("id_a", "id_b")
     graft.dedup.Dedup.labelGroups(d, "doc_id", lex.unionAll(sem), "id_a", "id_b")
       .select(col("doc_id"), col("group").as("group_id"))
