@@ -191,6 +191,57 @@ object CorpusOps {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Greedy coverage-maximizing document selection (submodular
+    * facility-location/max-cover greedy): pick `k` documents one round
+    * at a time, each round taking the document whose DISTINCT `n`-gram
+    * set adds the most not-yet-covered grams (marginal gain; ties to
+    * the lower doc id). The data-selection step behind "small subset,
+    * maximal diversity" curation — the greedy is the classic (1−1/e)
+    * approximation to the NP-hard optimum, and its output is fully
+    * deterministic, so small-k runs are exact-oracle-able by unrolling
+    * rounds in SQL.
+    *
+    * Scale shape: the corpus gram stream is computed ONCE and cached;
+    * each round is one anti-join against the covered-gram set (itself
+    * the union of ≤ k winner gram sets — bounded, broadcastable) + one
+    * map-side-combinable count + a 1-row argmax collect. k rounds = k
+    * jobs over the (cached) gram stream — linear in k, never quadratic
+    * in corpus size. Returns (round, id, gain) for the k winners
+    * (fewer rows when the corpus runs out of uncovered grams first —
+    * every remaining gain would be 0 and selection stops).
+    */
+  def coverageSelect(df: DataFrame, idCol: String, textCol: String,
+                     n: Int, k: Int): DataFrame = {
+    require(n >= 1 && k >= 1, s"need n >= 1 and k >= 1, got n=$n k=$k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grams = graft.core.Graft.spread(df)
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.shingles(col(textCol), n)).as("g"))
+      .distinct()
+      .cache()
+    var covered = spark.emptyDataset[String].toDF("g")
+    val winners = Seq.newBuilder[(Long, Long, Long)]
+    var round = 1L
+    var exhausted = false
+    while (round <= k && !exhausted) {
+      val top = grams.join(broadcast(covered), Seq("g"), "left_anti")
+        .groupBy("id").agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("id").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val id = top(0).getLong(0)
+        winners += ((round, id, top(0).getLong(1)))
+        covered = covered
+          .unionAll(grams.filter(col("id") === id).select("g"))
+          .distinct()
+        round += 1
+      }
+    }
+    winners.result().toDF("round", "id", "gain")
+  }
+
   /** Deterministic arithmetic sampling rank: Knuth multiplicative hash of
     * the id modulo a prime. Both factors fit comfortably in BIGINT for
     * any realistic id (no overflow below ids of ~3.4e9; the engine runs

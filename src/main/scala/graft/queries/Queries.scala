@@ -2848,6 +2848,21 @@ object Queries {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** Greedy coverage-maximizing selection
+    * ([[graft.ops.CorpusOps.coverageSelect]]): the 3 documents that
+    * greedily maximize distinct-3-gram coverage — submodular max-cover
+    * data selection (the (1−1/e) greedy), k jobs over one cached gram
+    * stream, marginal gains by anti-join against the bounded covered
+    * set. Deterministic (ties to the lower doc id), so the whole
+    * selection is EXACT-oracled by unrolling the three rounds in SQL
+    * (MATERIALIZED CTEs — the unrolled-loop discipline).
+    */
+  def q184_coverage_select(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusOps.coverageSelect(Tables(spark, dir).documents,
+        "doc_id", "text", n = 3, k = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("round")
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -3074,7 +3089,8 @@ object Queries {
     "q180_min_cost_supplier" -> (q180_min_cost_supplier _),
     "q181_quantile_calibration" -> (q181_quantile_calibration _),
     "q182_pareto_frontier" -> (q182_pareto_frontier _),
-    "q183_chunk_dedup" -> (q183_chunk_dedup _)
+    "q183_chunk_dedup" -> (q183_chunk_dedup _),
+    "q184_coverage_select" -> (q184_coverage_select _)
   )
 }
 
@@ -4783,6 +4799,32 @@ object Oracles {
         |  WHERE b.len >= a.len AND b.n_distinct >= a.n_distinct
         |    AND (b.len > a.len OR b.n_distinct > a.n_distinct))
         |ORDER BY doc_id""".stripMargin,
+    "q184_coverage_select" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id AS id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |  FROM toks CROSS JOIN unnest(generate_series(1, len(t)-2)) AS u(i)
+        |  WHERE len(t) >= 3
+        |  UNION
+        |  SELECT doc_id AS id, array_to_string(t, ' ') AS g FROM toks WHERE len(t) < 3),
+        |w1 AS MATERIALIZED (SELECT id, CAST(count(*) AS BIGINT) AS gain
+        |  FROM sh GROUP BY id ORDER BY gain DESC, id LIMIT 1),
+        |c1 AS MATERIALIZED (SELECT DISTINCT g FROM sh
+        |  WHERE id IN (SELECT id FROM w1)),
+        |w2 AS MATERIALIZED (SELECT s.id, CAST(count(*) AS BIGINT) AS gain
+        |  FROM sh s LEFT JOIN c1 ON s.g = c1.g WHERE c1.g IS NULL
+        |  GROUP BY s.id ORDER BY gain DESC, id LIMIT 1),
+        |c2 AS MATERIALIZED (SELECT g FROM c1
+        |  UNION SELECT g FROM sh WHERE id IN (SELECT id FROM w2)),
+        |w3 AS MATERIALIZED (SELECT s.id, CAST(count(*) AS BIGINT) AS gain
+        |  FROM sh s LEFT JOIN c2 ON s.g = c2.g WHERE c2.g IS NULL
+        |  GROUP BY s.id ORDER BY gain DESC, id LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS round, id AS doc_id, gain FROM w1
+        |UNION ALL SELECT CAST(2 AS BIGINT), id, gain FROM w2
+        |UNION ALL SELECT CAST(3 AS BIGINT), id, gain FROM w3
+        |ORDER BY round""".stripMargin,
     "q183_chunk_dedup" ->
       """WITH toks AS (SELECT doc_id,
         |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t

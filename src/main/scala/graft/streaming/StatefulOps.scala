@@ -652,6 +652,51 @@ object StatefulOps {
       }
   }
 
+  case class ChunkRow(id: Long, chunkIdx: Long, chunkText: String)
+
+  /** Streaming first-seen chunk gate —
+    * [[graft.ops.CorpusOps.chunkDedup]]'s incremental sibling: keyed by
+    * chunk TEXT, a chunk passes iff its text has never been seen before
+    * (one `ValueState[Boolean]` per distinct chunk on the RocksDB
+    * store); within a batch the winner is the minimum (id, chunkIdx) —
+    * the batch form's tie-break — and later batches can only be
+    * suppressed by earlier ones, so feeding batches in id order emits
+    * exactly the batch winners (spec-proven). The ingest-time shape of
+    * corpus chunk dedup: a new crawl snapshot streams through the gate
+    * and only never-seen spans reach the training corpus.
+    */
+  def chunkDedupGate(chunks: Dataset[ChunkRow]): Dataset[ChunkRow] = {
+    import chunks.sparkSession.implicits._
+    chunks.groupByKey(_.chunkText)
+      .transformWithState(new ChunkGateProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
+  private final class ChunkGateProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, ChunkRow, ChunkRow] {
+    @transient private var seen: org.apache.spark.sql.streaming.ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        org.apache.spark.sql.Encoders.scalaBoolean,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(text: String, rows: Iterator[ChunkRow],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[ChunkRow] = {
+      if (seen.exists() && seen.get()) Iterator.empty
+      else {
+        seen.update(true)
+        var best: ChunkRow = null
+        rows.foreach { r =>
+          if (best == null || r.id < best.id ||
+            (r.id == best.id && r.chunkIdx < best.chunkIdx)) best = r
+        }
+        Iterator(best)
+      }
+    }
+  }
+
   /** [[resolveCharacters]] on the modern `transformWithState` API — the
     * same two-stage entity-keyed topology's stage 1 (character-keyed
     * resolution with the reverse re-emit), with the per-character state

@@ -133,6 +133,26 @@ class CorpusOpsSpec extends SparkSpec {
       (5L, 1L, "m n o")))
   }
 
+  test("coverageSelect: hand-checked greedy, tie to lower id, stops when coverage is exhausted") {
+    val docs = Seq(
+      (1L, "a b c d"),  // 4 distinct unigrams — round-1 winner
+      (2L, "a b c"),    // fully covered after round 1 → gain 0, never emitted
+      (3L, "e f g"),    // round-2 winner (gain 3)
+      (4L, "d e")       // fully covered after round 2 → selection stops
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.coverageSelect(docs, "doc_id", "text", n = 1, k = 5)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    spark.catalog.clearCache()
+    assert(got == Seq((1L, 1L, 4L), (2L, 3L, 3L)),
+      s"greedy trace mismatch: $got")
+    // equal marginal gain resolves to the lower doc id
+    val tied = Seq((21L, "s t"), (20L, "s t"), (22L, "u")).toDF("doc_id", "text")
+    val t2 = CorpusOps.coverageSelect(tied, "doc_id", "text", n = 1, k = 2)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    spark.catalog.clearCache()
+    assert(t2 == Seq((1L, 20L, 2L), (2L, 22L, 1L)), s"tie-break mismatch: $t2")
+  }
+
   test("decontamBloom: zero false negatives vs the exact hashed-gram join; FP rate bounded") {
     val d = graft.core.Tables(spark, sfDir).documents
     val corpus = d.filter($"doc_id" >= 50)

@@ -797,6 +797,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("chunkDedupGate: first-seen chunks pass, replays suppressed, batch winners match chunkDedup") {
+    import StatefulOps.ChunkRow
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    graft.core.Graft.useRocksDbStateStore(spark)
+    try {
+      val in = MemoryStream[ChunkRow]
+      val q = StatefulOps.chunkDedupGate(in.toDS())
+        .writeStream.format("memory").queryName(nextName())
+        .outputMode(OutputMode.Append()).start()
+      // batch 1: doc 1's chunks, plus a within-batch duplicate from doc 2
+      in.addData(ChunkRow(1L, 0L, "a b c"), ChunkRow(1L, 1L, "d e f"),
+        ChunkRow(2L, 0L, "a b c"))
+      q.processAllAvailable()
+      // batch 2: doc 3 replays both of doc 1's chunks and adds a new one
+      in.addData(ChunkRow(3L, 0L, "a b c"), ChunkRow(3L, 1L, "d e f"),
+        ChunkRow(3L, 2L, "x y z"))
+      q.processAllAvailable()
+      val got = spark.table(q.name).as[ChunkRow].collect().toSet
+      q.stop()
+      assert(got == Set(ChunkRow(1L, 0L, "a b c"), ChunkRow(1L, 1L, "d e f"),
+        ChunkRow(3L, 2L, "x y z")))
+      // emission set == the batch chunkDedup winners over the same rows
+      // (batches arrived in id order, so first-seen == min (id, idx))
+      val docs = Seq((1L, "a b c d e f"), (2L, "a b c"), (3L, "a b c d e f x y z"))
+        .toDF("doc_id", "text")
+      val batchWinners = graft.ops.CorpusOps
+        .chunkDedup(docs, "doc_id", "text", chunkSize = 3)
+        .filter(length($"clean_text") > 0)
+        .as[(Long, Long, String)].collect()
+        .flatMap { case (id, _, txt) => txt.split(" ").grouped(3).map(_.mkString(" ")).map(id -> _) }
+        .toSet
+      assert(got.map(c => c.id -> c.chunkText) == batchWinners)
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("metrics listener observes incoming rows (A16)") {
     val listener = new graft.metrics.GraftMetricsListener
     spark.streams.addListener(listener)
