@@ -2863,6 +2863,68 @@ object Queries {
       .withColumnRenamed("id", "doc_id")
       .orderBy("round")
 
+  /** TPC-H Q21-shaped laggard supplier: suppliers who were the ONLY
+    * late shipper (l_shipdate > o_orderdate + 90 days) in a
+    * multi-supplier order — the semi/anti self-join composition on the
+    * fact table, resolved here as grouped counts instead of
+    * exists/not-exists probes: late-(order, supplier) pairs with
+    * exactly ONE late supplier, intersected with ≥2-supplier orders,
+    * counted per supplier. The order-date lookup is the one fact-fact
+    * join (SMJ on the order key — the correct plan when both sides are
+    * fact-sized); the supplier name attaches by broadcast at the
+    * already-aggregated (supplier-cardinality) tail.
+    */
+  def q185_laggard_supplier(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val li = t.lineitem.select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val supPerOrder = li.select("l_orderkey", "l_suppkey").distinct()
+    val multi = supPerOrder.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_sup")).filter(col("n_sup") >= 2)
+      .select("l_orderkey")
+    val late = li
+      .join(t.orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > date_add(col("o_orderdate"), 90))
+      .select("l_orderkey", "l_suppkey").distinct()
+    val sole = late.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_late"), max(col("l_suppkey")).as("l_suppkey"))
+      .filter(col("n_late") === 1)
+      .select("l_orderkey", "l_suppkey")
+    sole.join(multi, "l_orderkey")
+      .groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
+      .join(broadcast(t.supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  /** TPC-H Q22-shaped inactive rich customers: customers whose balance
+    * beats the average POSITIVE balance and who placed no order since
+    * 2000-01-01 (every fixture customer has SOME order, so the probe is
+    * date-filtered — the anti-join side stays a filtered scan), rolled
+    * up per nation. The scalar-aggregate-subquery + NOT-EXISTS shape:
+    * the global (sum, count) broadcast-crossed into the customer scan
+    * with the average comparison cross-multiplied into exact DECIMAL
+    * (`bal·n > Σbal` ⟺ `bal > avg` — no float division), the order
+    * probe a left-anti join, the nation label a broadcast.
+    */
+  def q186_inactive_rich(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val stats = t.customer.filter(col("c_acctbal") > 0)
+      .agg(sum(dec(col("c_acctbal"))).as("__s"), count(lit(1)).as("__n"))
+    t.customer.crossJoin(broadcast(stats))
+      .filter(dec(col("c_acctbal")) * col("__n") > col("__s"))
+      .join(t.orders
+          .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01")))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_cust"), sumExact(col("c_acctbal")).as("total_bal"))
+      .orderBy("n_name")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -3090,7 +3152,9 @@ object Queries {
     "q181_quantile_calibration" -> (q181_quantile_calibration _),
     "q182_pareto_frontier" -> (q182_pareto_frontier _),
     "q183_chunk_dedup" -> (q183_chunk_dedup _),
-    "q184_coverage_select" -> (q184_coverage_select _)
+    "q184_coverage_select" -> (q184_coverage_select _),
+    "q185_laggard_supplier" -> (q185_laggard_supplier _),
+    "q186_inactive_rich" -> (q186_inactive_rich _)
   )
 }
 
@@ -4799,6 +4863,32 @@ object Oracles {
         |  WHERE b.len >= a.len AND b.n_distinct >= a.n_distinct
         |    AND (b.len > a.len OR b.n_distinct > a.n_distinct))
         |ORDER BY doc_id""".stripMargin,
+    "q185_laggard_supplier" ->
+      """WITH spo AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |multi AS (SELECT l_orderkey FROM spo GROUP BY 1 HAVING count(*) >= 2),
+        |late AS (SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        |         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |         WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY),
+        |sole AS (SELECT l_orderkey, max(l_suppkey) AS l_suppkey
+        |         FROM late GROUP BY 1 HAVING count(*) = 1)
+        |SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM sole JOIN multi USING (l_orderkey)
+        |JOIN supplier s ON sole.l_suppkey = s.s_suppkey
+        |GROUP BY 1
+        |ORDER BY numwait DESC, s_name""".stripMargin,
+    "q186_inactive_rich" ->
+      """WITH st AS (SELECT sum(CAST(c_acctbal AS DECIMAL(18,6))) AS s,
+        |              CAST(count(*) AS BIGINT) AS n
+        |            FROM customer WHERE c_acctbal > 0)
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+        |FROM customer c CROSS JOIN st
+        |JOIN nation ON c.c_nationkey = n_nationkey
+        |WHERE CAST(c.c_acctbal AS DECIMAL(18,6)) * st.n > st.s
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY 1
+        |ORDER BY n_name""".stripMargin,
     "q184_coverage_select" ->
       """WITH toks AS (SELECT doc_id,
         |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
