@@ -2925,6 +2925,59 @@ object Queries {
       .orderBy("n_name")
   }
 
+  /** Incremental distinct-count maintenance on mergeable HLL sketches
+    * ([[graft.ops.SketchOps.hllBucketSketches]]/[[graft.ops.SketchOps
+    * .hllRollup]], Spark's built-in Apache DataSketches aggregates):
+    * per-DAY user sketches unioned up to weeks — the IVM shape for
+    * COUNT DISTINCT, which plain counts cannot deliver (distincts do
+    * not sum). Register-max union is deterministic and
+    * order-independent, so the daily-union estimate EQUALS the
+    * monolithic per-month sketch estimate (spec-proven equality; spec
+    * also checks ≤5% error vs exact distinct). Rows-only by declared
+    * design: the sketch hash family is engine-specific, so no DuckDB
+    * oracle can reproduce the estimates.
+    */
+  def q187_hll_distinct_ivm(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    val daily = graft.ops.SketchOps.hllBucketSketches(
+      e, to_date(col("ts")), "user_id")
+    graft.ops.SketchOps.hllRollup(daily, date_trunc("week", col("bucket")))
+      .select(col("grp").cast("date").as("week"), col("n_buckets"),
+        col("est_distinct").cast("long").as("est_distinct"))
+      .orderBy("week")
+  }
+
+  /** Integer CUSUM change-point detection per user: daily event counts
+    * folded through the one-sided CUSUM recursion
+    * `S_t = max(0, S_{t−1} + x_t − k)` (k = 3, the in-control daily
+    * rate) with alarm at `max_t S_t ≥ 8` — the sequential
+    * drift-detection statistic EWMA (q141) cannot give (CUSUM reacts
+    * to accumulated small shifts). The per-user recursion rides ONE
+    * `aggregate` HOF over the day-sorted count array with the (S, max)
+    * pair PACKED into a single BIGINT (`acc = m·2³¹ + s` — both
+    * components bounded by total events, so the packing is exact and
+    * the whole fold stays integer); no window recursion, no driver
+    * loop. Exact oracle: DuckDB `list_reduce` over the same packed
+    * fold.
+    */
+  def q188_cusum_alarm(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    val daily = e.groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    daily.groupBy("user_id")
+      .agg(expr("transform(sort_array(collect_list(struct(d, n))), s -> s.n)")
+        .as("xs"))
+      .withColumn("acc", expr(
+        """aggregate(xs, 0L, (acc, x) ->
+          |  greatest(acc div 2147483648L,
+          |           greatest(0L, acc % 2147483648L + x - 3L)) * 2147483648L
+          |  + greatest(0L, acc % 2147483648L + x - 3L))""".stripMargin))
+      .select(col("user_id"),
+        expr("acc div 2147483648L").as("max_cusum"),
+        (expr("acc div 2147483648L") >= 8L).as("alarmed"))
+      .orderBy("user_id")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -3154,7 +3207,9 @@ object Queries {
     "q183_chunk_dedup" -> (q183_chunk_dedup _),
     "q184_coverage_select" -> (q184_coverage_select _),
     "q185_laggard_supplier" -> (q185_laggard_supplier _),
-    "q186_inactive_rich" -> (q186_inactive_rich _)
+    "q186_inactive_rich" -> (q186_inactive_rich _),
+    "q187_hll_distinct_ivm" -> (q187_hll_distinct_ivm _),
+    "q188_cusum_alarm" -> (q188_cusum_alarm _)
   )
 }
 
@@ -4863,6 +4918,19 @@ object Oracles {
         |  WHERE b.len >= a.len AND b.n_distinct >= a.n_distinct
         |    AND (b.len > a.len OR b.n_distinct > a.n_distinct))
         |ORDER BY doc_id""".stripMargin,
+    "q188_cusum_alarm" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |arr AS (SELECT user_id, list(n ORDER BY d) AS xs FROM daily GROUP BY 1),
+        |f AS (SELECT user_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), xs), (acc, x) ->
+        |      greatest(acc // 2147483648, greatest(0, acc % 2147483648 + x - 3))
+        |        * 2147483648
+        |      + greatest(0, acc % 2147483648 + x - 3)) AS acc
+        |  FROM arr)
+        |SELECT user_id, CAST(acc // 2147483648 AS BIGINT) AS max_cusum,
+        |  (acc // 2147483648) >= 8 AS alarmed
+        |FROM f ORDER BY user_id""".stripMargin,
     "q185_laggard_supplier" ->
       """WITH spo AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
         |multi AS (SELECT l_orderkey FROM spo GROUP BY 1 HAVING count(*) >= 2),

@@ -183,4 +183,29 @@ class SketchOpsSpec extends SparkSpec {
     // impossible; the estimate must fall back to an absent-cell zero
     assert(est == 0L)
   }
+
+  test("hll: daily-union estimate equals the monolithic sketch; within 5% of exact distinct") {
+    val e = graft.core.Tables(spark, sfDir).events
+    val inc = SketchOps.hllRollup(
+        SketchOps.hllBucketSketches(e, to_date($"ts"), "user_id"),
+        date_trunc("week", $"bucket"))
+      .select($"grp".cast("date").as("m"), $"est_distinct")
+      .as[(java.sql.Date, Long)].collect().toMap
+    val direct = SketchOps.hllRollup(
+        SketchOps.hllBucketSketches(e, date_trunc("week", $"ts"), "user_id"),
+        $"bucket")
+      .select($"grp".cast("date").as("m"), $"est_distinct")
+      .as[(java.sql.Date, Long)].collect().toMap
+    val exact = e.groupBy(date_trunc("week", $"ts").cast("date").as("m"))
+      .agg(countDistinct($"user_id").as("n"))
+      .as[(java.sql.Date, Long)].collect().toMap
+    assert(inc.nonEmpty && inc.keySet == exact.keySet)
+    // register-max union is deterministic: incremental == monolithic
+    assert(inc == direct, s"union of daily sketches diverged from direct: $inc vs $direct")
+    for ((m, est) <- inc) {
+      val n = exact(m).toDouble
+      assert(math.abs(est - n) <= 0.05 * n + 1,
+        s"week $m estimate $est too far from exact ${exact(m)}")
+    }
+  }
 }
