@@ -627,6 +627,33 @@ object RelOps {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Exact weighted median per group: the smallest value v (under the
+    * total order `valueCol`, then `tieCols`) whose cumulative weight
+    * reaches half the group's total — `2·cumw ≥ totw` in INTEGER
+    * arithmetic, no float division. The robust-location primitive the
+    * mean-based rails (σ-clip, winsorize) build on; weight = row
+    * multiplicity generalizes to frequency-table medians without
+    * expansion. Shape: one partitioned running-sum window + one
+    * group-total window over the SAME partitioning (one shuffle, two
+    * window passes Spark fuses over the sorted partition), then a
+    * struct-min argmin per group — fully partitioned, no global sort.
+    */
+  def weightedMedian(df: DataFrame, keys: Seq[String], valueCol: Column,
+                     weightCol: Column, tieCols: Seq[Column]): DataFrame = {
+    val kcols = keys.map(col)
+    val ord = valueCol +: tieCols
+    val wRun = Window.partitionBy(kcols: _*).orderBy(ord.map(_.asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(kcols: _*)
+    val ordAliased = valueCol.as("__v") +:
+      tieCols.zipWithIndex.map { case (c, i) => c.as(s"__t$i") }
+    df.withColumn("__cumw", sum(weightCol).over(wRun))
+      .withColumn("__totw", sum(weightCol).over(wAll))
+      .filter(lit(2L) * col("__cumw") >= col("__totw"))
+      .groupBy(kcols: _*)
+      .agg(min(struct(ordAliased: _*)).getField("__v").as("wmedian"))
+  }
+
   /** Exact 2-D Pareto frontier (skyline): the rows not STRICTLY
     * dominated on two maximize-objectives — B dominates A iff
     * `x_B ≥ x_A ∧ y_B ≥ y_A` with at least one strict; exact ties on

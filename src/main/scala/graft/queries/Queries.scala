@@ -2978,6 +2978,52 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** Exact quantity-weighted median + MAD of the extended price per
+    * return flag ([[graft.ops.RelOps.weightedMedian]]): the robust
+    * location/scale pair the mean-based rails (σ-clip q124, winsorize
+    * q140) cannot give — medians resist the heavy tail that moves a
+    * mean. All-integer halving rule (`2·cumw ≥ totw`), DECIMAL value
+    * arithmetic, fully partitioned windows (median shuffles once per
+    * pass on the group key, never globally). MAD re-runs the same
+    * median over |price − median| after a 3-row broadcast join.
+    */
+  def q189_weighted_median(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .select(col("l_returnflag"), dec(col("l_extendedprice")).as("price"),
+        col("l_quantity").cast("long").as("w"),
+        col("l_orderkey"), col("l_linenumber"))
+    val ties = Seq(col("l_orderkey"), col("l_linenumber"))
+    val med = graft.ops.RelOps.weightedMedian(
+      li, Seq("l_returnflag"), col("price"), col("w"), ties)
+    val dev = li.join(broadcast(med), "l_returnflag")
+      .withColumn("dev", abs(col("price") - col("wmedian")))
+    val mad = graft.ops.RelOps.weightedMedian(
+        dev, Seq("l_returnflag"), col("dev"), col("w"), ties)
+      .withColumnRenamed("wmedian", "mad")
+    med.join(mad, "l_returnflag")
+      .select(col("l_returnflag"), col("wmedian").cast("double").as("wmedian"),
+        col("mad").cast("double").as("mad"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Entity-resolution GROUPS from the edit-distance rail: q109's
+    * blocked Levenshtein near-dup pairs (lang + first-two-token
+    * blocking, banded distance ≤ 24) closed into connected components —
+    * the step that turns pairwise fuzzy matches into deduplicated
+    * entities, same CC machinery as q62/q65. Exact oracle: q109's pair
+    * SQL + the recursive-CTE transitive closure.
+    */
+  def q190_entity_groups(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val pairs = graft.dedup.Dedup.editDistancePairs(
+        graft.core.Graft.spread(d), "doc_id", "text", maxDist = 24,
+        blockCols = Seq("lang"))
+      .select("id_a", "id_b")
+    graft.dedup.Dedup.labelGroups(d, "doc_id", pairs, "id_a", "id_b")
+      .select(col("doc_id"), col("group").as("group_id"))
+      .orderBy("doc_id")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -3209,7 +3255,9 @@ object Queries {
     "q185_laggard_supplier" -> (q185_laggard_supplier _),
     "q186_inactive_rich" -> (q186_inactive_rich _),
     "q187_hll_distinct_ivm" -> (q187_hll_distinct_ivm _),
-    "q188_cusum_alarm" -> (q188_cusum_alarm _)
+    "q188_cusum_alarm" -> (q188_cusum_alarm _),
+    "q189_weighted_median" -> (q189_weighted_median _),
+    "q190_entity_groups" -> (q190_entity_groups _)
   )
 }
 
@@ -4918,6 +4966,51 @@ object Oracles {
         |  WHERE b.len >= a.len AND b.n_distinct >= a.n_distinct
         |    AND (b.len > a.len OR b.n_distinct > a.n_distinct))
         |ORDER BY doc_id""".stripMargin,
+    "q189_weighted_median" ->
+      """WITH li AS (SELECT l_returnflag AS f,
+        |    CAST(l_extendedprice AS DECIMAL(18,6)) AS price,
+        |    CAST(l_quantity AS BIGINT) AS w, l_orderkey AS ok, l_linenumber AS ln
+        |  FROM lineitem),
+        |m1 AS (SELECT f, price,
+        |    sum(w) OVER (PARTITION BY f ORDER BY price, ok, ln
+        |      ROWS UNBOUNDED PRECEDING) AS cumw,
+        |    sum(w) OVER (PARTITION BY f) AS totw FROM li),
+        |med AS (SELECT f, min(price) AS wm FROM m1
+        |        WHERE 2 * cumw >= totw GROUP BY f),
+        |d AS (SELECT li.f, abs(li.price - med.wm) AS dev, li.w, li.ok, li.ln
+        |      FROM li JOIN med ON li.f = med.f),
+        |m2 AS (SELECT f, dev,
+        |    sum(w) OVER (PARTITION BY f ORDER BY dev, ok, ln
+        |      ROWS UNBOUNDED PRECEDING) AS cumw,
+        |    sum(w) OVER (PARTITION BY f) AS totw FROM d),
+        |mad AS (SELECT f, min(dev) AS mad FROM m2
+        |        WHERE 2 * cumw >= totw GROUP BY f)
+        |SELECT med.f AS l_returnflag, CAST(med.wm AS DOUBLE) AS wmedian,
+        |  CAST(mad.mad AS DOUBLE) AS mad
+        |FROM med JOIN mad ON med.f = mad.f
+        |ORDER BY l_returnflag""".stripMargin,
+    "q190_entity_groups" ->
+      """WITH RECURSIVE
+        |dd AS (SELECT doc_id, text, lang,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |      FROM dd a JOIN dd b
+        |        ON a.lang = b.lang AND a.t[1] = b.t[1] AND a.t[2] = b.t[2]
+        |        AND a.doc_id < b.doc_id
+        |      WHERE levenshtein(a.text, b.text) <= 24),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+        |          UNION ALL SELECT id_b AS src, id_a AS dst FROM p),
+        |reach AS (
+        |  SELECT src AS id, dst AS r FROM edges
+        |  UNION
+        |  SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src
+        |)
+        |SELECT d2.doc_id,
+        |  CAST(coalesce(least(d2.doc_id, min(reach.r)), d2.doc_id) AS BIGINT)
+        |    AS group_id
+        |FROM documents d2 LEFT JOIN reach ON d2.doc_id = reach.id
+        |GROUP BY d2.doc_id ORDER BY d2.doc_id""".stripMargin,
     "q188_cusum_alarm" ->
       """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d,
         |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),

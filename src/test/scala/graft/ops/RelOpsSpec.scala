@@ -539,6 +539,18 @@ class RelOpsSpec extends SparkSpec {
     assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
   }
 
+  test("weightedMedian: halving rule, weights dominate, even split takes the lower median") {
+    val rows = Seq(
+      ("a", 1L, 1L, 1L), ("a", 2L, 1L, 2L), ("a", 3L, 1L, 3L), // plain median 2
+      ("b", 1L, 5L, 1L), ("b", 10L, 1L, 2L),                   // weight pulls to 1
+      ("c", 1L, 1L, 1L), ("c", 2L, 1L, 2L)                     // even: lower median 1
+    ).toDF("k", "v", "w", "tie")
+    val got = RelOps.weightedMedian(rows, Seq("k"), col("v"), col("w"),
+        Seq(col("tie")))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 2L, "b" -> 1L, "c" -> 1L), s"medians: $got")
+  }
+
   test("paretoFrontier2: crafted strict-dominance semantics incl. both-axes ties") {
     // (8,5) twice: exact ties on both axes all survive; (8,4) loses to
     // (8,5) same-x; (7,5) loses to (8,5) strictly-greater-x; (0,0)
