@@ -533,6 +533,29 @@ object RelOps {
     stacked.unionAll(dups)
   }
 
+  /** Referential-integrity orphan count: child rows whose `childKey`
+    * value has no match in `parent.parentKey` (NULL child keys are not
+    * orphans — SQL FK semantics). One anti-join per relationship; the
+    * parent side reduces to its distinct key column first, so the probe
+    * is key-sized (broadcastable for dimension parents).
+    */
+  def fkOrphans(child: DataFrame, childKey: String,
+                parent: DataFrame, parentKey: String): DataFrame =
+    child.filter(col(childKey).isNotNull)
+      .join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+
+  /** Functional-dependency violation count for `lhs → rhs`: the number
+    * of lhs values mapping to MORE than one distinct rhs — 0 iff the FD
+    * holds exactly. One hash aggregation; countDistinct per group stays
+    * map-side-combinable at any lhs cardinality.
+    */
+  def fdViolations(df: DataFrame, lhs: String, rhs: String): DataFrame =
+    df.groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("__n"))
+      .agg(coalesce(sum(when(col("__n") > 1, lit(1L)).otherwise(lit(0L))),
+        lit(0L)).as("violations"))
+
   def asOfJoin(left: DataFrame, right: DataFrame,
                leftKeys: Seq[String], rightKeys: Seq[String],
                leftId: String, leftTs: String, rightTs: String,

@@ -3024,6 +3024,43 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Schema-integrity audit across the warehouse: orphan counts for
+    * every foreign-key relationship ([[graft.ops.RelOps.fkOrphans]] —
+    * anti-joins against distinct parent keys) plus functional-dependency
+    * violation counts ([[graft.ops.RelOps.fdViolations]] — lhs values
+    * mapping to >1 distinct rhs). The constraint-validation sweep a
+    * 100 TB ingest runs before trusting joins; each relationship is one
+    * anti-join or one hash aggregation, stacked into a single report.
+    */
+  def q191_integrity_audit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    import graft.ops.RelOps.{fkOrphans, fdViolations}
+    val rows = Seq(
+      "fk_lineitem_orders" ->
+        fkOrphans(t.lineitem, "l_orderkey", t.orders, "o_orderkey"),
+      "fk_lineitem_part" ->
+        fkOrphans(t.lineitem, "l_partkey", t.part, "p_partkey"),
+      "fk_lineitem_supplier" ->
+        fkOrphans(t.lineitem, "l_suppkey", t.supplier, "s_suppkey"),
+      "fk_orders_customer" ->
+        fkOrphans(t.orders, "o_custkey", t.customer, "c_custkey"),
+      "fk_customer_nation" ->
+        fkOrphans(t.customer, "c_nationkey", t.nation, "n_nationkey"),
+      "fk_supplier_nation" ->
+        fkOrphans(t.supplier, "s_nationkey", t.nation, "n_nationkey"),
+      "fk_nation_region" ->
+        fkOrphans(t.nation, "n_regionkey", t.region, "r_regionkey"),
+      "fd_nation_to_region" ->
+        fdViolations(t.nation, "n_nationkey", "n_regionkey"),
+      "fd_order_to_customer" ->
+        fdViolations(t.orders, "o_orderkey", "o_custkey"),
+      "fd_doc_to_lang" ->
+        fdViolations(Tables(spark, dir).documents, "doc_id", "lang"))
+    rows.map { case (name, df) =>
+      df.select(lit(name).as("check_name"), col("violations"))
+    }.reduce(_ unionAll _).orderBy("check_name")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -3257,7 +3294,8 @@ object Queries {
     "q187_hll_distinct_ivm" -> (q187_hll_distinct_ivm _),
     "q188_cusum_alarm" -> (q188_cusum_alarm _),
     "q189_weighted_median" -> (q189_weighted_median _),
-    "q190_entity_groups" -> (q190_entity_groups _)
+    "q190_entity_groups" -> (q190_entity_groups _),
+    "q191_integrity_audit" -> (q191_integrity_audit _)
   )
 }
 
@@ -4966,6 +5004,48 @@ object Oracles {
         |  WHERE b.len >= a.len AND b.n_distinct >= a.n_distinct
         |    AND (b.len > a.len OR b.n_distinct > a.n_distinct))
         |ORDER BY doc_id""".stripMargin,
+    "q191_integrity_audit" ->
+      """WITH checks AS (
+        |  SELECT 'fk_lineitem_orders' AS check_name, CAST(count(*) AS BIGINT) AS violations
+        |    FROM lineitem WHERE l_orderkey IS NOT NULL
+        |      AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |  UNION ALL
+        |  SELECT 'fk_lineitem_part', CAST(count(*) AS BIGINT)
+        |    FROM lineitem WHERE l_partkey IS NOT NULL
+        |      AND l_partkey NOT IN (SELECT p_partkey FROM part)
+        |  UNION ALL
+        |  SELECT 'fk_lineitem_supplier', CAST(count(*) AS BIGINT)
+        |    FROM lineitem WHERE l_suppkey IS NOT NULL
+        |      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+        |  UNION ALL
+        |  SELECT 'fk_orders_customer', CAST(count(*) AS BIGINT)
+        |    FROM orders WHERE o_custkey IS NOT NULL
+        |      AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |  UNION ALL
+        |  SELECT 'fk_customer_nation', CAST(count(*) AS BIGINT)
+        |    FROM customer WHERE c_nationkey IS NOT NULL
+        |      AND c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+        |  UNION ALL
+        |  SELECT 'fk_supplier_nation', CAST(count(*) AS BIGINT)
+        |    FROM supplier WHERE s_nationkey IS NOT NULL
+        |      AND s_nationkey NOT IN (SELECT n_nationkey FROM nation)
+        |  UNION ALL
+        |  SELECT 'fk_nation_region', CAST(count(*) AS BIGINT)
+        |    FROM nation WHERE n_regionkey IS NOT NULL
+        |      AND n_regionkey NOT IN (SELECT r_regionkey FROM region)
+        |  UNION ALL
+        |  SELECT 'fd_nation_to_region', CAST(coalesce(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |    FROM (SELECT n_nationkey, count(DISTINCT n_regionkey) AS n
+        |          FROM nation GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'fd_order_to_customer', CAST(coalesce(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |    FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS n
+        |          FROM orders GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'fd_doc_to_lang', CAST(coalesce(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |    FROM (SELECT doc_id, count(DISTINCT lang) AS n
+        |          FROM documents GROUP BY 1))
+        |SELECT check_name, violations FROM checks ORDER BY check_name""".stripMargin,
     "q189_weighted_median" ->
       """WITH li AS (SELECT l_returnflag AS f,
         |    CAST(l_extendedprice AS DECIMAL(18,6)) AS price,
