@@ -3061,6 +3061,39 @@ object Queries {
     }.reduce(_ unionAll _).orderBy("check_name")
   }
 
+  /** Topic-dump round trip ([[graft.streaming.MessageCodec]]): the
+    * documents table is wrapped in the reference's message envelope
+    * (topic/partition/offset/key/JSON value — the shape a kasper topic
+    * dump has on disk), serialized to JSON lines with `to_json`,
+    * decoded back and REPLAYED (corrupt-drop + payload parse +
+    * partition/offset reorder). The oracle is the identity — plain
+    * SELECT from documents — so the entire encode→decode→parse→reorder
+    * chain is proven lossless (the q179 invariance discipline applied
+    * to the Kafka seam's serialization half, the part exercisable
+    * without a broker).
+    */
+  def q192_topic_replay(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val messages = d.select(
+      lit("documents").as("topic"),
+      (col("doc_id") % 4).cast("int").as("partition"),
+      col("doc_id").as("offset"),
+      col("doc_id").cast("string").as("key"),
+      to_json(struct(col("doc_id"), col("lang"), col("n_chars"))).as("value"))
+    val lines = graft.streaming.MessageCodec.encode(messages)
+    graft.streaming.MessageCodec.replay(lines,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_chars",
+            org.apache.spark.sql.types.LongType))))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("partition").cast("long").as("partition"), col("offset"))
+      .orderBy("doc_id")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -3295,7 +3328,8 @@ object Queries {
     "q188_cusum_alarm" -> (q188_cusum_alarm _),
     "q189_weighted_median" -> (q189_weighted_median _),
     "q190_entity_groups" -> (q190_entity_groups _),
-    "q191_integrity_audit" -> (q191_integrity_audit _)
+    "q191_integrity_audit" -> (q191_integrity_audit _),
+    "q192_topic_replay" -> (q192_topic_replay _)
   )
 }
 
@@ -5004,6 +5038,10 @@ object Oracles {
         |  WHERE b.len >= a.len AND b.n_distinct >= a.n_distinct
         |    AND (b.len > a.len OR b.n_distinct > a.n_distinct))
         |ORDER BY doc_id""".stripMargin,
+    "q192_topic_replay" ->
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(doc_id % 4 AS BIGINT) AS partition, doc_id AS offset
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q191_integrity_audit" ->
       """WITH checks AS (
         |  SELECT 'fk_lineitem_orders' AS check_name, CAST(count(*) AS BIGINT) AS violations

@@ -835,6 +835,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("MessageCodec: envelope round-trip, corrupt lines dropped, replay reorders by (partition, offset)") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val msgs = Seq(
+      ("t", 1, 5L, "k5", """{"a":5}"""),
+      ("t", 0, 2L, "k2", """{"a":2}"""),
+      ("t", 0, 1L, "k1", """{"a":1}"""))
+      .toDF("topic", "partition", "offset", "key", "value")
+    val lines = MessageCodec.encode(msgs)
+    // decode is the inverse of encode
+    val decoded = MessageCodec.decode(lines)
+      .as[(String, Int, Long, String, String)].collect().toSet
+    assert(decoded == Set(("t", 1, 5L, "k5", """{"a":5}"""),
+      ("t", 0, 2L, "k2", """{"a":2}"""), ("t", 0, 1L, "k1", """{"a":1}""")))
+    // a poison line never kills the replay; order is (partition, offset)
+    val withCorrupt = lines.unionAll(Seq("definitely not json {{{").toDF("line"))
+    val replayed = MessageCodec.replay(withCorrupt,
+        StructType(Seq(StructField("a", LongType))))
+      .select($"a", $"partition", $"offset").as[(Long, Int, Long)].collect().toSeq
+    assert(replayed == Seq((1L, 0, 1L), (2L, 0, 2L), (5L, 1, 5L)))
+  }
+
   test("metrics listener observes incoming rows (A16)") {
     val listener = new graft.metrics.GraftMetricsListener
     spark.streams.addListener(listener)
