@@ -662,7 +662,21 @@ object RelOps {
     * struct-min argmin per group — fully partitioned, no global sort.
     */
   def weightedMedian(df: DataFrame, keys: Seq[String], valueCol: Column,
-                     weightCol: Column, tieCols: Seq[Column]): DataFrame = {
+                     weightCol: Column, tieCols: Seq[Column]): DataFrame =
+    weightedQuantile(df, keys, valueCol, weightCol, tieCols, bp = 5000)
+      .withColumnRenamed("wquantile", "wmedian")
+
+  /** Exact weighted `bp`-basis-point quantile per group — the smallest
+    * value whose cumulative weight reaches the bp fraction of the
+    * group total, `10000·cumw ≥ bp·totw` in INTEGER arithmetic (the
+    * basis-point discipline of q99: no float division anywhere).
+    * bp = 5000 is [[weightedMedian]]; 2500/7500 give the exact IQR
+    * fences. Same fully-partitioned one-shuffle shape as the median.
+    */
+  def weightedQuantile(df: DataFrame, keys: Seq[String], valueCol: Column,
+                       weightCol: Column, tieCols: Seq[Column],
+                       bp: Int): DataFrame = {
+    require(bp >= 1 && bp <= 10000, s"bp must be in [1, 10000], got $bp")
     val kcols = keys.map(col)
     val ord = valueCol +: tieCols
     val wRun = Window.partitionBy(kcols: _*).orderBy(ord.map(_.asc): _*)
@@ -672,9 +686,9 @@ object RelOps {
       tieCols.zipWithIndex.map { case (c, i) => c.as(s"__t$i") }
     df.withColumn("__cumw", sum(weightCol).over(wRun))
       .withColumn("__totw", sum(weightCol).over(wAll))
-      .filter(lit(2L) * col("__cumw") >= col("__totw"))
+      .filter(lit(10000L) * col("__cumw") >= lit(bp.toLong) * col("__totw"))
       .groupBy(kcols: _*)
-      .agg(min(struct(ordAliased: _*)).getField("__v").as("wmedian"))
+      .agg(min(struct(ordAliased: _*)).getField("__v").as("wquantile"))
   }
 
   /** Exact 2-D Pareto frontier (skyline): the rows not STRICTLY

@@ -3094,6 +3094,64 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Exact weighted IQR per return flag
+    * ([[graft.ops.RelOps.weightedQuantile]] at 2500/7500 bp): the
+    * robust-scale companion to q189's median/MAD — quartile fences
+    * under the integer basis-point rule `10000·cumw ≥ bp·totw`,
+    * quantity-weighted, DECIMAL-exact. The (p25, p75, iqr) triple is
+    * what the winsorize/σ-clip rails would consume as robust fences.
+    */
+  def q193_weighted_iqr(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .select(col("l_returnflag"), dec(col("l_extendedprice")).as("price"),
+        col("l_quantity").cast("long").as("w"),
+        col("l_orderkey"), col("l_linenumber"))
+    val ties = Seq(col("l_orderkey"), col("l_linenumber"))
+    def q(bp: Int, name: String) = graft.ops.RelOps.weightedQuantile(
+        li, Seq("l_returnflag"), col("price"), col("w"), ties, bp)
+      .withColumnRenamed("wquantile", name)
+    q(2500, "p25").join(q(7500, "p75"), "l_returnflag")
+      .select(col("l_returnflag"), col("p25").cast("double").as("p25"),
+        col("p75").cast("double").as("p75"),
+        (col("p75") - col("p25")).cast("double").as("iqr"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Integer-exact Gini concentration of supplier revenue per nation:
+    * how unequally lineitem revenue distributes over a nation's
+    * suppliers — the skew diagnostic that says WHICH dimension needs
+    * the salted/skew-aware rails before a 100× scale-up. Computed from
+    * the rank formula `G = Σ(2i − n − 1)·x_i / (n·Σx)` with x sorted
+    * ascending per nation (partitioned window): numerator and
+    * denominator are EXACT DECIMAL integers on both engines, and the
+    * final division is one IEEE double op on identical inputs — so the
+    * statistic hash-checks despite being a ratio.
+    */
+  def q194_gini_concentration(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val rev = t.lineitem
+      .join(broadcast(t.supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"), col("s_suppkey"))
+      .agg(sum(dec(col("l_extendedprice"))).as("x"))
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("x"), col("s_suppkey"))
+    val ranked = rev.withColumn("i", row_number().over(w).cast("long"))
+    ranked.groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum((lit(2L) * col("i") - lit(1L)).cast("long") * col("x")).as("__a"),
+        sum(col("x")).as("__sx"))
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("n_suppliers"),
+        // both operands exact DECIMAL integers; ONE IEEE division on
+        // identical inputs hash-matches (decimal/decimal would round to
+        // engine-specific result scales)
+        ((col("__a") - col("n_suppliers") * col("__sx")).cast("double") /
+          (col("n_suppliers") * col("__sx")).cast("double")).as("gini"))
+      .orderBy("n_name")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -3329,7 +3387,9 @@ object Queries {
     "q189_weighted_median" -> (q189_weighted_median _),
     "q190_entity_groups" -> (q190_entity_groups _),
     "q191_integrity_audit" -> (q191_integrity_audit _),
-    "q192_topic_replay" -> (q192_topic_replay _)
+    "q192_topic_replay" -> (q192_topic_replay _),
+    "q193_weighted_iqr" -> (q193_weighted_iqr _),
+    "q194_gini_concentration" -> (q194_gini_concentration _)
   )
 }
 
@@ -5038,6 +5098,39 @@ object Oracles {
         |  WHERE b.len >= a.len AND b.n_distinct >= a.n_distinct
         |    AND (b.len > a.len OR b.n_distinct > a.n_distinct))
         |ORDER BY doc_id""".stripMargin,
+    "q193_weighted_iqr" ->
+      """WITH li AS (SELECT l_returnflag AS f,
+        |    CAST(l_extendedprice AS DECIMAL(18,6)) AS price,
+        |    CAST(l_quantity AS BIGINT) AS w, l_orderkey AS ok, l_linenumber AS ln
+        |  FROM lineitem),
+        |m AS (SELECT f, price,
+        |    sum(w) OVER (PARTITION BY f ORDER BY price, ok, ln
+        |      ROWS UNBOUNDED PRECEDING) AS cumw,
+        |    sum(w) OVER (PARTITION BY f) AS totw FROM li),
+        |p25 AS (SELECT f, min(price) AS p25 FROM m
+        |        WHERE 10000 * cumw >= 2500 * totw GROUP BY f),
+        |p75 AS (SELECT f, min(price) AS p75 FROM m
+        |        WHERE 10000 * cumw >= 7500 * totw GROUP BY f)
+        |SELECT p25.f AS l_returnflag, CAST(p25.p25 AS DOUBLE) AS p25,
+        |  CAST(p75.p75 AS DOUBLE) AS p75,
+        |  CAST(p75.p75 - p25.p25 AS DOUBLE) AS iqr
+        |FROM p25 JOIN p75 ON p25.f = p75.f
+        |ORDER BY l_returnflag""".stripMargin,
+    "q194_gini_concentration" ->
+      """WITH rev AS (SELECT s_nationkey, s_suppkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS x
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT s_nationkey, x,
+        |    CAST(row_number() OVER (PARTITION BY s_nationkey
+        |      ORDER BY x, s_suppkey) AS BIGINT) AS i FROM rev),
+        |g AS (SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
+        |    sum((2 * i - 1) * x) AS a, sum(x) AS sx
+        |  FROM r GROUP BY 1)
+        |SELECT n_name, n AS n_suppliers,
+        |  CAST(a - n * sx AS DOUBLE) / CAST(n * sx AS DOUBLE) AS gini
+        |FROM g JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY n_name""".stripMargin,
     "q192_topic_replay" ->
       """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
         |  CAST(doc_id % 4 AS BIGINT) AS partition, doc_id AS offset
