@@ -24,6 +24,41 @@ class StreamingSpec extends SparkSpec {
     assert(m == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
   }
 
+  test("stateful topology resumes from checkpoint: state survives restart, committed batches stay committed") {
+    // the kasper recovery story (RunLoop restart after Close/crash picks
+    // up from the committed offsets with the store intact), on Spark's
+    // checkpoint: a stateful word-count stopped and RESTARTED from the
+    // same checkpoint must (1) keep its running counts — state recovery
+    // — and (2) not re-emit batches whose offsets were committed —
+    // produce-before-commit. foreachBatch sink: memory-format queries
+    // refuse checkpoint recovery by design.
+    import StatefulOps.KeyCount
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_restart").toString
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    val in = MemoryStream[String]
+    def start() = StatefulOps.runningCount(in.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[KeyCount], bid: Long) =>
+        val rows = df.collect()
+        buf.synchronized { rows.foreach(k => buf += ((bid, k.key, k.count))) }
+        ()
+      }.start()
+    val q1 = start()
+    in.addData("a", "a", "b"); q1.processAllAvailable(); q1.stop()
+    val afterFirst = buf.toList
+    assert(afterFirst.map { case (_, k, c) => (k, c) }.toSet ==
+      Set(("a", 2L), ("b", 1L)))
+    val q2 = start()
+    in.addData("a", "b", "b"); q2.processAllAvailable(); q2.stop()
+    val newRows = buf.toList.drop(afterFirst.size)
+    assert(newRows.map { case (_, k, c) => (k, c) }.toSet ==
+      Set(("a", 3L), ("b", 3L)),
+      s"restart lost state or re-emitted committed data: $newRows")
+    assert(newRows.map(_._1).forall(bid => bid > afterFirst.map(_._1).max),
+      "batch ids must continue past the committed epoch after restart")
+  }
+
   test("latestByKey keeps the newest value per key across batches (KQ-11 streaming)") {
     val in = MemoryStream[StatefulOps.Keyed[String]]
     val q = StatefulOps.latestByKey(in.toDS())
