@@ -3152,6 +3152,36 @@ object Queries {
       .orderBy("n_name")
   }
 
+  /** Time-weighted average value per user — the metering/billing
+    * primitive (average balance, average gauge level): each event's
+    * value is held until the next event, so the mean weighs values by
+    * HELD DURATION, not by sample count (a value held for an hour
+    * counts 3600× one held a second — the plain avg() gets this
+    * wrong whenever sampling is irregular). Duration arithmetic in
+    * exact integer microseconds (`timestampdiff` — NTZ-safe, the q142
+    * rule), value·duration in exact DECIMAL, ONE IEEE division at the
+    * end on identical integers (the q194 ratio discipline). Users
+    * whose events all share one timestamp carry zero held time and are
+    * excluded (den > 0) rather than emitting NaN.
+    */
+  def q195_time_weighted_value(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val iv = e.select(col("user_id"), col("ts"), col("event_id"),
+        dec(col("value")).as("v"))
+      .withColumn("nts", lead(col("ts"), 1).over(w))
+      .filter(col("nts").isNotNull)
+      .withColumn("us", expr("timestampdiff(MICROSECOND, ts, nts)"))
+    iv.groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("v") * col("us")).as("__num"), sum(col("us")).as("__den"))
+      .filter(col("__den") > 0)
+      .select(col("user_id"), col("n_intervals"),
+        (col("__num").cast("double") / col("__den").cast("double"))
+          .as("twa_value"))
+      .orderBy("user_id")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -3389,7 +3419,8 @@ object Queries {
     "q191_integrity_audit" -> (q191_integrity_audit _),
     "q192_topic_replay" -> (q192_topic_replay _),
     "q193_weighted_iqr" -> (q193_weighted_iqr _),
-    "q194_gini_concentration" -> (q194_gini_concentration _)
+    "q194_gini_concentration" -> (q194_gini_concentration _),
+    "q195_time_weighted_value" -> (q195_time_weighted_value _)
   )
 }
 
@@ -5098,6 +5129,19 @@ object Oracles {
         |  WHERE b.len >= a.len AND b.n_distinct >= a.n_distinct
         |    AND (b.len > a.len OR b.n_distinct > a.n_distinct))
         |ORDER BY doc_id""".stripMargin,
+    "q195_time_weighted_value" ->
+      """WITH s AS (SELECT user_id, ts, event_id,
+        |    CAST(value AS DECIMAL(18,6)) AS v,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nts
+        |  FROM events),
+        |iv AS (SELECT user_id, v, CAST(epoch_us(nts - ts) AS BIGINT) AS us
+        |       FROM s WHERE nts IS NOT NULL),
+        |g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        |        sum(v * us) AS num, CAST(sum(us) AS BIGINT) AS den
+        |      FROM iv GROUP BY 1)
+        |SELECT user_id, n_intervals,
+        |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS twa_value
+        |FROM g WHERE den > 0 ORDER BY user_id""".stripMargin,
     "q193_weighted_iqr" ->
       """WITH li AS (SELECT l_returnflag AS f,
         |    CAST(l_extendedprice AS DECIMAL(18,6)) AS price,
