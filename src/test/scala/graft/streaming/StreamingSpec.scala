@@ -891,6 +891,40 @@ class StreamingSpec extends SparkSpec {
     assert(replayed == Seq((1L, 0, 1L), (2L, 0, 2L), (5L, 1, 5L)))
   }
 
+  test("chunkDedupGate state survives a checkpointed restart (transformWithState + RocksDB recovery)") {
+    // the recovery story for the FORWARD-path state API: a chunk seen
+    // before the restart must still be suppressed after it — the
+    // ValueState row comes back from the RocksDB checkpoint, not from
+    // reprocessing
+    import StatefulOps.ChunkRow
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    graft.core.Graft.useRocksDbStateStore(spark)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tws_restart").toString
+    val buf = scala.collection.mutable.ArrayBuffer.empty[ChunkRow]
+    try {
+      val in = MemoryStream[ChunkRow]
+      def start() = StatefulOps.chunkDedupGate(in.toDS())
+        .writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[ChunkRow], _: Long) =>
+          val rows = df.collect()
+          buf.synchronized { buf ++= rows }
+          ()
+        }.start()
+      val q1 = start()
+      in.addData(ChunkRow(1L, 0L, "a b c")); q1.processAllAvailable(); q1.stop()
+      assert(buf.toList == List(ChunkRow(1L, 0L, "a b c")))
+      val q2 = start()
+      in.addData(ChunkRow(2L, 0L, "a b c"), ChunkRow(2L, 1L, "n e w"))
+      q2.processAllAvailable(); q2.stop()
+      assert(buf.toList.drop(1) == List(ChunkRow(2L, 1L, "n e w")),
+        s"recovered state failed to suppress the replayed chunk: $buf")
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("metrics listener observes incoming rows (A16)") {
     val listener = new graft.metrics.GraftMetricsListener
     spark.streams.addListener(listener)
