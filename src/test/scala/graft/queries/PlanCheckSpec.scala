@@ -225,6 +225,26 @@ class PlanCheckSpec extends SparkSpec {
     }
   }
 
+  test("q194 gini: supplier dim broadcast into the fact scan, no SMJ") {
+    val p = plans("q194_gini_concentration")
+    assert(p.contains("BroadcastHashJoin"), s"supplier join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"lineitem shuffled against a 100-row dim:\n$p")
+  }
+
+  test("q189/q193/q195 robust-stats windows are all partitioned") {
+    for (name <- Seq("q189_weighted_median", "q193_weighted_iqr",
+        "q195_time_weighted_value")) {
+      val unpartitioned = Queries.all(name)(spark, sfDir)
+        .queryExecution.executedPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+        }
+      assert(unpartitioned.isEmpty,
+        s"$name contains a single-partition Window")
+    }
+  }
+
   test("q180 min-cost supplier: dims broadcast, no fact-side SMJ") {
     val p = plans("q180_min_cost_supplier")
     assert(p.contains("BroadcastHashJoin"), s"dim chain not broadcast:\n$p")
