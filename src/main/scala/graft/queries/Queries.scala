@@ -3182,6 +3182,33 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** Benford leading-digit audit of the money column: the observed
+    * first-digit distribution of l_extendedprice — the classic
+    * fabricated-data / unit-mix-up screen (natural multiplicative data
+    * follows log10(1+1/d); uniform synthetic data does not, and the
+    * report makes either visible). Exactness: the price is first made
+    * an exact integer (DECIMAL micros — leading digits are invariant
+    * under ×10ᵏ), and the digit is `m div 10^(len(m)−1)` — string
+    * LENGTH of a BIGINT is engine-consistent where formatting a DOUBLE
+    * is not, and every 10ᵏ up to 10²² is exactly representable, so the
+    * whole audit is integer-exact. Shares are exact counts under one
+    * IEEE division (the q194 ratio rule).
+    */
+  def q196_benford_audit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .select(expr("CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
+        .as("m"))
+      .filter(col("m") > 0)
+    val tot = li.agg(count(lit(1)).as("__n"))
+    li.withColumn("digit",
+        expr("m div CAST(pow(10, length(CAST(m AS STRING)) - 1) AS BIGINT)"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        (col("n").cast("double") / col("__n").cast("double")).as("share"))
+      .orderBy("digit")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -3420,7 +3447,8 @@ object Queries {
     "q192_topic_replay" -> (q192_topic_replay _),
     "q193_weighted_iqr" -> (q193_weighted_iqr _),
     "q194_gini_concentration" -> (q194_gini_concentration _),
-    "q195_time_weighted_value" -> (q195_time_weighted_value _)
+    "q195_time_weighted_value" -> (q195_time_weighted_value _),
+    "q196_benford_audit" -> (q196_benford_audit _)
   )
 }
 
@@ -5129,6 +5157,17 @@ object Oracles {
         |  WHERE b.len >= a.len AND b.n_distinct >= a.n_distinct
         |    AND (b.len > a.len OR b.n_distinct > a.n_distinct))
         |ORDER BY doc_id""".stripMargin,
+    "q196_benford_audit" ->
+      """WITH m AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 1000000
+        |    AS BIGINT) AS m FROM lineitem),
+        |p AS (SELECT m FROM m WHERE m > 0),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p),
+        |d AS (SELECT m // CAST(pow(10, length(CAST(m AS VARCHAR)) - 1) AS BIGINT)
+        |        AS digit FROM p)
+        |SELECT digit, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) AS DOUBLE) / CAST(t.n AS DOUBLE) AS share
+        |FROM d CROSS JOIN t GROUP BY digit, t.n
+        |ORDER BY digit""".stripMargin,
     "q195_time_weighted_value" ->
       """WITH s AS (SELECT user_id, ts, event_id,
         |    CAST(value AS DECIMAL(18,6)) AS v,
