@@ -3209,6 +3209,42 @@ object Queries {
       .orderBy("digit")
   }
 
+  /** Decile lift/gain table for a ranking signal: corpus documents
+    * ranked by length (the q60 quality-model proxy signal) and cut into
+    * exact integer deciles via [[graft.ops.ScaleOps.globalRank]]
+    * (`(g−1)·10 div N + 1` — no ntile, no single-partition sort), then
+    * scored against ground truth (benchmark contamination, the q47
+    * labels): per decile the positive count, precision, and cumulative
+    * recall (gain). THE model-evaluation rail — how much of the target
+    * the top-k% of a ranking captures — with every cell either an exact
+    * integer or one IEEE division of exact integers (the q194 rule).
+    */
+  def q197_lift_table(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val universe = d.filter(col("doc_id") >= 50)
+    val pos = graft.ops.CorpusOps.decontaminate(
+        universe, d.filter(col("doc_id") < 50), "doc_id", "text", n = 4)
+      .select(col("id").as("doc_id")).withColumn("__p", lit(1L))
+    val ranked = graft.ops.ScaleOps.globalRank(
+        universe.select(col("doc_id"), col("n_chars").cast("long").as("len")),
+        "g", Seq(col("len").desc, col("doc_id").asc))
+      .crossJoin(broadcast(universe.agg(count(lit(1)).as("__N"))))
+      .withColumn("decile", expr("(g - 1) * 10 div __N + 1"))
+    val byDecile = ranked.join(pos, Seq("doc_id"), "left")
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("__p")), lit(0L)).as("n_pos"))
+    val w = Window.orderBy("decile") // 10 rows — bounded by construction
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDecile
+      .withColumn("__cum", sum(col("n_pos")).over(w))
+      .crossJoin(broadcast(byDecile.agg(sum(col("n_pos")).as("__tot"))))
+      .select(col("decile"), col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("prec"),
+        (col("__cum").cast("double") / col("__tot").cast("double")).as("cum_gain"))
+      .orderBy("decile")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -3448,7 +3484,8 @@ object Queries {
     "q193_weighted_iqr" -> (q193_weighted_iqr _),
     "q194_gini_concentration" -> (q194_gini_concentration _),
     "q195_time_weighted_value" -> (q195_time_weighted_value _),
-    "q196_benford_audit" -> (q196_benford_audit _)
+    "q196_benford_audit" -> (q196_benford_audit _),
+    "q197_lift_table" -> (q197_lift_table _)
   )
 }
 
@@ -5157,6 +5194,37 @@ object Oracles {
         |  WHERE b.len >= a.len AND b.n_distinct >= a.n_distinct
         |    AND (b.len > a.len OR b.n_distinct > a.n_distinct))
         |ORDER BY doc_id""".stripMargin,
+    "q197_lift_table" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
+        |       FROM toks CROSS JOIN unnest(generate_series(1, len(t)-3)) AS u(i)
+        |       WHERE len(t) >= 4
+        |       UNION
+        |       SELECT doc_id, array_to_string(t, ' ') AS g FROM toks WHERE len(t) < 4),
+        |held AS (SELECT DISTINCT g FROM sh WHERE doc_id < 50),
+        |pos AS (SELECT DISTINCT s.doc_id FROM sh s JOIN held USING (g)
+        |        WHERE s.doc_id >= 50),
+        |u2 AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS len FROM documents
+        |       WHERE doc_id >= 50),
+        |t2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u2),
+        |r AS (SELECT doc_id,
+        |        CAST(row_number() OVER (ORDER BY len DESC, doc_id) AS BIGINT) AS g
+        |      FROM u2),
+        |dec AS (SELECT r.doc_id, (r.g - 1) * 10 // t2.n + 1 AS decile
+        |        FROM r CROSS JOIN t2),
+        |bd AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(coalesce(sum(CASE WHEN p.doc_id IS NOT NULL THEN 1 END), 0)
+        |           AS BIGINT) AS n_pos
+        |       FROM dec LEFT JOIN pos p ON dec.doc_id = p.doc_id GROUP BY decile),
+        |f AS (SELECT decile, n, n_pos,
+        |        sum(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cum,
+        |        sum(n_pos) OVER () AS tot FROM bd)
+        |SELECT decile, n, n_pos,
+        |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS prec,
+        |  CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_gain
+        |FROM f ORDER BY decile""".stripMargin,
     "q196_benford_audit" ->
       """WITH m AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 1000000
         |    AS BIGINT) AS m FROM lineitem),
