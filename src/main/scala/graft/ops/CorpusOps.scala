@@ -202,13 +202,17 @@ object CorpusOps {
     * rounds in SQL.
     *
     * Scale shape: the corpus gram stream is computed ONCE and cached;
-    * each round is one anti-join against the covered-gram set (itself
-    * the union of ≤ k winner gram sets — bounded, broadcastable) + one
-    * map-side-combinable count + a 1-row argmax collect. k rounds = k
-    * jobs over the (cached) gram stream — linear in k, never quadratic
-    * in corpus size. Returns (round, id, gain) for the k winners
-    * (fewer rows when the corpus runs out of uncovered grams first —
-    * every remaining gain would be 0 and selection stops).
+    * each round is one anti-join against the covered-gram set — held as
+    * a DRIVER-side set (the union of ≤ k winner gram sets, bounded and
+    * broadcast-sized by contract) so round r costs two bounded jobs
+    * over the cached gram stream (argmax + the winner's gram fetch),
+    * never re-executing prior rounds' unions (the uncached
+    * unionAll+distinct chain was O(k²) recompute with a per-round
+    * growing lineage). k rounds = 2k jobs — linear in k, never
+    * quadratic in corpus size (job count spec-asserted). Returns
+    * (round, id, gain) for the k winners (fewer rows when the corpus
+    * runs out of uncovered grams first — every remaining gain would be
+    * 0 and selection stops).
     */
   def coverageSelect(df: DataFrame, idCol: String, textCol: String,
                      n: Int, k: Int): DataFrame = {
@@ -216,16 +220,17 @@ object CorpusOps {
     val spark = df.sparkSession
     import spark.implicits._
     val grams = graft.core.Graft.spread(df)
-      .select(col(idCol).as("id"),
+      .select(col(idCol).cast("long").as("id"), // int ids welcome too
         explode(TextFunctions.shingles(col(textCol), n)).as("g"))
       .distinct()
       .cache()
-    var covered = spark.emptyDataset[String].toDF("g")
+    var covered = Set.empty[String]
     val winners = Seq.newBuilder[(Long, Long, Long)]
     var round = 1L
     var exhausted = false
     while (round <= k && !exhausted) {
-      val top = grams.join(broadcast(covered), Seq("g"), "left_anti")
+      val coveredDf = spark.createDataset(covered.toSeq).toDF("g")
+      val top = grams.join(broadcast(coveredDf), Seq("g"), "left_anti")
         .groupBy("id").agg(count(lit(1)).as("gain"))
         .orderBy(col("gain").desc, col("id").asc)
         .limit(1).collect()
@@ -233,12 +238,12 @@ object CorpusOps {
       else {
         val id = top(0).getLong(0)
         winners += ((round, id, top(0).getLong(1)))
-        covered = covered
-          .unionAll(grams.filter(col("id") === id).select("g"))
-          .distinct()
+        covered ++= grams.filter(col("id") === id).select("g")
+          .collect().map(_.getString(0))
         round += 1
       }
     }
+    grams.unpersist(blocking = false)
     winners.result().toDF("round", "id", "gain")
   }
 

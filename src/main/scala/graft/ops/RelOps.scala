@@ -223,20 +223,23 @@ object RelOps {
     * Z-order audit is the multi-column sibling). Integer min/max +
     * counts → exact oracle.
     *
-    * The file assignment `(row_number over layout − 1) div rowsPerFile`
-    * is a global window — correct for an AUDIT (file layout is a total
-    * order by definition) and run at audit scale, not inside a data
-    * pipeline. Output: one row (n_files, files_pruned) for the
+    * The file assignment `(rank over layout − 1) div rowsPerFile` is a
+    * layout TOTAL order — exactly [[graft.ops.ScaleOps.globalRank]]'s
+    * contract, so the rank is range-partitioned (never the
+    * single-partition Window a bare `row_number() OVER (ORDER BY …)`
+    * compiles to: the audited frame is data-sized even when audits run
+    * rarely). Output: one row (n_files, files_pruned) for the
     * predicate `loInclusive ≤ xCol ≤ hiInclusive`.
     */
   def zoneMapAudit(df: DataFrame, xCol: String, layout: Seq[Column],
                    rowsPerFile: Int, loInclusive: Long,
                    hiInclusive: Long): DataFrame = {
     require(rowsPerFile > 0, s"rowsPerFile must be positive, got $rowsPerFile")
-    val w = Window.orderBy(layout: _*)
-    df.select(col(xCol).cast("long").as("x"),
-        (row_number().over(w) - 1).cast("long").as("rn"))
-      .select(col("x"), expr(s"rn div $rowsPerFile").as("fid"))
+    val base = df.select((col(xCol).cast("long").as("x") +:
+      layout.zipWithIndex.map { case (c, i) => c.as(s"__l$i") }): _*)
+    graft.ops.ScaleOps.globalRank(base, "__rnk",
+        layout.indices.map(i => col(s"__l$i")))
+      .select(col("x"), expr(s"(__rnk - 1) div $rowsPerFile").as("fid"))
       .groupBy("fid").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
       .agg(count(lit(1)).as("n_files"),
         sum(when(col("mx") < loInclusive || col("mn") > hiInclusive, 1L)
@@ -349,10 +352,10 @@ object RelOps {
     * Reports the maximum number of simultaneously active
     * sessions and the earliest instant it is reached — the peak-load
     * number capacity planning reads off an event log. The running sum
-    * is a global window over 2·|sessions| delta rows (session-sized,
-    * not event-sized; an audit-scale total order like
-    * [[zoneMapAudit]]'s). Integer counts and microsecond timestamps →
-    * exact.
+    * over the 2·|sessions| delta rows is corpus-sized, so it runs on
+    * [[graft.ops.ScaleOps.globalRunningSum]] (range-partitioned, exact
+    * — never a single-partition Window). Integer counts and
+    * microsecond timestamps → exact.
     * Output: one row (max_concurrent, at_ts).
     */
   def concurrencyPeak(df: DataFrame, keyCol: String, tsCol: String,
@@ -374,12 +377,18 @@ object RelOps {
         when(col("e") === col("s"),
           col("e") + expr("INTERVAL 1 MICROSECOND")).otherwise(col("e")).as("ts"),
         lit(-1L).as("d")))
-    val w = Window.orderBy(col("ts"), col("d"))
-      .rowsBetween(Window.unboundedPreceding, 0)
+    // the sweep's running sum is CORPUS-sized (2 rows per session) — a
+    // bare Window.orderBy would serialize it into one task at scale, so
+    // it rides ScaleOps.globalRunningSum (range-partitioned deltas +
+    // broadcast per-partition running-sum offsets; exact under the
+    // (ts, d) total order — the −1-sorts-first tie rule is preserved
+    // because d is part of the range key AND the local order).
     // run is read twice (max + the peak filter): cache it, or the whole
     // sessionize+sweep pipeline re-executes per reference (the DAG-reuse
     // rule)
-    val run = deltas.select(col("ts"), sum(col("d")).over(w).as("c")).cache()
+    val run = graft.ops.ScaleOps.globalRunningSum(
+        deltas, col("d"), Seq(col("ts"), col("d")), "c")
+      .select(col("ts"), col("c")).cache()
     val mx = run.agg(max(col("c")).as("m"))
     run.crossJoin(broadcast(mx)).filter(col("c") === col("m"))
       .agg(max(col("m")).as("max_concurrent"), min(col("ts")).as("at_ts"))
@@ -668,27 +677,56 @@ object RelOps {
 
   /** Exact weighted `bp`-basis-point quantile per group — the smallest
     * value whose cumulative weight reaches the bp fraction of the
-    * group total, `10000·cumw ≥ bp·totw` in INTEGER arithmetic (the
-    * basis-point discipline of q99: no float division anywhere).
-    * bp = 5000 is [[weightedMedian]]; 2500/7500 give the exact IQR
-    * fences. Same fully-partitioned one-shuffle shape as the median.
+    * group total, `10000·cumw ≥ bp·totw` in exact arithmetic (the
+    * basis-point discipline of q99: no float division anywhere; both
+    * products are widened to DECIMAL(38,0) so no weight sum can wrap a
+    * BIGINT under ANSI-off). bp = 5000 is [[weightedMedian]];
+    * 2500/7500 give the exact IQR fences.
+    * One-quantile convenience over [[weightedQuantiles]].
     */
   def weightedQuantile(df: DataFrame, keys: Seq[String], valueCol: Column,
                        weightCol: Column, tieCols: Seq[Column],
-                       bp: Int): DataFrame = {
-    require(bp >= 1 && bp <= 10000, s"bp must be in [1, 10000], got $bp")
+                       bp: Int): DataFrame =
+    weightedQuantiles(df, keys, valueCol, weightCol, tieCols,
+      Seq(bp -> "wquantile"))
+
+  /** Several exact weighted quantiles per group in ONE pass — each
+    * `(bp, outCol)` emits the smallest value whose cumulative weight
+    * reaches `bp` basis points of the group total. The cumulative sum
+    * is [[graft.ops.ScaleOps.groupedRunningSum]] — range-partitioned
+    * WITHIN each group, so parallelism is the partition count, not the
+    * group count (a window partitioned by a 3-value key serializes n/3
+    * rows per task: a straggler by construction at 100×). Group totals
+    * come from a map-side-combinable aggregate joined back (never a
+    * whole-group window), and all `bp` fences are conditional argmins
+    * inside ONE final aggregation, so asking for p25 AND p75 costs one
+    * pass, not two. `(valueCol, tieCols)` must total-order rows within
+    * a group.
+    */
+  def weightedQuantiles(df: DataFrame, keys: Seq[String], valueCol: Column,
+                        weightCol: Column, tieCols: Seq[Column],
+                        bps: Seq[(Int, String)]): DataFrame = {
+    require(bps.nonEmpty, "weightedQuantiles needs at least one (bp, name)")
+    bps.foreach { case (bp, _) =>
+      require(bp >= 1 && bp <= 10000, s"bp must be in [1, 10000], got $bp")
+    }
     val kcols = keys.map(col)
-    val ord = valueCol +: tieCols
-    val wRun = Window.partitionBy(kcols: _*).orderBy(ord.map(_.asc): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(kcols: _*)
-    val ordAliased = valueCol.as("__v") +:
-      tieCols.zipWithIndex.map { case (c, i) => c.as(s"__t$i") }
-    df.withColumn("__cumw", sum(weightCol).over(wRun))
-      .withColumn("__totw", sum(weightCol).over(wAll))
-      .filter(lit(10000L) * col("__cumw") >= lit(bp.toLong) * col("__totw"))
-      .groupBy(kcols: _*)
-      .agg(min(struct(ordAliased: _*)).getField("__v").as("wquantile"))
+    val base = df.select((kcols :+ valueCol.as("__v") :+ weightCol.as("__w")) ++
+      tieCols.zipWithIndex.map { case (c, i) => c.as(s"__t$i") }: _*)
+    val ord = col("__v") +: tieCols.indices.map(i => col(s"__t$i"))
+    val withCum = graft.ops.ScaleOps.groupedRunningSum(
+      base, keys, col("__w"), ord.map(_.asc), "__cumw")
+    val tot = base.groupBy(kcols: _*).agg(sum(col("__w")).as("__totw"))
+    val ordStruct = struct(col("__v").as("__v") +:
+      tieCols.indices.map(i => col(s"__t$i").as(s"__t$i")): _*)
+    val dec = "decimal(38,0)"
+    val aggs = bps.map { case (bp, name) =>
+      min(when(col("__cumw").cast(dec) * lit(10000L) >=
+          col("__totw").cast(dec) * lit(bp.toLong), ordStruct))
+        .getField("__v").as(name)
+    }
+    withCum.join(tot, keys)
+      .groupBy(kcols: _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Exact 2-D Pareto frontier (skyline): the rows not STRICTLY
@@ -721,12 +759,13 @@ object RelOps {
     val spark = df.sparkSession
     val np = if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df
+    // read twice: partition maxes + the filtered output; tracked for
+    // ScaleOps.release()
+    val ranged = ScaleOps.trackCache(df
       .withColumn("__x", col(xCol).cast("long"))
       .withColumn("__y", col(yCol).cast("long"))
       .repartitionByRange(np, col("__x"))
-      .withColumn("__pid", spark_partition_id())
-      .cache() // read twice: partition maxes + the filtered output
+      .withColumn("__pid", spark_partition_id()))
     val maxes = ranged.groupBy("__pid").agg(max(col("__y")).as("__my"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     // suffixAbove(p) = max y over all partitions STRICTLY above p

@@ -11,6 +11,30 @@ import org.apache.spark.sql.functions._
   */
 object ScaleOps {
 
+  // Frames cached inside the range-partition ops (globalRank /
+  // globalRunningSum / paretoFrontier2) are registered here so
+  // long-lived sessions can release them without a blanket
+  // clearCache(): Verify/Bench clear everything between queries, but a
+  // library caller composing many rank passes in one session calls
+  // [[release]] once the results are materialized.
+  private val trackedCaches =
+    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private[ops] def trackCache(df: DataFrame): DataFrame = synchronized {
+    val cached = df.cache()
+    trackedCaches += cached
+    cached
+  }
+
+  /** Unpersist every frame cached by the range-partition ops. Safe to
+    * call after the op results are materialized (or discarded); lazy
+    * downstream plans re-compute from source if re-executed later.
+    */
+  def release(): Unit = synchronized {
+    trackedCaches.foreach(_.unpersist(blocking = false))
+    trackedCaches.clear()
+  }
+
   /** Two-phase salted aggregation for skewed grouping keys: rows fan out
     * over `buckets` sub-keys (map-side), partials combine per (key, salt),
     * then a second cheap aggregation merges the partials per key. Use for
@@ -303,9 +327,10 @@ object ScaleOps {
     val spark = df.sparkSession
     val np = if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df.repartitionByRange(np, orderCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .cache() // referenced twice: counts + ranked output (DAG-reuse rule)
+    // referenced twice: counts + ranked output (DAG-reuse rule); tracked
+    // for release()
+    val ranged = trackCache(df.repartitionByRange(np, orderCols: _*)
+      .withColumn("__pid", spark_partition_id()))
     val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until np).scanLeft(0L) { (acc, p) =>
@@ -323,6 +348,123 @@ object ScaleOps {
     ranged.join(broadcast(offsetDf), "__pid")
       .withColumn(rankCol, row_number().over(w).cast("long") + col("__off"))
       .drop("__pid", "__off")
+  }
+
+  /** Distributed global prefix (running) sum under a TOTAL order — the
+    * [[globalRank]] discipline applied to `sum(value) OVER (ORDER BY …
+    * ROWS UNBOUNDED PRECEDING)`, which a bare `Window.orderBy` would
+    * serialize into one partition: range-repartition on the order
+    * columns, sum each partition's values (one collect bounded by the
+    * partition count), broadcast the cumulative per-partition offsets
+    * back, and add each partition's offset to its LOCAL running sum.
+    * Exact because equal keys co-locate under range partitioning and
+    * the local order within a partition extends to the global order
+    * across them. `orderCols` must be a total order or tied rows'
+    * intermediate sums are nondeterministic (the final value past the
+    * tie group is always exact). `valueCol` must be integral (LONG
+    * running sums; offsets are exact).
+    *
+    * Output: the input columns plus `outCol`. Internally caches the
+    * ranged frame (two reads); released via clearCache()/[[release]].
+    */
+  def globalRunningSum(df: DataFrame, valueCol: org.apache.spark.sql.Column,
+                       orderCols: Seq[org.apache.spark.sql.Column],
+                       outCol: String, partitions: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "globalRunningSum needs an order column")
+    val spark = df.sparkSession
+    val np = if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = trackCache(df.repartitionByRange(np, orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__grsv", valueCol.cast("long")))
+    val sums = ranged.groupBy("__pid").agg(sum(col("__grsv")).as("__s"))
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .toMap
+    val offsets = (0 until np).scanLeft(0L) { (acc, p) =>
+      acc + sums.getOrElse(p, 0L)
+    }
+    val offsetDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (0 until np).map(p => org.apache.spark.sql.Row(p, offsets(p))), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__pid",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("__off",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offsetDf), "__pid")
+      .withColumn(outCol, sum(col("__grsv")).over(w) + col("__off"))
+      .drop("__pid", "__off", "__grsv")
+  }
+
+  /** PER-GROUP running sum whose parallelism does NOT degrade to the
+    * group count — the fix for `sum(w) OVER (PARTITION BY k ORDER BY v)`
+    * when `k` has few values (a 3-value key "partitions" the window but
+    * serializes n/3 rows per task — a straggler by construction at
+    * 100×). Shape: range-repartition on (keys ++ orderCols) — each
+    * partition holds a contiguous slice of the grouped order, groups
+    * split across partition boundaries stay ordered — then per-
+    * (partition, group) partial sums (one map-side-combinable pass),
+    * cumulative offsets per group via a window over that TINY frame
+    * (≤ partitions rows per group), and the heavy running sum runs
+    * partitioned by (partition, group). No collect at all: the offset
+    * frame is group-cardinality-sized and joins back on the same
+    * (partition, group) key the heavy window shuffles on, so the join's
+    * exchange is reused by the window. `orderCols` must total-order
+    * rows within a group. `valueCol` must be integral.
+    *
+    * Output: input columns plus `outCol`.
+    */
+  def groupedRunningSum(df: DataFrame, keys: Seq[String],
+                        valueCol: org.apache.spark.sql.Column,
+                        orderCols: Seq[org.apache.spark.sql.Column],
+                        outCol: String, partitions: Int = 0): DataFrame = {
+    require(keys.nonEmpty, "groupedRunningSum needs group keys")
+    require(orderCols.nonEmpty, "groupedRunningSum needs an order column")
+    val spark = df.sparkSession
+    val np = if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val kcols = keys.map(col)
+    val ranged = df.repartitionByRange(np, (kcols ++ orderCols): _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__grsv", valueCol.cast("long"))
+    val parts = ranged.groupBy((col("__pid") +: kcols): _*)
+      .agg(sum(col("__grsv")).as("__ps"))
+    val wOff = Window.partitionBy(kcols: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = parts
+      .withColumn("__off", coalesce(sum(col("__ps")).over(wOff), lit(0L)))
+      .drop("__ps")
+    val wRun = Window.partitionBy((col("__pid") +: kcols): _*)
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(offs, "__pid" +: keys)
+      .withColumn(outCol, sum(col("__grsv")).over(wRun) + col("__off"))
+      .drop("__pid", "__grsv", "__off")
+  }
+
+  /** Exact SQL `ntile(k)` bucket computed from a 1-based global rank and
+    * the row count — so an equal-fill tile table can ride [[globalRank]]
+    * instead of the single-partition Window a bare `ntile(k) OVER
+    * (ORDER BY …)` compiles to. Standard ntile semantics: with
+    * `n = rem·(s+1) + (k−rem)·s` (`s = n div k`, `rem = n mod k`) the
+    * first `rem` buckets hold `s+1` rows — NOT the `ceil(k·rank/n)`
+    * approximation, which disagrees whenever `k ∤ n`. Pure integer
+    * arithmetic (spec-checked against Spark's own ntile at n mod k ≠ 0).
+    */
+  def ntileFromRank(rankCol: String, nCol: String, k: Int):
+      org.apache.spark.sql.Column = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // rem = n mod k buckets of size s+1 first, then buckets of size s;
+    // all integer `div` arithmetic (identical on both engines).
+    expr(
+      s"""CASE WHEN $rankCol <= ($nCol % $k) * ($nCol div $k + 1)
+         |  THEN ($rankCol + $nCol div $k) div ($nCol div $k + 1)
+         |  ELSE $nCol % $k
+         |    + ($rankCol - ($nCol % $k) * ($nCol div $k + 1) + $nCol div $k - 1)
+         |      div ($nCol div $k)
+         |END""".stripMargin)
   }
 
   def skewAwareSum(df: DataFrame, keys: Seq[String], valueCol: String,

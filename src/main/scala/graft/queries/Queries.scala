@@ -2307,21 +2307,30 @@ object Queries {
     graft.ops.RelOps.concurrencyPeak(Tables(spark, dir).events,
       "user_id", "ts", "event_id")
 
-  /** Length-decile calibration table: global ntile(10) buckets over the
+  /** Length-decile calibration table: exact ntile(10) buckets over the
     * (token count, doc_id) total order, each decile reporting its size,
     * boundary lengths, and mean BPE-token estimate — the
     * bucket-vs-feature calibration read before length-conditioned
-    * sampling. ntile's equal-fill semantics agree across engines on a
-    * total order; integer sums + one division → exact. Global window at
-    * audit scale (the q147 exception).
+    * sampling. The tile assignment rides
+    * [[graft.ops.ScaleOps.globalRank]] +
+    * [[graft.ops.ScaleOps.ntileFromRank]] (the exact equal-fill
+    * formula, NOT `ceil(10·rank/n)` — they disagree when 10 ∤ n), so
+    * the frame is never a single-partition Window; the DuckDB oracle
+    * keeps its plain `ntile(10) OVER` form and still hash-matches.
+    * Integer sums + one division → exact.
     */
   def q155_length_deciles(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.TextFunctions
-    val t = graft.core.Graft.spread(Tables(spark, dir).documents)
+    val d = Tables(spark, dir).documents
+    val t = graft.core.Graft.spread(d)
       .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("nt"),
         TextFunctions.bpeTokenCount(col("text")).as("bt"))
-    val w = Window.orderBy(col("nt"), col("doc_id"))
-    t.withColumn("decile", ntile(10).over(w).cast("long"))
+    // doc count from the raw table (no tokenization pass), broadcast in
+    val n = d.agg(count(lit(1)).as("__N"))
+    graft.ops.ScaleOps.globalRank(t, "g", Seq(col("nt").asc, col("doc_id").asc))
+      .crossJoin(broadcast(n))
+      .withColumn("decile",
+        graft.ops.ScaleOps.ntileFromRank("g", "__N", 10).cast("long"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n"), min(col("nt")).as("min_nt"),
         max(col("nt")).as("max_nt"), sum(col("bt")).as("sum_bt"))
@@ -2884,7 +2893,11 @@ object Queries {
     val late = li
       .join(t.orders.select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
-      .filter(col("l_shipdate") > date_add(col("o_orderdate"), 90))
+      // interval arithmetic, NOT date_add: date_add truncates the
+      // timestamp to DATE while the DuckDB oracle's `+ INTERVAL 90 DAY`
+      // preserves time-of-day — they only agree while order dates are
+      // midnight-aligned (the events-nanos lesson, pre-empted)
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"))
       .select("l_orderkey", "l_suppkey").distinct()
     val sole = late.groupBy("l_orderkey")
       .agg(count(lit(1)).as("n_late"), max(col("l_suppkey")).as("l_suppkey"))
@@ -2967,6 +2980,16 @@ object Queries {
     daily.groupBy("user_id")
       .agg(expr("transform(sort_array(collect_list(struct(d, n))), s -> s.n)")
         .as("xs"))
+      // packed-radix guard: S_t and max(S) are bounded by the user's
+      // total daily count, so the 2³¹ radix is exact iff that total
+      // fits — enforce it (assert_true returns NULL on pass, throws on
+      // violation) instead of wrapping both packed components silently
+      // (both engines wrap identically, so the oracle could not catch it)
+      .filter(assert_true(
+        expr("aggregate(xs, 0L, (a, x) -> a + x)") < lit(2147483648L),
+        lit("q188 CUSUM: per-user total daily count >= 2^31 — packed " +
+          "radix would overflow; widen the radix before scaling up"))
+        .isNull)
       .withColumn("acc", expr(
         """aggregate(xs, 0L, (acc, x) ->
           |  greatest(acc div 2147483648L,
@@ -3095,7 +3118,7 @@ object Queries {
   }
 
   /** Exact weighted IQR per return flag
-    * ([[graft.ops.RelOps.weightedQuantile]] at 2500/7500 bp): the
+    * ([[graft.ops.RelOps.weightedQuantiles]] at 2500/7500 bp): the
     * robust-scale companion to q189's median/MAD — quartile fences
     * under the integer basis-point rule `10000·cumw ≥ bp·totw`,
     * quantity-weighted, DECIMAL-exact. The (p25, p75, iqr) triple is
@@ -3107,10 +3130,10 @@ object Queries {
         col("l_quantity").cast("long").as("w"),
         col("l_orderkey"), col("l_linenumber"))
     val ties = Seq(col("l_orderkey"), col("l_linenumber"))
-    def q(bp: Int, name: String) = graft.ops.RelOps.weightedQuantile(
-        li, Seq("l_returnflag"), col("price"), col("w"), ties, bp)
-      .withColumnRenamed("wquantile", name)
-    q(2500, "p25").join(q(7500, "p75"), "l_returnflag")
+    // both fences in ONE cumulative-weight pass (conditional argmins in
+    // a single aggregation — not two full quantile machines joined)
+    graft.ops.RelOps.weightedQuantiles(li, Seq("l_returnflag"),
+        col("price"), col("w"), ties, Seq(2500 -> "p25", 7500 -> "p75"))
       .select(col("l_returnflag"), col("p25").cast("double").as("p25"),
         col("p75").cast("double").as("p75"),
         (col("p75") - col("p25")).cast("double").as("iqr"))
@@ -3243,6 +3266,38 @@ object Queries {
         (col("n_pos").cast("double") / col("n").cast("double")).as("prec"),
         (col("__cum").cast("double") / col("__tot").cast("double")).as("cum_gain"))
       .orderBy("decile")
+  }
+
+  /** Grouped robust price fences at REALISTIC group cardinality
+    * ([[graft.ops.RelOps.weightedQuantiles]]): quantity-weighted
+    * p25/p50/p75 of the extended price per (supplier nation × ship
+    * month) — hundreds of groups (vs q189/q193's 3-value key), so this
+    * is the rung that demonstrates the de-skewed quantile path at
+    * non-degenerate cardinality: the cumulative weight rides the
+    * range-partitioned (pid, group) window and all three fences come
+    * out of ONE pass. Integer basis-point rule, DECIMAL values, dims
+    * broadcast → exact oracle.
+    */
+  def q198_grouped_quantiles(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val li = t.lineitem
+      .join(broadcast(t.supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        date_trunc("month", col("l_shipdate")).cast("date").as("month"),
+        dec(col("l_extendedprice")).as("price"),
+        col("l_quantity").cast("long").as("w"),
+        col("l_orderkey"), col("l_linenumber"))
+    graft.ops.RelOps.weightedQuantiles(li, Seq("n_name", "month"),
+        col("price"), col("w"), Seq(col("l_orderkey"), col("l_linenumber")),
+        Seq(2500 -> "p25", 5000 -> "p50", 7500 -> "p75"))
+      .select(col("n_name"), col("month"),
+        col("p25").cast("double").as("p25"),
+        col("p50").cast("double").as("p50"),
+        col("p75").cast("double").as("p75"))
+      .orderBy("n_name", "month")
   }
 
   /** End-to-end curation pipeline — the CorpusOps stages composed the
@@ -3485,7 +3540,8 @@ object Queries {
     "q194_gini_concentration" -> (q194_gini_concentration _),
     "q195_time_weighted_value" -> (q195_time_weighted_value _),
     "q196_benford_audit" -> (q196_benford_audit _),
-    "q197_lift_table" -> (q197_lift_table _)
+    "q197_lift_table" -> (q197_lift_table _),
+    "q198_grouped_quantiles" -> (q198_grouped_quantiles _)
   )
 }
 
@@ -5225,6 +5281,26 @@ object Oracles {
         |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS prec,
         |  CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_gain
         |FROM f ORDER BY decile""".stripMargin,
+    "q198_grouped_quantiles" ->
+      """WITH li AS (SELECT n_name,
+        |    CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+        |    CAST(l_extendedprice AS DECIMAL(18,6)) AS price,
+        |    CAST(l_quantity AS BIGINT) AS w, l_orderkey AS ok, l_linenumber AS ln
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey),
+        |m AS (SELECT n_name, month, price,
+        |    sum(w) OVER (PARTITION BY n_name, month ORDER BY price, ok, ln
+        |      ROWS UNBOUNDED PRECEDING) AS cumw,
+        |    sum(w) OVER (PARTITION BY n_name, month) AS totw FROM li),
+        |q AS (SELECT n_name, month,
+        |    min(CASE WHEN 10000 * cumw >= 2500 * totw THEN price END) AS p25,
+        |    min(CASE WHEN 10000 * cumw >= 5000 * totw THEN price END) AS p50,
+        |    min(CASE WHEN 10000 * cumw >= 7500 * totw THEN price END) AS p75
+        |  FROM m GROUP BY 1, 2)
+        |SELECT n_name, month, CAST(p25 AS DOUBLE) AS p25,
+        |  CAST(p50 AS DOUBLE) AS p50, CAST(p75 AS DOUBLE) AS p75
+        |FROM q ORDER BY n_name, month""".stripMargin,
     "q196_benford_audit" ->
       """WITH m AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 1000000
         |    AS BIGINT) AS m FROM lineitem),

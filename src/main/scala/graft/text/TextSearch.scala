@@ -199,10 +199,13 @@ object TextSearch {
       // inputCap makes the top-k-list contract STRUCTURAL: the global
       // rank window below is a single-partition sort, safe on a
       // bounded list and a silent serialization hazard on a corpus —
-      // the ordered limit bounds what can ever reach it (and ranks
-      // beyond the cap cannot alter the fused top-k ordering anyway:
-      // 1/(c+rank) contributions that small only break ties the id
-      // tiebreak already resolves deterministically).
+      // the ordered limit bounds what can ever reach it. This is an
+      // APPROXIMATION when an input list is longer than inputCap: a doc
+      // ranked ≤ cap in one list and > cap in another loses that
+      // list's ~1/(c+cap) contribution, which can reorder non-tied
+      // neighbors whose fused scores differ by less. Exact fusion
+      // requires inputCap ≥ the longest input list (the hash-checked
+      // q178 path fuses bounded 20-row lists, well under the cap).
       val bounded = df.orderBy(col(scoreCol).desc, col(idCol).asc).limit(inputCap)
       bounded.select(col(idCol).as("id"),
           (lit(1.0) / (lit(c.toDouble) + row_number().over(w))).as("rrf"))

@@ -153,6 +153,34 @@ class CorpusOpsSpec extends SparkSpec {
     assert(t2 == Seq((1L, 20L, 2L), (2L, 22L, 1L)), s"tie-break mismatch: $t2")
   }
 
+  test("coverageSelect: constant jobs per round (driver-held covered set, no growing lineage)") {
+    // the O(k) contract: round r must NOT re-execute rounds 1..r−1's
+    // unions — each round is the argmax job + the winner-gram fetch
+    // (plus the round-1 cache materialization), so 6 rounds stay well
+    // under the old O(k²) recompute's job count
+    val docs = (1L to 40L)
+      .map(i => (i, (0 until 6).map(j => s"w${(i * 7 + j * 11) % 83}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val tracker = spark.sparkContext.statusTracker
+    val before = tracker.getJobIdsForGroup(null).length
+    val got = CorpusOps.coverageSelect(docs, "doc_id", "text", n = 1, k = 6)
+      .collect()
+    val jobs = tracker.getJobIdsForGroup(null).length - before
+    spark.catalog.clearCache()
+    assert(got.length == 6, s"expected 6 rounds, got ${got.length}")
+    // a small constant per round (argmax + winner fetch + AQE/broadcast
+    // bookkeeping jobs) — the bound is the REGRESSION guard against a
+    // per-round growing lineage re-planning prior rounds
+    assert(jobs <= 36, s"expected a constant ~4-5 jobs per round for 6 rounds, ran $jobs")
+    // int ids are welcome (the id column casts up front)
+    val intIds = Seq((1, "a b"), (2, "c")).toDF("doc_id", "text")
+      .withColumn("doc_id", $"doc_id".cast("int"))
+    val viaInt = CorpusOps.coverageSelect(intIds, "doc_id", "text", n = 1, k = 2)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    spark.catalog.clearCache()
+    assert(viaInt == Seq((1L, 1L, 2L), (2L, 2L, 1L)), s"int-id run: $viaInt")
+  }
+
   test("decontamBloom: zero false negatives vs the exact hashed-gram join; FP rate bounded") {
     val d = graft.core.Tables(spark, sfDir).documents
     val corpus = d.filter($"doc_id" >= 50)

@@ -551,6 +551,38 @@ class RelOpsSpec extends SparkSpec {
     assert(got == Map("a" -> 2L, "b" -> 1L, "c" -> 1L), s"medians: $got")
   }
 
+  test("weightedQuantiles: one-pass multi-bp matches the brute-force rule on dense ties") {
+    // low-cardinality groups × dense value ties: the de-skew rewrite must
+    // not disturb the integer basis-point rule at ANY partition split
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 600L).map { i =>
+      (s"g${i % 3}", rnd.nextInt(12).toLong, rnd.nextInt(9).toLong + 1L, i)
+    }
+    def brute(bp: Long): Map[String, Long] =
+      rows.groupBy(_._1).map { case (k, rs) =>
+        val sorted = rs.sortBy { case (_, v, _, tie) => (v, tie) }
+        val tot = sorted.map(_._3).sum
+        var cum = 0L
+        k -> sorted.collectFirst {
+          case (_, v, w, _) if { cum += w; 10000L * cum >= bp * tot } => v
+        }.get
+      }
+    val df = rows.toDF("k", "v", "w", "tie").repartition(7)
+    for (np <- Seq(1, 4, 32)) {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", np)
+      try {
+        val got = RelOps.weightedQuantiles(df, Seq("k"), col("v"), col("w"),
+            Seq(col("tie")), Seq(2500 -> "p25", 5000 -> "p50", 7500 -> "p75"))
+          .as[(String, Long, Long, Long)].collect()
+          .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+        val expected = rows.map(_._1).distinct.map(k =>
+          k -> ((brute(2500)(k), brute(5000)(k), brute(7500)(k)))).toMap
+        assert(got == expected, s"shuffle.partitions=$np: $got vs $expected")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+  }
+
   test("paretoFrontier2: crafted strict-dominance semantics incl. both-axes ties") {
     // (8,5) twice: exact ties on both axes all survive; (8,4) loses to
     // (8,5) same-x; (7,5) loses to (8,5) strictly-greater-x; (0,0)

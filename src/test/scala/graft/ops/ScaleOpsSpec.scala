@@ -232,15 +232,117 @@ class ScaleOpsSpec extends SparkSpec {
     // the scale contract itself: every Window in the plan is partitioned
     val ranked = ScaleOps.globalRank(df, "rank",
       Seq(col("score").asc, col("id").asc), partitions = 8)
-    val unpartitioned = ranked.queryExecution.executedPlan.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec
-          if w.partitionSpec.isEmpty => w
-    }
+    val unpartitioned = windowNodes(ranked).filter(_.partitionSpec.isEmpty)
     assert(unpartitioned.isEmpty,
       "globalRank must never plan a single-partition Window")
     // explicit partition count: same ranks (offsets re-derive)
     val got8 = ranked.select("id", "rank").as[(Long, Long)].collect().toMap
     spark.catalog.clearCache()
     assert(got8 == expected)
+  }
+
+  test("globalRunningSum equals the single-partition prefix sum at 1/8/32 partitions, no unpartitioned Window") {
+    // signed deltas (the concurrencyPeak sweep shape) with heavy ts ties
+    val df = spark.range(0, 800)
+      .select((col("id") * 2654435761L % 59).as("ts"),
+        (when(col("id") % 3 === 0, -1L).otherwise(1L)).as("d"),
+        col("id"))
+    // ties on (ts, d) all carry the same delta, so the FINAL value after
+    // each (ts, d) group is order-independent: compare the running sum
+    // at group boundaries (the only deterministic cut points)
+    def boundarySums(run: Map[(Long, Long, Long), Long]): Map[(Long, Long), Long] =
+      run.groupBy { case ((ts, d, _), _) => (ts, d) }
+        .map { case (k @ (_, d), m) =>
+          // the tie group's last running value: sums rise for d>0, fall
+          // for d<0 — either way the extreme is the deterministic
+          // boundary value
+          k -> (if (d > 0) m.values.max else m.values.min)
+        }
+    val rows = (0L until 800L)
+      .map(i => (i * 2654435761L % 59, if (i % 3 == 0) -1L else 1L, i))
+      .sortBy { case (ts, d, _) => (ts, d) }
+    var acc = 0L
+    val expected = boundarySums(rows.map { case (ts, d, i) =>
+      acc += d; ((ts, d, i), acc)
+    }.toMap)
+    for (np <- Seq(1, 8, 32)) {
+      val got = ScaleOps.globalRunningSum(df, col("d"),
+          Seq(col("ts").asc, col("d").asc), "c", partitions = np)
+        .select("ts", "d", "id", "c")
+        .as[(Long, Long, Long, Long)].collect()
+        .map { case (ts, d, i, c) => ((ts, d, i), c) }.toMap
+      spark.catalog.clearCache()
+      assert(boundarySums(got) == expected, s"partitions=$np diverged")
+    }
+    val plan = ScaleOps.globalRunningSum(df, col("d"),
+      Seq(col("ts").asc, col("d").asc), "c", partitions = 8)
+    val unpartitioned = windowNodes(plan).filter(_.partitionSpec.isEmpty)
+    spark.catalog.clearCache()
+    assert(unpartitioned.isEmpty,
+      "globalRunningSum must never plan a single-partition Window")
+  }
+
+  test("groupedRunningSum equals the per-group prefix sum under a total order, at 1/8/32 partitions") {
+    // 3 groups × many rows: the weightedQuantile shape where PARTITION BY
+    // group alone would serialize a third of the data per task
+    val df = spark.range(0, 900)
+      .select((col("id") % 3).cast("string").as("k"),
+        (col("id") * 2654435761L % 47).as("v"),
+        col("id"), (col("id") % 7 + 1).as("w"))
+    val expected = (0L until 900L)
+      .map(i => (i % 3, i * 2654435761L % 47, i, i % 7 + 1))
+      .groupBy(_._1).flatMap { case (_, rows) =>
+        var acc = 0L
+        rows.sortBy { case (_, v, i, _) => (v, i) }.map { case (k, v, i, w) =>
+          acc += w; (k.toString, i) -> acc
+        }
+      }.toMap
+    for (np <- Seq(1, 8, 32)) {
+      val got = ScaleOps.groupedRunningSum(df, Seq("k"), col("w"),
+          Seq(col("v").asc, col("id").asc), "cum", partitions = np)
+        .select("k", "id", "cum").as[(String, Long, Long)].collect()
+        .map { case (k, i, c) => (k, i) -> c }.toMap
+      assert(got == expected, s"partitions=$np diverged")
+    }
+    // the de-skew contract: the heavy running-sum window is partitioned
+    // by MORE than the group key (pid + group), and nothing is
+    // single-partition
+    val windows = windowNodes(ScaleOps.groupedRunningSum(df, Seq("k"),
+      col("w"), Seq(col("v").asc, col("id").asc), "cum", partitions = 8))
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "groupedRunningSum must never plan a single-partition Window")
+    assert(windows.exists(_.partitionSpec.size >= 2),
+      "the heavy running-sum window must partition by (pid, group), not group alone")
+  }
+
+  test("ntileFromRank matches Spark's ntile exactly, including n mod k != 0 and n < k") {
+    import org.apache.spark.sql.expressions.Window
+    for (n <- Seq(7L, 10L, 12L, 103L, 1000L)) {
+      val df = spark.range(0, n)
+        .select(col("id"), (col("id") * 2654435761L % 31).as("s"))
+      val w = Window.orderBy(col("s"), col("id"))
+      val viaNtile = df.withColumn("t", ntile(10).over(w).cast("long"))
+        .select("id", "t").as[(Long, Long)].collect().toMap
+      val viaRank = ScaleOps.globalRank(df, "g", Seq(col("s").asc, col("id").asc))
+        .withColumn("__N", lit(n))
+        .withColumn("t", ScaleOps.ntileFromRank("g", "__N", 10).cast("long"))
+        .select("id", "t").as[(Long, Long)].collect().toMap
+      spark.catalog.clearCache()
+      assert(viaRank == viaNtile, s"n=$n: formula disagrees with ntile")
+    }
+  }
+
+  test("ScaleOps.release unpersists the frames the range ops cached") {
+    val df = spark.range(0, 100).select(col("id"), (col("id") % 5).as("s"))
+    ScaleOps.globalRank(df, "r", Seq(col("s").asc, col("id").asc)).count()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "globalRank should have cached its ranged frame")
+    ScaleOps.release()
+    // unpersist is async (blocking = false): poll briefly
+    val deadline = System.nanoTime() + 5e9.toLong
+    while (spark.sparkContext.getPersistentRDDs.nonEmpty
+        && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "release() must clear every tracked cache")
   }
 }

@@ -245,6 +245,34 @@ class PlanCheckSpec extends SparkSpec {
     }
   }
 
+  test("q189/q193 cumulative-weight windows partition beyond the 3-value group key") {
+    // the weightedQuantiles de-skew contract: the heavy running sum must
+    // ride (range-partition-id, group), never the bare group key — a
+    // 3-way-parallel window is a straggler by construction at 100×
+    for (name <- Seq("q189_weighted_median", "q193_weighted_iqr")) {
+      val windows = windowNodes(Queries.all(name)(spark, sfDir))
+      assert(windows.exists(_.partitionSpec.size >= 2),
+        s"$name lost the (pid, group) partitioning on its running sum")
+    }
+  }
+
+  test("q154/q155/q147 corpus-sized rank/prefix-sum windows are never single-partition") {
+    // the three round-8 offenders, rewritten onto globalRank /
+    // globalRunningSum: the sweep-line prefix sum (q154), the decile
+    // assignment (q155), and the zone-map file id (q147). Bounded
+    // exceptions elsewhere stay allowed by design and are NOT in this
+    // list: rrfFuse ranks a ≤inputCap list after an ordered limit, q197
+    // windows over exactly 10 decile rows, per-shard one-row windows.
+    for (name <- Seq("q154_peak_concurrency", "q155_length_deciles",
+        "q147_zonemap")) {
+      val unpartitioned = windowNodes(Queries.all(name)(spark, sfDir))
+        .filter(_.partitionSpec.isEmpty)
+      spark.catalog.clearCache() // globalRank/globalRunningSum cache
+      assert(unpartitioned.isEmpty,
+        s"$name contains a single-partition Window")
+    }
+  }
+
   test("q180 min-cost supplier: dims broadcast, no fact-side SMJ") {
     val p = plans("q180_min_cost_supplier")
     assert(p.contains("BroadcastHashJoin"), s"dim chain not broadcast:\n$p")
