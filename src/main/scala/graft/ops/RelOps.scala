@@ -711,12 +711,18 @@ object RelOps {
       require(bp >= 1 && bp <= 10000, s"bp must be in [1, 10000], got $bp")
     }
     val kcols = keys.map(col)
+    // groupedRunningSum scans its input three times (bounds sample,
+    // partials, the windowed output) — deliberately UNCACHED: the
+    // projection is pruned-scan-cheap, and measured caching of this
+    // frame costs more than the rescans (cache upstream lineage instead
+    // if it is expensive, the q189 med.cache pattern)
     val base = df.select((kcols :+ valueCol.as("__v") :+ weightCol.as("__w")) ++
       tieCols.zipWithIndex.map { case (c, i) => c.as(s"__t$i") }: _*)
     val ord = col("__v") +: tieCols.indices.map(i => col(s"__t$i"))
+    // cumulative AND total come out of ONE groupedRunningSum pass (the
+    // totals derive from its per-bucket partials — no input rescan)
     val withCum = graft.ops.ScaleOps.groupedRunningSum(
-      base, keys, col("__w"), ord.map(_.asc), "__cumw")
-    val tot = base.groupBy(kcols: _*).agg(sum(col("__w")).as("__totw"))
+      base, keys, col("__w"), ord, "__cumw", totalCol = Some("__totw"))
     val ordStruct = struct(col("__v").as("__v") +:
       tieCols.indices.map(i => col(s"__t$i").as(s"__t$i")): _*)
     val dec = "decimal(38,0)"
@@ -725,8 +731,7 @@ object RelOps {
           col("__totw").cast(dec) * lit(bp.toLong), ordStruct))
         .getField("__v").as(name)
     }
-    withCum.join(tot, keys)
-      .groupBy(kcols: _*).agg(aggs.head, aggs.tail: _*)
+    withCum.groupBy(kcols: _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Exact 2-D Pareto frontier (skyline): the rows not STRICTLY

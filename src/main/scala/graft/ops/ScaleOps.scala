@@ -402,46 +402,98 @@ object ScaleOps {
     * group count — the fix for `sum(w) OVER (PARTITION BY k ORDER BY v)`
     * when `k` has few values (a 3-value key "partitions" the window but
     * serializes n/3 rows per task — a straggler by construction at
-    * 100×). Shape: range-repartition on (keys ++ orderCols) — each
-    * partition holds a contiguous slice of the grouped order, groups
-    * split across partition boundaries stay ordered — then per-
-    * (partition, group) partial sums (one map-side-combinable pass),
-    * cumulative offsets per group via a window over that TINY frame
-    * (≤ partitions rows per group), and the heavy running sum runs
-    * partitioned by (partition, group). No collect at all: the offset
-    * frame is group-cardinality-sized and joins back on the same
-    * (partition, group) key the heavy window shuffles on, so the join's
-    * exchange is reused by the window. `orderCols` must total-order
-    * rows within a group. `valueCol` must be integral.
+    * 100×).
     *
-    * Output: input columns plus `outCol`.
+    * Shape (ONE full-data shuffle — the same movement as the skewed
+    * window it replaces, but with buckets × groups parallelism):
+    *  1. sampled range bounds of the LEADING order column — a
+    *     deterministic hash-ranked TakeOrdered of ≤ 200·partitions rows
+    *     (bounded driver memory at any input size; arithmetic hash, no
+    *     RNG, so every execution buckets identically — deliberately NOT
+    *     `repartitionByRange` + `spark_partition_id()`, whose sampled
+    *     bounds are not guaranteed to agree across the two executions a
+    *     multi-reference plan makes);
+    *  2. each row's range bucket is a codegen'd chain of
+    *     `when(v ≥ bound)` adds — a PURE monotone function of the
+    *     order value, so equal values always co-bucket and per-(bucket,
+    *     group) running sums extend to the global per-group order
+    *     exactly;
+    *  3. per-(bucket, group) partial sums — map-side-combinable on the
+    *     INPUT partitioning (only combined partials shuffle; the tiny
+    *     partials frame is cached — read for offsets and totals);
+    *  4. cumulative offsets per group over that tiny frame, BROADCAST
+    *     back (bucket×group-cardinality rows — broadcastable precisely
+    *     in the low-group-cardinality regime this op exists for);
+    *  5. the heavy running sum, partitioned by (bucket, group) — the
+    *     single full shuffle.
+    *
+    * `orderCols` are PLAIN columns (ascending order is applied here)
+    * and must total-order rows within a group; `valueCol` must be
+    * integral; order columns must be non-null. A single order-value
+    * dominating a group still serializes (range bucketing cannot split
+    * equal keys — salt upstream if one value exceeds ~1/partitions of a
+    * group). The input is scanned three times (bounds sample, partials,
+    * the windowed output) — cache upstream lineage if it is expensive
+    * (the DAG-reuse rule).
+    *
+    * `totalCol` (optional) also attaches each group's TOTAL sum —
+    * computed for free from the partials already in hand, so callers
+    * needing cumulative AND total (every quantile rule is
+    * `cum ≥ frac·total`) never rescan the input.
+    *
+    * Output: input columns plus `outCol` (and `totalCol` if requested).
     */
   def groupedRunningSum(df: DataFrame, keys: Seq[String],
                         valueCol: org.apache.spark.sql.Column,
                         orderCols: Seq[org.apache.spark.sql.Column],
-                        outCol: String, partitions: Int = 0): DataFrame = {
+                        outCol: String, partitions: Int = 0,
+                        totalCol: Option[String] = None): DataFrame = {
     require(keys.nonEmpty, "groupedRunningSum needs group keys")
     require(orderCols.nonEmpty, "groupedRunningSum needs an order column")
     val spark = df.sparkSession
     val np = if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val kcols = keys.map(col)
-    val ranged = df.repartitionByRange(np, (kcols ++ orderCols): _*)
-      .withColumn("__pid", spark_partition_id())
+    val lead = orderCols.head
+    // 1. deterministic sampled bounds (collect bounded by 200·np)
+    val values = df
+      .select(lead.as("__sv"), xxhash64((kcols ++ orderCols): _*).as("__sh"))
+      .orderBy(col("__sh"), col("__sv")).limit(np * 200)
+      .select("__sv").orderBy(col("__sv")).collect()
+      .map(_.get(0))
+    val step = math.max(1, values.length / np)
+    val bounds = values.indices.collect {
+      case i if i > 0 && i % step == 0 => values(i)
+    }.distinct
+    // 2. codegen'd monotone bucket assignment (pure function — every
+    // execution of every reference agrees)
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(lead >= lit(b), 1).otherwise(0)
+    }
+    val bucketed = df.withColumn("__gb", bucket)
       .withColumn("__grsv", valueCol.cast("long"))
-    val parts = ranged.groupBy((col("__pid") +: kcols): _*)
-      .agg(sum(col("__grsv")).as("__ps"))
-    val wOff = Window.partitionBy(kcols: _*).orderBy(col("__pid"))
+    // 3. map-side-combinable partials; tiny by construction, cached
+    // (read for offsets + totals; released via clearCache()/[[release]])
+    val parts = trackCache(bucketed.groupBy((col("__gb") +: kcols): _*)
+      .agg(sum(col("__grsv")).as("__ps")))
+    // 4. per-group cumulative offsets over the tiny partials frame
+    val wOff = Window.partitionBy(kcols: _*).orderBy(col("__gb"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = parts
       .withColumn("__off", coalesce(sum(col("__ps")).over(wOff), lit(0L)))
-      .drop("__ps")
-    val wRun = Window.partitionBy((col("__pid") +: kcols): _*)
-      .orderBy(orderCols: _*)
+    val offsPlus = (totalCol match {
+      case Some(tc) =>
+        offs.join(parts.groupBy(kcols: _*).agg(sum(col("__ps")).as(tc)), keys)
+      case None => offs
+    }).drop("__ps")
+    // 5. the one full shuffle: broadcast offsets in, window by
+    // (bucket, group)
+    val wRun = Window.partitionBy((col("__gb") +: kcols): _*)
+      .orderBy(orderCols.map(_.asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged.join(offs, "__pid" +: keys)
+    bucketed.join(broadcast(offsPlus), "__gb" +: keys)
       .withColumn(outCol, sum(col("__grsv")).over(wRun) + col("__off"))
-      .drop("__pid", "__grsv", "__off")
+      .drop("__gb", "__grsv", "__off")
   }
 
   /** Exact SQL `ntile(k)` bucket computed from a 1-based global rank and

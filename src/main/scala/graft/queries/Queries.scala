@@ -3016,8 +3016,12 @@ object Queries {
         col("l_quantity").cast("long").as("w"),
         col("l_orderkey"), col("l_linenumber"))
     val ties = Seq(col("l_orderkey"), col("l_linenumber"))
+    // med is 3 rows with the WHOLE pass-1 quantile machinery as lineage,
+    // and the MAD pass references it through frames that are themselves
+    // read more than once — cache it or pass 1 re-executes per reference
+    // (the DAG-reuse rule; Verify/Bench clearCache() releases it)
     val med = graft.ops.RelOps.weightedMedian(
-      li, Seq("l_returnflag"), col("price"), col("w"), ties)
+      li, Seq("l_returnflag"), col("price"), col("w"), ties).cache()
     val dev = li.join(broadcast(med), "l_returnflag")
       .withColumn("dev", abs(col("price") - col("wmedian")))
     val mad = graft.ops.RelOps.weightedMedian(

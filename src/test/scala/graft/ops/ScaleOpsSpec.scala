@@ -299,7 +299,7 @@ class ScaleOpsSpec extends SparkSpec {
       }.toMap
     for (np <- Seq(1, 8, 32)) {
       val got = ScaleOps.groupedRunningSum(df, Seq("k"), col("w"),
-          Seq(col("v").asc, col("id").asc), "cum", partitions = np)
+          Seq(col("v"), col("id")), "cum", partitions = np)
         .select("k", "id", "cum").as[(String, Long, Long)].collect()
         .map { case (k, i, c) => (k, i) -> c }.toMap
       assert(got == expected, s"partitions=$np diverged")
@@ -308,7 +308,7 @@ class ScaleOpsSpec extends SparkSpec {
     // by MORE than the group key (pid + group), and nothing is
     // single-partition
     val windows = windowNodes(ScaleOps.groupedRunningSum(df, Seq("k"),
-      col("w"), Seq(col("v").asc, col("id").asc), "cum", partitions = 8))
+      col("w"), Seq(col("v"), col("id")), "cum", partitions = 8))
     assert(windows.forall(_.partitionSpec.nonEmpty),
       "groupedRunningSum must never plan a single-partition Window")
     assert(windows.exists(_.partitionSpec.size >= 2),
