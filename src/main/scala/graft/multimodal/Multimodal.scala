@@ -19,6 +19,14 @@ case class ResizedMedia(id: Long, kind: String, width: Int, height: Int,
 case class DecodedMedia(id: Long, kind: String, width: Int, height: Int,
                         nFrames: Int, feature: Array[Float])
 
+/** Decoded audio: true stream parameters from the codec, mono PCM
+  * stats in exact integers (peak amplitude, zero crossings), and the
+  * 16-bin amplitude-histogram feature (exact integer ratios).
+  */
+case class DecodedAudio(id: Long, kind: String, sampleRate: Int,
+                        channels: Int, nSamples: Int, peak: Int,
+                        zeroCrossings: Long, feature: Array[Float])
+
 /** Multimodal column handling for training-data pipelines.
   *
   * Images/audio/video are carried as `binary` columns with typed
@@ -158,6 +166,104 @@ object Multimodal {
         (w, h, luma)
       }
     } catch { case _: Exception => None }
+
+  /** REAL audio decode via `javax.sound.sampled` (JDK-shipped: WAV/AIFF/AU
+    * containers, PCM + the JDK's ULAW/ALAW converters — no new
+    * dependencies, works offline) — the audio sibling of [[decodeImage]]
+    * behind the same seam: partition-wise iteration, drop-on-corrupt.
+    * Non-16-bit/-signed streams are converted through the JDK's codec
+    * chain to PCM_SIGNED 16-bit, multi-channel frames mix down to mono
+    * by integer channel average (truncating division — deterministic),
+    * and the emitted stats are exact integers: true sample rate/channel
+    * count from the header, mono sample count, peak |amplitude|, and
+    * zero crossings (sign flips, zeros skipped). `feature` is the
+    * 16-bin amplitude histogram ([[amplitudeHistogram]]) — same shape
+    * as the image/stub features, so the ANN/dedup rails (q151's decode
+    * → embed → neighbor composition) consume audio unchanged.
+    */
+  def decodeWav(ds: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[DecodedAudio] = {
+    import spark.implicits._
+    ds.mapPartitions { rows =>
+      rows.flatMap { m =>
+        decodePcmMono(m.payload).map { case (rate, ch, mono) =>
+          var peak = 0
+          var zc = 0L
+          var prevSign = 0
+          var i = 0
+          while (i < mono.length) {
+            val s = mono(i)
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            val sign = Integer.signum(s)
+            if (sign != 0) {
+              if (prevSign != 0 && sign != prevSign) zc += 1
+              prevSign = sign
+            }
+            i += 1
+          }
+          DecodedAudio(m.id, m.kind, rate, ch, mono.length, peak, zc,
+            amplitudeHistogram(mono))
+        }
+      }
+    }
+  }
+
+  /** javax.sound decode to mono PCM16 ints: (sampleRate, srcChannels,
+    * monoSamples). None when no installed reader accepts the payload or
+    * conversion/decoding fails (the corrupt→drop contract).
+    */
+  private def decodePcmMono(payload: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val f = src.getFormat
+        val ch = f.getChannels
+        val rate = math.round(f.getSampleRate)
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          f.getSampleRate, 16, ch, 2 * ch, f.getSampleRate, false)
+        val pcm =
+          if (f.matches(target)) src
+          else javax.sound.sampled.AudioSystem.getAudioInputStream(target, src)
+        val bytes = pcm.readAllBytes()
+        val frameBytes = 2 * ch
+        val nFrames = bytes.length / frameBytes
+        val mono = new Array[Int](nFrames)
+        var i = 0
+        while (i < nFrames) {
+          var acc = 0
+          var c = 0
+          while (c < ch) {
+            val o = i * frameBytes + 2 * c
+            acc += ((bytes(o) & 0xFF) | (bytes(o + 1) << 8)).toShort.toInt
+            c += 1
+          }
+          mono(i) = acc / ch // truncating integer mixdown — deterministic
+          i += 1
+        }
+        Some((rate, ch, mono))
+      } finally src.close()
+    } catch { case _: Exception => None }
+
+  /** 16-bin normalized amplitude histogram of PCM16 samples — bin =
+    * top 4 bits of the zero-offset amplitude `(s + 32768) >> 12`; exact
+    * integer counts under one division each, the audio analog of
+    * [[byteHistogram]].
+    */
+  def amplitudeHistogram(samples: Array[Int]): Array[Float] = {
+    val bins = new Array[Float](16)
+    if (samples.isEmpty) return bins
+    var i = 0
+    while (i < samples.length) {
+      val v = math.min(65535, math.max(0, samples(i) + 32768))
+      bins(v >> 12) += 1f
+      i += 1
+    }
+    var j = 0
+    while (j < 16) { bins(j) /= samples.length.toFloat; j += 1 }
+    bins
+  }
 
   /** 16-bin normalized byte histogram — a deterministic stand-in for a
     * learned feature vector.

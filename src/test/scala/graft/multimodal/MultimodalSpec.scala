@@ -127,6 +127,89 @@ class MultimodalSpec extends SparkSpec {
     assert(resized(1).pixels.toSeq == Seq[Byte](-1, -1, -1, -1)) // 255 everywhere
   }
 
+  // --- real audio path: javax.sound.sampled, no new dependencies -----
+
+  /** Hand-rolled RIFF/WAVE PCM16 little-endian bytes — byte-exact and
+    * writer-independent (no AudioSystem.write round-trip in the input
+    * path), `samples` interleaved by channel.
+    */
+  private def wavBytes(rate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort).putInt(rate)
+      .putInt(rate * channels * 2).putShort((channels * 2).toShort)
+      .putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("decodeWav: REAL WAV bytes decode to true rate/channels, exact stats, stereo mixdown") {
+    // mono: deterministic sawtooth-ish integer wave with known crossings
+    val monoSamples = Array.tabulate[Short](480)(i => (((i * 37) % 200 - 100) * 60).toShort)
+    val mono = wavBytes(8000, 1, monoSamples)
+    // stereo: L and R differ; mixdown is the truncating integer average
+    val l = Array.tabulate(100)(i => (i * 11 - 550).toShort)
+    val r = Array.tabulate(100)(i => (400 - i * 7).toShort)
+    val stereo = wavBytes(44100, 2,
+      Array.tabulate[Short](200)(i => if (i % 2 == 0) l(i / 2) else r(i / 2)))
+    val corrupt = Array.tabulate[Byte](64)(i => (i * 13 + 7).toByte)
+    val rows = Seq((1L, mono), (2L, stereo), (3L, corrupt)).toDF("id", "payload")
+      .select($"id", lit("audio").as("kind"), $"payload",
+        map(lit("source"), lit("spec")).as("meta"))
+      .as[MediaRow]
+    val out = Multimodal.decodeWav(rows).collect().sortBy(_.id)
+    assert(out.map(_.id).toSeq == Seq(1L, 2L), "corrupt payload must drop, not fail")
+
+    val m = out(0)
+    assert((m.sampleRate, m.channels, m.nSamples) == ((8000, 1, 480)))
+    val monoInts = monoSamples.map(_.toInt)
+    assert(m.peak == monoInts.map(math.abs).max)
+    val zc = monoInts.filter(_ != 0).map(Integer.signum)
+      .sliding(2).count { case Array(a, b) => a != b; case _ => false }
+    assert(m.zeroCrossings == zc, s"zero crossings ${m.zeroCrossings} != $zc")
+    assert(m.feature.toSeq == Multimodal.amplitudeHistogram(monoInts).toSeq)
+    assert(math.abs(m.feature.sum - 1f) < 1e-5)
+
+    val st = out(1)
+    assert((st.sampleRate, st.channels, st.nSamples) == ((44100, 2, 100)))
+    val mixed = l.indices.map(i => (l(i).toInt + r(i).toInt) / 2).toArray
+    assert(st.peak == mixed.map(math.abs).max,
+      "stereo must mix down by the truncating channel average")
+    assert(st.feature.toSeq == Multimodal.amplitudeHistogram(mixed).toSeq)
+  }
+
+  test("decodeWav: non-PCM container converts through the JDK codec chain (ULAW)") {
+    // build a ULAW/8-bit stream via the JDK's own encoder, then decode:
+    // proves the target-format conversion path, not just pass-through
+    val pcm = Array.tabulate[Short](256)(i => ((i % 64 - 32) * 500).toShort)
+    val src = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(wavBytes(8000, 1, pcm).drop(44)),
+      new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        8000f, 16, 1, 2, 8000f, false), 256)
+    val ulaw = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      javax.sound.sampled.AudioFormat.Encoding.ULAW, src)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ulaw,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val rows = Seq((1L, bos.toByteArray)).toDF("id", "payload")
+      .select($"id", lit("audio").as("kind"), $"payload",
+        map(lit("source"), lit("spec")).as("meta"))
+      .as[MediaRow]
+    val out = Multimodal.decodeWav(rows).collect()
+    assert(out.length == 1)
+    assert((out(0).sampleRate, out(0).channels, out(0).nSamples) == ((8000, 1, 256)))
+    // ULAW is lossy — assert shape-level invariants, not exact samples
+    assert(out(0).peak > 0 && out(0).zeroCrossings > 0)
+    assert(math.abs(out(0).feature.sum - 1f) < 1e-5)
+  }
+
   test("sampleFrames chunks the payload at stride") {
     val payload = Array.tabulate[Byte](100)(_.toByte)
     val df = Seq(Tuple1(payload)).toDF("p")
