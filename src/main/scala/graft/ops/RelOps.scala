@@ -565,6 +565,32 @@ object RelOps {
       .agg(coalesce(sum(when(col("__n") > 1, lit(1L)).otherwise(lit(0L))),
         lit(0L)).as("violations"))
 
+  /** k-anonymity / l-diversity audit over quasi-identifier columns —
+    * the privacy screen a dataset release runs beside the PII redaction
+    * rail (q58): rows are grouped into QI equivalence classes; a row is
+    * re-identifiable when its class holds fewer than `k` rows
+    * (k-anonymity, Sweeney) and a class leaks its sensitive attribute
+    * when it carries fewer than `l` DISTINCT sensitive values
+    * (l-diversity, Machanavajjhala et al.). One hash aggregation over
+    * the QI key (map-side-combinable countDistinct via the two-level
+    * aggregate Spark plans for a single distinct), then a tiny summary:
+    * (n_classes, rows_at_risk, classes_low_diversity) — all exact
+    * integers.
+    */
+  def privacyAudit(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+                   k: Long, l: Long): DataFrame = {
+    require(qiCols.nonEmpty && k >= 1 && l >= 1,
+      s"need QI columns and k,l >= 1, got k=$k l=$l")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        countDistinct(col(sensitiveCol)).as("__d"))
+      .agg(count(lit(1)).as("n_classes"),
+        coalesce(sum(when(col("__n") < k, col("__n")).otherwise(lit(0L))),
+          lit(0L)).as("rows_at_risk"),
+        coalesce(sum(when(col("__d") < l, lit(1L)).otherwise(lit(0L))),
+          lit(0L)).as("classes_low_diversity"))
+  }
+
   def asOfJoin(left: DataFrame, right: DataFrame,
                leftKeys: Seq[String], rightKeys: Seq[String],
                leftId: String, leftTs: String, rightTs: String,

@@ -3304,6 +3304,67 @@ object Queries {
       .orderBy("n_name", "month")
   }
 
+  /** Quantile normalization of a feature column — each document's
+    * within-language percentile rank of `n_chars` in exact basis points
+    * (`10000·rank div n`, rank under the (n_chars, doc_id) total
+    * order): the rank-transform that makes a heavy-tailed feature
+    * comparable across languages before length-conditioned gates (the
+    * preprocessing sibling of q91's discrete percentiles and q140's
+    * winsorize). The per-language running count rides
+    * [[graft.ops.ScaleOps.groupedRunningSum]] (weight = 1), so the
+    * low-cardinality group key never serializes a language into one
+    * task. Pure integer arithmetic → exact oracle over every row.
+    */
+  def q199_quantile_normalize(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.ops.ScaleOps.groupedRunningSum(d, Seq("lang"), lit(1L),
+        Seq(col("n_chars"), col("doc_id")), "__rank", totalCol = Some("__n"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        expr("10000 * __rank div __n").as("pr_bp"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact-proportion stratified split: per language, documents are
+    * ordered by the deterministic sampling hash
+    * ([[graft.ops.CorpusOps.sampleRank]], doc_id tie-break) and cut at
+    * EXACT count boundaries — `10·rank ≤ 8·n` → train, `≤ 9·n` → val,
+    * else test — so every stratum lands within one document of 80/10/10
+    * (q105's hash-split trades exactness of proportions for
+    * component-safety; this is the complementary rail when the quota
+    * must hold per stratum). Rank via the same de-skewed running count
+    * as q199. Integer arithmetic → the full assignment hash-checks.
+    */
+  def q200_stratified_split(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"),
+        graft.ops.CorpusOps.sampleRank(col("doc_id")).as("__h"))
+    graft.ops.ScaleOps.groupedRunningSum(d, Seq("lang"), lit(1L),
+        Seq(col("__h"), col("doc_id")), "__rank", totalCol = Some("__n"))
+      .withColumn("split",
+        when(lit(10L) * col("__rank") <= lit(8L) * col("__n"), "train")
+          .when(lit(10L) * col("__rank") <= lit(9L) * col("__n"), "val")
+          .otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("lang", "split")
+  }
+
+  /** Privacy-release audit ([[graft.ops.RelOps.privacyAudit]]):
+    * k-anonymity and l-diversity of the events table under the
+    * (event_type, day) quasi-identifier with user_id as the sensitive
+    * attribute — the re-identification screen run beside PII redaction
+    * (q58) before any event-level data release. Exact integer summary →
+    * exact oracle.
+    */
+  def q201_privacy_audit(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+    graft.ops.RelOps.privacyAudit(e, Seq("event_type", "day"), "user_id",
+      k = 5L, l = 3L)
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -3545,7 +3606,10 @@ object Queries {
     "q195_time_weighted_value" -> (q195_time_weighted_value _),
     "q196_benford_audit" -> (q196_benford_audit _),
     "q197_lift_table" -> (q197_lift_table _),
-    "q198_grouped_quantiles" -> (q198_grouped_quantiles _)
+    "q198_grouped_quantiles" -> (q198_grouped_quantiles _),
+    "q199_quantile_normalize" -> (q199_quantile_normalize _),
+    "q200_stratified_split" -> (q200_stratified_split _),
+    "q201_privacy_audit" -> (q201_privacy_audit _)
   )
 }
 
@@ -5305,6 +5369,43 @@ object Oracles {
         |SELECT n_name, month, CAST(p25 AS DOUBLE) AS p25,
         |  CAST(p50 AS DOUBLE) AS p50, CAST(p75 AS DOUBLE) AS p75
         |FROM q ORDER BY n_name, month""".stripMargin,
+    "q201_privacy_audit" ->
+      """WITH c AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS d
+        |  FROM events GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(coalesce(sum(CASE WHEN n < 5 THEN n ELSE 0 END), 0) AS BIGINT)
+        |    AS rows_at_risk,
+        |  CAST(coalesce(sum(CASE WHEN d < 3 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |    AS classes_low_diversity
+        |FROM c""".stripMargin,
+    "q199_quantile_normalize" ->
+      """WITH r AS (SELECT doc_id, lang, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars, doc_id) AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars,
+        |  CAST(10000 * rk // n AS BIGINT) AS pr_bp
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q200_stratified_split" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |    (doc_id * 2654435761) % 1000000007 AS hv
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY hv, doc_id) AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM h),
+        |s AS (SELECT doc_id, lang,
+        |    CASE WHEN 10 * rk <= 8 * n THEN 'train'
+        |         WHEN 10 * rk <= 9 * n THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM r)
+        |SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM s GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
     "q196_benford_audit" ->
       """WITH m AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 1000000
         |    AS BIGINT) AS m FROM lineitem),

@@ -583,6 +583,20 @@ class RelOpsSpec extends SparkSpec {
     }
   }
 
+  test("privacyAudit: k-anonymity rows-at-risk and l-diversity classes on crafted classes") {
+    // class A: 6 rows, 4 distinct users (safe at k=5, diverse at l=3)
+    // class B: 3 rows, 1 user (at risk AND low diversity)
+    // class C: 5 rows, 2 users (safe size, low diversity)
+    val rows =
+      (1 to 6).map(i => ("A", "d1", (i % 4).toLong)) ++
+      (1 to 3).map(_ => ("B", "d1", 9L)) ++
+      (1 to 5).map(i => ("C", "d2", (i % 2).toLong))
+    val df = rows.toDF("qi1", "qi2", "user").repartition(5)
+    val got = RelOps.privacyAudit(df, Seq("qi1", "qi2"), "user", k = 5L, l = 3L)
+      .as[(Long, Long, Long)].head()
+    assert(got == ((3L, 3L, 2L)), s"(classes, rowsAtRisk, lowDiversity) = $got")
+  }
+
   test("paretoFrontier2: crafted strict-dominance semantics incl. both-axes ties") {
     // (8,5) twice: exact ties on both axes all survive; (8,4) loses to
     // (8,5) same-x; (7,5) loses to (8,5) strictly-greater-x; (0,0)
