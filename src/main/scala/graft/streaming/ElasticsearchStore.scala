@@ -1,0 +1,162 @@
+package graft.streaming
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.metrics.{MetricsProvider, NoopMetricsProvider}
+
+/** Elasticsearch-backed [[Store]] — the reference's ES connector
+  * (`elasticsearch.go:35-215`) re-implemented on the public REST API
+  * over the JDK HttpClient (Jackson rides in from Spark's classpath; no
+  * new dependency). Documents live at `{index}/_doc/{key}`; values are
+  * the UTF-8 JSON `_source` bytes, like the reference's `[]byte`.
+  * Semantics preserved exactly:
+  *
+  *  - `get` → Get API; 404 or `found: false` → None
+  *    (`elasticsearch.go:61-83`);
+  *  - `getAll` → Multi-Get `_mget`, missing docs skipped
+  *    (`elasticsearch.go:87-114`);
+  *  - `put` → Index API (`elasticsearch.go:120-133`);
+  *  - `putAll` → Bulk API; per-item failures summarize into ONE error
+  *    with at most [[SinkOps.maxBulkErrorReasons]] `id = …, error = …`
+  *    reasons and an `(omitted N more errors)` tail — the exact
+  *    reference contract (`elasticsearch.go:196-215`);
+  *  - `delete` → Delete API, 404 is a no-op (`elasticsearch.go:165-181`);
+  *  - `flush` → `_flush?wait_if_ongoing=true` (`elasticsearch.go:185-193`);
+  *  - per-call counters/summaries on the reference's metric names.
+  *
+  * `_source` round-trips through Jackson (parse → serialize), so values
+  * compare as JSON, not as raw bytes — compact input round-trips
+  * byte-identically. Executor-side use: one instance per partition.
+  */
+final class ElasticsearchStore(baseUrl: String, index: String,
+                               metrics: MetricsProvider = NoopMetricsProvider,
+                               processorName: String = "graft")
+    extends Store[Array[Byte]] {
+
+  private val http = HttpClient.newHttpClient()
+  private val mapper = new ObjectMapper()
+  private val base = baseUrl.stripSuffix("/")
+
+  private val labels = Seq(processorName, index, "_doc")
+  private val labelNames = Seq("topicProcessor", "index", "type")
+  private val getCounter =
+    metrics.newCounter("Elasticsearch_Get", "Number of Get() calls", labelNames: _*)
+  private val getAllSummary =
+    metrics.newSummary("Elasticsearch_GetAll", "Summary of GetAll() calls", labelNames: _*)
+  private val putCounter =
+    metrics.newCounter("Elasticsearch_Put", "Number of Put() calls", labelNames: _*)
+  private val putAllSummary =
+    metrics.newSummary("Elasticsearch_PutAll", "Summary of PutAll() calls", labelNames: _*)
+  private val deleteCounter =
+    metrics.newCounter("Elasticsearch_Delete", "Number of Delete() calls", labelNames: _*)
+  private val flushCounter =
+    metrics.newCounter("Elasticsearch_Flush", "Number of Flush() calls", labelNames: _*)
+
+  private def request(method: String, path: String,
+                      body: Option[Array[Byte]] = None,
+                      contentType: String = "application/json"):
+      HttpResponse[Array[Byte]] = {
+    val builder = HttpRequest.newBuilder(URI.create(s"$base$path"))
+    val withBody = body match {
+      case Some(bytes) => builder
+        .header("Content-Type", contentType)
+        .method(method, HttpRequest.BodyPublishers.ofByteArray(bytes))
+      case None => builder.method(method, HttpRequest.BodyPublishers.noBody())
+    }
+    http.send(withBody.build(), HttpResponse.BodyHandlers.ofByteArray())
+  }
+
+  private def fail(what: String, r: HttpResponse[Array[Byte]]): Nothing =
+    throw new java.io.IOException(
+      s"elasticsearch: $what failed with ${r.statusCode()}: " +
+        new String(r.body(), UTF_8).take(500))
+
+  private def enc(key: String): String =
+    java.net.URLEncoder.encode(key, UTF_8).replace("+", "%20")
+
+  override def get(key: String): Option[Array[Byte]] = {
+    getCounter.inc(labels: _*)
+    val r = request("GET", s"/$index/_doc/${enc(key)}")
+    if (r.statusCode() == 404) None
+    else if (r.statusCode() != 200) fail("Get", r)
+    else {
+      val node = mapper.readTree(r.body())
+      if (!node.path("found").asBoolean(false)) None
+      else Some(mapper.writeValueAsBytes(node.get("_source")))
+    }
+  }
+
+  override def getAll(keys: Seq[String]): Map[String, Array[Byte]] = {
+    getAllSummary.observe(keys.size.toDouble, labels: _*)
+    if (keys.isEmpty) Map.empty
+    else {
+      val body = mapper.createObjectNode()
+      val ids = body.putArray("ids")
+      keys.foreach(ids.add)
+      val r = request("POST", s"/$index/_mget",
+        Some(mapper.writeValueAsBytes(body)))
+      if (r.statusCode() != 200) fail("GetAll", r)
+      val docs = mapper.readTree(r.body()).path("docs")
+      keys.indices.flatMap { i =>
+        val d = docs.path(i)
+        if (d.path("found").asBoolean(false))
+          Some(keys(i) -> mapper.writeValueAsBytes(d.get("_source")))
+        else None
+      }.toMap
+    }
+  }
+
+  override def put(key: String, value: Array[Byte]): Unit = {
+    putCounter.inc(labels: _*)
+    val r = request("PUT", s"/$index/_doc/${enc(key)}", Some(value))
+    if (r.statusCode() / 100 != 2) fail("Put", r)
+  }
+
+  override def putAll(kvs: Map[String, Array[Byte]]): Unit = {
+    putAllSummary.observe(kvs.size.toDouble, labels: _*)
+    if (kvs.isEmpty) return
+    val nd = new java.io.ByteArrayOutputStream()
+    kvs.foreach { case (k, v) =>
+      val action = mapper.createObjectNode()
+      action.putObject("index").put("_index", index).put("_id", k)
+      nd.write(mapper.writeValueAsBytes(action)); nd.write('\n')
+      nd.write(v); nd.write('\n')
+    }
+    val r = request("POST", "/_bulk", Some(nd.toByteArray),
+      contentType = "application/x-ndjson")
+    if (r.statusCode() != 200) fail("PutAll", r)
+    val resp = mapper.readTree(r.body())
+    if (resp.path("errors").asBoolean(false)) {
+      // the reference's bounded error summarization
+      // (`elasticsearch.go:196-215`)
+      val items = resp.path("items")
+      val failed = (0 until items.size()).map(items.get)
+        .map(_.path("index"))
+        .filter(i => !i.path("error").isMissingNode && !i.path("error").isNull)
+      val reasons = failed.take(SinkOps.maxBulkErrorReasons).map { i =>
+        s"id = ${i.path("_id").asText()}, error = ${i.path("error").path("reason").asText()}\n"
+      } ++ (if (failed.size > SinkOps.maxBulkErrorReasons)
+        Seq(s"(omitted ${failed.size - SinkOps.maxBulkErrorReasons} more errors)")
+      else Nil)
+      throw new java.io.IOException(
+        s"PutAll failed for some requests:\n${reasons.mkString}")
+    }
+  }
+
+  override def delete(key: String): Unit = {
+    deleteCounter.inc(labels: _*)
+    val r = request("DELETE", s"/$index/_doc/${enc(key)}")
+    // absent key is a no-op, like the reference's 404 swallow
+    if (r.statusCode() != 404 && r.statusCode() / 100 != 2) fail("Delete", r)
+  }
+
+  override def flush(): Unit = {
+    flushCounter.inc(labels: _*)
+    val r = request("POST", "/_flush?wait_if_ongoing=true")
+    if (r.statusCode() / 100 != 2) fail("Flush", r)
+  }
+}

@@ -1,0 +1,184 @@
+package graft.streaming
+
+import java.io.{BufferedInputStream, BufferedOutputStream, IOException}
+import java.net.{InetSocketAddress, Socket}
+import java.nio.charset.StandardCharsets.US_ASCII
+
+import graft.metrics.{MetricsProvider, NoopMetricsProvider}
+
+/** Redis-backed [[Store]] — the reference's Redis connector
+  * (`redis.go:29-155`) re-implemented on a hand-rolled RESP2 client
+  * over a JDK socket (the wire protocol is public and trivially small;
+  * no client library exists in this build's dependency budget, and none
+  * is needed). Semantics preserved exactly:
+  *
+  *  - every key is stored as `{keyPrefix}/{key}` (`redis.go:46-48`);
+  *  - `get` → GET, missing key → None (`redis.go:54-69`);
+  *  - `getAll` → MULTI + GET… + EXEC, missing keys skipped
+  *    (`redis.go:71-106`);
+  *  - `put` → SET; `putAll` → MULTI + SET… + EXEC (`redis.go:108-137`);
+  *  - `delete` → DEL (absent key is a no-op — DEL returns 0);
+  *  - `flush` → SAVE (`redis.go:148-155`);
+  *  - per-call counters/summaries on the same metric names as the
+  *    reference, through the engine's [[graft.metrics.MetricsProvider]].
+  *
+  * Values are raw byte arrays (RESP bulk strings are binary-safe), like
+  * the reference's `[]byte`. One socket per store instance; calls are
+  * synchronized (the reference's `redis.Conn` is likewise not
+  * concurrent). Error replies (`-ERR …`) raise IOException with the
+  * server's message. Executor-side use follows the usual connector
+  * rule: one instance per partition (`mapPartitions`), never a shared
+  * serialized client.
+  */
+final class RedisStore(host: String, port: Int, keyPrefix: String,
+                       metrics: MetricsProvider = NoopMetricsProvider,
+                       processorName: String = "graft")
+    extends Store[Array[Byte]] with AutoCloseable {
+
+  private val socket = new Socket()
+  socket.connect(new InetSocketAddress(host, port), 5000)
+  socket.setTcpNoDelay(true)
+  private val in = new BufferedInputStream(socket.getInputStream)
+  private val out = new BufferedOutputStream(socket.getOutputStream)
+
+  private val labels = Seq(processorName, keyPrefix)
+  private val labelNames = Seq("topicProcessor", "keyPrefix")
+  private val getCounter =
+    metrics.newCounter("Redis_Get", "Number of Get() calls", labelNames: _*)
+  private val getAllSummary =
+    metrics.newSummary("Redis_GetAll", "Summary of GetAll() calls", labelNames: _*)
+  private val putCounter =
+    metrics.newCounter("Redis_Put", "Number of Put() calls", labelNames: _*)
+  private val putAllSummary =
+    metrics.newSummary("Redis_PutAll", "Summary of PutAll() calls", labelNames: _*)
+  private val deleteCounter =
+    metrics.newCounter("Redis_Delete", "Number of Delete() calls", labelNames: _*)
+  private val flushCounter =
+    metrics.newCounter("Redis_Flush", "Number of Flush() calls", labelNames: _*)
+
+  private def prefixed(key: String): Array[Byte] =
+    s"$keyPrefix/$key".getBytes(US_ASCII)
+
+  // --- RESP2 wire -----------------------------------------------------
+
+  private def send(args: Array[Byte]*): Unit = {
+    out.write(s"*${args.length}\r\n".getBytes(US_ASCII))
+    args.foreach { a =>
+      out.write(s"$$${a.length}\r\n".getBytes(US_ASCII))
+      out.write(a)
+      out.write('\r'); out.write('\n')
+    }
+  }
+
+  private def readLine(): String = {
+    val sb = new StringBuilder
+    var c = in.read()
+    while (c != '\r') {
+      if (c < 0) throw new IOException("redis: connection closed mid-reply")
+      sb.append(c.toChar)
+      c = in.read()
+    }
+    if (in.read() != '\n') throw new IOException("redis: malformed reply line")
+    sb.toString()
+  }
+
+  /** One reply: Right(bytes-or-null) for bulk/simple, Left(array) for
+    * arrays (elements recurse), integer replies as their ASCII bytes.
+    */
+  private def readReply(): AnyRef = {
+    val line = readLine()
+    line.charAt(0) match {
+      case '+' => line.substring(1).getBytes(US_ASCII)
+      case ':' => line.substring(1).getBytes(US_ASCII)
+      case '-' => throw new IOException(s"redis: ${line.substring(1)}")
+      case '$' =>
+        val n = line.substring(1).toInt
+        if (n < 0) null
+        else {
+          val buf = new Array[Byte](n)
+          var off = 0
+          while (off < n) {
+            val r = in.read(buf, off, n - off)
+            if (r < 0) throw new IOException("redis: connection closed mid-bulk")
+            off += r
+          }
+          if (in.read() != '\r' || in.read() != '\n')
+            throw new IOException("redis: malformed bulk terminator")
+          buf
+        }
+      case '*' =>
+        val n = line.substring(1).toInt
+        if (n < 0) null
+        else Array.fill[AnyRef](n)(readReply())
+      case c => throw new IOException(s"redis: unknown reply type '$c'")
+    }
+  }
+
+  private def command(args: Array[Byte]*): AnyRef = {
+    send(args: _*)
+    out.flush()
+    readReply()
+  }
+
+  private def b(s: String): Array[Byte] = s.getBytes(US_ASCII)
+
+  // --- Store contract ---------------------------------------------------
+
+  override def get(key: String): Option[Array[Byte]] = synchronized {
+    getCounter.inc(labels: _*)
+    Option(command(b("GET"), prefixed(key)).asInstanceOf[Array[Byte]])
+  }
+
+  override def getAll(keys: Seq[String]): Map[String, Array[Byte]] = synchronized {
+    getAllSummary.observe(keys.size.toDouble, labels: _*)
+    if (keys.isEmpty) Map.empty
+    else {
+      send(b("MULTI"))
+      keys.foreach(k => send(b("GET"), prefixed(k)))
+      send(b("EXEC"))
+      out.flush()
+      readReply() // +OK for MULTI
+      keys.foreach(_ => readReply()) // +QUEUED per GET
+      val results = readReply().asInstanceOf[Array[AnyRef]]
+      keys.zip(results).collect {
+        case (k, v) if v != null => k -> v.asInstanceOf[Array[Byte]]
+      }.toMap
+    }
+  }
+
+  override def put(key: String, value: Array[Byte]): Unit = synchronized {
+    putCounter.inc(labels: _*)
+    command(b("SET"), prefixed(key), value)
+    ()
+  }
+
+  override def putAll(kvs: Map[String, Array[Byte]]): Unit = synchronized {
+    putAllSummary.observe(kvs.size.toDouble, labels: _*)
+    if (kvs.nonEmpty) {
+      send(b("MULTI"))
+      kvs.foreach { case (k, v) => send(b("SET"), prefixed(k), v) }
+      send(b("EXEC"))
+      out.flush()
+      readReply()
+      kvs.foreach(_ => readReply())
+      readReply()
+      ()
+    }
+  }
+
+  override def delete(key: String): Unit = synchronized {
+    deleteCounter.inc(labels: _*)
+    command(b("DEL"), prefixed(key))
+    ()
+  }
+
+  override def flush(): Unit = synchronized {
+    flushCounter.inc(labels: _*)
+    command(b("SAVE"))
+    ()
+  }
+
+  override def close(): Unit = synchronized {
+    try socket.close() catch { case _: IOException => () }
+  }
+}
