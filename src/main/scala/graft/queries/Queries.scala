@@ -3365,6 +3365,159 @@ object Queries {
       k = 5L, l = 3L)
   }
 
+  /** TPC-H Q4-shaped priority report: orders placed in 1996H1 with at
+    * least one LATE lineitem (shipped > 60 days after the order date),
+    * counted per priority — the correlated-EXISTS shape, planned as a
+    * left-semi join with the lateness predicate IN the join condition
+    * (interval arithmetic, the q185 rule). Integer counts → exact.
+    */
+  def q202_priority_late(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1996-07-01")))
+      .join(t.lineitem.select("l_orderkey", "l_shipdate"),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q6-shaped forecasting revenue: the single filtered scan-agg —
+    * 1997 shipments in the 5–7% discount band under quantity 24, revenue
+    * = Σ price·discount. The pushdown showcase (every predicate reaches
+    * the parquet scan); the product rounds to DECIMAL(18,6) before
+    * summing on BOTH engines (the q129 pricing discipline) → exact.
+    */
+  def q203_forecast_revenue(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01")) &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_rows"),
+        sumExact(col("l_extendedprice") * col("l_discount")).as("revenue"))
+
+  /** TPC-H Q7-shaped volume shipping: bilateral trade between two
+    * nations — supplier nation on one side, customer nation on the
+    * other, both directions, revenue per (supp, cust, ship-year). The
+    * two nation dims broadcast down a 5-table join tree; the disjunctive
+    * nation-pair predicate gates after the cheap key joins. Exact
+    * pricing discipline.
+    */
+  def q204_volume_shipping(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val (na, nb) = ("NATION_1", "NATION_2")
+    val sn = t.nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val cn = t.nation.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    t.lineitem
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+      .join(t.orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(cn), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === na && col("cust_nation") === nb) ||
+        (col("supp_nation") === nb && col("cust_nation") === na))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q8-shaped national market share: of the PROMO-part order
+    * volume bought by EUROPE customers, the share supplied by NATION_3,
+    * per order year — the scalar-ratio-over-grouped-sums shape. Both
+    * sums are exact DECIMAL; the share is ONE IEEE division of exact
+    * operands (the q194 ratio discipline) → hash-checks.
+    */
+  def q205_market_share(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val europe = t.nation
+      .join(broadcast(t.region.filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk"))
+    val sn = t.nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val vol = t.lineitem
+      .join(broadcast(t.part.filter(col("p_type") === "PROMO")
+        .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .join(t.orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(europe), col("c_nationkey") === col("c_nk"), "left_semi")
+      .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
+      .select(year(col("o_orderdate")).cast("long").as("o_year"),
+        dec(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("v"),
+        col("supp_nation"))
+    vol.groupBy("o_year")
+      .agg(sum(when(col("supp_nation") === "NATION_3", col("v"))
+          .otherwise(lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 6))))
+          .as("__num"),
+        sum(col("v")).as("__den"))
+      .select(col("o_year"),
+        (col("__num").cast("double") / col("__den").cast("double"))
+          .as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q10-shaped returned-item report: the top-20 customers by
+    * revenue lost to returns (l_returnflag = 'R') for 1997Q1 orders,
+    * with their nation — fact joins + broadcast dims +
+    * TakeOrderedAndProject (never a global sort). Exact pricing
+    * discipline, deterministic tie-break on c_custkey.
+    */
+  def q206_returned_items(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem.filter(col("l_returnflag") === "R")
+      .join(t.orders
+          .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1997-04-01")))
+          .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer.select("c_custkey", "c_name", "c_acctbal",
+        "c_nationkey")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+      .orderBy(col("revenue").desc, col("c_custkey"))
+  }
+
+  /** TPC-H Q14-shaped promo revenue share for 1997-09: percentage of
+    * the month's revenue from PROMO-type parts — conditional-sum ratio,
+    * part dim broadcast, exact DECIMAL sums under ONE IEEE division
+    * (the q194 rule) → hash-checks.
+    */
+  def q207_promo_share(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-09-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-10-01")))
+      .join(broadcast(t.part.select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO",
+            dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .otherwise(lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 6))))
+          .as("__promo"),
+        sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("__total"))
+      .select((lit(100.0) * col("__promo").cast("double") /
+        col("__total").cast("double")).as("promo_share_pct"))
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -3609,7 +3762,13 @@ object Queries {
     "q198_grouped_quantiles" -> (q198_grouped_quantiles _),
     "q199_quantile_normalize" -> (q199_quantile_normalize _),
     "q200_stratified_split" -> (q200_stratified_split _),
-    "q201_privacy_audit" -> (q201_privacy_audit _)
+    "q201_privacy_audit" -> (q201_privacy_audit _),
+    "q202_priority_late" -> (q202_priority_late _),
+    "q203_forecast_revenue" -> (q203_forecast_revenue _),
+    "q204_volume_shipping" -> (q204_volume_shipping _),
+    "q205_market_share" -> (q205_market_share _),
+    "q206_returned_items" -> (q206_returned_items _),
+    "q207_promo_share" -> (q207_promo_share _)
   )
 }
 
@@ -5369,6 +5528,85 @@ object Oracles {
         |SELECT n_name, month, CAST(p25 AS DOUBLE) AS p25,
         |  CAST(p50 AS DOUBLE) AS p50, CAST(p75 AS DOUBLE) AS p75
         |FROM q ORDER BY n_name, month""".stripMargin,
+    "q202_priority_late" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q203_forecast_revenue" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q204_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        |    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q205_market_share" ->
+      """WITH vol AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS v,
+        |    sn.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE p_type = 'PROMO'
+        |    AND c_nationkey IN (SELECT n_nationkey FROM nation
+        |                        JOIN region ON n_regionkey = r_regionkey
+        |                        WHERE r_name = 'EUROPE'))
+        |SELECT o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN v
+        |                ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        |  / CAST(sum(v) AS DOUBLE) AS mkt_share
+        |FROM vol GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q206_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q207_promo_share" ->
+      """WITH m AS (SELECT
+        |    sum(CASE WHEN p_type = 'PROMO'
+        |        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+        |        ELSE CAST(0 AS DECIMAL(18,6)) END) AS promo,
+        |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |    AND l_shipdate < TIMESTAMP '1997-10-01')
+        |SELECT 100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE)
+        |  AS promo_share_pct
+        |FROM m""".stripMargin,
     "q201_privacy_audit" ->
       """WITH c AS (SELECT event_type, CAST(ts AS DATE) AS day,
         |    CAST(count(*) AS BIGINT) AS n,

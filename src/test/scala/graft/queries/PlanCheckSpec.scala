@@ -273,6 +273,26 @@ class PlanCheckSpec extends SparkSpec {
     }
   }
 
+  test("q202-q207 TPC-H shapes: semi-join lateness, pushdown, broadcast dims, TakeOrdered") {
+    // Q4 shape: the correlated EXISTS must plan as a left-semi join with
+    // the lateness predicate inside the join, never a nested loop
+    val p202 = plans("q202_priority_late")
+    assert(p202.contains("LeftSemi"), s"q202 lost the semi-join:\n$p202")
+    assert(!p202.contains("BroadcastNestedLoopJoin") && !p202.contains("CartesianProduct"),
+      s"q202 degraded to all-pairs:\n$p202")
+    // Q6 shape: every predicate reaches the scan
+    assert(plans("q203_forecast_revenue").contains("PushedFilters: [IsNotNull"),
+      s"q203 pushdown missing:\n${plans("q203_forecast_revenue")}")
+    // Q7/Q8/Q10/Q14 shapes: dims broadcast down the join trees
+    for (n <- Seq("q204_volume_shipping", "q205_market_share",
+        "q206_returned_items", "q207_promo_share")) {
+      assert(plans(n).contains("BroadcastHashJoin"), s"$n dims not broadcast:\n${plans(n)}")
+    }
+    // Q10's top-20 is TakeOrderedAndProject, never a global sort
+    assert(plans("q206_returned_items").contains("TakeOrderedAndProject"),
+      s"q206 top-k degraded:\n${plans("q206_returned_items")}")
+  }
+
   test("q180 min-cost supplier: dims broadcast, no fact-side SMJ") {
     val p = plans("q180_min_cost_supplier")
     assert(p.contains("BroadcastHashJoin"), s"dim chain not broadcast:\n$p")
