@@ -159,4 +159,100 @@ final class ElasticsearchStore(baseUrl: String, index: String,
     val r = request("POST", "/_flush?wait_if_ongoing=true")
     if (r.statusCode() / 100 != 2) fail("Flush", r)
   }
+
+  private[streaming] def rawRequest(method: String, path: String,
+                                    body: Option[Array[Byte]],
+                                    contentType: String):
+      HttpResponse[Array[Byte]] = request(method, path, body, contentType)
+}
+
+/** Multitenant Elasticsearch store — the reference's
+  * `multi_elasticsearch.go:48-160`: a tenancy function maps each tenant
+  * to its own index (the reference's `ElasticsearchTenancy`; default
+  * `graft~{tenant}`, the documented example shape), tenant sub-stores
+  * are memoized [[ElasticsearchStore]]s, and [[fetch]]/[[push]] run ONE
+  * cross-index `_mget` / `_bulk` each (summaries on the reference
+  * metric names MultiElasticsearch_Fetch / MultiElasticsearch_Push;
+  * bulk failures keep the bounded error-summarization contract).
+  * `allTenants` lists tenants seen by [[tenant]] calls, sorted.
+  */
+final class MultiElasticsearchStore(baseUrl: String,
+                                    indexForTenant: String => String = t => s"graft~$t",
+                                    metrics: MetricsProvider = NoopMetricsProvider,
+                                    processorName: String = "graft")
+    extends MultiStore[Array[Byte]] {
+
+  private val mapper = new ObjectMapper()
+  private val stores = scala.collection.concurrent.TrieMap.empty[String, ElasticsearchStore]
+  private val labels = Seq(processorName, indexForTenant("tenant"))
+  private val labelNames = Seq("topicProcessor", "indexAndType")
+  private val fetchSummary = metrics.newSummary(
+    "MultiElasticsearch_Fetch", "Summary of Fetch() calls", labelNames: _*)
+  private val pushSummary = metrics.newSummary(
+    "MultiElasticsearch_Push", "Summary of Push() calls", labelNames: _*)
+
+  override def tenant(t: String): Store[Array[Byte]] =
+    stores.getOrElseUpdate(t,
+      new ElasticsearchStore(baseUrl, indexForTenant(t), metrics, processorName))
+
+  override def allTenants: Seq[String] = stores.keys.toSeq.sorted
+
+  private def anyStore: ElasticsearchStore =
+    stores.headOption.map(_._2).getOrElse(
+      tenant("tenant").asInstanceOf[ElasticsearchStore])
+
+  override def fetch(keys: Seq[(String, String)]): Map[(String, String), Array[Byte]] = {
+    fetchSummary.observe(keys.size.toDouble, labels: _*)
+    if (keys.isEmpty) Map.empty
+    else {
+      val body = mapper.createObjectNode()
+      val docs = body.putArray("docs")
+      keys.foreach { case (t, k) =>
+        docs.addObject().put("_index", indexForTenant(t)).put("_id", k)
+      }
+      val r = anyStore.rawRequest("POST", "/_mget",
+        Some(mapper.writeValueAsBytes(body)), "application/json")
+      if (r.statusCode() != 200)
+        throw new java.io.IOException(
+          s"elasticsearch: Fetch failed with ${r.statusCode()}")
+      val got = mapper.readTree(r.body()).path("docs")
+      keys.indices.flatMap { i =>
+        val d = got.path(i)
+        if (d.path("found").asBoolean(false))
+          Some(keys(i) -> mapper.writeValueAsBytes(d.get("_source")))
+        else None
+      }.toMap
+    }
+  }
+
+  override def push(entries: Map[(String, String), Array[Byte]]): Unit = {
+    pushSummary.observe(entries.size.toDouble, labels: _*)
+    if (entries.isEmpty) return
+    val nd = new java.io.ByteArrayOutputStream()
+    entries.foreach { case ((t, k), v) =>
+      val action = mapper.createObjectNode()
+      action.putObject("index").put("_index", indexForTenant(t)).put("_id", k)
+      nd.write(mapper.writeValueAsBytes(action)); nd.write('\n')
+      nd.write(v); nd.write('\n')
+    }
+    val r = anyStore.rawRequest("POST", "/_bulk", Some(nd.toByteArray),
+      "application/x-ndjson")
+    if (r.statusCode() != 200)
+      throw new java.io.IOException(
+        s"elasticsearch: Push failed with ${r.statusCode()}")
+    val resp = mapper.readTree(r.body())
+    if (resp.path("errors").asBoolean(false)) {
+      val items = resp.path("items")
+      val failed = (0 until items.size()).map(items.get)
+        .map(_.path("index"))
+        .filter(i => !i.path("error").isMissingNode && !i.path("error").isNull)
+      val reasons = failed.take(SinkOps.maxBulkErrorReasons).map { i =>
+        s"id = ${i.path("_id").asText()}, error = ${i.path("error").path("reason").asText()}\n"
+      } ++ (if (failed.size > SinkOps.maxBulkErrorReasons)
+        Seq(s"(omitted ${failed.size - SinkOps.maxBulkErrorReasons} more errors)")
+      else Nil)
+      throw new java.io.IOException(
+        s"PutAll failed for some requests:\n${reasons.mkString}")
+    }
+  }
 }

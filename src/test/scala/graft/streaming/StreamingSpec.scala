@@ -485,6 +485,35 @@ class StreamingSpec extends SparkSpec {
     m.close()
   }
 
+  test("streaming word-count upserts into a LIVE RedisStore (the reference word_count example, end-to-end)") {
+    // kasper's canonical topology (`examples/word_count_example.go:30-67`):
+    // stateful running count whose per-batch output upserts into a real
+    // store — here over an actual RESP socket, with the standard
+    // connector discipline (connection opened per batch, closed after;
+    // the upsert is one pipelined putAll). At-least-once replays
+    // re-upsert the same counts — idempotent by construction (LWW).
+    val srv = new TestServers.RespTestServer
+    try {
+      val in = MemoryStream[String]
+      val q = StatefulOps.runningCount(in.toDS())
+        .writeStream.outputMode(OutputMode.Update())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[StatefulOps.KeyCount], _: Long) =>
+          val rows = batch.collect() // word-cardinality-sized
+          val store = new RedisStore("127.0.0.1", srv.port, "wordcount")
+          try store.putAll(rows.map(kc =>
+            kc.key -> kc.count.toString.getBytes("UTF-8")).toMap)
+          finally store.close()
+        }
+        .start()
+      in.addData("a", "b", "a"); q.processAllAvailable()
+      in.addData("a", "c"); q.processAllAvailable()
+      q.stop()
+      val got = srv.contents.map { case (k, v) => k -> new String(v, "UTF-8") }
+      assert(got == Map("wordcount/a" -> "3", "wordcount/b" -> "1",
+        "wordcount/c" -> "1"), s"store contents: $got")
+    } finally srv.close()
+  }
+
   test("streaming floor guardrail: >=10k rows/s sustained at ~1s triggers (the reference envelope)") {
     // the reference's design point (`README.md:16-17`): >10k msg/s per
     // instance at ~1s latency. Asserted EVERY suite run at the design
