@@ -3518,6 +3518,31 @@ object Queries {
         col("__total").cast("double")).as("promo_share_pct"))
   }
 
+  /** Inter-event latency SLO bands: p50/p95/p99 of the gap (exact
+    * integer microseconds) between a user's consecutive events, grouped
+    * by the LATER event's type — the latency-percentile report every
+    * operational dashboard runs, on the de-skewed one-pass quantile
+    * rail ([[graft.ops.RelOps.weightedQuantiles]], weight = 1; the
+    * 5-value type key never serializes a fifth of the gaps into one
+    * task). Gap arithmetic via `timestampdiff` (NTZ-safe, the q142
+    * rule); all three fences from ONE cumulative pass → exact oracle.
+    */
+  def q208_latency_bands(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gaps = e.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("pts", lag(col("ts"), 1).over(w))
+      .filter(col("pts").isNotNull)
+      .select(col("event_type"),
+        expr("timestampdiff(MICROSECOND, pts, ts)").as("gap_us"),
+        col("user_id"), col("event_id"))
+    graft.ops.RelOps.weightedQuantiles(gaps, Seq("event_type"),
+        col("gap_us"), lit(1L), Seq(col("user_id"), col("event_id")),
+        Seq(5000 -> "p50_us", 9500 -> "p95_us", 9900 -> "p99_us"))
+      .orderBy("event_type")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -3768,7 +3793,8 @@ object Queries {
     "q204_volume_shipping" -> (q204_volume_shipping _),
     "q205_market_share" -> (q205_market_share _),
     "q206_returned_items" -> (q206_returned_items _),
-    "q207_promo_share" -> (q207_promo_share _)
+    "q207_promo_share" -> (q207_promo_share _),
+    "q208_latency_bands" -> (q208_latency_bands _)
   )
 }
 
@@ -5528,6 +5554,23 @@ object Oracles {
         |SELECT n_name, month, CAST(p25 AS DOUBLE) AS p25,
         |  CAST(p50 AS DOUBLE) AS p50, CAST(p75 AS DOUBLE) AS p75
         |FROM q ORDER BY n_name, month""".stripMargin,
+    "q208_latency_bands" ->
+      """WITH g AS (SELECT event_type,
+        |    CAST(epoch_us(ts - lag(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id)) AS BIGINT) AS gap_us,
+        |    user_id, event_id
+        |  FROM events),
+        |gg AS (SELECT * FROM g WHERE gap_us IS NOT NULL),
+        |m AS (SELECT event_type, gap_us,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY gap_us, user_id, event_id) AS BIGINT) AS cumw,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS totw
+        |  FROM gg)
+        |SELECT event_type,
+        |  min(CASE WHEN 10000 * cumw >= 5000 * totw THEN gap_us END) AS p50_us,
+        |  min(CASE WHEN 10000 * cumw >= 9500 * totw THEN gap_us END) AS p95_us,
+        |  min(CASE WHEN 10000 * cumw >= 9900 * totw THEN gap_us END) AS p99_us
+        |FROM m GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q202_priority_late" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
         |FROM orders o
