@@ -565,6 +565,30 @@ object RelOps {
       .agg(coalesce(sum(when(col("__n") > 1, lit(1L)).otherwise(lit(0L))),
         lit(0L)).as("violations"))
 
+  /** CDC (change-data-capture) apply — the MERGE-INTO compaction every
+    * lakehouse sync job runs: fold an op log of I/U/D rows into a
+    * snapshot under LAST-WRITER-WINS by `seqCols` per key. Semantics:
+    * the newest op per key decides — `D` removes the key, anything else
+    * upserts the op row's payload; snapshot rows whose key has NO op
+    * pass through. The op-log side must carry the snapshot's columns
+    * plus `opCol`; both inputs shuffle once on the key (the op log's
+    * per-key newest is a [[latestByKey]] window, the pass-through an
+    * anti-join) — the standard distributed CDC shape, no driver loop.
+    * Related rails: [[scd2]] keeps history where this keeps the latest
+    * image; [[graft.ops.CorpusOps.incrementalAgg]]/[[deltaJoin]]
+    * maintain aggregates/joins where this maintains the base table.
+    */
+  def cdcApply(snapshot: DataFrame, ops: DataFrame, keys: Seq[String],
+               opCol: String, seqCols: Seq[Column]): DataFrame = {
+    require(keys.nonEmpty, "cdcApply needs key columns")
+    val latest = latestByKey(ops, keys.map(col), seqCols)
+    val upserts = latest.filter(upper(col(opCol)) =!= "D")
+      .select(snapshot.columns.map(col): _*)
+    val untouched = snapshot
+      .join(ops.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    untouched.unionByName(upserts)
+  }
+
   /** k-anonymity / l-diversity audit over quasi-identifier columns —
     * the privacy screen a dataset release runs beside the PII redaction
     * rail (q58): rows are grouped into QI equivalence classes; a row is

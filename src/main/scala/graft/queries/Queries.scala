@@ -3543,6 +3543,66 @@ object Queries {
       .orderBy("event_type")
   }
 
+  /** CDC apply ([[graft.ops.RelOps.cdcApply]]): the pre-1997 per-user
+    * latest-event snapshot updated by the 1997+ event stream as an op
+    * log — `error` events delete the user, anything else upserts the
+    * newest (event_type, value) image; untouched users pass through.
+    * Last-writer-wins by (ts, event_id). The MERGE-INTO compaction
+    * rail beside SCD2 (history) and incrementalAgg (aggregates).
+    * Exact oracle (windows + anti-join mirrored in SQL).
+    */
+  def q209_cdc_apply(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    val cutoff = to_timestamp(lit("1997-01-01"))
+    def image(df: DataFrame) = df.select(col("user_id"),
+      col("event_type"), dec(col("value")).as("value"),
+      col("ts"), col("event_id"))
+    val snapshot = graft.ops.RelOps.latestByKey(
+        image(e.filter(col("ts") < cutoff)),
+        Seq(col("user_id")), Seq(col("ts"), col("event_id")))
+      .select("user_id", "event_type", "value")
+    val ops = image(e.filter(col("ts") >= cutoff))
+      .withColumn("op", when(col("event_type") === "error", "D").otherwise("U"))
+    graft.ops.RelOps.cdcApply(snapshot, ops, Seq("user_id"), "op",
+        Seq(col("ts"), col("event_id")))
+      .select(col("user_id"), col("event_type"),
+        col("value").cast("double").as("value"))
+      .orderBy("user_id")
+  }
+
+  /** Readability scoring over the documents table — the quality-gate
+    * feature family beside length/stopword ratios: per language, the
+    * mean Coleman–Liau-shaped index computed from EXACT integer counts
+    * (letters, tokens, sentence-ending punctuation runs — explicit
+    * ASCII classes, the RE2-vs-Java regex rule). The per-language index
+    * applies the float formula ONCE to the integer SUMS (never a sum of
+    * per-doc doubles, whose accumulation order is engine-dependent) —
+    * the q194 discipline: deterministic IEEE ops over exact integers,
+    * mirrored operation-for-operation in the oracle. Documents without
+    * tokens drop.
+    */
+  def q210_readability(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions
+    val d = graft.core.Graft.spread(Tables(spark, dir).documents)
+      .select(col("doc_id"), col("lang"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]"), lit(0)))
+          .cast("long").as("letters"),
+        TextFunctions.tokenCount(col("text")).as("words"),
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+          .cast("long").as("sents"))
+      .filter(col("words") > 0)
+    d.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("letters")).as("sum_letters"),
+        sum(col("words")).as("sum_words"), sum(col("sents")).as("sum_sents"))
+      .withColumn("cli",
+        lit(5.88) * (col("sum_letters").cast("double") /
+            col("sum_words").cast("double"))
+          - lit(29.6) * (col("sum_sents").cast("double") /
+            col("sum_words").cast("double"))
+          - lit(15.8))
+      .orderBy("lang")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -3794,7 +3854,9 @@ object Queries {
     "q205_market_share" -> (q205_market_share _),
     "q206_returned_items" -> (q206_returned_items _),
     "q207_promo_share" -> (q207_promo_share _),
-    "q208_latency_bands" -> (q208_latency_bands _)
+    "q208_latency_bands" -> (q208_latency_bands _),
+    "q209_cdc_apply" -> (q209_cdc_apply _),
+    "q210_readability" -> (q210_readability _)
   )
 }
 
@@ -5554,6 +5616,41 @@ object Oracles {
         |SELECT n_name, month, CAST(p25 AS DOUBLE) AS p25,
         |  CAST(p50 AS DOUBLE) AS p50, CAST(p75 AS DOUBLE) AS p75
         |FROM q ORDER BY n_name, month""".stripMargin,
+    "q209_cdc_apply" ->
+      """WITH img AS (SELECT user_id, event_type,
+        |    CAST(value AS DECIMAL(18,6)) AS value, ts, event_id FROM events),
+        |snap AS (SELECT user_id, event_type, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM img WHERE ts < TIMESTAMP '1997-01-01') WHERE rn = 1),
+        |ops AS (SELECT *, CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+        |        FROM img WHERE ts >= TIMESTAMP '1997-01-01'),
+        |latest AS (SELECT user_id, event_type, value, op FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM ops) WHERE rn = 1)
+        |SELECT user_id, event_type, CAST(value AS DOUBLE) AS value
+        |FROM snap WHERE user_id NOT IN (SELECT user_id FROM ops)
+        |UNION ALL
+        |SELECT user_id, event_type, CAST(value AS DOUBLE) AS value
+        |FROM latest WHERE op <> 'D'
+        |ORDER BY user_id""".stripMargin,
+    "q210_readability" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS letters,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS words,
+        |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS sents
+        |  FROM documents),
+        |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(letters) AS BIGINT) AS sum_letters,
+        |    CAST(sum(words) AS BIGINT) AS sum_words,
+        |    CAST(sum(sents) AS BIGINT) AS sum_sents
+        |  FROM d WHERE words > 0 GROUP BY 1)
+        |SELECT lang, n_docs, sum_letters, sum_words, sum_sents,
+        |  5.88 * (CAST(sum_letters AS DOUBLE) / CAST(sum_words AS DOUBLE))
+        |  - 29.6 * (CAST(sum_sents AS DOUBLE) / CAST(sum_words AS DOUBLE))
+        |  - 15.8 AS cli
+        |FROM g ORDER BY lang""".stripMargin,
     "q208_latency_bands" ->
       """WITH g AS (SELECT event_type,
         |    CAST(epoch_us(ts - lag(ts) OVER (PARTITION BY user_id

@@ -583,6 +583,22 @@ class RelOpsSpec extends SparkSpec {
     }
   }
 
+  test("cdcApply: I/U/D last-writer-wins on crafted ops; untouched rows pass through") {
+    val snapshot = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "attr", "v")
+    val ops = Seq(
+      (2L, "b2", 21L, 5L, "U"), (2L, "b3", 22L, 7L, "U"), // newest wins
+      (3L, "c", 30L, 6L, "D"),                            // delete key 3
+      (4L, "d", 40L, 6L, "I"),                            // insert new key
+      (5L, "e", 50L, 6L, "I"), (5L, "e", 50L, 8L, "D"),   // insert then delete
+      (6L, "f", 60L, 6L, "D")                             // delete absent key: no-op
+    ).toDF("k", "attr", "v", "seq", "op")
+    val got = RelOps.cdcApply(snapshot, ops, Seq("k"), "op", Seq(col("seq")))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "a", 10L), (2L, "b3", 22L), (4L, "d", 40L)),
+      s"cdc result: $got")
+  }
+
   test("privacyAudit: k-anonymity rows-at-risk and l-diversity classes on crafted classes") {
     // class A: 6 rows, 4 distinct users (safe at k=5, diverse at l=3)
     // class B: 3 rows, 1 user (at risk AND low diversity)
