@@ -3603,6 +3603,34 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Complex-event-processing pattern counts — the MATCH_RECOGNIZE-
+    * shaped rail (Flink/Trino's row-pattern matching) Spark lacks
+    * natively, composed from built-ins: each user's event history
+    * becomes a 1-char-coded sequence string under the (ts, event_id)
+    * total order (the q188 sort_array-of-structs discipline), and
+    * regex patterns count non-overlapping matches — `v+p` (a browse
+    * run converting to purchase) and `ee+` (an error burst). Leftmost
+    * non-overlapping match semantics agree between Java regex and
+    * DuckDB's RE2 for these patterns (no backrefs, explicit classes) →
+    * exact oracle. One shuffle on the user key; sequences are
+    * per-user-history-sized (bound the window upstream for unbounded
+    * histories at 100×).
+    */
+  def q211_event_patterns(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        // first letters are distinct across the 5 fixture types
+        substring(col("event_type"), 1, 1).as("code"))
+    e.groupBy("user_id")
+      .agg(expr("concat_ws('', transform(" +
+        "sort_array(collect_list(struct(ts, event_id, code))), s -> s.code))")
+        .as("seq"))
+      .select(col("user_id"), length(col("seq")).cast("long").as("n_events"),
+        regexp_count(col("seq"), lit("v+p")).cast("long").as("n_browse_buy"),
+        regexp_count(col("seq"), lit("ee+")).cast("long").as("n_error_bursts"))
+      .orderBy("user_id")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -3856,7 +3884,8 @@ object Queries {
     "q207_promo_share" -> (q207_promo_share _),
     "q208_latency_bands" -> (q208_latency_bands _),
     "q209_cdc_apply" -> (q209_cdc_apply _),
-    "q210_readability" -> (q210_readability _)
+    "q210_readability" -> (q210_readability _),
+    "q211_event_patterns" -> (q211_event_patterns _)
   )
 }
 
@@ -5616,6 +5645,15 @@ object Oracles {
         |SELECT n_name, month, CAST(p25 AS DOUBLE) AS p25,
         |  CAST(p50 AS DOUBLE) AS p50, CAST(p75 AS DOUBLE) AS p75
         |FROM q ORDER BY n_name, month""".stripMargin,
+    "q211_event_patterns" ->
+      """WITH s AS (SELECT user_id,
+        |    string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id)
+        |      AS seq
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, CAST(length(seq) AS BIGINT) AS n_events,
+        |  CAST(len(regexp_extract_all(seq, 'v+p')) AS BIGINT) AS n_browse_buy,
+        |  CAST(len(regexp_extract_all(seq, 'ee+')) AS BIGINT) AS n_error_bursts
+        |FROM s ORDER BY user_id""".stripMargin,
     "q209_cdc_apply" ->
       """WITH img AS (SELECT user_id, event_type,
         |    CAST(value AS DECIMAL(18,6)) AS value, ts, event_id FROM events),

@@ -590,6 +590,55 @@ object StatefulOps {
     }
   }
 
+  /** One CDC op: I/U carry the payload, D tombstones the key; `seq` is
+    * the last-writer-wins order (ties resolve to the later element in
+    * batch order, the [[latestByKeyTws]] rule).
+    */
+  case class CdcOp(key: String, seq: Long, op: String, payload: String)
+
+  /** The current image change a [[cdcGateTws]] batch emits for a key:
+    * `deleted = true` means the key's newest op is a tombstone.
+    */
+  case class CdcImage(key: String, seq: Long, payload: String, deleted: Boolean)
+
+  /** Streaming CDC gate on `transformWithState` — the incremental
+    * sibling of [[graft.ops.RelOps.cdcApply]]: per key, a typed
+    * `ValueState` holds the newest op ever seen (RocksDB in
+    * production); each batch emits the key's CURRENT image — payload
+    * for I/U winners, a tombstone row for D — exactly when the batch
+    * touched the key and changed or reasserted its image. Feeding the
+    * emissions into any keyed sink (delete on tombstone, upsert
+    * otherwise) maintains the same table `cdcApply` compacts in batch
+    * (spec-proven prefix equality). Late ops (seq older than state)
+    * are ignored — the out-of-order delivery rule a log-compacted
+    * topic needs.
+    */
+  def cdcGateTws(ops: Dataset[CdcOp]): Dataset[CdcImage] = {
+    import ops.sparkSession.implicits._
+    ops.groupByKey(_.key)
+      .transformWithState(new CdcGateProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
+  private final class CdcGateProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, CdcOp, CdcImage] {
+    @transient private var newest: org.apache.spark.sql.streaming.ValueState[CdcOp] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      newest = getHandle.getValueState[CdcOp]("newest",
+        org.apache.spark.sql.Encoders.product[CdcOp],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[CdcOp],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[CdcImage] = {
+      var b = if (newest.exists()) newest.get() else null
+      rows.foreach { r => if (b == null || r.seq >= b.seq) b = r }
+      newest.update(b)
+      Iterator(CdcImage(key, b.seq, b.payload, b.op.equalsIgnoreCase("D")))
+    }
+  }
+
   /** KQ-8: the characters⋈fictions incremental join with emit
     * suppression, exactly the reference topology
     * (`topic_processor_test.go:76-155`):

@@ -485,6 +485,53 @@ class StreamingSpec extends SparkSpec {
     m.close()
   }
 
+  test("cdcGateTws maintains the batch cdcApply image at every prefix (RocksDB)") {
+    import StatefulOps.{CdcOp, CdcImage}
+    val batches = Seq(
+      Seq(CdcOp("a", 1, "I", "a1"), CdcOp("b", 2, "I", "b1")),
+      Seq(CdcOp("a", 5, "U", "a2"), CdcOp("c", 3, "I", "c1"),
+        CdcOp("b", 4, "D", "")),
+      Seq(CdcOp("a", 4, "U", "late-ignored"), // older seq than state: no-op
+        CdcOp("b", 6, "I", "b2")))            // delete-then-reinsert
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    graft.core.Graft.useRocksDbStateStore(spark)
+    try {
+      val in = MemoryStream[CdcOp]
+      val table = scala.collection.mutable.Map.empty[String, (Long, String)]
+      val q = StatefulOps.cdcGateTws(in.toDS())
+        .writeStream.outputMode(OutputMode.Update())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[CdcImage], _: Long) =>
+          b.collect().foreach { img =>
+            if (img.deleted) table.remove(img.key)
+            else table.put(img.key, (img.seq, img.payload))
+          }
+        }
+        .start()
+      var seen = Seq.empty[CdcOp]
+      batches.foreach { batch =>
+        in.addData(batch: _*); q.processAllAvailable()
+        seen ++= batch
+        // batch ground truth: cdcApply over an empty snapshot
+        val snapshot = Seq.empty[(String, Long, String)].toDF("key", "seq", "payload")
+        val ops = seen.map(o => (o.key, o.seq, o.payload, o.op))
+          .toDF("key", "seq", "payload", "op")
+        val expected = graft.ops.RelOps.cdcApply(snapshot, ops, Seq("key"),
+            "op", Seq(col("seq")))
+          .as[(String, Long, String)].collect()
+          .map(r => r._1 -> ((r._2, r._3))).toMap
+        assert(table.toMap == expected,
+          s"after ${seen.size} ops: stream $table != batch $expected")
+      }
+      q.stop()
+      // final image: late op ignored, b re-inserted
+      assert(table.toMap == Map("a" -> ((5L, "a2")), "b" -> ((6L, "b2")),
+        "c" -> ((3L, "c1"))))
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming word-count upserts into a LIVE RedisStore (the reference word_count example, end-to-end)") {
     // kasper's canonical topology (`examples/word_count_example.go:30-67`):
     // stateful running count whose per-batch output upserts into a real
