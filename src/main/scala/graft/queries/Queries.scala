@@ -3631,6 +3631,76 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** GPT-style concat-and-chunk packing layout: documents concatenate
+    * in corpus (doc_id) order per source shard with one EOS token
+    * between docs, and the stream is cut into fixed 512-token training
+    * sequences — the CANONICAL LLM pretraining packer (vs
+    * [[graft.ops.CorpusOps.packSequences]]'s whole-doc bin packing and
+    * q100's budget fill, which never split a document). Per shard:
+    * docs, total tokens, sequences cut (`ceil(total/512)`), documents
+    * SPLIT across a sequence boundary, and the padding waste of the
+    * final partial sequence. Each doc's stream offset is the per-shard
+    * running token count on the de-skewed rail
+    * ([[graft.ops.ScaleOps.groupedRunningSum]] — a handful of shard
+    * keys must not serialize the corpus); a doc spans
+    * `(off−n) div 512 ≠ (off−1) div 512`. Pure integer arithmetic →
+    * exact oracle.
+    */
+  def q212_concat_chunk_packing(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions
+    val L = 512L
+    val d = graft.core.Graft.spread(Tables(spark, dir).documents)
+      .select(col("doc_id"), col("source"),
+        (TextFunctions.tokenCount(col("text")) + lit(1L)).as("nt")) // +1 EOS
+    graft.ops.ScaleOps.groupedRunningSum(d, Seq("source"), col("nt"),
+        Seq(col("doc_id")), "off", totalCol = Some("tot"))
+      .withColumn("split",
+        when(expr(s"(off - nt) div $L") =!= expr(s"(off - 1) div $L"), 1L)
+          .otherwise(0L))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), max(col("tot")).as("total_tokens"),
+        max(expr(s"(tot + $L - 1) div $L")).as("n_sequences"),
+        sum(col("split")).as("n_split_docs"),
+        max(expr(s"(tot + $L - 1) div $L * $L - tot")).as("pad_waste"))
+      .orderBy("source")
+  }
+
+  /** Exact tie-aware ROC AUC of the length signal against the
+    * contamination labels (the q197 setup) — the Mann–Whitney U
+    * statistic, THE binary-ranking evaluation number beside the lift
+    * table. Integer-exact WITH ties: per distinct score,
+    * `2·midrank = 2·cum_before + n + 1` (twice the tie group's average
+    * rank is an integer), so `2·Σ midrank_pos − n_pos·(n_pos+1)` is an
+    * exact BIGINT and AUC is that over `2·n_pos·n_neg` — ONE IEEE
+    * division of exact integers (the q194 rule). The running count
+    * over distinct scores rides
+    * [[graft.ops.ScaleOps.globalRunningSum]] (score cardinality is
+    * data-sized — never a single-partition window). Output: one row
+    * (n_pos, n_neg, auc).
+    */
+  def q213_ranking_auc(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val universe = d.filter(col("doc_id") >= 50)
+    val pos = graft.ops.CorpusOps.decontaminate(
+        universe, d.filter(col("doc_id") < 50), "doc_id", "text", n = 4)
+      .select(col("id").as("doc_id")).withColumn("__p", lit(1L))
+    val scored = universe.select(col("doc_id"), col("n_chars").cast("long").as("s"))
+      .join(pos, Seq("doc_id"), "left")
+      .groupBy("s")
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("__p")), lit(0L)).as("np"))
+    val cum = graft.ops.ScaleOps.globalRunningSum(scored, col("n"),
+      Seq(col("s")), "cumn")
+    cum.agg(
+        sum(col("np")).as("n_pos"),
+        sum(col("n") - col("np")).as("n_neg"),
+        // Σ over positives of 2·midrank = Σ_s np(s)·(2·(cum−n) + n + 1)
+        sum(col("np") * (lit(2L) * (col("cumn") - col("n")) + col("n") + lit(1L)))
+          .as("__s2mr"))
+      .select(col("n_pos"), col("n_neg"),
+        ((col("__s2mr") - col("n_pos") * (col("n_pos") + lit(1L))).cast("double") /
+          (lit(2L) * col("n_pos") * col("n_neg")).cast("double")).as("auc"))
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -3885,7 +3955,9 @@ object Queries {
     "q208_latency_bands" -> (q208_latency_bands _),
     "q209_cdc_apply" -> (q209_cdc_apply _),
     "q210_readability" -> (q210_readability _),
-    "q211_event_patterns" -> (q211_event_patterns _)
+    "q211_event_patterns" -> (q211_event_patterns _),
+    "q212_concat_chunk_packing" -> (q212_concat_chunk_packing _),
+    "q213_ranking_auc" -> (q213_ranking_auc _)
   )
 }
 
@@ -5645,6 +5717,55 @@ object Oracles {
         |SELECT n_name, month, CAST(p25 AS DOUBLE) AS p25,
         |  CAST(p50 AS DOUBLE) AS p50, CAST(p75 AS DOUBLE) AS p75
         |FROM q ORDER BY n_name, month""".stripMargin,
+    "q213_ranking_auc" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
+        |       FROM toks CROSS JOIN unnest(generate_series(1, len(t)-3)) AS u(i)
+        |       WHERE len(t) >= 4
+        |       UNION
+        |       SELECT doc_id, array_to_string(t, ' ') AS g FROM toks WHERE len(t) < 4),
+        |held AS (SELECT DISTINCT g FROM sh WHERE doc_id < 50),
+        |pos AS (SELECT DISTINCT s.doc_id FROM sh s JOIN held USING (g)
+        |        WHERE s.doc_id >= 50),
+        |u2 AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS s FROM documents
+        |       WHERE doc_id >= 50),
+        |lab AS (SELECT u2.s, CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0 END AS p
+        |        FROM u2 LEFT JOIN pos p ON u2.doc_id = p.doc_id),
+        |grp AS (SELECT s, CAST(count(*) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS np
+        |        FROM lab GROUP BY 1),
+        |c AS (SELECT s, n, np,
+        |        CAST(sum(n) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |          AS cumn FROM grp),
+        |agg AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+        |          CAST(sum(n - np) AS BIGINT) AS n_neg,
+        |          CAST(sum(np * (2 * (cumn - n) + n + 1)) AS BIGINT) AS s2mr
+        |        FROM c)
+        |SELECT n_pos, n_neg,
+        |  CAST(s2mr - n_pos * (n_pos + 1) AS DOUBLE)
+        |    / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+        |FROM agg""".stripMargin,
+    "q212_concat_chunk_packing" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |      + 1 AS BIGINT) AS nt
+        |  FROM documents),
+        |r AS (SELECT source, nt,
+        |    CAST(sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS off,
+        |    CAST(sum(nt) OVER (PARTITION BY source) AS BIGINT) AS tot
+        |  FROM d),
+        |s AS (SELECT source, off, tot,
+        |    CASE WHEN (off - nt) // 512 <> (off - 1) // 512 THEN 1 ELSE 0 END
+        |      AS split
+        |  FROM r)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  max(tot) AS total_tokens,
+        |  CAST(max((tot + 511) // 512) AS BIGINT) AS n_sequences,
+        |  CAST(sum(split) AS BIGINT) AS n_split_docs,
+        |  CAST(max((tot + 511) // 512 * 512 - tot) AS BIGINT) AS pad_waste
+        |FROM s GROUP BY 1 ORDER BY source""".stripMargin,
     "q211_event_patterns" ->
       """WITH s AS (SELECT user_id,
         |    string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id)

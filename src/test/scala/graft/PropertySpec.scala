@@ -41,6 +41,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("cdcApply equals a driver-side last-writer-wins fold on random op logs") {
+    // keys 0..5, distinct seqs (shuffled 0..n), ops I/U/D, payload tag
+    val opsGen: Gen[List[(Long, String, Long, String)]] = for {
+      n <- Gen.choose(1, 40)
+      keys <- Gen.listOfN(n, Gen.choose(0L, 5L))
+      kinds <- Gen.listOfN(n, Gen.oneOf("I", "U", "D"))
+    } yield keys.zip(kinds).zipWithIndex.map { case ((k, o), i) =>
+      (k, s"p$i", i.toLong, o)
+    }
+    val snapRows = Seq((0L, "s0", -1L), (2L, "s2", -1L), (9L, "s9", -1L))
+    samples(opsGen, 30).foreach { ops =>
+      val snapshot = snapRows.toDF("k", "payload", "seq")
+      val opsDf = ops.toDF("k", "payload", "seq", "op")
+      val got = graft.ops.RelOps.cdcApply(snapshot, opsDf, Seq("k"), "op",
+        Seq(org.apache.spark.sql.functions.col("seq")))
+        .as[(Long, String, Long)].collect().map(r => r._1 -> r._2).toMap
+      // driver fold: newest op per key decides; untouched snapshot stays
+      val newest = ops.groupBy(_._1).map { case (k, os) => k -> os.maxBy(_._3) }
+      val expected = snapRows.map(r => r._1 -> r._2).toMap
+        .removedAll(newest.keys) ++
+        newest.collect { case (k, (_, p, _, o)) if o != "D" => k -> p }
+      assert(got == expected, s"ops=$ops got=$got expected=$expected")
+    }
+  }
+
   val keyedRows: Gen[List[(Int, Int, String)]] =
     Gen.listOfN(60, Gen.zip(Gen.choose(0, 5), Gen.choose(0, 10), Gen.alphaNumStr.map(_.take(4))))
 
