@@ -3701,6 +3701,70 @@ object Queries {
           (lit(2L) * col("n_pos") * col("n_neg")).cast("double")).as("auc"))
   }
 
+  /** TPC-H Q13-shaped customer order-count distribution: LEFT join so
+    * zero-order customers count in the 0 bucket, orders gated to the
+    * non-urgent priorities (the Q13 comment-filter stand-in on fixture
+    * columns), then the distribution of customers per order count —
+    * the outer-join + double-aggregation shape. Integer counts → exact.
+    */
+  def q214_order_count_dist(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val o = t.orders.filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_orderkey", "o_custkey")
+    t.customer.select("c_custkey")
+      .join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count")) // count skips nulls
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q15-shaped top supplier: per-supplier revenue for 1997Q1,
+    * every supplier tied at the maximum kept (the view + scalar-max
+    * shape) — the max broadcast back as a 1-row cross, revenue compared
+    * on exact DECIMAL (no double threshold). Exact oracle.
+    */
+  def q215_top_supplier(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val rev = t.lineitem
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-04-01")))
+      .groupBy("l_suppkey")
+      .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("__mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("__mx"))
+      .join(broadcast(t.supplier.select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_revenue").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q18-shaped large-volume customers: orders whose total
+    * lineitem quantity exceeds 150, joined back to customer and order
+    * detail, top-25 by (totalprice desc, orderdate) — the
+    * having-aggregate semi-join into detail rows + TakeOrdered shape.
+    * Quantities are integral, price DECIMAL → exact.
+    */
+  def q216_large_orders(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val big = t.lineitem.groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .filter(col("sum_qty") > 150L)
+    t.orders
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t.customer.select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), dec(col("o_totalprice")).cast("double")
+          .as("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+      .limit(25)
+      .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -3957,7 +4021,10 @@ object Queries {
     "q210_readability" -> (q210_readability _),
     "q211_event_patterns" -> (q211_event_patterns _),
     "q212_concat_chunk_packing" -> (q212_concat_chunk_packing _),
-    "q213_ranking_auc" -> (q213_ranking_auc _)
+    "q213_ranking_auc" -> (q213_ranking_auc _),
+    "q214_order_count_dist" -> (q214_order_count_dist _),
+    "q215_top_supplier" -> (q215_top_supplier _),
+    "q216_large_orders" -> (q216_large_orders _)
   )
 }
 
@@ -5717,6 +5784,37 @@ object Oracles {
         |SELECT n_name, month, CAST(p25 AS DOUBLE) AS p25,
         |  CAST(p50 AS DOUBLE) AS p50, CAST(p75 AS DOUBLE) AS p75
         |FROM q ORDER BY n_name, month""".stripMargin,
+    "q214_order_count_dist" ->
+      """WITH co AS (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM co GROUP BY 1
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q215_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q216_large_orders" ->
+      """WITH big AS (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |      AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > 150)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS DOUBLE) AS o_totalprice,
+        |  sum_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 25""".stripMargin,
     "q213_ranking_auc" ->
       """WITH toks AS (SELECT doc_id,
         |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
