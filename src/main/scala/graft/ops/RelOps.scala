@@ -809,6 +809,64 @@ object RelOps {
     * global sort. `xCol` must be integral (the strict-greater RANGE
     * frame steps by 1).
     */
+  /** Per-GROUP exact 2-D Pareto frontier — [[paretoFrontier2]] with a
+    * grouping key (the per-segment skyline: "the suppliers no peer IN
+    * THEIR NATION beats on both axes"). Same dominance rule per group;
+    * the global form's bounded suffix-max COLLECT is replaced by a
+    * fully distributed one: per-(range-bucket, group) y-maxima are a
+    * tiny aggregate, their per-group strict-suffix maxima come from a
+    * window over that tiny frame (≤ buckets rows per group), and the
+    * result joins back on (bucket, group) — the groupedRunningSum
+    * offset pattern applied to the skyline. Buckets come from the same
+    * deterministic sampled-bounds chain (pure function of x — every
+    * reference executions bucket identically), so the heavy windows
+    * partition by (bucket, group), never group alone. `xCol` must be
+    * integral (the strict-greater RANGE frame steps by 1).
+    */
+  def paretoFrontierGrouped(df: DataFrame, keys: Seq[String],
+                            xCol: String, yCol: String,
+                            partitions: Int = 0): DataFrame = {
+    require(keys.nonEmpty, "paretoFrontierGrouped needs group keys")
+    val spark = df.sparkSession
+    val np = if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val kcols = keys.map(col)
+    val base = df.withColumn("__x", col(xCol).cast("long"))
+      .withColumn("__y", col(yCol).cast("long"))
+    // deterministic bounds over x (collect bounded by 200·np)
+    val values = base
+      .select(col("__x").as("__sv"),
+        xxhash64((kcols :+ col("__x") :+ col("__y")): _*).as("__sh"))
+      .orderBy(col("__sh"), col("__sv")).limit(np * 200)
+      .select("__sv").orderBy(col("__sv")).collect().map(_.getLong(0))
+    val step = math.max(1, values.length / np)
+    val bounds = values.indices.collect {
+      case i if i > 0 && i % step == 0 => values(i)
+    }.distinct
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("__x") >= lit(b), 1).otherwise(0)
+    }
+    val bucketed = base.withColumn("__gb", bucket)
+    // per-(bucket, group) y-maxima (tiny), strict-suffix max per group
+    val maxes = bucketed.groupBy((col("__gb") +: kcols): _*)
+      .agg(max(col("__y")).as("__my"))
+    val wAbove = Window.partitionBy(kcols: _*).orderBy(col("__gb"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val above = maxes
+      .withColumn("__above", coalesce(max(col("__my")).over(wAbove),
+        lit(Long.MinValue)))
+      .drop("__my")
+    val wGreater = Window.partitionBy((col("__gb") +: kcols): _*)
+      .orderBy(col("__x")).rangeBetween(1L, Window.unboundedFollowing)
+    val wSameX = Window.partitionBy((col("__gb") +: kcols) :+ col("__x"): _*)
+    bucketed.join(broadcast(above), "__gb" +: keys)
+      .withColumn("__mg", max(col("__y")).over(wGreater))
+      .withColumn("__ms", max(col("__y")).over(wSameX))
+      .filter((col("__mg").isNull || col("__mg") < col("__y")) &&
+        col("__ms") <= col("__y") && col("__above") < col("__y"))
+      .drop("__gb", "__above", "__mg", "__ms", "__x", "__y")
+  }
+
   def paretoFrontier2(df: DataFrame, xCol: String, yCol: String,
                       partitions: Int = 0): DataFrame = {
     val spark = df.sparkSession

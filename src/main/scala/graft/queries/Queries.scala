@@ -3765,6 +3765,34 @@ object Queries {
       .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
   }
 
+  /** Per-nation supplier skyline
+    * ([[graft.ops.RelOps.paretoFrontierGrouped]]): suppliers no peer in
+    * their nation strictly dominates on BOTH lineitem revenue and
+    * account balance — the per-segment multi-objective selection (q182's
+    * skyline with a grouping key). Objectives are exact integers
+    * (revenue in DECIMAL micros, balance in cents); the oracle runs the
+    * same dominance test as two window maxima per group (strictly-
+    * greater-x RANGE frame + same-x max — O(n log n), no quadratic
+    * NOT EXISTS). Exact oracle.
+    */
+  def q217_supplier_skyline(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val rev = t.lineitem
+      .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey", "s_acctbal")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"), col("s_suppkey"), col("s_acctbal"))
+      .agg(expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) * 1000000 AS BIGINT)")
+        .as("rev_micros"))
+      .withColumn("bal_cents",
+        expr("CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+    graft.ops.RelOps.paretoFrontierGrouped(
+        rev.select("s_nationkey", "s_suppkey", "rev_micros", "bal_cents"),
+        Seq("s_nationkey"), "rev_micros", "bal_cents")
+      .select(col("s_nationkey"), col("s_suppkey"),
+        col("rev_micros"), col("bal_cents"))
+      .orderBy("s_nationkey", "s_suppkey")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -4024,7 +4052,8 @@ object Queries {
     "q213_ranking_auc" -> (q213_ranking_auc _),
     "q214_order_count_dist" -> (q214_order_count_dist _),
     "q215_top_supplier" -> (q215_top_supplier _),
-    "q216_large_orders" -> (q216_large_orders _)
+    "q216_large_orders" -> (q216_large_orders _),
+    "q217_supplier_skyline" -> (q217_supplier_skyline _)
   )
 }
 
@@ -5784,6 +5813,22 @@ object Oracles {
         |SELECT n_name, month, CAST(p25 AS DOUBLE) AS p25,
         |  CAST(p50 AS DOUBLE) AS p50, CAST(p75 AS DOUBLE) AS p75
         |FROM q ORDER BY n_name, month""".stripMargin,
+    "q217_supplier_skyline" ->
+      """WITH rev AS (SELECT s_nationkey, s_suppkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |      AS rev_micros,
+        |    CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY s_nationkey, s_suppkey, s_acctbal),
+        |m AS (SELECT *,
+        |    max(bal_cents) OVER (PARTITION BY s_nationkey ORDER BY rev_micros
+        |      RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS mg,
+        |    max(bal_cents) OVER (PARTITION BY s_nationkey, rev_micros) AS ms
+        |  FROM rev)
+        |SELECT s_nationkey, s_suppkey, rev_micros, bal_cents
+        |FROM m
+        |WHERE (mg IS NULL OR mg < bal_cents) AND ms <= bal_cents
+        |ORDER BY s_nationkey, s_suppkey""".stripMargin,
     "q214_order_count_dist" ->
       """WITH co AS (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
         |  FROM customer LEFT JOIN orders

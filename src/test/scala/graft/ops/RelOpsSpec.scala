@@ -631,6 +631,29 @@ class RelOpsSpec extends SparkSpec {
       s"frontier mismatch: $got")
   }
 
+  test("paretoFrontierGrouped matches per-group brute force on dense random ties") {
+    val rnd = new scala.util.Random(11)
+    val pts = (1L to 600L).map(i =>
+      (s"g${i % 3}", i, rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+    def dominated(a: (String, Long, Long, Long)) = pts.exists(b =>
+      b._1 == a._1 && b._3 >= a._3 && b._4 >= a._4 &&
+        (b._3 > a._3 || b._4 > a._4))
+    val expected = pts.filterNot(dominated).map(p => (p._1, p._2)).toSet
+    val df = pts.toDF("g", "id", "x", "y").repartition(7)
+    for (np <- Seq(1, 4, 32)) {
+      val got = RelOps.paretoFrontierGrouped(df, Seq("g"), "x", "y",
+          partitions = np)
+        .select("g", "id").as[(String, Long)].collect().toSet
+      assert(got == expected, s"partitions=$np: $got vs $expected")
+    }
+    // de-skew contract: heavy windows partition by (bucket, group)
+    val windows = windowNodes(RelOps.paretoFrontierGrouped(df, Seq("g"),
+      "x", "y", partitions = 8))
+    assert(windows.forall(_.partitionSpec.nonEmpty))
+    assert(windows.exists(_.partitionSpec.size >= 2),
+      "per-group skyline must partition beyond the group key")
+  }
+
   test("paretoFrontier2 matches the brute-force dominance scan on dense random ties") {
     val rnd = new scala.util.Random(42)
     val pts = (1L to 400L).map(i => (i, rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
