@@ -15,22 +15,64 @@ import org.apache.spark.sql.SparkSession
   * session cache is cleared between queries so each is independent —
   * nothing a previous query cached (e.g. an IVF index) flatters or
   * starves the next one.
+  *
+  * Long-session hygiene (round-10; the round-9 driver artifact showed
+  * q56/q57 at 17–28× their fresh-JVM times after ~140 queries of
+  * history): between queries the runner now (a) releases ScaleOps'
+  * tracked caches and (b) unpersists EVERY still-persistent RDD —
+  * `clearCache()` is catalog-level and never touches `localCheckpoint`
+  * blocks, so each checkpoint-returning query leaked its blocks into
+  * the block manager for the rest of the session; and the retained
+  * plan references pinned shuffle/broadcast state the ContextCleaner
+  * could then never reclaim. A periodic `System.gc()` (every 32
+  * queries, outside the timed window) drives the reference-queue-based
+  * ContextCleaner even when the big local heap would otherwise not GC
+  * for the whole run. Set SPARK_GRAFT_BENCH_HYGIENE=off to reproduce
+  * the legacy clearCache-only behavior (A/B attribution).
+  *
+  * Telemetry in the JSON line: per-query times for BOTH passes
+  * (`passes_detail`), GC time/count deltas over the whole run
+  * (`gc_sec`/`gc_count`) and per pass (`gc_sec_passes`), and the
+  * maximum persistent-RDD count observed AFTER per-query cleanup
+  * (`rdd_resident_max` — nonzero means something leaked past hygiene).
   */
 object Bench {
+  private def gcStats(): (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val beans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala
+    (beans.map(_.getCollectionTime).sum, beans.map(_.getCollectionCount).sum)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val hygiene = !sys.env.get("SPARK_GRAFT_BENCH_HYGIENE").contains("off")
     val cpus = graft.core.Graft.defaultCpus
     val spark = graft.core.Graft.configure(
         SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"), cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    var ranCount = 0
+    var rddResidentMax = 0
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
-      finally spark.catalog.clearCache()
-      (System.nanoTime() - t0) / 1e9
+      val elapsed =
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
+      // cleanup OUTSIDE the timed window — hygiene cost must not be
+      // charged to the query it follows
+      if (hygiene) {
+        graft.ops.ScaleOps.releaseAll(spark)
+        ranCount += 1
+        // drive the GC-reference-queue ContextCleaner periodically
+        if (ranCount % 32 == 0) System.gc()
+        rddResidentMax = math.max(rddResidentMax,
+          spark.sparkContext.getPersistentRDDs.size)
+      } else spark.catalog.clearCache()
+      elapsed
     }
 
     // one tiny warmup so JVM/codegen startup isn't charged to the first query
@@ -40,13 +82,27 @@ object Bench {
     val only = args.toSet
     val ordered = graft.queries.Queries.all.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
-    val passes = (1 to 2).map(_ => ordered.map { case (name, fn) => name -> run(name, fn) })
+    val (gcT0, gcC0) = gcStats()
+    var gcMark = gcT0
+    val gcPass = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val passes = (1 to 2).map { _ =>
+      val p = ordered.map { case (name, fn) => name -> run(name, fn) }
+      val (t, _) = gcStats()
+      gcPass += (t - gcMark) / 1e3
+      gcMark = t
+      p
+    }
     val results = ordered.map { case (name, _) =>
       // min over the passes that succeeded; -1 only if every pass failed
       val ok = passes.map(_.find(_._1 == name).get._2).filter(_ >= 0)
       name -> (if (ok.nonEmpty) ok.min else -1.0)
     }
+    val (gcT1, gcC1) = gcStats()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val detail = ordered.map { case (name, _) =>
+      "\"" + name + "\":" +
+        passes.map(_.find(_._1 == name).get._2).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val passTotals = passes.map(_.map(_._2).filter(_ >= 0).sum)
     // system load avg recorded so a load-skewed run is recognizable from
@@ -54,7 +110,8 @@ object Bench {
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val pt = passTotals.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg":$loadAvg,"passes":2,"pass_totals":$pt}""")
+    val gp = gcPass.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg":$loadAvg,"passes":2,"pass_totals":$pt,"passes_detail":$detail,"gc_sec":${(gcT1 - gcT0) / 1e3},"gc_count":${gcC1 - gcC0},"gc_sec_passes":$gp,"hygiene":$hygiene,"rdd_resident_max":$rddResidentMax}""")
     spark.stop()
   }
 }

@@ -26,8 +26,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // index-building queries (q35/q53) cache eagerly; isolate queries
-      // the same way Bench does so none inherits another's cached state
-      finally spark.catalog.clearCache()
+      // the same way Bench does so none inherits another's cached state.
+      // releaseAll also unpersists localCheckpoint blocks and drains the
+      // ScaleOps registry — the long-session leak class (round-9 bench).
+      finally graft.ops.ScaleOps.releaseAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -246,6 +246,40 @@ object RelOps {
           .otherwise(0L)).as("files_pruned"))
   }
 
+  /** [[zoneMapAudit]] specialized to the SORTED-BY-`xCol` layout, where
+    * the file stats are derivable in closed form from three boundary
+    * counts — no rank pass at all (round-9 review flagged q147's second
+    * `globalRank`; this replaces it with ONE map-side-combinable
+    * aggregate). Under the (x, tie) total order, file `f` covers ranks
+    * `[f·rpf+1, min((f+1)·rpf, n)]`, so with `c_lo = |{x < lo}|` and
+    * `c_hi = |{x ≤ hi}|`:
+    *  - `mx_f < lo` ⟺ the file's last rank ≤ c_lo (fully below), and
+    *  - `mn_f > hi` ⟺ the file's first rank > c_hi (fully above);
+    * counting each set is pure integer arithmetic. Exactly equal to the
+    * rank-based audit (q147's oracle computes real per-file min/max and
+    * stays green) — including the conservative straddle case: a file
+    * spanning the range without in-range rows is NOT pruned by either
+    * form. Output: one row (n_files, files_pruned).
+    */
+  def zoneMapAuditSorted(df: DataFrame, xCol: String, rowsPerFile: Int,
+                         loInclusive: Long, hiInclusive: Long): DataFrame = {
+    require(rowsPerFile > 0, s"rowsPerFile must be positive, got $rowsPerFile")
+    val rpf = rowsPerFile.toLong
+    df.select(col(xCol).cast("long").as("x"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("x") < loInclusive, 1L).otherwise(0L)),
+          lit(0L)).as("c_lo"),
+        coalesce(sum(when(col("x") <= hiInclusive, 1L).otherwise(0L)),
+          lit(0L)).as("c_hi"))
+      .select(
+        expr(s"(n + $rpf - 1) div $rpf").as("n_files"),
+        (least(expr(s"c_lo div $rpf"),
+            greatest(expr(s"(n + $rpf - 1) div $rpf") - 1L, lit(0L))) +
+          when(col("c_lo") === col("n") && col("n") > 0L, 1L).otherwise(0L) +
+          greatest(lit(0L), expr(s"(n + $rpf - 1) div $rpf") -
+            expr(s"(c_hi + $rpf - 1) div $rpf"))).as("files_pruned"))
+  }
+
   /** Incremental equi-join maintenance — the join-side sibling of
     * [[graft.ops.CorpusOps.incrementalAgg]]'s aggregate IVM: given old
     * snapshots A₀/B₀ and insert deltas ΔA/ΔB, the NEW join rows are
@@ -782,6 +816,114 @@ object RelOps {
         .getField("__v").as(name)
     }
     withCum.groupBy(kcols: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Exact weighted median AND weighted MAD per group in ~1.5 passes —
+    * the fused form of `weightedMedian` twice (q189's original shape,
+    * self-flagged in round 9): the second median does NOT re-run the
+    * full quantile machine over raw rows. Instead, pass 1's cumulative
+    * structure is contracted to one row per DISTINCT value
+    * (`cumw(v) = W(x ≤ v)`, cached — distinct-value-sized), and the
+    * deviation median folds that structure around the median m:
+    * `W(|x−m| ≤ D) = W(m ≤ x ≤ m+D) + W(m−D ≤ x < m)`, where each
+    * half's cumulative weight is a per-candidate constant derived from
+    * `cumw` (`u = cumw(v) − W(<m)` above, `l = W(<m) − W(<v)` below),
+    * both monotone in D — so the fence is a running MAX over deviation
+    * order (the distributed two-pointer: each side's pointer is the
+    * floor candidate the max picks up), evaluated over the contracted
+    * frame with the same sampled-bounds bucket chain as
+    * [[graft.ops.ScaleOps.groupedRunningSum]] (parallelism = buckets ×
+    * groups, never group count). Raw rows are scanned ONLY by pass 1;
+    * everything after operates on the cached distinct-value frame.
+    *
+    * Same exact halving rule as [[weightedMedian]] (`2·cumw ≥ totw`,
+    * integer/decimal arithmetic, no float division): the smallest
+    * distinct value whose full-value cumulative weight crosses half is
+    * identical to the smallest crossing (value, tie) row's value, so
+    * the result equals the two-pass form row-for-row (q189's oracle is
+    * the per-row-cum SQL and stays green). Output: keys, `wmedian`,
+    * `mad`.
+    */
+  def weightedMedianMad(df: DataFrame, keys: Seq[String], valueCol: Column,
+                        weightCol: Column, tieCols: Seq[Column],
+                        partitions: Int = 0): DataFrame = {
+    val kcols = keys.map(col)
+    val base = df.select((kcols :+ valueCol.as("__v") :+ weightCol.as("__w")) ++
+      tieCols.zipWithIndex.map { case (c, i) => c.as(s"__t$i") }: _*)
+    val ord = col("__v") +: tieCols.indices.map(i => col(s"__t$i"))
+    // pass 1: the one full-data cumulative pass (range-bucketed, de-skewed)
+    val withCum = graft.ops.ScaleOps.groupedRunningSum(
+      base, keys, col("__w"), ord, "__cumw")
+    // contract to one row per distinct value: full-value inclusive cum.
+    // Distinct-value-sized — cached (tracked; released via
+    // clearCache()/ScaleOps.release()), every later step reads THIS, not
+    // raw rows.
+    val v = graft.ops.ScaleOps.trackCache(
+      withCum.groupBy((kcols :+ col("__v")): _*)
+        .agg(sum(col("__w")).as("__wx"), max(col("__cumw")).as("__cw")))
+    val dec = "decimal(38,0)"
+    val tot = v.groupBy(kcols: _*).agg(max(col("__cw")).as("__totw"))
+    val med = v.join(broadcast(tot), keys)
+      .groupBy(kcols: _*)
+      .agg(min(when(col("__cw").cast(dec) * lit(2L) >= col("__totw").cast(dec),
+        col("__v"))).as("wmedian"))
+    // W(< m) per group (0 when nothing sits below the median)
+    val wlt = v.join(broadcast(med), keys)
+      .groupBy(kcols: _*)
+      .agg(coalesce(max(when(col("__v") < col("wmedian"), col("__cw"))),
+        lit(0L)).as("__wlt"))
+    val stats = med.join(wlt, keys).join(tot, keys) // 3-row frames
+    // candidates: one per distinct value, folded around m
+    val cand = v.join(broadcast(stats), keys)
+      .withColumn("__d", abs(col("__v") - col("wmedian")))
+      .withColumn("__u", when(col("__v") >= col("wmedian"),
+        col("__cw") - col("__wlt")))
+      .withColumn("__l", when(col("__v") < col("wmedian"),
+        col("__wlt") - col("__cw") + col("__wx")))
+    // de-skewed running max over deviation order: sampled bounds →
+    // monotone bucket chain → per-(bucket, group) partial maxima →
+    // broadcast prefix-max offsets → windows partitioned by
+    // (bucket, group). RANGE frame so equal deviations (one from each
+    // side of the fold) see each other's weight.
+    val spark = df.sparkSession
+    val np = if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val values = cand
+      .select(col("__d").as("__sv"), xxhash64((kcols :+ col("__d")): _*).as("__sh"))
+      .orderBy(col("__sh"), col("__sv")).limit(np * 200)
+      .select("__sv").orderBy(col("__sv")).collect()
+      .map(_.get(0))
+    val step = math.max(1, values.length / np)
+    val bounds = values.indices.collect {
+      case i if i > 0 && i % step == 0 => values(i)
+    }.distinct
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("__d") >= lit(b), 1).otherwise(0)
+    }
+    val bucketed = cand.withColumn("__gb", bucket)
+    val parts = graft.ops.ScaleOps.trackCache(
+      bucketed.groupBy((col("__gb") +: kcols): _*)
+        .agg(max(col("__u")).as("__mu"), max(col("__l")).as("__ml")))
+    val wOff = Window.partitionBy(kcols: _*).orderBy(col("__gb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = parts
+      .withColumn("__uoff", max(col("__mu")).over(wOff))
+      .withColumn("__loff", max(col("__ml")).over(wOff))
+      .drop("__mu", "__ml")
+    val wRun = Window.partitionBy((col("__gb") +: kcols): _*)
+      .orderBy(col("__d"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val fenced = bucketed.join(broadcast(offs), "__gb" +: keys)
+      .withColumn("__umax",
+        greatest(max(col("__u")).over(wRun), col("__uoff")))
+      .withColumn("__lmax",
+        greatest(max(col("__l")).over(wRun), col("__loff")))
+    val mad = fenced.groupBy(kcols: _*)
+      .agg(min(when(
+        (coalesce(col("__umax"), lit(0L)) + coalesce(col("__lmax"), lit(0L)))
+          .cast(dec) * lit(2L) >= col("__totw").cast(dec),
+        col("__d"))).as("mad"))
+    med.join(mad, keys)
   }
 
   /** Exact 2-D Pareto frontier (skyline): the rows not STRICTLY

@@ -21,6 +21,14 @@ object ScaleOps {
     scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
   private[ops] def trackCache(df: DataFrame): DataFrame = synchronized {
+    // Drop entries already unpersisted elsewhere (clearCache() between
+    // queries): otherwise the registry grows without bound in a
+    // long-lived session, and — worse — every retained DataFrame pins
+    // its plan tree, whose RDD/shuffle/broadcast references the
+    // ContextCleaner can then NEVER reclaim (the round-9 long-session
+    // bench degradation was exactly this accumulation class).
+    trackedCaches.filterInPlace(
+      _.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
     val cached = df.cache()
     trackedCaches += cached
     cached
@@ -29,10 +37,27 @@ object ScaleOps {
   /** Unpersist every frame cached by the range-partition ops. Safe to
     * call after the op results are materialized (or discarded); lazy
     * downstream plans re-compute from source if re-executed later.
+    * The registry is process-global: don't call mid-flight while a
+    * concurrent pipeline's rank/skyline op is still executing.
     */
   def release(): Unit = synchronized {
     trackedCaches.foreach(_.unpersist(blocking = false))
     trackedCaches.clear()
+  }
+
+  /** Session-level cleanup between independent pipelines in a LONG-LIVED
+    * driver (Bench/Verify call this between queries): clears the catalog
+    * cache, drains this registry, and unpersists every RDD still pinned
+    * in the block manager — which is what releases `localCheckpoint`
+    * blocks that `clearCache()` (catalog-level) never touches. Only call
+    * when no returned frame will be re-executed: a localCheckpoint has
+    * truncated lineage, so its data is unrecoverable once unpersisted.
+    */
+  def releaseAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.catalog.clearCache()
+    release()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
   }
 
   /** Two-phase salted aggregation for skewed grouping keys: rows fan out

@@ -2171,9 +2171,10 @@ object Queries {
     val natural = graft.ops.RelOps.zoneMapAudit(d, "n_chars",
         Seq(col("doc_id")), rowsPerFile = 256, loInclusive = 500L, hiInclusive = 999L)
       .withColumn("layout", lit("natural"))
-    val sorted = graft.ops.RelOps.zoneMapAudit(d, "n_chars",
-        Seq(col("n_chars"), col("doc_id")), rowsPerFile = 256,
-        loInclusive = 500L, hiInclusive = 999L)
+    // sorted layout: closed-form boundary-count audit — no second rank
+    // pass (round-9 review item); exactly equals the rank-based form
+    val sorted = graft.ops.RelOps.zoneMapAuditSorted(d, "n_chars",
+        rowsPerFile = 256, loInclusive = 500L, hiInclusive = 999L)
       .withColumn("layout", lit("sorted"))
     natural.unionAll(sorted).select("layout", "n_files", "files_pruned")
       .orderBy("layout")
@@ -3007,8 +3008,11 @@ object Queries {
     * q140) cannot give — medians resist the heavy tail that moves a
     * mean. All-integer halving rule (`2·cumw ≥ totw`), DECIMAL value
     * arithmetic, fully partitioned windows (median shuffles once per
-    * pass on the group key, never globally). MAD re-runs the same
-    * median over |price − median| after a 3-row broadcast join.
+    * pass on the group key, never globally). The MAD does NOT re-run
+    * the quantile machine over raw rows: [[graft.ops.RelOps
+    * .weightedMedianMad]] contracts pass 1's cumulative structure to
+    * distinct values and folds it around the median (distributed
+    * two-pointer as a bucketed running max over deviation order).
     */
   def q189_weighted_median(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir).lineitem
@@ -3016,18 +3020,8 @@ object Queries {
         col("l_quantity").cast("long").as("w"),
         col("l_orderkey"), col("l_linenumber"))
     val ties = Seq(col("l_orderkey"), col("l_linenumber"))
-    // med is 3 rows with the WHOLE pass-1 quantile machinery as lineage,
-    // and the MAD pass references it through frames that are themselves
-    // read more than once — cache it or pass 1 re-executes per reference
-    // (the DAG-reuse rule; Verify/Bench clearCache() releases it)
-    val med = graft.ops.RelOps.weightedMedian(
-      li, Seq("l_returnflag"), col("price"), col("w"), ties).cache()
-    val dev = li.join(broadcast(med), "l_returnflag")
-      .withColumn("dev", abs(col("price") - col("wmedian")))
-    val mad = graft.ops.RelOps.weightedMedian(
-        dev, Seq("l_returnflag"), col("dev"), col("w"), ties)
-      .withColumnRenamed("wmedian", "mad")
-    med.join(mad, "l_returnflag")
+    graft.ops.RelOps.weightedMedianMad(
+        li, Seq("l_returnflag"), col("price"), col("w"), ties)
       .select(col("l_returnflag"), col("wmedian").cast("double").as("wmedian"),
         col("mad").cast("double").as("mad"))
       .orderBy("l_returnflag")

@@ -262,10 +262,14 @@ final class DedupGroupMaintainerTws(textCol: String, idCol: String,
   private val input =
     org.apache.spark.sql.execution.streaming.runtime.MemoryStream[BandedDoc]
   private val pending = new java.util.concurrent.ConcurrentLinkedQueue[CandPair]()
+  // remembered so close() can delete it — repeated maintainer
+  // construction in a long-lived session must not accumulate RocksDB
+  // checkpoint state on disk
+  private val checkpointDir =
+    java.nio.file.Files.createTempDirectory("graft_dedup_gate")
   private val query = DedupStream.lshCandidateGate(input.toDS(), maxBucket)
     .writeStream
-    .option("checkpointLocation",
-      java.nio.file.Files.createTempDirectory("graft_dedup_gate").toString)
+    .option("checkpointLocation", checkpointDir.toString)
     .outputMode(OutputMode.Append())
     .foreachBatch { (b: Dataset[CandPair], _: Long) =>
       b.collect().foreach(pending.add)
@@ -315,11 +319,18 @@ final class DedupGroupMaintainerTws(textCol: String, idCol: String,
       .getOrElse(spark.emptyDataFrame
         .select(lit(0L).as(idCol), lit(0L).as("group"), lit(true).as("keep")).limit(0))
 
-  /** Stop the gate query and release all relational state. */
+  /** Stop the gate query and release all relational + checkpoint state. */
   def close(): Unit = synchronized {
     query.stop()
     accSets.foreach(Dedup.releaseCheckpoint)
     accLabels.foreach(Dedup.releaseCheckpoint)
     accSets = None; accLabels = None
+    // the gate's temp checkpoint dir would otherwise outlive the session
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(checkpointDir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: java.io.IOException => () }
   }
 }

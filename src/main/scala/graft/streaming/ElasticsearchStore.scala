@@ -85,8 +85,11 @@ final class ElasticsearchStore(baseUrl: String, index: String,
     else if (r.statusCode() != 200) fail("Get", r)
     else {
       val node = mapper.readTree(r.body())
-      if (!node.path("found").asBoolean(false)) None
-      else Some(mapper.writeValueAsBytes(node.get("_source")))
+      // a found doc with _source disabled/filtered has no payload —
+      // treat as absent rather than returning the JSON literal "null"
+      val src = node.get("_source")
+      if (!node.path("found").asBoolean(false) || src == null || src.isNull) None
+      else Some(mapper.writeValueAsBytes(src))
     }
   }
 
@@ -103,8 +106,9 @@ final class ElasticsearchStore(baseUrl: String, index: String,
       val docs = mapper.readTree(r.body()).path("docs")
       keys.indices.flatMap { i =>
         val d = docs.path(i)
-        if (d.path("found").asBoolean(false))
-          Some(keys(i) -> mapper.writeValueAsBytes(d.get("_source")))
+        val src = d.get("_source")
+        if (d.path("found").asBoolean(false) && src != null && !src.isNull)
+          Some(keys(i) -> mapper.writeValueAsBytes(src))
         else None
       }.toMap
     }
@@ -197,9 +201,15 @@ final class MultiElasticsearchStore(baseUrl: String,
 
   override def allTenants: Seq[String] = stores.keys.toSeq.sorted
 
-  private def anyStore: ElasticsearchStore =
-    stores.headOption.map(_._2).getOrElse(
-      tenant("tenant").asInstanceOf[ElasticsearchStore])
+  // Cross-index _mget/_bulk transport: a private store NOT registered in
+  // `stores`, so a fetch()/push() before any tenant() call can't pollute
+  // allTenants with a phantom tenant (its index name never reaches a
+  // request path — rawRequest paths are absolute).
+  private lazy val crossStore =
+    new ElasticsearchStore(baseUrl, indexForTenant("_cross"),
+      NoopMetricsProvider, processorName)
+
+  private def anyStore: ElasticsearchStore = crossStore
 
   override def fetch(keys: Seq[(String, String)]): Map[(String, String), Array[Byte]] = {
     fetchSummary.observe(keys.size.toDouble, labels: _*)
@@ -218,8 +228,9 @@ final class MultiElasticsearchStore(baseUrl: String,
       val got = mapper.readTree(r.body()).path("docs")
       keys.indices.flatMap { i =>
         val d = got.path(i)
-        if (d.path("found").asBoolean(false))
-          Some(keys(i) -> mapper.writeValueAsBytes(d.get("_source")))
+        val src = d.get("_source")
+        if (d.path("found").asBoolean(false) && src != null && !src.isNull)
+          Some(keys(i) -> mapper.writeValueAsBytes(src))
         else None
       }.toMap
     }

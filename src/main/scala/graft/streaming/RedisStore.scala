@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.io.{BufferedInputStream, BufferedOutputStream, IOException}
 import java.net.{InetSocketAddress, Socket}
-import java.nio.charset.StandardCharsets.US_ASCII
+import java.nio.charset.StandardCharsets.{US_ASCII, UTF_8}
 
 import graft.metrics.{MetricsProvider, NoopMetricsProvider}
 
@@ -133,8 +133,13 @@ final class RedisStore private[streaming] (
   private val flushCounter =
     metrics.newCounter("Redis_Flush", "Number of Flush() calls", labelNames: _*)
 
+  // Keys carry user data (corpus words in the word-count example) —
+  // UTF-8, matching the reference's raw Go string bytes (`redis.go`).
+  // RESP bulk strings are binary-safe; US_ASCII stays for protocol
+  // framing literals only (an ASCII encode would fold 'café'→'caf?',
+  // colliding distinct keys).
   private def prefixed(key: String): Array[Byte] =
-    s"$keyPrefix/$key".getBytes(US_ASCII)
+    s"$keyPrefix/$key".getBytes(UTF_8)
 
   private def command(args: Array[Byte]*): AnyRef = conn.command(args: _*)
 
@@ -224,8 +229,9 @@ final class MultiRedisStore(host: String, port: Int, keyPrefix: String,
     metrics.newCounter("MultiRedis_Push", "Counter of Push() calls", labelNames: _*)
 
   private def b(s: String): Array[Byte] = s.getBytes(US_ASCII)
+  // UTF-8 for the same reason as RedisStore.prefixed: tenant/key are data.
   private def fullKey(t: String, k: String): Array[Byte] =
-    s"$t/$keyPrefix/$k".getBytes(US_ASCII)
+    s"$t/$keyPrefix/$k".getBytes(UTF_8)
 
   override def tenant(t: String): Store[Array[Byte]] =
     stores.getOrElseUpdate(t,

@@ -583,6 +583,57 @@ class RelOpsSpec extends SparkSpec {
     }
   }
 
+  test("weightedMedianMad: fused fold matches the brute-force two-pass rule at any split") {
+    // the MAD pass folds pass-1's distinct-value cum structure around the
+    // median — must equal the plain per-row halving rule on BOTH passes,
+    // including dense ties and the D=0 / no-below-rows edges
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 600L).map { i =>
+      (s"g${i % 3}", rnd.nextInt(12).toLong, rnd.nextInt(9).toLong + 1L, i)
+    } ++ (1L to 5L).map(i => ("const", 7L, 2L, 1000L + i)) // all-equal group: mad 0
+    def bruteMedian(rs: Seq[(String, Long, Long, Long)]): Long = {
+      val sorted = rs.sortBy { case (_, v, _, tie) => (v, tie) }
+      val tot = sorted.map(_._3).sum
+      var cum = 0L
+      sorted.collectFirst {
+        case (_, v, w, _) if { cum += w; 2L * cum >= tot } => v }.get
+    }
+    val expected = rows.groupBy(_._1).map { case (k, rs) =>
+      val m = bruteMedian(rs)
+      val dev = rs.map { case (kk, v, w, tie) => (kk, math.abs(v - m), w, tie) }
+      k -> ((m, bruteMedian(dev)))
+    }
+    val df = rows.toDF("k", "v", "w", "tie").repartition(7)
+    for (np <- Seq(1, 4, 32)) {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", np)
+      try {
+        val got = RelOps.weightedMedianMad(df, Seq("k"), col("v"), col("w"),
+            Seq(col("tie")))
+          .as[(String, Long, Long)].collect()
+          .map(r => r._1 -> ((r._2, r._3))).toMap
+        assert(got == expected, s"shuffle.partitions=$np: $got vs $expected")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+  }
+
+  test("zoneMapAuditSorted: closed form equals the rank-based audit, straddle stays conservative") {
+    // value multiset with ties and a straddling file: 0,0,…,40,…,1200 —
+    // the boundary-count form must reproduce the rank-based audit exactly
+    val vals = Seq.fill(7)(10L) ++ (0L until 25L).map(_ * 40L) ++ Seq(1200L, 1200L)
+    val d = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "x")
+    for ((lo, hi) <- Seq((100L, 400L), (0L, 5L), (2000L, 3000L), (-10L, 9999L),
+        (480L, 480L))) {
+      val rank = RelOps.zoneMapAudit(d, "x", Seq($"x", $"id"),
+          rowsPerFile = 10, loInclusive = lo, hiInclusive = hi)
+        .as[(Long, Long)].head()
+      val closed = RelOps.zoneMapAuditSorted(d, "x",
+          rowsPerFile = 10, loInclusive = lo, hiInclusive = hi)
+        .as[(Long, Long)].head()
+      assert(closed == rank, s"[$lo,$hi]: closed $closed vs rank $rank")
+    }
+  }
+
   test("cdcApply: I/U/D last-writer-wins on crafted ops; untouched rows pass through") {
     val snapshot = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
       .toDF("k", "attr", "v")
