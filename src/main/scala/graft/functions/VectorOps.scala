@@ -484,6 +484,144 @@ object VectorOps {
       new IvfIndex(merged, centroids, dim, total)
     }
 
+    /** Cell-occupancy profile: one row per centroid, EMPTY cells
+      * included — (cid, n). The index-health diagnostic behind
+      * [[rebalance]]: many [[append]]s never retrain centroids, so an
+      * ingest whose distribution drifts piles new vectors into a few
+      * cells and probe cost drifts with it (a probed hot cell scans
+      * n_hot rows, not size/cells).
+      */
+    def cellStats: DataFrame =
+      centroids.select("cid").join(
+          assigned.groupBy("cid").agg(count(lit(1)).as("n")), Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("n"), lit(0L)).as("n"))
+
+    /** One-row occupancy summary: (cells, total, max_n, cv) with
+      * cv = population stddev / mean of per-cell counts — the
+      * rebalance trigger a scheduled health check records per ingest
+      * cycle (cv drifting up ⇒ probes are degrading).
+      */
+    def occupancySummary: DataFrame =
+      cellStats.agg(count(lit(1)).as("cells"),
+        coalesce(sum(col("n")), lit(0L)).as("total"),
+        coalesce(max(col("n")), lit(0L)).as("max_n"),
+        (stddev_pop(col("n")) / avg(col("n"))).as("cv"))
+
+    /** Threshold-triggered re-split of oversized cells — the index-
+      * lifecycle op between cheap [[append]]s (no retrain) and a full
+      * scheduled rebuild: every cell whose occupancy exceeds
+      * `maxOverFactor ×` the mean is split into `ceil(n_cell / mean)`
+      * sub-cells, Lloyd-trained on THAT CELL'S members only (hash-
+      * sampled to `trainCap` per cell when set — the [[IvfIndex.build]]
+      * sampling discipline), and only the oversized cells' members are
+      * reassigned; every other cell's rows and centroid are untouched.
+      * Returns a new index with fresh cids for the sub-cells (the
+      * receiver's caches are released); returns `this` unchanged when
+      * nothing exceeds the threshold.
+      *
+      * Correctness: the assignment stays a PARTITION of the ids (each
+      * oversized member lands in exactly one sub-cell), so at
+      * `nprobe = cells` search is still the exact top-k — identical to
+      * a full rebuild probed fully (spec-proven); at fixed small nprobe
+      * the re-split recovers probe-cost uniformity (occupancy CV drops
+      * — the spec's other assertion).
+      *
+      * Scale shape: the trigger scan is one map-side-combinable count;
+      * per-cell seeds ride a WindowGroupLimit-optimized literal-k rank
+      * (partial top-k before any full sort); Lloyd rounds are ONE
+      * grouped aggregation per iteration over the oversized members
+      * only (grouped fused mean, (ocid, scid) keys); the only
+      * single-partition window is the fresh-cid numbering over the
+      * Σ sub-cells frame — bounded by cells × maxOverFactor rows by
+      * construction (the globalRank offsets discipline).
+      */
+    def rebalance(maxOverFactor: Double = 2.0, iters: Int = 1,
+                  trainCap: Int = 0): IvfIndex = {
+      require(maxOverFactor > 1.0, s"maxOverFactor must exceed 1, got $maxOverFactor")
+      require(iters >= 1, "at least one Lloyd iteration")
+      val nCells = centroids.count()
+      if (size == 0L || nCells == 0L) return this
+      val mean = size.toDouble / nCells
+      // bounded by the cell count — a driver-held map, like IVF books
+      val over = assigned.groupBy("cid").agg(count(lit(1)).as("n"))
+        .filter(col("n") > lit(maxOverFactor * mean))
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      if (over.isEmpty) return this
+      val overCids = over.map(_._1).toSeq
+      val target = math.max(1.0, mean)
+      val kPer = over.map { case (cid, n) =>
+        cid -> math.max(2, math.ceil(n / target).toInt) }
+      val maxK = kPer.map(_._2).max
+      val spark = assigned.sparkSession
+      val kDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(kPer.toSeq.map { case (c, k) =>
+          org.apache.spark.sql.Row(c, k) }, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("ocid",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType, nullable = false))))
+      val members = assigned.filter(col("cid").isin(overCids: _*))
+        .select(col("cid").as("ocid"), col("id"), col("v")).cache()
+      // per-cell deterministic hash-rank: literal maxK first so Spark's
+      // WindowGroupLimit prunes before the per-cell k filter
+      val wSeed = Window.partitionBy(col("ocid"))
+        .orderBy(graft.ops.CorpusOps.sampleRank(col("id")), col("id"))
+      def cellRank(of: DataFrame, upTo: Int): DataFrame = of
+        .withColumn("__rn", row_number().over(wSeed)).filter(col("__rn") <= upTo)
+      val trainMembers = if (trainCap > 0)
+        cellRank(members, math.max(trainCap, maxK)).drop("__rn") else members
+      val seeds0 = cellRank(trainMembers, maxK).join(broadcast(kDf), "ocid")
+        .filter(col("__rn") <= col("k"))
+        .select(col("ocid"), (col("__rn") - 1).cast("long").as("scid"),
+          col("v").as("cv"))
+      def groupedAssign(of: DataFrame, seeds: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("id"))
+          .orderBy(col("__sc").desc, col("scid").asc)
+        of.join(broadcast(seeds), "ocid")
+          .select(col("ocid"), col("scid"), col("id"), col("v"),
+            cosine(col("v"), col("cv")).as("__sc"))
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .select("ocid", "scid", "id", "v")
+      }
+      def groupedMean(a: DataFrame): DataFrame =
+        if (dim <= 256) {
+          val sums = (0 until dim).map(i =>
+            sum(element_at(col("v"), i + 1)).as(s"__s$i"))
+          a.groupBy(col("ocid"), col("scid"))
+            .agg(count(lit(1)).as("__n"), sums: _*)
+            .select(col("ocid"), col("scid"),
+              array((0 until dim).map(i => col(s"__s$i") / col("__n")): _*).as("cv"))
+        } else a.select(col("ocid"), col("scid"), posexplode(col("v")))
+          .groupBy(col("ocid"), col("scid"), col("pos")).agg(avg("col").as("m"))
+          .groupBy("ocid", "scid")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            s => s.getField("m")).as("cv"))
+      val seeds = (1 to iters).foldLeft(seeds0)((s, _) =>
+        groupedMean(groupedAssign(trainMembers, s)))
+      val finalAssign = groupedAssign(members, seeds)
+      // fresh cids for the sub-cells: bounded single-partition numbering
+      val maxCid = centroids.agg(max(col("cid"))).head().getLong(0)
+      val subIds = broadcast(seeds.select("ocid", "scid").distinct()
+        .withColumn("cid", (lit(maxCid) +
+          row_number().over(Window.orderBy("ocid", "scid")).cast("long"))))
+      val newCents = centroids.filter(!col("cid").isin(overCids: _*))
+        .unionByName(seeds.join(subIds, Seq("ocid", "scid"))
+          .select(col("cid"), col("cv")))
+        .cache()
+      val newAssigned = assigned.filter(!col("cid").isin(overCids: _*))
+        .unionByName(finalAssign.join(subIds, Seq("ocid", "scid"))
+          .select(col("cid"), col("id"), col("v")))
+        .cache()
+      // materialize BEFORE releasing the superseded caches the lineage reads
+      newCents.count()
+      val total = newAssigned.count()
+      assigned.unpersist(blocking = false)
+      centroids.unpersist(blocking = false)
+      members.unpersist(blocking = false)
+      new IvfIndex(newAssigned, newCents, dim, total)
+    }
+
     /** Probe the `nprobe` nearest cells per query, exact cosine inside. */
     def search(queries: DataFrame, queryIdCol: String, queryVecCol: String,
                k: Int, nprobe: Int): DataFrame =

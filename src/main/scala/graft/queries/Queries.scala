@@ -997,18 +997,23 @@ object Queries {
       .orderBy("vec_id")
 
   /** SemDeDup-style semantic dedup groups at the clustered operating
-    * point (c=32 cells, probes=2 — c tracks √n so candidate volume
-    * stays ~linear): the scale path that replaces q62's O(n²) pair
-    * generation — quadratic work bounded per cell, candidates on a cid
-    * equi-join. Rows-only (cluster boundaries are float-arithmetic-
-    * specific); VectorOpsSpec owns correctness: found pairs are
-    * exact-verified (precision 1), recall vs the exact pair list
-    * asserted, and q76 pins the machinery to the exact answer.
+    * point (c=32 cells, probes=6): the scale path that replaces q62's
+    * O(n²) pair generation — quadratic work bounded per cell,
+    * candidates on a cid equi-join. The operating point is set from
+    * MEASURED recall drift (tools/RecallAudit, table in BASELINE.md):
+    * the original probes=2 held ≥ 0.9 pair recall at fixture scale but
+    * decayed to 0.47 at sf0.1 — multi-probe depth, not cell count, is
+    * the recall knob (probes 6 at c=32 restores 0.97 at sf0.1 while
+    * candidate volume stays ~n²·p²/c-bounded per cell). Rows-only
+    * (cluster boundaries are float-arithmetic-specific); VectorOpsSpec
+    * owns correctness: found pairs are exact-verified (precision 1),
+    * recall vs the exact pair list asserted, and q76 pins the
+    * machinery to the exact answer.
     */
   def q75_semdedup(spark: SparkSession, dir: String): DataFrame =
     graft.functions.VectorOps.semanticDedupGroups(
         Tables(spark, dir).embeddings, "vec_id", "embedding",
-        threshold = 0.45, c = 32, probes = 2)
+        threshold = 0.45, c = 32, probes = 6)
       .select(col("vec_id"), col("group").as("group_id"), col("keep"))
       .orderBy("vec_id")
 
@@ -2702,9 +2707,12 @@ object Queries {
     val e = Tables(spark, dir).embeddings
     val lex = graft.dedup.Dedup.minHashNearDups(d, "text", "doc_id", threshold = 0.5)
       .select("id_a", "id_b")
+    // operating point from measured recall drift (tools/RecallAudit →
+    // BASELINE.md): probes=4 at c=16 holds the semantic rail's pair
+    // recall ≥ 0.95 at sf0.1 where the original (8, 2) decayed
     val sem = graft.functions.VectorOps
       .clusteredCosinePairs(e, "vec_id", "embedding",
-        threshold = 0.45, c = 8, probes = 2, iters = 1, trainCap = 0)
+        threshold = 0.45, c = 16, probes = 4, iters = 1, trainCap = 0)
       .select("id_a", "id_b")
     graft.dedup.Dedup.labelGroups(d, "doc_id", lex.unionAll(sem), "id_a", "id_b")
       .select(col("doc_id"), col("group").as("group_id"))
@@ -3787,6 +3795,43 @@ object Queries {
       .orderBy("s_nationkey", "s_suppkey")
   }
 
+  /** IVF index health + rebalance lifecycle ([[graft.functions.VectorOps
+    * .IvfIndex.rebalance]]): build on the low-id half of the corpus,
+    * absorb the high-id half via [[graft.functions.VectorOps.IvfIndex
+    * .append]] (no retrain — the 100 TB ingest contract), then re-split
+    * the drift-skewed cells, training each split on that cell's own
+    * sampled members. Emits the occupancy summary per stage — the
+    * health telemetry a scheduled index-maintenance job records.
+    * Rows-only (float CV, sampled training); the invariants — CV drop,
+    * cell growth, assignment stays a partition, full-probe searches
+    * equal a full rebuild — are spec-proven in VectorOpsSpec.
+    */
+  def q218_ivf_rebalance(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps
+    val e = Tables(spark, dir).embeddings
+    val n = e.count()
+    val first = e.filter(col("vec_id") < n / 2)
+    // the appended batch carries DISTRIBUTION DRIFT (a deterministic
+    // directional shift of the fixture vectors — new-ingest embeddings
+    // from a different source/model): the centroids never saw this
+    // region, so the batch piles into few cells — the exact lifecycle
+    // rebalance exists for (the fixture alone is near-isotropic and
+    // would no-op the trigger)
+    val rest = e.filter(col("vec_id") >= n / 2)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x + lit(0.3f)).as("embedding"))
+    val built = VectorOps.IvfIndex.build(first, "vec_id", "embedding",
+      c = 16, trainCap = 4096)
+    val grown = built.append(rest, "vec_id", "embedding")
+    val reb = grown.rebalance(maxOverFactor = 1.5, trainCap = 2048)
+    def stage(name: String, ix: VectorOps.IvfIndex) =
+      ix.occupancySummary.withColumn("stage", lit(name))
+    stage("1_built", built).unionAll(stage("2_appended", grown))
+      .unionAll(stage("3_rebalanced", reb))
+      .select("stage", "cells", "total", "max_n", "cv")
+      .orderBy("stage")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -4047,7 +4092,8 @@ object Queries {
     "q214_order_count_dist" -> (q214_order_count_dist _),
     "q215_top_supplier" -> (q215_top_supplier _),
     "q216_large_orders" -> (q216_large_orders _),
-    "q217_supplier_skyline" -> (q217_supplier_skyline _)
+    "q217_supplier_skyline" -> (q217_supplier_skyline _),
+    "q218_ivf_rebalance" -> (q218_ivf_rebalance _)
   )
 }
 

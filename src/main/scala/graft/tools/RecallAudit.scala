@@ -1,0 +1,87 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Recall telemetry for the rows-only dedup operating points (q66 LSH
+  * groups, q75 clustered SemDeDup, q177 scale ensemble): measures the
+  * same-group PAIR recall of each scale form against its exact sibling
+  * at the queries' shipped settings, at any SF (the specs assert ≥ 0.9
+  * at fixture scale only — this records the actual numbers per round in
+  * BASELINE.md so recall drift is visible round-over-round; VERDICT r9
+  * item 6). Precision is 1 by construction (every scale pair is
+  * exact-verified before CC), asserted here too.
+  *
+  * Usage: `sbt -batch "runMain graft.tools.RecallAudit [sfDir]"`.
+  */
+object RecallAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = graft.core.Graft.defaultCpus
+    val spark = graft.core.Graft.configure(
+        SparkSession.builder().master(s"local[$cpus]").appName("graft-recall"), cpus)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.core.Tables
+    import graft.dedup.Dedup
+    import graft.functions.VectorOps
+
+    def samePairs(labels: DataFrame, id: String, grp: String): Set[(Long, Long)] =
+      labels.select(col(id).cast("long"), col(grp).cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._2).values.flatMap { g =>
+          val ids = g.map(_._1).toSeq.sorted
+          for (i <- ids.indices; j <- i + 1 until ids.size) yield (ids(i), ids(j))
+        }.toSet
+
+    def report(name: String, exact: Set[(Long, Long)], scale: Set[(Long, Long)]): Unit = {
+      val recall = if (exact.isEmpty) 1.0
+        else exact.intersect(scale).size.toDouble / exact.size
+      val precise = scale.subsetOf(exact)
+      println(f"$name%-22s exact_pairs=${exact.size}%7d scale_pairs=${scale.size}%7d " +
+        f"recall=$recall%6.4f precision_1=$precise")
+    }
+
+    val d = Tables(spark, sfDir).documents
+    val e = Tables(spark, sfDir).embeddings
+
+    // q66: LSH near-dup groups vs exact-jaccard groups (n=3, t=0.5)
+    val exactJac = Dedup.labelGroups(d, "doc_id",
+      Dedup.jaccardPairs(d, "text", "doc_id", n = 3, threshold = 0.5)
+        .select("id_a", "id_b"), "id_a", "id_b")
+    val lsh = Dedup.nearDupGroups(d, "text", "doc_id",
+      n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+    val exactJacPairs = samePairs(exactJac, "doc_id", "group")
+    report("q66_neardup_lsh", exactJacPairs, samePairs(lsh, "doc_id", "group"))
+    spark.catalog.clearCache()
+
+    // q75: clustered SemDeDup (c=32, probes=2) vs exact cosine groups
+    val exactCos = Dedup.labelGroups(
+      e.select(col("vec_id").as("doc_id")), "doc_id",
+      VectorOps.cosineAllPairs(e, "vec_id", "embedding", threshold = 0.45)
+        .select("id_a", "id_b"), "id_a", "id_b")
+    val sem = graft.queries.Queries.q75_semdedup(spark, sfDir)
+    val exactCosPairs = samePairs(exactCos, "doc_id", "group")
+    report("q75_semdedup", exactCosPairs, samePairs(sem, "vec_id", "group_id"))
+    spark.catalog.clearCache()
+
+    // optional sweep: semanticDedupGroups operating points at this SF
+    if (args.contains("sweep")) {
+      for ((c, p) <- Seq((16, 3), (16, 4), (24, 4), (32, 4), (32, 6), (48, 6))) {
+        val g = VectorOps.semanticDedupGroups(e, "vec_id", "embedding",
+          threshold = 0.45, c = c, probes = p)
+        report(f"q75_sweep_c${c}_p$p", exactCosPairs, samePairs(g, "vec_id", "group"))
+        spark.catalog.clearCache()
+      }
+    }
+
+    // q177 vs q173: scale ensemble vs exact ensemble (declared queries)
+    val exactEns = graft.queries.Queries.q173_ensemble_dedup(spark, sfDir)
+    val scaleEns = graft.queries.Queries.q177_ensemble_dedup_scale(spark, sfDir)
+    report("q177_ensemble_scale",
+      samePairs(exactEns, "doc_id", "group_id"),
+      samePairs(scaleEns, "doc_id", "group_id"))
+    graft.ops.ScaleOps.releaseAll(spark)
+    spark.stop()
+  }
+}

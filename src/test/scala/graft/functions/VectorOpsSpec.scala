@@ -496,6 +496,44 @@ class VectorOpsSpec extends SparkSpec {
     ivf2.close(); pq2.close()
   }
 
+  test("IVF rebalance: CV drops after skewed appends, partition preserved, full probe exact") {
+    // 2-D corpus: 4 seed vectors split across two directions, then an
+    // append-heavy ingest piles 40 near-(0,1) vectors into one cell —
+    // the no-retrain drift rebalance exists for
+    val base = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0f, 1f)), (4L, Seq(0.1f, 0.9f))).toDF("vec_id", "embedding")
+    val batch = (0 until 40).map(i =>
+      (100L + i, Seq(0.1f + 0.001f * i, 1f))).toDF("vec_id", "embedding")
+    val idx = VectorOps.IvfIndex.build(base, "vec_id", "embedding", c = 2)
+    val grown = idx.append(batch, "vec_id", "embedding")
+    val cellsBefore = grown.centroids.count()
+    val cvBefore = grown.occupancySummary.select("cv").as[Double].head()
+    // below threshold → the same instance comes back untouched
+    assert(grown.rebalance(maxOverFactor = 100.0) eq grown)
+    val reb = grown.rebalance(maxOverFactor = 1.5)
+    val cellsAfter = reb.centroids.count()
+    val cvAfter = reb.occupancySummary.select("cv").as[Double].head()
+    assert(cellsAfter > cellsBefore, s"no split: $cellsBefore -> $cellsAfter")
+    assert(cvAfter < cvBefore, s"occupancy CV did not drop: $cvBefore -> $cvAfter")
+    // the assignment stays a partition of the ids (each id exactly once)
+    assert(reb.assigned.count() == 44L)
+    assert(reb.assigned.select("id").distinct().count() == 44L)
+    // fresh cids for sub-cells: stats cover every centroid, empty or not
+    assert(reb.cellStats.count() == cellsAfter)
+    // full-probe search is the exact top-k — equal to the pre-rebalance
+    // index AND a from-scratch rebuild, both fully probed
+    val q = base.filter($"vec_id" === 3L)
+    def top(ix: VectorOps.IvfIndex, np: Int) =
+      ix.search(q, "vec_id", "embedding", k = 5, nprobe = np)
+        .select("qid", "id").as[(Long, Long)].collect().toSet
+    val full = VectorOps.IvfIndex.build(
+      base.unionAll(batch), "vec_id", "embedding", c = cellsAfter.toInt)
+    assert(top(reb, cellsAfter.toInt) == top(grown, cellsBefore.toInt))
+    assert(top(reb, cellsAfter.toInt) == top(full, cellsAfter.toInt))
+    full.close(); reb.close()
+  }
+
   test("index append rejects ids already present and batch-internal duplicates") {
     val e = Tables(spark, sfDir).embeddings
     val dup = e.filter($"vec_id" === 1) // id already in the index
