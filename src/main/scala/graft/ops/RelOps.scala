@@ -818,112 +818,188 @@ object RelOps {
     withCum.groupBy(kcols: _*).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Exact weighted median AND weighted MAD per group in ~1.5 passes —
-    * the fused form of `weightedMedian` twice (q189's original shape,
-    * self-flagged in round 9): the second median does NOT re-run the
-    * full quantile machine over raw rows. Instead, pass 1's cumulative
-    * structure is contracted to one row per DISTINCT value
-    * (`cumw(v) = W(x ≤ v)`, cached — distinct-value-sized), and the
-    * deviation median folds that structure around the median m:
-    * `W(|x−m| ≤ D) = W(m ≤ x ≤ m+D) + W(m−D ≤ x < m)`, where each
-    * half's cumulative weight is a per-candidate constant derived from
-    * `cumw` (`u = cumw(v) − W(<m)` above, `l = W(<m) − W(<v)` below),
-    * both monotone in D — so the fence is a running MAX over deviation
-    * order (the distributed two-pointer: each side's pointer is the
-    * floor candidate the max picks up), evaluated over the contracted
-    * frame with the same sampled-bounds bucket chain as
-    * [[graft.ops.ScaleOps.groupedRunningSum]] (parallelism = buckets ×
-    * groups, never group count). Raw rows are scanned ONLY by pass 1;
-    * everything after operates on the cached distinct-value frame.
+  /** Exact weighted median AND weighted MAD per group with NO
+    * corpus-sized shuffle or sort — bucket-bracket refinement (the
+    * classic exact-distributed-quantile shape: coarse CDF → bracket →
+    * fine pass), which replaced q189's original two-pass
+    * `weightedMedian` machine (round-9 review item). A first fused
+    * attempt (fold pass-1's per-distinct-value cum structure around the
+    * median) measured SLOWER than two-pass at sf0.1 — l_extendedprice
+    * is 99% distinct, so the contraction contracts nothing and the
+    * deviation-order window still sorts the whole corpus. This form
+    * never materializes a corpus-wide cumulative structure at all:
     *
-    * Same exact halving rule as [[weightedMedian]] (`2·cumw ≥ totw`,
-    * integer/decimal arithmetic, no float division): the smallest
-    * distinct value whose full-value cumulative weight crosses half is
-    * identical to the smallest crossing (value, tie) row's value, so
-    * the result equals the two-pass form row-for-row (q189's oracle is
-    * the per-row-cum SQL and stays green). Output: keys, `wmedian`,
-    * `mad`.
+    *  1. ONE deterministic sampled-bounds pass over the value column
+    *     (hash-ranked TakeOrdered, ≤ 200·np rows — the
+    *     groupedRunningSum discipline) → a monotone bucket chain;
+    *  2. ONE map-side-combinable pass → per-(bucket, group) weights,
+    *     collected (≤ np·|groups| rows — the low-group-cardinality
+    *     contract of the de-skew rail);
+    *  3. driver arithmetic (exact BigDecimal) brackets the median
+    *     crossing per group — the bucket where the cumulative weight
+    *     crosses half — and a FINE pass scans only that bucket's rows
+    *     (~n/np per group, a value-range predicate that parquet
+    *     min/max stats prune) with the exact integer halving rule
+    *     `2·(offset + local cum) ≥ tot`;
+    *  4. the MAD bracket folds the SAME bucket weights around the now-
+    *     known median m: for candidate radii D (bucket-edge distances
+    *     to m), `W(|x−m| ≤ D)` is bounded below by the fully-contained
+    *     buckets of `[m−D, m+D]` and above by the intersecting ones —
+    *     the two-pointer over pass-2's structure, run on the driver
+    *     over ≤ np·|groups| numbers; the crossing radius is bracketed
+    *     in `(Dlo, Dhi]` (≈ the edge buckets' weight), and a fine pass
+    *     scans only `dev ∈ (Dlo, Dhi]` rows (+ one conditional-sum
+    *     scan for the exact base weight `W(dev ≤ Dlo)`).
+    *
+    * Five pruned scans of a 3-column projection, zero full-data
+    * exchanges; the only windows run over bracket-sized row sets. All
+    * bracket math is conservative (exact BigDecimal compares at scale
+    * 12, which embeds both integral and ≤ 6-dp decimal values
+    * losslessly), so the fine passes always contain the crossing row
+    * and the result is EXACTLY the per-row halving rule — q189's
+    * per-row-cum SQL oracle stays green, and the spec checks dense-tie
+    * and constant-group edges at several partition counts. Output:
+    * keys, `wmedian` (original value type), `mad` (same).
     */
   def weightedMedianMad(df: DataFrame, keys: Seq[String], valueCol: Column,
                         weightCol: Column, tieCols: Seq[Column],
                         partitions: Int = 0): DataFrame = {
-    val kcols = keys.map(col)
-    val base = df.select((kcols :+ valueCol.as("__v") :+ weightCol.as("__w")) ++
-      tieCols.zipWithIndex.map { case (c, i) => c.as(s"__t$i") }: _*)
-    val ord = col("__v") +: tieCols.indices.map(i => col(s"__t$i"))
-    // pass 1: the one full-data cumulative pass (range-bucketed, de-skewed)
-    val withCum = graft.ops.ScaleOps.groupedRunningSum(
-      base, keys, col("__w"), ord, "__cumw")
-    // contract to one row per distinct value: full-value inclusive cum.
-    // Distinct-value-sized — cached (tracked; released via
-    // clearCache()/ScaleOps.release()), every later step reads THIS, not
-    // raw rows.
-    val v = graft.ops.ScaleOps.trackCache(
-      withCum.groupBy((kcols :+ col("__v")): _*)
-        .agg(sum(col("__w")).as("__wx"), max(col("__cumw")).as("__cw")))
-    val dec = "decimal(38,0)"
-    val tot = v.groupBy(kcols: _*).agg(max(col("__cw")).as("__totw"))
-    val med = v.join(broadcast(tot), keys)
-      .groupBy(kcols: _*)
-      .agg(min(when(col("__cw").cast(dec) * lit(2L) >= col("__totw").cast(dec),
-        col("__v"))).as("wmedian"))
-    // W(< m) per group (0 when nothing sits below the median)
-    val wlt = v.join(broadcast(med), keys)
-      .groupBy(kcols: _*)
-      .agg(coalesce(max(when(col("__v") < col("wmedian"), col("__cw"))),
-        lit(0L)).as("__wlt"))
-    val stats = med.join(wlt, keys).join(tot, keys) // 3-row frames
-    // candidates: one per distinct value, folded around m
-    val cand = v.join(broadcast(stats), keys)
-      .withColumn("__d", abs(col("__v") - col("wmedian")))
-      .withColumn("__u", when(col("__v") >= col("wmedian"),
-        col("__cw") - col("__wlt")))
-      .withColumn("__l", when(col("__v") < col("wmedian"),
-        col("__wlt") - col("__cw") + col("__wx")))
-    // de-skewed running max over deviation order: sampled bounds →
-    // monotone bucket chain → per-(bucket, group) partial maxima →
-    // broadcast prefix-max offsets → windows partitioned by
-    // (bucket, group). RANGE frame so equal deviations (one from each
-    // side of the fold) see each other's weight.
+    import org.apache.spark.sql.types._
     val spark = df.sparkSession
     val np = if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val values = cand
-      .select(col("__d").as("__sv"), xxhash64((kcols :+ col("__d")): _*).as("__sh"))
-      .orderBy(col("__sh"), col("__sv")).limit(np * 200)
-      .select("__sv").orderBy(col("__sv")).collect()
-      .map(_.get(0))
-    val step = math.max(1, values.length / np)
-    val bounds = values.indices.collect {
-      case i if i > 0 && i % step == 0 => values(i)
-    }.distinct
-    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col("__d") >= lit(b), 1).otherwise(0)
+    val kcols = keys.map(col)
+    val nK = keys.size
+    val base = df.select((kcols :+ valueCol.as("__v") :+
+      weightCol.cast("long").as("__w")) ++
+      tieCols.zipWithIndex.map { case (c, i) => c.as(s"__t$i") }: _*)
+    val vType = base.schema("__v").dataType
+    val ties = tieCols.indices.map(i => col(s"__t$i"))
+    val vd = col("__v").cast("decimal(38,12)")
+    def big(a: Any): java.math.BigDecimal = a match {
+      case b: java.math.BigDecimal => b.setScale(12)
+      case b: scala.math.BigDecimal => b.bigDecimal.setScale(12)
+      case n: java.lang.Number => new java.math.BigDecimal(n.toString).setScale(12)
+      case other => new java.math.BigDecimal(other.toString).setScale(12)
     }
-    val bucketed = cand.withColumn("__gb", bucket)
-    val parts = graft.ops.ScaleOps.trackCache(
-      bucketed.groupBy((col("__gb") +: kcols): _*)
-        .agg(max(col("__u")).as("__mu"), max(col("__l")).as("__ml")))
-    val wOff = Window.partitionBy(kcols: _*).orderBy(col("__gb"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = parts
-      .withColumn("__uoff", max(col("__mu")).over(wOff))
-      .withColumn("__loff", max(col("__ml")).over(wOff))
-      .drop("__mu", "__ml")
-    val wRun = Window.partitionBy((col("__gb") +: kcols): _*)
-      .orderBy(col("__d"))
-      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    val fenced = bucketed.join(broadcast(offs), "__gb" +: keys)
-      .withColumn("__umax",
-        greatest(max(col("__u")).over(wRun), col("__uoff")))
-      .withColumn("__lmax",
-        greatest(max(col("__l")).over(wRun), col("__loff")))
-    val mad = fenced.groupBy(kcols: _*)
-      .agg(min(when(
-        (coalesce(col("__umax"), lit(0L)) + coalesce(col("__lmax"), lit(0L)))
-          .cast(dec) * lit(2L) >= col("__totw").cast(dec),
-        col("__d"))).as("mad"))
-    med.join(mad, keys)
+    val keyFields = base.schema.fields.take(nK)
+    def constDf(rows: Seq[(List[Any], Seq[Any])], fields: Seq[StructField]) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (k, cs) =>
+          org.apache.spark.sql.Row.fromSeq(k ++ cs) }, 1),
+        StructType(keyFields ++ fields))
+    val dec12 = DecimalType(38, 12)
+
+    // 1. deterministic sampled global bounds over __v
+    val sampled = base
+      .select(col("__v").as("__sv"),
+        xxhash64((kcols ++ (col("__v") +: ties)): _*).as("__sh"))
+      .orderBy(col("__sh"), col("__sv")).limit(np * 200)
+      .select("__sv").orderBy(col("__sv")).collect().map(r => big(r.get(0)))
+    val step = math.max(1, sampled.length / np)
+    val bounds = sampled.indices.collect {
+      case i if i > 0 && i % step == 0 => sampled(i)
+    }.distinct
+    // bucket b covers [bounds(b-1), bounds(b)); 0 and last are unbounded
+    val bucketCol = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(vd >= lit(b), 1).otherwise(0)
+    }
+
+    // 2. per-(bucket, group) weights — driver-held, ≤ np·|groups| rows
+    val partials = base
+      .groupBy((bucketCol.as("__gb") +: kcols): _*)
+      .agg(sum(col("__w")).as("__pw")).collect()
+    val byGroup = partials.groupBy(r => (1 to nK).map(r.get).toList)
+      .map { case (k, rs) =>
+        k -> rs.map(r => r.getInt(0) -> r.getLong(nK + 1)).sortBy(_._1) }
+    // bucket interval edges (null = unbounded)
+    def bLo(b: Int): java.math.BigDecimal = if (b == 0) null else bounds(b - 1)
+    def bHi(b: Int): java.math.BigDecimal =
+      if (b >= bounds.length) null else bounds(b)
+
+    // 3. median bracket per group → fine pass A
+    val medBr = byGroup.toSeq.map { case (k, bw) =>
+      val tot = bw.map(_._2).sum
+      var cum = 0L
+      val (bStar, off) = bw.iterator.map { case (b, w) =>
+        val prev = cum; cum += w; (b, prev, cum)
+      }.collectFirst { case (b, prev, c) if 2 * c >= tot => (b, prev) }.get
+      (k, Seq[Any](bLo(bStar), bHi(bStar), off, tot))
+    }
+    val medBdf = broadcast(constDf(medBr, Seq(
+      StructField("__blo", dec12, nullable = true),
+      StructField("__bhi", dec12, nullable = true),
+      StructField("__off", LongType, nullable = false),
+      StructField("__tot", LongType, nullable = false))))
+    val wA = Window.partitionBy(kcols: _*)
+      .orderBy((col("__v") +: ties).map(_.asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec0 = "decimal(38,0)"
+    val medRows = base.join(medBdf, keys)
+      .filter((col("__blo").isNull || vd >= col("__blo")) &&
+        (col("__bhi").isNull || vd < col("__bhi")))
+      .withColumn("__cum", sum(col("__w")).over(wA) + col("__off"))
+    val medCollected = medRows.groupBy(kcols: _*)
+      .agg(min(when(col("__cum").cast(dec0) * lit(2L) >= col("__tot").cast(dec0),
+          col("__v"))).as("wmedian"),
+        max(col("__tot")).as("__tot"))
+      .collect()
+
+    // 4. MAD bracket per group: fold the bucket weights around m (exact
+    // BigDecimal two-pointer on the driver over ≤ np·|groups| numbers)
+    val madBr = medCollected.toSeq.map { r =>
+      val k = (0 until nK).map(r.get).toList
+      val m = big(r.get(nK))
+      val tot = r.getLong(nK + 1)
+      val bw = byGroup(k)
+      val cands = bounds.map(e => e.subtract(m).abs()).distinct.sorted
+      def contained(d: java.math.BigDecimal): Long = bw.iterator.map { case (b, w) =>
+        val lo = bLo(b); val hi = bHi(b)
+        if (lo != null && hi != null &&
+          lo.compareTo(m.subtract(d)) >= 0 && hi.compareTo(m.add(d)) <= 0) w
+        else 0L
+      }.sum
+      def intersects(d: java.math.BigDecimal): Long = bw.iterator.map { case (b, w) =>
+        val lo = bLo(b); val hi = bHi(b)
+        if ((lo == null || lo.compareTo(m.add(d)) <= 0) &&
+          (hi == null || hi.compareTo(m.subtract(d)) >= 0)) w
+        else 0L
+      }.sum
+      val dHi = cands.find(d => 2 * contained(d) >= tot).orNull
+      val dLo = cands.reverseIterator.find(d => 2 * intersects(d) < tot).orNull
+      (k, Seq[Any](m, dLo, dHi, tot))
+    }
+    val madBdf = broadcast(constDf(madBr, Seq(
+      StructField("__m", dec12, nullable = false),
+      StructField("__dlo", dec12, nullable = true),
+      StructField("__dhi", dec12, nullable = true),
+      StructField("__tot", LongType, nullable = false))))
+
+    // 5. fine pass B: exact base weight below the bracket + the bracket
+    // rows' local cumulative — both scans prune on the value predicate
+    val devved = base.join(madBdf, keys)
+      .withColumn("__dev", abs(vd - col("__m")))
+    val baseW = broadcast(devved.groupBy(kcols: _*)
+      .agg(coalesce(sum(when(col("__dlo").isNotNull &&
+          col("__dev") <= col("__dlo"), col("__w"))), lit(0L)).as("__bw")))
+    val wB = Window.partitionBy(kcols: _*)
+      .orderBy((col("__dev") +: ties).map(_.asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mad = devved
+      .filter((col("__dlo").isNull || col("__dev") > col("__dlo")) &&
+        (col("__dhi").isNull || col("__dev") <= col("__dhi")))
+      .join(baseW, keys)
+      .withColumn("__cum", sum(col("__w")).over(wB) + col("__bw"))
+      .groupBy(kcols: _*)
+      .agg(min(when(col("__cum").cast(dec0) * lit(2L) >= col("__tot").cast(dec0),
+        col("__dev"))).cast(vType).as("mad"))
+
+    // median output from the already-collected exact values (tiny frame)
+    val medOut = constDf(
+      medCollected.toSeq.map(r =>
+        ((0 until nK).map(r.get).toList, Seq[Any](r.get(nK)))),
+      Seq(StructField("wmedian", vType, nullable = true)))
+    medOut.join(mad, keys)
   }
 
   /** Exact 2-D Pareto frontier (skyline): the rows not STRICTLY
