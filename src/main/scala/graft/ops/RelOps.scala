@@ -774,18 +774,93 @@ object RelOps {
     weightedQuantiles(df, keys, valueCol, weightCol, tieCols,
       Seq(bp -> "wquantile"))
 
-  /** Several exact weighted quantiles per group in ONE pass — each
+  // ---- bracketed-quantile machinery (shared by weightedQuantiles and
+  // weightedMedianMad) ----------------------------------------------------
+
+  private[ops] def bigDec(a: Any): java.math.BigDecimal = a match {
+    case b: java.math.BigDecimal => b.setScale(12)
+    case b: scala.math.BigDecimal => b.bigDecimal.setScale(12)
+    case n: java.lang.Number => new java.math.BigDecimal(n.toString).setScale(12)
+    case other => new java.math.BigDecimal(other.toString).setScale(12)
+  }
+
+  /** Shared prep for the bracketed quantile ops: normalized projection,
+    * deterministic sampled value bounds (hash-ranked TakeOrdered,
+    * ≤ 200·np rows), the monotone bucket chain (bucket b covers
+    * `[bounds(b−1), bounds(b))`; 0 and last unbounded), and the
+    * driver-held per-(bucket, group) weight table — the coarse CDF,
+    * ≤ np·|groups| rows (the low-group-cardinality contract of the
+    * de-skew quantile rail; q198's ~2k groups are fine, a million-group
+    * key is not this op). All driver compares run on exact
+    * BigDecimal at scale 12, which embeds integral and ≤ 6-dp decimal
+    * values losslessly. Group keys must be non-null (bracket constants
+    * join back on them); weights must be non-negative.
+    */
+  private final class QuantileBuckets(df: DataFrame, keys: Seq[String],
+      valueCol: Column, weightCol: Column, tieCols: Seq[Column],
+      partitions: Int) {
+    val spark: org.apache.spark.sql.SparkSession = df.sparkSession
+    val np: Int = if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val kcols: Seq[Column] = keys.map(col)
+    val nK: Int = keys.size
+    val base: DataFrame = df.select((kcols :+ valueCol.as("__v") :+
+      weightCol.cast("long").as("__w")) ++
+      tieCols.zipWithIndex.map { case (c, i) => c.as(s"__t$i") }: _*)
+    val vType: org.apache.spark.sql.types.DataType = base.schema("__v").dataType
+    val ties: Seq[Column] = tieCols.indices.map(i => col(s"__t$i"))
+    val vd: Column = col("__v").cast("decimal(38,12)")
+    private val keyFields = base.schema.fields.take(nK)
+    val bounds: IndexedSeq[java.math.BigDecimal] = {
+      val sampled = base.select(col("__v").as("__sv"),
+          xxhash64((kcols ++ (col("__v") +: ties)): _*).as("__sh"))
+        .orderBy(col("__sh"), col("__sv")).limit(np * 200)
+        .select("__sv").orderBy(col("__sv")).collect().map(r => bigDec(r.get(0)))
+      val step = math.max(1, sampled.length / np)
+      sampled.indices.collect {
+        case i if i > 0 && i % step == 0 => sampled(i) }.distinct.toIndexedSeq
+    }
+    val bucketCol: Column = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(vd >= lit(b), 1).otherwise(0) }
+    // the coarse CDF: per group, ascending (bucket, weight)
+    val byGroup: Map[List[Any], Array[(Int, Long)]] = base
+      .groupBy((bucketCol.as("__gb") +: kcols): _*)
+      .agg(sum(col("__w")).as("__pw")).collect()
+      .groupBy(r => (1 to nK).map(r.get).toList)
+      .map { case (k, rs) =>
+        k -> rs.map(r => r.getInt(0) -> r.getLong(nK + 1)).sortBy(_._1) }
+    def bLo(b: Int): java.math.BigDecimal = if (b == 0) null else bounds(b - 1)
+    def bHi(b: Int): java.math.BigDecimal =
+      if (b >= bounds.length) null else bounds(b)
+    /** exact `10000·cum ≥ bp·tot` (BigInt — no wrap at any weight sum) */
+    def crosses(cum: Long, bp: Int, tot: Long): Boolean =
+      BigInt(cum) * 10000 >= BigInt(bp) * BigInt(tot)
+    def constDf(rows: Seq[(List[Any], Seq[Any])],
+                fields: Seq[org.apache.spark.sql.types.StructField]): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (k, cs) =>
+          org.apache.spark.sql.Row.fromSeq(k ++ cs) }, 1),
+        org.apache.spark.sql.types.StructType(keyFields ++ fields))
+  }
+
+  /** Several exact weighted quantiles per group in one structure — each
     * `(bp, outCol)` emits the smallest value whose cumulative weight
-    * reaches `bp` basis points of the group total. The cumulative sum
-    * is [[graft.ops.ScaleOps.groupedRunningSum]] — range-partitioned
-    * WITHIN each group, so parallelism is the partition count, not the
-    * group count (a window partitioned by a 3-value key serializes n/3
-    * rows per task: a straggler by construction at 100×). Group totals
-    * come from a map-side-combinable aggregate joined back (never a
-    * whole-group window), and all `bp` fences are conditional argmins
-    * inside ONE final aggregation, so asking for p25 AND p75 costs one
-    * pass, not two. `(valueCol, tieCols)` must total-order rows within
-    * a group.
+    * reaches `bp` basis points of the group total (`10000·cumw ≥
+    * bp·totw`, exact arithmetic, no float division) — computed with NO
+    * corpus-sized shuffle or sort: bucket-bracket refinement
+    * ([[QuantileBuckets]]' coarse CDF brackets each bp's crossing
+    * bucket on the driver, with its exact cumulative offset), then ONE
+    * fine pass scans only the bracket buckets' rows (~n/np per fence —
+    * a value-range predicate parquet min/max stats prune) and runs the
+    * windowed cumulative over those row sets alone, partitioned by
+    * (bucket, group). All bp fences share the fine pass: every fence's
+    * true argmin row is inside its own bracket with an exact offset
+    * cum, and extra bracket rows can only qualify at larger values, so
+    * one conditional argmin per fence over the union is exact.
+    * Replaces the round-9 groupedRunningSum form, whose range
+    * repartition shuffled the whole input to rank ALL rows when only
+    * the fence rows matter. `(valueCol, tieCols)` must total-order
+    * rows within a group; group keys non-null; weights non-negative.
     */
   def weightedQuantiles(df: DataFrame, keys: Seq[String], valueCol: Column,
                         weightCol: Column, tieCols: Seq[Column],
@@ -794,28 +869,33 @@ object RelOps {
     bps.foreach { case (bp, _) =>
       require(bp >= 1 && bp <= 10000, s"bp must be in [1, 10000], got $bp")
     }
-    val kcols = keys.map(col)
-    // groupedRunningSum scans its input three times (bounds sample,
-    // partials, the windowed output) — deliberately UNCACHED: the
-    // projection is pruned-scan-cheap, and measured caching of this
-    // frame costs more than the rescans (cache upstream lineage instead
-    // if it is expensive, the q189 med.cache pattern)
-    val base = df.select((kcols :+ valueCol.as("__v") :+ weightCol.as("__w")) ++
-      tieCols.zipWithIndex.map { case (c, i) => c.as(s"__t$i") }: _*)
-    val ord = col("__v") +: tieCols.indices.map(i => col(s"__t$i"))
-    // cumulative AND total come out of ONE groupedRunningSum pass (the
-    // totals derive from its per-bucket partials — no input rescan)
-    val withCum = graft.ops.ScaleOps.groupedRunningSum(
-      base, keys, col("__w"), ord, "__cumw", totalCol = Some("__totw"))
-    val ordStruct = struct(col("__v").as("__v") +:
-      tieCols.indices.map(i => col(s"__t$i").as(s"__t$i")): _*)
-    val dec = "decimal(38,0)"
-    val aggs = bps.map { case (bp, name) =>
-      min(when(col("__cumw").cast(dec) * lit(10000L) >=
-          col("__totw").cast(dec) * lit(bp.toLong), ordStruct))
-        .getField("__v").as(name)
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField}
+    val q = new QuantileBuckets(df, keys, valueCol, weightCol, tieCols, 0)
+    val brRows = q.byGroup.toSeq.flatMap { case (k, bw) =>
+      val tot = bw.map(_._2).sum
+      var cum = 0L
+      val cums = bw.map { case (b, w) => val prev = cum; cum += w; (b, prev, cum) }
+      bps.map { case (bp, _) =>
+        cums.collectFirst { case (b, prev, c) if q.crosses(c, bp, tot) =>
+          (b, prev) }.get
+      }.distinct.map { case (b, off) => (k, Seq[Any](b, off, tot)) }
     }
-    withCum.groupBy(kcols: _*).agg(aggs.head, aggs.tail: _*)
+    val brDf = broadcast(q.constDf(brRows, Seq(
+      StructField("__gb", IntegerType, nullable = false),
+      StructField("__off", LongType, nullable = false),
+      StructField("__tot", LongType, nullable = false))))
+    val wF = Window.partitionBy((col("__gb") +: q.kcols): _*)
+      .orderBy((col("__v") +: q.ties).map(_.asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec0 = "decimal(38,0)"
+    val fine = q.base.withColumn("__gb", q.bucketCol)
+      .join(brDf, "__gb" +: keys)
+      .withColumn("__cum", sum(col("__w")).over(wF) + col("__off"))
+    val aggs = bps.map { case (bp, name) =>
+      min(when(col("__cum").cast(dec0) * lit(10000L) >=
+        col("__tot").cast(dec0) * lit(bp.toLong), col("__v"))).as(name)
+    }
+    fine.groupBy(q.kcols: _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Exact weighted median AND weighted MAD per group with NO
@@ -864,69 +944,24 @@ object RelOps {
   def weightedMedianMad(df: DataFrame, keys: Seq[String], valueCol: Column,
                         weightCol: Column, tieCols: Seq[Column],
                         partitions: Int = 0): DataFrame = {
-    import org.apache.spark.sql.types._
-    val spark = df.sparkSession
-    val np = if (partitions > 0) partitions
-      else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val kcols = keys.map(col)
-    val nK = keys.size
-    val base = df.select((kcols :+ valueCol.as("__v") :+
-      weightCol.cast("long").as("__w")) ++
-      tieCols.zipWithIndex.map { case (c, i) => c.as(s"__t$i") }: _*)
-    val vType = base.schema("__v").dataType
-    val ties = tieCols.indices.map(i => col(s"__t$i"))
-    val vd = col("__v").cast("decimal(38,12)")
-    def big(a: Any): java.math.BigDecimal = a match {
-      case b: java.math.BigDecimal => b.setScale(12)
-      case b: scala.math.BigDecimal => b.bigDecimal.setScale(12)
-      case n: java.lang.Number => new java.math.BigDecimal(n.toString).setScale(12)
-      case other => new java.math.BigDecimal(other.toString).setScale(12)
-    }
-    val keyFields = base.schema.fields.take(nK)
-    def constDf(rows: Seq[(List[Any], Seq[Any])], fields: Seq[StructField]) =
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.map { case (k, cs) =>
-          org.apache.spark.sql.Row.fromSeq(k ++ cs) }, 1),
-        StructType(keyFields ++ fields))
+    import org.apache.spark.sql.types.{DecimalType, LongType, StructField}
+    val q = new QuantileBuckets(df, keys, valueCol, weightCol, tieCols, partitions)
+    import q.{base, bLo, bHi, bounds, byGroup, kcols, nK, ties, vd, vType}
     val dec12 = DecimalType(38, 12)
+    val dec0 = "decimal(38,0)"
 
-    // 1. deterministic sampled global bounds over __v
-    val sampled = base
-      .select(col("__v").as("__sv"),
-        xxhash64((kcols ++ (col("__v") +: ties)): _*).as("__sh"))
-      .orderBy(col("__sh"), col("__sv")).limit(np * 200)
-      .select("__sv").orderBy(col("__sv")).collect().map(r => big(r.get(0)))
-    val step = math.max(1, sampled.length / np)
-    val bounds = sampled.indices.collect {
-      case i if i > 0 && i % step == 0 => sampled(i)
-    }.distinct
-    // bucket b covers [bounds(b-1), bounds(b)); 0 and last are unbounded
-    val bucketCol = bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(vd >= lit(b), 1).otherwise(0)
-    }
-
-    // 2. per-(bucket, group) weights — driver-held, ≤ np·|groups| rows
-    val partials = base
-      .groupBy((bucketCol.as("__gb") +: kcols): _*)
-      .agg(sum(col("__w")).as("__pw")).collect()
-    val byGroup = partials.groupBy(r => (1 to nK).map(r.get).toList)
-      .map { case (k, rs) =>
-        k -> rs.map(r => r.getInt(0) -> r.getLong(nK + 1)).sortBy(_._1) }
-    // bucket interval edges (null = unbounded)
-    def bLo(b: Int): java.math.BigDecimal = if (b == 0) null else bounds(b - 1)
-    def bHi(b: Int): java.math.BigDecimal =
-      if (b >= bounds.length) null else bounds(b)
-
-    // 3. median bracket per group → fine pass A
+    // median bracket per group → fine pass A (the weightedQuantiles
+    // shape at bp 5000, kept inline so the same prep serves the MAD)
     val medBr = byGroup.toSeq.map { case (k, bw) =>
       val tot = bw.map(_._2).sum
       var cum = 0L
       val (bStar, off) = bw.iterator.map { case (b, w) =>
         val prev = cum; cum += w; (b, prev, cum)
-      }.collectFirst { case (b, prev, c) if 2 * c >= tot => (b, prev) }.get
+      }.collectFirst { case (b, prev, c) if q.crosses(c, 5000, tot) =>
+        (b, prev) }.get
       (k, Seq[Any](bLo(bStar), bHi(bStar), off, tot))
     }
-    val medBdf = broadcast(constDf(medBr, Seq(
+    val medBdf = broadcast(q.constDf(medBr, Seq(
       StructField("__blo", dec12, nullable = true),
       StructField("__bhi", dec12, nullable = true),
       StructField("__off", LongType, nullable = false),
@@ -934,22 +969,25 @@ object RelOps {
     val wA = Window.partitionBy(kcols: _*)
       .orderBy((col("__v") +: ties).map(_.asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val dec0 = "decimal(38,0)"
-    val medRows = base.join(medBdf, keys)
+    val medCollected = base.join(medBdf, keys)
       .filter((col("__blo").isNull || vd >= col("__blo")) &&
         (col("__bhi").isNull || vd < col("__bhi")))
       .withColumn("__cum", sum(col("__w")).over(wA) + col("__off"))
-    val medCollected = medRows.groupBy(kcols: _*)
+      .groupBy(kcols: _*)
       .agg(min(when(col("__cum").cast(dec0) * lit(2L) >= col("__tot").cast(dec0),
           col("__v"))).as("wmedian"),
         max(col("__tot")).as("__tot"))
       .collect()
 
-    // 4. MAD bracket per group: fold the bucket weights around m (exact
-    // BigDecimal two-pointer on the driver over ≤ np·|groups| numbers)
+    // MAD bracket per group: fold the bucket weights around m — the
+    // two-pointer over the coarse CDF, run on the driver with exact
+    // BigDecimal arithmetic. W(|x−m| ≤ D) is bounded below by buckets
+    // fully inside [m−D, m+D] and above by buckets intersecting it, so
+    // the crossing radius is bracketed in (dLo, dHi] (≈ the edge
+    // buckets' weight).
     val madBr = medCollected.toSeq.map { r =>
       val k = (0 until nK).map(r.get).toList
-      val m = big(r.get(nK))
+      val m = bigDec(r.get(nK))
       val tot = r.getLong(nK + 1)
       val bw = byGroup(k)
       val cands = bounds.map(e => e.subtract(m).abs()).distinct.sorted
@@ -969,13 +1007,13 @@ object RelOps {
       val dLo = cands.reverseIterator.find(d => 2 * intersects(d) < tot).orNull
       (k, Seq[Any](m, dLo, dHi, tot))
     }
-    val madBdf = broadcast(constDf(madBr, Seq(
+    val madBdf = broadcast(q.constDf(madBr, Seq(
       StructField("__m", dec12, nullable = false),
       StructField("__dlo", dec12, nullable = true),
       StructField("__dhi", dec12, nullable = true),
       StructField("__tot", LongType, nullable = false))))
 
-    // 5. fine pass B: exact base weight below the bracket + the bracket
+    // fine pass B: exact base weight below the bracket + the bracket
     // rows' local cumulative — both scans prune on the value predicate
     val devved = base.join(madBdf, keys)
       .withColumn("__dev", abs(vd - col("__m")))
@@ -995,7 +1033,7 @@ object RelOps {
         col("__dev"))).cast(vType).as("mad"))
 
     // median output from the already-collected exact values (tiny frame)
-    val medOut = constDf(
+    val medOut = q.constDf(
       medCollected.toSeq.map(r =>
         ((0 until nK).map(r.get).toList, Seq[Any](r.get(nK)))),
       Seq(StructField("wmedian", vType, nullable = true)))

@@ -245,15 +245,23 @@ class PlanCheckSpec extends SparkSpec {
     }
   }
 
-  test("q189/q193 cumulative-weight windows partition beyond the 3-value group key") {
-    // the weightedQuantiles de-skew contract: the heavy running sum must
-    // ride (range-partition-id, group), never the bare group key — a
-    // 3-way-parallel window is a straggler by construction at 100×
-    for (name <- Seq("q189_weighted_median", "q193_weighted_iqr")) {
-      val windows = windowNodes(Queries.all(name)(spark, sfDir))
-      assert(windows.exists(_.partitionSpec.size >= 2),
-        s"$name lost the (pid, group) partitioning on its running sum")
-    }
+  test("q189/q193 cumulative-weight windows run over bracket-pruned rows only") {
+    // the bracketed-quantile contract (round 10): there is NO
+    // corpus-sized running sum at all — the coarse-CDF bracket bounds
+    // every window's input to ~n/np rows per fence. Structurally:
+    // q193's fine window partitions by (bracket-bucket, group) — the
+    // join key of the broadcast bracket constants — and q189's fine
+    // passes filter on the broadcast bracket bounds (__bhi / __dhi)
+    // BEFORE any window; a corpus-wide window over the bare group key
+    // (the 100×-straggler the old groupedRunningSum form existed to
+    // avoid) would show neither.
+    val q193 = windowNodes(Queries.all("q193_weighted_iqr")(spark, sfDir))
+    assert(q193.nonEmpty && q193.forall(_.partitionSpec.size >= 2),
+      "q193 lost the (bracket, group) partitioning on its fine window")
+    val q189plan = Queries.all("q189_weighted_median")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(q189plan.contains("__dhi") || q189plan.contains("__dev"),
+      s"q189's MAD window is not bracket-pruned:\n$q189plan")
   }
 
   test("q154/q155/q147 corpus-sized rank/prefix-sum windows are never single-partition") {
