@@ -147,6 +147,49 @@ object RelOps {
         col(tsCol).as("valid_from"), col("valid_to"))
   }
 
+  /** Point-in-time SCD2 lookup — the dimension-snapshot ("AS OF") join:
+    * for each probe row, the [[scd2]] attribute whose validity interval
+    * `[valid_from, valid_to)` covers the probe's point (null where no
+    * interval does, e.g. before the key's first change). Implemented as
+    * the union-window as-of: dimension starts and probes merge into ONE
+    * per-key ordered stream — dimension rows sort before probes at
+    * equal timestamps (a probe exactly at a validity start sees that
+    * interval), ties inside each side break on `tieCol`/the probe id —
+    * the latest dimension struct propagates via
+    * `last(…, ignoreNulls)` (the struct wraps attr AND valid_to
+    * together: a bare ignoreNulls `last(valid_to)` would skip the open
+    * interval's null terminator and resurrect the previous interval's
+    * bound), and an open/closed check nulls out probes past a closed
+    * interval. ONE shuffle on the key — no inequality join, no
+    * interval × probe explosion; zero-length intervals (two changes at
+    * one timestamp) match nothing, exactly like the SQL
+    * `valid_from ≤ p < valid_to` contract. Output:
+    * (keyCol, probe_id, state).
+    */
+  def scd2Lookup(dim: DataFrame, keyCol: String, tieCol: String,
+                 attrCol: String, probes: DataFrame, probeKey: Column,
+                 probeId: Column, pointCol: Column): DataFrame = {
+    val d = dim.select(col(keyCol).as("__k"), col("valid_from").as("__t"),
+      lit(0).as("__isp"), col(tieCol).cast("long").as("__tie"),
+      struct(col(attrCol).as("a"), col("valid_to").as("vto")).as("__s"),
+      lit(null).cast("long").as("__pid"))
+    val p = probes.select(probeKey.as("__k"), pointCol.as("__t"),
+      lit(1).as("__isp"), probeId.cast("long").as("__tie"),
+      lit(null).cast(d.schema("__s").dataType).as("__s"),
+      probeId.cast("long").as("__pid"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__isp"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.unionByName(p)
+      .withColumn("__last", last(col("__s"), ignoreNulls = true).over(w))
+      .filter(col("__isp") === 1)
+      .select(col("__k").as(keyCol), col("__pid").as("probe_id"),
+        when(col("__last").isNotNull &&
+          (col("__last").getField("vto").isNull ||
+            col("__last").getField("vto") > col("__t")),
+          col("__last").getField("a")).as("state"))
+  }
+
   /** Cohort retention matrix: users cohorted by the DAY of their first
     * event; cell (cohort, k) counts distinct users active k days after
     * their cohort day. Calendar-day arithmetic is integer (datediff),

@@ -3832,6 +3832,50 @@ object Queries {
       .orderBy("stage")
   }
 
+  /** Robust outlier gate — the median/MAD fences applied as a filter
+    * rail: per return flag, how many lineitems sit more than 3 MADs
+    * from the weighted median price. The robust sibling of the σ-clip
+    * gate (q124): a mean/stddev fence moves with the very outliers it
+    * should catch, the median/MAD fence does not. Rides
+    * [[graft.ops.RelOps.weightedMedianMad]] (bracketed, zero corpus
+    * shuffles) + a 3-row broadcast; the comparison
+    * `|price − med| > 3·mad` is pure DECIMAL arithmetic → exact oracle.
+    */
+  def q219_robust_outliers(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .select(col("l_returnflag"), dec(col("l_extendedprice")).as("price"),
+        col("l_quantity").cast("long").as("w"),
+        col("l_orderkey"), col("l_linenumber"))
+    val st = graft.ops.RelOps.weightedMedianMad(li, Seq("l_returnflag"),
+      col("price"), col("w"), Seq(col("l_orderkey"), col("l_linenumber")))
+    li.join(broadcast(st), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(abs(col("price") - col("wmedian")) > col("mad") * lit(3),
+          1L).otherwise(0L)).as("n_out"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Point-in-time SCD2 snapshot lookup ([[graft.ops.RelOps
+    * .scd2Lookup]]): for every event, the state that was valid 30
+    * minutes EARLIER according to the q114 validity intervals — the
+    * warehouse "dimension AS OF" join. Union-window as-of (one shuffle
+    * on the key, no inequality join); probes before a user's first
+    * change resolve to null. Exact oracle: the q114 interval CTE LEFT
+    * JOINed on `valid_from ≤ p < valid_to` (intervals are disjoint, so
+    * at most one row matches).
+    */
+  def q220_scd2_lookup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val dim = graft.ops.RelOps.scd2(ev, "user_id", "ts", "event_id", "event_type")
+    val probes = ev.select(col("user_id"), col("event_id"),
+      (col("ts") - expr("INTERVAL 30 MINUTES")).as("p"))
+    graft.ops.RelOps.scd2Lookup(dim, "user_id", "event_id", "event_type",
+        probes, col("user_id"), col("event_id"), col("p"))
+      .select(col("user_id"), col("probe_id").as("event_id"), col("state"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -4093,7 +4137,9 @@ object Queries {
     "q215_top_supplier" -> (q215_top_supplier _),
     "q216_large_orders" -> (q216_large_orders _),
     "q217_supplier_skyline" -> (q217_supplier_skyline _),
-    "q218_ivf_rebalance" -> (q218_ivf_rebalance _)
+    "q218_ivf_rebalance" -> (q218_ivf_rebalance _),
+    "q219_robust_outliers" -> (q219_robust_outliers _),
+    "q220_scd2_lookup" -> (q220_scd2_lookup _)
   )
 }
 
@@ -6495,7 +6541,46 @@ object Oracles {
         |  CAST(n_cell * 1000000 AS BIGINT) AS actual_ppm_total
         |FROM cells JOIN r ON cells.lang = r.lang
         |JOIN c ON cells.source = c.source CROSS JOIN t
-        |ORDER BY cells.lang, cells.source""".stripMargin
+        |ORDER BY cells.lang, cells.source""".stripMargin,
+    "q219_robust_outliers" ->
+      """WITH li AS (SELECT l_returnflag AS f,
+        |    CAST(l_extendedprice AS DECIMAL(18,6)) AS price,
+        |    CAST(l_quantity AS BIGINT) AS w, l_orderkey AS ok, l_linenumber AS ln
+        |  FROM lineitem),
+        |m1 AS (SELECT f, price,
+        |    sum(w) OVER (PARTITION BY f ORDER BY price, ok, ln
+        |      ROWS UNBOUNDED PRECEDING) AS cumw,
+        |    sum(w) OVER (PARTITION BY f) AS totw FROM li),
+        |med AS (SELECT f, min(price) AS wm FROM m1
+        |        WHERE 2 * cumw >= totw GROUP BY f),
+        |d AS (SELECT li.f, abs(li.price - med.wm) AS dev, li.w, li.ok, li.ln
+        |      FROM li JOIN med ON li.f = med.f),
+        |m2 AS (SELECT f, dev,
+        |    sum(w) OVER (PARTITION BY f ORDER BY dev, ok, ln
+        |      ROWS UNBOUNDED PRECEDING) AS cumw,
+        |    sum(w) OVER (PARTITION BY f) AS totw FROM d),
+        |mad AS (SELECT f, min(dev) AS mad FROM m2
+        |        WHERE 2 * cumw >= totw GROUP BY f)
+        |SELECT li.f AS l_returnflag, CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(coalesce(sum(CASE WHEN abs(li.price - med.wm) > 3 * mad.mad
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_out
+        |FROM li JOIN med ON li.f = med.f JOIN mad ON li.f = mad.f
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q220_scd2_lookup" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |ch AS (SELECT user_id, event_id, event_type, ts FROM marked
+        |       WHERE prev IS NULL OR prev <> event_type),
+        |iv AS (SELECT user_id, event_type, ts AS valid_from,
+        |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |       FROM ch),
+        |pr AS (SELECT user_id, event_id, ts - INTERVAL 30 MINUTE AS p FROM events)
+        |SELECT pr.user_id, pr.event_id, iv.event_type AS state
+        |FROM pr LEFT JOIN iv ON pr.user_id = iv.user_id
+        |  AND iv.valid_from <= pr.p AND (iv.valid_to IS NULL OR iv.valid_to > pr.p)
+        |ORDER BY pr.user_id, pr.event_id""".stripMargin
   )
 
   /** q164's oracle: the integer BM25 arithmetic mirrored term-by-term —

@@ -634,6 +634,35 @@ class RelOpsSpec extends SparkSpec {
     }
   }
 
+  test("scd2Lookup: as-of snapshot semantics on crafted intervals") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: a@10:00, b@11:00 (a collapses 10:00-11:00, b open);
+    // user 2: two changes at the SAME instant (c then d by event_id) —
+    // c's interval is zero-length and must match nothing
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 11:00:00"), 2L, "b"),
+      (2L, ts("2024-01-01 09:00:00"), 3L, "c"),
+      (2L, ts("2024-01-01 09:00:00"), 4L, "d")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val dim = RelOps.scd2(events, "user_id", "ts", "event_id", "event_type")
+    val probes = Seq(
+      (1L, 10L, ts("2024-01-01 09:59:59")), // before first interval → null
+      (1L, 11L, ts("2024-01-01 10:00:00")), // exactly at a start → a
+      (1L, 12L, ts("2024-01-01 10:59:59")), // inside closed interval → a
+      (1L, 13L, ts("2024-01-01 11:00:00")), // boundary: a closed, b open → b
+      (1L, 14L, ts("2024-01-02 00:00:00")), // deep in the open interval → b
+      (2L, 15L, ts("2024-01-01 09:00:00")), // zero-length c skipped → d
+      (2L, 16L, ts("2024-01-01 08:59:59"))  // before any change → null
+    ).toDF("user_id", "pid", "p")
+    val got = RelOps.scd2Lookup(dim, "user_id", "event_id", "event_type",
+        probes, col("user_id"), col("pid"), col("p"))
+      .collect().map(r => r.getLong(1) -> Option(r.getString(2))).toMap
+    assert(got == Map(
+      10L -> None, 11L -> Some("a"), 12L -> Some("a"), 13L -> Some("b"),
+      14L -> Some("b"), 15L -> Some("d"), 16L -> None), s"got $got")
+  }
+
   test("cdcApply: I/U/D last-writer-wins on crafted ops; untouched rows pass through") {
     val snapshot = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
       .toDF("k", "attr", "v")
