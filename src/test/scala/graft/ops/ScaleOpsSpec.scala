@@ -7,6 +7,30 @@ import org.apache.spark.sql.functions._
 class ScaleOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("releaseAll unpersists localCheckpoint blocks and tracked caches (long-session hygiene)") {
+    // the round-9 driver degradation class: clearCache() is
+    // catalog-level and leaves RDD-level persists (localCheckpoint
+    // blocks) resident for the life of the session
+    val sc = spark.sparkContext
+    ScaleOps.releaseAll(spark) // start from a clean slate
+    val before = sc.getPersistentRDDs.keySet
+    val ck = spark.range(1000).toDF("id").localCheckpoint(true)
+    assert(ck.count() == 1000L)
+    val ranked = ScaleOps.globalRank(
+      spark.range(500).toDF("id"), "rnk", Seq(col("id")))
+    assert(ranked.count() == 500L) // materialize the tracked cache
+    assert((sc.getPersistentRDDs.keySet -- before).nonEmpty,
+      "expected resident RDDs from localCheckpoint/trackCache")
+    spark.catalog.clearCache()
+    // catalog clear alone does NOT release the checkpoint blocks —
+    // exactly why Bench/Verify needed releaseAll
+    assert((sc.getPersistentRDDs.keySet -- before).nonEmpty,
+      "clearCache unexpectedly released RDD-level persists")
+    ScaleOps.releaseAll(spark)
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+      s"releaseAll left resident RDDs: ${sc.getPersistentRDDs.keySet -- before}")
+  }
+
   test("saltedSum/saltedCount match plain aggregation on skewed data") {
     // 90% of rows share one key — the within-group skew case
     val rows = (1 to 2000).map(i => (if (i <= 1800) "hot" else s"k${i % 7}", i.toDouble))
