@@ -24,6 +24,25 @@ object VectorOps {
 
   def toDoubleArr(c: Column): Column = transform(c, _.cast("double"))
 
+  /** Shared occupancy diagnostics for every IVF-family rung (one row
+    * per cell, empty cells included): the health telemetry a scheduled
+    * maintenance job reads to decide `IvfIndex.rebalance` (plain IVF)
+    * or a rebuild (SQ8/PQ rungs — their per-cell codebooks/recentered
+    * codes are trained against the cell boundaries, so a re-split
+    * invalidates them; stats say WHEN to pay the rebuild, the same
+    * trigger arithmetic either way).
+    */
+  private[functions] def cellStatsOf(cells: DataFrame, rows: DataFrame): DataFrame =
+    cells.select("cid").join(
+        rows.groupBy("cid").agg(count(lit(1)).as("n")), Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("n"), lit(0L)).as("n"))
+
+  private[functions] def occupancySummaryOf(stats: DataFrame): DataFrame =
+    stats.agg(count(lit(1)).as("cells"),
+      coalesce(sum(col("n")), lit(0L)).as("total"),
+      coalesce(max(col("n")), lit(0L)).as("max_n"),
+      (stddev_pop(col("n")) / avg(col("n"))).as("cv"))
+
   /** Sequential-fold dot product — same evaluation order as the DuckDB
     * oracle's grouped sum, so results are bit-identical. Routed to the
     * native codegen kernel ([[dotHof]] is the reference formulation it
@@ -491,21 +510,14 @@ object VectorOps {
       * cells and probe cost drifts with it (a probed hot cell scans
       * n_hot rows, not size/cells).
       */
-    def cellStats: DataFrame =
-      centroids.select("cid").join(
-          assigned.groupBy("cid").agg(count(lit(1)).as("n")), Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("n"), lit(0L)).as("n"))
+    def cellStats: DataFrame = VectorOps.cellStatsOf(centroids, assigned)
 
     /** One-row occupancy summary: (cells, total, max_n, cv) with
       * cv = population stddev / mean of per-cell counts — the
       * rebalance trigger a scheduled health check records per ingest
       * cycle (cv drifting up ⇒ probes are degrading).
       */
-    def occupancySummary: DataFrame =
-      cellStats.agg(count(lit(1)).as("cells"),
-        coalesce(sum(col("n")), lit(0L)).as("total"),
-        coalesce(max(col("n")), lit(0L)).as("max_n"),
-        (stddev_pop(col("n")) / avg(col("n"))).as("cv"))
+    def occupancySummary: DataFrame = VectorOps.occupancySummaryOf(cellStats)
 
     /** Threshold-triggered re-split of oversized cells — the index-
       * lifecycle op between cheap [[append]]s (no retrain) and a full
@@ -740,6 +752,13 @@ object VectorOps {
       codes.unpersist(blocking = false)
       centroids.unpersist(blocking = false)
     }
+
+    /** Occupancy diagnostics — see [[VectorOps.cellStatsOf]]: drift
+      * here says rebuild (SQ8 codes recenter per cell; a re-split
+      * would invalidate them, so there is no in-place rebalance rung).
+      */
+    def cellStats: DataFrame = VectorOps.cellStatsOf(centroids, codes)
+    def occupancySummary: DataFrame = VectorOps.occupancySummaryOf(cellStats)
 
     /** Persist codes (cell-partitioned, see [[IvfPqIndex.save]]) +
       * centroids; the raw re-rank table is passed again at load.
@@ -999,6 +1018,13 @@ object VectorOps {
       val coarse: DataFrame,  // (cid, cv: array<double>, cn2)
       val books: DataFrame,   // (cid, j, pcid, pv: array<double>, pn2, cross)
       raw: DataFrame, m: Int, k: Int, val dim: Int) {
+
+    /** Occupancy diagnostics — see [[VectorOps.cellStatsOf]]: drift
+      * here says rebuild (the residual books are per-cell; a re-split
+      * would invalidate them, so there is no in-place rebalance rung).
+      */
+    def cellStats: DataFrame = VectorOps.cellStatsOf(coarse, codes)
+    def occupancySummary: DataFrame = VectorOps.occupancySummaryOf(cellStats)
 
     def search(queries: DataFrame, queryIdCol: String, queryVecCol: String,
                kTop: Int, nprobe: Int, rescore: Int = 8): DataFrame = {

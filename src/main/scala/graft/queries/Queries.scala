@@ -3876,6 +3876,41 @@ object Queries {
       .orderBy("user_id", "event_id")
   }
 
+  /** ABC (Pareto-cut) classification of supplier revenue per nation —
+    * the cumulative-share segmentation every spend/inventory analysis
+    * runs: suppliers sorted by revenue desc, class A until the prefix
+    * reaches 80% of the nation's total (crossing supplier included),
+    * B until 95%, C after — `class A ⟺ 5·cum_before < 4·tot` in pure
+    * integer arithmetic (no 0.8 float anywhere), DECIMAL(38,0)-widened
+    * so sf-100 revenue sums can't wrap. The running sum windows over
+    * SUPPLIER-level aggregates (dimension-sized — the fact table never
+    * enters a window; a per-nation supplier list at any SF is
+    * dimension-cardinality, unlike the corpus-sized windows the
+    * bracket/range rails exist for). Exact oracle.
+    */
+  def q221_abc_classes(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val rev = t.lineitem
+      .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_nationkey", "s_suppkey")
+      .agg(expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) * 1000000 AS BIGINT)")
+        .as("rev_micros"))
+    val wCum = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("rev_micros").desc, col("s_suppkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("s_nationkey"))
+    val dec = "decimal(38,0)"
+    val before = (col("cum") - col("rev_micros")).cast(dec)
+    rev.withColumn("cum", sum(col("rev_micros")).over(wCum))
+      .withColumn("tot", sum(col("rev_micros")).over(wTot))
+      .select(col("s_nationkey"), col("s_suppkey"), col("rev_micros"),
+        when(before * lit(5L) < col("tot").cast(dec) * lit(4L), "A")
+          .when(before * lit(20L) < col("tot").cast(dec) * lit(19L), "B")
+          .otherwise("C").as("abc_class"))
+      .orderBy("s_nationkey", "s_suppkey")
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -4139,7 +4174,8 @@ object Queries {
     "q217_supplier_skyline" -> (q217_supplier_skyline _),
     "q218_ivf_rebalance" -> (q218_ivf_rebalance _),
     "q219_robust_outliers" -> (q219_robust_outliers _),
-    "q220_scd2_lookup" -> (q220_scd2_lookup _)
+    "q220_scd2_lookup" -> (q220_scd2_lookup _),
+    "q221_abc_classes" -> (q221_abc_classes _)
   )
 }
 
@@ -6580,7 +6616,20 @@ object Oracles {
         |SELECT pr.user_id, pr.event_id, iv.event_type AS state
         |FROM pr LEFT JOIN iv ON pr.user_id = iv.user_id
         |  AND iv.valid_from <= pr.p AND (iv.valid_to IS NULL OR iv.valid_to > pr.p)
-        |ORDER BY pr.user_id, pr.event_id""".stripMargin
+        |ORDER BY pr.user_id, pr.event_id""".stripMargin,
+    "q221_abc_classes" ->
+      """WITH rev AS (SELECT s_nationkey, s_suppkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS rev_micros
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1, 2),
+        |c AS (SELECT s_nationkey, s_suppkey, rev_micros,
+        |    sum(rev_micros) OVER (PARTITION BY s_nationkey
+        |      ORDER BY rev_micros DESC, s_suppkey ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(rev_micros) OVER (PARTITION BY s_nationkey) AS tot FROM rev)
+        |SELECT s_nationkey, s_suppkey, rev_micros,
+        |  CASE WHEN 5 * (cum - rev_micros) < 4 * tot THEN 'A'
+        |       WHEN 20 * (cum - rev_micros) < 19 * tot THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM c ORDER BY s_nationkey, s_suppkey""".stripMargin
   )
 
   /** q164's oracle: the integer BM25 arithmetic mirrored term-by-term —

@@ -532,6 +532,13 @@ class VectorOpsSpec extends SparkSpec {
     assert(top(reb, cellsAfter.toInt) == top(grown, cellsBefore.toInt))
     assert(top(reb, cellsAfter.toInt) == top(full, cellsAfter.toInt))
     full.close(); reb.close()
+    // occupancy diagnostics parity on the quantized rung (stats decide
+    // a rebuild there — per-cell codes preclude in-place re-split)
+    val sq8 = VectorOps.IvfSq8Index.build(
+      base.unionAll(batch), "vec_id", "embedding", c = 2)
+    assert(sq8.cellStats.count() == 2L)
+    assert(sq8.occupancySummary.select("total").as[Long].head() == 44L)
+    sq8.close()
   }
 
   test("index append rejects ids already present and batch-internal duplicates") {
