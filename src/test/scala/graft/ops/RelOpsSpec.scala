@@ -555,8 +555,11 @@ class RelOpsSpec extends SparkSpec {
     // low-cardinality groups × dense value ties: the de-skew rewrite must
     // not disturb the integer basis-point rule at ANY partition split
     val rnd = new scala.util.Random(7)
+    // weights include 0 (zero-weight rows are legal candidate values
+    // that never advance the cumulative) — the bracket arithmetic must
+    // agree with the plain rule on them too
     val rows = (1L to 600L).map { i =>
-      (s"g${i % 3}", rnd.nextInt(12).toLong, rnd.nextInt(9).toLong + 1L, i)
+      (s"g${i % 3}", rnd.nextInt(12).toLong, rnd.nextInt(10).toLong, i)
     }
     def brute(bp: Long): Map[String, Long] =
       rows.groupBy(_._1).map { case (k, rs) =>
@@ -568,16 +571,21 @@ class RelOpsSpec extends SparkSpec {
         }.get
       }
     val df = rows.toDF("k", "v", "w", "tie").repartition(7)
+    // extreme fences (1 bp / 10000 bp) exercise the first/last bracket
+    // buckets; the mid fences the interior
+    val fences = Seq(1 -> "p001", 2500 -> "p25", 5000 -> "p50",
+      7500 -> "p75", 10000 -> "p100")
     for (np <- Seq(1, 4, 32)) {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", np)
       try {
         val got = RelOps.weightedQuantiles(df, Seq("k"), col("v"), col("w"),
-            Seq(col("tie")), Seq(2500 -> "p25", 5000 -> "p50", 7500 -> "p75"))
-          .as[(String, Long, Long, Long)].collect()
-          .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+            Seq(col("tie")), fences)
+          .as[(String, Long, Long, Long, Long, Long)].collect()
+          .map(r => r._1 -> (r._2, r._3, r._4, r._5, r._6)).toMap
         val expected = rows.map(_._1).distinct.map(k =>
-          k -> ((brute(2500)(k), brute(5000)(k), brute(7500)(k)))).toMap
+          k -> ((brute(1)(k), brute(2500)(k), brute(5000)(k),
+            brute(7500)(k), brute(10000)(k)))).toMap
         assert(got == expected, s"shuffle.partitions=$np: $got vs $expected")
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
