@@ -609,14 +609,20 @@ object VectorOps {
           .groupBy("ocid", "scid")
           .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
             s => s.getField("m")).as("cv"))
+      // seeds/subIds are tiny (≤ cells × maxOverFactor rows) but their
+      // lineage is the whole Lloyd chain and they are referenced 4×
+      // across the two materializing counts — cache them (DAG-reuse
+      // rule) and release once the new index frames are materialized
       val seeds = (1 to iters).foldLeft(seeds0)((s, _) =>
-        groupedMean(groupedAssign(trainMembers, s)))
+        groupedMean(groupedAssign(trainMembers, s))).cache()
       val finalAssign = groupedAssign(members, seeds)
       // fresh cids for the sub-cells: bounded single-partition numbering
       val maxCid = centroids.agg(max(col("cid"))).head().getLong(0)
-      val subIds = broadcast(seeds.select("ocid", "scid").distinct()
+      val subIds0 = seeds.select("ocid", "scid").distinct()
         .withColumn("cid", (lit(maxCid) +
-          row_number().over(Window.orderBy("ocid", "scid")).cast("long"))))
+          row_number().over(Window.orderBy("ocid", "scid")).cast("long")))
+        .cache()
+      val subIds = broadcast(subIds0)
       val newCents = centroids.filter(!col("cid").isin(overCids: _*))
         .unionByName(seeds.join(subIds, Seq("ocid", "scid"))
           .select(col("cid"), col("cv")))
@@ -631,6 +637,8 @@ object VectorOps {
       assigned.unpersist(blocking = false)
       centroids.unpersist(blocking = false)
       members.unpersist(blocking = false)
+      seeds.unpersist(blocking = false)
+      subIds0.unpersist(blocking = false)
       new IvfIndex(newAssigned, newCents, dim, total)
     }
 

@@ -820,11 +820,26 @@ object RelOps {
   // ---- bracketed-quantile machinery (shared by weightedQuantiles and
   // weightedMedianMad) ----------------------------------------------------
 
-  private[ops] def bigDec(a: Any): java.math.BigDecimal = a match {
-    case b: java.math.BigDecimal => b.setScale(12)
-    case b: scala.math.BigDecimal => b.bigDecimal.setScale(12)
-    case n: java.lang.Number => new java.math.BigDecimal(n.toString).setScale(12)
-    case other => new java.math.BigDecimal(other.toString).setScale(12)
+  private[ops] def bigDec(a: Any): java.math.BigDecimal = {
+    val raw = a match {
+      case b: java.math.BigDecimal => b
+      case b: scala.math.BigDecimal => b.bigDecimal
+      case n: java.lang.Number => new java.math.BigDecimal(n.toString)
+      case other => throw new IllegalArgumentException(
+        "bracketed quantiles need a NUMERIC value column, got " +
+          other.getClass.getName + " — cast/encode the order value first")
+    }
+    // exact embed at scale 12 — NEVER round silently (a rounded bound
+    // could misbucket a row and break the exactness contract); a >12-dp
+    // value (e.g. a raw double like 0.30000000000000004) fails loudly
+    // with the fix spelled out
+    try raw.setScale(12)
+    catch {
+      case _: ArithmeticException => throw new IllegalArgumentException(
+        s"bracketed quantiles carry values exactly at scale 12; got $raw " +
+          "(more than 12 decimal places) — cast the value column to " +
+          "DECIMAL or an integral type first")
+    }
   }
 
   /** Shared prep for the bracketed quantile ops: normalized projection,
@@ -1046,8 +1061,10 @@ object RelOps {
           (hi == null || hi.compareTo(m.subtract(d)) >= 0)) w
         else 0L
       }.sum
-      val dHi = cands.find(d => 2 * contained(d) >= tot).orNull
-      val dLo = cands.reverseIterator.find(d => 2 * intersects(d) < tot).orNull
+      // BigInt like `crosses` — 2·(a weight sum) must not wrap either
+      val dHi = cands.find(d => BigInt(contained(d)) * 2 >= BigInt(tot)).orNull
+      val dLo = cands.reverseIterator
+        .find(d => BigInt(intersects(d)) * 2 < BigInt(tot)).orNull
       (k, Seq[Any](m, dLo, dHi, tot))
     }
     val madBdf = broadcast(q.constDf(madBr, Seq(

@@ -3820,15 +3820,31 @@ object Queries {
     val rest = e.filter(col("vec_id") >= n / 2)
       .select(col("vec_id"),
         transform(col("embedding"), x => x + lit(0.3f)).as("embedding"))
+    // each stage's one-row summary is collected BEFORE the next
+    // lifecycle step runs: append/rebalance release the prior stage's
+    // caches (by design — superseded state must not leak), so a lazy
+    // union would re-execute the whole build/append lineage uncached
+    def stageRow(name: String, ix: VectorOps.IvfIndex): org.apache.spark.sql.Row = {
+      val r = ix.occupancySummary.head()
+      org.apache.spark.sql.Row(name, r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else java.lang.Double.valueOf(r.getDouble(3)))
+    }
     val built = VectorOps.IvfIndex.build(first, "vec_id", "embedding",
       c = 16, trainCap = 4096)
+    val s1 = stageRow("1_built", built)
     val grown = built.append(rest, "vec_id", "embedding")
+    val s2 = stageRow("2_appended", grown)
     val reb = grown.rebalance(maxOverFactor = 1.5, trainCap = 2048)
-    def stage(name: String, ix: VectorOps.IvfIndex) =
-      ix.occupancySummary.withColumn("stage", lit(name))
-    stage("1_built", built).unionAll(stage("2_appended", grown))
-      .unionAll(stage("3_rebalanced", reb))
-      .select("stage", "cells", "total", "max_n", "cv")
+    val s3 = stageRow("3_rebalanced", reb)
+    reb.close()
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(s1, s2, s3), 1),
+        StructType(Seq(StructField("stage", StringType, nullable = false),
+          StructField("cells", LongType, nullable = false),
+          StructField("total", LongType, nullable = false),
+          StructField("max_n", LongType, nullable = false),
+          StructField("cv", DoubleType, nullable = true))))
       .orderBy("stage")
   }
 
@@ -3881,8 +3897,11 @@ object Queries {
     * runs: suppliers sorted by revenue desc, class A until the prefix
     * reaches 80% of the nation's total (crossing supplier included),
     * B until 95%, C after — `class A ⟺ 5·cum_before < 4·tot` in pure
-    * integer arithmetic (no 0.8 float anywhere), DECIMAL(38,0)-widened
-    * so sf-100 revenue sums can't wrap. The running sum windows over
+    * integer arithmetic (no 0.8 float anywhere). The per-supplier
+    * revenues widen to DECIMAL(38,0) BEFORE the window sums (a LongType
+    * window sum would wrap silently under ANSI-off where DuckDB widens
+    * to HUGEINT — sf-100 per-nation micros totals sit within 10× of
+    * Long.MaxValue). The running sum windows over
     * SUPPLIER-level aggregates (dimension-sized — the fact table never
     * enters a window; a per-nation supplier list at any SF is
     * dimension-cardinality, unlike the corpus-sized windows the
@@ -3901,12 +3920,12 @@ object Queries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wTot = Window.partitionBy(col("s_nationkey"))
     val dec = "decimal(38,0)"
-    val before = (col("cum") - col("rev_micros")).cast(dec)
-    rev.withColumn("cum", sum(col("rev_micros")).over(wCum))
-      .withColumn("tot", sum(col("rev_micros")).over(wTot))
+    val before = col("cum") - col("rev_micros").cast(dec)
+    rev.withColumn("cum", sum(col("rev_micros").cast(dec)).over(wCum))
+      .withColumn("tot", sum(col("rev_micros").cast(dec)).over(wTot))
       .select(col("s_nationkey"), col("s_suppkey"), col("rev_micros"),
-        when(before * lit(5L) < col("tot").cast(dec) * lit(4L), "A")
-          .when(before * lit(20L) < col("tot").cast(dec) * lit(19L), "B")
+        when(before * lit(5L) < col("tot") * lit(4L), "A")
+          .when(before * lit(20L) < col("tot") * lit(19L), "B")
           .otherwise("C").as("abc_class"))
       .orderBy("s_nationkey", "s_suppkey")
   }

@@ -327,10 +327,18 @@ final class DedupGroupMaintainerTws(textCol: String, idCol: String,
     accSets = None; accLabels = None
     // the gate's temp checkpoint dir would otherwise outlive the session
     try {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(checkpointDir).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    } catch { case _: java.io.IOException => () }
+      val walk = java.nio.file.Files.walk(checkpointDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally walk.close() // the stream holds directory handles
+    } catch {
+      // walk surfaces iteration errors as UncheckedIOException — a
+      // cleanup path must not throw either way
+      case _: java.io.IOException => ()
+      case _: java.io.UncheckedIOException => ()
+    }
   }
 }

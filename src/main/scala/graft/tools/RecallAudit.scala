@@ -55,7 +55,10 @@ object RecallAudit {
     report("q66_neardup_lsh", exactJacPairs, samePairs(lsh, "doc_id", "group"))
     spark.catalog.clearCache()
 
-    // q75: clustered SemDeDup (c=32, probes=2) vs exact cosine groups
+    // q75: the DECLARED clustered-SemDeDup query at its shipped
+    // operating point (whatever Queries.q75_semdedup currently ships —
+    // this tool measures the query, not a config copy) vs exact cosine
+    // groups
     val exactCos = Dedup.labelGroups(
       e.select(col("vec_id").as("doc_id")), "doc_id",
       VectorOps.cosineAllPairs(e, "vec_id", "embedding", threshold = 0.45)

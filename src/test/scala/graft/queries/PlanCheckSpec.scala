@@ -258,10 +258,16 @@ class PlanCheckSpec extends SparkSpec {
     val q193 = windowNodes(Queries.all("q193_weighted_iqr")(spark, sfDir))
     assert(q193.nonEmpty && q193.forall(_.partitionSpec.size >= 2),
       "q193 lost the (bracket, group) partitioning on its fine window")
-    val q189plan = Queries.all("q189_weighted_median")(spark, sfDir)
-      .queryExecution.executedPlan.toString
-    assert(q189plan.contains("__dhi") || q189plan.contains("__dev"),
-      s"q189's MAD window is not bracket-pruned:\n$q189plan")
+    // q189: the bracket FILTER must be in the plan ("__dhi" appears
+    // only in the bracket predicate — a regression to an un-bracketed
+    // corpus window would carry "__dev" but never "__dhi") and every
+    // window must be group-partitioned
+    val q189frame = Queries.all("q189_weighted_median")(spark, sfDir)
+    val q189plan = q189frame.queryExecution.executedPlan.toString
+    assert(q189plan.contains("__dhi"),
+      s"q189's MAD pass lost the bracket filter:\n$q189plan")
+    assert(windowNodes(q189frame).forall(_.partitionSpec.nonEmpty),
+      "q189 contains a single-partition window")
   }
 
   test("q154/q155/q147 corpus-sized rank/prefix-sum windows are never single-partition") {
