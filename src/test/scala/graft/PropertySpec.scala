@@ -66,6 +66,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("scd2Lookup equals a brute-force interval scan on random event logs") {
+    import org.apache.spark.sql.functions.col
+    val gen: Gen[(List[(Long, Long, Long, String)], List[(Long, Long, Long)])] = for {
+      n <- Gen.choose(1, 40)
+      users <- Gen.listOfN(n, Gen.choose(1L, 4L))
+      ts <- Gen.listOfN(n, Gen.choose(0L, 30L)) // dense → equal-ts changes occur
+      types <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+      m <- Gen.choose(1, 25)
+      pu <- Gen.listOfN(m, Gen.choose(1L, 4L))
+      pt <- Gen.listOfN(m, Gen.choose(-2L, 32L)) // probes before/inside/past
+    } yield (
+      users.lazyZip(ts).lazyZip(types).toList.zipWithIndex.map {
+        case ((u, t, ty), i) => (u, t, i.toLong, ty) },
+      pu.lazyZip(pt).toList.zipWithIndex.map {
+        case ((u, p), i) => (u, p, (1000 + i).toLong) })
+    samples(gen, 25).foreach { case (events, probes) =>
+      val evDf = events.toDF("user_id", "ts", "event_id", "event_type")
+      val dim = graft.ops.RelOps.scd2(evDf, "user_id", "ts", "event_id", "event_type")
+      val prDf = probes.toDF("user_id", "p", "pid")
+      val got = graft.ops.RelOps.scd2Lookup(dim, "user_id", "event_id",
+          "event_type", prDf, col("user_id"), col("pid"), col("p"))
+        .collect().map(r => r.getLong(1) -> Option(r.getString(2))).toMap
+      // brute force: change rows under (ts, event_id) order; the interval
+      // [from, next-from) containing p wins (open interval: to = None)
+      val intervals = events.groupBy(_._1).view.mapValues { es =>
+        val changes = es.sortBy(e => (e._2, e._3))
+          .foldLeft(List.empty[(Long, String)]) { (acc, e) =>
+            if (acc.nonEmpty && acc.head._2 == e._4) acc else (e._2, e._4) :: acc
+          }.reverse
+        changes.zip(changes.drop(1).map(c => Option(c._1)) :+ None)
+      }.toMap
+      val expected = probes.map { case (u, p, pid) =>
+        pid -> intervals.getOrElse(u, Nil).collectFirst {
+          case ((from, ty), to) if from <= p && to.forall(_ > p) => ty
+        }
+      }.toMap
+      assert(got == expected, s"events=$events probes=$probes got=$got")
+    }
+  }
+
   val keyedRows: Gen[List[(Int, Int, String)]] =
     Gen.listOfN(60, Gen.zip(Gen.choose(0, 5), Gen.choose(0, 10), Gen.alphaNumStr.map(_.take(4))))
 
