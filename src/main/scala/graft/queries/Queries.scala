@@ -3930,6 +3930,38 @@ object Queries {
       .orderBy("s_nationkey", "s_suppkey")
   }
 
+  /** Funnel conversion-latency percentiles: p50/p90/p99 of the
+    * view→purchase latency (micros) over users who complete q115's
+    * view→click→purchase funnel — the time-to-convert distribution
+    * behind every funnel dashboard, exact. Stage anchors are the
+    * earliest qualifying events (q115's rule), latency is integer
+    * micros (`timestampdiff` — NTZ interval discipline), and the
+    * fences ride the bracketed [[graft.ops.RelOps.weightedQuantiles]]
+    * with w = 1 and a single global group (no corpus shuffle — the
+    * quantile inputs are user-level rows anyway). Exact oracle: the
+    * q115 funnel CTEs + the per-row cumulative rule as three scalar
+    * subqueries.
+    */
+  def q222_funnel_latency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("vt"))
+    val c = ev.join(v, "user_id")
+      .filter(col("event_type") === "click" && col("ts") >= col("vt") &&
+        col("ts") <= col("vt") + expr("INTERVAL 1 HOUR"))
+      .groupBy("user_id").agg(min(col("ts")).as("ct"))
+    val p = ev.join(c, "user_id")
+      .filter(col("event_type") === "purchase" && col("ts") >= col("ct") &&
+        col("ts") <= col("ct") + expr("INTERVAL 1 HOUR"))
+      .groupBy("user_id").agg(min(col("ts")).as("pt"))
+    val lat = p.join(v, "user_id")
+      .select(col("user_id"), expr("timestampdiff(MICROSECOND, vt, pt)").as("us"))
+    val fences = graft.ops.RelOps.weightedQuantiles(lat, Seq.empty,
+      col("us"), lit(1L), Seq(col("user_id")),
+      Seq(5000 -> "p50_us", 9000 -> "p90_us", 9900 -> "p99_us"))
+    fences.crossJoin(lat.agg(count(lit(1)).as("n_converted")))
+  }
+
   /** End-to-end curation pipeline — the CorpusOps stages composed the
     * way a training-data build actually runs them: repetition quality
     * gate (dup_frac ≤ 0.08) → benchmark decontamination (anti-join on
@@ -4194,7 +4226,8 @@ object Queries {
     "q218_ivf_rebalance" -> (q218_ivf_rebalance _),
     "q219_robust_outliers" -> (q219_robust_outliers _),
     "q220_scd2_lookup" -> (q220_scd2_lookup _),
-    "q221_abc_classes" -> (q221_abc_classes _)
+    "q221_abc_classes" -> (q221_abc_classes _),
+    "q222_funnel_latency" -> (q222_funnel_latency _)
   )
 }
 
@@ -6648,7 +6681,29 @@ object Oracles {
         |  CASE WHEN 5 * (cum - rev_micros) < 4 * tot THEN 'A'
         |       WHEN 20 * (cum - rev_micros) < 19 * tot THEN 'B'
         |       ELSE 'C' END AS abc_class
-        |FROM c ORDER BY s_nationkey, s_suppkey""".stripMargin
+        |FROM c ORDER BY s_nationkey, s_suppkey""".stripMargin,
+    "q222_funnel_latency" ->
+      """WITH v AS (SELECT user_id, min(ts) AS vt FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS ct FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts >= v.vt
+        |        AND e.ts <= v.vt + INTERVAL 1 HOUR GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS pt FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.ct
+        |        AND e.ts <= c.ct + INTERVAL 1 HOUR GROUP BY 1),
+        |lat AS MATERIALIZED (SELECT p.user_id,
+        |        date_diff('microsecond', v.vt, p.pt) AS us
+        |      FROM p JOIN v ON p.user_id = v.user_id),
+        |m AS MATERIALIZED (SELECT us,
+        |        sum(1) OVER (ORDER BY us, user_id ROWS UNBOUNDED PRECEDING) AS cum,
+        |        count(*) OVER () AS tot FROM lat)
+        |SELECT
+        |  CAST((SELECT min(us) FROM m WHERE 10000 * cum >= 5000 * tot) AS BIGINT) AS p50_us,
+        |  CAST((SELECT min(us) FROM m WHERE 10000 * cum >= 9000 * tot) AS BIGINT) AS p90_us,
+        |  CAST((SELECT min(us) FROM m WHERE 10000 * cum >= 9900 * tot) AS BIGINT) AS p99_us,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lat) AS n_converted""".stripMargin
   )
 
   /** q164's oracle: the integer BM25 arithmetic mirrored term-by-term —
