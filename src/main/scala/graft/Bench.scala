@@ -7,14 +7,18 @@ import org.apache.spark.sql.SparkSession
   * `count()`, which would let Catalyst prune away the very expressions
   * being measured).
   *
-  * Methodology (recorded in BASELINE.md): two full passes over the
-  * query list, per-query MINIMUM reported. The shared build box gets
-  * transient CPU spikes from concurrent jobs (round-2's driver artifact
-  * recorded two adjacent queries at 10–19× their quiet-box times, gone
-  * on re-run); best-of-2 measures the engine, not the neighbor. The
-  * session cache is cleared between queries so each is independent —
-  * nothing a previous query cached (e.g. an IVF index) flatters or
-  * starves the next one.
+  * Methodology (recorded in BASELINE.md): THREE full passes over the
+  * query list (SPARK_GRAFT_BENCH_PASSES overrides), per-query MINIMUM
+  * reported, plus a per-query `spread` (max/min over successful
+  * passes) so a co-tenant burst polluting one pass is visible from the
+  * artifact itself — round-10's driver run had one query at [10.3 s,
+  * 40.1 s] that two passes couldn't adjudicate. The shared build box
+  * gets transient CPU spikes from concurrent jobs (round-2's driver
+  * artifact recorded two adjacent queries at 10–19× their quiet-box
+  * times, gone on re-run); best-of-N measures the engine, not the
+  * neighbor. The session cache is cleared between queries so each is
+  * independent — nothing a previous query cached (e.g. an IVF index)
+  * flatters or starves the next one.
   *
   * Long-session hygiene (round-10; the round-9 driver artifact showed
   * q56/q57 at 17–28× their fresh-JVM times after ~140 queries of
@@ -55,6 +59,7 @@ object Bench {
 
     var ranCount = 0
     var rddResidentMax = 0
+    var dirtySinceGc = false
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val elapsed =
@@ -63,12 +68,31 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         } catch { case _: Throwable => -1.0 }
       // cleanup OUTSIDE the timed window — hygiene cost must not be
-      // charged to the query it follows
+      // charged to the query it follows. INCREMENTAL (round-11): the
+      // full sweep + periodic GC runs only after queries that actually
+      // left resident blocks or tracked caches behind — the blanket
+      // per-query sweep taxed every sub-second query ~0.3–0.5 s of
+      // session work that landed in the NEXT query's wall time
+      // (round-10 verdict item #2).
       if (hygiene) {
-        graft.ops.ScaleOps.releaseAll(spark)
         ranCount += 1
-        // drive the GC-reference-queue ContextCleaner periodically
-        if (ranCount % 32 == 0) System.gc()
+        val dirty = spark.sparkContext.getPersistentRDDs.nonEmpty ||
+          graft.ops.ScaleOps.hasTracked
+        if (dirty) {
+          // blocking: the resident-RDD telemetry below is sampled right
+          // after this, and async removal would transiently report
+          // leaked blocks that aren't (round-10 advice)
+          graft.ops.ScaleOps.releaseAll(spark, blocking = true)
+          dirtySinceGc = true
+        } else
+          // cheap no-op guard for cached-but-never-materialized frames
+          // (CacheManager entry, no RDD) so their plan trees don't pin
+          spark.catalog.clearCache()
+        // drive the GC-reference-queue ContextCleaner periodically —
+        // but only when something was released since the last GC
+        if (ranCount % 32 == 0 && dirtySinceGc) {
+          System.gc(); dirtySinceGc = false
+        }
         rddResidentMax = math.max(rddResidentMax,
           spark.sparkContext.getPersistentRDDs.size)
       } else spark.catalog.clearCache()
@@ -85,7 +109,9 @@ object Bench {
     val (gcT0, gcC0) = gcStats()
     var gcMark = gcT0
     val gcPass = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val passes = (1 to 2).map { _ =>
+    val nPasses = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .map(_.toInt).filter(_ >= 1).getOrElse(3)
+    val passes = (1 to nPasses).map { _ =>
       val p = ordered.map { case (name, fn) => name -> run(name, fn) }
       val (t, _) = gcStats()
       gcPass += (t - gcMark) / 1e3
@@ -103,6 +129,14 @@ object Bench {
       "\"" + name + "\":" +
         passes.map(_.find(_._1 == name).get._2).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // per-query max/min over successful passes: >1.5–2 on a quiet box
+    // means the query itself diverges across executions; on a loaded
+    // box it marks which minima a burst may still pollute
+    val spread = ordered.map { case (name, _) =>
+      val ok = passes.map(_.find(_._1 == name).get._2).filter(_ >= 0)
+      val s = if (ok.nonEmpty && ok.min > 0) ok.max / ok.min else -1.0
+      "\"" + name + "\":" + f"$s%.3f"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val passTotals = passes.map(_.map(_._2).filter(_ >= 0).sum)
     // system load avg recorded so a load-skewed run is recognizable from
@@ -111,7 +145,7 @@ object Bench {
       .getOperatingSystemMXBean.getSystemLoadAverage
     val pt = passTotals.mkString("[", ",", "]")
     val gp = gcPass.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg":$loadAvg,"passes":2,"pass_totals":$pt,"passes_detail":$detail,"gc_sec":${(gcT1 - gcT0) / 1e3},"gc_count":${gcC1 - gcC0},"gc_sec_passes":$gp,"hygiene":$hygiene,"rdd_resident_max":$rddResidentMax}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg":$loadAvg,"passes":$nPasses,"pass_totals":$pt,"passes_detail":$detail,"spread":$spread,"gc_sec":${(gcT1 - gcT0) / 1e3},"gc_count":${gcC1 - gcC0},"gc_sec_passes":$gp,"hygiene":$hygiene,"rdd_resident_max":$rddResidentMax}""")
     spark.stop()
   }
 }

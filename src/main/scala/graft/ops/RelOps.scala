@@ -307,6 +307,12 @@ object RelOps {
   def zoneMapAuditSorted(df: DataFrame, xCol: String, rowsPerFile: Int,
                          loInclusive: Long, hiInclusive: Long): DataFrame = {
     require(rowsPerFile > 0, s"rowsPerFile must be positive, got $rowsPerFile")
+    // an inverted range would let a file count as BOTH fully-below and
+    // fully-above (files_pruned > n_files) where the rank-based audit
+    // this form claims to equal would not
+    require(loInclusive <= hiInclusive,
+      s"empty/inverted range: loInclusive ($loInclusive) must be ≤ " +
+        s"hiInclusive ($hiInclusive)")
     val rpf = rowsPerFile.toLong
     df.select(col(xCol).cast("long").as("x"))
       .agg(count(lit(1)).as("n"),
@@ -825,6 +831,10 @@ object RelOps {
       case b: java.math.BigDecimal => b
       case b: scala.math.BigDecimal => b.bigDecimal
       case n: java.lang.Number => new java.math.BigDecimal(n.toString)
+      case null => throw new IllegalArgumentException(
+        "bracketed quantiles need NON-NULL values: a group whose values " +
+          "are all null has no quantile — filter null-value rows (or " +
+          "such groups) out first")
       case other => throw new IllegalArgumentException(
         "bracketed quantiles need a NUMERIC value column, got " +
           other.getClass.getName + " — cast/encode the order value first")
@@ -845,14 +855,18 @@ object RelOps {
   /** Shared prep for the bracketed quantile ops: normalized projection,
     * deterministic sampled value bounds (hash-ranked TakeOrdered,
     * ≤ 200·np rows), the monotone bucket chain (bucket b covers
-    * `[bounds(b−1), bounds(b))`; 0 and last unbounded), and the
-    * driver-held per-(bucket, group) weight table — the coarse CDF,
-    * ≤ np·|groups| rows (the low-group-cardinality contract of the
-    * de-skew quantile rail; q198's ~2k groups are fine, a million-group
-    * key is not this op). All driver compares run on exact
-    * BigDecimal at scale 12, which embeds integral and ≤ 6-dp decimal
-    * values losslessly. Group keys must be non-null (bracket constants
-    * join back on them); weights must be non-negative.
+    * `[bounds(b−1), bounds(b))`; 0 and last unbounded), and — for the
+    * ops that bracket on the driver ([[weightedMedianMad]]'s MAD
+    * two-pointer) — the driver-held per-(bucket, group) weight table
+    * `byGroup`, ≤ np·|groups| rows (a low-group-cardinality contract:
+    * q189's handful of flags is fine, a million-group key is not that
+    * op — [[weightedQuantiles]] keeps its coarse CDF DISTRIBUTED and
+    * has no such bound). All driver compares run on exact BigDecimal
+    * at scale 12, which embeds integral and ≤ 6-dp decimal values
+    * losslessly. Group keys must be non-null (bracket constants join
+    * back on them); weights must be non-negative and INTEGRAL
+    * (fractional weights would silently truncate under the long cast —
+    * scale them to integer units first, the basis-point discipline).
     */
   private final class QuantileBuckets(df: DataFrame, keys: Seq[String],
       valueCol: Column, weightCol: Column, tieCols: Seq[Column],
@@ -862,6 +876,15 @@ object RelOps {
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val kcols: Seq[Column] = keys.map(col)
     val nK: Int = keys.size
+    locally {
+      import org.apache.spark.sql.types._
+      val wType = df.select(weightCol.as("__w")).schema.head.dataType
+      require(Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+          .contains(wType),
+        s"weighted quantile rail needs an INTEGRAL weight column, got " +
+          s"$wType — fractional weights would truncate silently; scale " +
+          "them to integer units (e.g. basis points) and cast first")
+    }
     val base: DataFrame = df.select((kcols :+ valueCol.as("__v") :+
       weightCol.cast("long").as("__w")) ++
       tieCols.zipWithIndex.map { case (c, i) => c.as(s"__t$i") }: _*)
@@ -880,8 +903,10 @@ object RelOps {
     }
     val bucketCol: Column = bounds.foldLeft(lit(0)) { (acc, b) =>
       acc + when(vd >= lit(b), 1).otherwise(0) }
-    // the coarse CDF: per group, ascending (bucket, weight)
-    val byGroup: Map[List[Any], Array[(Int, Long)]] = base
+    // the coarse CDF, COLLECTED: per group, ascending (bucket, weight).
+    // Lazy — only the driver-bracketing ops (weightedMedianMad) pay the
+    // ≤ np·|groups| driver transfer; weightedQuantiles never touches it
+    lazy val byGroup: Map[List[Any], Array[(Int, Long)]] = base
       .groupBy((bucketCol.as("__gb") +: kcols): _*)
       .agg(sum(col("__w")).as("__pw")).collect()
       .groupBy(r => (1 to nK).map(r.get).toList)
@@ -917,8 +942,20 @@ object RelOps {
     * one conditional argmin per fence over the union is exact.
     * Replaces the round-9 groupedRunningSum form, whose range
     * repartition shuffled the whole input to rank ALL rows when only
-    * the fence rows matter. `(valueCol, tieCols)` must total-order
-    * rows within a group; group keys non-null; weights non-negative.
+    * the fence rows matter.
+    *
+    * The bracket choice itself is DISTRIBUTED (round-11): the coarse
+    * CDF stays a DataFrame (≤ np·|groups| rows, windowed per group —
+    * a tiny aggregate whatever the corpus size), the crossing bucket
+    * per fence is a struct-min argmin over it, and the bracket rows
+    * join back to the fine pass — so group cardinality is UNBOUNDED
+    * (per-domain stats at 10⁵–10⁶ groups are fine; the ~10k-group
+    * driver-partial bound now applies only to [[weightedMedianMad]]'s
+    * MAD two-pointer). With few groups AQE broadcasts the tiny bracket
+    * side at runtime; with many it's a plain shuffled equi-join on
+    * (bucket, group) — never a hot single reducer either way.
+    * `(valueCol, tieCols)` must total-order rows within a group; group
+    * keys non-null; weights non-negative and integral.
     */
   def weightedQuantiles(df: DataFrame, keys: Seq[String], valueCol: Column,
                         weightCol: Column, tieCols: Seq[Column],
@@ -927,25 +964,38 @@ object RelOps {
     bps.foreach { case (bp, _) =>
       require(bp >= 1 && bp <= 10000, s"bp must be in [1, 10000], got $bp")
     }
-    import org.apache.spark.sql.types.{IntegerType, LongType, StructField}
     val q = new QuantileBuckets(df, keys, valueCol, weightCol, tieCols, 0)
-    val brRows = q.byGroup.toSeq.flatMap { case (k, bw) =>
-      val tot = bw.map(_._2).sum
-      var cum = 0L
-      val cums = bw.map { case (b, w) => val prev = cum; cum += w; (b, prev, cum) }
-      bps.map { case (bp, _) =>
-        cums.collectFirst { case (b, prev, c) if q.crosses(c, bp, tot) =>
-          (b, prev) }.get
-      }.distinct.map { case (b, off) => (k, Seq[Any](b, off, tot)) }
+    val dec0 = "decimal(38,0)"
+    // distributed coarse CDF: per-(group, bucket) weights with running
+    // and total sums via windows over the tiny aggregate — partitioned
+    // by group, never collected
+    val wCum = Window.partitionBy(q.kcols: _*).orderBy(col("__gb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(q.kcols: _*)
+    val cdf = q.base.groupBy((q.bucketCol.as("__gb") +: q.kcols): _*)
+      .agg(sum(col("__w")).as("__pw"))
+      .withColumn("__cum", sum(col("__pw")).over(wCum))
+      .withColumn("__tot", sum(col("__pw")).over(wTot))
+      .withColumn("__off", col("__cum") - col("__pw"))
+    // crossing bucket per fence = the FIRST bucket whose cumulative
+    // crosses (cum is monotone and __gb unique per group, so struct-min
+    // is an exact argmin); the `10000·cum ≥ bp·tot` rule in
+    // DECIMAL(38,0) — no wrap at any weight sum. The last bucket always
+    // crosses (cum = tot), so no fence struct is ever null.
+    val fenceAggs = bps.zipWithIndex.map { case ((bp, _), i) =>
+      min(when(col("__cum").cast(dec0) * lit(10000L) >=
+          col("__tot").cast(dec0) * lit(bp.toLong),
+        struct(col("__gb"), col("__off"), col("__tot")))).as(s"__f$i")
     }
-    val brDf = broadcast(q.constDf(brRows, Seq(
-      StructField("__gb", IntegerType, nullable = false),
-      StructField("__off", LongType, nullable = false),
-      StructField("__tot", LongType, nullable = false))))
+    val brDf = cdf.groupBy(q.kcols: _*)
+      .agg(fenceAggs.head, fenceAggs.tail: _*)
+      .select((q.kcols :+ explode(array_distinct(
+        array(bps.indices.map(i => col(s"__f$i")): _*))).as("__s")): _*)
+      .select((q.kcols :+ col("__s.__gb").as("__gb") :+
+        col("__s.__off").as("__off") :+ col("__s.__tot").as("__tot")): _*)
     val wF = Window.partitionBy((col("__gb") +: q.kcols): _*)
       .orderBy((col("__v") +: q.ties).map(_.asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val dec0 = "decimal(38,0)"
     val fine = q.base.withColumn("__gb", q.bucketCol)
       .join(brDf, "__gb" +: keys)
       .withColumn("__cum", sum(col("__w")).over(wF) + col("__off"))

@@ -20,7 +20,7 @@ object ScaleOps {
   private val trackedCaches =
     scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
-  private[ops] def trackCache(df: DataFrame): DataFrame = synchronized {
+  private[graft] def trackCache(df: DataFrame): DataFrame = synchronized {
     // Drop entries already unpersisted elsewhere (clearCache() between
     // queries): otherwise the registry grows without bound in a
     // long-lived session, and — worse — every retained DataFrame pins
@@ -45,6 +45,14 @@ object ScaleOps {
     trackedCaches.clear()
   }
 
+  /** Whether any tracked cache is still registered — the cheap dirty
+    * check a long-lived runner (Bench) uses to skip the full
+    * [[releaseAll]] sweep on queries that cached nothing.
+    */
+  private[graft] def hasTracked: Boolean = synchronized {
+    trackedCaches.nonEmpty
+  }
+
   /** Session-level cleanup between independent pipelines in a LONG-LIVED
     * driver (Bench/Verify call this between queries): clears the catalog
     * cache, drains this registry, and unpersists every RDD still pinned
@@ -52,12 +60,16 @@ object ScaleOps {
     * blocks that `clearCache()` (catalog-level) never touches. Only call
     * when no returned frame will be re-executed: a localCheckpoint has
     * truncated lineage, so its data is unrecoverable once unpersisted.
+    * `blocking = true` waits for block removal — a runner that samples
+    * resident-RDD telemetry right after the sweep needs it (async
+    * removal transiently reports leaked blocks that aren't).
     */
-  def releaseAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+  def releaseAll(spark: org.apache.spark.sql.SparkSession,
+                 blocking: Boolean = false): Unit = {
     spark.catalog.clearCache()
     release()
     spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+      .foreach(_.unpersist(blocking))
   }
 
   /** Two-phase salted aggregation for skewed grouping keys: rows fan out

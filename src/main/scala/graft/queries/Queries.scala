@@ -3954,12 +3954,52 @@ object Queries {
       .filter(col("event_type") === "purchase" && col("ts") >= col("ct") &&
         col("ts") <= col("ct") + expr("INTERVAL 1 HOUR"))
       .groupBy("user_id").agg(min(col("ts")).as("pt"))
-    val lat = p.join(v, "user_id")
-      .select(col("user_id"), expr("timestampdiff(MICROSECOND, vt, pt)").as("us"))
+    // the three-stage funnel lineage is referenced several times
+    // (weightedQuantiles' bounds sample + coarse CDF + fine pass, plus
+    // the n_converted count) — cache it against DAG-reuse re-expansion;
+    // tracked so Bench/Verify's releaseAll reclaims the blocks
+    val lat = graft.ops.ScaleOps.trackCache(p.join(v, "user_id")
+      .select(col("user_id"), expr("timestampdiff(MICROSECOND, vt, pt)").as("us")))
     val fences = graft.ops.RelOps.weightedQuantiles(lat, Seq.empty,
       col("us"), lit(1L), Seq(col("user_id")),
       Seq(5000 -> "p50_us", 9000 -> "p90_us", 9900 -> "p99_us"))
     fences.crossJoin(lat.agg(count(lit(1)).as("n_converted")))
+  }
+
+  /** Streaming-shaped IVF occupancy monitor
+    * ([[graft.streaming.IvfMaintainer]]) — the maintenance-LOOP sibling
+    * of q218's batch lifecycle: build on the low-id half, feed the
+    * drifted high-id half as two ingest cycles, and emit the per-cycle
+    * health log. Distribution drift raises the occupancy CV past the
+    * trigger, the in-loop rebalance restores it, and BOTH transitions
+    * are visible in the telemetry — index health surfaces in the
+    * maintenance loop itself, not only in a scheduled audit. Rows-only
+    * (float CV, sampled split training); the stream-driven invariants
+    * (CV rises across streamed appends, monitor reports it, rebalance
+    * restores it) are spec-proven in StreamingSpec.
+    */
+  def q223_ivf_monitor(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps
+    val e = Tables(spark, dir).embeddings
+    val n = e.count()
+    val first = e.filter(col("vec_id") < n / 2)
+    // q218's drift model, split into two ingest cycles by id parity
+    def drift(b: Int) = e.filter(col("vec_id") >= n / 2 &&
+        col("vec_id") % 2 === b)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x + lit(0.3f)).as("embedding"))
+    val m = new graft.streaming.IvfMaintainer(
+      VectorOps.IvfIndex.build(first, "vec_id", "embedding",
+        c = 16, trainCap = 4096),
+      "vec_id", "embedding", cvTrigger = 0.9, maxOverFactor = 1.5,
+      trainCap = 2048)
+    m.ingest(0L, drift(0))
+    m.ingest(1L, drift(1))
+    // the log is driver-held telemetry — independent of the index
+    // caches, so the index closes before the frame is consumed
+    val out = m.occupancyLog(spark).orderBy("batch", "action")
+    m.close()
+    out
   }
 
   /** End-to-end curation pipeline — the CorpusOps stages composed the
@@ -4227,7 +4267,8 @@ object Queries {
     "q219_robust_outliers" -> (q219_robust_outliers _),
     "q220_scd2_lookup" -> (q220_scd2_lookup _),
     "q221_abc_classes" -> (q221_abc_classes _),
-    "q222_funnel_latency" -> (q222_funnel_latency _)
+    "q222_funnel_latency" -> (q222_funnel_latency _),
+    "q223_ivf_monitor" -> (q223_ivf_monitor _)
   )
 }
 

@@ -591,6 +591,39 @@ class RelOpsSpec extends SparkSpec {
     }
   }
 
+  test("weightedQuantiles: distributed bracket path carries 100k groups exactly") {
+    // the round-10 form collected per-(bucket, group) partials on the
+    // driver (documented to ~10k groups); the distributed coarse CDF
+    // must carry per-domain-scale group cardinality with the SAME
+    // integer basis-point rule — zero driver-held partials
+    val rnd = new scala.util.Random(13)
+    val nGroups = 100000
+    val rows = (0 until nGroups).flatMap { g =>
+      (0 until 1 + rnd.nextInt(4)).map { j =>
+        (g.toLong, rnd.nextInt(1000).toLong, rnd.nextInt(5).toLong, j.toLong)
+      }
+    }
+    def brute(bp: Long): Map[Long, Long] =
+      rows.groupBy(_._1).map { case (k, rs) =>
+        val sorted = rs.sortBy { case (_, v, _, tie) => (v, tie) }
+        val tot = sorted.map(_._3).sum
+        var cum = 0L
+        k -> sorted.collectFirst {
+          case (_, v, w, _) if { cum += w; 10000L * cum >= bp * tot } => v
+        }.get
+      }
+    val df = rows.toDF("k", "v", "w", "tie").repartition(16)
+    val got = RelOps.weightedQuantiles(df, Seq("k"), col("v"), col("w"),
+        Seq(col("tie")), Seq(5000 -> "p50", 9900 -> "p99"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val (b50, b99) = (brute(5000), brute(9900))
+    val expected = (0L until nGroups.toLong).map(k =>
+      k -> ((b50(k), b99(k)))).toMap
+    assert(got.size == nGroups, s"group count: ${got.size}")
+    assert(got == expected)
+  }
+
   test("weightedMedianMad: fused fold matches the brute-force two-pass rule at any split") {
     // the MAD pass folds pass-1's distinct-value cum structure around the
     // median — must equal the plain per-row halving rule on BOTH passes,

@@ -249,15 +249,24 @@ class PlanCheckSpec extends SparkSpec {
     // the bracketed-quantile contract (round 10): there is NO
     // corpus-sized running sum at all — the coarse-CDF bracket bounds
     // every window's input to ~n/np rows per fence. Structurally:
-    // q193's fine window partitions by (bracket-bucket, group) — the
-    // join key of the broadcast bracket constants — and q189's fine
-    // passes filter on the broadcast bracket bounds (__bhi / __dhi)
-    // BEFORE any window; a corpus-wide window over the bare group key
-    // (the 100×-straggler the old groupedRunningSum form existed to
-    // avoid) would show neither.
+    // q193's fine window (the one summing the row weights `__w`)
+    // partitions by (bracket-bucket, group) — the join key of the
+    // bracket rows — and q189's fine passes filter on the broadcast
+    // bracket bounds (__bhi / __dhi) BEFORE any window; a corpus-wide
+    // window over the bare group key (the 100×-straggler the old
+    // groupedRunningSum form existed to avoid) would show neither.
+    // Round 11: the bracket choice itself is distributed, adding
+    // group-partitioned windows over the coarse-CDF partials (`__pw`)
+    // — those run over the tiny per-(bucket, group) aggregate
+    // (≤ np·|groups| rows), never the corpus, and are allowed at any
+    // group-only partitioning.
     val q193 = windowNodes(Queries.all("q193_weighted_iqr")(spark, sfDir))
-    assert(q193.nonEmpty && q193.forall(_.partitionSpec.size >= 2),
+    val (cdfWindows, fineWindows) =
+      q193.partition(_.windowExpression.mkString.contains("__pw"))
+    assert(fineWindows.nonEmpty && fineWindows.forall(_.partitionSpec.size >= 2),
       "q193 lost the (bracket, group) partitioning on its fine window")
+    assert(cdfWindows.forall(_.partitionSpec.nonEmpty),
+      "q193's coarse-CDF windows lost their group partitioning")
     // q189: the bracket FILTER must be in the plan ("__dhi" appears
     // only in the bracket predicate — a regression to an un-bracketed
     // corpus window would carry "__dev" but never "__dhi") and every

@@ -410,6 +410,58 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"streamed-index search diverged:\n$got\nvs\n$want")
   }
 
+  test("IvfMaintainer: streamed drift raises occupancy CV, the monitor reports it, rebalance restores it") {
+    // crafted geometry: 40 base vectors split evenly over four axis
+    // directions (ids 0–3 ARE the directions, so the four seed cells
+    // are the four axes and occupancy starts uniform, CV ≈ 0); every
+    // streamed vector points near (2, 1) — max-cosine against the
+    // (1,0) axis — so the ingest piles into ONE cell and the per-batch
+    // health log must show the CV climbing until the trigger fires an
+    // in-loop rebalance that re-splits the hot cell
+    import graft.functions.VectorOps
+    val base = (0 until 40).map { i =>
+      val scale = 1.0 + i * 0.001 // cosine-invariant
+      val d = i % 4 match {
+        case 0 => Seq(scale, 0.0); case 1 => Seq(0.0, scale)
+        case 2 => Seq(-scale, 0.0); case _ => Seq(0.0, -scale)
+      }
+      (i.toLong, d)
+    }.toDF("vec_id", "embedding")
+    val m = new IvfMaintainer(
+      VectorOps.IvfIndex.build(base, "vec_id", "embedding", c = 4),
+      "vec_id", "embedding", cvTrigger = 0.7, maxOverFactor = 1.5,
+      trainCap = 0)
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = in.toDS().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        m.ingest(bid, batch)
+      }
+      .start()
+    def driftRows(lo: Int, hi: Int) = (lo until hi).map(i =>
+      (100L + i, Seq(2.0, 1.0 + 0.01 * i)))
+    // counts after batch 1: (30,10,10,10) → CV ≈ 0.577 (visible, under
+    // the 0.7 trigger); after batch 2: (50,10,10,10) → CV ≈ 0.866 →
+    // the trigger fires and the 50-row cell re-splits
+    in.addData(driftRows(0, 20): _*); q.processAllAvailable()
+    in.addData(driftRows(20, 40): _*); q.processAllAvailable()
+    q.stop()
+    val log = m.occupancyLog(spark)
+      .select($"batch", $"action", $"cv").as[(Long, String, Double)].collect()
+    def cvOf(action: String, batch: Long): Double =
+      log.collectFirst { case (b, a, cv) if a == action && b == batch => cv }.get
+    assert(cvOf("built", -1L) < 0.1, s"base occupancy must start uniform: ${log.toSeq}")
+    assert(cvOf("appended", 0L) > 0.4 && cvOf("appended", 0L) < 0.7,
+      s"drift must be VISIBLE in the log before the trigger fires: ${log.toSeq}")
+    assert(cvOf("appended", 1L) > 0.7, s"second batch must cross the trigger: ${log.toSeq}")
+    assert(cvOf("rebalanced", 1L) < cvOf("appended", 1L),
+      s"in-loop rebalance must restore occupancy: ${log.toSeq}")
+    // the rebalanced index is still a partition of every ingested id
+    assert(m.index.size == 80)
+    assert(m.index.assigned.select("id").distinct().count() == 80)
+    m.close()
+  }
+
   test("at-least-once foreachBatch sink writes batches before commit (KQ-2 streaming)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink_test").toString
     val in = MemoryStream[String]
