@@ -1097,24 +1097,7 @@ object RelOps {
       val k = (0 until nK).map(r.get).toList
       val m = bigDec(r.get(nK))
       val tot = r.getLong(nK + 1)
-      val bw = byGroup(k)
-      val cands = bounds.map(e => e.subtract(m).abs()).distinct.sorted
-      def contained(d: java.math.BigDecimal): Long = bw.iterator.map { case (b, w) =>
-        val lo = bLo(b); val hi = bHi(b)
-        if (lo != null && hi != null &&
-          lo.compareTo(m.subtract(d)) >= 0 && hi.compareTo(m.add(d)) <= 0) w
-        else 0L
-      }.sum
-      def intersects(d: java.math.BigDecimal): Long = bw.iterator.map { case (b, w) =>
-        val lo = bLo(b); val hi = bHi(b)
-        if ((lo == null || lo.compareTo(m.add(d)) <= 0) &&
-          (hi == null || hi.compareTo(m.subtract(d)) >= 0)) w
-        else 0L
-      }.sum
-      // BigInt like `crosses` — 2·(a weight sum) must not wrap either
-      val dHi = cands.find(d => BigInt(contained(d)) * 2 >= BigInt(tot)).orNull
-      val dLo = cands.reverseIterator
-        .find(d => BigInt(intersects(d)) * 2 < BigInt(tot)).orNull
+      val (dLo, dHi) = madBracketOf(bounds, m, tot, byGroup(k))
       (k, Seq[Any](m, dLo, dHi, tot))
     }
     val madBdf = broadcast(q.constDf(madBr, Seq(
@@ -1148,6 +1131,157 @@ object RelOps {
         ((0 until nK).map(r.get).toList, Seq[Any](r.get(nK)))),
       Seq(StructField("wmedian", vType, nullable = true)))
     medOut.join(mad, keys)
+  }
+
+  /** The exact MAD two-pointer fold shared by [[weightedMedianMad]]
+    * (driver, per group) and [[weightedMedianMadDistributed]] (executor,
+    * per group inside a UDF): given the group's per-bucket weights and
+    * its median m, bracket the MAD crossing radius in `(dLo, dHi]` from
+    * the contained/intersecting bucket folds. `null` ends mean
+    * unbounded, exactly like the bucket chain's outer buckets.
+    */
+  private def madBracketOf(bounds: IndexedSeq[java.math.BigDecimal],
+      m: java.math.BigDecimal, tot: Long, bw: Iterable[(Int, Long)])
+      : (java.math.BigDecimal, java.math.BigDecimal) = {
+    def bLo(b: Int): java.math.BigDecimal = if (b == 0) null else bounds(b - 1)
+    def bHi(b: Int): java.math.BigDecimal =
+      if (b >= bounds.length) null else bounds(b)
+    val cands = bounds.map(e => e.subtract(m).abs()).distinct.sorted
+    def contained(d: java.math.BigDecimal): Long = bw.iterator.map { case (b, w) =>
+      val lo = bLo(b); val hi = bHi(b)
+      if (lo != null && hi != null &&
+        lo.compareTo(m.subtract(d)) >= 0 && hi.compareTo(m.add(d)) <= 0) w
+      else 0L
+    }.sum
+    def intersects(d: java.math.BigDecimal): Long = bw.iterator.map { case (b, w) =>
+      val lo = bLo(b); val hi = bHi(b)
+      if ((lo == null || lo.compareTo(m.add(d)) <= 0) &&
+        (hi == null || hi.compareTo(m.subtract(d)) >= 0)) w
+      else 0L
+    }.sum
+    // BigInt like `crosses` — 2·(a weight sum) must not wrap either
+    val dHi = cands.find(d => BigInt(contained(d)) * 2 >= BigInt(tot)).orNull
+    val dLo = cands.reverseIterator
+      .find(d => BigInt(intersects(d)) * 2 < BigInt(tot)).orNull
+    (dLo, dHi)
+  }
+
+  /** [[weightedMedianMad]] with the bracket choice DISTRIBUTED — the
+    * high-group-cardinality form of the robust location/scale rail
+    * (per-domain corpus stats at 10⁵–10⁶ groups; the driver form's
+    * ≤ np·|groups| collected partials are documented to ~10k groups).
+    * Identical output and exactness contract; the three bracket steps
+    * move off the driver:
+    *
+    *  1. the coarse CDF stays a cached DataFrame (≤ np·|groups| rows,
+    *     windowed per group — the round-11 [[weightedQuantiles]]
+    *     shape);
+    *  2. the median's crossing bucket is a conditional struct-min
+    *     argmin over it, and the median fine pass windows per
+    *     (bucket, group) over bracket rows only;
+    *  3. the MAD radius interval comes from the SAME contained/
+    *     intersecting fold as the driver form ([[madBracketOf]]),
+    *     evaluated per group in executors over that group's ≤ nb
+    *     bucket weights (one `collect_list` bounded by the bucket
+    *     count, never by rows) — an interpreted UDF is fine here: it
+    *     runs on ONE row per group, not the corpus.
+    *
+    * Fine passes are unchanged (bracket-pruned rows, exact integer
+    * halving rule), so the result is EXACTLY the per-row rule — the
+    * spec asserts equality with [[weightedMedianMad]] and the
+    * brute-force rule, and q224 oracles it at fixture scale. Bracket
+    * frames join back by key (AQE broadcasts them when small); the
+    * only collect anywhere is the 200·np bounds sample.
+    */
+  def weightedMedianMadDistributed(df: DataFrame, keys: Seq[String],
+      valueCol: Column, weightCol: Column, tieCols: Seq[Column],
+      partitions: Int = 0): DataFrame = {
+    require(keys.nonEmpty,
+      "the distributed form needs group keys (a single global group " +
+        "has nothing to distribute — use weightedMedianMad)")
+    import org.apache.spark.sql.types.DecimalType
+    val q = new QuantileBuckets(df, keys, valueCol, weightCol, tieCols, partitions)
+    import q.{base, bounds, kcols, ties, vd, vType}
+    val dec0 = "decimal(38,0)"
+    val dec12 = DecimalType(38, 12)
+
+    // 1. distributed coarse CDF — cached: the median bracket and the
+    // MAD bracket both read it (tiny: ≤ np·|groups| rows)
+    val wCum = Window.partitionBy(kcols: _*).orderBy(col("__gb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(kcols: _*)
+    val cdf = ScaleOps.trackCache(
+      base.groupBy((q.bucketCol.as("__gb") +: kcols): _*)
+        .agg(sum(col("__w")).as("__pw"))
+        .withColumn("__cum", sum(col("__pw")).over(wCum))
+        .withColumn("__tot", sum(col("__pw")).over(wTot))
+        .withColumn("__off", col("__cum") - col("__pw")))
+
+    // 2. median: crossing-bucket argmin → fine pass over bracket rows
+    val medBr = cdf.groupBy(kcols: _*)
+      .agg(min(when(col("__cum").cast(dec0) * lit(2L) >=
+          col("__tot").cast(dec0),
+        struct(col("__gb"), col("__off"), col("__tot")))).as("__s"))
+      .select((kcols :+ col("__s.__gb").as("__gb") :+
+        col("__s.__off").as("__off") :+ col("__s.__tot").as("__tot")): _*)
+    val wA = Window.partitionBy((col("__gb") +: kcols): _*)
+      .orderBy((col("__v") +: ties).map(_.asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // cached: the MAD bracket joins it, and it IS the median output
+    val med = ScaleOps.trackCache(
+      base.withColumn("__gb", q.bucketCol).join(medBr, "__gb" +: keys)
+        .withColumn("__cum", sum(col("__w")).over(wA) + col("__off"))
+        .groupBy(kcols: _*)
+        .agg(min(when(col("__cum").cast(dec0) * lit(2L) >=
+            col("__tot").cast(dec0), col("__v"))).as("wmedian"),
+          max(col("__tot")).as("__gtot")))
+
+    // 3. MAD bracket per group, in executors: the group's bucket
+    // weights fold around its median (madBracketOf) — input bounded by
+    // the bucket count. Median and bracket ends travel as strings so
+    // one UDF serves every numeric value type losslessly.
+    val bnds = bounds
+    val madBracketUdf = udf((mStr: String, tot: Long,
+        gbs: Seq[Int], pws: Seq[Long]) => {
+      val m = bigDec(new java.math.BigDecimal(mStr))
+      val (dLo, dHi) = madBracketOf(bnds, m, tot, gbs.zip(pws))
+      (if (dLo == null) null else dLo.toPlainString,
+        if (dHi == null) null else dHi.toPlainString)
+    })
+    val madBr = cdf.join(med, keys)
+      .groupBy(kcols: _*)
+      .agg(sort_array(collect_list(struct(col("__gb"), col("__pw"))))
+          .as("__bwArr"),
+        first(col("wmedian")).as("wmedian"),
+        first(col("__gtot")).as("__tot"))
+      .withColumn("__br", madBracketUdf(col("wmedian").cast("string"),
+        col("__tot"), col("__bwArr.__gb"), col("__bwArr.__pw")))
+      .select((kcols :+ col("__tot") :+
+        col("wmedian").cast(dec12).as("__m") :+
+        col("__br._1").cast(dec12).as("__dlo") :+
+        col("__br._2").cast(dec12).as("__dhi")): _*)
+
+    // fine pass B — identical to the driver form, bracket frame joined
+    // by key instead of broadcast constants
+    val devved = base.join(madBr, keys)
+      .withColumn("__dev", abs(vd - col("__m")))
+    val baseW = devved.groupBy(kcols: _*)
+      .agg(coalesce(sum(when(col("__dlo").isNotNull &&
+        col("__dev") <= col("__dlo"), col("__w"))), lit(0L)).as("__bw"))
+    val wB = Window.partitionBy(kcols: _*)
+      .orderBy((col("__dev") +: ties).map(_.asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mad = devved
+      .filter((col("__dlo").isNull || col("__dev") > col("__dlo")) &&
+        (col("__dhi").isNull || col("__dev") <= col("__dhi")))
+      .join(baseW, keys)
+      .withColumn("__cum", sum(col("__w")).over(wB) + col("__bw"))
+      .groupBy(kcols: _*)
+      .agg(min(when(col("__cum").cast(dec0) * lit(2L) >= col("__tot").cast(dec0),
+        col("__dev"))).cast(vType).as("mad"))
+
+    med.select((kcols :+ col("wmedian").cast(vType).as("wmedian")): _*)
+      .join(mad, keys)
   }
 
   /** Exact 2-D Pareto frontier (skyline): the rows not STRICTLY

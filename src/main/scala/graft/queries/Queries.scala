@@ -3966,6 +3966,27 @@ object Queries {
     fences.crossJoin(lat.agg(count(lit(1)).as("n_converted")))
   }
 
+  /** Per-customer robust order-value stats — q189's median/MAD rail at
+    * DIMENSION-CARDINALITY group keys (15k customers at sf0.1: the
+    * regime the round-11 distributed bracket fold exists for — the
+    * driver form's collected per-(bucket, group) partials are
+    * documented to ~10k groups). Rides [[graft.ops.RelOps
+    * .weightedMedianMadDistributed]]: bracket choice entirely in
+    * executors, the only collect anywhere the 200·np bounds sample.
+    * Exact integer halving rule over DECIMAL values → exact oracle
+    * (q189's SQL shape keyed by customer).
+    */
+  def q224_customer_robust_stats(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+      .select(col("o_custkey"), dec(col("o_totalprice")).as("price"),
+        col("o_orderkey"))
+    graft.ops.RelOps.weightedMedianMadDistributed(o, Seq("o_custkey"),
+        col("price"), lit(1L), Seq(col("o_orderkey")))
+      .select(col("o_custkey"), col("wmedian").cast("double").as("wmedian"),
+        col("mad").cast("double").as("mad"))
+      .orderBy("o_custkey")
+  }
+
   /** Streaming-shaped IVF occupancy monitor
     * ([[graft.streaming.IvfMaintainer]]) — the maintenance-LOOP sibling
     * of q218's batch lifecycle: build on the low-id half, feed the
@@ -4268,7 +4289,8 @@ object Queries {
     "q220_scd2_lookup" -> (q220_scd2_lookup _),
     "q221_abc_classes" -> (q221_abc_classes _),
     "q222_funnel_latency" -> (q222_funnel_latency _),
-    "q223_ivf_monitor" -> (q223_ivf_monitor _)
+    "q223_ivf_monitor" -> (q223_ivf_monitor _),
+    "q224_customer_robust_stats" -> (q224_customer_robust_stats _)
   )
 }
 
@@ -6744,7 +6766,29 @@ object Oracles {
         |  CAST((SELECT min(us) FROM m WHERE 10000 * cum >= 5000 * tot) AS BIGINT) AS p50_us,
         |  CAST((SELECT min(us) FROM m WHERE 10000 * cum >= 9000 * tot) AS BIGINT) AS p90_us,
         |  CAST((SELECT min(us) FROM m WHERE 10000 * cum >= 9900 * tot) AS BIGINT) AS p99_us,
-        |  (SELECT CAST(count(*) AS BIGINT) FROM lat) AS n_converted""".stripMargin
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lat) AS n_converted""".stripMargin,
+    "q224_customer_robust_stats" ->
+      """WITH o AS (SELECT o_custkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,6)) AS price, o_orderkey AS ok
+        |  FROM orders),
+        |m1 AS (SELECT k, price,
+        |    sum(CAST(1 AS BIGINT)) OVER (PARTITION BY k ORDER BY price, ok
+        |      ROWS UNBOUNDED PRECEDING) AS cumw,
+        |    count(*) OVER (PARTITION BY k) AS totw FROM o),
+        |med AS (SELECT k, min(price) AS wm FROM m1
+        |        WHERE 2 * cumw >= totw GROUP BY k),
+        |d AS (SELECT o.k, abs(o.price - med.wm) AS dev, o.ok
+        |      FROM o JOIN med ON o.k = med.k),
+        |m2 AS (SELECT k, dev,
+        |    sum(CAST(1 AS BIGINT)) OVER (PARTITION BY k ORDER BY dev, ok
+        |      ROWS UNBOUNDED PRECEDING) AS cumw,
+        |    count(*) OVER (PARTITION BY k) AS totw FROM d),
+        |mad AS (SELECT k, min(dev) AS mad FROM m2
+        |        WHERE 2 * cumw >= totw GROUP BY k)
+        |SELECT med.k AS o_custkey, CAST(med.wm AS DOUBLE) AS wmedian,
+        |  CAST(mad.mad AS DOUBLE) AS mad
+        |FROM med JOIN mad ON med.k = mad.k
+        |ORDER BY o_custkey""".stripMargin
   )
 
   /** q164's oracle: the integer BM25 arithmetic mirrored term-by-term —

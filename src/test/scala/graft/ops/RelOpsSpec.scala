@@ -658,6 +658,62 @@ class RelOpsSpec extends SparkSpec {
     }
   }
 
+  test("weightedMedianMadDistributed: equals the driver form and the brute rule; carries 20k groups") {
+    // same brute rule as the driver-form test, then a high-cardinality
+    // run the driver form's collected partials are documented NOT to
+    // carry — the executor-side bracket fold must stay exact
+    def bruteMedian(rs: Seq[(Long, Long, Long, Long)]): Long = {
+      val sorted = rs.sortBy { case (_, v, _, tie) => (v, tie) }
+      val tot = sorted.map(_._3).sum
+      var cum = 0L
+      sorted.collectFirst {
+        case (_, v, w, _) if { cum += w; 2L * cum >= tot } => v }.get
+    }
+    def bruteMad(rows: Seq[(Long, Long, Long, Long)]): Map[Long, (Long, Long)] =
+      rows.groupBy(_._1).map { case (k, rs) =>
+        val m = bruteMedian(rs)
+        val dev = rs.map { case (kk, v, w, tie) => (kk, math.abs(v - m), w, tie) }
+        k -> ((m, bruteMedian(dev)))
+      }
+    val rnd = new scala.util.Random(17)
+    // small, tie-dense: distributed == driver == brute at several splits
+    val small = (1L to 600L).map { i =>
+      (i % 3, rnd.nextInt(12).toLong, rnd.nextInt(9).toLong + 1L, i)
+    }
+    val smallDf = small.toDF("k", "v", "w", "tie").repartition(7)
+    for (np <- Seq(1, 4, 32)) {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", np)
+      try {
+        val dist = RelOps.weightedMedianMadDistributed(smallDf, Seq("k"),
+            col("v"), col("w"), Seq(col("tie")))
+          .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+        val drv = RelOps.weightedMedianMad(smallDf, Seq("k"),
+            col("v"), col("w"), Seq(col("tie")))
+          .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+        assert(dist == bruteMad(small), s"np=$np vs brute: $dist")
+        assert(dist == drv, s"np=$np distributed vs driver form")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    graft.ops.ScaleOps.release()
+    // 20k groups, a few rows each — past the point a reviewer should
+    // collect per-(bucket, group) partials to the driver
+    val nGroups = 20000
+    val big = (0 until nGroups).flatMap { g =>
+      (0 until 2 + rnd.nextInt(4)).map { j =>
+        (g.toLong, rnd.nextInt(1000).toLong, rnd.nextInt(5).toLong + 1L, j.toLong)
+      }
+    }
+    val got = RelOps.weightedMedianMadDistributed(
+        big.toDF("k", "v", "w", "tie").repartition(16), Seq("k"),
+        col("v"), col("w"), Seq(col("tie")))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    graft.ops.ScaleOps.release()
+    val expected = bruteMad(big)
+    assert(got.size == nGroups, s"group count: ${got.size}")
+    assert(got == expected)
+  }
+
   test("zoneMapAuditSorted: closed form equals the rank-based audit, straddle stays conservative") {
     // value multiset with ties and a straddling file: 0,0,…,40,…,1200 —
     // the boundary-count form must reproduce the rank-based audit exactly
