@@ -279,6 +279,32 @@ class PlanCheckSpec extends SparkSpec {
       "q189 contains a single-partition window")
   }
 
+  test("q224 distributed robust stats: no single-partition window at 1.5k-group cardinality") {
+    // the round-11 distributed bracket fold: the coarse-CDF windows
+    // partition by the customer key (tiny aggregate input), the median
+    // fine window by (bracket-bucket, key), the MAD fine window by key
+    // over bracket-pruned rows only — NOTHING is allowed to serialize
+    // the corpus through one task
+    // the CDF and median frames are trackCache'd, so their windows hide
+    // behind InMemoryTableScan — descend into cached plans too
+    def deepWindows(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.window.WindowExec] =
+      allPlanNodes(p).flatMap {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          deepWindows(m.relation.cachedPlan)
+        case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
+        case _ => Nil
+      }
+    val q224 = deepWindows(Queries.all("q224_customer_robust_stats")(
+      spark, sfDir).queryExecution.executedPlan)
+    spark.catalog.clearCache() // trackCache'd CDF/median frames
+    graft.ops.ScaleOps.release()
+    assert(q224.nonEmpty && q224.forall(_.partitionSpec.nonEmpty),
+      "q224 contains a single-partition window")
+    assert(q224.exists(_.partitionSpec.size >= 2),
+      "q224's median fine window lost its (bracket, group) partitioning")
+  }
+
   test("q154/q155/q147 corpus-sized rank/prefix-sum windows are never single-partition") {
     // the three round-8 offenders, rewritten onto globalRank /
     // globalRunningSum: the sweep-line prefix sum (q154), the decile
