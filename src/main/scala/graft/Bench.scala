@@ -110,7 +110,7 @@ object Bench {
     var gcMark = gcT0
     val gcPass = scala.collection.mutable.ArrayBuffer.empty[Double]
     val nPasses = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
-      .map(_.toInt).filter(_ >= 1).getOrElse(3)
+      .flatMap(_.trim.toIntOption).filter(_ >= 1).getOrElse(3)
     val passes = (1 to nPasses).map { _ =>
       val p = ordered.map { case (name, fn) => name -> run(name, fn) }
       val (t, _) = gcStats()
@@ -135,7 +135,9 @@ object Bench {
     val spread = ordered.map { case (name, _) =>
       val ok = passes.map(_.find(_._1 == name).get._2).filter(_ >= 0)
       val s = if (ok.nonEmpty && ok.min > 0) ok.max / ok.min else -1.0
-      "\"" + name + "\":" + f"$s%.3f"
+      // rint, not %.3f — f-interpolation is locale-dependent (a comma
+      // decimal separator would corrupt the JSON line)
+      "\"" + name + "\":" + (math.rint(s * 1000) / 1000).toString
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val passTotals = passes.map(_.map(_._2).filter(_ >= 0).sum)

@@ -918,6 +918,47 @@ object RelOps {
     /** exact `10000·cum ≥ bp·tot` (BigInt — no wrap at any weight sum) */
     def crosses(cum: Long, bp: Int, tot: Long): Boolean =
       BigInt(cum) * 10000 >= BigInt(bp) * BigInt(tot)
+    /** [[crosses]] as a Column over (__cum, __tot) — DECIMAL(38,0), no
+      * wrap at any weight sum */
+    def crossesCol(bp: Int): Column =
+      col("__cum").cast("decimal(38,0)") * lit(10000L) >=
+        col("__tot").cast("decimal(38,0)") * lit(bp.toLong)
+    /** the distributed coarse CDF: per-(bucket, group) weights with
+      * running/total sums windowed PER GROUP over the tiny aggregate
+      * (≤ np·|groups| rows) — never collected, so group cardinality is
+      * unbounded. Lazy: the driver-bracketing op reads [[byGroup]]
+      * instead.
+      */
+    lazy val cdf: DataFrame = {
+      val wCum = Window.partitionBy(kcols: _*).orderBy(col("__gb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy(kcols: _*)
+      base.groupBy((bucketCol.as("__gb") +: kcols): _*)
+        .agg(sum(col("__w")).as("__pw"))
+        .withColumn("__cum", sum(col("__pw")).over(wCum))
+        .withColumn("__tot", sum(col("__pw")).over(wTot))
+        .withColumn("__off", col("__cum") - col("__pw"))
+    }
+    /** the crossing-bucket argmin for one fence over [[cdf]] rows: the
+      * FIRST bucket whose cumulative crosses (cum is monotone and __gb
+      * unique per group, so struct-min is exact). The last bucket
+      * always crosses (cum = tot), so the struct is never null.
+      */
+    def bracketAt(bp: Int): Column =
+      min(when(crossesCol(bp),
+        struct(col("__gb"), col("__off"), col("__tot"))))
+    /** the fine cumulative pass over bracket rows: base rows join their
+      * group's bracket rows on (bucket, group) — disjoint row sets per
+      * bracket — and the running weight adds the bracket's exact
+      * offset; windows partition by (bucket, group), never group alone.
+      */
+    def finePass(brackets: DataFrame): DataFrame = {
+      val wF = Window.partitionBy((col("__gb") +: kcols): _*)
+        .orderBy((col("__v") +: ties).map(_.asc): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.withColumn("__gb", bucketCol).join(brackets, "__gb" +: keys)
+        .withColumn("__cum", sum(col("__w")).over(wF) + col("__off"))
+    }
     def constDf(rows: Seq[(List[Any], Seq[Any])],
                 fields: Seq[org.apache.spark.sql.types.StructField]): DataFrame =
       spark.createDataFrame(
@@ -965,45 +1006,21 @@ object RelOps {
       require(bp >= 1 && bp <= 10000, s"bp must be in [1, 10000], got $bp")
     }
     val q = new QuantileBuckets(df, keys, valueCol, weightCol, tieCols, 0)
-    val dec0 = "decimal(38,0)"
-    // distributed coarse CDF: per-(group, bucket) weights with running
-    // and total sums via windows over the tiny aggregate — partitioned
-    // by group, never collected
-    val wCum = Window.partitionBy(q.kcols: _*).orderBy(col("__gb"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wTot = Window.partitionBy(q.kcols: _*)
-    val cdf = q.base.groupBy((q.bucketCol.as("__gb") +: q.kcols): _*)
-      .agg(sum(col("__w")).as("__pw"))
-      .withColumn("__cum", sum(col("__pw")).over(wCum))
-      .withColumn("__tot", sum(col("__pw")).over(wTot))
-      .withColumn("__off", col("__cum") - col("__pw"))
-    // crossing bucket per fence = the FIRST bucket whose cumulative
-    // crosses (cum is monotone and __gb unique per group, so struct-min
-    // is an exact argmin); the `10000·cum ≥ bp·tot` rule in
-    // DECIMAL(38,0) — no wrap at any weight sum. The last bucket always
-    // crosses (cum = tot), so no fence struct is ever null.
+    // one crossing-bucket argmin per fence over the distributed coarse
+    // CDF, the distinct bracket rows joined back to ONE shared fine pass
     val fenceAggs = bps.zipWithIndex.map { case ((bp, _), i) =>
-      min(when(col("__cum").cast(dec0) * lit(10000L) >=
-          col("__tot").cast(dec0) * lit(bp.toLong),
-        struct(col("__gb"), col("__off"), col("__tot")))).as(s"__f$i")
+      q.bracketAt(bp).as(s"__f$i")
     }
-    val brDf = cdf.groupBy(q.kcols: _*)
+    val brDf = q.cdf.groupBy(q.kcols: _*)
       .agg(fenceAggs.head, fenceAggs.tail: _*)
       .select((q.kcols :+ explode(array_distinct(
         array(bps.indices.map(i => col(s"__f$i")): _*))).as("__s")): _*)
       .select((q.kcols :+ col("__s.__gb").as("__gb") :+
         col("__s.__off").as("__off") :+ col("__s.__tot").as("__tot")): _*)
-    val wF = Window.partitionBy((col("__gb") +: q.kcols): _*)
-      .orderBy((col("__v") +: q.ties).map(_.asc): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fine = q.base.withColumn("__gb", q.bucketCol)
-      .join(brDf, "__gb" +: keys)
-      .withColumn("__cum", sum(col("__w")).over(wF) + col("__off"))
     val aggs = bps.map { case (bp, name) =>
-      min(when(col("__cum").cast(dec0) * lit(10000L) >=
-        col("__tot").cast(dec0) * lit(bp.toLong), col("__v"))).as(name)
+      min(when(q.crossesCol(bp), col("__v"))).as(name)
     }
-    fine.groupBy(q.kcols: _*).agg(aggs.head, aggs.tail: _*)
+    q.finePass(brDf).groupBy(q.kcols: _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Exact weighted median AND weighted MAD per group with NO
@@ -1207,33 +1224,18 @@ object RelOps {
 
     // 1. distributed coarse CDF — cached: the median bracket and the
     // MAD bracket both read it (tiny: ≤ np·|groups| rows)
-    val wCum = Window.partitionBy(kcols: _*).orderBy(col("__gb"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wTot = Window.partitionBy(kcols: _*)
-    val cdf = ScaleOps.trackCache(
-      base.groupBy((q.bucketCol.as("__gb") +: kcols): _*)
-        .agg(sum(col("__w")).as("__pw"))
-        .withColumn("__cum", sum(col("__pw")).over(wCum))
-        .withColumn("__tot", sum(col("__pw")).over(wTot))
-        .withColumn("__off", col("__cum") - col("__pw")))
+    val cdf = ScaleOps.trackCache(q.cdf)
 
     // 2. median: crossing-bucket argmin → fine pass over bracket rows
     val medBr = cdf.groupBy(kcols: _*)
-      .agg(min(when(col("__cum").cast(dec0) * lit(2L) >=
-          col("__tot").cast(dec0),
-        struct(col("__gb"), col("__off"), col("__tot")))).as("__s"))
+      .agg(q.bracketAt(5000).as("__s"))
       .select((kcols :+ col("__s.__gb").as("__gb") :+
         col("__s.__off").as("__off") :+ col("__s.__tot").as("__tot")): _*)
-    val wA = Window.partitionBy((col("__gb") +: kcols): _*)
-      .orderBy((col("__v") +: ties).map(_.asc): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // cached: the MAD bracket joins it, and it IS the median output
     val med = ScaleOps.trackCache(
-      base.withColumn("__gb", q.bucketCol).join(medBr, "__gb" +: keys)
-        .withColumn("__cum", sum(col("__w")).over(wA) + col("__off"))
+      q.finePass(medBr)
         .groupBy(kcols: _*)
-        .agg(min(when(col("__cum").cast(dec0) * lit(2L) >=
-            col("__tot").cast(dec0), col("__v"))).as("wmedian"),
+        .agg(min(when(q.crossesCol(5000), col("__v"))).as("wmedian"),
           max(col("__tot")).as("__gtot")))
 
     // 3. MAD bracket per group, in executors: the group's bucket
@@ -1250,8 +1252,9 @@ object RelOps {
     })
     val madBr = cdf.join(med, keys)
       .groupBy(kcols: _*)
-      .agg(sort_array(collect_list(struct(col("__gb"), col("__pw"))))
-          .as("__bwArr"),
+      // no sort: madBracketOf's contained/intersecting folds are
+      // order-independent sums over the bucket weights
+      .agg(collect_list(struct(col("__gb"), col("__pw"))).as("__bwArr"),
         first(col("wmedian")).as("wmedian"),
         first(col("__gtot")).as("__tot"))
       .withColumn("__br", madBracketUdf(col("wmedian").cast("string"),

@@ -3999,27 +3999,37 @@ object Queries {
     * (CV rises across streamed appends, monitor reports it, rebalance
     * restores it) are spec-proven in StreamingSpec.
     */
-  def q223_ivf_monitor(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorOps
+  /** q223's fixture workload, shared with [[graft.tools
+    * .MonitorProfile]] so the stage profiler always measures EXACTLY
+    * the declared query's slices and build config (a re-scope that
+    * misses the tool would silently profile a different workload).
+    * A QUARTER-corpus slice: the monitor's telemetry story (drift →
+    * trigger → restore) is size-independent, and the lifecycle already
+    * pays full-corpus cost in q218 — q223 measures the LOOP, so it
+    * runs on the smallest slice that still drifts deterministically.
+    * Returns (index builder, drift batch by id parity — q218's drift
+    * model split into two ingest cycles).
+    */
+  private[graft] def ivfMonitorWorkload(spark: SparkSession, dir: String)
+      : (() => graft.functions.VectorOps.IvfIndex, Int => DataFrame) = {
     val e = Tables(spark, dir).embeddings
     val n = e.count()
-    // a QUARTER-corpus slice: the monitor's telemetry story (drift →
-    // trigger → restore) is size-independent, and the lifecycle already
-    // pays full-corpus cost in q218 — this query measures the LOOP, so
-    // it runs on the smallest slice that still drifts deterministically
     val first = e.filter(col("vec_id") < n / 4)
-    // q218's drift model, split into two ingest cycles by id parity
     def drift(b: Int) = e.filter(col("vec_id") >= n / 4 &&
         col("vec_id") < n / 2 && col("vec_id") % 2 === b)
       .select(col("vec_id"),
         transform(col("embedding"), x => x + lit(0.3f)).as("embedding"))
+    (() => graft.functions.VectorOps.IvfIndex.build(first, "vec_id",
+      "embedding", c = 16, trainCap = 4096), drift)
+  }
+
+  def q223_ivf_monitor(spark: SparkSession, dir: String): DataFrame = {
+    val (build, drift) = ivfMonitorWorkload(spark, dir)
     // trigger above batch 0's CV at both fixture scales (1.16 at sf0.1,
     // 0.81 at sf0.01) so the log shows the CV RISING across cycles and
     // exactly ONE in-loop rebalance fires on the second — two
     // rebalances tell the same story at twice the lifecycle cost
-    val m = new graft.streaming.IvfMaintainer(
-      VectorOps.IvfIndex.build(first, "vec_id", "embedding",
-        c = 16, trainCap = 4096),
+    val m = new graft.streaming.IvfMaintainer(build(),
       "vec_id", "embedding", cvTrigger = 1.25, maxOverFactor = 1.5,
       trainCap = 2048)
     m.ingest(0L, drift(0))

@@ -57,8 +57,16 @@ final class IvfMaintainer(initial: IvfIndex, idCol: String, vecCol: String,
     idx = idx.append(batch, idCol, vecCol)
     val cv = record(batchId, "appended")
     if (cv.exists(_ > cvTrigger)) {
-      idx = idx.rebalance(maxOverFactor, trainCap = trainCap)
-      record(batchId, "rebalanced")
+      val next = idx.rebalance(maxOverFactor, trainCap = trainCap)
+      // rebalance returns the receiver unchanged when no cell exceeds
+      // maxOverFactor × mean (CV can cross the trigger on many
+      // near-empty cells) — the log must say so, not claim an action:
+      // repeated `rebalance_noop` rows are the signal that the trigger
+      // cannot be satisfied at this maxOverFactor
+      if (next ne idx) {
+        idx = next
+        record(batchId, "rebalanced")
+      } else record(batchId, "rebalance_noop")
     }
   }
 

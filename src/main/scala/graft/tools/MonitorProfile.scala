@@ -1,12 +1,13 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Stage timings for the IVF maintenance-loop surface (q223) — which
-  * lifecycle step owns the wall time: build, each ingest cycle (append
-  * + occupancy record), the triggered rebalance. Dev tool, same spirit
-  * as [[Profile]].
+  * lifecycle step owns the wall time: build, each append, each
+  * occupancy record, the triggered rebalance. The workload (slices +
+  * build config) comes from [[graft.queries.Queries.ivfMonitorWorkload]]
+  * so the profiler measures exactly what the declared query runs.
+  * Dev tool, same spirit as [[Profile]].
   *
   * Usage: runMain graft.tools.MonitorProfile [sfDir]
   */
@@ -18,7 +19,6 @@ object MonitorProfile {
         SparkSession.builder().master(s"local[$cpus]").appName("graft-monitor-profile"), cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import graft.functions.VectorOps
 
     def timed[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime()
@@ -27,15 +27,8 @@ object MonitorProfile {
       r
     }
 
-    val e = graft.core.Tables(spark, sfDir).embeddings
-    val n = timed("count")(e.count())
-    val first = e.filter(col("vec_id") < n / 4)
-    def drift(b: Int) = e.filter(col("vec_id") >= n / 4 &&
-        col("vec_id") < n / 2 && col("vec_id") % 2 === b)
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x + lit(0.3f)).as("embedding"))
-    val built = timed("build")(
-      VectorOps.IvfIndex.build(first, "vec_id", "embedding", c = 16, trainCap = 4096))
+    val (build, drift) = graft.queries.Queries.ivfMonitorWorkload(spark, sfDir)
+    val built = timed("build")(build())
     val summary0 = timed("summary-built")(built.occupancySummary.head())
     println(s"  built: $summary0")
     val g1 = timed("append-0")(built.append(drift(0), "vec_id", "embedding"))
