@@ -462,6 +462,52 @@ class StreamingSpec extends SparkSpec {
     m.close()
   }
 
+  test("IvfPqMaintainer: quantized rung recommends a rebuild when streamed drift crosses the trigger") {
+    // same crafted geometry as the IvfMaintainer spec — but the
+    // IVF+PQ rung has no in-place rebalance (per-cell residual books
+    // pin the cell boundaries), so the monitor's trigger action is a
+    // RECOMMENDATION row, and the index keeps absorbing appends
+    import graft.functions.VectorOps
+    val base = (0 until 40).map { i =>
+      val scale = 1.0 + i * 0.001
+      val d = i % 4 match {
+        case 0 => Seq(scale, 0.0); case 1 => Seq(0.0, scale)
+        case 2 => Seq(-scale, 0.0); case _ => Seq(0.0, -scale)
+      }
+      (i.toLong, d)
+    }.toDF("vec_id", "embedding")
+    val m = new IvfPqMaintainer(
+      VectorOps.IvfPqIndex.build(base, "vec_id", "embedding",
+        c = 4, m = 2, k = 4),
+      "vec_id", "embedding", cvTrigger = 0.7)
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = in.toDS().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        m.ingest(bid, batch)
+      }
+      .start()
+    def driftRows(lo: Int, hi: Int) = (lo until hi).map(i =>
+      (100L + i, Seq(2.0, 1.0 + 0.01 * i)))
+    in.addData(driftRows(0, 20): _*); q.processAllAvailable()
+    in.addData(driftRows(20, 40): _*); q.processAllAvailable()
+    q.stop()
+    val log = m.occupancyLog(spark)
+      .select($"batch", $"action", $"cv").as[(Long, String, Double)].collect()
+    def cvOf(action: String, batch: Long): Double =
+      log.collectFirst { case (b, a, cv) if a == action && b == batch => cv }.get
+    assert(cvOf("built", -1L) < 0.1, s"base occupancy must start uniform: ${log.toSeq}")
+    assert(cvOf("appended", 1L) > cvOf("appended", 0L),
+      s"drift must RISE across cycles in the log: ${log.toSeq}")
+    assert(log.exists { case (b, a, _) => a == "rebuild_recommended" && b == 1L },
+      s"the quantized rung must recommend a rebuild past the trigger: ${log.toSeq}")
+    assert(!log.exists(_._2 == "rebalanced"),
+      "the quantized rung must never claim an in-place rebalance")
+    // the index kept absorbing the stream (codes are a partition of ids)
+    assert(m.index.codes.select("id").distinct().count() == 80)
+    m.close()
+  }
+
   test("at-least-once foreachBatch sink writes batches before commit (KQ-2 streaming)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink_test").toString
     val in = MemoryStream[String]
