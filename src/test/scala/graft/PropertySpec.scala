@@ -271,6 +271,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("weightedMedianMadDistributed equals the brute halving rule on random weighted multisets") {
+    // the executor-side MAD bracket fold must reproduce the per-row
+    // halving rule on adversarial shapes: dense ties, zero weights
+    // (legal candidate values that never advance the cumulative),
+    // single-row groups, all-zero-weight groups, medians ON bucket
+    // bounds (dLo = dHi radii)
+    import org.apache.spark.sql.functions.col
+    val gen: Gen[List[(Long, Long, Long)]] = for {
+      n <- Gen.choose(1, 60)
+      ks <- Gen.listOfN(n, Gen.choose(0L, 2L))
+      vs <- Gen.listOfN(n, Gen.choose(0L, 8L))
+      ws <- Gen.listOfN(n, Gen.choose(0L, 3L))
+    } yield ks.lazyZip(vs).lazyZip(ws).toList
+    def bruteMedian(rs: Seq[(Long, Long, Long, Long)]): Long = {
+      val sorted = rs.sortBy { case (_, v, _, tie) => (v, tie) }
+      val tot = sorted.map(_._3).sum
+      var cum = 0L
+      sorted.collectFirst {
+        case (_, v, w, _) if { cum += w; 2L * cum >= tot } => v }.get
+    }
+    samples(gen, 12).foreach { rows0 =>
+      val rows = rows0.zipWithIndex.map { case ((k, v, w), i) =>
+        (k, v, w, i.toLong) }
+      val got = graft.ops.RelOps.weightedMedianMadDistributed(
+          rows.toDF("k", "v", "w", "tie").repartition(5), Seq("k"),
+          col("v"), col("w"), Seq(col("tie")))
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      graft.ops.ScaleOps.release()
+      val expected = rows.groupBy(_._1).map { case (k, rs) =>
+        val m = bruteMedian(rs)
+        k -> ((m, bruteMedian(rs.map { case (kk, v, w, t) =>
+          (kk, math.abs(v - m), w, t) })))
+      }
+      assert(got == expected, s"rows=$rows: $got vs $expected")
+    }
+  }
+
   test("sigmaClip agrees with double-math |x-mean| > kσ on generated data away from ties") {
     import org.apache.spark.sql.functions.col
     val data: Gen[List[Long]] = Gen.listOfN(40, Gen.chooseNum(0L, 10000L))
