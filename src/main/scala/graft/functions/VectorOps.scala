@@ -503,6 +503,19 @@ object VectorOps {
       new IvfIndex(merged, centroids, dim, total)
     }
 
+    /** Persist the assignment (cell-partitioned, like the quantized
+      * rungs' code tables — a probed-cell scan prunes partitions at
+      * the source) + centroids. Completes the maintenance-loop restart
+      * story: the rung that CAN rebalance in place is also the one a
+      * long-lived [[graft.streaming.IvfMaintainer]] holds, so its
+      * state must survive a session boundary like the SQ8/PQ layouts
+      * already do.
+      */
+    def save(dir: String): Unit = {
+      assigned.write.mode("overwrite").partitionBy("cid").parquet(s"$dir/assigned")
+      centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    }
+
     /** Cell-occupancy profile: one row per centroid, EMPTY cells
       * included — (cid, n). The index-health diagnostic behind
       * [[rebalance]]: many [[append]]s never retrain centroids, so an
@@ -1400,6 +1413,26 @@ object VectorOps {
       // assigned lineage scans cents, so one job fills both caches
       val total = assigned.count()
       v.unpersist(blocking = false)
+      new IvfIndex(assigned, cents, dim, total)
+    }
+
+    /** Load an index persisted by [[IvfIndex.save]]: both frames
+      * re-cache (they ARE the index's resident set) and the loaded
+      * index is immediately searchable/appendable/rebalanceable — the
+      * maintenance-loop state surviving a session boundary. The cid
+      * partition column is normalized back to LongType (partition
+      * discovery infers IntegerType for small values).
+      */
+    def load(spark: SparkSession, dir: String): IvfIndex = {
+      val assigned = spark.read.parquet(s"$dir/assigned")
+        .select(col("cid").cast("long").as("cid"), col("id"), col("v"))
+        .cache()
+      val cents = spark.read.parquet(s"$dir/centroids").cache()
+      val total = assigned.count()
+      cents.count()
+      // dim from the (tiny, cached) centroids — save is only reachable
+      // from a built index, which is never empty
+      val dim = cents.select(size(col("cv"))).head().getInt(0)
       new IvfIndex(assigned, cents, dim, total)
     }
 

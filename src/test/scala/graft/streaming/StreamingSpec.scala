@@ -462,6 +462,56 @@ class StreamingSpec extends SparkSpec {
     m.close()
   }
 
+  test("IvfMaintainer resumes from a saved index: restarted loop equals the uninterrupted one") {
+    // the maintenance-loop restart story (the tws gates' checkpoint
+    // recovery, for the index loop): ingest batch 0, save the index,
+    // 'restart' by loading into a fresh maintainer, ingest batch 1 —
+    // the final index must equal the uninterrupted two-batch run's
+    // (every lifecycle op is deterministic)
+    import graft.functions.VectorOps
+    def baseDf = (0 until 40).map { i =>
+      val scale = 1.0 + i * 0.001
+      val d = i % 4 match {
+        case 0 => Seq(scale, 0.0); case 1 => Seq(0.0, scale)
+        case 2 => Seq(-scale, 0.0); case _ => Seq(0.0, -scale)
+      }
+      (i.toLong, d)
+    }.toDF("vec_id", "embedding")
+    def driftRows(lo: Int, hi: Int) = (lo until hi).map(i =>
+      (100L + i, Seq(2.0, 1.0 + 0.01 * i))).toDF("vec_id", "embedding")
+    def run(m: IvfMaintainer, batches: Seq[(Long, org.apache.spark.sql.DataFrame)]): Unit =
+      batches.foreach { case (bid, df) => m.ingest(bid, df) }
+
+    // uninterrupted reference run
+    val full = new IvfMaintainer(
+      VectorOps.IvfIndex.build(baseDf, "vec_id", "embedding", c = 4),
+      "vec_id", "embedding", cvTrigger = 0.7, maxOverFactor = 1.5, trainCap = 0)
+    run(full, Seq(0L -> driftRows(0, 20), 1L -> driftRows(20, 40)))
+    val want = full.index.assigned.select("cid", "id")
+      .as[(Long, Long)].collect().toSet
+
+    // interrupted run: batch 0, save, 'restart' from disk, batch 1
+    val m1 = new IvfMaintainer(
+      VectorOps.IvfIndex.build(baseDf, "vec_id", "embedding", c = 4),
+      "vec_id", "embedding", cvTrigger = 0.7, maxOverFactor = 1.5, trainCap = 0)
+    run(m1, Seq(0L -> driftRows(0, 20)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_resume").toString
+    m1.index.save(dir)
+    m1.close()
+    val m2 = new IvfMaintainer(
+      VectorOps.IvfIndex.load(spark, dir),
+      "vec_id", "embedding", cvTrigger = 0.7, maxOverFactor = 1.5, trainCap = 0)
+    run(m2, Seq(1L -> driftRows(20, 40)))
+    val got = m2.index.assigned.select("cid", "id")
+      .as[(Long, Long)].collect().toSet
+    // the resumed run rebalanced on batch 1 exactly like the
+    // uninterrupted one (same trigger arithmetic over the same state)
+    assert(m2.occupancyLog(spark).filter($"action" === "rebalanced").count() == 1)
+    assert(got == want,
+      s"resumed index diverged from the uninterrupted run:\n$got\nvs\n$want")
+    full.close(); m2.close()
+  }
+
   test("IvfPqMaintainer: quantized rung recommends a rebuild when streamed drift crosses the trigger") {
     // same crafted geometry as the IvfMaintainer spec — but the
     // IVF+PQ rung has no in-place rebalance (per-cell residual books
