@@ -9,10 +9,19 @@ import org.apache.spark.sql.SparkSession
   *
   * Methodology (recorded in BASELINE.md): THREE full passes over the
   * query list (SPARK_GRAFT_BENCH_PASSES overrides), per-query MINIMUM
-  * reported, plus a per-query `spread` (max/min over successful
-  * passes) so a co-tenant burst polluting one pass is visible from the
-  * artifact itself — round-10's driver run had one query at [10.3 s,
-  * 40.1 s] that two passes couldn't adjudicate. The shared build box
+  * reported, plus a per-query `spread` (max/min over the successful
+  * passes AFTER the first) so a co-tenant burst polluting one pass is
+  * visible from the artifact itself — round-10's driver run had one
+  * query at [10.3 s, 40.1 s] that two passes couldn't adjudicate.
+  * Pass 1 is EXCLUDED from spread (it still contributes to the min):
+  * it absorbs all JIT/codegen warmup, so a pass-1-inclusive ratio read
+  * 5–16 on sub-second queries and carried no signal (round-11 verdict
+  * #2); over passes 2..N a spread > 2 is presumptively real divergence
+  * or contention, not warmup. `spread` is null when no pass succeeded
+  * or the minimum is 0 (ratio undefined) — never a numeric sentinel,
+  * so a parser cannot mistake "all passes failed" for a measurement;
+  * per-pass failures are recoverable from `passes_detail` (-1 entries).
+  * The shared build box
   * gets transient CPU spikes from concurrent jobs (round-2's driver
   * artifact recorded two adjacent queries at 10–19× their quiet-box
   * times, gone on re-run); best-of-N measures the engine, not the
@@ -129,15 +138,20 @@ object Bench {
       "\"" + name + "\":" +
         passes.map(_.find(_._1 == name).get._2).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    // per-query max/min over successful passes: >1.5–2 on a quiet box
-    // means the query itself diverges across executions; on a loaded
-    // box it marks which minima a burst may still pollute
+    // per-query max/min over the successful WARM passes (2..N; fall
+    // back to pass 1 when it is the only success): >1.5–2 on a quiet
+    // box means the query itself diverges across executions; on a
+    // loaded box it marks which minima a burst may still pollute.
+    // null (not a sentinel) when nothing succeeded or min == 0
     val spread = ordered.map { case (name, _) =>
-      val ok = passes.map(_.find(_._1 == name).get._2).filter(_ >= 0)
-      val s = if (ok.nonEmpty && ok.min > 0) ok.max / ok.min else -1.0
+      val times = passes.map(_.find(_._1 == name).get._2)
+      val warm = times.drop(1).filter(_ >= 0)
+      val ok = if (warm.nonEmpty) warm else times.take(1).filter(_ >= 0)
       // rint, not %.3f — f-interpolation is locale-dependent (a comma
       // decimal separator would corrupt the JSON line)
-      "\"" + name + "\":" + (math.rint(s * 1000) / 1000).toString
+      val s = if (ok.nonEmpty && ok.min > 0)
+        (math.rint(ok.max / ok.min * 1000) / 1000).toString else "null"
+      "\"" + name + "\":" + s
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val passTotals = passes.map(_.map(_._2).filter(_ >= 0).sum)

@@ -514,6 +514,13 @@ object VectorOps {
     def save(dir: String): Unit = {
       assigned.write.mode("overwrite").partitionBy("cid").parquet(s"$dir/assigned")
       centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+      // one-row meta (dim, size), like the PQ rung: load() validates the
+      // re-read frames against it, so a partially-written or mismatched
+      // dir fails AT LOAD instead of misbehaving later at probe/append
+      val spark = assigned.sparkSession
+      import spark.implicits._
+      Seq((dim, size)).toDF("dim", "size")
+        .write.mode("overwrite").parquet(s"$dir/meta")
     }
 
     /** Cell-occupancy profile: one row per centroid, EMPTY cells
@@ -1038,7 +1045,7 @@ object VectorOps {
       val codes: DataFrame,   // (cid, id, code: array<long>[m], nrm2)
       val coarse: DataFrame,  // (cid, cv: array<double>, cn2)
       val books: DataFrame,   // (cid, j, pcid, pv: array<double>, pn2, cross)
-      raw: DataFrame, m: Int, k: Int, val dim: Int) {
+      raw: DataFrame, val m: Int, val k: Int, val dim: Int) {
 
     /** Occupancy diagnostics — see [[VectorOps.cellStatsOf]]: drift
       * here says rebuild (the residual books are per-cell; a re-split
@@ -1422,18 +1429,51 @@ object VectorOps {
       * maintenance-loop state surviving a session boundary. The cid
       * partition column is normalized back to LongType (partition
       * discovery infers IntegerType for small values).
+      *
+      * Integrity-validated against the saved meta row: row count and
+      * vector dims of the re-read assignment must match what save()
+      * recorded, and the centroid dim must agree — a partially-written
+      * or cross-wired dir fails HERE with a named cause instead of
+      * misbehaving later at probe/append time. The dim stats ride the
+      * same pass that fills the assignment cache (append's min/max
+      * size(v) guard, reused).
       */
     def load(spark: SparkSession, dir: String): IvfIndex = {
+      val meta = spark.read.parquet(s"$dir/meta").head()
+      val (dim, sz) = (meta.getAs[Int]("dim"), meta.getAs[Long]("size"))
       val assigned = spark.read.parquet(s"$dir/assigned")
         .select(col("cid").cast("long").as("cid"), col("id"), col("v"))
         .cache()
       val cents = spark.read.parquet(s"$dir/centroids").cache()
-      val total = assigned.count()
-      cents.count()
-      // dim from the (tiny, cached) centroids — save is only reachable
-      // from a built index, which is never empty
-      val dim = cents.select(size(col("cv"))).head().getInt(0)
-      new IvfIndex(assigned, cents, dim, total)
+      // failed validation must not leave the half-loaded frames pinned
+      // in the block manager (the CC failure-path-release discipline)
+      try {
+        val arrLen = org.apache.spark.sql.functions.size(col("v"))
+        val st = assigned.agg(count(lit(1)), count(col("v")),
+          min(arrLen), max(arrLen)).head()
+        val total = st.getLong(0)
+        require(total == sz,
+          s"loaded assignment has $total rows but meta recorded $sz — " +
+            s"partial or mixed write under $dir/assigned")
+        require(st.getLong(1) == total,
+          s"loaded assignment carries ${total - st.getLong(1)} null vectors")
+        require(st.getInt(2) == dim && st.getInt(3) == dim,
+          s"loaded index is $dim-dim but assigned vectors are " +
+            s"${st.getInt(2)}..${st.getInt(3)}-dim — wrong dir or corrupt write")
+        cents.count()
+        val cdim = cents.agg(
+          min(org.apache.spark.sql.functions.size(col("cv"))),
+          max(org.apache.spark.sql.functions.size(col("cv")))).head()
+        require(cdim.getInt(0) == dim && cdim.getInt(1) == dim,
+          s"loaded centroids are ${cdim.getInt(0)}..${cdim.getInt(1)}-dim " +
+            s"but meta recorded $dim")
+        new IvfIndex(assigned, cents, dim, total)
+      } catch {
+        case t: Throwable =>
+          assigned.unpersist(blocking = false)
+          cents.unpersist(blocking = false)
+          throw t
+      }
     }
 
     /** The build-time stats job: rejects empty/mixed-dim input (zip_with

@@ -879,11 +879,18 @@ object RelOps {
     locally {
       import org.apache.spark.sql.types._
       val wType = df.select(weightCol.as("__w")).schema.head.dataType
-      require(Seq[DataType](ByteType, ShortType, IntegerType, LongType)
-          .contains(wType),
-        s"weighted quantile rail needs an INTEGRAL weight column, got " +
-          s"$wType — fractional weights would truncate silently; scale " +
-          "them to integer units (e.g. basis points) and cast first")
+      val integral = wType match {
+        // scale-0 decimals are integral by type — lossless under the
+        // long cast (up to 18 digits, which the cast checks at runtime)
+        case d: DecimalType => d.scale == 0 && d.precision <= 18
+        case t => Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+          .contains(t)
+      }
+      require(integral,
+        s"weighted quantile rail needs an INTEGRAL weight column " +
+          s"(byte/short/int/long or DECIMAL(≤18,0)), got $wType — " +
+          "fractional weights would truncate silently; scale them to " +
+          "integer units (e.g. basis points) and cast first")
     }
     val base: DataFrame = df.select((kcols :+ valueCol.as("__v") :+
       weightCol.cast("long").as("__w")) ++
@@ -996,7 +1003,12 @@ object RelOps {
     * side at runtime; with many it's a plain shuffled equi-join on
     * (bucket, group) — never a hot single reducer either way.
     * `(valueCol, tieCols)` must total-order rows within a group; group
-    * keys non-null; weights non-negative and integral.
+    * keys non-null; weights non-negative and integral BY TYPE —
+    * byte/short/int/long or a scale-0 DECIMAL(≤18,0); any fractional
+    * type is rejected at analysis time (it would truncate silently —
+    * scale to integer units first). The contract applies to the whole
+    * rail ([[weightedMedian]]/[[weightedQuantile]]/[[weightedMedianMad]]
+    * /[[weightedMedianMadDistributed]] share this machinery).
     */
   def weightedQuantiles(df: DataFrame, keys: Seq[String], valueCol: Column,
                         weightCol: Column, tieCols: Seq[Column],

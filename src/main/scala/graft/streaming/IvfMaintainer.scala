@@ -30,8 +30,9 @@ sealed abstract class IndexOccupancyLog {
 
   /** Telemetry so far: (batch, action, cells, total, max_n, cv), one
     * row per recorded cycle — `built` at construction, `appended` per
-    * ingest, plus the subclass's trigger action. `cv` is null for an
-    * empty index (no mean to normalize by).
+    * ingest (`replay_skipped` for a re-delivered batch id), plus the
+    * subclass's trigger action. `cv` is null for an empty index (no
+    * mean to normalize by).
     */
   final def occupancyLog(spark: SparkSession): DataFrame = synchronized {
     val rows = log.toSeq.map { case (b, a, c, t, m, cv) =>
@@ -47,6 +48,36 @@ sealed abstract class IndexOccupancyLog {
         StructField("max_n", LongType, nullable = false),
         StructField("cv", DoubleType, nullable = true))))
   }
+
+  /** Ingest idempotence (the standard `foreachBatch` pattern):
+    * `foreachBatch` is at-least-once, so after a failure + checkpoint
+    * restart the last uncommitted micro-batch is RE-DELIVERED with its
+    * original batch id. A replayed batch was already folded into the
+    * index, so re-appending it would trip the fresh-id contract and
+    * fail the query; the maintainers instead skip any `batchId ≤` the
+    * last one ingested (batch ids are monotone per checkpoint), record
+    * `replay_skipped` so the skip is visible in the telemetry, and
+    * [[IvfMaintainer.save]] persists the watermark next to the index
+    * so the skip survives the session boundary the save/load story is
+    * about.
+    */
+  protected final var lastBatch: Long = Long.MinValue
+
+  protected final def saveLastBatch(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    Seq(lastBatch).toDF("last_batch")
+      .write.mode("overwrite").parquet(s"$dir/maintainer")
+  }
+}
+
+private[streaming] object IndexOccupancyLog {
+  /** The persisted ingest watermark, or Long.MinValue when the dir was
+    * saved by a bare index save() (no maintainer state — every batch id
+    * is fresh).
+    */
+  def loadLastBatch(spark: SparkSession, dir: String): Long =
+    try spark.read.parquet(s"$dir/maintainer").head().getLong(0)
+    catch { case _: org.apache.spark.sql.AnalysisException => Long.MinValue }
 }
 
 /** Streaming IVF maintenance loop — the index-health sibling of the
@@ -67,17 +98,23 @@ sealed abstract class IndexOccupancyLog {
   * manager usage stays O(current index) across an unbounded stream.
   *
   * Contract inherited from [[IvfIndex.append]]: batch ids must be fresh
-  * (never re-deliver a vector id), vectors non-null at the index dim.
-  * A violating batch fails the streaming query loudly rather than
-  * corrupting the index.
+  * (never re-deliver a vector id) — EXCEPT a whole-batch replay of an
+  * already-ingested micro-batch (same batch id), which foreachBatch's
+  * at-least-once delivery produces after a restart and the maintainer
+  * skips idempotently (see [[IndexOccupancyLog.lastBatch]]). A batch
+  * with null/mismatched vectors still fails the streaming query loudly
+  * rather than corrupting the index.
   */
 final class IvfMaintainer(initial: IvfIndex, idCol: String, vecCol: String,
                           cvTrigger: Double = Double.PositiveInfinity,
                           maxOverFactor: Double = 1.5,
-                          trainCap: Int = 2048) extends IndexOccupancyLog {
+                          trainCap: Int = 2048,
+                          resumeAfterBatch: Long = Long.MinValue)
+    extends IndexOccupancyLog {
   require(cvTrigger > 0, s"cvTrigger must be positive, got $cvTrigger")
 
   private var idx = initial
+  lastBatch = resumeAfterBatch
 
   protected def summaryHead(): Row = idx.occupancySummary.head()
 
@@ -86,9 +123,13 @@ final class IvfMaintainer(initial: IvfIndex, idCol: String, vecCol: String,
   /** Fold one micro-batch of (idCol, vecCol) rows into the index and
     * record its health; rebalance when the CV trigger fires. Pass as
     * the `foreachBatch` body: `(df, bid) => maintainer.ingest(bid, df)`.
+    * A re-delivered batch id (at-least-once replay after restart) is a
+    * telemetry-visible no-op.
     */
   def ingest(batchId: Long, batch: DataFrame): Unit = synchronized {
+    if (batchId <= lastBatch) { record(batchId, "replay_skipped"); return }
     idx = idx.append(batch, idCol, vecCol)
+    lastBatch = batchId
     val cv = record(batchId, "appended")
     if (cv.exists(_ > cvTrigger)) {
       val next = idx.rebalance(maxOverFactor, trainCap = trainCap)
@@ -102,6 +143,17 @@ final class IvfMaintainer(initial: IvfIndex, idCol: String, vecCol: String,
     }
   }
 
+  /** Persist the maintainer's restartable state: the index
+    * ([[IvfIndex.save]]) plus the ingest watermark, so a loop resumed
+    * via [[IvfMaintainer.load]] also skips the micro-batch foreachBatch
+    * replays after the restart instead of tripping the fresh-id
+    * contract on rows it already ingested.
+    */
+  def save(dir: String): Unit = synchronized {
+    idx.save(dir)
+    saveLastBatch(idx.assigned.sparkSession, dir)
+  }
+
   /** The live index (probe it between batches; don't close it — the
     * maintainer owns its lifecycle).
     */
@@ -111,6 +163,23 @@ final class IvfMaintainer(initial: IvfIndex, idCol: String, vecCol: String,
   def close(): Unit = synchronized { idx.close() }
 }
 
+object IvfMaintainer {
+  /** Resume a loop persisted by [[IvfMaintainer#save]]: the index
+    * reloads ([[IvfIndex.load]] — integrity-validated) and the ingest
+    * watermark restores, so the first post-restart micro-batch — which
+    * foreachBatch re-delivers with its pre-crash batch id — is skipped
+    * idempotently and the loop continues from fresh data. A dir saved
+    * by a bare `index.save` (no maintainer marker) loads with an empty
+    * watermark: every batch id is treated as fresh.
+    */
+  def load(spark: SparkSession, dir: String, idCol: String, vecCol: String,
+           cvTrigger: Double = Double.PositiveInfinity,
+           maxOverFactor: Double = 1.5, trainCap: Int = 2048): IvfMaintainer =
+    new IvfMaintainer(IvfIndex.load(spark, dir), idCol, vecCol, cvTrigger,
+      maxOverFactor, trainCap,
+      resumeAfterBatch = IndexOccupancyLog.loadLastBatch(spark, dir))
+}
+
 /** [[IvfMaintainer]] for the quantized rung: [[IvfPqIndex]] absorbs
   * appends the same way (encode-only, books/centroids never retrain on
   * ingest) but has NO in-place rebalance — its per-cell residual books
@@ -118,33 +187,87 @@ final class IvfMaintainer(initial: IvfIndex, idCol: String, vecCol: String,
   * invalidate them ([[graft.functions.VectorOps.cellStatsOf]]). The
   * monitor therefore RECOMMENDS: when the occupancy CV crosses
   * `cvTrigger` it records `rebuild_recommended`, and the scheduled
-  * maintenance job (which owns the raw corpus store) decides when to
-  * pay the rebuild — the same trigger arithmetic as the plain-IVF
-  * loop, with the action routed to where the data lives at 100 TB.
-  * Repeated recommendations under a flat CV are themselves signal (the
-  * drift persists and appends keep piling into hot cells).
+  * maintenance job (which owns the raw corpus store) pays the rebuild
+  * when it chooses — by calling [[rebuildFrom]] with the raw table, the
+  * consumer seam for the recommendation (the reference's metrics tick
+  * driving operator action, `topic_processor.go:217-232`, applied to
+  * index lifecycle). Repeated recommendations under a flat CV are
+  * themselves signal (the drift persists and appends keep piling into
+  * hot cells).
   */
 final class IvfPqMaintainer(initial: IvfPqIndex, idCol: String, vecCol: String,
-                            cvTrigger: Double = Double.PositiveInfinity)
+                            cvTrigger: Double = Double.PositiveInfinity,
+                            resumeAfterBatch: Long = Long.MinValue)
     extends IndexOccupancyLog {
   require(cvTrigger > 0, s"cvTrigger must be positive, got $cvTrigger")
 
   private var idx = initial
+  lastBatch = resumeAfterBatch
 
   protected def summaryHead(): Row = idx.occupancySummary.head()
 
   record(-1L, "built")
 
   /** Fold one micro-batch into the index and record its health; log a
-    * rebuild recommendation when the CV trigger fires.
+    * rebuild recommendation when the CV trigger fires. A re-delivered
+    * batch id (at-least-once replay after restart) is a telemetry-
+    * visible no-op, like the plain-IVF loop.
     */
   def ingest(batchId: Long, batch: DataFrame): Unit = synchronized {
+    if (batchId <= lastBatch) { record(batchId, "replay_skipped"); return }
     idx = idx.append(batch, idCol, vecCol)
+    lastBatch = batchId
     val cv = record(batchId, "appended")
     if (cv.exists(_ > cvTrigger)) record(batchId, "rebuild_recommended")
+  }
+
+  /** Execute a recommended rebuild: retrain the whole index — coarse
+    * cells AND per-cell residual books — from `raw` (the corpus store
+    * the scheduled job owns; it must contain every ingested id at the
+    * index's dim, typically the table the appends were tee'd into).
+    * The superseded index's caches release; the log records `rebuilt`
+    * with the fresh occupancy, closing the drift → recommendation →
+    * action loop that plain IVF closes in-loop with rebalance. Cell
+    * count defaults to the current index's (pass `c` to re-size);
+    * `trainCap` bounds Lloyd/book training to a stratified sample —
+    * at 100 TB the rebuild's full-corpus cost is the one encode pass,
+    * same as build.
+    */
+  def rebuildFrom(raw: DataFrame, c: Int = 0, ivfIters: Int = 1,
+                  pqIters: Int = 2, trainCap: Int = 0): Unit = synchronized {
+    val cells = if (c > 0) c else idx.coarse.count().toInt
+    val next = IvfPqIndex.build(raw, idCol, vecCol, c = cells,
+      m = idx.m, k = idx.k, ivfIters = ivfIters, pqIters = pqIters,
+      trainCap = trainCap)
+    idx.close()
+    idx = next
+    record(lastBatch, "rebuilt")
+  }
+
+  /** Persist the maintainer's restartable state — like
+    * [[IvfMaintainer#save]]: the index ([[IvfPqIndex.save]], codes
+    * cell-partitioned + meta) plus the ingest watermark.
+    */
+  def save(dir: String): Unit = synchronized {
+    idx.save(dir)
+    saveLastBatch(idx.codes.sparkSession, dir)
   }
 
   def index: IvfPqIndex = synchronized { idx }
 
   def close(): Unit = synchronized { idx.close() }
+}
+
+object IvfPqMaintainer {
+  /** Resume a loop persisted by [[IvfPqMaintainer#save]] — see
+    * [[IvfMaintainer.load]]; `vectors` is the raw re-rank table
+    * [[IvfPqIndex.load]] requires.
+    */
+  def load(spark: SparkSession, dir: String, vectors: DataFrame,
+           idCol: String, vecCol: String,
+           cvTrigger: Double = Double.PositiveInfinity): IvfPqMaintainer =
+    new IvfPqMaintainer(
+      IvfPqIndex.load(spark, dir, vectors, idCol, vecCol),
+      idCol, vecCol, cvTrigger,
+      resumeAfterBatch = IndexOccupancyLog.loadLastBatch(spark, dir))
 }

@@ -611,6 +611,38 @@ class VectorOpsSpec extends SparkSpec {
     sq8Loaded.close()
   }
 
+  test("IvfIndex save/load: meta-validated round-trip; a tampered dir fails loudly at load") {
+    val e = Tables(spark, sfDir).embeddings
+    val queries = e.filter($"vec_id" < 3)
+    val idx = VectorOps.IvfIndex.build(e.filter($"vec_id" < 200), "vec_id", "embedding", c = 8)
+    val before = idx.search(queries, "vec_id", "embedding", k = 10, nprobe = 8)
+      .collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_meta").toString
+    idx.save(dir)
+    val (savedDim, savedSize) = (idx.dim, idx.size)
+    idx.close()
+    val loaded = VectorOps.IvfIndex.load(spark, dir)
+    assert(loaded.dim == savedDim && loaded.size == savedSize)
+    assert(loaded.search(queries, "vec_id", "embedding", k = 10, nprobe = 8)
+      .collect().toSet == before, "loaded index must return identical results")
+    loaded.close()
+    // tampered meta (wrong row count) → named failure AT LOAD, not an
+    // obscure misbehavior later at probe/append time
+    val resident0 = spark.sparkContext.getPersistentRDDs.keySet
+    Seq((savedDim, savedSize - 1)).toDF("dim", "size")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    val eSize = intercept[IllegalArgumentException](VectorOps.IvfIndex.load(spark, dir))
+    assert(eSize.getMessage.contains("meta recorded"), eSize.getMessage)
+    // tampered meta (wrong dim) → the min/max size(v) guard catches it
+    Seq((savedDim + 1, savedSize)).toDF("dim", "size")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    val eDim = intercept[IllegalArgumentException](VectorOps.IvfIndex.load(spark, dir))
+    assert(eDim.getMessage.contains("-dim"), eDim.getMessage)
+    // neither failed load may leave its half-loaded frames pinned
+    assert(spark.sparkContext.getPersistentRDDs.keySet.subsetOf(resident0),
+      "failed load must release its caches")
+  }
+
   test("IVF+PQ: empty query frame returns empty") {
     val e = Tables(spark, sfDir).embeddings
     val idx = VectorOps.IvfPqIndex.build(e, "vec_id", "embedding", c = 16, m = 8, k = 16)

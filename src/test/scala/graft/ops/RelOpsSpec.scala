@@ -551,6 +551,25 @@ class RelOpsSpec extends SparkSpec {
     assert(got == Map("a" -> 2L, "b" -> 1L, "c" -> 1L), s"medians: $got")
   }
 
+  test("weight-type contract: DECIMAL(x,0) accepted (lossless), fractional types rejected") {
+    val rows = Seq(("a", 1L, 1L, 1L), ("a", 2L, 1L, 2L), ("a", 3L, 1L, 3L))
+      .toDF("k", "v", "w", "tie")
+    // a scale-0 decimal weight is integral by type — same result as long
+    val dec = RelOps.weightedMedian(
+        rows.withColumn("w", col("w").cast("decimal(18,0)")),
+        Seq("k"), col("v"), col("w"), Seq(col("tie")))
+      .as[(String, Long)].collect().toMap
+    assert(dec == Map("a" -> 2L), s"decimal-weight median: $dec")
+    // fractional types still fail loudly at analysis time
+    for (t <- Seq("double", "decimal(18,2)")) {
+      val e = intercept[IllegalArgumentException] {
+        RelOps.weightedMedian(rows.withColumn("w", col("w").cast(t)),
+          Seq("k"), col("v"), col("w"), Seq(col("tie")))
+      }
+      assert(e.getMessage.contains("INTEGRAL"), s"$t: ${e.getMessage}")
+    }
+  }
+
   test("weightedQuantiles: one-pass multi-bp matches the brute-force rule on dense ties") {
     // low-cardinality groups × dense value ties: the de-skew rewrite must
     // not disturb the integer basis-point rule at ANY partition split

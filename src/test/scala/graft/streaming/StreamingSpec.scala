@@ -558,6 +558,129 @@ class StreamingSpec extends SparkSpec {
     m.close()
   }
 
+  test("maintainer ingest is idempotent across restart: replayed batch skipped, watermark persisted") {
+    // foreachBatch is at-least-once: after a failure + checkpoint
+    // restart the last uncommitted micro-batch is RE-DELIVERED with its
+    // original id. A maintainer resumed via save/load must skip it
+    // (visible in the log) instead of tripping append's fresh-id
+    // contract on rows it already ingested — then continue on fresh data
+    import graft.functions.VectorOps
+    def baseDf = (0 until 40).map { i =>
+      val scale = 1.0 + i * 0.001
+      val d = i % 4 match {
+        case 0 => Seq(scale, 0.0); case 1 => Seq(0.0, scale)
+        case 2 => Seq(-scale, 0.0); case _ => Seq(0.0, -scale)
+      }
+      (i.toLong, d)
+    }.toDF("vec_id", "embedding")
+    def rows(lo: Int, hi: Int) = (lo until hi).map(i =>
+      (100L + i, Seq(2.0, 1.0 + 0.01 * i))).toDF("vec_id", "embedding")
+
+    val m1 = new IvfMaintainer(
+      VectorOps.IvfIndex.build(baseDf, "vec_id", "embedding", c = 4),
+      "vec_id", "embedding")
+    m1.ingest(0L, rows(0, 20))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_replay").toString
+    m1.save(dir)
+    m1.close()
+    val m2 = IvfMaintainer.load(spark, dir, "vec_id", "embedding")
+    m2.ingest(0L, rows(0, 20)) // the at-least-once replay — must be a no-op
+    m2.ingest(1L, rows(20, 40))
+    val log = m2.occupancyLog(spark)
+      .select($"batch", $"action", $"total").as[(Long, String, Long)].collect()
+    assert(log.contains((0L, "replay_skipped", 60L)),
+      s"replayed batch must be a telemetry-visible no-op: ${log.toSeq}")
+    assert(m2.index.size == 80, "fresh batch after the replay must still ingest")
+    assert(m2.index.assigned.select("id").distinct().count() == 80)
+    m2.close()
+
+    // same contract on the quantized rung, WITHOUT a session boundary
+    // (the in-memory watermark path)
+    val pq = new IvfPqMaintainer(
+      VectorOps.IvfPqIndex.build(baseDf, "vec_id", "embedding", c = 4, m = 2, k = 4),
+      "vec_id", "embedding")
+    pq.ingest(0L, rows(0, 20))
+    pq.ingest(0L, rows(0, 20)) // replay
+    pq.ingest(1L, rows(20, 40))
+    assert(pq.occupancyLog(spark).filter($"action" === "replay_skipped").count() == 1)
+    assert(pq.index.codes.select("id").distinct().count() == 80)
+    pq.close()
+  }
+
+  test("IvfPqMaintainer.rebuildFrom consumes the recommendation: drift -> rebuild -> CV restored, loop resumes via save/load") {
+    // the full quantized-rung lifecycle the plain-IVF loop closes with
+    // in-loop rebalance: streamed drift piles into one cell, the
+    // monitor recommends, the scheduled job (here: the test) pays the
+    // rebuild from the raw corpus it owns — occupancy CV must drop and
+    // search must equal a fresh build over the same corpus; then the
+    // rebuilt loop survives a save/load boundary and keeps ingesting
+    import graft.functions.VectorOps
+    // ids INTERLEAVE (base even, drift odd): build's seeds are the c
+    // lowest ids, so a re-seeded rebuild must be able to see drift
+    // members — an all-low-id base would hand every seed to the axes
+    // (duplicated directions → dead cells) and no rebuild could split
+    // the drifted region
+    def baseDf = (0 until 40).map { i =>
+      val scale = 1.0 + i * 0.001
+      val d = i % 4 match {
+        case 0 => Seq(scale, 0.0); case 1 => Seq(0.0, scale)
+        case 2 => Seq(-scale, 0.0); case _ => Seq(0.0, -scale)
+      }
+      (2L * i, d)
+    }.toDF("vec_id", "embedding")
+    // drift = a WIDE fan around the (1,0) axis (±40°): every vector's
+    // max-cosine cell is still the (1,0) one (within 45° of it), so the
+    // trigger math matches the monitor spec — but unlike a point-mass
+    // cluster the fan is genuinely re-partitionable, so a rebuild can
+    // restore occupancy (no k-means can balance 40 identical vectors)
+    def driftRows(lo: Int, hi: Int) = (lo until hi).map { i =>
+      val th = math.toRadians(-40.0 + 2.0 * i)
+      (2L * i + 1, Seq(2.0 * math.cos(th), 2.0 * math.sin(th)))
+    }.toDF("vec_id", "embedding")
+    val m = new IvfPqMaintainer(
+      VectorOps.IvfPqIndex.build(baseDf, "vec_id", "embedding", c = 4, m = 2, k = 4),
+      "vec_id", "embedding", cvTrigger = 0.7)
+    m.ingest(0L, driftRows(0, 20))
+    m.ingest(1L, driftRows(20, 40))
+    // the raw corpus the scheduled job owns = base ∪ everything ingested.
+    // Rebuild RE-SIZES to c=8 (the corpus doubled) with a few Lloyd
+    // rounds: at the original c=4 re-seeding reproduces the same four
+    // cells — re-sizing is the realistic scheduled-job action, and
+    // exactly the lever append/rebalance cannot pull on this rung
+    val raw = baseDf.unionAll(driftRows(0, 40))
+    m.rebuildFrom(raw, c = 8, ivfIters = 4)
+    val log = m.occupancyLog(spark)
+      .select($"batch", $"action", $"cv").as[(Long, String, Double)].collect()
+    def cvOf(action: String, batch: Long): Double =
+      log.collectFirst { case (b, a, cv) if a == action && b == batch => cv }.get
+    assert(log.exists { case (b, a, _) => a == "rebuild_recommended" && b == 1L },
+      s"drift must recommend before the job acts: ${log.toSeq}")
+    assert(cvOf("rebuilt", 1L) < cvOf("appended", 1L),
+      s"the rebuild must restore occupancy uniformity: ${log.toSeq}")
+    // the rebuilt index IS a fresh build over the owned corpus: same
+    // deterministic construction → identical search results
+    val fresh = VectorOps.IvfPqIndex.build(raw, "vec_id", "embedding",
+      c = 8, m = 2, k = 4, ivfIters = 4)
+    val probes = baseDf.filter($"vec_id" < 3)
+    val got = m.index.search(probes, "vec_id", "embedding", kTop = 5, nprobe = 4)
+      .collect().toSet
+    val want = fresh.search(probes, "vec_id", "embedding", kTop = 5, nprobe = 4)
+      .collect().toSet
+    fresh.close()
+    assert(got == want, s"rebuilt index search diverged:\n$got\nvs\n$want")
+    // the loop resumes across a session boundary: save, load, ingest on
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_rebuild").toString
+    m.save(dir)
+    m.close()
+    val m2 = IvfPqMaintainer.load(spark, dir, raw.unionAll(driftRows(40, 50)),
+      "vec_id", "embedding", cvTrigger = 0.7)
+    m2.ingest(1L, driftRows(20, 40)) // the post-restart replay — skipped
+    m2.ingest(2L, driftRows(40, 50))
+    assert(m2.occupancyLog(spark).filter($"action" === "replay_skipped").count() == 1)
+    assert(m2.index.codes.select("id").distinct().count() == 90)
+    m2.close()
+  }
+
   test("at-least-once foreachBatch sink writes batches before commit (KQ-2 streaming)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink_test").toString
     val in = MemoryStream[String]
