@@ -546,6 +546,46 @@ object Dedup {
     labelGroups(docs, idCol, pairs, "id_a", "id_b", maxIters)
   }
 
+  /** [[nearDupGroups]] at a LARGER dedup radius via a multi-band union:
+    * ONE MinHash signature, candidates generated under SEVERAL band
+    * configurations (each `b ∈ bandings` splits the signature into b
+    * bands of numHashes/b rows), unioned, exact-verified at the (low)
+    * `threshold`, then one CC closure. This is the fuzzy-dup band
+    * between PPJoin's high-threshold exactness (prefix filters thin out
+    * as (1−t)·|doc| grows) and SemDeDup's embedding rail: at t ≈ 0.3 a
+    * single 16-band config's detection probability sags mid-range,
+    * while the union 1 − Π_b (1 − s^{r_b})^b keeps it high across the
+    * whole radius — narrow bands (32×2) catch the low end, wide bands
+    * (16×4) stay selective at the top, and every candidate is still
+    * exact-verified so false positives cost only verify work, never
+    * correctness.
+    *
+    * Scale shape: signatures are computed ONCE (cached via the tracked
+    * registry — referenced once per banding) and each banding is the
+    * same bucket-bounded equi-join [[lshCandidates]] runs; the union is
+    * pair-id-sized, deduped before the verify join; CC is the shared
+    * O(log n) closure. Output: (idCol, group, keep) like
+    * [[nearDupGroups]].
+    */
+  def nearDupGroupsMultiBand(docs: DataFrame, textCol: String, idCol: String,
+                             n: Int = 3, numHashes: Int = 64,
+                             bandings: Seq[Int] = Seq(16, 32),
+                             threshold: Double = 0.3,
+                             maxIters: Int = 20): DataFrame = {
+    require(bandings.nonEmpty, "at least one band configuration")
+    require(bandings.forall(b => b > 0 && numHashes % b == 0),
+      s"every banding must divide numHashes=$numHashes, got $bandings")
+    // one signature pass, shared by every banding (DAG-reuse rule:
+    // an uncached sigs frame would re-run shingling+minhash per banding)
+    val sigs = graft.ops.ScaleOps.trackCache(
+      minHashSignatures(docs, textCol, idCol, n, numHashes))
+    val cands = bandings.map(b => lshCandidates(sigs, b, numHashes / b))
+      .reduce(_ unionAll _).distinct()
+    val pairs = verifyJaccard(cands, shingleSets(docs, textCol, idCol, n), threshold)
+      .select("id_a", "id_b")
+    labelGroups(docs, idCol, pairs, "id_a", "id_b", maxIters)
+  }
+
   /** The shared tail of the dedup-group family: label every row of `ids`
     * with its dup-component's min id (isolated rows label themselves)
     * plus a survivor flag. Output: (idCol, group, keep). `maxIters`

@@ -4023,6 +4023,66 @@ object Queries {
       "embedding", c = 16, trainCap = 4096), drift)
   }
 
+  /** The large-radius dedup corpus, shared by q225/q226 and their spec:
+    * documents ∪ a 40%-token-prefix variant of each (id + 1,000,000 —
+    * past any fixture id; the q58 derived-rows discipline, identical
+    * derivation in the DuckDB oracle). The fixture's own jaccard
+    * landscape is bimodal (near-dups ≥ 0.9, background ≤ 0.07 —
+    * measured, see q225's Scaladoc), so a mid-band radius would be
+    * vacuous on raw documents; a 40% prefix shares its ⌈0.4T⌉−2 grams
+    * with the full doc's T−2 → J ≈ 0.38, exactly the band a wider
+    * dedup radius exists for. The prefix length is INTEGER arithmetic
+    * (⌈2T/5⌉ as (2T+4) div 5): a 0.4·T double multiply rounds
+    * engine-visibly at some T.
+    */
+  private[graft] def radiusCorpus(d: DataFrame): DataFrame = {
+    val toks = graft.text.TextFunctions.tokens(col("text"))
+    val pfx = d.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+      array_join(slice(toks, lit(1),
+        ((size(toks) * 2 + 4) / 5).cast("int")), " ").as("text"))
+    d.select(col("doc_id"), col("text")).unionAll(pfx)
+  }
+
+  /** Large-radius near-dup GROUPS, exact rung — q65's composition with
+    * the dedup radius widened to Jaccard ≥ 0.3 over [[radiusCorpus]]:
+    * the fuzzy-dup band between PPJoin's usual 0.5+ operating point and
+    * the embedding rail (truncated/partial copies that a 0.5 threshold
+    * calls distinct). Pairs stay the exact PPJoin+ operator (prefix
+    * filters thin as (1−t)·|doc| grows but remain complete), closure
+    * the shared CC; prefix variants join their full doc's group at 0.3
+    * where at 0.5 they'd be singletons. Exact oracle: q65's
+    * recursive-CTE SQL at the lower threshold over the same derived
+    * corpus.
+    */
+  def q225_doc_dedup_groups_radius(spark: SparkSession, dir: String): DataFrame = {
+    val c = radiusCorpus(Tables(spark, dir).documents)
+    val pairs = graft.dedup.Dedup.jaccardPairs(c, "text", "doc_id", n = 3, threshold = 0.3)
+      .select("id_a", "id_b")
+    graft.dedup.Dedup.labelGroups(c, "doc_id", pairs, "id_a", "id_b")
+      .select(col("doc_id"), col("group").as("group_id"), col("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Large-radius near-dup GROUPS, scale rung —
+    * [[graft.dedup.Dedup.nearDupGroupsMultiBand]] over the same
+    * [[radiusCorpus]] as q225: one 64-hash MinHash signature,
+    * candidates from the UNION of 16×4 and 32×2 bandings (at J ≈ 0.38
+    * a single 16×4 banding detects ~0.29 of pairs while 32×2 detects
+    * ~0.99 — the union keeps recall high across the whole radius while
+    * the wide bands stay selective at the top), exact-verified pairs,
+    * one CC closure. Rows-only (band buckets are hash-seed-specific);
+    * DedupSpec asserts groups ⊆ q225's exact groups with recall ≥ 0.9,
+    * and tools/RecallAudit records the measured recall per round in
+    * BASELINE.md.
+    */
+  def q226_neardup_groups_multiband(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.nearDupGroupsMultiBand(
+        radiusCorpus(Tables(spark, dir).documents),
+        "text", "doc_id", n = 3, numHashes = 64, bandings = Seq(16, 32),
+        threshold = 0.3)
+      .select(col("doc_id"), col("group").as("group_id"), col("keep"))
+      .orderBy("doc_id")
+
   def q223_ivf_monitor(spark: SparkSession, dir: String): DataFrame = {
     val (build, drift) = ivfMonitorWorkload(spark, dir)
     // trigger above batch 0's CV at both fixture scales (1.16 at sf0.1,
@@ -4308,7 +4368,9 @@ object Queries {
     "q221_abc_classes" -> (q221_abc_classes _),
     "q222_funnel_latency" -> (q222_funnel_latency _),
     "q223_ivf_monitor" -> (q223_ivf_monitor _),
-    "q224_customer_robust_stats" -> (q224_customer_robust_stats _)
+    "q224_customer_robust_stats" -> (q224_customer_robust_stats _),
+    "q225_doc_dedup_groups_radius" -> (q225_doc_dedup_groups_radius _),
+    "q226_neardup_groups_multiband" -> (q226_neardup_groups_multiband _)
   )
 }
 
@@ -4320,6 +4382,45 @@ object Queries {
   * nulls-first).
   */
 object Oracles {
+  /** q65's recursive-CTE dedup-groups oracle, parameterized by the
+    * Jaccard threshold and the corpus CTE body (a `def` — the Oracles
+    * construction-order rule): exact 3-gram Jaccard pairs at ≥ `t` →
+    * transitive closure → min-id group + survivor flag. Shared by q65
+    * (0.5, raw documents) and q225 (0.3 over the prefix-augmented
+    * radius corpus — [[Queries.radiusCorpus]] mirrored in SQL).
+    */
+  private def docDedupGroupsSql(t: String,
+      corpus: String = "SELECT doc_id, text FROM documents"): String =
+    s"""WITH RECURSIVE
+       |base AS ($corpus),
+       |toks AS (SELECT doc_id,
+       |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t FROM base),
+       |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+       |       FROM toks CROSS JOIN unnest(generate_series(1, len(t)-2)) AS u(i)
+       |       WHERE len(t) >= 3
+       |       UNION
+       |       SELECT doc_id, array_to_string(t, ' ') AS g FROM toks WHERE len(t) < 3),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |p AS (SELECT id_a, id_b FROM inter
+       |      JOIN sizes sa ON sa.doc_id = id_a
+       |      JOIN sizes sb ON sb.doc_id = id_b
+       |      WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= $t),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+       |          UNION ALL SELECT id_b AS src, id_a AS dst FROM p),
+       |reach AS (
+       |  SELECT src AS id, dst AS r FROM edges
+       |  UNION
+       |  SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src
+       |)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(least(d.doc_id, min(reach.r)), d.doc_id) AS BIGINT) AS group_id,
+       |  (CAST(coalesce(least(d.doc_id, min(reach.r)), d.doc_id) AS BIGINT) = d.doc_id) AS keep
+       |FROM base d LEFT JOIN reach ON d.doc_id = reach.id
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   /** Brute-force cosine top-10 for the vec_id=0 query — shared by q34
     * and the exact-probe ANN rungs q67-q70, which must all reduce to it.
     */
@@ -4922,35 +5023,18 @@ object Oracles {
         |  CAST(len(list_slice(t, i+1, i+16)) AS BIGINT) AS n_tokens,
         |  array_to_string(list_slice(t, i+1, i+16), ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
-    "q65_doc_dedup_groups" ->
-      """WITH RECURSIVE
-        |toks AS (SELECT doc_id,
-        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
-        |       FROM toks CROSS JOIN unnest(generate_series(1, len(t)-2)) AS u(i)
-        |       WHERE len(t) >= 3
-        |       UNION
-        |       SELECT doc_id, array_to_string(t, ' ') AS g FROM toks WHERE len(t) < 3),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-        |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2),
-        |p AS (SELECT id_a, id_b FROM inter
-        |      JOIN sizes sa ON sa.doc_id = id_a
-        |      JOIN sizes sb ON sb.doc_id = id_b
-        |      WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
-        |          UNION ALL SELECT id_b AS src, id_a AS dst FROM p),
-        |reach AS (
-        |  SELECT src AS id, dst AS r FROM edges
-        |  UNION
-        |  SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src
-        |)
-        |SELECT d.doc_id,
-        |  CAST(coalesce(least(d.doc_id, min(reach.r)), d.doc_id) AS BIGINT) AS group_id,
-        |  (CAST(coalesce(least(d.doc_id, min(reach.r)), d.doc_id) AS BIGINT) = d.doc_id) AS keep
-        |FROM documents d LEFT JOIN reach ON d.doc_id = reach.id
-        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    "q65_doc_dedup_groups" -> docDedupGroupsSql("0.5"),
+    "q225_doc_dedup_groups_radius" -> docDedupGroupsSql("0.3",
+      // radiusCorpus mirrored: 40%-token-prefix variants at id+1e6,
+      // INTEGER prefix length ((2T+4) div 5 = ceil(2T/5)) — a 0.4·T
+      // double multiply rounds engine-visibly at some T
+      """SELECT doc_id, text FROM documents
+        |      UNION ALL
+        |      SELECT doc_id + 1000000,
+        |             array_to_string(list_slice(t, 1, (2*len(t)+4)//5), ' ')
+        |      FROM (SELECT doc_id,
+        |            list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |            FROM documents)""".stripMargin),
     "q62_dedup_groups" -> EmbedDedupGroupsSql,
     "q76_semdedup_exact" -> EmbedDedupGroupsSql,
     "q71_bm25_components" ->
@@ -5013,6 +5097,9 @@ object Oracles {
     // exact driver-side recomputation spec-asserted; q71 hash-checks its
     // integer components), q64_hybrid_search (RRF over q63 + ANN
     // rankings; fusion arithmetic hand-checked in TextSearchSpec),
+    // q226_neardup_groups_multiband (band buckets are hash-seed-
+    // specific like q66; groups-⊆-exact + recall ≥ 0.9 spec-asserted
+    // vs q225's exact operator, RecallAudit row in BASELINE.md),
     // q66_neardup_groups_lsh (band buckets are hash-seed-specific;
     // groups-⊆-exact + recall ≥ 0.9 spec-asserted vs q65's operator),
     // q73_phrase_search (ln scores like q63; phrase counts oracled via

@@ -55,6 +55,19 @@ object RecallAudit {
     report("q66_neardup_lsh", exactJacPairs, samePairs(lsh, "doc_id", "group"))
     spark.catalog.clearCache()
 
+    // q226 vs q225: multi-band large-radius groups vs exact-jaccard at
+    // t=0.3, over the shared prefix-augmented radius corpus
+    val rc = graft.queries.Queries.radiusCorpus(d)
+    val exactRadius = Dedup.labelGroups(rc, "doc_id",
+      Dedup.jaccardPairs(rc, "text", "doc_id", n = 3, threshold = 0.3)
+        .select("id_a", "id_b"), "id_a", "id_b")
+    val mb = Dedup.nearDupGroupsMultiBand(rc, "text", "doc_id",
+      n = 3, numHashes = 64, bandings = Seq(16, 32), threshold = 0.3)
+    report("q226_multiband_r03", samePairs(exactRadius, "doc_id", "group"),
+      samePairs(mb, "doc_id", "group"))
+    graft.ops.ScaleOps.release()
+    spark.catalog.clearCache()
+
     // q75: the DECLARED clustered-SemDeDup query at its shipped
     // operating point (whatever Queries.q75_semdedup currently ships —
     // this tool measures the query, not a config copy) vs exact cosine

@@ -431,6 +431,44 @@ class DedupSpec extends SparkSpec {
       s"(exact=${exactSame.size}, lsh=${lshSame.size})")
   }
 
+  test("multi-band nearDupGroups refine the exact large-radius groups with recall >= 0.9 (q226 contract)") {
+    // the q66 contract at the WIDER radius (t=0.3) over the
+    // prefix-augmented radius corpus (q225/q226's shared fixture shape
+    // — the raw fixture's jaccard landscape is bimodal with nothing in
+    // the mid-band): candidates come from the union of 16×4 and 32×2
+    // bandings of one signature, every pair is exact-verified, so the
+    // same-group relation can only be a subset of the exact closure —
+    // and the union keeps recall high where a single wide banding sags
+    // at low similarity
+    val d = graft.queries.Queries.radiusCorpus(Tables(spark, sfDir).documents)
+    def samePairs(labels: Map[Long, Long]): Set[(Long, Long)] =
+      labels.groupBy(_._2).values.flatMap { g =>
+        val ids = g.keys.toSeq.sorted
+        for (i <- ids.indices; j <- i + 1 until ids.size) yield (ids(i), ids(j))
+      }.toSet
+    val exactPairs = Dedup.jaccardPairs(d, "text", "doc_id", n = 3, threshold = 0.3)
+      .select("id_a", "id_b")
+    val exact = Dedup.labelGroups(d, "doc_id", exactPairs, "id_a", "id_b")
+      .select(col("doc_id"), col("group")).as[(Long, Long)].collect().toMap
+    val mb = Dedup.nearDupGroupsMultiBand(d, "text", "doc_id",
+        numHashes = 64, bandings = Seq(16, 32), threshold = 0.3)
+      .select(col("doc_id"), col("group")).as[(Long, Long)].collect().toMap
+    val exactSame = samePairs(exact)
+    val mbSame = samePairs(mb)
+    assert(exactSame.nonEmpty, "fixture should contain dup groups at t=0.3")
+    assert(exactSame.size > samePairs(
+        Dedup.labelGroups(d, "doc_id",
+          Dedup.jaccardPairs(d, "text", "doc_id", n = 3, threshold = 0.5)
+            .select("id_a", "id_b"), "id_a", "id_b")
+          .select(col("doc_id"), col("group")).as[(Long, Long)].collect().toMap).size,
+      "t=0.3 must be a genuinely wider radius than t=0.5 on this corpus")
+    assert(mbSame.subsetOf(exactSame),
+      s"multi-band grouped non-dups together: ${(mbSame -- exactSame).take(5)}")
+    val recall = exactSame.intersect(mbSame).size.toDouble / exactSame.size
+    assert(recall >= 0.9, s"group recall $recall too low " +
+      s"(exact=${exactSame.size}, multiband=${mbSame.size})")
+  }
+
   test("scale ensemble dedup (LSH + clustered cosine) refines the exact ensemble, recall >= 0.9") {
     // q173's production form: swap both exact pair sources for their
     // index-backed siblings. Every scale pair is exact-VERIFIED
