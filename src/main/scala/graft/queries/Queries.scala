@@ -4010,8 +4010,11 @@ object Queries {
     * Returns (index builder, drift batch by id parity — q218's drift
     * model split into two ingest cycles).
     */
-  private[graft] def ivfMonitorWorkload(spark: SparkSession, dir: String)
-      : (() => graft.functions.VectorOps.IvfIndex, Int => DataFrame) = {
+  /** The quarter-corpus build slice + two drifted ingest batches both
+    * monitor queries run on — see [[ivfMonitorWorkload]]'s rationale.
+    */
+  private[graft] def ivfMonitorSlices(spark: SparkSession, dir: String)
+      : (DataFrame, Int => DataFrame) = {
     val e = Tables(spark, dir).embeddings
     val n = e.count()
     val first = e.filter(col("vec_id") < n / 4)
@@ -4019,6 +4022,12 @@ object Queries {
         col("vec_id") < n / 2 && col("vec_id") % 2 === b)
       .select(col("vec_id"),
         transform(col("embedding"), x => x + lit(0.3f)).as("embedding"))
+    (first, drift)
+  }
+
+  private[graft] def ivfMonitorWorkload(spark: SparkSession, dir: String)
+      : (() => graft.functions.VectorOps.IvfIndex, Int => DataFrame) = {
+    val (first, drift) = ivfMonitorSlices(spark, dir)
     (() => graft.functions.VectorOps.IvfIndex.build(first, "vec_id",
       "embedding", c = 16, trainCap = 4096), drift)
   }
@@ -4082,6 +4091,35 @@ object Queries {
         threshold = 0.3)
       .select(col("doc_id"), col("group").as("group_id"), col("keep"))
       .orderBy("doc_id")
+
+  /** Quantized-rung index lifecycle with the rebuild CONSUMED — q223's
+    * sibling on [[graft.streaming.IvfPqMaintainer]]: build IVF+PQ on
+    * the quarter slice, ingest the two drifted batches (encode-only
+    * appends), let the CV trigger log `rebuild_recommended`, then act
+    * as the scheduled job that owns the raw store: `rebuildFrom` the
+    * full ingested corpus, re-sized to the grown cell count — the
+    * drift → recommendation → rebuild transition all visible in one
+    * telemetry log (the r11 verdict's missing lever). Rows-only (float
+    * CV, sampled training); the restore invariants are spec-proven on
+    * crafted geometry in StreamingSpec.
+    */
+  def q227_ivfpq_rebuild(spark: SparkSession, dir: String): DataFrame = {
+    val (first, drift) = ivfMonitorSlices(spark, dir)
+    val m = new graft.streaming.IvfPqMaintainer(
+      graft.functions.VectorOps.IvfPqIndex.build(first, "vec_id", "embedding",
+        c = 16, m = 8, k = 16, trainCap = 4096),
+      "vec_id", "embedding", cvTrigger = 1.25)
+    m.ingest(0L, drift(0))
+    m.ingest(1L, drift(1))
+    // the corpus grew by half — rebuild re-sized (c ∝ √n discipline
+    // stays modest at fixture scale) over everything ingested
+    val raw = first.select(col("vec_id"), col("embedding"))
+      .unionAll(drift(0)).unionAll(drift(1))
+    m.rebuildFrom(raw, c = 20, trainCap = 4096)
+    val out = m.occupancyLog(spark).orderBy("batch", "action")
+    m.close()
+    out
+  }
 
   def q223_ivf_monitor(spark: SparkSession, dir: String): DataFrame = {
     val (build, drift) = ivfMonitorWorkload(spark, dir)
@@ -4370,7 +4408,8 @@ object Queries {
     "q223_ivf_monitor" -> (q223_ivf_monitor _),
     "q224_customer_robust_stats" -> (q224_customer_robust_stats _),
     "q225_doc_dedup_groups_radius" -> (q225_doc_dedup_groups_radius _),
-    "q226_neardup_groups_multiband" -> (q226_neardup_groups_multiband _)
+    "q226_neardup_groups_multiband" -> (q226_neardup_groups_multiband _),
+    "q227_ivfpq_rebuild" -> (q227_ivfpq_rebuild _)
   )
 }
 
@@ -5100,6 +5139,9 @@ object Oracles {
     // q226_neardup_groups_multiband (band buckets are hash-seed-
     // specific like q66; groups-⊆-exact + recall ≥ 0.9 spec-asserted
     // vs q225's exact operator, RecallAudit row in BASELINE.md),
+    // q227_ivfpq_rebuild (lifecycle telemetry like q223 — float CV,
+    // sampled training; drift→recommend→rebuild restore invariants
+    // spec-proven in StreamingSpec on crafted geometry),
     // q66_neardup_groups_lsh (band buckets are hash-seed-specific;
     // groups-⊆-exact + recall ≥ 0.9 spec-asserted vs q65's operator),
     // q73_phrase_search (ln scores like q63; phrase counts oracled via
