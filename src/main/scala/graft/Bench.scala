@@ -138,19 +138,21 @@ object Bench {
       "\"" + name + "\":" +
         passes.map(_.find(_._1 == name).get._2).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    // per-query max/min over the successful WARM passes (2..N; fall
-    // back to pass 1 when it is the only success): >1.5–2 on a quiet
-    // box means the query itself diverges across executions; on a
-    // loaded box it marks which minima a burst may still pollute.
-    // null (not a sentinel) when nothing succeeded or min == 0
+    // per-query max/min over the successful WARM passes (2..N): >1.5–2
+    // on a quiet box means the query itself diverges across executions;
+    // on a loaded box it marks which minima a burst may still pollute.
+    // null (not a sentinel) when no warm pass succeeded or min == 0 —
+    // a pass-1-only success must NOT print 1.0 (the strongest-looking
+    // stability signal) for a query with zero warm-pass signal; the
+    // single-pass dev mode (nPasses=1) has no warm passes by
+    // construction and reads all-null. passes_detail recovers the raw
+    // per-pass -1 failure flags either way.
     val spread = ordered.map { case (name, _) =>
-      val times = passes.map(_.find(_._1 == name).get._2)
-      val warm = times.drop(1).filter(_ >= 0)
-      val ok = if (warm.nonEmpty) warm else times.take(1).filter(_ >= 0)
+      val warm = passes.drop(1).map(_.find(_._1 == name).get._2).filter(_ >= 0)
       // rint, not %.3f — f-interpolation is locale-dependent (a comma
       // decimal separator would corrupt the JSON line)
-      val s = if (ok.nonEmpty && ok.min > 0)
-        (math.rint(ok.max / ok.min * 1000) / 1000).toString else "null"
+      val s = if (warm.nonEmpty && warm.min > 0)
+        (math.rint(warm.max / warm.min * 1000) / 1000).toString else "null"
       "\"" + name + "\":" + s
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

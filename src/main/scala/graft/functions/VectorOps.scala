@@ -1436,11 +1436,17 @@ object VectorOps {
       * or cross-wired dir fails HERE with a named cause instead of
       * misbehaving later at probe/append time. The dim stats ride the
       * same pass that fills the assignment cache (append's min/max
-      * size(v) guard, reused).
+      * size(v) guard, reused). A dir persisted BEFORE meta existed
+      * (round-11 save layout: assigned/ + centroids/ only) still
+      * loads — dims are validated internally for consistency, just
+      * without the external row-count cross-check (the same
+      * old-layout tolerance as the maintainer watermark).
       */
     def load(spark: SparkSession, dir: String): IvfIndex = {
-      val meta = spark.read.parquet(s"$dir/meta").head()
-      val (dim, sz) = (meta.getAs[Int]("dim"), meta.getAs[Long]("size"))
+      val meta =
+        try Some(spark.read.parquet(s"$dir/meta").head())
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      val sz = meta.map(_.getAs[Long]("size")).getOrElse(-1L)
       val assigned = spark.read.parquet(s"$dir/assigned")
         .select(col("cid").cast("long").as("cid"), col("id"), col("v"))
         .cache()
@@ -1448,11 +1454,21 @@ object VectorOps {
       // failed validation must not leave the half-loaded frames pinned
       // in the block manager (the CC failure-path-release discipline)
       try {
+        cents.count()
+        val cdim = cents.agg(
+          min(org.apache.spark.sql.functions.size(col("cv"))),
+          max(org.apache.spark.sql.functions.size(col("cv")))).head()
+        require(cdim.getInt(0) == cdim.getInt(1),
+          s"loaded centroids are mixed-dim " +
+            s"(${cdim.getInt(0)}..${cdim.getInt(1)}) — corrupt write")
+        val dim = meta.map(_.getAs[Int]("dim")).getOrElse(cdim.getInt(0))
+        require(cdim.getInt(0) == dim,
+          s"loaded centroids are ${cdim.getInt(0)}-dim but meta recorded $dim")
         val arrLen = org.apache.spark.sql.functions.size(col("v"))
         val st = assigned.agg(count(lit(1)), count(col("v")),
           min(arrLen), max(arrLen)).head()
         val total = st.getLong(0)
-        require(total == sz,
+        require(sz < 0 || total == sz,
           s"loaded assignment has $total rows but meta recorded $sz — " +
             s"partial or mixed write under $dir/assigned")
         require(st.getLong(1) == total,
@@ -1460,13 +1476,6 @@ object VectorOps {
         require(st.getInt(2) == dim && st.getInt(3) == dim,
           s"loaded index is $dim-dim but assigned vectors are " +
             s"${st.getInt(2)}..${st.getInt(3)}-dim — wrong dir or corrupt write")
-        cents.count()
-        val cdim = cents.agg(
-          min(org.apache.spark.sql.functions.size(col("cv"))),
-          max(org.apache.spark.sql.functions.size(col("cv")))).head()
-        require(cdim.getInt(0) == dim && cdim.getInt(1) == dim,
-          s"loaded centroids are ${cdim.getInt(0)}..${cdim.getInt(1)}-dim " +
-            s"but meta recorded $dim")
         new IvfIndex(assigned, cents, dim, total)
       } catch {
         case t: Throwable =>

@@ -3987,31 +3987,14 @@ object Queries {
       .orderBy("o_custkey")
   }
 
-  /** Streaming-shaped IVF occupancy monitor
-    * ([[graft.streaming.IvfMaintainer]]) — the maintenance-LOOP sibling
-    * of q218's batch lifecycle: build on the low-id half, feed the
-    * drifted high-id half as two ingest cycles, and emit the per-cycle
-    * health log. Distribution drift raises the occupancy CV past the
-    * trigger, the in-loop rebalance restores it, and BOTH transitions
-    * are visible in the telemetry — index health surfaces in the
-    * maintenance loop itself, not only in a scheduled audit. Rows-only
-    * (float CV, sampled split training); the stream-driven invariants
-    * (CV rises across streamed appends, monitor reports it, rebalance
-    * restores it) are spec-proven in StreamingSpec.
-    */
-  /** q223's fixture workload, shared with [[graft.tools
-    * .MonitorProfile]] so the stage profiler always measures EXACTLY
-    * the declared query's slices and build config (a re-scope that
-    * misses the tool would silently profile a different workload).
-    * A QUARTER-corpus slice: the monitor's telemetry story (drift →
-    * trigger → restore) is size-independent, and the lifecycle already
-    * pays full-corpus cost in q218 — q223 measures the LOOP, so it
-    * runs on the smallest slice that still drifts deterministically.
-    * Returns (index builder, drift batch by id parity — q218's drift
-    * model split into two ingest cycles).
-    */
-  /** The quarter-corpus build slice + two drifted ingest batches both
-    * monitor queries run on — see [[ivfMonitorWorkload]]'s rationale.
+  /** The monitor queries' shared fixture workload: the quarter-corpus
+    * build slice + two drifted ingest batches (q218's drift model
+    * split into two cycles by id parity). A QUARTER-corpus slice
+    * because the monitors' telemetry story (drift → trigger → restore)
+    * is size-independent, and the lifecycle already pays full-corpus
+    * cost in q218 — q223/q227 measure the LOOP, so they run on the
+    * smallest slice that still drifts deterministically. Returns
+    * (build slice, drift batch by id parity).
     */
   private[graft] def ivfMonitorSlices(spark: SparkSession, dir: String)
       : (DataFrame, Int => DataFrame) = {
@@ -4025,6 +4008,12 @@ object Queries {
     (first, drift)
   }
 
+  /** [[ivfMonitorSlices]] with q223's plain-IVF index builder, shared
+    * with [[graft.tools.MonitorProfile]] so the stage profiler always
+    * measures EXACTLY the declared query's slices and build config (a
+    * re-scope that misses the tool would silently profile a different
+    * workload). Returns (index builder, drift batch by id parity).
+    */
   private[graft] def ivfMonitorWorkload(spark: SparkSession, dir: String)
       : (() => graft.functions.VectorOps.IvfIndex, Int => DataFrame) = {
     val (first, drift) = ivfMonitorSlices(spark, dir)
@@ -4121,6 +4110,18 @@ object Queries {
     out
   }
 
+  /** Streaming-shaped IVF occupancy monitor
+    * ([[graft.streaming.IvfMaintainer]]) — the maintenance-LOOP sibling
+    * of q218's batch lifecycle: build on the quarter slice, feed the
+    * drifted batches as two ingest cycles, and emit the per-cycle
+    * health log. Distribution drift raises the occupancy CV past the
+    * trigger, the in-loop rebalance restores it, and BOTH transitions
+    * are visible in the telemetry — index health surfaces in the
+    * maintenance loop itself, not only in a scheduled audit. Rows-only
+    * (float CV, sampled split training); the stream-driven invariants
+    * (CV rises across streamed appends, monitor reports it, rebalance
+    * restores it) are spec-proven in StreamingSpec.
+    */
   def q223_ivf_monitor(spark: SparkSession, dir: String): DataFrame = {
     val (build, drift) = ivfMonitorWorkload(spark, dir)
     // trigger above batch 0's CV at both fixture scales (1.16 at sf0.1,

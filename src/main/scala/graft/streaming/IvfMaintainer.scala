@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 import graft.functions.VectorOps.{IvfIndex, IvfPqIndex}
@@ -54,14 +55,29 @@ sealed abstract class IndexOccupancyLog {
     * restart the last uncommitted micro-batch is RE-DELIVERED with its
     * original batch id. A replayed batch was already folded into the
     * index, so re-appending it would trip the fresh-id contract and
-    * fail the query; the maintainers instead skip any `batchId ≤` the
-    * last one ingested (batch ids are monotone per checkpoint), record
-    * `replay_skipped` so the skip is visible in the telemetry, and
+    * fail the query. `batchId ≤ lastBatch` (batch ids are monotone per
+    * checkpoint) is the cheap replay SIGNAL, but not proof — a resumed
+    * loop given a NEW checkpoint dir restarts batch ids at 0 over
+    * genuinely fresh data — so a flagged batch is confirmed against
+    * ground truth: one any-overlap probe of the batch's ids vs the
+    * indexed ids (a true whole-batch replay overlaps; a sequence reset
+    * doesn't, and ingests normally). Confirmed replays record
+    * `replay_skipped` with the PREVIOUS cycle's gauges (the index was
+    * not touched — no summary job for a no-op), and
     * [[IvfMaintainer.save]] persists the watermark next to the index
-    * so the skip survives the session boundary the save/load story is
-    * about.
+    * so the fast path survives the session boundary the save/load
+    * story is about.
     */
   protected final var lastBatch: Long = Long.MinValue
+
+  /** Copy-forward record for a no-op cycle: the last entry's gauges
+    * under the new (batch, action) — the log is never empty (`built`
+    * is recorded at construction).
+    */
+  protected final def recordUnchanged(batchId: Long, action: String): Unit = {
+    val (_, _, c, t, m, cv) = log.last
+    log += ((batchId, action, c, t, m, cv))
+  }
 
   protected final def saveLastBatch(spark: SparkSession, dir: String): Unit = {
     import spark.implicits._
@@ -124,12 +140,18 @@ final class IvfMaintainer(initial: IvfIndex, idCol: String, vecCol: String,
     * record its health; rebalance when the CV trigger fires. Pass as
     * the `foreachBatch` body: `(df, bid) => maintainer.ingest(bid, df)`.
     * A re-delivered batch id (at-least-once replay after restart) is a
-    * telemetry-visible no-op.
+    * telemetry-visible no-op — confirmed by id overlap, so a batch-id
+    * sequence RESET over fresh data (new checkpoint dir) still ingests
+    * (see [[IndexOccupancyLog.lastBatch]]).
     */
   def ingest(batchId: Long, batch: DataFrame): Unit = synchronized {
-    if (batchId <= lastBatch) { record(batchId, "replay_skipped"); return }
+    if (batchId <= lastBatch &&
+        idx.assigned.select("id")
+          .join(batch.select(col(idCol).as("id")), "id").limit(1).count() > 0) {
+      recordUnchanged(batchId, "replay_skipped"); return
+    }
     idx = idx.append(batch, idCol, vecCol)
-    lastBatch = batchId
+    lastBatch = math.max(lastBatch, batchId)
     val cv = record(batchId, "appended")
     if (cv.exists(_ > cvTrigger)) {
       val next = idx.rebalance(maxOverFactor, trainCap = trainCap)
@@ -211,12 +233,16 @@ final class IvfPqMaintainer(initial: IvfPqIndex, idCol: String, vecCol: String,
   /** Fold one micro-batch into the index and record its health; log a
     * rebuild recommendation when the CV trigger fires. A re-delivered
     * batch id (at-least-once replay after restart) is a telemetry-
-    * visible no-op, like the plain-IVF loop.
+    * visible no-op, confirmed by id overlap like the plain-IVF loop.
     */
   def ingest(batchId: Long, batch: DataFrame): Unit = synchronized {
-    if (batchId <= lastBatch) { record(batchId, "replay_skipped"); return }
+    if (batchId <= lastBatch &&
+        idx.codes.select("id")
+          .join(batch.select(col(idCol).as("id")), "id").limit(1).count() > 0) {
+      recordUnchanged(batchId, "replay_skipped"); return
+    }
     idx = idx.append(batch, idCol, vecCol)
-    lastBatch = batchId
+    lastBatch = math.max(lastBatch, batchId)
     val cv = record(batchId, "appended")
     if (cv.exists(_ > cvTrigger)) record(batchId, "rebuild_recommended")
   }
@@ -241,7 +267,9 @@ final class IvfPqMaintainer(initial: IvfPqIndex, idCol: String, vecCol: String,
       trainCap = trainCap)
     idx.close()
     idx = next
-    record(lastBatch, "rebuilt")
+    // clamp: a rebuild before any ingest (legal — the job chooses when)
+    // logs under the `built` row's -1, not the Long.MinValue watermark
+    record(math.max(lastBatch, -1L), "rebuilt")
   }
 
   /** Persist the maintainer's restartable state — like

@@ -641,6 +641,15 @@ class VectorOpsSpec extends SparkSpec {
     // neither failed load may leave its half-loaded frames pinned
     assert(spark.sparkContext.getPersistentRDDs.keySet.subsetOf(resident0),
       "failed load must release its caches")
+    // a dir saved BEFORE meta existed (round-11 layout) still loads:
+    // dims validated internally, count cross-check skipped
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+    }
+    rm(new java.io.File(s"$dir/meta"))
+    val legacy = VectorOps.IvfIndex.load(spark, dir)
+    assert(legacy.dim == savedDim && legacy.size == savedSize)
+    legacy.close()
   }
 
   test("IVF+PQ: empty query frame returns empty") {

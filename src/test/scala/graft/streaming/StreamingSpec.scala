@@ -605,6 +605,18 @@ class StreamingSpec extends SparkSpec {
     assert(pq.occupancyLog(spark).filter($"action" === "replay_skipped").count() == 1)
     assert(pq.index.codes.select("id").distinct().count() == 80)
     pq.close()
+
+    // batch-id SEQUENCE RESET is NOT a replay: a loop resumed with a
+    // NEW checkpoint dir restarts batch ids at 0 over genuinely fresh
+    // data — the watermark alone would drop it; the id-overlap ground
+    // truth must let it ingest
+    // (dir holds m1's state: base 40 + batch 0's 20 rows, watermark 0)
+    val m3 = IvfMaintainer.load(spark, dir, "vec_id", "embedding")
+    m3.ingest(0L, rows(40, 50)) // id 0 <= watermark 0, but ids are fresh
+    assert(m3.occupancyLog(spark).filter($"action" === "replay_skipped").count() == 0,
+      "fresh data under a reset batch-id sequence must not be dropped")
+    assert(m3.index.size == 70)
+    m3.close()
   }
 
   test("IvfPqMaintainer.rebuildFrom consumes the recommendation: drift -> rebuild -> CV restored, loop resumes via save/load") {
