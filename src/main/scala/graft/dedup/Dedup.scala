@@ -396,12 +396,20 @@ object Dedup {
     * banding the detection probability stays ≈ 1).
     */
   def lshCandidates(sigs: DataFrame, bands: Int, rows: Int,
-                    maxBucket: Long = 10000): DataFrame = {
-    val banded = bandBuckets(sigs, bands, rows)
-    // bucket-size guard first, then a streamed self-join on the bucket
-    // key: pair generation never materializes a bucket's id list in one
-    // row (collect_list of a 10k bucket would hand a single task 10⁸
-    // exploded pairs; the join shuffles by (band, bh) and streams them)
+                    maxBucket: Long = 10000): DataFrame =
+    candidatesFromBanded(bandBuckets(sigs, bands, rows), maxBucket)
+
+  /** The candidate self-join over any (id, band, bh) bucket frame —
+    * [[lshCandidates]]' body, shared with the multi-band union (which
+    * feeds [[multiBandBuckets]] through ONE join instead of one per
+    * banding): bucket-size guard first, then a streamed self-join on
+    * the bucket key — pair generation never materializes a bucket's id
+    * list in one row (collect_list of a 10k bucket would hand a single
+    * task 10⁸ exploded pairs; the join shuffles by (band, bh) and
+    * streams them).
+    */
+  private[graft] def candidatesFromBanded(banded: DataFrame,
+                                          maxBucket: Long): DataFrame = {
     val okBuckets = banded.groupBy("band", "bh").agg(count("*").as("n"))
       .filter(col("n") >= 2 && col("n") <= maxBucket)
       .select("band", "bh")
@@ -512,6 +520,26 @@ object Dedup {
           xxhash64(slice(col("sig"), b * rows + 1, rows))): _*)))
       .toDF("id", "band", "bh")
 
+  /** [[bandBuckets]] for SEVERAL bandings of one signature, band indices
+    * offset per config (config 0 gets 0..b₀−1, config 1 gets b₀.., …)
+    * so bucket occupancy — and therefore the maxBucket guard and any
+    * (band, bh)-keyed streaming state — stays per-(config, band) and
+    * never mixes slices hashed from different row widths. Shared by the
+    * batch multi-band union and the streaming maintainers.
+    */
+  private[graft] def multiBandBuckets(sigs: DataFrame, numHashes: Int,
+                                      bandings: Seq[Int]): DataFrame = {
+    require(bandings.nonEmpty, "at least one band configuration")
+    require(bandings.forall(b => b > 0 && numHashes % b == 0),
+      s"every banding must divide numHashes=$numHashes, got $bandings")
+    bandings.zipWithIndex.map { case (b, i) =>
+      val off = bandings.take(i).sum
+      val buckets = bandBuckets(sigs, b, numHashes / b)
+      if (off == 0) buckets
+      else buckets.select(col("id"), (col("band") + lit(off)).as("band"), col("bh"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Exact-jaccard verification of candidate id pairs against per-doc
     * gram sets (the shared tail of [[jaccardPairs]]/[[minHashNearDups]]
     * and the streaming maintainer): sorted-merge intersection count, keep
@@ -576,11 +604,13 @@ object Dedup {
     require(bandings.forall(b => b > 0 && numHashes % b == 0),
       s"every banding must divide numHashes=$numHashes, got $bandings")
     // one signature pass, shared by every banding (DAG-reuse rule:
-    // an uncached sigs frame would re-run shingling+minhash per banding)
+    // an uncached sigs frame would re-run shingling+minhash per
+    // banding); ONE candidate self-join over the unioned bucket rows
+    // instead of one join + distinct per banding
     val sigs = graft.ops.ScaleOps.trackCache(
       minHashSignatures(docs, textCol, idCol, n, numHashes))
-    val cands = bandings.map(b => lshCandidates(sigs, b, numHashes / b))
-      .reduce(_ unionAll _).distinct()
+    val cands = candidatesFromBanded(
+      multiBandBuckets(sigs, numHashes, bandings), maxBucket = 10000)
     val pairs = verifyJaccard(cands, shingleSets(docs, textCol, idCol, n), threshold)
       .select("id_a", "id_b")
     labelGroups(docs, idCol, pairs, "id_a", "id_b", maxIters)

@@ -161,9 +161,11 @@ object DedupStream {
   */
 final class DedupGroupMaintainer(textCol: String, idCol: String,
                                  n: Int = 3, numHashes: Int = 64,
-                                 bands: Int = 16, threshold: Double = 0.5,
+                                 bandings: Seq[Int] = Seq(16),
+                                 threshold: Double = 0.5,
                                  maxBucket: Long = 10000) {
-  require(numHashes % bands == 0, "bands must divide numHashes")
+  require(bandings.nonEmpty && bandings.forall(b => b > 0 && numHashes % b == 0),
+    s"every banding must divide numHashes=$numHashes, got $bandings")
 
   private var accBanded: Option[DataFrame] = None // (id, band, bh)
   private var accSets: Option[DataFrame] = None   // (id, set)
@@ -174,7 +176,7 @@ final class DedupGroupMaintainer(textCol: String, idCol: String,
     if (batch.isEmpty) return
     val sets = Dedup.shingleSets(batch, textCol, idCol, n).cache()
     val sig = Dedup.minHashSignatures(batch, textCol, idCol, n, numHashes)
-    val banded = Dedup.bandBuckets(sig, bands, numHashes / bands).cache()
+    val banded = Dedup.multiBandBuckets(sig, numHashes, bandings).cache()
     // accumulated state is CHECKPOINT-truncated, not merely cached: a
     // cache's lineage would chain union-per-batch back to foreachBatch
     // frames that no longer exist once the batch completes
@@ -252,10 +254,12 @@ final class DedupGroupMaintainer(textCol: String, idCol: String,
   */
 final class DedupGroupMaintainerTws(textCol: String, idCol: String,
                                     n: Int = 3, numHashes: Int = 64,
-                                    bands: Int = 16, threshold: Double = 0.5,
+                                    bandings: Seq[Int] = Seq(16),
+                                    threshold: Double = 0.5,
                                     maxBucket: Long = 10000)
                                    (implicit spark: SparkSession) {
-  require(numHashes % bands == 0, "bands must divide numHashes")
+  require(bandings.nonEmpty && bandings.forall(b => b > 0 && numHashes % b == 0),
+    s"every banding must divide numHashes=$numHashes, got $bandings")
   import spark.implicits._
   implicit private val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
@@ -285,9 +289,9 @@ final class DedupGroupMaintainerTws(textCol: String, idCol: String,
     val sets = Dedup.shingleSets(batch, textCol, idCol, n).cache()
     val allSets = accSets.map(_.unionAll(sets)).getOrElse(sets)
       .localCheckpoint(true)
-    val banded = Dedup.bandBuckets(
+    val banded = Dedup.multiBandBuckets(
         Dedup.minHashSignatures(batch, textCol, idCol, n, numHashes),
-        bands, numHashes / bands)
+        numHashes, bandings)
       .select(col("band").cast("int"), col("bh"), col("id"))
       .as[(Int, Long, Long)].collect()
       .map { case (band, bh, id) => BandedDoc(band, bh, id) }

@@ -768,6 +768,41 @@ class StreamingSpec extends SparkSpec {
     m.close()
   }
 
+  test("multi-band DedupGroupMaintainer converges to the batch nearDupGroupsMultiBand result") {
+    // the streaming sibling of q226's large-radius rung: same multi-band
+    // union (16x4 ∪ 32x2 at t=0.3) as candidate discovery, incremental
+    // over batches — final labels must equal the batch composition on
+    // the same radius corpus (prefix variants land in their full doc's
+    // group at 0.3, across batch boundaries)
+    val d = graft.queries.Queries.radiusCorpus(graft.core.Tables(spark, sfDir).documents)
+      .as[(Long, String)].collect().sortBy(_._1)
+    val in = MemoryStream[(Long, String)]
+    val m = new DedupGroupMaintainer("text", "doc_id", numHashes = 64,
+      bandings = Seq(16, 32), threshold = 0.3)
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) => m.ingest(b) }
+      .outputMode(OutputMode.Append()).start()
+    // split so most (full doc, prefix variant) pairs cross the batch
+    // boundary: originals first, prefix variants (+1e6 ids) second
+    val (full, pfx) = d.partition(_._1 < 1000000L)
+    in.addData(full.toIndexedSeq: _*); q.processAllAvailable()
+    in.addData(pfx.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    val got = m.labels(spark).as[(Long, Long, Boolean)].collect().toSet
+    m.close()
+    val batch = graft.dedup.Dedup.nearDupGroupsMultiBand(
+        graft.queries.Queries.radiusCorpus(graft.core.Tables(spark, sfDir).documents),
+        "text", "doc_id", numHashes = 64, bandings = Seq(16, 32), threshold = 0.3)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == batch,
+      s"incremental diverged from batch: only-inc=${(got -- batch).take(5)} " +
+        s"only-batch=${(batch -- got).take(5)}")
+    // the radius actually exercised: some prefix variant joined its
+    // full doc's group (keep=false on a +1e6 id)
+    assert(got.exists { case (id, _, keep) => id >= 1000000L && !keep },
+      "a prefix variant must have folded into its full doc's group")
+  }
+
   test("cdcGateTws maintains the batch cdcApply image at every prefix (RocksDB)") {
     import StatefulOps.{CdcOp, CdcImage}
     val batches = Seq(
@@ -890,12 +925,12 @@ class StreamingSpec extends SparkSpec {
     graft.core.Graft.useRocksDbStateStore(spark)
     try {
       val tws = new DedupGroupMaintainerTws("text", "doc_id",
-        bands = 32, threshold = 0.4)(spark)
+        bandings = Seq(32), threshold = 0.4)(spark)
       val twsSnaps = drive(tws.ingest,
         () => tws.labels(spark).as[(Long, Long, Boolean)].collect().toSet)
       tws.close()
       val legacy = new DedupGroupMaintainer("text", "doc_id",
-        bands = 32, threshold = 0.4)
+        bandings = Seq(32), threshold = 0.4)
       val legacySnaps = drive(legacy.ingest,
         () => legacy.labels(spark).as[(Long, Long, Boolean)].collect().toSet)
       legacy.close()
