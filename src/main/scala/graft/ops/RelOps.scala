@@ -490,23 +490,33 @@ object RelOps {
     * aggregation per (key, session), then a small reduce by channel —
     * no corpus-wide window.
     */
-  def firstTouchAttribution(df: DataFrame, keyCol: String, tsCol: String,
-                            tieCol: String, typeCol: String, valueCol: String,
-                            convType: String,
-                            gapMinutes: Int = 30): DataFrame = {
-    val marked = df.select(col(keyCol).as("k"), col(tsCol).as("ts"),
+  /** (k, ts, tie, et, v, sid) rows — the q25 30-minute-gap
+    * sessionization both attribution rails run on (ONE key shuffle;
+    * `ts` may be TIMESTAMP or TIMESTAMP_NTZ — interval arithmetic
+    * covers both at full microsecond precision).
+    */
+  private def sessionized(df: DataFrame, keyCol: String, tsCol: String,
+                          tieCol: String, typeCol: String, valueCol: String,
+                          gapMinutes: Int): DataFrame =
+    df.select(col(keyCol).as("k"), col(tsCol).as("ts"),
         col(tieCol).as("tie"), col(typeCol).as("et"), col(valueCol).as("v"))
       .withColumn("__prev",
         lag(col("ts"), 1).over(Window.partitionBy("k").orderBy("ts", "tie")))
       .withColumn("__new",
-        // ts may be TIMESTAMP or TIMESTAMP_NTZ — interval arithmetic
-        // covers both at full microsecond precision
         when(col("__prev").isNull ||
           col("ts") >= col("__prev") + expr(s"INTERVAL $gapMinutes MINUTES"),
           1L).otherwise(0L))
       .withColumn("sid", sum(col("__new"))
         .over(Window.partitionBy("k").orderBy(col("ts"), col("tie"))
           .rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__prev", "__new")
+
+  def firstTouchAttribution(df: DataFrame, keyCol: String, tsCol: String,
+                            tieCol: String, typeCol: String, valueCol: String,
+                            convType: String,
+                            gapMinutes: Int = 30): DataFrame = {
+    val marked = sessionized(df, keyCol, tsCol, tieCol, typeCol, valueCol,
+      gapMinutes)
     val sessions = marked.groupBy("k", "sid")
       .agg(min_by(col("et"), struct(col("ts"), col("tie"))).as("first_touch"),
         sum(when(col("et") === convType, 1L).otherwise(0L)).as("__nc"),
@@ -517,6 +527,54 @@ object RelOps {
         sum(when(col("__nc") > 0, 1L).otherwise(0L)).as("n_converted"),
         coalesce(sum(col("__cv")), lit(java.math.BigDecimal.ZERO))
           .cast("double").as("conv_value"))
+  }
+
+  /** Session-level LINEAR multi-touch attribution — the q142 rail's
+    * equal-split sibling: within each converting session (≥1 `convType`
+    * event with positive value), the session's conversion value is
+    * split across its non-conversion touch events in proportion to
+    * each channel's touch count. All credit arithmetic is EXACT
+    * integer micro-units: the per-(session, channel) share is
+    * `(cvμ · n_ch) div n_touch` (BIGINT floor division — the identical
+    * rule in both engines; flooring drops the same sub-micro remainder
+    * on both), summed per channel as BIGINT. `credit_value` is ONE
+    * IEEE division per output row (the q194 ratio discipline). Output:
+    * (channel, n_touches, n_session_credits, credit_micro,
+    * credit_value) — touches/credits counted over CREDITED sessions
+    * only.
+    *
+    * Scale shape: sessionization is the one key shuffle; the
+    * per-session and per-(session, channel) aggregates reuse its
+    * (k, sid) partitioning; the credit join is (k, sid)-keyed,
+    * session-count-sized on both sides; the final rollup is a
+    * map-side-combinable groupBy over channel.
+    */
+  def linearAttribution(df: DataFrame, keyCol: String, tsCol: String,
+                        tieCol: String, typeCol: String, valueCol: String,
+                        convType: String,
+                        gapMinutes: Int = 30): DataFrame = {
+    val s = sessionized(df, keyCol, tsCol, tieCol, typeCol, valueCol,
+      gapMinutes)
+    // conversion value in exact integer micro-units: DECIMAL(18,6)·10⁶
+    // is integral at scale 6, so the long cast is exact regardless of
+    // either engine's decimal→int rounding mode
+    val perSess = s.groupBy("k", "sid").agg(
+      sum(when(col("et") === convType,
+        (col("v").cast("decimal(18,6)") * lit(1000000L)).cast("long"))
+        .otherwise(0L)).as("cvu"),
+      sum(when(col("et") =!= convType, 1L).otherwise(0L)).as("ntouch"))
+      .filter(col("cvu") > 0 && col("ntouch") > 0)
+    val perChannel = s.filter(col("et") =!= convType)
+      .groupBy("k", "sid", "et").agg(count(lit(1)).as("nt"))
+    perChannel.join(perSess, Seq("k", "sid"))
+      .select(col("et"), col("nt"), expr("(cvu * nt) DIV ntouch").as("cu"))
+      .groupBy("et").agg(
+        sum(col("nt")).as("n_touches"),
+        count(lit(1)).as("n_session_credits"),
+        sum(col("cu")).as("credit_micro"))
+      .select(col("et").as("channel"), col("n_touches"),
+        col("n_session_credits"), col("credit_micro"),
+        (col("credit_micro").cast("double") / lit(1000000.0)).as("credit_value"))
   }
 
   /** Session path mining: sessionize per key (the q25 30-minute gap),

@@ -4110,6 +4110,21 @@ object Queries {
     out
   }
 
+  /** Linear multi-touch attribution
+    * ([[graft.ops.RelOps.linearAttribution]]) — q142's equal-split
+    * sibling: each converting 30-minute session's purchase value is
+    * split across its view/click touches in proportion to channel
+    * touch counts, in EXACT integer micro-units (per-share
+    * `(cvμ·n_ch) div n_touch`, the identical floor rule in both
+    * engines), so the whole credit table hash-checks; `credit_value`
+    * is one IEEE division per output row (the q194 discipline).
+    */
+  def q228_linear_attribution(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.RelOps.linearAttribution(Tables(spark, dir).events,
+        "user_id", "ts", "event_id", "event_type", "value",
+        convType = "purchase")
+      .orderBy("channel")
+
   /** Streaming-shaped IVF occupancy monitor
     * ([[graft.streaming.IvfMaintainer]]) — the maintenance-LOOP sibling
     * of q218's batch lifecycle: build on the quarter slice, feed the
@@ -4410,7 +4425,8 @@ object Queries {
     "q224_customer_robust_stats" -> (q224_customer_robust_stats _),
     "q225_doc_dedup_groups_radius" -> (q225_doc_dedup_groups_radius _),
     "q226_neardup_groups_multiband" -> (q226_neardup_groups_multiband _),
-    "q227_ivfpq_rebuild" -> (q227_ivfpq_rebuild _)
+    "q227_ivfpq_rebuild" -> (q227_ivfpq_rebuild _),
+    "q228_linear_attribution" -> (q228_linear_attribution _)
   )
 }
 
@@ -5848,6 +5864,35 @@ object Oracles {
         |  CAST(sum(CASE WHEN nc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
         |  CAST(coalesce(sum(cv), 0) AS DOUBLE) AS conv_value
         |FROM per_sess GROUP BY 1 ORDER BY first_touch""".stripMargin,
+    "q228_linear_attribution" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked),
+        |per_sess AS (
+        |  SELECT user_id, sid,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+        |        ELSE 0 END) AS cvu,
+        |    sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS ntouch
+        |  FROM sess GROUP BY 1, 2),
+        |eligible AS (SELECT * FROM per_sess WHERE cvu > 0 AND ntouch > 0),
+        |per_type AS (
+        |  SELECT user_id, sid, event_type AS channel, count(*) AS nt
+        |  FROM sess WHERE event_type <> 'purchase' GROUP BY 1, 2, 3),
+        |credits AS (
+        |  SELECT channel, nt, (cvu * nt) // ntouch AS cu
+        |  FROM per_type JOIN eligible USING (user_id, sid))
+        |SELECT channel, CAST(sum(nt) AS BIGINT) AS n_touches,
+        |  CAST(count(*) AS BIGINT) AS n_session_credits,
+        |  CAST(sum(cu) AS BIGINT) AS credit_micro,
+        |  CAST(CAST(sum(cu) AS BIGINT) AS DOUBLE) / 1000000.0 AS credit_value
+        |FROM credits GROUP BY 1 ORDER BY channel""".stripMargin,
     "q143_centroid_drift" ->
       """WITH ex AS (SELECT vec_id, CAST(label AS BIGINT) AS g,
         |    unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i

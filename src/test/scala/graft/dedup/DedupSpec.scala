@@ -469,6 +469,22 @@ class DedupSpec extends SparkSpec {
       s"(exact=${exactSame.size}, multiband=${mbSame.size})")
   }
 
+  test("multiBandBuckets candidates equal the per-banding union (offset isolation)") {
+    // the one-join multi-band path must be pair-for-pair the union of
+    // the per-banding joins — an offset bug mixing configs in one
+    // (band, bh) key space would create cross-config phantom buckets
+    val d = Tables(spark, sfDir).documents
+    val sigs = Dedup.minHashSignatures(d, "text", "doc_id", 3, 64).cache()
+    val fused = Dedup.candidatesFromBanded(
+        Dedup.multiBandBuckets(sigs, 64, Seq(16, 32)), 10000)
+      .as[(Long, Long)].collect().toSet
+    val per = Dedup.lshCandidates(sigs, 16, 4).as[(Long, Long)].collect().toSet ++
+      Dedup.lshCandidates(sigs, 32, 2).as[(Long, Long)].collect().toSet
+    sigs.unpersist(blocking = false)
+    assert(fused == per,
+      s"fused-vs-per-banding diff: ${(fused -- per).take(3)} / ${(per -- fused).take(3)}")
+  }
+
   test("scale ensemble dedup (LSH + clustered cosine) refines the exact ensemble, recall >= 0.9") {
     // q173's production form: swap both exact pair sources for their
     // index-backed siblings. Every scale pair is exact-VERIFIED

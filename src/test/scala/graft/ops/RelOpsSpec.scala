@@ -570,6 +570,37 @@ class RelOpsSpec extends SparkSpec {
     }
   }
 
+  test("linearAttribution: exact micro-unit equal split, flooring, non-converting sessions excluded") {
+    import org.apache.spark.sql.functions.to_timestamp
+    val ev = Seq(
+      // user A, one session: 2 views + 1 click + purchase 1.000001 —
+      // the floor rule drops exactly one micro-unit
+      ("A", "2024-01-01 10:00:00", 1L, "view", 0.0),
+      ("A", "2024-01-01 10:01:00", 2L, "click", 0.0),
+      ("A", "2024-01-01 10:02:00", 3L, "view", 0.0),
+      ("A", "2024-01-01 10:03:00", 4L, "purchase", 1.000001),
+      // user A, second session (past the 30-min gap), no purchase
+      ("A", "2024-01-01 12:00:00", 5L, "view", 0.0),
+      // user C: 2 clicks + purchase 2.5 — even split, no remainder
+      ("C", "2024-01-01 09:00:00", 6L, "click", 0.0),
+      ("C", "2024-01-01 09:05:00", 7L, "click", 0.0),
+      ("C", "2024-01-01 09:06:00", 8L, "purchase", 2.5),
+      // user B: purchase with NO touches — nothing to credit
+      ("B", "2024-01-01 08:00:00", 9L, "purchase", 5.0)
+    ).toDF("user_id", "tss", "event_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val got = RelOps.linearAttribution(ev, "user_id", "ts", "event_id",
+        "event_type", "value", convType = "purchase")
+      .select("channel", "n_touches", "n_session_credits", "credit_micro")
+      .as[(String, Long, Long, Long)].collect().toSet
+    // A's session: cvu=1000001, ntouch=3 → view (1000001*2) div 3 =
+    // 666667, click 1000001 div 3 = 333333 (one micro dropped, same on
+    // any engine); C's: click (2500000*2) div 2 = 2500000
+    assert(got == Set(
+      ("view", 2L, 1L, 666667L),
+      ("click", 3L, 2L, 333333L + 2500000L)), s"credits: $got")
+  }
+
   test("weightedQuantiles: one-pass multi-bp matches the brute-force rule on dense ties") {
     // low-cardinality groups × dense value ties: the de-skew rewrite must
     // not disturb the integer basis-point rule at ANY partition split
