@@ -587,6 +587,65 @@ object CorpusOps {
           col("n_tokens").cast("double")).as("oov_rate"))
   }
 
+  /** Heaps-law vocabulary growth audit: the corpus in doc-id order is
+    * cut into `buckets` equal id-range slices, and per slice the audit
+    * reports new distinct tokens (types first seen there), token
+    * occurrences, and their cumulative curves — the
+    * vocabulary-vs-corpus-size trajectory (Heaps' law: V ≈ K·nᵝ) that
+    * says whether more data is still buying vocabulary or the corpus
+    * has gone repetitive, and at which ingest slice the growth bent.
+    * All counts are exact integers (the slice of a doc is pure integer
+    * arithmetic `(id·buckets) div (maxId+1)`, engine-identical); the
+    * cumulative type/token ratio is one IEEE division per output row.
+    * Output: (bucket, n_docs, new_types, types_cum, n_tokens,
+    * tokens_cum, ttr), one row per slice including empty ones.
+    *
+    * Scale shape: one token-explode scan feeds BOTH aggregates (the
+    * per-type min-bucket and the per-bucket occurrence count — each a
+    * map-side-combinable groupBy); the curve assembly then runs on
+    * `buckets` rows (the running-sum window is unpartitioned but
+    * bounded by design, q222's tiny-frame rationale).
+    */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+                  buckets: Int = 10): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val spark = docs.sparkSession
+    val bounds = docs.agg((max(col(idCol)).cast("long") + 1L).as("__m"))
+    // true integral division (Spark SQL DIV == DuckDB // on BIGINT) —
+    // a double divide-then-truncate could round across an integer
+    // boundary and disagree between engines
+    def bucketOf = expr(s"(id * ${buckets}L) DIV __m") + 1L
+    val toks = graft.core.Graft.spread(docs)
+      .select(col(idCol).cast("long").as("id"),
+        explode(graft.text.TextFunctions.tokens(col(textCol))).as("token"))
+      .crossJoin(broadcast(bounds))
+      .select(col("token"), bucketOf.as("b"))
+    val newTypes = toks.groupBy("token").agg(min(col("b")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_types"))
+    val tokCnt = toks.groupBy(col("b").as("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val docCnt = docs.select(col(idCol).cast("long").as("id"))
+      .crossJoin(broadcast(bounds))
+      .groupBy(bucketOf.as("bucket")).agg(count(lit(1)).as("n_docs"))
+    val grid = spark.range(1, buckets + 1)
+      .select(col("id").cast("long").as("bucket"))
+    val wc = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(newTypes, Seq("bucket"), "left")
+      .join(tokCnt, Seq("bucket"), "left")
+      .join(docCnt, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      .withColumn("types_cum", sum(col("new_types")).over(wc))
+      .withColumn("tokens_cum", sum(col("n_tokens")).over(wc))
+      .withColumn("ttr", when(col("tokens_cum") > 0,
+        col("types_cum").cast("double") / col("tokens_cum").cast("double")))
+      .select("bucket", "n_docs", "new_types", "types_cum",
+        "n_tokens", "tokens_cum", "ttr")
+  }
+
   /** Deterministic negative sampling for contrastive training: for each
     * probe id, the `k` candidates ranking lowest under the modular pair
     * hash `(pid·A + cid·B + C) mod P` — uniform pseudo-random but fully

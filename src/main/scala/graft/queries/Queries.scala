@@ -4110,6 +4110,18 @@ object Queries {
     out
   }
 
+  /** Heaps-law vocabulary growth ([[graft.ops.CorpusOps.vocabGrowth]]):
+    * the corpus in doc-id order cut into 10 equal id-range slices —
+    * per slice, first-seen distinct tokens, token occurrences, and the
+    * cumulative type/token curves. The number that says whether more
+    * ingest is still buying vocabulary; exact integers (slice = pure
+    * integral division), ttr one IEEE division per row.
+    */
+  def q229_vocab_growth(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusOps.vocabGrowth(Tables(spark, dir).documents,
+        "doc_id", "text", buckets = 10)
+      .orderBy("bucket")
+
   /** Linear multi-touch attribution
     * ([[graft.ops.RelOps.linearAttribution]]) — q142's equal-split
     * sibling: each converting 30-minute session's purchase value is
@@ -4426,7 +4438,8 @@ object Queries {
     "q225_doc_dedup_groups_radius" -> (q225_doc_dedup_groups_radius _),
     "q226_neardup_groups_multiband" -> (q226_neardup_groups_multiband _),
     "q227_ivfpq_rebuild" -> (q227_ivfpq_rebuild _),
-    "q228_linear_attribution" -> (q228_linear_attribution _)
+    "q228_linear_attribution" -> (q228_linear_attribution _),
+    "q229_vocab_growth" -> (q229_vocab_growth _)
   )
 }
 
@@ -5893,6 +5906,35 @@ object Oracles {
         |  CAST(sum(cu) AS BIGINT) AS credit_micro,
         |  CAST(CAST(sum(cu) AS BIGINT) AS DOUBLE) / 1000000.0 AS credit_value
         |FROM credits GROUP BY 1 ORDER BY channel""".stripMargin,
+    "q229_vocab_growth" ->
+      """WITH mx AS (SELECT CAST(max(doc_id) AS BIGINT) + 1 AS m FROM documents),
+        |toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |occ AS (SELECT doc_id, t[i] AS token
+        |        FROM toks CROSS JOIN unnest(generate_series(1, len(t))) AS u(i)),
+        |wb AS (SELECT token, (doc_id * 10) // m + 1 AS b FROM occ, mx),
+        |nt AS (SELECT bucket, count(*) AS new_types FROM
+        |         (SELECT token, min(b) AS bucket FROM wb GROUP BY 1) GROUP BY 1),
+        |tc AS (SELECT b AS bucket, count(*) AS n_tokens FROM wb GROUP BY 1),
+        |dc AS (SELECT (doc_id * 10) // m + 1 AS bucket, count(*) AS n_docs
+        |       FROM documents, mx GROUP BY 1),
+        |grid AS (SELECT unnest(generate_series(1, 10)) AS bucket),
+        |j AS (SELECT g.bucket, coalesce(n_docs, 0) AS n_docs,
+        |        coalesce(new_types, 0) AS new_types,
+        |        coalesce(n_tokens, 0) AS n_tokens
+        |      FROM grid g LEFT JOIN nt USING (bucket)
+        |        LEFT JOIN tc USING (bucket) LEFT JOIN dc USING (bucket))
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(new_types AS BIGINT) AS new_types,
+        |  CAST(sum(new_types) OVER wc AS BIGINT) AS types_cum,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_tokens) OVER wc AS BIGINT) AS tokens_cum,
+        |  CASE WHEN sum(n_tokens) OVER wc > 0 THEN
+        |    CAST(CAST(sum(new_types) OVER wc AS BIGINT) AS DOUBLE)
+        |      / CAST(CAST(sum(n_tokens) OVER wc AS BIGINT) AS DOUBLE) END AS ttr
+        |FROM j WINDOW wc AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+        |ORDER BY bucket""".stripMargin,
     "q143_centroid_drift" ->
       """WITH ex AS (SELECT vec_id, CAST(label AS BIGINT) AS g,
         |    unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i

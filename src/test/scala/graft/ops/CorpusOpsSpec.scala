@@ -527,6 +527,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(anyHit == q47)
   }
 
+  test("vocabGrowth: Heaps curve exact on a crafted corpus, empty slices and empty docs included") {
+    val d = Seq(
+      (0L, "a b"), (1L, "a"),      // slice 1: new types a,b; 3 tokens
+      (2L, "b c"), (3L, ""),       // slice 2: new c; 2 tokens
+      (4L, ""), (5L, ""),          // slice 3: empty — still a row
+      (6L, "c a"), (7L, "d"),      // slice 4: new d; 3 tokens
+      (8L, "e e e"), (9L, "a")     // slice 5: new e; 4 tokens
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.vocabGrowth(d, "doc_id", "text", buckets = 5)
+      .select("bucket", "n_docs", "new_types", "types_cum", "n_tokens", "tokens_cum")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, 2L, 3L, 3L),
+      (2L, 2L, 1L, 3L, 2L, 5L),
+      (3L, 2L, 0L, 3L, 0L, 5L),
+      (4L, 2L, 1L, 4L, 3L, 8L),
+      (5L, 2L, 1L, 5L, 4L, 12L)), s"curve: $got")
+    // ttr is null exactly while the cumulative token count is 0
+    val d2 = Seq((0L, ""), (1L, ""), (2L, "x y"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val ttr = CorpusOps.vocabGrowth(d2, "doc_id", "text", buckets = 2)
+      .select("bucket", "ttr").as[(Long, Option[Double])].collect().toMap
+    assert(ttr(1L).isEmpty, "no tokens yet -> ttr null, not NaN")
+    assert(ttr(2L).contains(2.0 / 3.0))
+  }
+
   test("vocabTopK: df/tf correct, deterministic cut, no countDistinct Expand") {
     val d = Seq(
       (1L, "a a b c"),
