@@ -189,13 +189,19 @@ object ScaleOps {
     * without another shuffle.
     */
   def writeSorted(df: DataFrame, dir: String, key: String,
-                  partitions: Int, maxRecordsPerFile: Int): Unit = {
+                  partitions: Int, maxRecordsPerFile: Int,
+                  format: String = "parquet"): Unit = {
     require(partitions >= 1 && maxRecordsPerFile >= 1)
+    // both builtin columnar sources carry the min/max file/stripe stats
+    // the sorted layout exists for (parquet row groups, ORC stripes) —
+    // anything else would silently drop the pruning contract
+    require(format == "parquet" || format == "orc",
+      s"writeSorted needs a stats-carrying columnar format, got $format")
     df.repartitionByRange(partitions, col(key))
       .sortWithinPartitions(key)
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
-      .parquet(dir)
+      .format(format).save(dir)
   }
 
   /** Compaction: rewrite a many-small-files table into

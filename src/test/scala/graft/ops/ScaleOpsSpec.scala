@@ -133,6 +133,31 @@ class ScaleOpsSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 10000)
   }
 
+  test("writeSorted to ORC: round-trip exact, ranges disjoint, filters push to the ORC scan") {
+    import org.apache.spark.sql.functions.{col, input_file_name, min, max}
+    val dir = java.nio.file.Files.createTempDirectory("graft_sorted_orc").toString
+    val df = spark.range(0, 5000).select((col("id") * 7919 % 5000).as("k"))
+    ScaleOps.writeSorted(df, dir, "k", partitions = 4,
+      maxRecordsPerFile = 2000, format = "orc")
+    val back = spark.read.orc(dir)
+    assert(back.as[Long].collect().sorted.toSeq == (0L until 5000L).toSeq)
+    val ranges = back.groupBy(input_file_name().as("f"))
+      .agg(min(col("k")).as("mn"), max(col("k")).as("mx"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, mxA), (mnB, _)) =>
+        assert(mnB > mxA, s"overlapping ORC file ranges: ${ranges.toSeq}")
+      case _ => ()
+    }
+    // the point of the sorted layout: a key predicate reaches the scan
+    val plan = back.filter(col("k") < 100).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(k), LessThan(k,100)]"),
+      s"ORC scan must carry the pushed key filter:\n$plan")
+    // unsupported formats are rejected before any write happens
+    intercept[IllegalArgumentException](
+      ScaleOps.writeSorted(df, dir, "k", 1, 1, format = "json"))
+  }
+
   test("writeCompacted: ceil(n/target) evenly-sized files, content preserved") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
