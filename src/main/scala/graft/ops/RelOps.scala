@@ -577,6 +577,51 @@ object RelOps {
         (col("credit_micro").cast("double") / lit(1000000.0)).as("credit_value"))
   }
 
+  /** Session-level POSITION-BASED (U-shaped) attribution — the third
+    * rail of the family (q142 first-touch, q228 linear): within each
+    * converting session, 40% of the conversion value goes to the first
+    * touch, 40% to the last, and the remaining 20% splits equally
+    * across the middle touches (the standard U-shape; 100%/50-50 for
+    * 1-/2-touch sessions). Credit arithmetic is EXACT integers: a
+    * touch's basis points come from a deterministic when-chain, the
+    * middle share is `2000 div (n−2)` bp, and the credit is
+    * `(cvμ · bp) div 10000` micro-units — identical floor rules in
+    * both engines, so the table hash-checks; `credit_value` is one
+    * IEEE division per output row. Output shape = [[linearAttribution]].
+    *
+    * Scale shape: sessionization's one key shuffle; touch positions
+    * ride a (k, sid)-partitioned row_number; everything after is
+    * (k, sid)-keyed joins and a channel rollup.
+    */
+  def positionAttribution(df: DataFrame, keyCol: String, tsCol: String,
+                          tieCol: String, typeCol: String, valueCol: String,
+                          convType: String,
+                          gapMinutes: Int = 30): DataFrame = {
+    val s = sessionized(df, keyCol, tsCol, tieCol, typeCol, valueCol,
+      gapMinutes)
+    val perSess = s.groupBy("k", "sid").agg(
+      sum(when(col("et") === convType,
+        (col("v").cast("decimal(18,6)") * lit(1000000L)).cast("long"))
+        .otherwise(0L)).as("cvu"),
+      sum(when(col("et") =!= convType, 1L).otherwise(0L)).as("ntouch"))
+      .filter(col("cvu") > 0 && col("ntouch") > 0)
+    val touches = s.filter(col("et") =!= convType)
+      .withColumn("__p", row_number()
+        .over(Window.partitionBy("k", "sid").orderBy(col("ts"), col("tie"))))
+    val bp = when(col("ntouch") === 1, 10000L)
+      .when(col("ntouch") === 2, 5000L)
+      .when(col("__p") === 1 || col("__p") === col("ntouch"), 4000L)
+      .otherwise(expr("2000L DIV (ntouch - 2)"))
+    touches.join(perSess, Seq("k", "sid"))
+      .select(col("et"), bp.as("__bp"), col("cvu"))
+      .select(col("et"), expr("(cvu * __bp) DIV 10000").as("cu"))
+      .groupBy("et").agg(
+        count(lit(1)).as("n_touches"),
+        sum(col("cu")).as("credit_micro"))
+      .select(col("et").as("channel"), col("n_touches"), col("credit_micro"),
+        (col("credit_micro").cast("double") / lit(1000000.0)).as("credit_value"))
+  }
+
   /** Session path mining: sessionize per key (the q25 30-minute gap),
     * take each session's first `depth` event types in (ts, tie) order,
     * and count the resulting paths corpus-wide — the

@@ -4110,6 +4110,18 @@ object Queries {
     out
   }
 
+  /** U-shaped position attribution
+    * ([[graft.ops.RelOps.positionAttribution]]) — the attribution
+    * family's third rail (q142 first-touch, q228 linear): 40/20/40
+    * first/middles/last in exact integer basis points and micro-units,
+    * fully hash-checked.
+    */
+  def q230_position_attribution(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.RelOps.positionAttribution(Tables(spark, dir).events,
+        "user_id", "ts", "event_id", "event_type", "value",
+        convType = "purchase")
+      .orderBy("channel")
+
   /** Heaps-law vocabulary growth ([[graft.ops.CorpusOps.vocabGrowth]]):
     * the corpus in doc-id order cut into 10 equal id-range slices —
     * per slice, first-seen distinct tokens, token occurrences, and the
@@ -4439,7 +4451,8 @@ object Queries {
     "q226_neardup_groups_multiband" -> (q226_neardup_groups_multiband _),
     "q227_ivfpq_rebuild" -> (q227_ivfpq_rebuild _),
     "q228_linear_attribution" -> (q228_linear_attribution _),
-    "q229_vocab_growth" -> (q229_vocab_growth _)
+    "q229_vocab_growth" -> (q229_vocab_growth _),
+    "q230_position_attribution" -> (q230_position_attribution _)
   )
 }
 
@@ -5903,6 +5916,40 @@ object Oracles {
         |  FROM per_type JOIN eligible USING (user_id, sid))
         |SELECT channel, CAST(sum(nt) AS BIGINT) AS n_touches,
         |  CAST(count(*) AS BIGINT) AS n_session_credits,
+        |  CAST(sum(cu) AS BIGINT) AS credit_micro,
+        |  CAST(CAST(sum(cu) AS BIGINT) AS DOUBLE) / 1000000.0 AS credit_value
+        |FROM credits GROUP BY 1 ORDER BY channel""".stripMargin,
+    "q230_position_attribution" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked),
+        |per_sess AS (
+        |  SELECT user_id, sid,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+        |        ELSE 0 END) AS cvu,
+        |    sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS ntouch
+        |  FROM sess GROUP BY 1, 2),
+        |eligible AS (SELECT * FROM per_sess WHERE cvu > 0 AND ntouch > 0),
+        |touches AS (
+        |  SELECT user_id, sid, event_type AS channel,
+        |    row_number() OVER (PARTITION BY user_id, sid
+        |                       ORDER BY ts, event_id) AS p
+        |  FROM sess WHERE event_type <> 'purchase'),
+        |credits AS (
+        |  SELECT channel,
+        |    (cvu * (CASE WHEN ntouch = 1 THEN 10000
+        |                 WHEN ntouch = 2 THEN 5000
+        |                 WHEN p = 1 OR p = ntouch THEN 4000
+        |                 ELSE 2000 // (ntouch - 2) END)) // 10000 AS cu
+        |  FROM touches JOIN eligible USING (user_id, sid))
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
         |  CAST(sum(cu) AS BIGINT) AS credit_micro,
         |  CAST(CAST(sum(cu) AS BIGINT) AS DOUBLE) / 1000000.0 AS credit_value
         |FROM credits GROUP BY 1 ORDER BY channel""".stripMargin,

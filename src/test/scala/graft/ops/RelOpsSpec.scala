@@ -601,6 +601,36 @@ class RelOpsSpec extends SparkSpec {
       ("click", 3L, 2L, 333333L + 2500000L)), s"credits: $got")
   }
 
+  test("positionAttribution: U-shape 40/20/40 exact, 1-/2-touch degenerate shapes") {
+    import org.apache.spark.sql.functions.to_timestamp
+    val ev = Seq(
+      // user A: 4 touches (v,c,v,c) + purchase 1.0 → first/last 40%,
+      // two middles 10% each (2000 div 2 bp)
+      ("A", "2024-01-01 10:00:00", 1L, "view", 0.0),
+      ("A", "2024-01-01 10:01:00", 2L, "click", 0.0),
+      ("A", "2024-01-01 10:02:00", 3L, "view", 0.0),
+      ("A", "2024-01-01 10:03:00", 4L, "click", 0.0),
+      ("A", "2024-01-01 10:04:00", 5L, "purchase", 1.0),
+      // user B: single touch → 100%
+      ("B", "2024-01-01 10:00:00", 6L, "click", 0.0),
+      ("B", "2024-01-01 10:01:00", 7L, "purchase", 2.0),
+      // user C: two touches → 50/50
+      ("C", "2024-01-01 10:00:00", 8L, "view", 0.0),
+      ("C", "2024-01-01 10:01:00", 9L, "click", 0.0),
+      ("C", "2024-01-01 10:02:00", 10L, "purchase", 4.0)
+    ).toDF("user_id", "tss", "event_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val got = RelOps.positionAttribution(ev, "user_id", "ts", "event_id",
+        "event_type", "value", convType = "purchase")
+      .select("channel", "n_touches", "credit_micro")
+      .as[(String, Long, Long)].collect().toSet
+    // A: view 400000+100000, click 100000+400000; B: click 2000000;
+    // C: view 2000000, click 2000000
+    assert(got == Set(
+      ("view", 3L, 400000L + 100000L + 2000000L),
+      ("click", 4L, 100000L + 400000L + 2000000L + 2000000L)), s"credits: $got")
+  }
+
   test("weightedQuantiles: one-pass multi-bp matches the brute-force rule on dense ties") {
     // low-cardinality groups × dense value ties: the de-skew rewrite must
     // not disturb the integer basis-point rule at ANY partition split
