@@ -23,6 +23,62 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Deterministic hash-driven random walks — the DeepWalk/node2vec
+    * INPUT corpus (walks feed a skip-gram embedding trainer), generated
+    * with no RNG state: `walksPerNode` walks of `steps` steps start
+    * from every node with out-edges, and at step t the walk at node u
+    * takes neighbor index
+    * `(start·A + walk·B + t·C + u·D) mod P mod deg(u)` over u's
+    * dst-sorted neighbor list — uniform-style pseudo-random but fully
+    * reproducible (the [[graft.ops.CorpusOps.sampleRank]]
+    * arithmetic-hash discipline), so the whole walk corpus
+    * hash-checks against a step-unrolled SQL oracle and any re-run or
+    * engine port regenerates it bit-identically (the property a
+    * training-data pipeline needs from its sampling stages). A walk
+    * reaching a sink stops early (its emitted prefix stays).
+    *
+    * Output rows: (start, walk, step, node), step 0 = the start node.
+    * Id-range contract (shared with the hash family's other users):
+    * node ids must stay ≲ 10¹² so id·multiplier fits a BIGINT on
+    * engines that error on overflow rather than wrap.
+    *
+    * Scale shape: the indexed adjacency (row_number + count over the
+    * per-src window, cached via the tracked registry — scanned once
+    * per step) and one equi-join on the current node per step; the
+    * frontier is |starts|·walksPerNode rows throughout, never expanded,
+    * and `steps` is a small constant so the unioned lineage stays flat.
+    */
+  def hashWalks(edges: DataFrame, srcCol: String, dstCol: String,
+                steps: Int, walksPerNode: Int): DataFrame = {
+    require(steps >= 1, s"steps must be positive, got $steps")
+    require(walksPerNode >= 1, s"walksPerNode must be positive, got $walksPerNode")
+    val P = 1000000007L
+    val spark = edges.sparkSession
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    val idx = ScaleOps.trackCache(edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .withColumn("i", row_number().over(w.orderBy("dst")).cast("long") - 1L)
+      .withColumn("deg", count(lit(1)).over(w)))
+    val starts = idx.select(col("src").as("start")).distinct()
+    val walkIds = spark.range(walksPerNode).select(col("id").cast("long").as("walk"))
+    val f0 = starts.crossJoin(walkIds)
+      .select(col("start"), col("walk"), lit(0).as("step"),
+        col("start").as("node"))
+    val frontiers = Iterator.iterate((f0, 1)) { case (f, t) =>
+      val h = pmod(
+        pmod(col("start") * lit(2654435761L), lit(P)) +
+          pmod(col("walk") * lit(2246822519L), lit(P)) +
+          lit((t * 3266489917L) % P) +
+          pmod(col("node") * lit(668265263L), lit(P)), lit(P))
+      val next = f.join(idx, f("node") === idx("src") &&
+          idx("i") === pmod(h, col("deg")))
+        .select(col("start"), col("walk"), lit(t).as("step"),
+          col("dst").as("node"))
+      (next, t + 1)
+    }.map(_._1).take(steps + 1).toSeq
+    frontiers.reduce(_ unionAll _)
+  }
+
   /** Fixed-iteration PageRank in integer micro-units — deterministic to
     * the last bit on ANY engine, because every step is 64-bit integer
     * arithmetic: ranks live in millionths (node starts at 1,000,000),

@@ -1616,6 +1616,20 @@ object Queries {
       .filter(col("__rn") <= 3).select("src", "dst")
   }
 
+  /** Deterministic random-walk corpus over the co-supply graph
+    * ([[graft.ops.GraphOps.hashWalks]]): 2 walks × 3 steps from every
+    * node — the DeepWalk/node2vec input a graph-embedding trainer
+    * consumes, generated with NO RNG state (arithmetic hash picks the
+    * neighbor index), so the whole corpus hash-checks against a
+    * step-unrolled SQL oracle and any re-run regenerates it
+    * bit-identically.
+    */
+  def q231_random_walks(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.GraphOps.hashWalks(coSupplyTop3(spark, dir), "src", "dst",
+        steps = 3, walksPerNode = 2)
+      .select(col("start").as("s_suppkey"), col("walk"), col("step"), col("node"))
+      .orderBy("s_suppkey", "walk", "step")
+
   def q113_cosupply_triangles(spark: SparkSession, dir: String): DataFrame =
     graft.ops.GraphOps.triangleCounts(coSupplyTop3(spark, dir), "src", "dst")
       .select(col("id").as("s_suppkey"), col("n_triangles"))
@@ -4452,7 +4466,8 @@ object Queries {
     "q227_ivfpq_rebuild" -> (q227_ivfpq_rebuild _),
     "q228_linear_attribution" -> (q228_linear_attribution _),
     "q229_vocab_growth" -> (q229_vocab_growth _),
-    "q230_position_attribution" -> (q230_position_attribution _)
+    "q230_position_attribution" -> (q230_position_attribution _),
+    "q231_random_walks" -> (q231_random_walks _)
   )
 }
 
@@ -5580,6 +5595,43 @@ object Oracles {
         |          UNION ALL SELECT z AS id FROM tri)
         |SELECT id AS s_suppkey, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM nodes GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q231_random_walks" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+        |co AS (SELECT a.s AS sa, b.s AS sb, CAST(count(*) AS BIGINT) AS shared
+        |       FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2),
+        |de AS (SELECT sa AS src, sb AS dst, shared FROM co
+        |       UNION ALL SELECT sb AS src, sa AS dst, shared FROM co),
+        |top3 AS MATERIALIZED (SELECT src, dst FROM (
+        |    SELECT src, dst,
+        |      row_number() OVER (PARTITION BY src ORDER BY shared DESC, dst) AS rn
+        |    FROM de) WHERE rn <= 3),
+        |idx AS MATERIALIZED (SELECT src, dst,
+        |    CAST(row_number() OVER (PARTITION BY src ORDER BY dst) AS BIGINT) - 1 AS i,
+        |    CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+        |  FROM top3),
+        |starts AS (SELECT DISTINCT src AS start FROM top3),
+        |f0 AS MATERIALIZED (SELECT start, CAST(walk AS BIGINT) AS walk,
+        |    0 AS step, start AS node
+        |  FROM starts CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS walk)),
+        |f1 AS MATERIALIZED (SELECT f.start, f.walk, 1 AS step, idx.dst AS node
+        |  FROM f0 f JOIN idx ON idx.src = f.node AND idx.i =
+        |    ((f.start*2654435761 % 1000000007 + f.walk*2246822519 % 1000000007
+        |      + 1*3266489917 % 1000000007
+        |      + f.node*668265263 % 1000000007) % 1000000007) % idx.deg),
+        |f2 AS MATERIALIZED (SELECT f.start, f.walk, 2 AS step, idx.dst AS node
+        |  FROM f1 f JOIN idx ON idx.src = f.node AND idx.i =
+        |    ((f.start*2654435761 % 1000000007 + f.walk*2246822519 % 1000000007
+        |      + 2*3266489917 % 1000000007
+        |      + f.node*668265263 % 1000000007) % 1000000007) % idx.deg),
+        |f3 AS (SELECT f.start, f.walk, 3 AS step, idx.dst AS node
+        |  FROM f2 f JOIN idx ON idx.src = f.node AND idx.i =
+        |    ((f.start*2654435761 % 1000000007 + f.walk*2246822519 % 1000000007
+        |      + 3*3266489917 % 1000000007
+        |      + f.node*668265263 % 1000000007) % 1000000007) % idx.deg)
+        |SELECT start AS s_suppkey, walk, step, node
+        |FROM (SELECT * FROM f0 UNION ALL SELECT * FROM f1
+        |      UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3)
+        |ORDER BY 1, 2, 3""".stripMargin,
     "q114_scd2" ->
       """WITH marked AS (
         |  SELECT user_id, event_id, event_type, ts,

@@ -68,6 +68,36 @@ class GraphOpsSpec extends SparkSpec {
     assert(r == Seq((1L, 150000L), (2L, 277500L)))
   }
 
+  test("hashWalks: edges followed, sinks stop early, contiguous prefixes, bit-identical re-run") {
+    // 1 -> {2, 3}, 2 -> {1}, 3 is a sink: a walk entering 3 must stop
+    // (its emitted prefix stays); a start at a sink never appears (no
+    // out-edges means no start)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L)).toDF("src", "dst")
+    def run() = GraphOps.hashWalks(edges, "src", "dst", steps = 4, walksPerNode = 3)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    val got = run()
+    assert(got == run(), "walk corpus must be bit-identical across re-runs")
+    graft.ops.ScaleOps.release()
+    // starts = nodes with out-edges only
+    assert(got.filter(_._3 == 0).map(_._1) == Set(1L, 2L))
+    assert(got.filter(_._3 == 0).size == 2 * 3, "walksPerNode starts per start node")
+    val eSet = Set((1L, 2L), (1L, 3L), (2L, 1L))
+    val byWalk = got.groupBy(r => (r._1, r._2))
+    byWalk.foreach { case ((s, w), rows) =>
+      val path = rows.toSeq.sortBy(_._3)
+      // contiguous steps from 0 (a sink stop truncates, never gaps)
+      assert(path.map(_._3) == (0 until path.size), s"gapped walk ($s,$w): $path")
+      // every hop is a real directed edge
+      path.map(_._4).sliding(2).foreach {
+        case Seq(a, b) => assert(eSet((a, b)), s"non-edge hop $a->$b in ($s,$w)")
+        case _ => ()
+      }
+      // a walk only ends early at the sink (node 3) — otherwise full length
+      if (path.size < 5) assert(path.last._4 == 3L,
+        s"walk ($s,$w) stopped at a non-sink: $path")
+    }
+  }
+
   test("triangleCounts: K4 minus an edge, any input orientation, loops dropped") {
     // vertices 1..4, complete except (3,4); triangles {1,2,3} and {1,2,4}
     // — edges given in mixed orientation, with a duplicate and a loop
