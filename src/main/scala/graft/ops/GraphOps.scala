@@ -79,6 +79,28 @@ object GraphOps {
     frontiers.reduce(_ unionAll _)
   }
 
+  /** Skip-gram (center, context) pair counts over a walk corpus — the
+    * step after [[hashWalks]] in the DeepWalk pipeline: within each
+    * (start, walk) sequence, every ordered pair of nodes at step
+    * distance 1..`window` co-occurs once, aggregated corpus-wide to
+    * (center, context, n). Pure integer counting over deterministic
+    * walks → the trainer input hash-checks end-to-end.
+    *
+    * Scale shape: one self-equi-join on the (start, walk) key with the
+    * step-distance predicate inside the join condition (walks are
+    * `steps+1` rows each, so per-key fan-out is a small constant) and
+    * one map-side-combinable pair groupBy.
+    */
+  def skipGramPairs(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, s"window must be positive, got $window")
+    walks.as("a").join(walks.as("b"),
+        col("a.start") === col("b.start") && col("a.walk") === col("b.walk") &&
+          col("a.step") =!= col("b.step") &&
+          abs(col("a.step") - col("b.step")) <= window)
+      .groupBy(col("a.node").as("center"), col("b.node").as("context"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Fixed-iteration PageRank in integer micro-units — deterministic to
     * the last bit on ANY engine, because every step is 64-bit integer
     * arithmetic: ranks live in millionths (node starts at 1,000,000),

@@ -1630,6 +1630,17 @@ object Queries {
       .select(col("start").as("s_suppkey"), col("walk"), col("step"), col("node"))
       .orderBy("s_suppkey", "walk", "step")
 
+  /** Skip-gram pair counts over q231's walk corpus
+    * ([[graft.ops.GraphOps.skipGramPairs]], window 2) — the
+    * graph-embedding trainer's actual input, hash-checked end-to-end
+    * through walk generation AND pair extraction.
+    */
+  def q232_skipgram_pairs(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.GraphOps.skipGramPairs(
+        graft.ops.GraphOps.hashWalks(coSupplyTop3(spark, dir), "src", "dst",
+          steps = 3, walksPerNode = 2), window = 2)
+      .orderBy("center", "context")
+
   def q113_cosupply_triangles(spark: SparkSession, dir: String): DataFrame =
     graft.ops.GraphOps.triangleCounts(coSupplyTop3(spark, dir), "src", "dst")
       .select(col("id").as("s_suppkey"), col("n_triangles"))
@@ -4467,7 +4478,8 @@ object Queries {
     "q228_linear_attribution" -> (q228_linear_attribution _),
     "q229_vocab_growth" -> (q229_vocab_growth _),
     "q230_position_attribution" -> (q230_position_attribution _),
-    "q231_random_walks" -> (q231_random_walks _)
+    "q231_random_walks" -> (q231_random_walks _),
+    "q232_skipgram_pairs" -> (q232_skipgram_pairs _)
   )
 }
 
@@ -4479,6 +4491,46 @@ object Queries {
   * nulls-first).
   */
 object Oracles {
+  /** The q231 walk-corpus CTE chain (co-supply top-3 graph -> indexed
+    * adjacency -> 3 unrolled hash-walk steps), shared by q231 and the
+    * q232 skip-gram extraction so the two oracles cannot drift. Ends
+    * mid-WITH (trailing comma): append the consuming CTE + SELECT.
+    */
+  private def walkCorpusCtes: String =
+    """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+        |co AS (SELECT a.s AS sa, b.s AS sb, CAST(count(*) AS BIGINT) AS shared
+        |       FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2),
+        |de AS (SELECT sa AS src, sb AS dst, shared FROM co
+        |       UNION ALL SELECT sb AS src, sa AS dst, shared FROM co),
+        |top3 AS MATERIALIZED (SELECT src, dst FROM (
+        |    SELECT src, dst,
+        |      row_number() OVER (PARTITION BY src ORDER BY shared DESC, dst) AS rn
+        |    FROM de) WHERE rn <= 3),
+        |idx AS MATERIALIZED (SELECT src, dst,
+        |    CAST(row_number() OVER (PARTITION BY src ORDER BY dst) AS BIGINT) - 1 AS i,
+        |    CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+        |  FROM top3),
+        |starts AS (SELECT DISTINCT src AS start FROM top3),
+        |f0 AS MATERIALIZED (SELECT start, CAST(walk AS BIGINT) AS walk,
+        |    0 AS step, start AS node
+        |  FROM starts CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS walk)),
+        |f1 AS MATERIALIZED (SELECT f.start, f.walk, 1 AS step, idx.dst AS node
+        |  FROM f0 f JOIN idx ON idx.src = f.node AND idx.i =
+        |    ((f.start*2654435761 % 1000000007 + f.walk*2246822519 % 1000000007
+        |      + 1*3266489917 % 1000000007
+        |      + f.node*668265263 % 1000000007) % 1000000007) % idx.deg),
+        |f2 AS MATERIALIZED (SELECT f.start, f.walk, 2 AS step, idx.dst AS node
+        |  FROM f1 f JOIN idx ON idx.src = f.node AND idx.i =
+        |    ((f.start*2654435761 % 1000000007 + f.walk*2246822519 % 1000000007
+        |      + 2*3266489917 % 1000000007
+        |      + f.node*668265263 % 1000000007) % 1000000007) % idx.deg),
+        |f3 AS (SELECT f.start, f.walk, 3 AS step, idx.dst AS node
+        |  FROM f2 f JOIN idx ON idx.src = f.node AND idx.i =
+        |    ((f.start*2654435761 % 1000000007 + f.walk*2246822519 % 1000000007
+        |      + 3*3266489917 % 1000000007
+        |      + f.node*668265263 % 1000000007) % 1000000007) % idx.deg),
+      |""".stripMargin
+
   /** q65's recursive-CTE dedup-groups oracle, parameterized by the
     * Jaccard threshold and the corpus CTE body (a `def` — the Oracles
     * construction-order rule): exact 3-gram Jaccard pairs at ≥ `t` →
@@ -5595,43 +5647,20 @@ object Oracles {
         |          UNION ALL SELECT z AS id FROM tri)
         |SELECT id AS s_suppkey, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM nodes GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q231_random_walks" ->
-      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
-        |co AS (SELECT a.s AS sa, b.s AS sb, CAST(count(*) AS BIGINT) AS shared
-        |       FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2),
-        |de AS (SELECT sa AS src, sb AS dst, shared FROM co
-        |       UNION ALL SELECT sb AS src, sa AS dst, shared FROM co),
-        |top3 AS MATERIALIZED (SELECT src, dst FROM (
-        |    SELECT src, dst,
-        |      row_number() OVER (PARTITION BY src ORDER BY shared DESC, dst) AS rn
-        |    FROM de) WHERE rn <= 3),
-        |idx AS MATERIALIZED (SELECT src, dst,
-        |    CAST(row_number() OVER (PARTITION BY src ORDER BY dst) AS BIGINT) - 1 AS i,
-        |    CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg
-        |  FROM top3),
-        |starts AS (SELECT DISTINCT src AS start FROM top3),
-        |f0 AS MATERIALIZED (SELECT start, CAST(walk AS BIGINT) AS walk,
-        |    0 AS step, start AS node
-        |  FROM starts CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS walk)),
-        |f1 AS MATERIALIZED (SELECT f.start, f.walk, 1 AS step, idx.dst AS node
-        |  FROM f0 f JOIN idx ON idx.src = f.node AND idx.i =
-        |    ((f.start*2654435761 % 1000000007 + f.walk*2246822519 % 1000000007
-        |      + 1*3266489917 % 1000000007
-        |      + f.node*668265263 % 1000000007) % 1000000007) % idx.deg),
-        |f2 AS MATERIALIZED (SELECT f.start, f.walk, 2 AS step, idx.dst AS node
-        |  FROM f1 f JOIN idx ON idx.src = f.node AND idx.i =
-        |    ((f.start*2654435761 % 1000000007 + f.walk*2246822519 % 1000000007
-        |      + 2*3266489917 % 1000000007
-        |      + f.node*668265263 % 1000000007) % 1000000007) % idx.deg),
-        |f3 AS (SELECT f.start, f.walk, 3 AS step, idx.dst AS node
-        |  FROM f2 f JOIN idx ON idx.src = f.node AND idx.i =
-        |    ((f.start*2654435761 % 1000000007 + f.walk*2246822519 % 1000000007
-        |      + 3*3266489917 % 1000000007
-        |      + f.node*668265263 % 1000000007) % 1000000007) % idx.deg)
-        |SELECT start AS s_suppkey, walk, step, node
-        |FROM (SELECT * FROM f0 UNION ALL SELECT * FROM f1
+    "q231_random_walks" -> (walkCorpusCtes +
+      """fin AS (SELECT * FROM f0 UNION ALL SELECT * FROM f1
         |      UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3)
-        |ORDER BY 1, 2, 3""".stripMargin,
+        |SELECT start AS s_suppkey, walk, step, node FROM fin
+        |ORDER BY 1, 2, 3""".stripMargin),
+
+    "q232_skipgram_pairs" -> (walkCorpusCtes +
+      """walks AS MATERIALIZED (SELECT * FROM f0 UNION ALL SELECT * FROM f1
+        |      UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3)
+        |SELECT a.node AS center, b.node AS context, CAST(count(*) AS BIGINT) AS n
+        |FROM walks a JOIN walks b
+        |  ON a.start = b.start AND a.walk = b.walk AND a.step <> b.step
+        |  AND abs(a.step - b.step) <= 2
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     "q114_scd2" ->
       """WITH marked AS (
         |  SELECT user_id, event_id, event_type, ts,
