@@ -600,11 +600,15 @@ object CorpusOps {
     * Output: (bucket, n_docs, new_types, types_cum, n_tokens,
     * tokens_cum, ttr), one row per slice including empty ones.
     *
-    * Scale shape: one token-explode scan feeds BOTH aggregates (the
-    * per-type min-bucket and the per-bucket occurrence count — each a
-    * map-side-combinable groupBy); the curve assembly then runs on
-    * `buckets` rows (the running-sum window is unpartitioned but
-    * bounded by design, q222's tiny-frame rationale).
+    * Scale shape: the two token-level aggregates (per-type min-bucket,
+    * per-bucket occurrence count — each a map-side-combinable groupBy)
+    * each run their own token-explode scan of the pruned 2-column
+    * projection; deliberately NOT cached between them (on this box
+    * caching fact-sized projections costs more than the rescan — the
+    * round-9 measurement), plus one id-only scan for the doc counts.
+    * The curve assembly then runs on `buckets` rows (the running-sum
+    * window is unpartitioned but bounded by design, q222's tiny-frame
+    * rationale).
     */
   def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
                   buckets: Int = 10): DataFrame = {

@@ -38,9 +38,13 @@ object GraphOps {
     * reaching a sink stops early (its emitted prefix stays).
     *
     * Output rows: (start, walk, step, node), step 0 = the start node.
-    * Id-range contract (shared with the hash family's other users):
-    * node ids must stay ≲ 10¹² so id·multiplier fits a BIGINT on
-    * engines that error on overflow rather than wrap.
+    * Id-range contract (shared with [[graft.ops.CorpusOps.sampleRank]],
+    * same largest multiplier): node ids must stay ≲ 3.4×10⁹ so
+    * id·2654435761 fits a BIGINT on engines that error on overflow
+    * rather than wrap (re-key or pre-mod larger id spaces first).
+    * Parallel (src, dst) duplicates are collapsed before indexing —
+    * the neighbor list is a SET, so a doubled edge cannot bias the
+    * pick probability.
     *
     * Scale shape: the indexed adjacency (row_number + count over the
     * per-src window, cached via the tracked registry — scanned once
@@ -57,6 +61,7 @@ object GraphOps {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
     val idx = ScaleOps.trackCache(edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct() // a doubled (src, dst) row must not double its pick odds
       .withColumn("i", row_number().over(w.orderBy("dst")).cast("long") - 1L)
       .withColumn("deg", count(lit(1)).over(w)))
     val starts = idx.select(col("src").as("start")).distinct()
@@ -89,10 +94,14 @@ object GraphOps {
     * Scale shape: one self-equi-join on the (start, walk) key with the
     * step-distance predicate inside the join condition (walks are
     * `steps+1` rows each, so per-key fan-out is a small constant) and
-    * one map-side-combinable pair groupBy.
+    * one map-side-combinable pair groupBy. The walk frame is cached
+    * via the tracked registry before the self-join — an uncached
+    * frame would re-execute the whole step-join chain (and the edge
+    * pipeline under it) on BOTH sides (the DAG-reuse rule).
     */
-  def skipGramPairs(walks: DataFrame, window: Int): DataFrame = {
+  def skipGramPairs(walksIn: DataFrame, window: Int): DataFrame = {
     require(window >= 1, s"window must be positive, got $window")
+    val walks = ScaleOps.trackCache(walksIn)
     walks.as("a").join(walks.as("b"),
         col("a.start") === col("b.start") && col("a.walk") === col("b.walk") &&
           col("a.step") =!= col("b.step") &&

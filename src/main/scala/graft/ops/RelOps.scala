@@ -549,21 +549,30 @@ object RelOps {
     * session-count-sized on both sides; the final rollup is a
     * map-side-combinable groupBy over channel.
     */
+  /** Converting sessions of a [[sessionized]] frame: (k, sid, cvu,
+    * ntouch) where cvu is the session's `convType` value in exact
+    * integer micro-units (DECIMAL(18,6)·10⁶ is integral at scale 6, so
+    * the long cast is exact regardless of either engine's decimal→int
+    * rounding mode) and ntouch its non-conversion touch count — only
+    * sessions with BOTH positive survive (something to credit,
+    * something to credit it to). The eligibility rule the attribution
+    * rails share; edit it here, not per rail.
+    */
+  private def convertingSessions(s: DataFrame, convType: String): DataFrame =
+    s.groupBy("k", "sid").agg(
+      sum(when(col("et") === convType,
+        (col("v").cast("decimal(18,6)") * lit(1000000L)).cast("long"))
+        .otherwise(0L)).as("cvu"),
+      sum(when(col("et") =!= convType, 1L).otherwise(0L)).as("ntouch"))
+      .filter(col("cvu") > 0 && col("ntouch") > 0)
+
   def linearAttribution(df: DataFrame, keyCol: String, tsCol: String,
                         tieCol: String, typeCol: String, valueCol: String,
                         convType: String,
                         gapMinutes: Int = 30): DataFrame = {
     val s = sessionized(df, keyCol, tsCol, tieCol, typeCol, valueCol,
       gapMinutes)
-    // conversion value in exact integer micro-units: DECIMAL(18,6)·10⁶
-    // is integral at scale 6, so the long cast is exact regardless of
-    // either engine's decimal→int rounding mode
-    val perSess = s.groupBy("k", "sid").agg(
-      sum(when(col("et") === convType,
-        (col("v").cast("decimal(18,6)") * lit(1000000L)).cast("long"))
-        .otherwise(0L)).as("cvu"),
-      sum(when(col("et") =!= convType, 1L).otherwise(0L)).as("ntouch"))
-      .filter(col("cvu") > 0 && col("ntouch") > 0)
+    val perSess = convertingSessions(s, convType)
     val perChannel = s.filter(col("et") =!= convType)
       .groupBy("k", "sid", "et").agg(count(lit(1)).as("nt"))
     perChannel.join(perSess, Seq("k", "sid"))
@@ -587,7 +596,10 @@ object RelOps {
     * middle share is `2000 div (n−2)` bp, and the credit is
     * `(cvμ · bp) div 10000` micro-units — identical floor rules in
     * both engines, so the table hash-checks; `credit_value` is one
-    * IEEE division per output row. Output shape = [[linearAttribution]].
+    * IEEE division per output row. Output: (channel, n_touches,
+    * credit_micro, credit_value) — [[linearAttribution]] minus its
+    * n_session_credits column (every touch earns here, so the
+    * per-channel credited-session count adds nothing).
     *
     * Scale shape: sessionization's one key shuffle; touch positions
     * ride a (k, sid)-partitioned row_number; everything after is
@@ -599,12 +611,7 @@ object RelOps {
                           gapMinutes: Int = 30): DataFrame = {
     val s = sessionized(df, keyCol, tsCol, tieCol, typeCol, valueCol,
       gapMinutes)
-    val perSess = s.groupBy("k", "sid").agg(
-      sum(when(col("et") === convType,
-        (col("v").cast("decimal(18,6)") * lit(1000000L)).cast("long"))
-        .otherwise(0L)).as("cvu"),
-      sum(when(col("et") =!= convType, 1L).otherwise(0L)).as("ntouch"))
-      .filter(col("cvu") > 0 && col("ntouch") > 0)
+    val perSess = convertingSessions(s, convType)
     val touches = s.filter(col("et") =!= convType)
       .withColumn("__p", row_number()
         .over(Window.partitionBy("k", "sid").orderBy(col("ts"), col("tie"))))

@@ -4491,6 +4491,32 @@ object Queries {
   * nulls-first).
   */
 object Oracles {
+  /** The 30-minute sessionization + converting-session CTE chain the
+    * q228/q230 attribution oracles share (sessionized/
+    * convertingSessions mirrored): ends mid-WITH after `eligible` —
+    * append the rail-specific credit CTEs + SELECT. A def, so the two
+    * rails' eligibility rule cannot drift in SQL either.
+    */
+  private def attributionSessCtes: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                             ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked),
+      |per_sess AS (
+      |  SELECT user_id, sid,
+      |    sum(CASE WHEN event_type = 'purchase'
+      |        THEN CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+      |        ELSE 0 END) AS cvu,
+      |    sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS ntouch
+      |  FROM sess GROUP BY 1, 2),
+      |eligible AS (SELECT * FROM per_sess WHERE cvu > 0 AND ntouch > 0),
+      |""".stripMargin
+
   /** The q231 walk-corpus CTE chain (co-supply top-3 graph -> indexed
     * adjacency -> 3 unrolled hash-walk steps), shared by q231 and the
     * q232 skip-gram extraction so the two oracles cannot drift. Ends
@@ -5972,24 +5998,8 @@ object Oracles {
         |  CAST(coalesce(sum(cv), 0) AS DOUBLE) AS conv_value
         |FROM per_sess GROUP BY 1 ORDER BY first_touch""".stripMargin,
     "q228_linear_attribution" ->
-      """WITH marked AS (
-        |  SELECT user_id, ts, event_id, event_type, value,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |sess AS (
-        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                             ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM marked),
-        |per_sess AS (
-        |  SELECT user_id, sid,
-        |    sum(CASE WHEN event_type = 'purchase'
-        |        THEN CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
-        |        ELSE 0 END) AS cvu,
-        |    sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS ntouch
-        |  FROM sess GROUP BY 1, 2),
-        |eligible AS (SELECT * FROM per_sess WHERE cvu > 0 AND ntouch > 0),
-        |per_type AS (
+      (attributionSessCtes +
+      """per_type AS (
         |  SELECT user_id, sid, event_type AS channel, count(*) AS nt
         |  FROM sess WHERE event_type <> 'purchase' GROUP BY 1, 2, 3),
         |credits AS (
@@ -5999,26 +6009,10 @@ object Oracles {
         |  CAST(count(*) AS BIGINT) AS n_session_credits,
         |  CAST(sum(cu) AS BIGINT) AS credit_micro,
         |  CAST(CAST(sum(cu) AS BIGINT) AS DOUBLE) / 1000000.0 AS credit_value
-        |FROM credits GROUP BY 1 ORDER BY channel""".stripMargin,
+        |FROM credits GROUP BY 1 ORDER BY channel""".stripMargin),
     "q230_position_attribution" ->
-      """WITH marked AS (
-        |  SELECT user_id, ts, event_id, event_type, value,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |sess AS (
-        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                             ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM marked),
-        |per_sess AS (
-        |  SELECT user_id, sid,
-        |    sum(CASE WHEN event_type = 'purchase'
-        |        THEN CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
-        |        ELSE 0 END) AS cvu,
-        |    sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS ntouch
-        |  FROM sess GROUP BY 1, 2),
-        |eligible AS (SELECT * FROM per_sess WHERE cvu > 0 AND ntouch > 0),
-        |touches AS (
+      (attributionSessCtes +
+      """touches AS (
         |  SELECT user_id, sid, event_type AS channel,
         |    row_number() OVER (PARTITION BY user_id, sid
         |                       ORDER BY ts, event_id) AS p
@@ -6033,7 +6027,7 @@ object Oracles {
         |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
         |  CAST(sum(cu) AS BIGINT) AS credit_micro,
         |  CAST(CAST(sum(cu) AS BIGINT) AS DOUBLE) / 1000000.0 AS credit_value
-        |FROM credits GROUP BY 1 ORDER BY channel""".stripMargin,
+        |FROM credits GROUP BY 1 ORDER BY channel""".stripMargin),
     "q229_vocab_growth" ->
       """WITH mx AS (SELECT CAST(max(doc_id) AS BIGINT) + 1 AS m FROM documents),
         |toks AS (SELECT doc_id,
