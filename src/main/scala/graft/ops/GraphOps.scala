@@ -234,6 +234,108 @@ object GraphOps {
     rank.select("id", "rank")
   }
 
+  /** Fixed-iteration HITS (Kleinberg 1999, "Authoritative sources in a
+    * hyperlinked environment") in exact integer parts-per-billion
+    * units — the hub/authority complement of [[pageRankInt]] for
+    * directed graphs where "points at good things" and "is pointed at
+    * by good things" are distinct signals (citation/link graphs,
+    * supplier→supplier referral edges). Deterministic to the last bit
+    * on any engine: ranks are 64-bit integers, every update is a sum +
+    * floor division, so the whole table hash-checks against an
+    * unrolled SQL oracle and re-runs bit-identically.
+    *
+    * Semantics per round (classic HITS with SUM-normalization instead
+    * of L2 — the L2 norm needs a square root, which has no exact
+    * integer form; sum-normalization preserves the ranking and keeps
+    * the fixpoint scale-stable): `a(v) = Σ_{u→v} h(u)` then
+    * `a'(v) = (a(v) · 10⁹) div Σa`; `h(u) = Σ_{u→v} a'(v)` then
+    * normalized the same way. `h₀ = 10⁹ div n` so every later raw sum
+    * is ≤ 10⁹ and the normalizing product ≤ 10¹⁸ < 2⁶³ — no overflow
+    * at any graph size (the init division makes round 1 as safe as the
+    * rest; a 10⁶-unit init would bound round-1 in-degree at ~9200).
+    *
+    * Scale shape: each half-round is one edge-keyed join + one
+    * map-side-combinable groupBy over the EDGE list, plus a 1-row
+    * total broadcast — never all-pairs; rank frames are cached (each
+    * is referenced twice: once as the next half-round's input, once by
+    * its own normalizer), released by the session's clearCache.
+    *
+    * Output: (id, hub, auth) after exactly `iters` rounds, both
+    * columns summing to ≤ 10⁹ (floor loss only). Dangling directions
+    * score 0 exactly. Requires a non-empty edge set.
+    */
+  def hitsInt(edges: DataFrame, srcCol: String, dstCol: String,
+              iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"need at least one iteration, got $iters")
+    val e = ScaleOps.trackCache(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+    val nodes = ScaleOps.trackCache(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+        .distinct())
+    // left-join a raw (id, partial-sum) frame onto the node set and
+    // rescale to Σ = 10⁹; the 1-row total rides a broadcast cross join
+    def normalized(raw: DataFrame, valCol: String): DataFrame = {
+      val tot = raw.agg(sum(col(valCol)).as("__tot"))
+      ScaleOps.trackCache(
+        nodes.join(raw, Seq("id"), "left").crossJoin(broadcast(tot))
+          .select(col("id"),
+            expr(s"(coalesce($valCol, 0L) * 1000000000L) div __tot")
+              .as(valCol)))
+    }
+    var hub = ScaleOps.trackCache(
+      nodes.crossJoin(broadcast(nodes.agg(count(lit(1)).as("__n"))))
+        .select(col("id"), expr("1000000000L div __n").as("h")))
+    var auth: DataFrame = null
+    var round = 0
+    while (round < iters) {
+      val araw = e.join(hub, e("src") === hub("id"))
+        .groupBy(e("dst").as("id")).agg(sum(col("h")).as("a"))
+      auth = normalized(araw, "a")
+      val hraw = e.join(auth, e("dst") === auth("id"))
+        .groupBy(e("src").as("id")).agg(sum(col("a")).as("h"))
+      hub = normalized(hraw, "h")
+      round += 1
+    }
+    hub.join(auth, Seq("id"))
+      .select(col("id"), col("h").as("hub"), col("a").as("auth"))
+  }
+
+  /** Resource-allocation link prediction (Zhou, Lü & Zhang 2009,
+    * "Predicting missing links via local information") in exact integer
+    * micro-units: for every node pair sharing at least one common
+    * out-neighbor, `ra(a,b) = Σ_{z ∈ N(a)∩N(b)} 10⁶ div indeg(z)` — a
+    * popular common neighbor says little, a rare one says a lot. The
+    * similarity-graph densifier that proposes edges the k-NN / co-occur
+    * builders missed (entity resolution, related-doc suggestion). All
+    * integer floor arithmetic → hash-checks cross-engine.
+    *
+    * Scale shape: one in-degree aggregate, then candidate pairs come
+    * from an equi-join of the edge list with ITSELF ON THE SHARED
+    * NEIGHBOR (never all-pairs); per-neighbor fan-out is indeg(z)², so
+    * a super-hub z dominates the join — `maxNeighborDeg` drops common
+    * neighbors above the cap (the standard link-prediction hub cut,
+    * which also removes near-zero-weight terms: at the default 10⁶
+    * scale, any z with indeg > 10⁶ contributes 0 anyway). The weighted
+    * edge frame is referenced twice (both join sides) — cached, the
+    * DAG-reuse rule.
+    *
+    * Output: (id_a, id_b, n_common, ra_micro), id_a < id_b.
+    */
+  def resourceAllocationInt(edges: DataFrame, srcCol: String, dstCol: String,
+                            maxNeighborDeg: Long = Long.MaxValue): DataFrame = {
+    require(maxNeighborDeg >= 1,
+      s"maxNeighborDeg must be positive, got $maxNeighborDeg")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val indeg = e.groupBy("dst").agg(count(lit(1)).as("__deg"))
+      .filter(col("__deg") <= maxNeighborDeg)
+    val w = ScaleOps.trackCache(e.join(indeg, "dst")
+      .select(col("src"), col("dst"), expr("1000000L div __deg").as("__w")))
+    w.as("x").join(w.as("y"),
+        col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
+      .groupBy(col("x.src").as("id_a"), col("y.src").as("id_b"))
+      .agg(count(lit(1)).as("n_common"), sum(col("x.__w")).as("ra_micro"))
+  }
+
   /** Fixed-round k-core peeling on an undirected simple graph: each
     * round computes degrees, drops every vertex with degree < `k`, and
     * restricts the edge set to surviving endpoints — after enough

@@ -629,6 +629,65 @@ object RelOps {
         (col("credit_micro").cast("double") / lit(1000000.0)).as("credit_value"))
   }
 
+  /** Session-level TIME-DECAY attribution — the fourth rail of the
+    * family (q142 first-touch, q228 linear, q230 U-shaped): within each
+    * converting session, touches closer to the conversion earn more,
+    * with weight halving every `halflifeMinutes` before the session's
+    * LAST conversion event (the anchor). All credit arithmetic is EXACT
+    * integers so the table hash-checks: a touch's age in whole
+    * half-lives is `d = micros(anchor − ts) div halflifeUs`
+    * (`timestampdiff` — NTZ-safe), its weight is
+    * `w = 1,000,000 div (1 << least(d, 20))` (dyadic decay, the q141
+    * discipline; the shift is capped at 20 on BOTH engines — beyond it
+    * the weight is 0 anyway, and an uncapped shift is engine-specific
+    * UB), and its credit is `(cvμ · w) div Σw` micro-units (floor
+    * division, identical rule both sides). Touches after the anchor
+    * earn nothing (a negative age has no cross-engine floor-division
+    * story — they're filtered, not clamped). Output: (channel,
+    * n_touches, credit_micro, credit_value) over credited touches;
+    * `credit_value` is one IEEE division per output row (the q194
+    * ratio discipline).
+    *
+    * Scale shape: sessionization's one key shuffle; the anchor and
+    * weight-sum aggregates reuse its (k, sid) grouping; credit joins
+    * are (k, sid)-keyed and session-count-sized; the final rollup is a
+    * map-side-combinable channel groupBy. Overflow headroom:
+    * `cvμ · w ≤ cvμ · 10⁶`, so conversion values to ~9.2 · 10⁶ in
+    * currency units fit i64.
+    */
+  def decayAttribution(df: DataFrame, keyCol: String, tsCol: String,
+                       tieCol: String, typeCol: String, valueCol: String,
+                       convType: String, halflifeMinutes: Int = 10,
+                       gapMinutes: Int = 30): DataFrame = {
+    require(halflifeMinutes >= 1,
+      s"halflifeMinutes must be positive, got $halflifeMinutes")
+    val halflifeUs = halflifeMinutes * 60000000L
+    val s = sessionized(df, keyCol, tsCol, tieCol, typeCol, valueCol,
+      gapMinutes)
+    val perSess = convertingSessions(s, convType)
+    val anchors = s.filter(col("et") === convType)
+      .groupBy("k", "sid").agg(max(col("ts")).as("__anchor"))
+    // referenced twice (sums + credit join) over a windowed lineage —
+    // the DAG-reuse rule: cache, released by the caller's clearCache
+    val weighted = ScaleOps.trackCache(s.filter(col("et") =!= convType)
+      .join(anchors, Seq("k", "sid"))
+      .filter(col("ts") <= col("__anchor"))
+      .withColumn("__d",
+        expr(s"timestampdiff(MICROSECOND, ts, __anchor) div ${halflifeUs}L"))
+      .withColumn("__w",
+        expr("1000000L div shiftleft(1L, cast(least(__d, 20L) as int))")))
+    val sums = weighted.groupBy("k", "sid").agg(sum(col("__w")).as("__sw"))
+      .filter(col("__sw") > 0L)
+    weighted.join(sums, Seq("k", "sid"))
+      .join(perSess, Seq("k", "sid"))
+      .select(col("et"), expr("(cvu * __w) div __sw").as("cu"))
+      .groupBy("et").agg(
+        count(lit(1)).as("n_touches"),
+        sum(col("cu")).as("credit_micro"))
+      .select(col("et").as("channel"), col("n_touches"), col("credit_micro"),
+        (col("credit_micro").cast("double") / lit(1000000.0)).as("credit_value"))
+  }
+
   /** Session path mining: sessionize per key (the q25 30-minute gap),
     * take each session's first `depth` event types in (ts, tie) order,
     * and count the resulting paths corpus-wide — the

@@ -1641,6 +1641,29 @@ object Queries {
           steps = 3, walksPerNode = 2), window = 2)
       .orderBy("center", "context")
 
+  /** HITS hubs/authorities over the co-supply top-3 graph
+    * ([[graft.ops.GraphOps.hitsInt]], 2 rounds) — exact integer
+    * parts-per-billion ranks (sum-normalized dyadic arithmetic, no
+    * floats anywhere), hash-checked against a round-unrolled SQL
+    * oracle that shares the q113/q231 graph CTEs.
+    */
+  def q234_hits(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.GraphOps.hitsInt(coSupplyTop3(spark, dir), "src", "dst",
+        iters = 2)
+      .select(col("id").as("s_suppkey"), col("hub"), col("auth"))
+      .orderBy("s_suppkey")
+
+  /** Resource-allocation link prediction over the co-supply top-3 graph
+    * ([[graft.ops.GraphOps.resourceAllocationInt]]): for every supplier
+    * pair sharing a co-supply neighbor, the integer-exact RA score
+    * `Σ 10⁶ div indeg(z)` — the edge-proposal rail on the same graph
+    * HITS/PageRank/triangles rank, fully hash-checked.
+    */
+  def q237_link_prediction(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.GraphOps.resourceAllocationInt(coSupplyTop3(spark, dir),
+        "src", "dst")
+      .orderBy("id_a", "id_b")
+
   def q113_cosupply_triangles(spark: SparkSession, dir: String): DataFrame =
     graft.ops.GraphOps.triangleCounts(coSupplyTop3(spark, dir), "src", "dst")
       .select(col("id").as("s_suppkey"), col("n_triangles"))
@@ -4147,6 +4170,70 @@ object Queries {
         convType = "purchase")
       .orderBy("channel")
 
+  /** Time-decay attribution ([[graft.ops.RelOps.decayAttribution]]) —
+    * the attribution family's fourth rail (q142 first-touch, q228
+    * linear, q230 U-shaped): a touch's credit halves every 10 minutes
+    * before the session's last purchase, in EXACT dyadic integer
+    * weights (`10⁶ div 2^min(age_halflives, 20)` — the q141 integer
+    * decay discipline) and floor-divided micro-unit credits, so the
+    * whole table hash-checks.
+    */
+  def q233_decay_attribution(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.RelOps.decayAttribution(Tables(spark, dir).events,
+        "user_id", "ts", "event_id", "event_type", "value",
+        convType = "purchase")
+      .orderBy("channel")
+
+  /** Video-shaped frame sampling ([[graft.multimodal.Multimodal.sampleFrames]]
+    * — fixed-size frames over an opaque binary payload, every 4th kept):
+    * the deterministic "video" is the document's UTF-8 bytes (the q40/q42
+    * binary discipline), frames are 64 bytes at stride 4, and the EXACT
+    * frame content (offsets, lengths, short tail, empty payload) is
+    * hash-checked cross-engine — the sampling semantics themselves are
+    * the thing under oracle, with no stub leniency. Column-level
+    * (sequence/transform/substring), no UDF; the per-frame fan-out is a
+    * generate, not a shuffle.
+    */
+  def q236_frame_sample(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+      .select(col("doc_id"), posexplode(
+        graft.multimodal.Multimodal.sampleFrames(
+          encode(col("text"), "UTF-8"), frameSize = 64, stride = 4)))
+      .select(col("doc_id"), col("pos").cast("long").as("frame_idx"),
+        col("col").cast("string").as("frame_text"),
+        octet_length(col("col")).cast("long").as("frame_len"))
+      .orderBy("doc_id", "frame_idx")
+
+  /** Unicode NFC-normalization audit ([[graft.text.NfcNormalizeExpr]] —
+    * native codegen kernel over `java.text.Normalizer`): per document,
+    * whether the text is already canonically composed and the
+    * codepoint-length delta under NFC. The fixture corpus is ASCII
+    * (identity under NFC), so three crafted non-NFC rows (combining
+    * acute, the U+212B Ångström singleton + combining diaeresis, a
+    * precomposed control) are unioned on BOTH engines — the q58
+    * crafted-row discipline — making the kernel's composition behavior
+    * itself hash-checked cross-engine against DuckDB's
+    * `nfc_normalize`.
+    */
+  def q235_nfc_audit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val crafted = Seq(
+      (-1L, "Cafe\u0301 au lait"),      // e + combining acute
+      (-2L, "\u212Bngstro\u0308m"),      // A-ring sign + combining diaeresis
+      (-3L, "already caf\u00E9 NFC")     // precomposed: identity under NFC
+    ).toDF("doc_id", "text")
+    Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+      .unionAll(crafted)
+      .select(col("doc_id"),
+        graft.text.TextKernels.nfcNormalizeNative(col("text")).as("__n"),
+        col("text"))
+      .select(col("doc_id"),
+        (col("__n") === col("text")).as("already_nfc"),
+        length(col("text")).cast("long").as("len_raw"),
+        length(col("__n")).cast("long").as("len_nfc"))
+      .orderBy("doc_id")
+  }
+
   /** Heaps-law vocabulary growth ([[graft.ops.CorpusOps.vocabGrowth]]):
     * the corpus in doc-id order cut into 10 equal id-range slices —
     * per slice, first-seen distinct tokens, token occurrences, and the
@@ -4479,7 +4566,12 @@ object Queries {
     "q229_vocab_growth" -> (q229_vocab_growth _),
     "q230_position_attribution" -> (q230_position_attribution _),
     "q231_random_walks" -> (q231_random_walks _),
-    "q232_skipgram_pairs" -> (q232_skipgram_pairs _)
+    "q232_skipgram_pairs" -> (q232_skipgram_pairs _),
+    "q233_decay_attribution" -> (q233_decay_attribution _),
+    "q234_hits" -> (q234_hits _),
+    "q235_nfc_audit" -> (q235_nfc_audit _),
+    "q236_frame_sample" -> (q236_frame_sample _),
+    "q237_link_prediction" -> (q237_link_prediction _)
   )
 }
 
@@ -4522,7 +4614,12 @@ object Oracles {
     * q232 skip-gram extraction so the two oracles cannot drift. Ends
     * mid-WITH (trailing comma): append the consuming CTE + SELECT.
     */
-  private def walkCorpusCtes: String =
+  /** The co-supply top-3 graph CTE chain (ps → co → de → top3) — the
+    * SQL mirror of [[coSupplyTop3]], shared by the walk corpus
+    * (q231/q232) and the HITS oracle (q234) so the graph cannot drift
+    * between them. Ends mid-WITH (trailing comma): append consumers.
+    */
+  private def coSupplyCtes: String =
     """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
         |co AS (SELECT a.s AS sa, b.s AS sb, CAST(count(*) AS BIGINT) AS shared
         |       FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2),
@@ -4532,7 +4629,10 @@ object Oracles {
         |    SELECT src, dst,
         |      row_number() OVER (PARTITION BY src ORDER BY shared DESC, dst) AS rn
         |    FROM de) WHERE rn <= 3),
-        |idx AS MATERIALIZED (SELECT src, dst,
+        |""".stripMargin
+
+  private def walkCorpusCtes: String = coSupplyCtes +
+    """idx AS MATERIALIZED (SELECT src, dst,
         |    CAST(row_number() OVER (PARTITION BY src ORDER BY dst) AS BIGINT) - 1 AS i,
         |    CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg
         |  FROM top3),
@@ -5673,6 +5773,50 @@ object Oracles {
         |          UNION ALL SELECT z AS id FROM tri)
         |SELECT id AS s_suppkey, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM nodes GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q234_hits" -> (coSupplyCtes +
+      """nodes AS MATERIALIZED (
+        |  SELECT DISTINCT src AS id FROM top3
+        |  UNION SELECT DISTINCT dst AS id FROM top3),
+        |h0 AS MATERIALIZED (SELECT id,
+        |    CAST(1000000000 AS BIGINT) // (SELECT count(*) FROM nodes) AS h
+        |  FROM nodes),
+        |a1r AS MATERIALIZED (SELECT e.dst AS id, sum(h.h) AS a
+        |  FROM top3 e JOIN h0 h ON h.id = e.src GROUP BY 1),
+        |a1 AS MATERIALIZED (SELECT n.id,
+        |    CAST((coalesce(a, 0) * CAST(1000000000 AS BIGINT))
+        |      // CAST((SELECT sum(a) FROM a1r) AS BIGINT) AS BIGINT) AS a
+        |  FROM nodes n LEFT JOIN a1r USING (id)),
+        |h1r AS MATERIALIZED (SELECT e.src AS id, sum(a.a) AS h
+        |  FROM top3 e JOIN a1 a ON a.id = e.dst GROUP BY 1),
+        |h1 AS MATERIALIZED (SELECT n.id,
+        |    CAST((coalesce(h, 0) * CAST(1000000000 AS BIGINT))
+        |      // CAST((SELECT sum(h) FROM h1r) AS BIGINT) AS BIGINT) AS h
+        |  FROM nodes n LEFT JOIN h1r USING (id)),
+        |a2r AS MATERIALIZED (SELECT e.dst AS id, sum(h.h) AS a
+        |  FROM top3 e JOIN h1 h ON h.id = e.src GROUP BY 1),
+        |a2 AS MATERIALIZED (SELECT n.id,
+        |    CAST((coalesce(a, 0) * CAST(1000000000 AS BIGINT))
+        |      // CAST((SELECT sum(a) FROM a2r) AS BIGINT) AS BIGINT) AS a
+        |  FROM nodes n LEFT JOIN a2r USING (id)),
+        |h2r AS MATERIALIZED (SELECT e.src AS id, sum(a.a) AS h
+        |  FROM top3 e JOIN a2 a ON a.id = e.dst GROUP BY 1),
+        |h2 AS MATERIALIZED (SELECT n.id,
+        |    CAST((coalesce(h, 0) * CAST(1000000000 AS BIGINT))
+        |      // CAST((SELECT sum(h) FROM h2r) AS BIGINT) AS BIGINT) AS h
+        |  FROM nodes n LEFT JOIN h2r USING (id))
+        |SELECT n.id AS s_suppkey, h2.h AS hub, a2.a AS auth
+        |FROM nodes n JOIN h2 USING (id) JOIN a2 USING (id)
+        |ORDER BY s_suppkey""".stripMargin),
+    "q237_link_prediction" -> (coSupplyCtes +
+      """indeg AS (SELECT dst, CAST(count(*) AS BIGINT) AS deg
+        |          FROM top3 GROUP BY 1),
+        |w AS MATERIALIZED (SELECT t.src, t.dst, 1000000 // deg AS w
+        |  FROM top3 t JOIN indeg USING (dst))
+        |SELECT x.src AS id_a, y.src AS id_b,
+        |  CAST(count(*) AS BIGINT) AS n_common,
+        |  CAST(sum(x.w) AS BIGINT) AS ra_micro
+        |FROM w x JOIN w y ON x.dst = y.dst AND x.src < y.src
+        |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin),
     "q231_random_walks" -> (walkCorpusCtes +
       """fin AS (SELECT * FROM f0 UNION ALL SELECT * FROM f1
         |      UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3)
@@ -6028,6 +6172,50 @@ object Oracles {
         |  CAST(sum(cu) AS BIGINT) AS credit_micro,
         |  CAST(CAST(sum(cu) AS BIGINT) AS DOUBLE) / 1000000.0 AS credit_value
         |FROM credits GROUP BY 1 ORDER BY channel""".stripMargin),
+    "q233_decay_attribution" ->
+      (attributionSessCtes +
+      """anchors AS (
+        |  SELECT user_id, sid, max(ts) AS anchor
+        |  FROM sess WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |tw AS MATERIALIZED (
+        |  SELECT s.user_id, s.sid, s.event_type AS channel,
+        |    1000000 // (1::BIGINT << LEAST(
+        |      date_diff('microsecond', s.ts, a.anchor) // 600000000, 20)) AS w
+        |  FROM sess s JOIN anchors a USING (user_id, sid)
+        |  WHERE s.event_type <> 'purchase' AND s.ts <= a.anchor),
+        |sw AS (SELECT user_id, sid, sum(w) AS swt FROM tw GROUP BY 1, 2
+        |       HAVING sum(w) > 0),
+        |credits AS (
+        |  SELECT channel, (cvu * w) // swt AS cu
+        |  FROM tw JOIN sw USING (user_id, sid)
+        |       JOIN eligible USING (user_id, sid))
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+        |  CAST(sum(cu) AS BIGINT) AS credit_micro,
+        |  CAST(CAST(sum(cu) AS BIGINT) AS DOUBLE) / 1000000.0 AS credit_value
+        |FROM credits GROUP BY 1 ORDER BY channel""".stripMargin),
+    "q235_nfc_audit" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (-1, 'Cafe' || chr(769) || ' au lait'),
+        |    (-2, chr(8491) || 'ngstro' || chr(776) || 'm'),
+        |    (-3, 'already caf' || chr(233) || ' NFC')) AS t(doc_id, text)),
+        |n AS (SELECT doc_id, text, nfc_normalize(text) AS nt FROM corpus)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, (nt = text) AS already_nfc,
+        |  CAST(length(text) AS BIGINT) AS len_raw,
+        |  CAST(length(nt) AS BIGINT) AS len_nfc
+        |FROM n ORDER BY doc_id""".stripMargin,
+    "q236_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, i AS frame_idx,
+        |    substring(text, CAST(i * 256 + 1 AS INTEGER), 64) AS frame_text
+        |  FROM documents CROSS JOIN
+        |    unnest(generate_series(0,
+        |      greatest((length(text) - 1) // 256, 0))) AS u(i))
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(frame_idx AS BIGINT) AS frame_idx, frame_text,
+        |  CAST(length(frame_text) AS BIGINT) AS frame_len
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "q229_vocab_growth" ->
       """WITH mx AS (SELECT CAST(max(doc_id) AS BIGINT) + 1 AS m FROM documents),
         |toks AS (SELECT doc_id,

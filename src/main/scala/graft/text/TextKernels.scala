@@ -26,6 +26,9 @@ object TextKernels {
 
   def minSpanNative(tokensCol: Column, terms: Seq[String]): Column =
     GraftSqlBridge.column(MinSpanExpr(GraftSqlBridge.expression(tokensCol), terms))
+
+  def nfcNormalizeNative(textCol: Column): Column =
+    GraftSqlBridge.column(NfcNormalizeExpr(GraftSqlBridge.expression(textCol)))
 }
 
 /** One-pass language-ID over an `array<string>` token column.
@@ -300,6 +303,55 @@ case class MinSpanExpr(child: Expression, terms: Seq[String])
          |}
          |if ($best == Long.MAX_VALUE) { ${ev.isNull} = true; }
          |else { ${ev.value} = $best; }
+       """.stripMargin
+    })
+}
+
+/** Unicode NFC normalization (canonical decomposition + composition,
+  * `java.text.Normalizer`) as a native codegen kernel — the standard
+  * first step of text canonicalization before hashing/dedup: two
+  * byte-distinct spellings of the same text (`e` + combining U+0301 vs
+  * precomposed `é`, the U+212B Ångström singleton vs U+00C5) must not
+  * defeat exact dedup or split token counts. A `Normalizer.isNormalized`
+  * fast path returns the input UTF8String untouched for already-NFC
+  * text (all ASCII in particular), so the common corpus row costs one
+  * scan and zero allocation.
+  *
+  * Reference: kasper treats values as opaque bytes end to end
+  * (processor.go); normalization is a curation-engine concern layered
+  * on top.
+  */
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"input must be string, got $other")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    val s = u.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val s = ctx.freshName("s")
+      s"""
+         |final String $s = $in.toString();
+         |if (java.text.Normalizer.isNormalized($s, java.text.Normalizer.Form.NFC)) {
+         |  ${ev.value} = $in;
+         |} else {
+         |  ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |    java.text.Normalizer.normalize($s, java.text.Normalizer.Form.NFC));
+         |}
        """.stripMargin
     })
 }

@@ -69,7 +69,9 @@ object GraftSqlBridge {
     "sq8_encode" -> (exprs => { arity("sq8_encode(vector)", 1)(exprs)
       graft.functions.Sq8Encode(exprs.head) }),
     "sq8_dot" -> (exprs => { arity("sq8_dot(code, q)", 2)(exprs)
-      graft.functions.Sq8Dot(exprs.head, exprs(1)) })
+      graft.functions.Sq8Dot(exprs.head, exprs(1)) }),
+    "nfc_normalize" -> (exprs => { arity("nfc_normalize(text)", 1)(exprs)
+      graft.text.NfcNormalizeExpr(exprs.head) })
   )
 
   /** Register graft's native expressions on an EXISTING session

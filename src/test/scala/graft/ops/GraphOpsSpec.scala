@@ -188,4 +188,74 @@ class GraphOpsSpec extends SparkSpec {
       GraphOps.pageRankInt(nodes, "id", edges, "src", "dst", dampingBp = 10001)
     }
   }
+
+  test("resourceAllocationInt: hand-computed RA scores, hub cap, pair orientation") {
+    // common neighbors: 5 ← {1,2,3} (deg 3), 6 ← {1,2} (deg 2), 7 ← {4}
+    val edges = Seq((1L, 5L), (2L, 5L), (3L, 5L), (1L, 6L), (2L, 6L),
+      (4L, 7L)).toDF("src", "dst")
+    val got = GraphOps.resourceAllocationInt(edges, "src", "dst")
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (a, b, n, ra) => (a, b) -> (n, ra) }.toMap
+    // w(z=5) = 10⁶ div 3 = 333333; w(z=6) = 500000
+    assert(got == Map(
+      (1L, 2L) -> (2L, 833333L),
+      (1L, 3L) -> (1L, 333333L),
+      (2L, 3L) -> (1L, 333333L)), s"got $got")
+    assert(got.keys.forall { case (a, b) => a < b })
+    // hub cap: dropping z=5 (deg 3 > cap 2) leaves only the z=6 pair
+    val capped = GraphOps.resourceAllocationInt(edges, "src", "dst",
+        maxNeighborDeg = 2L)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (a, b, n, ra) => (a, b) -> (n, ra) }.toMap
+    assert(capped == Map((1L, 2L) -> (1L, 500000L)), s"capped $capped")
+    intercept[IllegalArgumentException] {
+      GraphOps.resourceAllocationInt(edges, "src", "dst", maxNeighborDeg = 0L)
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("hitsInt: matches a driver-side integer mirror; normalized sums bounded; partition-invariant") {
+    // two hubs (1 weak, 2 strong), shared authorities 3/4, a back-edge
+    // 5→1, a pure authority (4: no out-edges), a minor hub 6
+    val edgeList = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (2L, 5L),
+      (5L, 1L), (6L, 3L))
+    // the op's recurrence in driver Longs (floor division on
+    // non-negatives == Long truncation)
+    def mirror(iters: Int): Map[Long, (Long, Long)] = {
+      val nodes = edgeList.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      var h = nodes.map(_ -> (1000000000L / nodes.size)).toMap
+      var a = Map.empty[Long, Long]
+      for (_ <- 1 to iters) {
+        val araw = nodes.map(v =>
+          v -> edgeList.filter(_._2 == v).map(e => h(e._1)).sum).toMap
+        val at = araw.values.sum
+        a = araw.map { case (k, x) => k -> x * 1000000000L / at }
+        val hraw = nodes.map(u =>
+          u -> edgeList.filter(_._1 == u).map(e => a(e._2)).sum).toMap
+        val ht = hraw.values.sum
+        h = hraw.map { case (k, x) => k -> x * 1000000000L / ht }
+      }
+      nodes.map(v => v -> (h(v), a(v))).toMap
+    }
+    val got = GraphOps.hitsInt(edgeList.toDF("src", "dst"), "src", "dst",
+        iters = 2)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, hb, au) => id -> (hb, au) }.toMap
+    assert(got == mirror(2), s"got $got\nexp ${mirror(2)}")
+    // sum-normalization: each column totals ≤ 1e9 (floor loss only)
+    assert(got.values.map(_._1).sum <= 1000000000L)
+    assert(got.values.map(_._2).sum <= 1000000000L)
+    assert(got.values.map(_._1).sum > 999999000L) // and loses < 1000 ppb
+    // hub/authority separation: 2 out-hubs 1; 3 is the top authority
+    assert(got(2L)._1 > got(1L)._1, s"hub order: $got")
+    assert(got(3L)._2 > got(4L)._2, s"auth order: $got")
+    assert(got(4L)._1 == 0L, "a node with no out-edges is a zero hub")
+    // integer arithmetic ⇒ identical under any partitioning
+    val again = GraphOps.hitsInt(edgeList.toDF("src", "dst").repartition(7),
+        "src", "dst", iters = 2)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, hb, au) => id -> (hb, au) }.toMap
+    assert(again == got)
+    spark.catalog.clearCache()
+  }
 }

@@ -631,6 +631,52 @@ class RelOpsSpec extends SparkSpec {
       ("click", 4L, 100000L + 400000L + 2000000L + 2000000L)), s"credits: $got")
   }
 
+  test("decayAttribution: dyadic half-life weights, anchor boundary, post-anchor and all-stale sessions excluded") {
+    import org.apache.spark.sql.functions.to_timestamp
+    val ev = Seq(
+      // A: view 25 min before purchase (d=2, w=250000), click 10 min
+      // before (d=1, w=500000); Σw=750000, cvu=1000000
+      ("A", "2024-01-01 10:00:00", 1L, "view", 0.0),
+      ("A", "2024-01-01 10:15:00", 2L, "click", 0.0),
+      ("A", "2024-01-01 10:25:00", 3L, "purchase", 1.0),
+      // B: only touch AFTER the anchor — converting session, no credit
+      ("B", "2024-01-01 10:00:00", 4L, "purchase", 2.0),
+      ("B", "2024-01-01 10:05:00", 5L, "view", 0.0),
+      // C: touch exactly AT the anchor (d=0, w=1000000, full credit)
+      ("C", "2024-01-01 10:00:00", 6L, "click", 0.0),
+      ("C", "2024-01-01 10:00:00", 7L, "purchase", 3.0)
+    ).toDF("user_id", "tss", "event_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val got = RelOps.decayAttribution(ev, "user_id", "ts", "event_id",
+        "event_type", "value", convType = "purchase")
+      .select("channel", "n_touches", "credit_micro")
+      .as[(String, Long, Long)].collect().toSet
+    // A: view (1000000·250000) div 750000 = 333333,
+    //    click (1000000·500000) div 750000 = 666666 (one micro dropped);
+    // C: click 3000000
+    assert(got == Set(
+      ("view", 1L, 333333L),
+      ("click", 2L, 666666L + 3000000L)), s"credits: $got")
+    // all-stale session: with halflife 1 min a 25-min-old touch is past
+    // the 20-half-life cap (w=0) — the Σw>0 gate drops the whole
+    // session rather than dividing by zero
+    val stale = Seq(
+      ("E", "2024-01-01 10:00:00", 1L, "view", 0.0),
+      ("E", "2024-01-01 10:25:00", 2L, "purchase", 1.0)
+    ).toDF("user_id", "tss", "event_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val none = RelOps.decayAttribution(stale, "user_id", "ts", "event_id",
+      "event_type", "value", convType = "purchase", halflifeMinutes = 1)
+    assert(none.count() == 0L, "stale-only session must earn nothing")
+    // same frame at the default half-life: d=2, full single-touch credit
+    val fresh = RelOps.decayAttribution(stale, "user_id", "ts", "event_id",
+        "event_type", "value", convType = "purchase")
+      .select("channel", "n_touches", "credit_micro")
+      .as[(String, Long, Long)].collect().toSet
+    assert(fresh == Set(("view", 1L, 1000000L)), s"got $fresh")
+    spark.catalog.clearCache()
+  }
+
   test("weightedQuantiles: one-pass multi-bp matches the brute-force rule on dense ties") {
     // low-cardinality groups × dense value ties: the de-skew rewrite must
     // not disturb the integer basis-point rule at ANY partition split

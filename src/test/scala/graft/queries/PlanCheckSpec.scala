@@ -348,4 +348,11 @@ class PlanCheckSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"lineitem shuffled against a dim:\n$p")
   }
+
+  test("q237 link-prediction candidates come from the shared-neighbor equi-join, never all-pairs") {
+    val p = plans("q237_link_prediction")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"pair generation degraded to all-pairs:\n$p")
+  }
 }

@@ -87,4 +87,41 @@ class TextFunctionsSpec extends SparkSpec {
     assert(fps(0).intersect(fps(1)).size >= 6)
     assert(fps(0).intersect(fps(2)).isEmpty)
   }
+
+  test("NfcNormalizeExpr: composes combining marks and singletons, identity on NFC/ASCII, null-safe, SQL surface") {
+    val rows = Seq(
+      ("decomposed", "Cafe\u0301"),   // e + U+0301 -> e-acute
+      ("singleton", "\u212B"),        // Angstrom sign -> U+00C5
+      ("diaeresis", "o\u0308"),       // o + U+0308 -> o-diaeresis
+      ("precomposed", "caf\u00E9"),   // already NFC
+      ("ascii", "plain ascii text"),
+      ("empty", ""),
+      ("nul", null)
+    ).toDF("k", "t")
+    val got = rows.select($"k",
+        TextKernels.nfcNormalizeNative($"t").as("n"))
+      .as[(String, String)].collect().toMap
+    assert(got("decomposed") == "Caf\u00E9")
+    assert(got("singleton") == "\u00C5")
+    assert(got("diaeresis") == "\u00F6")
+    assert(got("precomposed") == "caf\u00E9")
+    assert(got("ascii") == "plain ascii text")
+    assert(got("empty") == "")
+    assert(got("nul") == null)
+    // interpreted path (eval) must agree with the codegen path above
+    val e = NfcNormalizeExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal("Cafe\u0301"))
+    assert(e.eval(null).toString == "Caf\u00E9")
+    // SQL-text surface through the injected registry
+    org.apache.spark.sql.GraftSqlBridge.registerFunctions(spark)
+    // (Spark's chr() is ASCII-mod-256, unlike DuckDB's — use the SQL
+    // unicode escape to build the combining mark)
+    val viaSql = spark.sql("SELECT nfc_normalize('Cafe\\u0301') AS n")
+      .as[String].collect().head
+    assert(viaSql == "Caf\u00E9")
+    // non-string input is an analysis-time failure, not a runtime one
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1L).toDF("x").select(TextKernels.nfcNormalizeNative($"x")).collect()
+    }
+  }
 }
