@@ -650,6 +650,50 @@ object CorpusOps {
         "n_tokens", "tokens_cum", "ttr")
   }
 
+  /** Pairwise vocabulary overlap between corpus segments (sources,
+    * snapshots, shards): per segment pair, the distinct-token set
+    * sizes, intersection, union, and Jaccard — the corpus-comparison
+    * number behind "is this new source redundant with what we have"
+    * and "did the crawl shift", the set-level sibling of the
+    * token-frequency drift rail (q159). Counts are exact integers;
+    * `jaccard` is one IEEE division per output row (the q194
+    * discipline).
+    *
+    * Scale shape: one distinct over (segment, token) — a single key
+    * shuffle — cached (it feeds both the size aggregate and BOTH sides
+    * of the pair join, the DAG-reuse rule); candidate pairs come from
+    * the equi-join on the token (never all-pairs over segments ×
+    * vocabulary). Per-token fan-out is (#segments containing it)², so
+    * the op is sized for few-to-hundreds of segments — corpus sources,
+    * not per-document keys; the intersection aggregate is map-side
+    * combinable.
+    *
+    * Output: (seg_a, seg_b, nv_a, nv_b, n_inter, n_union, jaccard),
+    * seg_a < seg_b, pairs with empty intersections omitted (an inner
+    * join on both engines — identical row sets).
+    */
+  def vocabOverlap(docs: DataFrame, segCol: String, textCol: String): DataFrame = {
+    val toks = ScaleOps.trackCache(graft.core.Graft.spread(docs)
+      .select(col(segCol).as("s"),
+        explode(graft.text.TextFunctions.tokens(col(textCol))).as("tok"))
+      .distinct())
+    val sizes = toks.groupBy("s").agg(count(lit(1)).as("nv"))
+    val inter = toks.as("a").join(toks.as("b"),
+        col("a.tok") === col("b.tok") && col("a.s") < col("b.s"))
+      .groupBy(col("a.s").as("seg_a"), col("b.s").as("seg_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.select(col("s").as("seg_a"), col("nv").as("nv_a"))),
+        Seq("seg_a"))
+      .join(broadcast(sizes.select(col("s").as("seg_b"), col("nv").as("nv_b"))),
+        Seq("seg_b"))
+      .select(col("seg_a"), col("seg_b"), col("nv_a"), col("nv_b"),
+        col("n_inter"),
+        (col("nv_a") + col("nv_b") - col("n_inter")).as("n_union"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / col("n_union").cast("double"))
+  }
+
   /** Deterministic negative sampling for contrastive training: for each
     * probe id, the `k` candidates ranking lowest under the modular pair
     * hash `(pid·A + cid·B + C) mod P` — uniform pseudo-random but fully

@@ -4234,6 +4234,61 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Per-source vocabulary overlap ([[graft.ops.CorpusOps.vocabOverlap]]):
+    * distinct-token Jaccard between every source pair — the
+    * "is this source redundant / did the crawl shift" corpus
+    * comparison, exact set counts with one IEEE division per row.
+    */
+  def q238_source_overlap(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusOps.vocabOverlap(Tables(spark, dir).documents,
+        "source", "text")
+      .orderBy("seg_a", "seg_b")
+
+  /** Dedup-savings report: the q65 exact near-dup groups rolled up to
+    * the numbers a curation run is judged by — per duplicate-cluster
+    * size, how many groups/docs exist and how many chars the
+    * keep-min-id policy saves. Every column is an exact integer; the
+    * oracle nests the shared q65 recursive-CTE closure as a derived
+    * table, so the report and the groups rail cannot drift.
+    */
+  def q239_dedup_savings(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val pairs = graft.dedup.Dedup.jaccardPairs(d, "text", "doc_id",
+      n = 3, threshold = 0.5).select("id_a", "id_b")
+    val sized = graft.dedup.Dedup.labelGroups(d, "doc_id", pairs,
+        "id_a", "id_b")
+      .join(d.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+    val per = sized.groupBy("group").agg(
+      count(lit(1)).as("sz"),
+      sum(col("n_chars")).as("chars"),
+      sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("ck"))
+    per.groupBy(col("sz").as("group_size")).agg(
+        count(lit(1)).as("n_groups"),
+        sum(col("chars")).as("chars_total"),
+        sum(col("ck")).as("chars_kept"))
+      .select(col("group_size"), col("n_groups"),
+        (col("group_size") * col("n_groups")).as("n_docs"),
+        col("chars_total"), col("chars_kept"),
+        (col("chars_total") - col("chars_kept")).as("chars_saved"))
+      .orderBy("group_size")
+  }
+
+  /** Token frequency-of-frequencies spectrum (the Zipf/hapax audit):
+    * for each corpus-wide token frequency `tf`, how many distinct
+    * types occur exactly `tf` times and how many token occurrences
+    * they account for — the table behind hapax share, vocabulary
+    * truncation, and min-count cutoff decisions. Exact integers.
+    */
+  def q240_token_spectrum(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Graft.spread(Tables(spark, dir).documents)
+      .select(explode(graft.text.TextFunctions.tokens(col("text")))
+        .as("token"))
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+      .groupBy("tf").agg(count(lit(1)).as("n_types"))
+      .select(col("tf"), col("n_types"),
+        (col("tf") * col("n_types")).as("n_tokens"))
+      .orderBy("tf")
+
   /** Heaps-law vocabulary growth ([[graft.ops.CorpusOps.vocabGrowth]]):
     * the corpus in doc-id order cut into 10 equal id-range slices —
     * per slice, first-seen distinct tokens, token occurrences, and the
@@ -4571,7 +4626,10 @@ object Queries {
     "q234_hits" -> (q234_hits _),
     "q235_nfc_audit" -> (q235_nfc_audit _),
     "q236_frame_sample" -> (q236_frame_sample _),
-    "q237_link_prediction" -> (q237_link_prediction _)
+    "q237_link_prediction" -> (q237_link_prediction _),
+    "q238_source_overlap" -> (q238_source_overlap _),
+    "q239_dedup_savings" -> (q239_dedup_savings _),
+    "q240_token_spectrum" -> (q240_token_spectrum _)
   )
 }
 
@@ -5807,6 +5865,51 @@ object Oracles {
         |SELECT n.id AS s_suppkey, h2.h AS hub, a2.a AS auth
         |FROM nodes n JOIN h2 USING (id) JOIN a2 USING (id)
         |ORDER BY s_suppkey""".stripMargin),
+    "q238_source_overlap" ->
+      """WITH raw AS (SELECT source AS s,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |toks AS MATERIALIZED (SELECT DISTINCT s, t[i] AS tok
+        |  FROM raw CROSS JOIN unnest(generate_series(1, len(t))) AS u(i)),
+        |sizes AS (SELECT s, CAST(count(*) AS BIGINT) AS nv
+        |          FROM toks GROUP BY 1),
+        |inter AS (SELECT a.s AS seg_a, b.s AS seg_b,
+        |    CAST(count(*) AS BIGINT) AS n_inter
+        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.s < b.s
+        |  GROUP BY 1, 2)
+        |SELECT seg_a, seg_b, sa.nv AS nv_a, sb.nv AS nv_b, n_inter,
+        |  sa.nv + sb.nv - n_inter AS n_union,
+        |  CAST(n_inter AS DOUBLE) / CAST(sa.nv + sb.nv - n_inter AS DOUBLE)
+        |    AS jaccard
+        |FROM inter JOIN sizes sa ON sa.s = seg_a
+        |           JOIN sizes sb ON sb.s = seg_b
+        |ORDER BY seg_a, seg_b""".stripMargin,
+    "q239_dedup_savings" ->
+      (s"""WITH sized AS (
+        |  SELECT g.doc_id, g.group_id, g.keep, d.n_chars
+        |  FROM (
+        |""".stripMargin + docDedupGroupsSql("0.5") + """
+        |  ) g JOIN documents d USING (doc_id)),
+        |per AS (SELECT group_id, CAST(count(*) AS BIGINT) AS sz,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars,
+        |    CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS ck
+        |  FROM sized GROUP BY 1)
+        |SELECT sz AS group_size, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sz * count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(chars) AS BIGINT) AS chars_total,
+        |  CAST(sum(ck) AS BIGINT) AS chars_kept,
+        |  CAST(sum(chars) - sum(ck) AS BIGINT) AS chars_saved
+        |FROM per GROUP BY sz ORDER BY group_size""".stripMargin),
+    "q240_token_spectrum" ->
+      """WITH toks AS (SELECT
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |occ AS (SELECT t[i] AS token
+        |        FROM toks CROSS JOIN unnest(generate_series(1, len(t))) AS u(i)),
+        |tf AS (SELECT token, CAST(count(*) AS BIGINT) AS tf FROM occ GROUP BY 1)
+        |SELECT tf, CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(tf * count(*) AS BIGINT) AS n_tokens
+        |FROM tf GROUP BY tf ORDER BY tf""".stripMargin,
     "q237_link_prediction" -> (coSupplyCtes +
       """indeg AS (SELECT dst, CAST(count(*) AS BIGINT) AS deg
         |          FROM top3 GROUP BY 1),

@@ -807,4 +807,20 @@ class CorpusOpsSpec extends SparkSpec {
       CorpusOps.winsorizedStats(d, "grp", "x", pTailBp = 5000)
     }
   }
+
+  test("vocabOverlap: exact pairwise set counts, duplicate tokens collapse, empty intersections omitted") {
+    val docs = Seq(
+      ("s1", "a b c"), ("s1", "b c d"),   // V1 = {a,b,c,d}
+      ("s2", "c d e"),                    // V2 = {c,d,e}
+      ("s3", "x y")                       // V3 = {x,y} — disjoint
+    ).toDF("source", "text")
+    val got = CorpusOps.vocabOverlap(docs, "source", "text")
+      .as[(String, String, Long, Long, Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(got.keySet == Set(("s1", "s2")), s"pairs: ${got.keySet}")
+    val (_, _, nvA, nvB, inter, union, j) = got(("s1", "s2"))
+    assert((nvA, nvB, inter, union) == (4L, 3L, 2L, 5L))
+    assert(j == 2.0 / 5.0)
+    spark.catalog.clearCache()
+  }
 }
