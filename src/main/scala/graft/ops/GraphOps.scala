@@ -255,47 +255,72 @@ object GraphOps {
     * rest; a 10⁶-unit init would bound round-1 in-degree at ~9200).
     *
     * Scale shape: each half-round is one edge-keyed join + one
-    * map-side-combinable groupBy over the EDGE list, plus a 1-row
-    * total broadcast — never all-pairs; rank frames are cached (each
-    * is referenced twice: once as the next half-round's input, once by
-    * its own normalizer), released by the session's clearCache.
+    * map-side-combinable groupBy over the EDGE list — never all-pairs.
+    * The normalization total is ONE aggregated row fetched to the
+    * driver per half-round (bounded by construction — the q104/BPE
+    * bounded-collect discipline) and folded back as a literal — a
+    * broadcast cross join per half-round planned measurably worse (the
+    * exchange + BNLJ cascade tripled the query). Each half-round's RAW
+    * partial-sum frame is eagerly localCheckpoint-truncated
+    * ([[pageRankInt]]'s iteration discipline) with the leaf superseded
+    * two half-rounds earlier released; the normalized view stays LAZY
+    * over (nodes-leaf ⋈ raw-leaf), so the edge join runs once per
+    * half-round and lineage depth is constant in the iteration count.
+    * The truncation is load-bearing, not hygiene: a cache-only variant
+    * re-aliases the accumulated self-join lineage on every round and
+    * the LOGICAL plan grows exponentially — 4 iterations OOM'd the
+    * driver during analysis before this form.
     *
     * Output: (id, hub, auth) after exactly `iters` rounds, both
     * columns summing to ≤ 10⁹ (floor loss only). Dangling directions
-    * score 0 exactly. Requires a non-empty edge set.
+    * score 0 exactly. Requires a non-empty edge set. The returned
+    * frame reads the final checkpoints — materialize it before any
+    * blanket release ([[ScaleOps.releaseAll]]), the iterated-op
+    * contract shared with [[pageRankInt]]/k-core.
     */
   def hitsInt(edges: DataFrame, srcCol: String, dstCol: String,
               iters: Int = 2): DataFrame = {
     require(iters >= 1, s"need at least one iteration, got $iters")
-    val e = ScaleOps.trackCache(
-      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
-    val nodes = ScaleOps.trackCache(
-      e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
-        .distinct())
-    // left-join a raw (id, partial-sum) frame onto the node set and
-    // rescale to Σ = 10⁹; the 1-row total rides a broadcast cross join
-    def normalized(raw: DataFrame, valCol: String): DataFrame = {
-      val tot = raw.agg(sum(col(valCol)).as("__tot"))
-      ScaleOps.trackCache(
-        nodes.join(raw, Seq("id"), "left").crossJoin(broadcast(tot))
-          .select(col("id"),
-            expr(s"(coalesce($valCol, 0L) * 1000000000L) div __tot")
-              .as(valCol)))
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().cache()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "hitsInt needs a non-empty edge set")
+    // checkpoint a raw (id, partial-sum) frame (ONE eager job doing the
+    // edge join + agg once), read its total off the leaf, and return
+    // the LAZY normalized view over (nodes-leaf ⋈ raw-leaf) — flat
+    // lineage, so only the raw partials ever need truncation. The raw
+    // leaf superseded two half-rounds ago is released (its lazy
+    // normalized view has by then been folded into a newer leaf).
+    var prevA: DataFrame = null
+    var prevH: DataFrame = null
+    def normalized(rawIn: DataFrame, valCol: String): DataFrame = {
+      val raw = rawIn.localCheckpoint(true)
+      if (valCol == "a") {
+        if (prevA ne null) graft.dedup.Dedup.releaseCheckpoint(prevA)
+        prevA = raw
+      } else {
+        if (prevH ne null) graft.dedup.Dedup.releaseCheckpoint(prevH)
+        prevH = raw
+      }
+      val tot = raw.agg(sum(col(valCol))).head().getLong(0)
+      nodes.join(raw, Seq("id"), "left")
+        .select(col("id"),
+          expr(s"(coalesce($valCol, 0L) * 1000000000L) div ${tot}L")
+            .as(valCol))
     }
-    var hub = ScaleOps.trackCache(
-      nodes.crossJoin(broadcast(nodes.agg(count(lit(1)).as("__n"))))
-        .select(col("id"), expr("1000000000L div __n").as("h")))
+    var hub = nodes.select(col("id"), lit(1000000000L / n).as("h"))
     var auth: DataFrame = null
     var round = 0
     while (round < iters) {
-      val araw = e.join(hub, e("src") === hub("id"))
-        .groupBy(e("dst").as("id")).agg(sum(col("h")).as("a"))
-      auth = normalized(araw, "a")
-      val hraw = e.join(auth, e("dst") === auth("id"))
-        .groupBy(e("src").as("id")).agg(sum(col("a")).as("h"))
-      hub = normalized(hraw, "h")
+      auth = normalized(e.join(hub, e("src") === hub("id"))
+        .groupBy(e("dst").as("id")).agg(sum(col("h")).as("a")), "a")
+      hub = normalized(e.join(auth, e("dst") === auth("id"))
+        .groupBy(e("src").as("id")).agg(sum(col("a")).as("h")), "h")
       round += 1
     }
+    e.unpersist(blocking = false)
     hub.join(auth, Seq("id"))
       .select(col("id"), col("h").as("hub"), col("a").as("auth"))
   }
