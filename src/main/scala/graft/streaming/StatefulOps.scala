@@ -155,6 +155,85 @@ object StatefulOps {
     }
   }
 
+  /** A marketing event on the streaming attribution rail: event-time in
+    * ticks (micros in production), a tie-break id, channel/type, value.
+    */
+  case class AttrEvent(uid: Long, ts: Long, tie: Long, etype: String,
+                       value: Double)
+
+  /** One per-channel credit emitted at a conversion. */
+  case class ChannelCredit(uid: Long, channel: String, nTouches: Long,
+                           creditMicro: Long)
+
+  /** Streaming LINEAR multi-touch attribution — the real-time sibling of
+    * [[graft.ops.RelOps.linearAttribution]] (q228) on `transformWithState`:
+    * per user, bounded session state (last event tick + per-channel touch
+    * counts — O(#channels), never the touch list), sessions roll on the
+    * gap, and each conversion emits one [[ChannelCredit]] per channel
+    * seen so far in the session, with the batch rail's exact arithmetic
+    * (`cvμ = value` at DECIMAL(18,6) HALF_UP · 10⁶; credit =
+    * `(cvμ · n_ch) div n_touch`, floor).
+    *
+    * Contract: credits the CAUSAL PREFIX at each conversion (a stream
+    * cannot see the touches a batch window attributes retroactively), so
+    * emissions aggregate to exactly the batch table whenever conversions
+    * close their sessions — the spec's emission-equality claim. Events
+    * are ordered (ts, tie) within a micro-batch; cross-batch stragglers
+    * land in the session open at arrival, the same first-seen posture as
+    * the other gates.
+    */
+  def linearAttributionGateTws(events: Dataset[AttrEvent], convType: String,
+                               gapTicks: Long): Dataset[ChannelCredit] = {
+    require(gapTicks > 0, s"gapTicks must be positive, got $gapTicks")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.uid)
+      .transformWithState(new LinearAttributionProcessor(convType, gapTicks),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Per-user attribution session state: last event tick + per-channel
+    * touch counts (string-keyed map — the Avro state encoder's safe
+    * shape, the round-8 lesson).
+    */
+  case class AttrSessState(lastTs: Long, counts: Map[String, Long])
+
+  private final class LinearAttributionProcessor(convType: String, gapTicks: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, AttrEvent, ChannelCredit] {
+    @transient private var sess: org.apache.spark.sql.streaming.ValueState[AttrSessState] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      sess = getHandle.getValueState[AttrSessState]("sess",
+        org.apache.spark.sql.Encoders.product[AttrSessState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[AttrEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[ChannelCredit] = {
+      var (lastTs, counts) =
+        if (sess.exists()) { val s = sess.get(); (s.lastTs, s.counts) }
+        else (Long.MinValue, Map.empty[String, Long])
+      val out = Vector.newBuilder[ChannelCredit]
+      for (e <- rows.toVector.sortBy(e => (e.ts, e.tie))) {
+        if (lastTs != Long.MinValue && e.ts - lastTs >= gapTicks)
+          counts = Map.empty
+        if (e.etype == convType) {
+          // the batch rail's cvμ: DECIMAL(18,6) HALF_UP, then ·10⁶
+          val cvu = BigDecimal(e.value)
+            .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+            .*(BigDecimal(1000000L)).toLongExact
+          val ntouch = counts.valuesIterator.sum
+          if (cvu > 0 && ntouch > 0)
+            counts.toSeq.sortBy(_._1).foreach { case (ch, nt) =>
+              out += ChannelCredit(uid, ch, nt, cvu * nt / ntouch)
+            }
+        } else counts = counts.updated(e.etype, counts.getOrElse(e.etype, 0L) + 1L)
+        lastTs = e.ts
+      }
+      sess.update(AttrSessState(lastTs, counts))
+      out.result().iterator
+    }
+  }
+
   /** Intermediate record of the two-stage scalable fictions join: either
     * a fiction's metadata passthrough or one resolved (fiction, position,
     * character) triple from the character-keyed stage.

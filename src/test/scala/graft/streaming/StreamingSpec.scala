@@ -1273,6 +1273,61 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("linearAttributionGateTws: causal-prefix credits aggregate to the batch q228 table (RocksDB)") {
+    import StatefulOps.{AttrEvent, ChannelCredit}
+    val M = 60L * 1000000L // one minute in micro-ticks
+    // u1: the q228 flooring scenario (2 views + 1 click + purchase
+    // 1.000001), then a touch-only later session; u2: 2 clicks +
+    // purchase 2.5; u3: its purchase opens a NEW session 40 min after
+    // the only touch — nothing to credit on either rail
+    val batch1 = Seq(
+      AttrEvent(1, 0, 1, "view", 0.0), AttrEvent(1, 1 * M, 2, "click", 0.0),
+      AttrEvent(2, 0, 6, "click", 0.0))
+    val batch2 = Seq(
+      AttrEvent(1, 2 * M, 3, "view", 0.0),
+      AttrEvent(1, 3 * M, 4, "purchase", 1.000001),
+      AttrEvent(1, 120 * M, 5, "view", 0.0),
+      AttrEvent(2, 5 * M, 7, "click", 0.0),
+      AttrEvent(2, 6 * M, 8, "purchase", 2.5),
+      AttrEvent(3, 0, 9, "view", 0.0),
+      AttrEvent(3, 40 * M, 10, "purchase", 5.0))
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    graft.core.Graft.useRocksDbStateStore(spark)
+    try {
+      val in = MemoryStream[AttrEvent]
+      val q = StatefulOps.linearAttributionGateTws(in.toDS(), "purchase",
+          gapTicks = 30 * M)
+        .writeStream.format("memory").queryName(nextName())
+        .outputMode(OutputMode.Append()).start()
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+      val credits = spark.table(q.name).as[ChannelCredit].collect().toSeq
+      q.stop()
+      // roll emissions up to the batch table's shape
+      val agg = credits.groupBy(_.channel).map { case (ch, rs) =>
+        ch -> (rs.map(_.nTouches).sum, rs.size.toLong,
+          rs.map(_.creditMicro).sum)
+      }
+      val ev = (batch1 ++ batch2).toDF()
+        .select(col("uid").as("user_id"),
+          timestamp_micros(col("ts")).as("ts"), col("tie").as("event_id"),
+          col("etype").as("event_type"), col("value"))
+      val expected = graft.ops.RelOps.linearAttribution(ev, "user_id", "ts",
+          "event_id", "event_type", "value", convType = "purchase")
+        .select("channel", "n_touches", "n_session_credits", "credit_micro")
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      assert(agg == expected, s"streaming $agg != batch $expected")
+      // the exact q228 numbers, pinned
+      assert(agg("view") == (2L, 1L, 666667L), s"view: $agg")
+      assert(agg("click") == (3L, 2L, 333333L + 2500000L), s"click: $agg")
+      spark.catalog.clearCache()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("latestByKeyTws on transformWithState emits the same winners as latestByKey") {
     import StatefulOps.Keyed
     val batch1 = Seq(Keyed("u1", 10L, "old"), Keyed("u2", 5L, "x"))
