@@ -4289,6 +4289,46 @@ object Queries {
         (col("tf") * col("n_types")).as("n_tokens"))
       .orderBy("tf")
 
+  /** Cross-source duplication matrix: the q33 exact-Jaccard near-dup
+    * pairs labeled with each side's source and rolled up per unordered
+    * source pair — the "which sources copy which" table that decides
+    * whether a new source is worth ingesting. Exact counts; the oracle
+    * replays the q33 pair SQL and joins the same dim.
+    */
+  def q241_source_dup_matrix(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val pairs = graft.dedup.Dedup.jaccardPairs(d, "text", "doc_id",
+      n = 3, threshold = 0.5).select("id_a", "id_b")
+    val src = d.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")),
+        Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")),
+        Seq("id_b"))
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cross_source", col("src_a") =!= col("src_b"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** Class-balance audit over the embedding labels: per label, exact
+    * count, ppm share, and ppm deviation from the uniform share — the
+    * classifier-training-data skew report, all integer floor
+    * arithmetic.
+    */
+  def q242_label_balance(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables(spark, dir).embeddings
+      .select(col("label").cast("long").as("label"))
+      .groupBy("label").agg(count(lit(1)).as("n"))
+    val tot = per.agg(sum(col("n")).as("nt"), count(lit(1)).as("k"))
+    per.crossJoin(broadcast(tot))
+      .select(col("label"), col("n"),
+        expr("(n * 1000000) div nt").as("share_ppm"),
+        expr("abs((n * 1000000) div nt - 1000000 div k)").as("dev_ppm"))
+      .orderBy("label")
+  }
+
   /** Heaps-law vocabulary growth ([[graft.ops.CorpusOps.vocabGrowth]]):
     * the corpus in doc-id order cut into 10 equal id-range slices —
     * per slice, first-seen distinct tokens, token occurrences, and the
@@ -4629,7 +4669,9 @@ object Queries {
     "q237_link_prediction" -> (q237_link_prediction _),
     "q238_source_overlap" -> (q238_source_overlap _),
     "q239_dedup_savings" -> (q239_dedup_savings _),
-    "q240_token_spectrum" -> (q240_token_spectrum _)
+    "q240_token_spectrum" -> (q240_token_spectrum _),
+    "q241_source_dup_matrix" -> (q241_source_dup_matrix _),
+    "q242_label_balance" -> (q242_label_balance _)
   )
 }
 
@@ -5910,6 +5952,37 @@ object Oracles {
         |SELECT tf, CAST(count(*) AS BIGINT) AS n_types,
         |  CAST(tf * count(*) AS BIGINT) AS n_tokens
         |FROM tf GROUP BY tf ORDER BY tf""".stripMargin,
+    "q241_source_dup_matrix" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |       FROM toks CROSS JOIN unnest(generate_series(1, len(t)-2)) AS u(i)
+        |       WHERE len(t) >= 3
+        |       UNION
+        |       SELECT doc_id, array_to_string(t, ' ') AS g FROM toks WHERE len(t) < 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |p AS (SELECT id_a, id_b FROM inter
+        |      JOIN sizes sa ON sa.doc_id = id_a
+        |      JOIN sizes sb ON sb.doc_id = id_b
+        |      WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5),
+        |lab AS (SELECT least(da.source, db.source) AS src_a,
+        |               greatest(da.source, db.source) AS src_b
+        |        FROM p JOIN documents da ON da.doc_id = id_a
+        |               JOIN documents db ON db.doc_id = id_b)
+        |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  (src_a <> src_b) AS cross_source
+        |FROM lab GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
+    "q242_label_balance" ->
+      """WITH per AS (SELECT CAST(label AS BIGINT) AS label,
+        |    CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+        |    CAST(count(*) AS BIGINT) AS k FROM per)
+        |SELECT label, n, (n * 1000000) // nt AS share_ppm,
+        |  abs((n * 1000000) // nt - 1000000 // k) AS dev_ppm
+        |FROM per, t ORDER BY label""".stripMargin,
     "q237_link_prediction" -> (coSupplyCtes +
       """indeg AS (SELECT dst, CAST(count(*) AS BIGINT) AS deg
         |          FROM top3 GROUP BY 1),
