@@ -141,6 +141,47 @@ object Multimodal {
     }
   }
 
+  /** A 64-bit perceptual image fingerprint. */
+  case class MediaHash(id: Long, kind: String, dhash: Long)
+
+  /** Difference-hash (dHash) perceptual fingerprint over decoded
+    * single-channel grids: nearest-neighbor resample to 9×8 (the
+    * [[resizeGrid]] kernel), then bit `y·8+x` is set iff the pixel
+    * right of (x, y) is strictly brighter — 64 horizontal-gradient
+    * signs. The image sibling of SimHash for the near-dup rail:
+    * re-encodes, resizes, and GLOBAL brightness/contrast shifts
+    * preserve gradient signs, so near-duplicate images land within a
+    * few bits of Hamming distance (pair them with
+    * `bit_count(a ^ b) <= r` over a band-bucketed candidate join,
+    * exactly the q38 SimHash layout). Brightness invariance is
+    * spec-pinned: a uniformly brightened copy hashes IDENTICALLY.
+    *
+    * Scale shape: one typed map over the decoded grids — no shuffle;
+    * the candidate join downstream owns the pairing cost.
+    */
+  def dHash(ds: Dataset[ResizedMedia])(implicit spark: SparkSession): Dataset[MediaHash] = {
+    import spark.implicits._
+    resizeGrid(ds, 9, 8).mapPartitions { rows =>
+      rows.map { m =>
+        var h = 0L
+        var k = 0
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val a = m.pixels(y * 9 + x) & 0xFF
+            val b = m.pixels(y * 9 + x + 1) & 0xFF
+            if (b > a) h |= (1L << k)
+            k += 1
+            x += 1
+          }
+          y += 1
+        }
+        MediaHash(m.id, m.kind, h)
+      }
+    }
+  }
+
   /** ImageIO decode + integer BT.601 luma ((299·R + 587·G + 114·B)/1000
     * over the ARGB int — exact integer arithmetic, platform-stable for
     * lossless codecs). Returns None when no installed reader accepts the

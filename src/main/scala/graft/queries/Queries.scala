@@ -4204,6 +4204,26 @@ object Queries {
         octet_length(col("col")).cast("long").as("frame_len"))
       .orderBy("doc_id", "frame_idx")
 
+  /** Perceptual image fingerprints ([[graft.multimodal.Multimodal.dHash]])
+    * over the deterministic text-byte "images" (the q40/q42 binary
+    * discipline: payload = UTF-8 bytes, viewed as a zero-padded 16×16
+    * grid): the REAL dHash pipeline — nearest-neighbor resample to 9×8,
+    * 64 horizontal-gradient sign bits — with every resample index and
+    * bit mirrored in SQL, so the fingerprint itself is hash-checked
+    * cross-engine (including the sign bit and the zero-pad edge).
+    */
+  def q243_image_dhash(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val media = graft.multimodal.Multimodal.asMedia(
+      Tables(spark, dir).documents
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+      "doc_id", "payload", "image")
+    graft.multimodal.Multimodal.dHash(
+        graft.multimodal.Multimodal.resize(media, 16, 16, 16, 16))
+      .select(col("id").as("doc_id"), col("dhash"))
+      .orderBy("doc_id")
+  }
+
   /** Unicode NFC-normalization audit ([[graft.text.NfcNormalizeExpr]] —
     * native codegen kernel over `java.text.Normalizer`): per document,
     * whether the text is already canonically composed and the
@@ -4671,7 +4691,8 @@ object Queries {
     "q239_dedup_savings" -> (q239_dedup_savings _),
     "q240_token_spectrum" -> (q240_token_spectrum _),
     "q241_source_dup_matrix" -> (q241_source_dup_matrix _),
-    "q242_label_balance" -> (q242_label_balance _)
+    "q242_label_balance" -> (q242_label_balance _),
+    "q243_image_dhash" -> (q243_image_dhash _)
   )
 }
 
@@ -5983,6 +6004,22 @@ object Oracles {
         |SELECT label, n, (n * 1000000) // nt AS share_ppm,
         |  abs((n * 1000000) // nt - 1000000 // k) AS dev_ppm
         |FROM per, t ORDER BY label""".stripMargin,
+    "q243_image_dhash" ->
+      """WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |idx AS (SELECT doc_id, text, n, k,
+        |    2 * (k // 8) * 16 + ((k % 8) * 16) // 9 AS li,
+        |    2 * (k // 8) * 16 + (((k % 8) + 1) * 16) // 9 AS ri
+        |  FROM b CROSS JOIN unnest(generate_series(0, 63)) AS u(k)),
+        |bits AS (SELECT doc_id, k,
+        |    CASE WHEN (CASE WHEN ri < n THEN ascii(text[ri + 1]) ELSE 0 END) >
+        |              (CASE WHEN li < n THEN ascii(text[li + 1]) ELSE 0 END)
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM idx)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN bit = 0 THEN CAST(0 AS BIGINT)
+        |                WHEN k = 63 THEN CAST(-9223372036854775807 AS BIGINT) - 1
+        |                ELSE CAST(1 AS BIGINT) << k END) AS BIGINT) AS dhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q237_link_prediction" -> (coSupplyCtes +
       """indeg AS (SELECT dst, CAST(count(*) AS BIGINT) AS deg
         |          FROM top3 GROUP BY 1),

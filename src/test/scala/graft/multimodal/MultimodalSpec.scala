@@ -250,4 +250,30 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.head.toSeq == (0 until 10).map(_.toByte))
     assert(frames(1).toSeq == (20 until 30).map(_.toByte))
   }
+
+  test("dHash: identical under re-encode and global brightening; far from unrelated noise (real PNGs)") {
+    // a horizontal ramp (strong left-to-right gradients), the same ramp
+    // brightened by +40 (clamped well below saturation), and blocky
+    // noise with inverted gradients
+    val ramp = encodeGray(32, 32, (x, _) => x * 6, "png")
+    val bright = encodeGray(32, 32, (x, _) => x * 6 + 40, "png")
+    val noise = encodeGray(32, 32, (x, y) => 255 - ((x * 37 + y * 91) % 17) * 15, "png")
+    val rows = Seq((1L, ramp), (2L, bright), (3L, noise))
+      .toDF("id", "payload")
+      .select($"id", lit("image").as("kind"), $"payload",
+        map(lit("source"), lit("spec")).as("meta"))
+      .as[MediaRow]
+    val hs = Multimodal.dHash(Multimodal.decodeImageGrid(rows))
+      .collect().map(h => h.id -> h.dhash).toMap
+    assert(hs(1L) == hs(2L),
+      s"global brightening must preserve gradient signs: $hs")
+    // the pure ramp sets every horizontal-gradient bit
+    assert(hs(1L) == -1L, s"ramp must hash to all-ones: ${hs(1L)}")
+    val hamming = java.lang.Long.bitCount(hs(1L) ^ hs(3L))
+    assert(hamming > 16, s"unrelated noise landed too close: $hamming bits")
+    // determinism across re-decode of the same bytes
+    val again = Multimodal.dHash(Multimodal.decodeImageGrid(rows))
+      .collect().map(h => h.id -> h.dhash).toMap
+    assert(again == hs)
+  }
 }
