@@ -99,6 +99,87 @@ object GraphOps {
     * frame would re-execute the whole step-join chain (and the edge
     * pipeline under it) on BOTH sides (the DAG-reuse rule).
     */
+  /** Second-order BIASED hash walks — the node2vec variant of
+    * [[hashWalks]] (Grover & Leskovec 2016, "node2vec: Scalable feature
+    * learning for networks"): at each step the candidate neighbor `d`
+    * of the walk at `u` (arrived from `prev`) draws an integer TICKET
+    * weight — `wReturn` if `d = prev` (node2vec's 1/p), `wCommon` if
+    * `prev→d` is an edge (distance 1, BFS-ish), `wFar` otherwise (1/q,
+    * DFS-ish) — and the pick is the neighbor whose cumulative ticket
+    * interval (dst-sorted) contains `H(start, walk, t, u) mod Σtickets`,
+    * the same modular hash family as the uniform walker. Integer
+    * tickets instead of node2vec's float probabilities keep the corpus
+    * bit-reproducible and SQL-mirrorable: the whole biased corpus
+    * hash-checks against a step-unrolled oracle. Step 1 has no
+    * predecessor; `prev = start` makes every first candidate a
+    * `wCommon` draw (uniform), the node2vec convention.
+    *
+    * Scale shape: per step, ONE equi-join of the frontier on the edge
+    * list (fan-out = out-degree), one left equi-join on (prev, cand)
+    * for the distance-1 flag, and ticket cumsums over
+    * (start, walk)-partitioned windows bounded by max out-degree —
+    * never single-partition, never all-pairs. The frontier stays
+    * |starts|·walksPerNode rows; sinks stop early; zero-total ticket
+    * groups cannot occur (weights are required ≥ 1).
+    *
+    * Output rows: (start, walk, step, node) — [[hashWalks]]'s shape, so
+    * [[skipGramPairs]] consumes either corpus unchanged. Same id-range
+    * contract as [[hashWalks]].
+    */
+  def biasedHashWalks(edges: DataFrame, srcCol: String, dstCol: String,
+                      steps: Int, walksPerNode: Int,
+                      wReturn: Long = 1L, wCommon: Long = 4L,
+                      wFar: Long = 2L): DataFrame = {
+    require(steps >= 1, s"steps must be positive, got $steps")
+    require(walksPerNode >= 1, s"walksPerNode must be positive, got $walksPerNode")
+    require(wReturn >= 1L && wCommon >= 1L && wFar >= 1L,
+      "ticket weights must be >= 1 (a zero-total neighbor group would " +
+        s"strand the walk), got ($wReturn, $wCommon, $wFar)")
+    val P = 1000000007L
+    val spark = edges.sparkSession
+    val e = ScaleOps.trackCache(edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct())
+    val starts = e.select(col("src").as("start")).distinct()
+    val walkIds = spark.range(walksPerNode).select(col("id").cast("long").as("walk"))
+    val f0 = starts.crossJoin(walkIds)
+      .select(col("start"), col("walk"), lit(0).as("step"),
+        col("start").as("node"), col("start").as("prev"))
+    val winCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("start", "walk").orderBy("cand")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val winTot = org.apache.spark.sql.expressions.Window
+      .partitionBy("start", "walk")
+    // the prev-adjacency side re-aliases every column, so the two uses
+    // of the edge frame cannot trip the ambiguous-self-join detector
+    val prevAdj = e.select(col("src").as("__ps"), col("dst").as("__pd"))
+    val frontiers = Iterator.iterate((f0, 1)) { case (f, t) =>
+      val cand = f.join(e.as("e"), f("node") === col("e.src"))
+        .join(prevAdj,
+          f("prev") === col("__ps") && col("e.dst") === col("__pd"), "left")
+        .select(col("start"), col("walk"), col("node"),
+          col("e.dst").as("cand"),
+          when(col("e.dst") === f("prev"), lit(wReturn))
+            .when(col("__pd").isNotNull, lit(wCommon))
+            .otherwise(lit(wFar)).as("__w"))
+      val h = pmod(
+        pmod(col("start") * lit(2654435761L), lit(P)) +
+          pmod(col("walk") * lit(2246822519L), lit(P)) +
+          lit((t * 3266489917L) % P) +
+          pmod(col("node") * lit(668265263L), lit(P)), lit(P))
+      val next = cand
+        .withColumn("__cum", sum(col("__w")).over(winCum))
+        .withColumn("__r", pmod(h, sum(col("__w")).over(winTot)))
+        .filter(col("__r") >= col("__cum") - col("__w") &&
+          col("__r") < col("__cum"))
+        .select(col("start"), col("walk"), lit(t).as("step"),
+          col("cand").as("node"), col("node").as("prev"))
+      (next, t + 1)
+    }.map(_._1).take(steps + 1).toSeq
+    frontiers.map(_.select("start", "walk", "step", "node"))
+      .reduce(_ unionAll _)
+  }
+
   def skipGramPairs(walksIn: DataFrame, window: Int): DataFrame = {
     require(window >= 1, s"window must be positive, got $window")
     val walks = ScaleOps.trackCache(walksIn)

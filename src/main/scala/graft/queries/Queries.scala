@@ -1635,6 +1635,20 @@ object Queries {
     * graph-embedding trainer's actual input, hash-checked end-to-end
     * through walk generation AND pair extraction.
     */
+  /** node2vec-biased walk corpus over the co-supply graph
+    * ([[graft.ops.GraphOps.biasedHashWalks]], 2 walks × 2 steps,
+    * tickets 1/4/2 ≙ p=4, q=2): the second-order variant of q231's
+    * uniform walker, with the return/BFS/DFS ticket selection itself
+    * hash-checked against a step-unrolled SQL oracle (cumulative
+    * ticket windows mirrored exactly).
+    */
+  def q244_biased_walks(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.GraphOps.biasedHashWalks(coSupplyTop3(spark, dir), "src", "dst",
+        steps = 2, walksPerNode = 2)
+      .select(col("start").as("s_suppkey"), col("walk"), col("step"),
+        col("node"))
+      .orderBy("s_suppkey", "walk", "step")
+
   def q232_skipgram_pairs(spark: SparkSession, dir: String): DataFrame =
     graft.ops.GraphOps.skipGramPairs(
         graft.ops.GraphOps.hashWalks(coSupplyTop3(spark, dir), "src", "dst",
@@ -4692,7 +4706,8 @@ object Queries {
     "q240_token_spectrum" -> (q240_token_spectrum _),
     "q241_source_dup_matrix" -> (q241_source_dup_matrix _),
     "q242_label_balance" -> (q242_label_balance _),
-    "q243_image_dhash" -> (q243_image_dhash _)
+    "q243_image_dhash" -> (q243_image_dhash _),
+    "q244_biased_walks" -> (q244_biased_walks _)
   )
 }
 
@@ -6030,6 +6045,45 @@ object Oracles {
         |  CAST(sum(x.w) AS BIGINT) AS ra_micro
         |FROM w x JOIN w y ON x.dst = y.dst AND x.src < y.src
         |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin),
+    "q244_biased_walks" -> (coSupplyCtes +
+      """starts AS (SELECT DISTINCT src AS start FROM top3),
+        |f0 AS MATERIALIZED (SELECT start, CAST(walk AS BIGINT) AS walk,
+        |    0 AS step, start AS node, start AS prev
+        |  FROM starts CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS walk)),
+        |c1 AS (SELECT f.start, f.walk, f.node, e.dst AS cand,
+        |    CASE WHEN e.dst = f.prev THEN 1
+        |         WHEN p.dst IS NOT NULL THEN 4 ELSE 2 END AS w
+        |  FROM f0 f JOIN top3 e ON e.src = f.node
+        |  LEFT JOIN top3 p ON p.src = f.prev AND p.dst = e.dst),
+        |s1 AS (SELECT start, walk, node, cand, w,
+        |    sum(w) OVER (PARTITION BY start, walk ORDER BY cand
+        |                 ROWS UNBOUNDED PRECEDING) AS cum,
+        |    (start*2654435761 % 1000000007 + walk*2246822519 % 1000000007
+        |     + 1*3266489917 % 1000000007 + node*668265263 % 1000000007)
+        |     % 1000000007 % sum(w) OVER (PARTITION BY start, walk) AS r
+        |  FROM c1),
+        |f1 AS MATERIALIZED (SELECT start, walk, 1 AS step, cand AS node,
+        |    node AS prev
+        |  FROM s1 WHERE r >= cum - w AND r < cum),
+        |c2 AS (SELECT f.start, f.walk, f.node, e.dst AS cand,
+        |    CASE WHEN e.dst = f.prev THEN 1
+        |         WHEN p.dst IS NOT NULL THEN 4 ELSE 2 END AS w
+        |  FROM f1 f JOIN top3 e ON e.src = f.node
+        |  LEFT JOIN top3 p ON p.src = f.prev AND p.dst = e.dst),
+        |s2 AS (SELECT start, walk, node, cand, w,
+        |    sum(w) OVER (PARTITION BY start, walk ORDER BY cand
+        |                 ROWS UNBOUNDED PRECEDING) AS cum,
+        |    (start*2654435761 % 1000000007 + walk*2246822519 % 1000000007
+        |     + 2*3266489917 % 1000000007 + node*668265263 % 1000000007)
+        |     % 1000000007 % sum(w) OVER (PARTITION BY start, walk) AS r
+        |  FROM c2),
+        |f2 AS (SELECT start, walk, 2 AS step, cand AS node
+        |  FROM s2 WHERE r >= cum - w AND r < cum)
+        |SELECT start AS s_suppkey, walk, step, node FROM (
+        |  SELECT start, walk, step, node FROM f0
+        |  UNION ALL SELECT start, walk, step, node FROM f1
+        |  UNION ALL SELECT start, walk, step, node FROM f2)
+        |ORDER BY s_suppkey, walk, step""".stripMargin),
     "q231_random_walks" -> (walkCorpusCtes +
       """fin AS (SELECT * FROM f0 UNION ALL SELECT * FROM f1
         |      UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3)

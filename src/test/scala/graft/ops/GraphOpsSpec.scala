@@ -189,6 +189,74 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("biasedHashWalks: matches a driver-side ticket mirror; bias observable; bit-identical re-run") {
+    // two triangles sharing node 3 plus a pendant 7→1: mixes return
+    // edges, distance-1 (common) neighbors, and far jumps
+    val edgeList = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L),
+      (3L, 1L), (3L, 4L), (4L, 3L), (4L, 5L), (5L, 4L), (3L, 5L), (5L, 3L),
+      (7L, 1L)).distinct
+    val P = 1000000007L
+    def mirror(steps: Int, walks: Int,
+               wr: Long, wc: Long, wf: Long): Set[(Long, Long, Int, Long)] = {
+      val adj = edgeList.groupBy(_._1).map { case (s, es) =>
+        s -> es.map(_._2).distinct.sorted }
+      val eset = edgeList.toSet
+      val out = collection.mutable.Set[(Long, Long, Int, Long)]()
+      for (start <- adj.keys; walk <- 0L until walks.toLong) {
+        var node = start; var prev = start
+        out += ((start, walk, 0, node))
+        var t = 1; var alive = true
+        while (t <= steps && alive) {
+          adj.get(node) match {
+            case None => alive = false
+            case Some(ns) =>
+              val ws = ns.map(d => if (d == prev) wr
+                else if (eset((prev, d))) wc else wf)
+              val h = (start * 2654435761L % P + walk * 2246822519L % P +
+                t * 3266489917L % P + node * 668265263L % P) % P
+              val r = h % ws.sum
+              var cum = 0L; var pick = -1
+              for (i <- ns.indices if pick < 0) {
+                cum += ws(i); if (r < cum) pick = i
+              }
+              prev = node; node = ns(pick)
+              out += ((start, walk, t, node))
+          }
+          t += 1
+        }
+      }
+      out.toSet
+    }
+    val edges = edgeList.toDF("src", "dst")
+    val got = GraphOps.biasedHashWalks(edges, "src", "dst",
+        steps = 3, walksPerNode = 2)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(got == mirror(3, 2, 1L, 4L, 2L),
+      s"got ${got.toSeq.sorted}\nexp ${mirror(3, 2, 1L, 4L, 2L).toSeq.sorted}")
+    // the bias is live: extreme return weight forces 1↔2 ping-pong
+    // from start 7 (7→1, then every later step returns)
+    val pingPong = GraphOps.biasedHashWalks(edges, "src", "dst",
+        steps = 3, walksPerNode = 1,
+        wReturn = 1000000L, wCommon = 1L, wFar = 1L)
+      .filter(col("start") === 7L)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(pingPong == mirror(3, 1, 1000000L, 1L, 1L)
+      .filter(_._1 == 7L), s"ping-pong: $pingPong")
+    val nodesAt = pingPong.toSeq.sortBy(_._3).map(_._4)
+    assert(nodesAt.head == 7L && nodesAt(1) == 1L,
+      s"pendant start must step to its only neighbor: $nodesAt")
+    // deterministic under partitioning
+    val again = GraphOps.biasedHashWalks(edges.repartition(7), "src", "dst",
+        steps = 3, walksPerNode = 2)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(again == got)
+    intercept[IllegalArgumentException] {
+      GraphOps.biasedHashWalks(edges, "src", "dst", steps = 1,
+        walksPerNode = 1, wReturn = 0L)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("resourceAllocationInt: hand-computed RA scores, hub cap, pair orientation") {
     // common neighbors: 5 ← {1,2,3} (deg 3), 6 ← {1,2} (deg 2), 7 ← {4}
     val edges = Seq((1L, 5L), (2L, 5L), (3L, 5L), (1L, 6L), (2L, 6L),
