@@ -1649,6 +1649,17 @@ object Queries {
         col("node"))
       .orderBy("s_suppkey", "walk", "step")
 
+  /** Skip-gram pairs over the q244 BIASED walk corpus — the node2vec
+    * trainer's actual input, hash-checked end-to-end through ticket
+    * selection AND pair extraction (q232's composition discipline on
+    * the second-order corpus; the oracle shares q244's CTE chain).
+    */
+  def q245_biased_skipgrams(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.GraphOps.skipGramPairs(
+        graft.ops.GraphOps.biasedHashWalks(coSupplyTop3(spark, dir),
+          "src", "dst", steps = 2, walksPerNode = 2), window = 2)
+      .orderBy("center", "context")
+
   def q232_skipgram_pairs(spark: SparkSession, dir: String): DataFrame =
     graft.ops.GraphOps.skipGramPairs(
         graft.ops.GraphOps.hashWalks(coSupplyTop3(spark, dir), "src", "dst",
@@ -4707,7 +4718,8 @@ object Queries {
     "q241_source_dup_matrix" -> (q241_source_dup_matrix _),
     "q242_label_balance" -> (q242_label_balance _),
     "q243_image_dhash" -> (q243_image_dhash _),
-    "q244_biased_walks" -> (q244_biased_walks _)
+    "q244_biased_walks" -> (q244_biased_walks _),
+    "q245_biased_skipgrams" -> (q245_biased_skipgrams _)
   )
 }
 
@@ -4890,6 +4902,47 @@ object Oracles {
       |  CAST(sum(code) AS BIGINT) AS code_sum,
       |  CAST(count(DISTINCT code) AS BIGINT) AS n_codes
       |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** The q244 biased-walk CTE chain (co-supply graph -> two unrolled
+    * ticket-selection steps), shared by q244 and the q245 skip-gram
+    * extraction so the two oracles cannot drift. Ends mid-WITH
+    * (trailing comma): append the consuming CTE/SELECT.
+    */
+  private def biasedWalkCtes: String = coSupplyCtes +
+    """starts AS (SELECT DISTINCT src AS start FROM top3),
+        |f0 AS MATERIALIZED (SELECT start, CAST(walk AS BIGINT) AS walk,
+        |    0 AS step, start AS node, start AS prev
+        |  FROM starts CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS walk)),
+        |c1 AS (SELECT f.start, f.walk, f.node, e.dst AS cand,
+        |    CASE WHEN e.dst = f.prev THEN 1
+        |         WHEN p.dst IS NOT NULL THEN 4 ELSE 2 END AS w
+        |  FROM f0 f JOIN top3 e ON e.src = f.node
+        |  LEFT JOIN top3 p ON p.src = f.prev AND p.dst = e.dst),
+        |s1 AS (SELECT start, walk, node, cand, w,
+        |    sum(w) OVER (PARTITION BY start, walk ORDER BY cand
+        |                 ROWS UNBOUNDED PRECEDING) AS cum,
+        |    (start*2654435761 % 1000000007 + walk*2246822519 % 1000000007
+        |     + 1*3266489917 % 1000000007 + node*668265263 % 1000000007)
+        |     % 1000000007 % sum(w) OVER (PARTITION BY start, walk) AS r
+        |  FROM c1),
+        |f1 AS MATERIALIZED (SELECT start, walk, 1 AS step, cand AS node,
+        |    node AS prev
+        |  FROM s1 WHERE r >= cum - w AND r < cum),
+        |c2 AS (SELECT f.start, f.walk, f.node, e.dst AS cand,
+        |    CASE WHEN e.dst = f.prev THEN 1
+        |         WHEN p.dst IS NOT NULL THEN 4 ELSE 2 END AS w
+        |  FROM f1 f JOIN top3 e ON e.src = f.node
+        |  LEFT JOIN top3 p ON p.src = f.prev AND p.dst = e.dst),
+        |s2 AS (SELECT start, walk, node, cand, w,
+        |    sum(w) OVER (PARTITION BY start, walk ORDER BY cand
+        |                 ROWS UNBOUNDED PRECEDING) AS cum,
+        |    (start*2654435761 % 1000000007 + walk*2246822519 % 1000000007
+        |     + 2*3266489917 % 1000000007 + node*668265263 % 1000000007)
+        |     % 1000000007 % sum(w) OVER (PARTITION BY start, walk) AS r
+        |  FROM c2),
+        |f2 AS (SELECT start, walk, 2 AS step, cand AS node
+        |  FROM s2 WHERE r >= cum - w AND r < cum),
+        |""".stripMargin
 
   val all: Map[String, String] = Map(
     "q01_scan" ->
@@ -6045,45 +6098,24 @@ object Oracles {
         |  CAST(sum(x.w) AS BIGINT) AS ra_micro
         |FROM w x JOIN w y ON x.dst = y.dst AND x.src < y.src
         |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin),
-    "q244_biased_walks" -> (coSupplyCtes +
-      """starts AS (SELECT DISTINCT src AS start FROM top3),
-        |f0 AS MATERIALIZED (SELECT start, CAST(walk AS BIGINT) AS walk,
-        |    0 AS step, start AS node, start AS prev
-        |  FROM starts CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS walk)),
-        |c1 AS (SELECT f.start, f.walk, f.node, e.dst AS cand,
-        |    CASE WHEN e.dst = f.prev THEN 1
-        |         WHEN p.dst IS NOT NULL THEN 4 ELSE 2 END AS w
-        |  FROM f0 f JOIN top3 e ON e.src = f.node
-        |  LEFT JOIN top3 p ON p.src = f.prev AND p.dst = e.dst),
-        |s1 AS (SELECT start, walk, node, cand, w,
-        |    sum(w) OVER (PARTITION BY start, walk ORDER BY cand
-        |                 ROWS UNBOUNDED PRECEDING) AS cum,
-        |    (start*2654435761 % 1000000007 + walk*2246822519 % 1000000007
-        |     + 1*3266489917 % 1000000007 + node*668265263 % 1000000007)
-        |     % 1000000007 % sum(w) OVER (PARTITION BY start, walk) AS r
-        |  FROM c1),
-        |f1 AS MATERIALIZED (SELECT start, walk, 1 AS step, cand AS node,
-        |    node AS prev
-        |  FROM s1 WHERE r >= cum - w AND r < cum),
-        |c2 AS (SELECT f.start, f.walk, f.node, e.dst AS cand,
-        |    CASE WHEN e.dst = f.prev THEN 1
-        |         WHEN p.dst IS NOT NULL THEN 4 ELSE 2 END AS w
-        |  FROM f1 f JOIN top3 e ON e.src = f.node
-        |  LEFT JOIN top3 p ON p.src = f.prev AND p.dst = e.dst),
-        |s2 AS (SELECT start, walk, node, cand, w,
-        |    sum(w) OVER (PARTITION BY start, walk ORDER BY cand
-        |                 ROWS UNBOUNDED PRECEDING) AS cum,
-        |    (start*2654435761 % 1000000007 + walk*2246822519 % 1000000007
-        |     + 2*3266489917 % 1000000007 + node*668265263 % 1000000007)
-        |     % 1000000007 % sum(w) OVER (PARTITION BY start, walk) AS r
-        |  FROM c2),
-        |f2 AS (SELECT start, walk, 2 AS step, cand AS node
-        |  FROM s2 WHERE r >= cum - w AND r < cum)
-        |SELECT start AS s_suppkey, walk, step, node FROM (
+    "q244_biased_walks" -> (biasedWalkCtes +
+      """fin AS (
         |  SELECT start, walk, step, node FROM f0
         |  UNION ALL SELECT start, walk, step, node FROM f1
         |  UNION ALL SELECT start, walk, step, node FROM f2)
+        |SELECT start AS s_suppkey, walk, step, node FROM fin
         |ORDER BY s_suppkey, walk, step""".stripMargin),
+    "q245_biased_skipgrams" -> (biasedWalkCtes +
+      """walks AS MATERIALIZED (
+        |  SELECT start, walk, step, node FROM f0
+        |  UNION ALL SELECT start, walk, step, node FROM f1
+        |  UNION ALL SELECT start, walk, step, node FROM f2)
+        |SELECT a.node AS center, b.node AS context,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM walks a JOIN walks b
+        |  ON a.start = b.start AND a.walk = b.walk AND a.step <> b.step
+        |  AND abs(a.step - b.step) <= 2
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     "q231_random_walks" -> (walkCorpusCtes +
       """fin AS (SELECT * FROM f0 UNION ALL SELECT * FROM f1
         |      UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3)

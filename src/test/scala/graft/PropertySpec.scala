@@ -329,4 +329,70 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("decayAttribution equals a driver-side sessionize+ticket fold on random event logs") {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val M = 60000000L // one minute in micros
+    // clustered timestamps so keys produce BOTH multi-event sessions
+    // and gap-separated ones
+    val eventGen = for {
+      uid <- Gen.choose(1L, 5L)
+      base <- Gen.choose(0L, 5L)
+      off <- Gen.choose(0L, 45L)
+      et <- Gen.oneOf("view", "click", "other", "purchase")
+      cents <- Gen.choose(0L, 800L)
+    } yield (uid, base * 120 * M + off * M, et, cents / 100.0)
+    def mirror(evs: Seq[(Long, Long, Long, String, Double)],
+               gapMin: Int, hlMin: Int): Map[String, (Long, Long)] = {
+      val gapUs = gapMin * M; val hlUs = hlMin * M
+      val acc = collection.mutable.Map[String, (Long, Long)]()
+        .withDefaultValue((0L, 0L))
+      for ((_, evs0) <- evs.groupBy(_._1)) {
+        val sorted = evs0.sortBy(e => (e._2, e._3))
+        val sessions = collection.mutable.ArrayBuffer(
+          collection.mutable.ArrayBuffer.empty[(Long, Long, String, Double)])
+        var last = Long.MinValue
+        for (e <- sorted) {
+          if (last != Long.MinValue && e._2 - last >= gapUs)
+            sessions += collection.mutable.ArrayBuffer.empty
+          sessions.last += ((e._2, e._3, e._4, e._5))
+          last = e._2
+        }
+        for (s <- sessions if s.nonEmpty) {
+          val conv = s.filter(_._3 == "purchase")
+          val cvu = conv.map(e => BigDecimal(e._4)
+            .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+            .*(BigDecimal(1000000L)).toLongExact).sum
+          val ntouch = s.count(_._3 != "purchase")
+          if (cvu > 0 && ntouch > 0) {
+            val anchor = conv.map(_._1).max
+            val tws = s.filter(e => e._3 != "purchase" && e._1 <= anchor)
+              .map(e => (e._3,
+                1000000L / (1L << math.min((anchor - e._1) / hlUs, 20L).toInt)))
+            val sw = tws.map(_._2).sum
+            if (sw > 0) for ((ch, w) <- tws) {
+              val (nt, cm) = acc(ch)
+              acc(ch) = (nt + 1, cm + cvu * w / sw)
+            }
+          }
+        }
+      }
+      acc.toMap
+    }
+    for (seedBase <- Seq(0, 1000, 2000)) {
+      val raw = (0 until 400).flatMap(i =>
+        eventGen.apply(Gen.Parameters.default, Seed((seedBase + i).toLong)))
+      val evs = raw.zipWithIndex.map { case ((u, ts, et, v), i) =>
+        (u, ts, i.toLong, et, v) }
+      val df = evs.toDF("user_id", "tsu", "event_id", "event_type", "value")
+        .withColumn("ts", timestamp_micros(col("tsu"))).drop("tsu")
+      val got = graft.ops.RelOps.decayAttribution(df, "user_id", "ts",
+          "event_id", "event_type", "value", convType = "purchase")
+        .select("channel", "n_touches", "credit_micro")
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(got == mirror(evs, 30, 10), s"seed $seedBase: $got")
+      spark.catalog.clearCache()
+    }
+  }
 }
