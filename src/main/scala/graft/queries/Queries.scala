@@ -1660,6 +1660,29 @@ object Queries {
           "src", "dst", steps = 2, walksPerNode = 2), window = 2)
       .orderBy("center", "context")
 
+  /** Integer PMI-style association lift over the q245 skip-gram pairs
+    * (`lift_ppm = (n(c,x) · N · 10⁶) div (n(c) · n(x))` — PMI sans log,
+    * the q108 discipline on the walk corpus): the co-occurrence
+    * statistic an SGNS/GloVe-style embedding trainer factorizes,
+    * hash-checked through walks → pairs → marginals → lift in one
+    * oracle chain. Headroom: needs `n·N·10⁶ < 2⁶³`, i.e. corpus pair
+    * totals ≲ 10¹² at small per-pair counts — shard the corpus first
+    * beyond that.
+    */
+  def q246_walk_pmi(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.ops.ScaleOps.trackCache(
+      graft.ops.GraphOps.skipGramPairs(
+        graft.ops.GraphOps.biasedHashWalks(coSupplyTop3(spark, dir),
+          "src", "dst", steps = 2, walksPerNode = 2), window = 2))
+    val tot = pairs.agg(sum(col("n")).as("nn"))
+    val nc = pairs.groupBy("center").agg(sum(col("n")).as("nc"))
+    val nx = pairs.groupBy("context").agg(sum(col("n")).as("nx"))
+    pairs.join(nc, "center").join(nx, "context").crossJoin(broadcast(tot))
+      .select(col("center"), col("context"), col("n"),
+        expr("(n * nn * 1000000L) div (nc * nx)").as("lift_ppm"))
+      .orderBy("center", "context")
+  }
+
   def q232_skipgram_pairs(spark: SparkSession, dir: String): DataFrame =
     graft.ops.GraphOps.skipGramPairs(
         graft.ops.GraphOps.hashWalks(coSupplyTop3(spark, dir), "src", "dst",
@@ -4719,7 +4742,8 @@ object Queries {
     "q242_label_balance" -> (q242_label_balance _),
     "q243_image_dhash" -> (q243_image_dhash _),
     "q244_biased_walks" -> (q244_biased_walks _),
-    "q245_biased_skipgrams" -> (q245_biased_skipgrams _)
+    "q245_biased_skipgrams" -> (q245_biased_skipgrams _),
+    "q246_walk_pmi" -> (q246_walk_pmi _)
   )
 }
 
@@ -6116,6 +6140,26 @@ object Oracles {
         |  ON a.start = b.start AND a.walk = b.walk AND a.step <> b.step
         |  AND abs(a.step - b.step) <= 2
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    "q246_walk_pmi" -> (biasedWalkCtes +
+      """walks AS MATERIALIZED (
+        |  SELECT start, walk, step, node FROM f0
+        |  UNION ALL SELECT start, walk, step, node FROM f1
+        |  UNION ALL SELECT start, walk, step, node FROM f2),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.node AS center, b.node AS context,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM walks a JOIN walks b
+        |    ON a.start = b.start AND a.walk = b.walk AND a.step <> b.step
+        |    AND abs(a.step - b.step) <= 2
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM pairs),
+        |mc AS (SELECT center, CAST(sum(n) AS BIGINT) AS nc
+        |       FROM pairs GROUP BY 1),
+        |mx AS (SELECT context, CAST(sum(n) AS BIGINT) AS nx
+        |       FROM pairs GROUP BY 1)
+        |SELECT center, context, n, (n * nn * 1000000) // (nc * nx) AS lift_ppm
+        |FROM pairs JOIN mc USING (center) JOIN mx USING (context), tot
+        |ORDER BY center, context""".stripMargin),
     "q231_random_walks" -> (walkCorpusCtes +
       """fin AS (SELECT * FROM f0 UNION ALL SELECT * FROM f1
         |      UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3)
