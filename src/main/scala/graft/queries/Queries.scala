@@ -4218,6 +4218,33 @@ object Queries {
         convType = "purchase")
       .orderBy("channel")
 
+  /** Session-depth / bounce-rate distribution: the q25 30-minute
+    * sessionization rolled up to (events-per-session → session count,
+    * ppm share, bounce flag) — the engagement table next to the
+    * attribution rails, sharing their sessionization CTEs in the
+    * oracle so the session definition cannot drift. Exact integers.
+    */
+  def q247_session_depth(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sess = Tables(spark, dir).events
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("__prev", lag(col("ts"), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        col("ts") >= col("__prev") + expr("INTERVAL 30 MINUTES"),
+        1L).otherwise(0L))
+      .withColumn("sid", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val depths = sess.groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("depth"))
+    val tot = depths.agg(count(lit(1)).as("ns"))
+    depths.groupBy("depth").agg(count(lit(1)).as("n_sessions"))
+      .crossJoin(broadcast(tot))
+      .select(col("depth"), col("n_sessions"),
+        expr("(n_sessions * 1000000) div ns").as("share_ppm"),
+        (col("depth") === 1L).as("is_bounce"))
+      .orderBy("depth")
+  }
+
   /** Time-decay attribution ([[graft.ops.RelOps.decayAttribution]]) —
     * the attribution family's fourth rail (q142 first-touch, q228
     * linear, q230 U-shaped): a touch's credit halves every 10 minutes
@@ -4743,7 +4770,8 @@ object Queries {
     "q243_image_dhash" -> (q243_image_dhash _),
     "q244_biased_walks" -> (q244_biased_walks _),
     "q245_biased_skipgrams" -> (q245_biased_skipgrams _),
-    "q246_walk_pmi" -> (q246_walk_pmi _)
+    "q246_walk_pmi" -> (q246_walk_pmi _),
+    "q247_session_depth" -> (q247_session_depth _)
   )
 }
 
@@ -6536,6 +6564,15 @@ object Oracles {
         |  CAST(sum(cu) AS BIGINT) AS credit_micro,
         |  CAST(CAST(sum(cu) AS BIGINT) AS DOUBLE) / 1000000.0 AS credit_value
         |FROM credits GROUP BY 1 ORDER BY channel""".stripMargin),
+    "q247_session_depth" ->
+      (attributionSessCtes +
+      """depths AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS depth
+        |           FROM sess GROUP BY 1, 2),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM depths)
+        |SELECT depth, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  (CAST(count(*) AS BIGINT) * 1000000) // ns AS share_ppm,
+        |  (depth = 1) AS is_bounce
+        |FROM depths, tot GROUP BY depth, ns ORDER BY depth""".stripMargin),
     "q235_nfc_audit" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

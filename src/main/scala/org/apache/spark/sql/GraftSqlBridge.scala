@@ -29,6 +29,15 @@ object GraftSqlBridge {
     e.eval(null).asInstanceOf[Number].intValue()
   }
 
+  // literal string arguments carry compile-time phrase/term lists —
+  // same foldability guard as litInt
+  private def litString(fn: String, argName: String)(e: Expression): String = {
+    require(e.foldable, s"$fn's $argName must be a constant (foldable) expression")
+    val v = e.eval(null)
+    require(v != null, s"$fn's $argName must not be null")
+    v.toString
+  }
+
   /** The SQL function surface: one builder per native kernel. Shared by
     * the per-session [[registerFunctions]] and the
     * `SparkSessionExtensions` injection path ([[injectFunctions]] via
@@ -71,7 +80,15 @@ object GraftSqlBridge {
     "sq8_dot" -> (exprs => { arity("sq8_dot(code, q)", 2)(exprs)
       graft.functions.Sq8Dot(exprs.head, exprs(1)) }),
     "nfc_normalize" -> (exprs => { arity("nfc_normalize(text)", 1)(exprs)
-      graft.text.NfcNormalizeExpr(exprs.head) })
+      graft.text.NfcNormalizeExpr(exprs.head) }),
+    "phrase_tf" -> (exprs => { arity("phrase_tf(tokens, 'w1 w2 ...')", 2)(exprs)
+      graft.text.PhraseTfExpr(exprs.head,
+        litString("phrase_tf", "phrase")(exprs(1)).split(' ').toSeq
+          .filter(_.nonEmpty)) }),
+    "min_span" -> (exprs => { arity("min_span(tokens, 't1 t2 ...')", 2)(exprs)
+      graft.text.MinSpanExpr(exprs.head,
+        litString("min_span", "terms")(exprs(1)).split(' ').toSeq
+          .filter(_.nonEmpty)) })
   )
 
   /** Register graft's native expressions on an EXISTING session

@@ -124,4 +124,27 @@ class TextFunctionsSpec extends SparkSpec {
       Seq(1L).toDF("x").select(TextKernels.nfcNormalizeNative($"x")).collect()
     }
   }
+
+  test("phrase_tf and min_span are registered for SQL and agree with the Column kernels") {
+    org.apache.spark.sql.GraftSqlBridge.registerFunctions(spark)
+    val df = Seq("the cat sat on the cat mat", "cat", "").toDF("text")
+    df.createOrReplaceTempView("ptf_docs")
+    val viaSql = spark.sql(
+      """SELECT phrase_tf(split(text, ' '), 'the cat') AS tf,
+        |       min_span(split(text, ' '), 'cat mat') AS span
+        |FROM ptf_docs""".stripMargin)
+      .as[(Long, Option[Long])].collect().toSeq
+    val viaCol = df.select(
+        TextKernels.phraseTfNative(split($"text", " "), Seq("the", "cat")),
+        TextKernels.minSpanNative(split($"text", " "), Seq("cat", "mat")))
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(viaSql == viaCol, s"sql $viaSql != column $viaCol")
+    assert(viaSql.head._1 == 2L) // "the cat" occurs twice
+    assert(viaSql.head._2.contains(2L)) // "cat mat" adjacent at the end
+    // a non-constant phrase argument fails analysis, not execution
+    intercept[Exception] {
+      spark.sql("SELECT phrase_tf(split(text, ' '), text) FROM ptf_docs")
+        .collect()
+    }
+  }
 }
