@@ -191,6 +191,131 @@ object GraphOps {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Rank-`dims` node embeddings by fixed-round power iteration over the
+    * POSITIVE-PMI co-occurrence matrix of a skip-gram pair corpus — the
+    * stage that closes the graph-embedding loop ([[hashWalks]] /
+    * [[biasedHashWalks]] → [[skipGramPairs]] → HERE → the ANN family):
+    * Levy & Goldberg 2014 ("Neural word embedding as implicit matrix
+    * factorization") showed SGNS factorizes the shifted-PMI matrix, so
+    * a deterministic low-rank view of PPMI is the trainer-free form of
+    * the same embedding. Every step is 64-bit integer arithmetic (the
+    * [[hitsInt]] discipline), so the entire embedding table
+    * hash-checks against a round-unrolled SQL oracle and regenerates
+    * bit-identically on any engine — the property none of the
+    * float/SGD trainers have.
+    *
+    * Semantics: `pp(c,x) = min(liftCapMilli, max(0, (n·N·10³) div
+    * (nc·nx) − 10³))` (positive lift above independence in
+    * milli-units, saturated — the q108/q246 PMI-sans-log discipline;
+    * the subtraction is the "positive" in PPMI). Dimension `j` starts
+    * at `e₀(v,j) = 5·10⁵ + 5·10⁵·[H(v,j) mod 2 = 0]` (hash-indicator
+    * halves — deterministic sign-free diversity; H is the walk rails'
+    * modular hash family), and each round applies the matrix then
+    * max-normalizes per dimension: `r(c,j) = Σ_x pp(c,x)·e(x,j)`,
+    * `e'(c,j) = (r·10⁶) div max_c r(c,j)` — max- rather than
+    * sum-normalization keeps per-entry magnitudes at ≤ 10⁶ so the
+    * next round's products stay ≤ 10¹² per term (overflow headroom:
+    * ≲ 9.2·10⁶ positive-pp contexts per center; shard beyond that).
+    * With a handful of fixed rounds the hash-diverse starts retain
+    * rank diversity (full convergence would collapse every dimension
+    * onto the dominant eigenvector — fixed-round truncation is
+    * load-bearing, not a shortcut).
+    *
+    * Scale shape: marginals and the corpus total are map-side
+    * aggregates (the total is ONE bounded driver row that doubles as
+    * the runtime overflow guard, folded back as a literal — no
+    * crossJoin); each round is one pp⋈e equi-join + one
+    * map-side-combinable (center, dim) groupBy; per-dim maxima are a
+    * `dims`-row bounded collect folded back as a map literal; raw
+    * partials are eagerly checkpoint-truncated per round with the
+    * superseded leaf released ([[pageRankInt]]'s cadence concern
+    * doesn't arise — each round's frame is referenced once). The
+    * returned frame reads the final leaves — materialize before any
+    * blanket release, the iterated-op contract.
+    *
+    * Output: (id, dim, val) for every node of the pair corpus and
+    * every dim in [0, dims) — val in [0, 10⁶] micro-units;
+    * [[embedVectors]] pivots to the `Array[Float]` the ANN family
+    * ingests.
+    */
+  def ppmiEmbedInt(pairsIn: DataFrame, centerCol: String, contextCol: String,
+                   nCol: String, dims: Int = 8, iters: Int = 2,
+                   liftCapMilli: Long = 1000000L): DataFrame = {
+    require(dims >= 1 && dims <= 64, s"dims must be in [1, 64], got $dims")
+    require(iters >= 1 && iters <= 8, s"iters must be in [1, 8], got $iters")
+    require(liftCapMilli >= 1, s"liftCapMilli must be positive, got $liftCapMilli")
+    val P = 1000000007L
+    val spark = pairsIn.sparkSession
+    val pairs = ScaleOps.trackCache(pairsIn.select(
+      col(centerCol).cast("long").as("c"), col(contextCol).cast("long").as("x"),
+      col(nCol).cast("long").as("n")))
+    val tot = pairs.agg(coalesce(sum(col("n")), lit(0L)).as("nn"),
+      coalesce(max(col("n")), lit(0L)).as("mx")).head()
+    val (nn, mx) = (tot.getLong(0), tot.getLong(1))
+    require(nn > 0, "ppmiEmbedInt needs a non-empty pair corpus")
+    require(mx <= Long.MaxValue / 1000L / nn,
+      s"lift headroom exceeded: max pair count $mx x corpus total $nn x 1e3 " +
+        "overflows i64 - shard the pair corpus first")
+    val nc = pairs.groupBy("c").agg(sum(col("n")).as("nc"))
+    val nx = pairs.groupBy("x").agg(sum(col("n")).as("nx"))
+    val pp = ScaleOps.trackCache(pairs.join(nc, "c").join(nx, "x")
+      .select(col("c"), col("x"),
+        least(lit(liftCapMilli), greatest(lit(0L),
+          expr(s"(n * ${nn}L * 1000L) div (nc * nx) - 1000L"))).as("pp"))
+      .filter(col("pp") > 0L))
+    require(!pp.isEmpty,
+      "ppmiEmbedInt needs at least one pair above independence (pp > 0)")
+    val nodes = ScaleOps.trackCheckpoint(
+      pairs.select(col("c").as("id")).union(pairs.select(col("x").as("id")))
+        .distinct().localCheckpoint(true))
+    val dimIds = spark.range(dims).select(col("id").cast("long").as("j"))
+    val grid = nodes.crossJoin(dimIds) // |V|·dims rows, dims a literal range
+    var cur = grid.select(col("id"), col("j"),
+      when(pmod(pmod(col("id") * lit(2654435761L), lit(P)) +
+          pmod((col("j") + 1L) * lit(2246822519L), lit(P)), lit(P)) % 2L === 0L,
+        lit(1000000L)).otherwise(lit(500000L)).as("val"))
+    var prevRaw: DataFrame = null
+    var round = 0
+    while (round < iters) {
+      val rawCk = pp.join(cur, pp("x") === cur("id"))
+        .groupBy(col("c"), col("j"))
+        .agg(sum(col("pp") * col("val")).as("r"))
+        .localCheckpoint(true)
+      if (prevRaw ne null) graft.dedup.Dedup.releaseCheckpoint(prevRaw)
+      prevRaw = rawCk
+      // per-dim maxima: a dims-row bounded collect, folded back as a
+      // map literal (m > 0 whenever the dim has any raw row; absent
+      // dims fall back to 1 so the division stays total)
+      val maxima = rawCk.groupBy("j").agg(max(col("r")).as("m"))
+        .collect().map(r => r.getLong(0) -> math.max(r.getLong(1), 1L)).toMap
+      val mExpr = map((0 until dims).toSeq.flatMap(j =>
+        Seq(lit(j.toLong), lit(maxima.getOrElse(j.toLong, 1L)))): _*)
+      cur = grid
+        .join(rawCk.select(col("c").as("id"), col("j"), col("r")),
+          Seq("id", "j"), "left")
+        .withColumn("__m", element_at(mExpr, col("j")))
+        .select(col("id"), col("j"),
+          expr("(coalesce(r, 0L) * 1000000L) div __m").as("val"))
+      round += 1
+    }
+    ScaleOps.trackCheckpoint(prevRaw)
+    cur.select(col("id"), col("j").as("dim"), col("val"))
+  }
+
+  /** Pivot a long-format [[ppmiEmbedInt]] table to the
+    * `(id, embedding: Array[Float])` shape the ANN family ingests
+    * ([[graft.functions.VectorOps.IvfIndex.build]] et al.): values
+    * scale from micro-units to [0, 1] floats, dims sort into position
+    * via an order-deterministic struct sort (never an order-sensitive
+    * collect).
+    */
+  def embedVectors(embedded: DataFrame): DataFrame =
+    embedded.groupBy(col("id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("val")))),
+        s => (s("val").cast("double") / lit(1000000.0)).cast("float"))
+        .as("embedding"))
+
   /** Fixed-iteration PageRank in integer micro-units — deterministic to
     * the last bit on ANY engine, because every step is 64-bit integer
     * arithmetic: ranks live in millionths (node starts at 1,000,000),
@@ -402,6 +527,14 @@ object GraphOps {
       round += 1
     }
     e.unpersist(blocking = false)
+    // the final raw leaves (and the nodes leaf) back the returned lazy
+    // view — registered with the tracked-release registry so the
+    // library-caller hygiene path (ScaleOps.release after materializing)
+    // frees them like every other op-held block; Bench/Verify's
+    // releaseAll block sweep already covered them
+    ScaleOps.trackCheckpoint(prevA)
+    ScaleOps.trackCheckpoint(prevH)
+    ScaleOps.trackCheckpoint(nodes)
     hub.join(auth, Seq("id"))
       .select(col("id"), col("h").as("hub"), col("a").as("auth"))
   }
@@ -420,15 +553,20 @@ object GraphOps {
     * NEIGHBOR (never all-pairs); per-neighbor fan-out is indeg(z)², so
     * a super-hub z dominates the join — `maxNeighborDeg` drops common
     * neighbors above the cap (the standard link-prediction hub cut,
-    * which also removes near-zero-weight terms: at the default 10⁶
-    * scale, any z with indeg > 10⁶ contributes 0 anyway). The weighted
-    * edge frame is referenced twice (both join sides) — cached, the
-    * DAG-reuse rule.
+    * which also removes near-zero-weight terms: at the 10⁶ weight
+    * scale, any z with indeg > 10⁶ contributes 0 anyway). The default
+    * cap is FINITE (10⁴ ≙ ≤ 10⁸ candidate pairs per shared neighbor) —
+    * one unnoticed super-hub must not silently explode the join; pass
+    * `Long.MaxValue` explicitly for the uncapped enumeration (a
+    * dropped hub removes its zero-or-tiny `ra` term AND its `n_common`
+    * count, so capped vs uncapped output differs on graphs that
+    * actually contain such hubs). The weighted edge frame is
+    * referenced twice (both join sides) — cached, the DAG-reuse rule.
     *
     * Output: (id_a, id_b, n_common, ra_micro), id_a < id_b.
     */
   def resourceAllocationInt(edges: DataFrame, srcCol: String, dstCol: String,
-                            maxNeighborDeg: Long = Long.MaxValue): DataFrame = {
+                            maxNeighborDeg: Long = 10000L): DataFrame = {
     require(maxNeighborDeg >= 1,
       s"maxNeighborDeg must be positive, got $maxNeighborDeg")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()

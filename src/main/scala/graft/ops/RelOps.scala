@@ -688,6 +688,83 @@ object RelOps {
         (col("credit_micro").cast("double") / lit(1000000.0)).as("credit_value"))
   }
 
+  /** Side-by-side comparison of all four attribution rails — the table
+    * a marketing-analytics consumer actually reads: per channel, the
+    * credit each model assigns (first-touch 100%-to-first, linear
+    * equal-split, U-shaped 40/20/40, time-decay dyadic half-life), from
+    * ONE sessionization pass over ONE scan. Every rail reuses its
+    * shipped arithmetic verbatim (micro-unit floor credits — q142's
+    * first-touch restricted to the shared eligible-session set so all
+    * four columns credit the same conversion mass and are comparable:
+    * each column sums to ≈ Σcvμ minus its floor loss), so the whole
+    * table hash-checks against an oracle built from the four rails'
+    * own CTEs.
+    *
+    * Scale shape: the sessionized frame and eligible-session table are
+    * cached (each rail references them once — without the cache the
+    * session window re-executes four times); each rail is then
+    * (k, sid)-keyed joins + a channel rollup, and the final alignment
+    * is four channel-keyed outer joins over channel-cardinality frames.
+    *
+    * Output: (channel, first_micro, linear_micro, position_micro,
+    * decay_micro) — 0 where a rail credits the channel nothing.
+    */
+  def attributionCompare(df: DataFrame, keyCol: String, tsCol: String,
+                         tieCol: String, typeCol: String, valueCol: String,
+                         convType: String, halflifeMinutes: Int = 10,
+                         gapMinutes: Int = 30): DataFrame = {
+    require(halflifeMinutes >= 1,
+      s"halflifeMinutes must be positive, got $halflifeMinutes")
+    val halflifeUs = halflifeMinutes * 60000000L
+    val s = ScaleOps.trackCache(
+      sessionized(df, keyCol, tsCol, tieCol, typeCol, valueCol, gapMinutes))
+    val perSess = ScaleOps.trackCache(convertingSessions(s, convType))
+    val touches = s.filter(col("et") =!= convType)
+    // first-touch: the eligible session's full cvμ lands on its first
+    // non-conversion touch channel
+    val first = touches.groupBy("k", "sid")
+      .agg(min_by(col("et"), struct(col("ts"), col("tie"))).as("et"))
+      .join(perSess, Seq("k", "sid"))
+      .groupBy("et").agg(sum(col("cvu")).as("first_micro"))
+    val linear = touches.groupBy("k", "sid", "et").agg(count(lit(1)).as("nt"))
+      .join(perSess, Seq("k", "sid"))
+      .select(col("et"), expr("(cvu * nt) DIV ntouch").as("cu"))
+      .groupBy("et").agg(sum(col("cu")).as("linear_micro"))
+    val posTouch = touches.withColumn("__p", row_number()
+      .over(Window.partitionBy("k", "sid").orderBy(col("ts"), col("tie"))))
+    val posBp = when(col("ntouch") === 1, 10000L)
+      .when(col("ntouch") === 2, 5000L)
+      .when(col("__p") === 1 || col("__p") === col("ntouch"), 4000L)
+      .otherwise(expr("2000L DIV (ntouch - 2)"))
+    val position = posTouch.join(perSess, Seq("k", "sid"))
+      .select(col("et"), posBp.as("__bp"), col("cvu"))
+      .select(col("et"), expr("(cvu * __bp) DIV 10000").as("cu"))
+      .groupBy("et").agg(sum(col("cu")).as("position_micro"))
+    val anchors = s.filter(col("et") === convType)
+      .groupBy("k", "sid").agg(max(col("ts")).as("__anchor"))
+    val weighted = ScaleOps.trackCache(touches
+      .join(anchors, Seq("k", "sid"))
+      .filter(col("ts") <= col("__anchor"))
+      .withColumn("__d",
+        expr(s"timestampdiff(MICROSECOND, ts, __anchor) div ${halflifeUs}L"))
+      .withColumn("__w",
+        expr("1000000L div shiftleft(1L, cast(least(__d, 20L) as int))")))
+    val sums = weighted.groupBy("k", "sid").agg(sum(col("__w")).as("__sw"))
+      .filter(col("__sw") > 0L)
+    val decay = weighted.join(sums, Seq("k", "sid"))
+      .join(perSess, Seq("k", "sid"))
+      .select(col("et"), expr("(cvu * __w) div __sw").as("cu"))
+      .groupBy("et").agg(sum(col("cu")).as("decay_micro"))
+    Seq(first, linear, position, decay)
+      .map(_.withColumnRenamed("et", "channel"))
+      .reduce(_.join(_, Seq("channel"), "full_outer"))
+      .select(col("channel"),
+        coalesce(col("first_micro"), lit(0L)).as("first_micro"),
+        coalesce(col("linear_micro"), lit(0L)).as("linear_micro"),
+        coalesce(col("position_micro"), lit(0L)).as("position_micro"),
+        coalesce(col("decay_micro"), lit(0L)).as("decay_micro"))
+  }
+
   /** Session path mining: sessionize per key (the q25 30-minute gap),
     * take each session's first `depth` event types in (ts, tie) order,
     * and count the resulting paths corpus-wide — the

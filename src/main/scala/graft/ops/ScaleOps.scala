@@ -20,6 +20,24 @@ object ScaleOps {
   private val trackedCaches =
     scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
+  // Checkpoint leaves an iterated op RETURNS (hitsInt's final
+  // normalizers read them) register here: clearCache() never frees
+  // localCheckpoint blocks (RDD-level, the round-10 rule), so without
+  // registration a library caller composing many graph ops leaks one
+  // leaf pair per call until releaseAll's block-manager sweep. The
+  // op's contract (materialize the result before any release) is
+  // unchanged — [[release]] is the caller's explicit "results are
+  // materialized" signal, after which a truncated leaf is garbage.
+  private val trackedCheckpoints =
+    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private[graft] def trackCheckpoint(df: DataFrame): DataFrame = synchronized {
+    trackedCheckpoints.filterInPlace(
+      _.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    trackedCheckpoints += df
+    df
+  }
+
   private[graft] def trackCache(df: DataFrame): DataFrame = synchronized {
     // Drop entries already unpersisted elsewhere (clearCache() between
     // queries): otherwise the registry grows without bound in a
@@ -43,6 +61,8 @@ object ScaleOps {
   def release(): Unit = synchronized {
     trackedCaches.foreach(_.unpersist(blocking = false))
     trackedCaches.clear()
+    trackedCheckpoints.foreach(graft.dedup.Dedup.releaseCheckpoint)
+    trackedCheckpoints.clear()
   }
 
   /** Whether any tracked cache is still registered — the cheap dirty
@@ -50,7 +70,7 @@ object ScaleOps {
     * [[releaseAll]] sweep on queries that cached nothing.
     */
   private[graft] def hasTracked: Boolean = synchronized {
-    trackedCaches.nonEmpty
+    trackedCaches.nonEmpty || trackedCheckpoints.nonEmpty
   }
 
   /** Session-level cleanup between independent pipelines in a LONG-LIVED

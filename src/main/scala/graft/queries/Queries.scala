@@ -1674,14 +1674,43 @@ object Queries {
       graft.ops.GraphOps.skipGramPairs(
         graft.ops.GraphOps.biasedHashWalks(coSupplyTop3(spark, dir),
           "src", "dst", steps = 2, walksPerNode = 2), window = 2))
-    val tot = pairs.agg(sum(col("n")).as("nn"))
+    // one bounded 1-row fetch doubling as the overflow guard: with ANSI
+    // off Spark WRAPS `n·N·10⁶` past 2⁶³ (silent wrong lifts) where
+    // DuckDB errors, so the documented ~1e12 headroom is ENFORCED at
+    // runtime, not just noted — and the corpus total folds in as a
+    // literal (no broadcast crossJoin in the join tree)
+    val r = pairs.agg(coalesce(sum(col("n")), lit(0L)).as("nn"),
+      coalesce(max(col("n")), lit(0L)).as("mx")).head()
+    val (nn, mx) = (r.getLong(0), r.getLong(1))
+    require(mx <= Long.MaxValue / 1000000L / math.max(nn, 1L),
+      s"lift_ppm headroom exceeded: max pair count $mx x corpus total $nn" +
+        " x 1e6 overflows i64 - shard the walk corpus first")
     val nc = pairs.groupBy("center").agg(sum(col("n")).as("nc"))
     val nx = pairs.groupBy("context").agg(sum(col("n")).as("nx"))
-    pairs.join(nc, "center").join(nx, "context").crossJoin(broadcast(tot))
+    pairs.join(nc, "center").join(nx, "context")
       .select(col("center"), col("context"), col("n"),
-        expr("(n * nn * 1000000L) div (nc * nx)").as("lift_ppm"))
+        expr(s"(n * ${nn}L * 1000000L) div (nc * nx)").as("lift_ppm"))
       .orderBy("center", "context")
   }
+
+  /** Integer PPMI power-iteration node embeddings over the q245 biased
+    * skip-gram corpus ([[graft.ops.GraphOps.ppmiEmbedInt]], 8 dims × 2
+    * rounds) — the stage that closes the graph-embedding loop: walks →
+    * skip-grams → PPMI factorization → vectors the ANN family ingests
+    * ([[graft.ops.GraphOps.embedVectors]], spec-proven into
+    * `IvfIndex.build` with nearest neighbors matching edge locality).
+    * Every step is 64-bit integer arithmetic, so the full rank-8 table
+    * hash-checks against a round-unrolled oracle extending the q246
+    * PMI CTE chain.
+    */
+  def q248_ppmi_embeddings(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.GraphOps.ppmiEmbedInt(
+        graft.ops.GraphOps.skipGramPairs(
+          graft.ops.GraphOps.biasedHashWalks(coSupplyTop3(spark, dir),
+            "src", "dst", steps = 2, walksPerNode = 2), window = 2),
+        "center", "context", "n", dims = 8, iters = 2)
+      .select(col("id").as("s_suppkey"), col("dim"), col("val"))
+      .orderBy("s_suppkey", "dim")
 
   def q232_skipgram_pairs(spark: SparkSession, dir: String): DataFrame =
     graft.ops.GraphOps.skipGramPairs(
@@ -4259,6 +4288,38 @@ object Queries {
         convType = "purchase")
       .orderBy("channel")
 
+  /** All four attribution rails side-by-side per channel
+    * ([[graft.ops.RelOps.attributionCompare]]) — first/linear/U-shaped/
+    * decay credit from ONE sessionization pass, each column the rail's
+    * shipped integer micro-unit arithmetic, fully hash-checked against
+    * an oracle composed from the four rails' own CTEs.
+    */
+  def q250_attribution_compare(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.RelOps.attributionCompare(Tables(spark, dir).events,
+        "user_id", "ts", "event_id", "event_type", "value",
+        convType = "purchase")
+      .orderBy("channel")
+
+  /** Inverted-index maintenance lifecycle
+    * ([[graft.streaming.PostingsMaintainer]]) — the BM25 rail's q223:
+    * three document micro-batches (doc_id mod 3) fold into the
+    * maintained postings index, then the last batch is re-delivered
+    * (foreachBatch at-least-once replay) and skipped idempotently.
+    * Unlike the IVF monitors' telemetry (k-means-dependent, rows-only),
+    * every gauge here — distinct terms, postings rows, docs, Σdl per
+    * cumulative slice — is exact integer relational algebra, so the
+    * whole lifecycle log hash-checks against a cumulative-slice oracle.
+    */
+  def q251_postings_monitor(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+    val m = new graft.streaming.PostingsMaintainer("doc_id", "text")
+    (0 to 2).foreach(b => m.ingest(b, d.filter(col("doc_id") % 3 === b)))
+    m.ingest(2, d.filter(col("doc_id") % 3 === 2)) // whole-batch replay
+    val out = m.telemetry(spark).orderBy("batch", "action")
+    m.close()
+    out
+  }
+
   /** Video-shaped frame sampling ([[graft.multimodal.Multimodal.sampleFrames]]
     * — fixed-size frames over an opaque binary payload, every 4th kept):
     * the deterministic "video" is the document's UTF-8 bytes (the q40/q42
@@ -4366,6 +4427,34 @@ object Queries {
         col("chars_total"), col("chars_kept"),
         (col("chars_total") - col("chars_kept")).as("chars_saved"))
       .orderBy("group_size")
+  }
+
+  /** Dedup-savings TREND — q239's rollup keyed by (source, ingest
+    * bucket) so curation ops can watch dup mass DRIFT per source over
+    * ingest order (the q159/q143 drift discipline applied to dedup):
+    * same exact-jaccard groups (one dedup pass shared across all
+    * buckets — groups may span sources/buckets; each doc's keep flag
+    * is corpus-global), rolled up to per-(source, doc_id div 100)
+    * docs/dupes/chars/savings with an integer dup-ppm rate. The
+    * fixtures carry no ingest timestamp, so the bucket is the doc-id
+    * range — the ingest-order proxy (ids are assigned on arrival).
+    * Exact oracle nesting the q65 recursive-CTE closure.
+    */
+  def q249_dedup_trend(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val pairs = graft.dedup.Dedup.jaccardPairs(d, "text", "doc_id",
+      n = 3, threshold = 0.5).select("id_a", "id_b")
+    graft.dedup.Dedup.labelGroups(d, "doc_id", pairs, "id_a", "id_b")
+      .join(d.select(col("doc_id"), col("source"), col("n_chars")), Seq("doc_id"))
+      .groupBy(col("source"), expr("doc_id div 100").as("ingest_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dupes"),
+        sum(col("n_chars")).as("chars_total"),
+        sum(when(col("keep"), 0L).otherwise(col("n_chars"))).as("chars_saved"))
+      .select(col("source"), col("ingest_bucket"), col("n_docs"),
+        col("n_dupes"), expr("(n_dupes * 1000000L) div n_docs").as("dup_ppm"),
+        col("chars_total"), col("chars_saved"))
+      .orderBy("source", "ingest_bucket")
   }
 
   /** Token frequency-of-frequencies spectrum (the Zipf/hapax audit):
@@ -4771,7 +4860,11 @@ object Queries {
     "q244_biased_walks" -> (q244_biased_walks _),
     "q245_biased_skipgrams" -> (q245_biased_skipgrams _),
     "q246_walk_pmi" -> (q246_walk_pmi _),
-    "q247_session_depth" -> (q247_session_depth _)
+    "q247_session_depth" -> (q247_session_depth _),
+    "q248_ppmi_embeddings" -> (q248_ppmi_embeddings _),
+    "q249_dedup_trend" -> (q249_dedup_trend _),
+    "q250_attribution_compare" -> (q250_attribution_compare _),
+    "q251_postings_monitor" -> (q251_postings_monitor _)
   )
 }
 
@@ -6188,6 +6281,155 @@ object Oracles {
         |SELECT center, context, n, (n * nn * 1000000) // (nc * nx) AS lift_ppm
         |FROM pairs JOIN mc USING (center) JOIN mx USING (context), tot
         |ORDER BY center, context""".stripMargin),
+    "q248_ppmi_embeddings" -> (biasedWalkCtes +
+      """walks AS MATERIALIZED (
+        |  SELECT start, walk, step, node FROM f0
+        |  UNION ALL SELECT start, walk, step, node FROM f1
+        |  UNION ALL SELECT start, walk, step, node FROM f2),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.node AS center, b.node AS context,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM walks a JOIN walks b
+        |    ON a.start = b.start AND a.walk = b.walk AND a.step <> b.step
+        |    AND abs(a.step - b.step) <= 2
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM pairs),
+        |mc AS (SELECT center, CAST(sum(n) AS BIGINT) AS nc
+        |       FROM pairs GROUP BY 1),
+        |mxg AS (SELECT context, CAST(sum(n) AS BIGINT) AS nx
+        |        FROM pairs GROUP BY 1),
+        |ppr AS (SELECT center AS c, context AS x,
+        |    least(1000000, greatest(0, (n * nn * 1000) // (nc * nx) - 1000)) AS pp
+        |  FROM pairs JOIN mc USING (center) JOIN mxg USING (context), tot),
+        |pp AS MATERIALIZED (SELECT c, x, CAST(pp AS BIGINT) AS pp
+        |  FROM ppr WHERE pp > 0),
+        |nodes AS MATERIALIZED (SELECT center AS id FROM pairs
+        |  UNION SELECT context AS id FROM pairs),
+        |grid AS MATERIALIZED (SELECT id, CAST(j AS BIGINT) AS j
+        |  FROM nodes CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j)),
+        |e0 AS MATERIALIZED (SELECT id, j,
+        |  CAST(CASE WHEN (id*2654435761 % 1000000007
+        |                  + (j+1)*2246822519 % 1000000007)
+        |                 % 1000000007 % 2 = 0
+        |    THEN 1000000 ELSE 500000 END AS BIGINT) AS val FROM grid),
+        |r1 AS MATERIALIZED (SELECT pp.c, e.j,
+        |    CAST(sum(pp.pp * e.val) AS BIGINT) AS r
+        |  FROM pp JOIN e0 e ON e.id = pp.x GROUP BY 1, 2),
+        |m1 AS (SELECT j, greatest(max(r), 1) AS m FROM r1 GROUP BY 1),
+        |e1 AS MATERIALIZED (SELECT g.id, g.j,
+        |    (coalesce(r1.r, 0) * 1000000) // coalesce(m1.m, 1) AS val
+        |  FROM grid g LEFT JOIN r1 ON r1.c = g.id AND r1.j = g.j
+        |              LEFT JOIN m1 ON m1.j = g.j),
+        |r2 AS MATERIALIZED (SELECT pp.c, e.j,
+        |    CAST(sum(pp.pp * e.val) AS BIGINT) AS r
+        |  FROM pp JOIN e1 e ON e.id = pp.x GROUP BY 1, 2),
+        |m2 AS (SELECT j, greatest(max(r), 1) AS m FROM r2 GROUP BY 1),
+        |e2 AS (SELECT g.id, g.j,
+        |    (coalesce(r2.r, 0) * 1000000) // coalesce(m2.m, 1) AS val
+        |  FROM grid g LEFT JOIN r2 ON r2.c = g.id AND r2.j = g.j
+        |              LEFT JOIN m2 ON m2.j = g.j)
+        |SELECT CAST(id AS BIGINT) AS s_suppkey, CAST(j AS BIGINT) AS dim,
+        |  CAST(val AS BIGINT) AS val
+        |FROM e2 ORDER BY s_suppkey, dim""".stripMargin),
+    "q249_dedup_trend" ->
+      ("""WITH lab AS (
+        |  SELECT g.doc_id, g.keep, d.source, d.n_chars,
+        |    d.doc_id // 100 AS ingest_bucket
+        |  FROM (
+        |""".stripMargin + docDedupGroupsSql("0.5") + """
+        |  ) g JOIN documents d USING (doc_id))
+        |SELECT source, ingest_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dupes,
+        |  (CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) * 1000000)
+        |    // CAST(count(*) AS BIGINT) AS dup_ppm,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+        |  CAST(sum(CASE WHEN keep THEN 0 ELSE n_chars END) AS BIGINT)
+        |    AS chars_saved
+        |FROM lab GROUP BY 1, 2 ORDER BY source, ingest_bucket""".stripMargin),
+    "q250_attribution_compare" ->
+      (attributionSessCtes +
+      """touches AS MATERIALIZED (
+        |  SELECT user_id, sid, event_type AS channel, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id, sid
+        |                       ORDER BY ts, event_id) AS p
+        |  FROM sess WHERE event_type <> 'purchase'),
+        |ft AS (
+        |  SELECT channel, CAST(sum(cvu) AS BIGINT) AS first_micro
+        |  FROM (SELECT user_id, sid,
+        |          first(channel ORDER BY ts, event_id) AS channel
+        |        FROM touches GROUP BY 1, 2) f
+        |  JOIN eligible USING (user_id, sid) GROUP BY 1),
+        |lin AS (
+        |  SELECT channel, CAST(sum((cvu * nt) // ntouch) AS BIGINT)
+        |    AS linear_micro
+        |  FROM (SELECT user_id, sid, channel, count(*) AS nt
+        |        FROM touches GROUP BY 1, 2, 3) t
+        |  JOIN eligible USING (user_id, sid) GROUP BY 1),
+        |pos AS (
+        |  SELECT channel,
+        |    CAST(sum((cvu * (CASE WHEN ntouch = 1 THEN 10000
+        |                  WHEN ntouch = 2 THEN 5000
+        |                  WHEN p = 1 OR p = ntouch THEN 4000
+        |                  ELSE 2000 // (ntouch - 2) END)) // 10000) AS BIGINT)
+        |      AS position_micro
+        |  FROM touches JOIN eligible USING (user_id, sid) GROUP BY 1),
+        |anchors AS (
+        |  SELECT user_id, sid, max(ts) AS anchor
+        |  FROM sess WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |tw AS MATERIALIZED (
+        |  SELECT t.user_id, t.sid, t.channel,
+        |    1000000 // (1::BIGINT << LEAST(
+        |      date_diff('microsecond', t.ts, a.anchor) // 600000000, 20)) AS w
+        |  FROM touches t JOIN anchors a USING (user_id, sid)
+        |  WHERE t.ts <= a.anchor),
+        |sw AS (SELECT user_id, sid, sum(w) AS swt FROM tw GROUP BY 1, 2
+        |       HAVING sum(w) > 0),
+        |dec AS (
+        |  SELECT channel, CAST(sum((cvu * w) // swt) AS BIGINT) AS decay_micro
+        |  FROM tw JOIN sw USING (user_id, sid)
+        |       JOIN eligible USING (user_id, sid) GROUP BY 1),
+        |chans AS (SELECT channel FROM ft UNION SELECT channel FROM lin
+        |  UNION SELECT channel FROM pos UNION SELECT channel FROM dec)
+        |SELECT c.channel,
+        |  coalesce(ft.first_micro, 0) AS first_micro,
+        |  coalesce(lin.linear_micro, 0) AS linear_micro,
+        |  coalesce(pos.position_micro, 0) AS position_micro,
+        |  coalesce(dec.decay_micro, 0) AS decay_micro
+        |FROM chans c LEFT JOIN ft USING (channel) LEFT JOIN lin USING (channel)
+        |  LEFT JOIN pos USING (channel) LEFT JOIN dec USING (channel)
+        |ORDER BY channel""".stripMargin),
+    "q251_postings_monitor" ->
+      """WITH toks AS MATERIALIZED (SELECT doc_id, doc_id % 3 AS b,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |occ AS (SELECT doc_id, b, t[i] AS token
+        |        FROM toks CROSS JOIN unnest(generate_series(1, len(t))) AS u(i)),
+        |pr AS MATERIALIZED (SELECT DISTINCT doc_id, b, token FROM occ),
+        |batches AS (SELECT unnest(generate_series(0, 2)) AS batch),
+        |cum AS MATERIALIZED (SELECT bt.batch,
+        |    (SELECT count(DISTINCT token) FROM pr WHERE pr.b <= bt.batch)
+        |      AS n_terms,
+        |    (SELECT count(*) FROM pr WHERE pr.b <= bt.batch) AS n_postings,
+        |    (SELECT count(*) FROM toks WHERE toks.b <= bt.batch) AS n_docs,
+        |    (SELECT coalesce(sum(len(t)), 0) FROM toks WHERE toks.b <= bt.batch)
+        |      AS total_dl
+        |  FROM batches bt)
+        |SELECT CAST(batch AS BIGINT) AS batch, action,
+        |  CAST(n_terms AS BIGINT) AS n_terms,
+        |  CAST(n_postings AS BIGINT) AS n_postings,
+        |  CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(total_dl AS BIGINT) AS total_dl
+        |FROM (
+        |  SELECT -1 AS batch, 'built' AS action, 0 AS n_terms,
+        |    0 AS n_postings, 0 AS n_docs, 0 AS total_dl
+        |  UNION ALL
+        |  SELECT batch, 'appended', n_terms, n_postings, n_docs, total_dl
+        |  FROM cum
+        |  UNION ALL
+        |  SELECT batch, 'replay_skipped', n_terms, n_postings, n_docs, total_dl
+        |  FROM cum WHERE batch = 2)
+        |ORDER BY batch, action""".stripMargin,
     "q231_random_walks" -> (walkCorpusCtes +
       """fin AS (SELECT * FROM f0 UNION ALL SELECT * FROM f1
         |      UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3)

@@ -227,7 +227,11 @@ object StatefulOps {
               out += ChannelCredit(uid, ch, nt, cvu * nt / ntouch)
             }
         } else counts = counts.updated(e.etype, counts.getOrElse(e.etype, 0L) + 1L)
-        lastTs = e.ts
+        // a cross-batch straggler (older ts than the stored clock) must
+        // not move the session clock BACKWARD: the next in-order event
+        // would then re-measure the gap from the straggler and could
+        // spuriously roll a session the batch rail keeps whole
+        lastTs = math.max(lastTs, e.ts)
       }
       sess.update(AttrSessState(lastTs, counts))
       out.result().iterator

@@ -310,6 +310,23 @@ object TextSearch {
     */
   private def withIntBm25Score(comp: DataFrame, nTerms: Int,
                                k1Bp: Long, bBp: Long): DataFrame = {
+    val statAggs = (count(lit(1)).as("__n") +: sum(col("dl")).as("__tdl") +:
+      (0 until nTerms).map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i")))
+    withIntBm25ScoreStats(comp, nTerms, k1Bp, bBp,
+      comp.agg(statAggs.head, statAggs.tail: _*))
+  }
+
+  /** [[withIntBm25Score]] with the corpus stats SUPPLIED as a 1-row
+    * frame (`__n`, `__tdl`, `__df0..`) instead of re-aggregated from
+    * `comp` — the seam an index-backed scorer needs: a maintained
+    * inverted index already knows N, Σdl and every term's df, so
+    * scoring must not pay (or subtly diverge from) a second corpus
+    * scan. Same arithmetic, byte-identical scores.
+    */
+  private[graft] def withIntBm25ScoreStats(comp: DataFrame, nTerms: Int,
+                                           k1Bp: Long, bBp: Long,
+                                           stats: DataFrame): DataFrame = {
     require(k1Bp >= 0 && k1Bp <= 100000 && bBp >= 0 && bBp <= 10000)
     // Keep every product inside exact 64-bit range on BOTH engines: with
     // ANSI off Spark wraps silently on overflow while DuckDB raises, so
@@ -321,10 +338,6 @@ object TextSearch {
     // docs — so the caps are exactness GUARDS, not scoring changes.
     val tfCap = Long.MaxValue / ((10000L + k1Bp) * 10000000000L)
     val idfCap = Long.MaxValue / ((10000L + k1Bp) * 100L)
-    val statAggs = (count(lit(1)).as("__n") +: sum(col("dl")).as("__tdl") +:
-      (0 until nTerms).map(i =>
-        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i")))
-    val stats = comp.agg(statAggs.head, statAggs.tail: _*)
     val scored = comp.crossJoin(broadcast(stats))
       .withColumn("__avgdl_ppm", expr("(__tdl * 1000000) div __n"))
       .withColumn("__blen_bp", expr(

@@ -63,10 +63,34 @@ object RecallAudit {
         .select("id_a", "id_b"), "id_a", "id_b")
     val mb = Dedup.nearDupGroupsMultiBand(rc, "text", "doc_id",
       n = 3, numHashes = 64, bandings = Seq(16, 32), threshold = 0.3)
-    report("q226_multiband_r03", samePairs(exactRadius, "doc_id", "group"),
-      samePairs(mb, "doc_id", "group"))
+    val exactRadiusPairs = samePairs(exactRadius, "doc_id", "group")
+    val mbPairs = samePairs(mb, "doc_id", "group")
+    report("q226_multiband_r03", exactRadiusPairs, mbPairs)
     graft.ops.ScaleOps.release()
     spark.catalog.clearCache()
+
+    // streaming multi-band maintainer at the same operating point,
+    // driven over 5 staggered batches (ids interleaved mod 5 so dup
+    // pairs cross batch boundaries): recall vs the exact radius groups,
+    // plus agreement with the batch q226 composition. Incremental
+    // bucket-size guards apply per batch, so streamed recall can only
+    // MATCH OR EXCEED the batch run's (pairs found while buckets were
+    // small are kept) — precision_1 vs exact still holds (every pair is
+    // exact-verified before CC).
+    {
+      import spark.implicits._
+      val rows = rc.select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect().sortBy(r => (r._1 % 5, r._1))
+      val m = new graft.streaming.DedupGroupMaintainer("text", "doc_id",
+        numHashes = 64, bandings = Seq(16, 32), threshold = 0.3)
+      rows.grouped((rows.length + 4) / 5)
+        .foreach(slice => m.ingest(slice.toSeq.toDF("doc_id", "text")))
+      val streamed = samePairs(m.labels(spark), "doc_id", "group")
+      m.close()
+      report("stream_mb_vs_exact", exactRadiusPairs, streamed)
+      report("stream_mb_vs_batch", mbPairs, streamed)
+      spark.catalog.clearCache()
+    }
 
     // q75: the DECLARED clustered-SemDeDup query at its shipped
     // operating point (whatever Queries.q75_semdedup currently ships —

@@ -677,6 +677,55 @@ class RelOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("attributionCompare: every column equals its standalone rail; first-touch credits the eligible session's full value") {
+    import org.apache.spark.sql.functions.to_timestamp
+    // a mix exercising all four rails: multi-touch session with distinct
+    // first/middle/last channels + decay ages, a 1-touch session, a
+    // non-converting session, a no-touch conversion
+    val ev = Seq(
+      ("A", "2024-01-01 10:00:00", 1L, "view", 0.0),
+      ("A", "2024-01-01 10:15:00", 2L, "click", 0.0),
+      ("A", "2024-01-01 10:20:00", 3L, "mail", 0.0),
+      ("A", "2024-01-01 10:25:00", 4L, "purchase", 1.000001),
+      ("A", "2024-01-01 12:00:00", 5L, "view", 0.0), // separate, no purchase
+      ("B", "2024-01-01 09:00:00", 6L, "click", 0.0),
+      ("B", "2024-01-01 09:06:00", 7L, "purchase", 2.5),
+      ("C", "2024-01-01 08:00:00", 8L, "purchase", 5.0) // nothing to credit
+    ).toDF("user_id", "tss", "event_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    def rail(df: org.apache.spark.sql.DataFrame, valueCol: String) =
+      df.select(col("channel"), col(valueCol)).as[(String, Long)].collect().toMap
+    val cmp = RelOps.attributionCompare(ev, "user_id", "ts", "event_id",
+      "event_type", "value", convType = "purchase")
+    val gotLin = rail(cmp, "linear_micro")
+    val gotPos = rail(cmp, "position_micro")
+    val gotDec = rail(cmp, "decay_micro")
+    val gotFirst = rail(cmp, "first_micro")
+    val lin = rail(RelOps.linearAttribution(ev, "user_id", "ts", "event_id",
+      "event_type", "value", convType = "purchase"), "credit_micro")
+    val pos = rail(RelOps.positionAttribution(ev, "user_id", "ts", "event_id",
+      "event_type", "value", convType = "purchase"), "credit_micro")
+    val dec = rail(RelOps.decayAttribution(ev, "user_id", "ts", "event_id",
+      "event_type", "value", convType = "purchase"), "credit_micro")
+    def pad(m: Map[String, Long]) =
+      gotLin.keySet.map(k => k -> m.getOrElse(k, 0L)).toMap
+    assert(gotLin == pad(lin), s"linear: $gotLin vs $lin")
+    assert(gotPos == pad(pos), s"position: $gotPos vs $pos")
+    assert(gotDec == pad(dec), s"decay: $gotDec vs $dec")
+    // first-touch: A's 1000001 on view (its first touch), B's 2500000 on
+    // click; C has no touches and credits nothing anywhere
+    assert(gotFirst == Map("view" -> 1000001L, "click" -> 2500000L,
+      "mail" -> 0L), s"first: $gotFirst")
+    // comparability: each rail's column sums to total cvu minus floor loss
+    val total = 1000001L + 2500000L
+    Seq(gotFirst, gotLin, gotPos, gotDec).foreach { m =>
+      assert(m.values.sum <= total && m.values.sum >= total - 10L,
+        s"column sum ${m.values.sum} strays from $total")
+    }
+    graft.ops.ScaleOps.release()
+    spark.catalog.clearCache()
+  }
+
   test("weightedQuantiles: one-pass multi-bp matches the brute-force rule on dense ties") {
     // low-cardinality groups × dense value ties: the de-skew rewrite must
     // not disturb the integer basis-point rule at ANY partition split

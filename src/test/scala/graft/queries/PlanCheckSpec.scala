@@ -322,6 +322,21 @@ class PlanCheckSpec extends SparkSpec {
     }
   }
 
+  test("q248/q249/q250 new-rail windows are all partitioned") {
+    // q248's session windows ride the walk corpus ((start, walk) /
+    // per-src adjacency), q249's the dedup rank, q250's the (k, sid)
+    // sessionization — none may degrade to a single-partition sort
+    for (name <- Seq("q248_ppmi_embeddings", "q249_dedup_trend",
+        "q250_attribution_compare")) {
+      val unpartitioned = windowNodes(Queries.all(name)(spark, sfDir))
+        .filter(_.partitionSpec.isEmpty)
+      spark.catalog.clearCache()
+      graft.ops.ScaleOps.release()
+      assert(unpartitioned.isEmpty,
+        s"$name contains a single-partition Window")
+    }
+  }
+
   test("q202-q207 TPC-H shapes: semi-join lateness, pushdown, broadcast dims, TakeOrdered") {
     // Q4 shape: the correlated EXISTS must plan as a left-semi join with
     // the lateness predicate inside the join, never a nested loop

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.SparkSpec
+import graft.text.TextSearch
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
@@ -801,6 +802,89 @@ class StreamingSpec extends SparkSpec {
     // full doc's group (keep=false on a +1e6 id)
     assert(got.exists { case (id, _, keep) => id >= 1000000L && !keep },
       "a prefix variant must have folded into its full doc's group")
+  }
+
+  test("PostingsMaintainer: stream-appended index's integer BM25 equals the batch rebuild") {
+    val d = graft.core.Tables(spark, sfDir).documents.select("doc_id", "text")
+    val terms = Seq("hash", "join", "spark") // the q164 query
+    val m = new PostingsMaintainer("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) => m.ingest(id, b) }
+      .outputMode(OutputMode.Append()).start()
+    val rows = d.as[(Long, String)].collect().sortBy(_._1)
+    rows.grouped((rows.length + 2) / 3).foreach { slice =>
+      in.addData(slice.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = m.search(terms, k = 10).as[(Long, Long)].collect().toSeq
+    val batch = TextSearch.bm25IntTopK(d, "doc_id", "text", terms, k = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(streamed == batch,
+      s"index-backed search diverged: streamed=$streamed batch=$batch")
+    // telemetry: one appended row per micro-batch, gauges strictly grow
+    val tel = m.telemetry(spark)
+      .filter($"action" === "appended")
+      .select("n_docs").as[Long].collect().toSeq
+    assert(tel.size == 3 && tel == tel.sorted && tel.last == rows.length,
+      s"appended gauges: $tel")
+    m.close()
+  }
+
+  test("PostingsMaintainer: whole-batch replay skipped idempotently, partial overlap under a fresh id fails loudly") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "beta beta delta"),
+      (3L, "gamma delta epsilon"))
+    val m = new PostingsMaintainer("doc_id", "text")
+    m.ingest(0L, docs.take(2).toDF("doc_id", "text"))
+    val before = m.search(Seq("beta"), k = 5).as[(Long, Long)].collect().toSeq
+    // whole-batch replay (foreachBatch at-least-once): telemetry-visible no-op
+    m.ingest(0L, docs.take(2).toDF("doc_id", "text"))
+    val after = m.search(Seq("beta"), k = 5).as[(Long, Long)].collect().toSeq
+    assert(after == before, "replayed batch must not change the index")
+    val acts = m.telemetry(spark).select("action").as[String].collect().toSeq
+    assert(acts == Seq("built", "appended", "replay_skipped"), s"actions: $acts")
+    // doc 2 re-sent under a FRESH batch id: fresh-id contract violation
+    val ex = intercept[IllegalArgumentException] {
+      m.ingest(1L, docs.drop(1).toDF("doc_id", "text"))
+    }
+    assert(ex.getMessage.contains("fresh"), ex.getMessage)
+    // a genuinely fresh batch still ingests after the failed one
+    m.ingest(2L, docs.drop(2).toDF("doc_id", "text"))
+    assert(m.search(Seq("epsilon"), k = 5).as[(Long, Long)].collect()
+      .map(_._1).toSeq == Seq(3L), "post-failure ingest must work")
+    m.close()
+  }
+
+  test("PostingsMaintainer save/load: restarted loop skips the replayed batch and equals the uninterrupted one") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "beta beta delta"),
+      (3L, "gamma delta epsilon"), (4L, "alpha epsilon zeta"))
+    def frame(ids: Long*) = docs.filter(d => ids.contains(d._1)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_postings").toString
+    // uninterrupted reference
+    val full = new PostingsMaintainer("doc_id", "text")
+    full.ingest(0L, frame(1L, 2L)); full.ingest(1L, frame(3L)); full.ingest(2L, frame(4L))
+    val want = full.search(Seq("alpha", "delta"), k = 5)
+      .as[(Long, Long)].collect().toSeq
+    full.close()
+    // crash after batch 1, save, reload, foreachBatch re-delivers batch 1
+    val m1 = new PostingsMaintainer("doc_id", "text")
+    m1.ingest(0L, frame(1L, 2L)); m1.ingest(1L, frame(3L))
+    m1.save(dir, buckets = 8)
+    m1.close()
+    val m2 = PostingsMaintainer.load(spark, dir, "doc_id", "text")
+    m2.ingest(1L, frame(3L)) // at-least-once replay with its pre-crash id
+    m2.ingest(2L, frame(4L))
+    val got = m2.search(Seq("alpha", "delta"), k = 5)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == want, s"restarted $got != uninterrupted $want")
+    val acts = m2.telemetry(spark).select("action").as[String].collect().toSeq
+    assert(acts == Seq("built", "loaded", "replay_skipped", "appended"),
+      s"actions: $acts")
+    // the saved postings use the bucket-partitioned pruning layout
+    val buckets = new java.io.File(s"$dir/postings").listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName).toSeq
+    assert(buckets.nonEmpty, "postings must save bucket-partitioned")
+    m2.close()
   }
 
   test("cdcGateTws maintains the batch cdcApply image at every prefix (RocksDB)") {
