@@ -1712,6 +1712,36 @@ object Queries {
       .select(col("id").as("s_suppkey"), col("dim"), col("val"))
       .orderBy("s_suppkey", "dim")
 
+  /** Exact integer dot-product k-NN over the q248 PPMI embeddings —
+    * the exactness rung that closes the embedding-similarity rail
+    * (walks → embeddings → neighbor search, every bit hash-checked):
+    * each node's top-3 neighbors by `Σ val·val` (BIGINT, ≤ 8·10¹² per
+    * pair — exact), per-source rank window (WindowGroupLimit), ties by
+    * neighbor id. The all-pairs dim-join is BY DESIGN the
+    * oracle-checkable rung; the scale path for the same vectors is the
+    * IVF family via [[graft.ops.GraphOps.embedVectors]] (spec-proven in
+    * GraphOpsSpec) — the q62/q76 division of labor applied to graph
+    * embeddings.
+    */
+  def q252_embed_knn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.ops.ScaleOps.trackCache(
+      graft.ops.GraphOps.ppmiEmbedInt(
+        graft.ops.GraphOps.skipGramPairs(
+          graft.ops.GraphOps.biasedHashWalks(coSupplyTop3(spark, dir),
+            "src", "dst", steps = 2, walksPerNode = 2), window = 2),
+        "center", "context", "n", dims = 8, iters = 2))
+    val dots = emb.as("a").join(emb.as("b"),
+        col("a.dim") === col("b.dim") && col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("src"), col("b.id").as("dst"))
+      .agg(sum(col("a.val") * col("b.val")).as("dot"))
+    val w = Window.partitionBy("src").orderBy(col("dot").desc, col("dst"))
+    dots.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("src").as("s_suppkey"), col("rnk"), col("dst").as("nbr"),
+        col("dot"))
+      .orderBy("s_suppkey", "rnk")
+  }
+
   def q232_skipgram_pairs(spark: SparkSession, dir: String): DataFrame =
     graft.ops.GraphOps.skipGramPairs(
         graft.ops.GraphOps.hashWalks(coSupplyTop3(spark, dir), "src", "dst",
@@ -4864,7 +4894,8 @@ object Queries {
     "q248_ppmi_embeddings" -> (q248_ppmi_embeddings _),
     "q249_dedup_trend" -> (q249_dedup_trend _),
     "q250_attribution_compare" -> (q250_attribution_compare _),
-    "q251_postings_monitor" -> (q251_postings_monitor _)
+    "q251_postings_monitor" -> (q251_postings_monitor _),
+    "q252_embed_knn" -> (q252_embed_knn _)
   )
 }
 
@@ -5088,6 +5119,62 @@ object Oracles {
         |f2 AS (SELECT start, walk, 2 AS step, cand AS node
         |  FROM s2 WHERE r >= cum - w AND r < cum),
         |""".stripMargin
+
+  /** The q248 integer-PPMI embedding CTE chain (biased-walk corpus →
+    * skip-gram pairs → saturated positive lift → 2 unrolled
+    * max-normalized power-iteration rounds, ending at `e2` — the
+    * rank-8 embedding table), shared by q248 and the q252 dot-product
+    * kNN so the two oracles cannot drift. Ends mid-WITH (trailing
+    * comma): append the consuming CTE + SELECT.
+    */
+  private def ppmiEmbedCtes: String = biasedWalkCtes +
+    """walks AS MATERIALIZED (
+      |  SELECT start, walk, step, node FROM f0
+      |  UNION ALL SELECT start, walk, step, node FROM f1
+      |  UNION ALL SELECT start, walk, step, node FROM f2),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.node AS center, b.node AS context,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM walks a JOIN walks b
+      |    ON a.start = b.start AND a.walk = b.walk AND a.step <> b.step
+      |    AND abs(a.step - b.step) <= 2
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM pairs),
+      |mc AS (SELECT center, CAST(sum(n) AS BIGINT) AS nc
+      |       FROM pairs GROUP BY 1),
+      |mxg AS (SELECT context, CAST(sum(n) AS BIGINT) AS nx
+      |        FROM pairs GROUP BY 1),
+      |ppr AS (SELECT center AS c, context AS x,
+      |    least(1000000, greatest(0, (n * nn * 1000) // (nc * nx) - 1000)) AS pp
+      |  FROM pairs JOIN mc USING (center) JOIN mxg USING (context), tot),
+      |pp AS MATERIALIZED (SELECT c, x, CAST(pp AS BIGINT) AS pp
+      |  FROM ppr WHERE pp > 0),
+      |nodes AS MATERIALIZED (SELECT center AS id FROM pairs
+      |  UNION SELECT context AS id FROM pairs),
+      |grid AS MATERIALIZED (SELECT id, CAST(j AS BIGINT) AS j
+      |  FROM nodes CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j)),
+      |e0 AS MATERIALIZED (SELECT id, j,
+      |  CAST(CASE WHEN (id*2654435761 % 1000000007
+      |                  + (j+1)*2246822519 % 1000000007)
+      |                 % 1000000007 % 2 = 0
+      |    THEN 1000000 ELSE 500000 END AS BIGINT) AS val FROM grid),
+      |r1 AS MATERIALIZED (SELECT pp.c, e.j,
+      |    CAST(sum(pp.pp * e.val) AS BIGINT) AS r
+      |  FROM pp JOIN e0 e ON e.id = pp.x GROUP BY 1, 2),
+      |m1 AS (SELECT j, greatest(max(r), 1) AS m FROM r1 GROUP BY 1),
+      |e1 AS MATERIALIZED (SELECT g.id, g.j,
+      |    (coalesce(r1.r, 0) * 1000000) // coalesce(m1.m, 1) AS val
+      |  FROM grid g LEFT JOIN r1 ON r1.c = g.id AND r1.j = g.j
+      |              LEFT JOIN m1 ON m1.j = g.j),
+      |r2 AS MATERIALIZED (SELECT pp.c, e.j,
+      |    CAST(sum(pp.pp * e.val) AS BIGINT) AS r
+      |  FROM pp JOIN e1 e ON e.id = pp.x GROUP BY 1, 2),
+      |m2 AS (SELECT j, greatest(max(r), 1) AS m FROM r2 GROUP BY 1),
+      |e2 AS MATERIALIZED (SELECT g.id, g.j,
+      |    (coalesce(r2.r, 0) * 1000000) // coalesce(m2.m, 1) AS val
+      |  FROM grid g LEFT JOIN r2 ON r2.c = g.id AND r2.j = g.j
+      |              LEFT JOIN m2 ON m2.j = g.j),
+      |""".stripMargin
 
   val all: Map[String, String] = Map(
     "q01_scan" ->
@@ -6281,56 +6368,22 @@ object Oracles {
         |SELECT center, context, n, (n * nn * 1000000) // (nc * nx) AS lift_ppm
         |FROM pairs JOIN mc USING (center) JOIN mx USING (context), tot
         |ORDER BY center, context""".stripMargin),
-    "q248_ppmi_embeddings" -> (biasedWalkCtes +
-      """walks AS MATERIALIZED (
-        |  SELECT start, walk, step, node FROM f0
-        |  UNION ALL SELECT start, walk, step, node FROM f1
-        |  UNION ALL SELECT start, walk, step, node FROM f2),
-        |pairs AS MATERIALIZED (
-        |  SELECT a.node AS center, b.node AS context,
-        |    CAST(count(*) AS BIGINT) AS n
-        |  FROM walks a JOIN walks b
-        |    ON a.start = b.start AND a.walk = b.walk AND a.step <> b.step
-        |    AND abs(a.step - b.step) <= 2
-        |  GROUP BY 1, 2),
-        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM pairs),
-        |mc AS (SELECT center, CAST(sum(n) AS BIGINT) AS nc
-        |       FROM pairs GROUP BY 1),
-        |mxg AS (SELECT context, CAST(sum(n) AS BIGINT) AS nx
-        |        FROM pairs GROUP BY 1),
-        |ppr AS (SELECT center AS c, context AS x,
-        |    least(1000000, greatest(0, (n * nn * 1000) // (nc * nx) - 1000)) AS pp
-        |  FROM pairs JOIN mc USING (center) JOIN mxg USING (context), tot),
-        |pp AS MATERIALIZED (SELECT c, x, CAST(pp AS BIGINT) AS pp
-        |  FROM ppr WHERE pp > 0),
-        |nodes AS MATERIALIZED (SELECT center AS id FROM pairs
-        |  UNION SELECT context AS id FROM pairs),
-        |grid AS MATERIALIZED (SELECT id, CAST(j AS BIGINT) AS j
-        |  FROM nodes CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j)),
-        |e0 AS MATERIALIZED (SELECT id, j,
-        |  CAST(CASE WHEN (id*2654435761 % 1000000007
-        |                  + (j+1)*2246822519 % 1000000007)
-        |                 % 1000000007 % 2 = 0
-        |    THEN 1000000 ELSE 500000 END AS BIGINT) AS val FROM grid),
-        |r1 AS MATERIALIZED (SELECT pp.c, e.j,
-        |    CAST(sum(pp.pp * e.val) AS BIGINT) AS r
-        |  FROM pp JOIN e0 e ON e.id = pp.x GROUP BY 1, 2),
-        |m1 AS (SELECT j, greatest(max(r), 1) AS m FROM r1 GROUP BY 1),
-        |e1 AS MATERIALIZED (SELECT g.id, g.j,
-        |    (coalesce(r1.r, 0) * 1000000) // coalesce(m1.m, 1) AS val
-        |  FROM grid g LEFT JOIN r1 ON r1.c = g.id AND r1.j = g.j
-        |              LEFT JOIN m1 ON m1.j = g.j),
-        |r2 AS MATERIALIZED (SELECT pp.c, e.j,
-        |    CAST(sum(pp.pp * e.val) AS BIGINT) AS r
-        |  FROM pp JOIN e1 e ON e.id = pp.x GROUP BY 1, 2),
-        |m2 AS (SELECT j, greatest(max(r), 1) AS m FROM r2 GROUP BY 1),
-        |e2 AS (SELECT g.id, g.j,
-        |    (coalesce(r2.r, 0) * 1000000) // coalesce(m2.m, 1) AS val
-        |  FROM grid g LEFT JOIN r2 ON r2.c = g.id AND r2.j = g.j
-        |              LEFT JOIN m2 ON m2.j = g.j)
+    "q248_ppmi_embeddings" -> (ppmiEmbedCtes +
+      """fin AS (SELECT id, j, val FROM e2)
         |SELECT CAST(id AS BIGINT) AS s_suppkey, CAST(j AS BIGINT) AS dim,
         |  CAST(val AS BIGINT) AS val
-        |FROM e2 ORDER BY s_suppkey, dim""".stripMargin),
+        |FROM fin ORDER BY s_suppkey, dim""".stripMargin),
+    "q252_embed_knn" -> (ppmiEmbedCtes +
+      """dots AS (SELECT a.id AS src, b.id AS dst,
+        |    CAST(sum(a.val * b.val) AS BIGINT) AS dot
+        |  FROM e2 a JOIN e2 b ON a.j = b.j AND a.id <> b.id
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT src, dst, dot,
+        |    row_number() OVER (PARTITION BY src ORDER BY dot DESC, dst) AS rnk
+        |  FROM dots)
+        |SELECT CAST(src AS BIGINT) AS s_suppkey, CAST(rnk AS BIGINT) AS rnk,
+        |  CAST(dst AS BIGINT) AS nbr, dot
+        |FROM rk WHERE rnk <= 3 ORDER BY s_suppkey, rnk""".stripMargin),
     "q249_dedup_trend" ->
       ("""WITH lab AS (
         |  SELECT g.doc_id, g.keep, d.source, d.n_chars,

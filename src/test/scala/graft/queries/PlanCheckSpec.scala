@@ -327,7 +327,7 @@ class PlanCheckSpec extends SparkSpec {
     // per-src adjacency), q249's the dedup rank, q250's the (k, sid)
     // sessionization — none may degrade to a single-partition sort
     for (name <- Seq("q248_ppmi_embeddings", "q249_dedup_trend",
-        "q250_attribution_compare")) {
+        "q250_attribution_compare", "q252_embed_knn")) {
       val unpartitioned = windowNodes(Queries.all(name)(spark, sfDir))
         .filter(_.partitionSpec.isEmpty)
       spark.catalog.clearCache()
