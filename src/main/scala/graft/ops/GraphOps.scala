@@ -382,6 +382,56 @@ object GraphOps {
     rank
   }
 
+  /** [[pageRankInt]] on WEIGHTED edges — the natural form for
+    * similarity/co-occurrence graphs where an edge carries a strength
+    * (shared-part counts, co-click counts, jaccard grades): node `u`
+    * donates `(rank(u) · w(u→v)) div W(u)` along each edge, `W(u) =
+    * Σ w(u→·)`, so strong ties carry proportionally more rank. Same
+    * floor-division determinism, damping in basis points, micro-unit
+    * ranks, 3-round checkpoint cadence, and unrollable-oracle property
+    * as the unweighted form (which is the `w ≡ 1` special case).
+    * Weights must be positive integers. Overflow headroom:
+    * `rank·w ≤ (n·10⁶)·w_max` must fit i64 — fine to n·w_max ≲ 9·10¹²
+    * (re-scale weights down first beyond that).
+    */
+  def weightedPageRankInt(nodes: DataFrame, idCol: String, edges: DataFrame,
+                          srcCol: String, dstCol: String, wCol: String,
+                          iters: Int = 3, dampingBp: Int = 8500): DataFrame = {
+    require(iters >= 1, s"need at least one iteration, got $iters")
+    require(dampingBp >= 0 && dampingBp <= 10000,
+      s"dampingBp must be basis points in [0, 10000], got $dampingBp")
+    val base = (10000L - dampingBp) * 100L
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wCol).cast("long").as("w")).cache()
+    val wsum = e.groupBy(col("src")).agg(sum(col("w")).as("__ws"))
+    var rank = nodes.select(col(idCol).as("id")).distinct()
+      .withColumn("rank", lit(1000000L))
+      .localCheckpoint(true)
+    var round = 0
+    var lastCkpt = rank
+    while (round < iters) {
+      val contrib = e.join(wsum, "src")
+        .join(rank, e("src") === rank("id"))
+        .select(col("dst"), expr("(rank * w) div __ws").as("__c"))
+      val inbound = contrib
+        .groupBy(col("dst").as("id")).agg(sum(col("__c")).as("__s"))
+      val next = rank.select("id").join(inbound, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr(s"($dampingBp * coalesce(__s, 0L)) div 10000"))
+            .as("rank"))
+      val doCkpt = (round + 1) % 3 == 0 && round != iters - 1
+      val mat = if (doCkpt) next.localCheckpoint(true) else next
+      if (doCkpt) {
+        graft.dedup.Dedup.releaseCheckpoint(lastCkpt)
+        lastCkpt = mat
+      }
+      rank = mat
+      round += 1
+    }
+    e.unpersist(blocking = false)
+    rank
+  }
+
   /** Personalized PageRank in the same exact integer arithmetic as
     * [[pageRankInt]]: teleport mass lands ONLY on the seed set, so
     * ranks measure proximity to the seeds rather than global

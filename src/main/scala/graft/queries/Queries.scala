@@ -1599,7 +1599,15 @@ object Queries {
     * exchange disappears: groupBy(part) + groupBy(pair) are the only
     * two shuffles.
     */
-  private def coSupplyTop3(spark: SparkSession, dir: String): DataFrame = {
+  private def coSupplyTop3(spark: SparkSession, dir: String): DataFrame =
+    coSupplyTop3Weighted(spark, dir).select("src", "dst")
+
+  /** [[coSupplyTop3]] keeping the shared-part count as the edge WEIGHT
+    * — the q254 weighted-graph input (same pair generation, same top-3
+    * selection, so the unweighted graph is exactly this one minus the
+    * column).
+    */
+  private def coSupplyTop3Weighted(spark: SparkSession, dir: String): DataFrame = {
     val ps = graft.core.Graft.spread(Tables(spark, dir).lineitem)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
     val grouped = ps.groupBy("p").agg(sort_array(collect_list(col("s"))).as("ss"))
@@ -1613,7 +1621,7 @@ object Queries {
       .unionAll(co.select(col("sb").as("src"), col("sa").as("dst"), col("shared")))
     val w = Window.partitionBy(col("src")).orderBy(col("shared").desc, col("dst"))
     de.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= 3).select("src", "dst")
+      .filter(col("__rn") <= 3).select("src", "dst", "shared")
   }
 
   /** Deterministic random-walk corpus over the co-supply graph
@@ -1742,6 +1750,29 @@ object Queries {
       .orderBy("s_suppkey", "rnk")
   }
 
+  /** Link-reconstruction audit of the PPMI embeddings — the evaluation
+    * metric that closes the embedding rail (train → index → EVALUATE):
+    * per node, how many of its q252 embedding-space top-3 neighbors are
+    * actual graph edges (precision@3 vs the co-supply top-3 edge set,
+    * in exact integer ppm). The standard embedding-quality gauge (link
+    * prediction as evaluation), fully hash-checked through the shared
+    * q252 CTE chain.
+    */
+  def q255_embed_link_recon(spark: SparkSession, dir: String): DataFrame = {
+    val knn = q252_embed_knn(spark, dir)
+    knn.join(
+        coSupplyTop3(spark, dir)
+          .select(col("src").as("s_suppkey"), col("dst").as("nbr"),
+            lit(1L).as("__hit")),
+        Seq("s_suppkey", "nbr"), "left")
+      .groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n_nbrs"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_edge_hits"))
+      .select(col("s_suppkey"), col("n_nbrs"), col("n_edge_hits"),
+        expr("(n_edge_hits * 1000000L) div n_nbrs").as("precision_ppm"))
+      .orderBy("s_suppkey")
+  }
+
   def q232_skipgram_pairs(spark: SparkSession, dir: String): DataFrame =
     graft.ops.GraphOps.skipGramPairs(
         graft.ops.GraphOps.hashWalks(coSupplyTop3(spark, dir), "src", "dst",
@@ -1770,6 +1801,72 @@ object Queries {
     graft.ops.GraphOps.resourceAllocationInt(coSupplyTop3(spark, dir),
         "src", "dst")
       .orderBy("id_a", "id_b")
+
+  /** Weighted integer PageRank over the co-supply graph
+    * ([[graft.ops.GraphOps.weightedPageRankInt]], 3 rounds): rank flows
+    * proportionally to the shared-part count on each edge — the
+    * tie-strength-aware importance prior (q104's rail extended to
+    * weighted similarity graphs), every update exact floor arithmetic,
+    * hash-checked against a 3×-unrolled SQL oracle sharing the
+    * co-supply CTEs.
+    */
+  def q254_weighted_pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val g = graft.ops.ScaleOps.trackCache(coSupplyTop3Weighted(spark, dir))
+    val nodes = g.select(col("src").as("id"))
+      .unionAll(g.select(col("dst").as("id"))).distinct()
+    graft.ops.GraphOps.weightedPageRankInt(nodes, "id", g,
+        "src", "dst", "shared", iters = 3)
+      .select(col("id").as("s_suppkey"), col("rank"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Rendezvous-placement movement audit
+    * ([[graft.ops.ScaleOps.rendezvousAssign]]): customer keys placed on
+    * 5 nodes, then re-placed on 6 — the (node_before, node_after)
+    * movement matrix that PROVES the minimal-movement property on real
+    * keys (moved rows land only on the new node, ~1/6 of the keys).
+    * The resize-planning table for any consistent-placement layer
+    * (shard maps, cache rings, embedding-index cells). Exact integers.
+    */
+  def q256_placement_audit(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir).customer.select(col("c_custkey"))
+    graft.ops.ScaleOps.rendezvousAssign(
+        graft.ops.ScaleOps.rendezvousAssign(c, "c_custkey", 5, "node_before"),
+        "c_custkey", 6, "node_after")
+      .groupBy("node_before", "node_after")
+      .agg(count(lit(1)).as("n_keys"))
+      .withColumn("moved", col("node_before") =!= col("node_after"))
+      .orderBy("node_before", "node_after")
+  }
+
+  /** Label-noise audit via embedding-neighborhood voting: for each
+    * vector, how many of its exact top-3 cosine neighbors (the q98
+    * full-probe k-NN graph) carry a DIFFERENT label — rolled up per
+    * label to an integer disagreement rate. High-disagreement labels
+    * are the mislabeled/heterogeneous classes a training-data pipeline
+    * relabels or drops (neighborhood-consistency cleaning). Counts are
+    * exact integers over the exact graph → fully hash-checked.
+    */
+  def q257_label_noise(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val idx = graft.functions.VectorOps.IvfIndex.build(e, "vec_id",
+      "embedding", c = 16)
+    val g = graft.functions.VectorOps.knnGraph(idx, k = 3, probes = 16)
+    val lbl = e.select(col("vec_id"), col("label").cast("long").as("lbl"))
+    val per = g
+      .join(lbl.select(col("vec_id").as("qid"), col("lbl").as("ql")), "qid")
+      .join(lbl.select(col("vec_id").as("id"), col("lbl").as("nl")), "id")
+      .groupBy("qid", "ql")
+      .agg(count(lit(1)).as("n_nbrs"),
+        sum(when(col("nl") =!= col("ql"), 1L).otherwise(0L)).as("n_diff"))
+    per.groupBy(col("ql").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("n_nbrs")).as("n_nbrs"),
+        sum(col("n_diff")).as("n_disagree"))
+      .select(col("label"), col("n_vecs"), col("n_nbrs"), col("n_disagree"),
+        expr("(n_disagree * 1000000L) div n_nbrs").as("disagree_ppm"))
+      .orderBy("label")
+  }
 
   def q113_cosupply_triangles(spark: SparkSession, dir: String): DataFrame =
     graft.ops.GraphOps.triangleCounts(coSupplyTop3(spark, dir), "src", "dst")
@@ -4487,6 +4584,49 @@ object Queries {
       .orderBy("source", "ingest_bucket")
   }
 
+  /** Integer-exact modularity audit of the dedup partition on the
+    * exact-jaccard similarity graph (Newman & Girvan 2004's Q, common
+    * denominator cleared): per dup group `c`,
+    * `q_contrib_4m2 = 4·m·m_c − d_c²` where m = |pairs ≥ 0.5|, m_c =
+    * within-group edges, d_c = Σ degrees — so
+    * `Q = Σ q_contrib_4m2 / (2m)²` exactly, with every emitted number
+    * a 64-bit integer (no division anywhere). The clustering-quality
+    * gauge for the dedup rail: a few giant groups (d_c² dominating)
+    * pull Q down even when all edges are intra-group — exactly the
+    * over-merge signal a threshold sweep needs. Edgeless singletons
+    * (contribution identically 0) are dropped. One pair pass + one CC
+    * labeling shared with q65's machinery; m folds in as a literal
+    * from a bounded count.
+    */
+  def q253_dedup_modularity(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val pc = graft.ops.ScaleOps.trackCache(
+      graft.dedup.Dedup.jaccardPairs(d, "text", "doc_id", n = 3,
+        threshold = 0.5).select("id_a", "id_b"))
+    val lab = graft.dedup.Dedup.labelGroups(d, "doc_id", pc, "id_a", "id_b")
+      .select(col("doc_id"), col("group"))
+    val m = pc.count()
+    val deg = pc.select(col("id_a").as("doc_id"))
+      .unionAll(pc.select(col("id_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+    val dc = lab.join(deg, Seq("doc_id"), "left")
+      .groupBy(col("group").as("group_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("deg"), lit(0L))).as("d_c"))
+    // both endpoints share a group by CC construction — id_a's label is
+    // the edge's group
+    val mc = pc.join(lab.select(col("doc_id").as("id_a"),
+        col("group").as("group_id")), Seq("id_a"))
+      .groupBy("group_id").agg(count(lit(1)).as("m_c"))
+    dc.join(mc, Seq("group_id"), "left")
+      .select(col("group_id"), col("n_docs"),
+        coalesce(col("m_c"), lit(0L)).as("m_c"), col("d_c"),
+        (lit(4L * m) * coalesce(col("m_c"), lit(0L)) -
+          col("d_c") * col("d_c")).as("q_contrib_4m2"))
+      .filter(col("d_c") > 0)
+      .orderBy("group_id")
+  }
+
   /** Token frequency-of-frequencies spectrum (the Zipf/hapax audit):
     * for each corpus-wide token frequency `tf`, how many distinct
     * types occur exactly `tf` times and how many token occurrences
@@ -4895,7 +5035,12 @@ object Queries {
     "q249_dedup_trend" -> (q249_dedup_trend _),
     "q250_attribution_compare" -> (q250_attribution_compare _),
     "q251_postings_monitor" -> (q251_postings_monitor _),
-    "q252_embed_knn" -> (q252_embed_knn _)
+    "q252_embed_knn" -> (q252_embed_knn _),
+    "q253_dedup_modularity" -> (q253_dedup_modularity _),
+    "q254_weighted_pagerank" -> (q254_weighted_pagerank _),
+    "q255_embed_link_recon" -> (q255_embed_link_recon _),
+    "q256_placement_audit" -> (q256_placement_audit _),
+    "q257_label_noise" -> (q257_label_noise _)
   )
 }
 
@@ -4949,8 +5094,8 @@ object Oracles {
         |       FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2),
         |de AS (SELECT sa AS src, sb AS dst, shared FROM co
         |       UNION ALL SELECT sb AS src, sa AS dst, shared FROM co),
-        |top3 AS MATERIALIZED (SELECT src, dst FROM (
-        |    SELECT src, dst,
+        |top3 AS MATERIALIZED (SELECT src, dst, shared FROM (
+        |    SELECT src, dst, shared,
         |      row_number() OVER (PARTITION BY src ORDER BY shared DESC, dst) AS rn
         |    FROM de) WHERE rn <= 3),
         |""".stripMargin
@@ -5174,6 +5319,21 @@ object Oracles {
       |    (coalesce(r2.r, 0) * 1000000) // coalesce(m2.m, 1) AS val
       |  FROM grid g LEFT JOIN r2 ON r2.c = g.id AND r2.j = g.j
       |              LEFT JOIN m2 ON m2.j = g.j),
+      |""".stripMargin
+
+  /** [[ppmiEmbedCtes]] + the q252 dot-product kNN (top-3 per source) —
+    * shared by q252 and the q255 link-reconstruction audit. Ends
+    * mid-WITH (trailing comma).
+    */
+  private def embedKnnCtes: String = ppmiEmbedCtes +
+    """dots AS (SELECT a.id AS src, b.id AS dst,
+      |    CAST(sum(a.val * b.val) AS BIGINT) AS dot
+      |  FROM e2 a JOIN e2 b ON a.j = b.j AND a.id <> b.id
+      |  GROUP BY 1, 2),
+      |rk AS (SELECT src, dst, dot,
+      |    row_number() OVER (PARTITION BY src ORDER BY dot DESC, dst) AS rnk
+      |  FROM dots),
+      |knn AS MATERIALIZED (SELECT src, dst, dot, rnk FROM rk WHERE rnk <= 3),
       |""".stripMargin
 
   val all: Map[String, String] = Map(
@@ -6320,6 +6480,76 @@ object Oracles {
         |                WHEN k = 63 THEN CAST(-9223372036854775807 AS BIGINT) - 1
         |                ELSE CAST(1 AS BIGINT) << k END) AS BIGINT) AS dhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q254_weighted_pagerank" -> (coSupplyCtes +
+      """nodes AS MATERIALIZED (
+        |  SELECT DISTINCT src AS id FROM top3
+        |  UNION SELECT DISTINCT dst AS id FROM top3),
+        |wsum AS MATERIALIZED (SELECT src, CAST(sum(shared) AS BIGINT) AS ws
+        |  FROM top3 GROUP BY 1),
+        |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+        |i1 AS MATERIALIZED (SELECT e.dst AS id,
+        |    CAST(sum((r.rank * e.shared) // w.ws) AS BIGINT) AS s
+        |  FROM top3 e JOIN wsum w ON w.src = e.src
+        |              JOIN r0 r ON r.id = e.src GROUP BY 1),
+        |r1 AS MATERIALIZED (SELECT n.id,
+        |    CAST(150000 + (8500 * coalesce(s, 0)) // 10000 AS BIGINT) AS rank
+        |  FROM nodes n LEFT JOIN i1 USING (id)),
+        |i2 AS MATERIALIZED (SELECT e.dst AS id,
+        |    CAST(sum((r.rank * e.shared) // w.ws) AS BIGINT) AS s
+        |  FROM top3 e JOIN wsum w ON w.src = e.src
+        |              JOIN r1 r ON r.id = e.src GROUP BY 1),
+        |r2 AS MATERIALIZED (SELECT n.id,
+        |    CAST(150000 + (8500 * coalesce(s, 0)) // 10000 AS BIGINT) AS rank
+        |  FROM nodes n LEFT JOIN i2 USING (id)),
+        |i3 AS MATERIALIZED (SELECT e.dst AS id,
+        |    CAST(sum((r.rank * e.shared) // w.ws) AS BIGINT) AS s
+        |  FROM top3 e JOIN wsum w ON w.src = e.src
+        |              JOIN r2 r ON r.id = e.src GROUP BY 1),
+        |r3 AS (SELECT n.id,
+        |    CAST(150000 + (8500 * coalesce(s, 0)) // 10000 AS BIGINT) AS rank
+        |  FROM nodes n LEFT JOIN i3 USING (id))
+        |SELECT CAST(id AS BIGINT) AS s_suppkey, rank
+        |FROM r3 ORDER BY s_suppkey""".stripMargin),
+    "q256_placement_audit" ->
+      """WITH b AS (SELECT c_custkey, i AS node_before FROM customer
+        |  CROSS JOIN unnest(generate_series(0, 4)) AS u(i)
+        |  QUALIFY row_number() OVER (PARTITION BY c_custkey
+        |    ORDER BY ((c_custkey+1) * ((2654435761 + i*2246822519) % 1000000007))
+        |      % 1000000007 DESC, i) = 1),
+        |a AS (SELECT c_custkey, i AS node_after FROM customer
+        |  CROSS JOIN unnest(generate_series(0, 5)) AS u(i)
+        |  QUALIFY row_number() OVER (PARTITION BY c_custkey
+        |    ORDER BY ((c_custkey+1) * ((2654435761 + i*2246822519) % 1000000007))
+        |      % 1000000007 DESC, i) = 1)
+        |SELECT CAST(node_before AS BIGINT) AS node_before,
+        |  CAST(node_after AS BIGINT) AS node_after,
+        |  CAST(count(*) AS BIGINT) AS n_keys,
+        |  (node_before <> node_after) AS moved
+        |FROM b JOIN a USING (c_custkey)
+        |GROUP BY node_before, node_after
+        |ORDER BY node_before, node_after""".stripMargin,
+    "q257_label_noise" ->
+      """WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl,
+        |    CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |n AS (SELECT vec_id, lbl, e,
+        |        (SELECT sum(x*x) FROM (SELECT unnest(e) AS x)) AS nm2 FROM v),
+        |s AS (SELECT a.vec_id AS qid, a.lbl AS ql, b.lbl AS nl,
+        |        b.vec_id AS nbr,
+        |        (SELECT sum(x*y) FROM (SELECT unnest(a.e) AS x, unnest(b.e) AS y)) /
+        |        sqrt(a.nm2 * b.nm2) AS cos
+        |      FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT qid, ql, nl,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS rn
+        |      FROM s),
+        |per AS (SELECT qid, ql, count(*) AS n_nbrs,
+        |        sum(CASE WHEN nl <> ql THEN 1 ELSE 0 END) AS n_diff
+        |      FROM r WHERE rn <= 3 GROUP BY 1, 2)
+        |SELECT ql AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(n_nbrs) AS BIGINT) AS n_nbrs,
+        |  CAST(sum(n_diff) AS BIGINT) AS n_disagree,
+        |  (CAST(sum(n_diff) AS BIGINT) * 1000000)
+        |    // CAST(sum(n_nbrs) AS BIGINT) AS disagree_ppm
+        |FROM per GROUP BY 1 ORDER BY label""".stripMargin,
     "q237_link_prediction" -> (coSupplyCtes +
       """indeg AS (SELECT dst, CAST(count(*) AS BIGINT) AS deg
         |          FROM top3 GROUP BY 1),
@@ -6373,17 +6603,21 @@ object Oracles {
         |SELECT CAST(id AS BIGINT) AS s_suppkey, CAST(j AS BIGINT) AS dim,
         |  CAST(val AS BIGINT) AS val
         |FROM fin ORDER BY s_suppkey, dim""".stripMargin),
-    "q252_embed_knn" -> (ppmiEmbedCtes +
-      """dots AS (SELECT a.id AS src, b.id AS dst,
-        |    CAST(sum(a.val * b.val) AS BIGINT) AS dot
-        |  FROM e2 a JOIN e2 b ON a.j = b.j AND a.id <> b.id
-        |  GROUP BY 1, 2),
-        |rk AS (SELECT src, dst, dot,
-        |    row_number() OVER (PARTITION BY src ORDER BY dot DESC, dst) AS rnk
-        |  FROM dots)
+    "q252_embed_knn" -> (embedKnnCtes +
+      """fin AS (SELECT src, dst, dot, rnk FROM knn)
         |SELECT CAST(src AS BIGINT) AS s_suppkey, CAST(rnk AS BIGINT) AS rnk,
         |  CAST(dst AS BIGINT) AS nbr, dot
-        |FROM rk WHERE rnk <= 3 ORDER BY s_suppkey, rnk""".stripMargin),
+        |FROM fin ORDER BY s_suppkey, rnk""".stripMargin),
+    "q255_embed_link_recon" -> (embedKnnCtes +
+      """hits AS (SELECT k.src,
+        |    CASE WHEN t.dst IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM knn k LEFT JOIN top3 t ON t.src = k.src AND t.dst = k.dst)
+        |SELECT CAST(src AS BIGINT) AS s_suppkey,
+        |  CAST(count(*) AS BIGINT) AS n_nbrs,
+        |  CAST(sum(hit) AS BIGINT) AS n_edge_hits,
+        |  (CAST(sum(hit) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
+        |    AS precision_ppm
+        |FROM hits GROUP BY 1 ORDER BY s_suppkey""".stripMargin),
     "q249_dedup_trend" ->
       ("""WITH lab AS (
         |  SELECT g.doc_id, g.keep, d.source, d.n_chars,
@@ -6452,6 +6686,40 @@ object Oracles {
         |FROM chans c LEFT JOIN ft USING (channel) LEFT JOIN lin USING (channel)
         |  LEFT JOIN pos USING (channel) LEFT JOIN dec USING (channel)
         |ORDER BY channel""".stripMargin),
+    "q253_dedup_modularity" ->
+      ("""WITH mtoks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |msh AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |  FROM mtoks CROSS JOIN unnest(generate_series(1, len(t)-2)) AS u(i)
+        |  WHERE len(t) >= 3
+        |  UNION
+        |  SELECT doc_id, array_to_string(t, ' ') AS g FROM mtoks WHERE len(t) < 3),
+        |msizes AS (SELECT doc_id, count(*) AS n FROM msh GROUP BY doc_id),
+        |minter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |          FROM msh a JOIN msh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |mp AS MATERIALIZED (SELECT id_a, id_b FROM minter
+        |      JOIN msizes sa ON sa.doc_id = id_a
+        |      JOIN msizes sb ON sb.doc_id = id_b
+        |      WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM mp),
+        |mdeg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS deg FROM (
+        |  SELECT id_a AS doc_id FROM mp
+        |  UNION ALL SELECT id_b AS doc_id FROM mp) GROUP BY 1),
+        |mgrp AS (SELECT * FROM (
+        |""".stripMargin + docDedupGroupsSql("0.5") + """
+        |  ) t),
+        |mdc AS (SELECT mgrp.group_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(coalesce(deg, 0)) AS BIGINT) AS d_c
+        |  FROM mgrp LEFT JOIN mdeg USING (doc_id) GROUP BY 1),
+        |mmc AS (SELECT g.group_id, CAST(count(*) AS BIGINT) AS m_c
+        |  FROM mp JOIN mgrp g ON g.doc_id = mp.id_a GROUP BY 1)
+        |SELECT group_id, n_docs, coalesce(m_c, 0) AS m_c, d_c,
+        |  4 * m * coalesce(m_c, 0) - d_c * d_c AS q_contrib_4m2
+        |FROM mdc LEFT JOIN mmc USING (group_id), mm
+        |WHERE d_c > 0 ORDER BY group_id""".stripMargin),
     "q251_postings_monitor" ->
       """WITH toks AS MATERIALIZED (SELECT doc_id, doc_id % 3 AS b,
         |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t

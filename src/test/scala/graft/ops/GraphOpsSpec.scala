@@ -27,6 +27,29 @@ class GraphOpsSpec extends SparkSpec {
     assert(r2 == Map(1L -> 1127500L, 2L -> 1722500L, 3L -> 1000000L, 4L -> 150000L))
   }
 
+  test("weightedPageRankInt: strong ties carry proportionally more rank; w≡1 equals pageRankInt") {
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    // W(1)=4; round 1: 2 ← (1e6·3)div4 = 750000 → 150000+637500;
+    // 3 ← 250000 → 150000+212500; 1 ← base only
+    val r1 = GraphOps.weightedPageRankInt(nodes, "id", edges,
+        "src", "dst", "w", iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 150000L, 2L -> 787500L, 3L -> 362500L), s"got $r1")
+    // uniform weights reduce EXACTLY to the unweighted op
+    val uni = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L))
+    val nodes4 = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val a = GraphOps.pageRankInt(nodes4, "id", uni.toDF("src", "dst"),
+        "src", "dst", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    val b = GraphOps.weightedPageRankInt(nodes4, "id",
+        uni.map { case (s, d) => (s, d, 1L) }.toDF("src", "dst", "w"),
+        "src", "dst", "w", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b, s"w=1 must equal pageRankInt: $a vs $b")
+    spark.catalog.clearCache()
+  }
+
   test("personalizedPageRankInt: seed teleport only, unreachable nodes rank exactly 0") {
     // chain 1→2→3 plus a disconnected 4→5; seed = {1}
     val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")

@@ -381,6 +381,30 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("rendezvousAssign: minimal movement on grow, balanced-ish spread, deterministic") {
+    val keys = spark.range(0, 3000).select(col("id").as("k"))
+    val both = ScaleOps.rendezvousAssign(
+        ScaleOps.rendezvousAssign(keys, "k", 5, "n5"), "k", 6, "n6")
+      .select("k", "n5", "n6").as[(Long, Long, Long)].collect()
+    // THE rendezvous invariant: every moved key lands on the NEW node
+    // (old nodes never exchange keys on grow)
+    val moved = both.filter { case (_, b, a) => b != a }
+    assert(moved.nonEmpty && moved.forall(_._3 == 5L),
+      s"moved keys must all land on node 5, got ${moved.take(5).toSeq}")
+    // expected movement ~ 1/6 of keys; allow generous hash slack
+    assert(moved.length > 3000 / 12 && moved.length < 3000 / 3,
+      s"movement ${moved.length}/3000 strays far from ~1/6")
+    // every node owns a non-trivial share (the HRW balance property)
+    val spread = both.groupBy(_._2).map { case (n, ks) => n -> ks.length }
+    assert(spread.size == 5 && spread.values.forall(_ > 300),
+      s"5-node spread: $spread")
+    // deterministic under re-run and partitioning
+    val again = ScaleOps.rendezvousAssign(keys.repartition(7), "k", 5, "n5")
+      .select("k", "n5").as[(Long, Long)].collect().toMap
+    assert(both.map(r => r._1 -> r._2).toMap == again)
+    spark.catalog.clearCache()
+  }
+
   test("ScaleOps.release unpersists the frames the range ops cached") {
     val df = spark.range(0, 100).select(col("id"), (col("id") % 5).as("s"))
     ScaleOps.globalRank(df, "r", Seq(col("s").asc, col("id").asc)).count()

@@ -327,7 +327,10 @@ class PlanCheckSpec extends SparkSpec {
     // per-src adjacency), q249's the dedup rank, q250's the (k, sid)
     // sessionization — none may degrade to a single-partition sort
     for (name <- Seq("q248_ppmi_embeddings", "q249_dedup_trend",
-        "q250_attribution_compare", "q252_embed_knn")) {
+        "q250_attribution_compare", "q252_embed_knn",
+        "q253_dedup_modularity", "q254_weighted_pagerank",
+        "q255_embed_link_recon", "q256_placement_audit",
+        "q257_label_noise")) {
       val unpartitioned = windowNodes(Queries.all(name)(spark, sfDir))
         .filter(_.partitionSpec.isEmpty)
       spark.catalog.clearCache()
