@@ -1731,11 +1731,15 @@ object Queries {
     * GraphOpsSpec) — the q62/q76 division of labor applied to graph
     * embeddings.
     */
-  def q252_embed_knn(spark: SparkSession, dir: String): DataFrame = {
+  /** The q252 kNN body over a caller-supplied edge graph — shared with
+    * q255 so the link-reconstruction audit builds the co-supply graph
+    * ONCE (cached) for both the embedding chain and the edge join.
+    */
+  private def embedKnnFrom(graph: DataFrame): DataFrame = {
     val emb = graft.ops.ScaleOps.trackCache(
       graft.ops.GraphOps.ppmiEmbedInt(
         graft.ops.GraphOps.skipGramPairs(
-          graft.ops.GraphOps.biasedHashWalks(coSupplyTop3(spark, dir),
+          graft.ops.GraphOps.biasedHashWalks(graph,
             "src", "dst", steps = 2, walksPerNode = 2), window = 2),
         "center", "context", "n", dims = 8, iters = 2))
     val dots = emb.as("a").join(emb.as("b"),
@@ -1747,8 +1751,11 @@ object Queries {
       .filter(col("rnk") <= 3)
       .select(col("src").as("s_suppkey"), col("rnk"), col("dst").as("nbr"),
         col("dot"))
-      .orderBy("s_suppkey", "rnk")
   }
+
+  def q252_embed_knn(spark: SparkSession, dir: String): DataFrame =
+    embedKnnFrom(coSupplyTop3(spark, dir))
+      .orderBy("s_suppkey", "rnk")
 
   /** Link-reconstruction audit of the PPMI embeddings — the evaluation
     * metric that closes the embedding rail (train → index → EVALUATE):
@@ -1759,11 +1766,12 @@ object Queries {
     * q252 CTE chain.
     */
   def q255_embed_link_recon(spark: SparkSession, dir: String): DataFrame = {
-    val knn = q252_embed_knn(spark, dir)
-    knn.join(
-        coSupplyTop3(spark, dir)
-          .select(col("src").as("s_suppkey"), col("dst").as("nbr"),
-            lit(1L).as("__hit")),
+    // ONE cached graph feeds both the embedding chain and the edge join
+    // (without it the co-supply pipeline builds twice — the DAG-reuse rule)
+    val g = graft.ops.ScaleOps.trackCache(coSupplyTop3(spark, dir))
+    embedKnnFrom(g).join(
+        g.select(col("src").as("s_suppkey"), col("dst").as("nbr"),
+          lit(1L).as("__hit")),
         Seq("s_suppkey", "nbr"), "left")
       .groupBy("s_suppkey")
       .agg(count(lit(1)).as("n_nbrs"),
