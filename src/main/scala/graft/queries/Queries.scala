@@ -1735,19 +1735,26 @@ object Queries {
     * q255 so the link-reconstruction audit builds the co-supply graph
     * ONCE (cached) for both the embedding chain and the edge join.
     */
-  private def embedKnnFrom(graph: DataFrame): DataFrame = {
+  /** All-pairs integer dot products of the q248 embeddings over a
+    * caller-supplied graph — (src, dst, dot), the base the kNN (q252),
+    * link-reconstruction (q255) and hard-negative (q258) rungs rank.
+    */
+  private def embedDotsFrom(graph: DataFrame): DataFrame = {
     val emb = graft.ops.ScaleOps.trackCache(
       graft.ops.GraphOps.ppmiEmbedInt(
         graft.ops.GraphOps.skipGramPairs(
           graft.ops.GraphOps.biasedHashWalks(graph,
             "src", "dst", steps = 2, walksPerNode = 2), window = 2),
         "center", "context", "n", dims = 8, iters = 2))
-    val dots = emb.as("a").join(emb.as("b"),
+    emb.as("a").join(emb.as("b"),
         col("a.dim") === col("b.dim") && col("a.id") =!= col("b.id"))
       .groupBy(col("a.id").as("src"), col("b.id").as("dst"))
       .agg(sum(col("a.val") * col("b.val")).as("dot"))
+  }
+
+  private def embedKnnFrom(graph: DataFrame): DataFrame = {
     val w = Window.partitionBy("src").orderBy(col("dot").desc, col("dst"))
-    dots.withColumn("rnk", row_number().over(w).cast("long"))
+    embedDotsFrom(graph).withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 3)
       .select(col("src").as("s_suppkey"), col("rnk"), col("dst").as("nbr"),
         col("dot"))
@@ -1874,6 +1881,73 @@ object Queries {
       .select(col("label"), col("n_vecs"), col("n_nbrs"), col("n_disagree"),
         expr("(n_disagree * 1000000L) div n_nbrs").as("disagree_ppm"))
       .orderBy("label")
+  }
+
+  /** Embedding-space HARD NEGATIVES — contrastive-training mining over
+    * the PPMI embeddings: per node, the 2 highest-dot neighbors that
+    * are NOT graph edges (embedding-close yet graph-distant — exactly
+    * the confusable pairs a contrastive or reranker trainer needs,
+    * where q152's modular-hash negatives are the EASY-negative rung).
+    * Integer dots + an edge anti-join → fully hash-checked through the
+    * shared q252 CTE chain.
+    */
+  def q258_hard_negatives(spark: SparkSession, dir: String): DataFrame = {
+    val g = graft.ops.ScaleOps.trackCache(coSupplyTop3(spark, dir))
+    val nonEdge = embedDotsFrom(g)
+      .join(g.select(col("src"), col("dst")), Seq("src", "dst"), "left_anti")
+    val w = Window.partitionBy("src").orderBy(col("dot").desc, col("dst"))
+    nonEdge.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 2)
+      .select(col("src").as("s_suppkey"), col("rnk"), col("dst").as("neg_id"),
+        col("dot"))
+      .orderBy("s_suppkey", "rnk")
+  }
+
+  /** Entity groups by MUTUAL nearest neighbor in embedding space — the
+    * threshold-free entity-resolution blocking rule: a pair matches iff
+    * each is the other's top-1 embedding neighbor (mutual-NN pairs form
+    * a matching — every node has ≤1 partner), then groups label by CC
+    * (min-id, keep = survivor). The graph-embedding rail's dedup
+    * composition: walks → embeddings → kNN → entity groups, every step
+    * exact.
+    */
+  def q259_embed_entity_groups(spark: SparkSession, dir: String): DataFrame = {
+    val g = graft.ops.ScaleOps.trackCache(coSupplyTop3(spark, dir))
+    val t1 = graft.ops.ScaleOps.trackCache(
+      embedKnnFrom(g).filter(col("rnk") === 1L)
+        .select(col("s_suppkey").as("a"), col("nbr").as("b")))
+    val mutual = t1.join(
+        t1.select(col("a").as("b"), col("b").as("a")), Seq("a", "b"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("id_a"), col("b").as("id_b"))
+    val nodes = g.select(col("src").as("id"))
+      .unionAll(g.select(col("dst").as("id"))).distinct()
+    graft.dedup.Dedup.labelGroups(nodes, "id", mutual, "id_a", "id_b")
+      .select(col("id").as("s_suppkey"), col("group").as("group_id"),
+        col("keep"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Co-occurrence maintenance lifecycle
+    * ([[graft.streaming.CooccurMaintainer]]) — the graph-embedding
+    * rail's ingest loop: three walk micro-batches (start mod 3) fold
+    * into the maintained skip-gram pair table, then the last batch
+    * re-delivers (foreachBatch at-least-once) and is skipped
+    * idempotently. Gauges (distinct pairs, total co-occurrences per
+    * cumulative slice) are exact relational integers, so — like q251 —
+    * the whole lifecycle log hash-checks against a cumulative-slice
+    * oracle on the shared biased-walk CTEs.
+    */
+  def q260_cooccur_monitor(spark: SparkSession, dir: String): DataFrame = {
+    val walks = graft.ops.ScaleOps.trackCache(
+      graft.ops.GraphOps.biasedHashWalks(coSupplyTop3(spark, dir),
+        "src", "dst", steps = 2, walksPerNode = 2))
+    val m = new graft.streaming.CooccurMaintainer(window = 2)
+    (0 to 2).foreach(b => m.ingest(b, walks.filter(col("start") % 3 === b)))
+    m.ingest(2, walks.filter(col("start") % 3 === 2)) // whole-batch replay
+    val out = m.telemetry(spark).orderBy("batch", "action")
+    m.close()
+    out
   }
 
   def q113_cosupply_triangles(spark: SparkSession, dir: String): DataFrame =
@@ -5048,7 +5122,10 @@ object Queries {
     "q254_weighted_pagerank" -> (q254_weighted_pagerank _),
     "q255_embed_link_recon" -> (q255_embed_link_recon _),
     "q256_placement_audit" -> (q256_placement_audit _),
-    "q257_label_noise" -> (q257_label_noise _)
+    "q257_label_noise" -> (q257_label_noise _),
+    "q258_hard_negatives" -> (q258_hard_negatives _),
+    "q259_embed_entity_groups" -> (q259_embed_entity_groups _),
+    "q260_cooccur_monitor" -> (q260_cooccur_monitor _)
   )
 }
 
@@ -6518,6 +6595,59 @@ object Oracles {
         |  FROM nodes n LEFT JOIN i3 USING (id))
         |SELECT CAST(id AS BIGINT) AS s_suppkey, rank
         |FROM r3 ORDER BY s_suppkey""".stripMargin),
+    "q258_hard_negatives" -> (embedKnnCtes +
+      """negs AS (SELECT d.src, d.dst, d.dot
+        |  FROM dots d LEFT JOIN top3 t ON t.src = d.src AND t.dst = d.dst
+        |  WHERE t.dst IS NULL),
+        |rr AS (SELECT src, dst, dot,
+        |    row_number() OVER (PARTITION BY src ORDER BY dot DESC, dst) AS rnk
+        |  FROM negs)
+        |SELECT CAST(src AS BIGINT) AS s_suppkey, CAST(rnk AS BIGINT) AS rnk,
+        |  CAST(dst AS BIGINT) AS neg_id, dot
+        |FROM rr WHERE rnk <= 2 ORDER BY s_suppkey, rnk""".stripMargin),
+    "q259_embed_entity_groups" -> (embedKnnCtes +
+      """t1 AS MATERIALIZED (SELECT src, dst FROM knn WHERE rnk = 1),
+        |mu AS (SELECT a.src AS id_a, a.dst AS id_b
+        |  FROM t1 a JOIN t1 b ON b.src = a.dst AND b.dst = a.src
+        |  WHERE a.src < a.dst),
+        |vtx AS (SELECT DISTINCT src AS id FROM top3
+        |  UNION SELECT DISTINCT dst AS id FROM top3),
+        |pr AS (SELECT id_a AS id, id_b AS p FROM mu
+        |  UNION ALL SELECT id_b AS id, id_a AS p FROM mu)
+        |SELECT CAST(v.id AS BIGINT) AS s_suppkey,
+        |  CAST(coalesce(least(v.id, pr.p), v.id) AS BIGINT) AS group_id,
+        |  (CAST(coalesce(least(v.id, pr.p), v.id) AS BIGINT)
+        |    = CAST(v.id AS BIGINT)) AS keep
+        |FROM vtx v LEFT JOIN pr ON pr.id = v.id
+        |ORDER BY s_suppkey""".stripMargin),
+    "q260_cooccur_monitor" -> (biasedWalkCtes +
+      """walks AS MATERIALIZED (
+        |  SELECT start, walk, step, node FROM f0
+        |  UNION ALL SELECT start, walk, step, node FROM f1
+        |  UNION ALL SELECT start, walk, step, node FROM f2),
+        |batches AS (SELECT unnest(generate_series(0, 2)) AS batch),
+        |cum AS MATERIALIZED (SELECT bt.batch,
+        |    (SELECT count(*) FROM (
+        |       SELECT DISTINCT a.node AS c, b.node AS x FROM walks a
+        |       JOIN walks b ON a.start = b.start AND a.walk = b.walk
+        |         AND a.step <> b.step AND abs(a.step - b.step) <= 2
+        |       WHERE a.start % 3 <= bt.batch)) AS n_pairs,
+        |    (SELECT count(*) FROM walks a
+        |       JOIN walks b ON a.start = b.start AND a.walk = b.walk
+        |         AND a.step <> b.step AND abs(a.step - b.step) <= 2
+        |       WHERE a.start % 3 <= bt.batch) AS n_total
+        |  FROM batches bt)
+        |SELECT CAST(batch AS BIGINT) AS batch, action,
+        |  CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  CAST(n_total AS BIGINT) AS n_total
+        |FROM (
+        |  SELECT -1 AS batch, 'built' AS action, 0 AS n_pairs, 0 AS n_total
+        |  UNION ALL
+        |  SELECT batch, 'appended', n_pairs, n_total FROM cum
+        |  UNION ALL
+        |  SELECT batch, 'replay_skipped', n_pairs, n_total
+        |  FROM cum WHERE batch = 2)
+        |ORDER BY batch, action""".stripMargin),
     "q256_placement_audit" ->
       """WITH b AS (SELECT c_custkey, i AS node_before FROM customer
         |  CROSS JOIN unnest(generate_series(0, 4)) AS u(i)

@@ -330,7 +330,8 @@ class PlanCheckSpec extends SparkSpec {
         "q250_attribution_compare", "q252_embed_knn",
         "q253_dedup_modularity", "q254_weighted_pagerank",
         "q255_embed_link_recon", "q256_placement_audit",
-        "q257_label_noise")) {
+        "q257_label_noise", "q258_hard_negatives",
+        "q259_embed_entity_groups")) {
       val unpartitioned = windowNodes(Queries.all(name)(spark, sfDir))
         .filter(_.partitionSpec.isEmpty)
       spark.catalog.clearCache()

@@ -887,6 +887,39 @@ class StreamingSpec extends SparkSpec {
     m2.close()
   }
 
+  test("CooccurMaintainer: stream-folded pairs equal batch skipGramPairs; replay skipped; partial overlap fails") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val walks = graft.ops.GraphOps.hashWalks(edges, "src", "dst",
+      steps = 3, walksPerNode = 2).cache()
+    val batch = graft.ops.GraphOps.skipGramPairs(walks, 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val m = new CooccurMaintainer(window = 2)
+    // one start per micro-batch: every cross-start statistic must fold
+    // additively across batch boundaries
+    m.ingest(0L, walks.filter($"start" === 1L))
+    m.ingest(1L, walks.filter($"start" === 2L))
+    m.ingest(2L, walks.filter($"start" === 3L))
+    val streamed = m.pairs(spark).as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch,
+      s"only-stream=${(streamed -- batch).take(5)} only-batch=${(batch -- streamed).take(5)}")
+    // whole-batch replay: telemetry-visible no-op
+    m.ingest(2L, walks.filter($"start" === 3L))
+    assert(m.pairs(spark).as[(Long, Long, Long)].collect().toSet == batch)
+    val acts = m.telemetry(spark).select("action").as[String].collect().toSeq
+    assert(acts == Seq("built", "appended", "appended", "appended",
+      "replay_skipped"), s"actions: $acts")
+    // already-ingested start under a FRESH batch id: contract violation
+    val ex = intercept[IllegalArgumentException] {
+      m.ingest(3L, walks.filter($"start" === 1L))
+    }
+    assert(ex.getMessage.contains("fresh"), ex.getMessage)
+    m.close()
+    walks.unpersist(blocking = false)
+    graft.ops.ScaleOps.release()
+    spark.catalog.clearCache()
+  }
+
   test("cdcGateTws maintains the batch cdcApply image at every prefix (RocksDB)") {
     import StatefulOps.{CdcOp, CdcImage}
     val batches = Seq(
