@@ -379,6 +379,7 @@ object GraphOps {
       round += 1
     }
     e.unpersist(blocking = false)
+    ScaleOps.trackCheckpoint(lastCkpt)
     rank
   }
 
@@ -429,6 +430,7 @@ object GraphOps {
       round += 1
     }
     e.unpersist(blocking = false)
+    ScaleOps.trackCheckpoint(lastCkpt)
     rank
   }
 
@@ -487,6 +489,7 @@ object GraphOps {
       round += 1
     }
     e.unpersist(blocking = false)
+    ScaleOps.trackCheckpoint(lastCkpt)
     rank.select("id", "rank")
   }
 
@@ -697,6 +700,7 @@ object GraphOps {
     val out = degrees(und).select(col("v").as("id"), col("deg"))
       .localCheckpoint(true)
     graft.dedup.Dedup.releaseCheckpoint(lastCkpt)
+    ScaleOps.trackCheckpoint(out)
     out
   }
 
@@ -741,6 +745,7 @@ object GraphOps {
       round += 1
     }
     bidir.unpersist(blocking = false)
+    ScaleOps.trackCheckpoint(lastCkpt)
     dist
   }
 

@@ -32,8 +32,16 @@ object ScaleOps {
     scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
   private[graft] def trackCheckpoint(df: DataFrame): DataFrame = synchronized {
-    trackedCheckpoints.filterInPlace(
-      _.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    // the prune must read the LEAF RDD's storage level: a localCheckpoint
+    // frame persists at the RDD level and never registers with the
+    // CacheManager, so Dataset.storageLevel is ALWAYS NONE for it — a
+    // Dataset-level prune would silently evict (without releasing) every
+    // previously tracked leaf on each registration
+    trackedCheckpoints.filterInPlace(_.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE
+      case _ => false
+    })
     trackedCheckpoints += df
     df
   }
@@ -52,11 +60,15 @@ object ScaleOps {
     cached
   }
 
-  /** Unpersist every frame cached by the range-partition ops. Safe to
-    * call after the op results are materialized (or discarded); lazy
-    * downstream plans re-compute from source if re-executed later.
-    * The registry is process-global: don't call mid-flight while a
-    * concurrent pipeline's rank/skyline op is still executing.
+  /** Unpersist every frame cached by the range-partition ops AND
+    * release every tracked checkpoint leaf. CACHED entries are safe —
+    * lazy downstream plans re-compute from source if re-executed
+    * later; CHECKPOINT leaves are NOT (truncated lineage is
+    * unrecoverable once its blocks drop), so like [[releaseAll]] this
+    * must only run when no returned iterated-op frame (hitsInt,
+    * ppmiEmbedInt, …) will be re-executed afterwards. The registry is
+    * process-global: don't call mid-flight while a concurrent
+    * pipeline's op is still executing.
     */
   def release(): Unit = synchronized {
     trackedCaches.foreach(_.unpersist(blocking = false))

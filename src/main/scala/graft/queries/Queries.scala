@@ -1813,8 +1813,12 @@ object Queries {
     * HITS/PageRank/triangles rank, fully hash-checked.
     */
   def q237_link_prediction(spark: SparkSession, dir: String): DataFrame =
+    // uncapped EXPLICITLY: the oracle enumerates every shared neighbor,
+    // so the declared query must not inherit the op's finite hub-cap
+    // default (result-identical at fixture degrees, but the exactness
+    // claim has to hold at any scale)
     graft.ops.GraphOps.resourceAllocationInt(coSupplyTop3(spark, dir),
-        "src", "dst")
+        "src", "dst", maxNeighborDeg = Long.MaxValue)
       .orderBy("id_a", "id_b")
 
   /** Weighted integer PageRank over the co-supply graph
@@ -5411,7 +5415,7 @@ object Oracles {
     * mid-WITH (trailing comma).
     */
   private def embedKnnCtes: String = ppmiEmbedCtes +
-    """dots AS (SELECT a.id AS src, b.id AS dst,
+    """dots AS MATERIALIZED (SELECT a.id AS src, b.id AS dst,
       |    CAST(sum(a.val * b.val) AS BIGINT) AS dot
       |  FROM e2 a JOIN e2 b ON a.j = b.j AND a.id <> b.id
       |  GROUP BY 1, 2),

@@ -102,13 +102,16 @@ final class PostingsMaintainer(idCol: String, textCol: String,
       .select(col("doc_id"), explode(col("t")).as("token"))
       .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
       .select("token", "doc_id", "tf")
+    // the corpus-stat delta first (one bounded 1-row agg over the
+    // cached batch): a failure here must happen BEFORE the new
+    // generations materialize, or the freshly checkpointed frames
+    // would leak with no handle left to release them
+    val d = batchDocs.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("dl")), lit(0L)).as("tdl")).head()
     val allPost = accPostings.map(_.unionAll(batchPost)).getOrElse(batchPost)
       .localCheckpoint(true)
     val allDocs = accDocs.map(_.unionAll(batchDocs)).getOrElse(batchDocs)
       .localCheckpoint(true)
-    // the corpus-stat delta: one bounded 1-row agg over the BATCH only
-    val d = batchDocs.agg(count(lit(1)).as("n"),
-      coalesce(sum(col("dl")), lit(0L)).as("tdl")).head()
     nDocs += d.getLong(0)
     totalDl += d.getLong(1)
     accPostings.foreach(Dedup.releaseCheckpoint)
