@@ -316,6 +316,59 @@ object GraphOps {
         s => (s("val").cast("double") / lit(1000000.0)).cast("float"))
         .as("embedding"))
 
+  /** Persist a [[ppmiEmbedInt]] table — the materialized handoff between
+    * the (expensive, scheduled) embedding rebuild and its many consumers
+    * (kNN, link prediction, hard negatives, entity groups, ANN index
+    * builds): train once, read everywhere, the
+    * [[graft.functions.VectorOps.IvfIndex.save]] discipline applied to
+    * the embedding long format. Dim-partitioned layout (one directory
+    * per dimension — a per-dim reader prunes at the source; the full
+    * table is `dims` sequential column chunks) plus a one-row meta
+    * (dims, n_nodes, sum_val) that [[loadEmbeddings]] validates, so a
+    * partially-written or cross-wired dir fails AT LOAD with a named
+    * cause. The integer values make the validation exact — sum_val is a
+    * content checksum, not a heuristic.
+    */
+  def saveEmbeddings(emb: DataFrame, dir: String): Unit = {
+    val e = emb.select(col("id").cast("long").as("id"),
+      col("dim").cast("long").as("dim"), col("val").cast("long").as("val"))
+      .cache() // scanned twice: the meta gauges, then the write
+    val s = e.agg(countDistinct(col("id")).as("n"),
+      coalesce(sum(col("val")), lit(0L)).as("sv"),
+      countDistinct(col("dim")).as("d")).head()
+    require(s.getLong(0) > 0, "saveEmbeddings needs a non-empty table")
+    e.write.mode("overwrite").partitionBy("dim").parquet(s"$dir/embeddings")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    Seq((s.getLong(2), s.getLong(0), s.getLong(1)))
+      .toDF("dims", "n_nodes", "sum_val")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    e.unpersist(blocking = false)
+  }
+
+  /** Reload a table persisted by [[saveEmbeddings]], integrity-checked
+    * against the meta row (dims, node count, exact value checksum). The
+    * dim partition column is normalized back to LongType (partition
+    * discovery infers IntegerType for small values).
+    */
+  def loadEmbeddings(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val e = spark.read.parquet(s"$dir/embeddings")
+      .select(col("id"), col("dim").cast("long").as("dim"), col("val"))
+    val s = e.agg(countDistinct(col("id")).as("n"),
+      coalesce(sum(col("val")), lit(0L)).as("sv"),
+      countDistinct(col("dim")).as("d")).head()
+    require(s.getLong(2) == meta.getAs[Long]("dims") &&
+        s.getLong(0) == meta.getAs[Long]("n_nodes") &&
+        s.getLong(1) == meta.getAs[Long]("sum_val"),
+      s"loaded embeddings (nodes=${s.getLong(0)}, dims=${s.getLong(2)}, " +
+        s"sum=${s.getLong(1)}) do not match meta " +
+        s"(nodes=${meta.getAs[Long]("n_nodes")}, dims=${meta.getAs[Long]("dims")}, " +
+        s"sum=${meta.getAs[Long]("sum_val")}) - partial or mixed write under $dir")
+    e
+  }
+
   /** Fixed-iteration PageRank in integer micro-units — deterministic to
     * the last bit on ANY engine, because every step is 64-bit integer
     * arithmetic: ranks live in millionths (node starts at 1,000,000),
@@ -404,6 +457,13 @@ object GraphOps {
     val base = (10000L - dampingBp) * 100L
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(wCol).cast("long").as("w")).cache()
+    // positive-weight guard (one bounded 1-row agg over the cached edge
+    // frame, doubling as its warm-up): a zero/negative weight would make
+    // `(rank·w) div __ws` NULL or negative under ANSI-off and silently
+    // drop that node's contributions instead of failing loudly
+    val mnW = e.agg(min(col("w")).as("mn")).head()
+    require(mnW.isNullAt(0) || mnW.getLong(0) >= 1L,
+      s"weightedPageRankInt requires positive integer weights, found min=${mnW.get(0)}")
     val wsum = e.groupBy(col("src")).agg(sum(col("w")).as("__ws"))
     var rank = nodes.select(col(idCol).as("id")).distinct()
       .withColumn("rank", lit(1000000L))

@@ -32,6 +32,15 @@ object ScaleOps {
     scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
   private[graft] def trackCheckpoint(df: DataFrame): DataFrame = synchronized {
+    // registration REQUIRES the localCheckpoint leaf shape: the prune
+    // below keeps only LogicalRDD entries, so a derived frame would be
+    // silently evicted without release on the next registration — fail
+    // at the call site instead (register the checkpointed leaf itself)
+    require(df.queryExecution.logical
+        .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD],
+      "trackCheckpoint requires a localCheckpoint leaf (LogicalRDD plan), " +
+        s"got ${df.queryExecution.logical.nodeName} - register the " +
+        "checkpointed frame, not a derivation of it")
     // the prune must read the LEAF RDD's storage level: a localCheckpoint
     // frame persists at the RDD level and never registers with the
     // CacheManager, so Dataset.storageLevel is ALWAYS NONE for it — a
@@ -105,8 +114,11 @@ object ScaleOps {
   }
 
   /** Rendezvous (highest-random-weight) placement: each key goes to the
-    * node index maximizing the modular hash `H(key, i) = (key·A +
-    * (i+1)·B) mod P` — coordination-free data placement whose defining
+    * node index maximizing the modular hash `H(key, i) =
+    * ((key+1) · ((A + i·B) mod P)) mod P` — a PER-NODE MULTIPLIER
+    * family (an additive `key·A + (i+1)·B` form makes one key's node
+    * values an arithmetic progression with a structured argmax; see
+    * the inline comment) — coordination-free data placement whose defining
     * property is MINIMAL MOVEMENT (Thaler & Ravishankar 1998): growing
     * the node set relocates only the keys the NEW node wins, ~1/(n+1)
     * of them, and every moved key lands on the new node (no

@@ -1599,7 +1599,7 @@ object Queries {
     * exchange disappears: groupBy(part) + groupBy(pair) are the only
     * two shuffles.
     */
-  private def coSupplyTop3(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def coSupplyTop3(spark: SparkSession, dir: String): DataFrame =
     coSupplyTop3Weighted(spark, dir).select("src", "dst")
 
   /** [[coSupplyTop3]] keeping the shared-part count as the edge WEIGHT
@@ -1952,6 +1952,90 @@ object Queries {
     val out = m.telemetry(spark).orderBy("batch", "action")
     m.close()
     out
+  }
+
+  /** IVF-backed embedding ANN — the SCALE path of the q252 exactness
+    * rung (the q34/q35 division of labor applied to the graph-embedding
+    * rail): the q248 PPMI vectors ingest into an IVF index
+    * ([[graft.ops.GraphOps.embedVectors]] →
+    * [[graft.functions.VectorOps.IvfIndex.build]]) and every node
+    * probes HALF the cells for its top-3 cosine neighbors — per query
+    * the scan is the probed cells' rows, never the corpus, which is the
+    * shape that survives 100×. Rows-only by design (the cell layout is
+    * float k-means); recall vs the exact rung is recorded per round by
+    * `tools/RecallAudit` (BASELINE table) and full-probe exactness vs
+    * brute force is spec-proven in GraphOpsSpec.
+    */
+  def q261_embed_knn_ivf(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = graft.ops.ScaleOps.trackCache(graft.ops.GraphOps.embedVectors(
+      graft.ops.GraphOps.ppmiEmbedInt(
+        graft.ops.GraphOps.skipGramPairs(
+          graft.ops.GraphOps.biasedHashWalks(coSupplyTop3(spark, dir),
+            "src", "dst", steps = 2, walksPerNode = 2), window = 2),
+        "center", "context", "n", dims = 8, iters = 2)))
+    val idx = graft.functions.VectorOps.IvfIndex.build(vecs, "id",
+      "embedding", c = 8)
+    idx.search(vecs, "id", "embedding", k = 3, nprobe = 4)
+      .select(col("qid").as("s_suppkey"), col("id").as("nbr"), col("cos"))
+      .orderBy(col("s_suppkey"), col("cos").desc, col("nbr"))
+  }
+
+  /** Embedding-maintenance lifecycle ([[graft.streaming.EmbedMaintainer]])
+    * — the chained-maintainer composition: walk micro-batches fold into
+    * a [[graft.streaming.CooccurMaintainer]] pair table and each cycle's
+    * [[graft.streaming.EmbedMaintainer.rebuildFrom]] re-derives the PPMI
+    * embedding table + IVF index from it, then the last trigger
+    * re-delivers and is skipped idempotently. Because
+    * [[graft.ops.GraphOps.ppmiEmbedInt]] is partition-invariant integer
+    * arithmetic, the gauges (node count, µ-unit value checksum,
+    * indexed-vector count) are EXACT — the whole lifecycle log
+    * hash-checks against a cumulative-slice SQL oracle unrolling the
+    * full PPMI chain per slice (the q251/q260 discipline on the
+    * embedding rail; the float cell layout underneath stays out of the
+    * gauges by design).
+    */
+  def q262_embed_monitor(spark: SparkSession, dir: String): DataFrame = {
+    val walks = graft.ops.ScaleOps.trackCache(
+      graft.ops.GraphOps.biasedHashWalks(coSupplyTop3(spark, dir),
+        "src", "dst", steps = 2, walksPerNode = 2))
+    val cm = new graft.streaming.CooccurMaintainer(window = 2)
+    val em = new graft.streaming.EmbedMaintainer(dims = 8, iters = 2, cells = 4)
+    (0 to 2).foreach { b =>
+      cm.ingest(b, walks.filter(col("start") % 3 === b))
+      em.rebuildFrom(cm, b, spark)
+    }
+    em.rebuildFrom(cm, 2, spark) // re-delivered trigger: idempotent skip
+    val out = em.telemetry(spark).orderBy("batch", "action")
+    em.close(); cm.close()
+    out
+  }
+
+  /** HLL-IVM bucket accounting — the exact-oracled telemetry slice of
+    * the q187 sketch rail: per rollup week, how many daily buckets
+    * contributed, the row volume, the exact weekly distinct, the sum of
+    * per-day exact distincts, and their difference (`dup_overlap` — the
+    * cross-day duplication that makes distincts non-additive, i.e.
+    * exactly WHY the rail needs mergeable sketches instead of summed
+    * counts). Every column is a relational integer, so the lifecycle
+    * accounting hash-checks even though q187's estimates are rows-only
+    * by declared design (engine-specific sketch hash family).
+    */
+  def q263_hll_ivm_audit(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    val daily = e.groupBy(to_date(col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("d_distinct"),
+        count(lit(1)).as("d_rows"))
+    val weekly = e.groupBy(
+        date_trunc("week", to_date(col("ts"))).cast("date").as("week"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    daily.groupBy(date_trunc("week", col("day")).cast("date").as("week"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("d_rows")).as("n_rows"),
+        sum(col("d_distinct")).as("sum_daily_distinct"))
+      .join(weekly, "week")
+      .select(col("week"), col("n_buckets"), col("n_rows"),
+        col("sum_daily_distinct"), col("exact_distinct"),
+        (col("sum_daily_distinct") - col("exact_distinct")).as("dup_overlap"))
+      .orderBy("week")
   }
 
   def q113_cosupply_triangles(spark: SparkSession, dir: String): DataFrame =
@@ -5129,7 +5213,10 @@ object Queries {
     "q257_label_noise" -> (q257_label_noise _),
     "q258_hard_negatives" -> (q258_hard_negatives _),
     "q259_embed_entity_groups" -> (q259_embed_entity_groups _),
-    "q260_cooccur_monitor" -> (q260_cooccur_monitor _)
+    "q260_cooccur_monitor" -> (q260_cooccur_monitor _),
+    "q261_embed_knn_ivf" -> (q261_embed_knn_ivf _),
+    "q262_embed_monitor" -> (q262_embed_monitor _),
+    "q263_hll_ivm_audit" -> (q263_hll_ivm_audit _)
   )
 }
 
@@ -5408,6 +5495,62 @@ object Oracles {
       |    (coalesce(r2.r, 0) * 1000000) // coalesce(m2.m, 1) AS val
       |  FROM grid g LEFT JOIN r2 ON r2.c = g.id AND r2.j = g.j
       |              LEFT JOIN m2 ON m2.j = g.j),
+      |""".stripMargin
+
+  /** One cumulative slice of the q248 PPMI chain for the q262 lifecycle
+    * oracle: the [[ppmiEmbedCtes]] unroll verbatim, suffixed `_b` and
+    * restricted to walks with `start % 3 <= b` — the maintained pair
+    * table after ingest batch `b` (skip-gram counts are additive over
+    * whole walks, the q260 convergence claim). Reads the shared `walks`
+    * CTE; ends mid-WITH (trailing comma). `g_b` is the slice's gauge
+    * row (node count, exact µ-unit value checksum).
+    */
+  private def ppmiSliceCtes(b: Int): String =
+    s"""pairs_$b AS MATERIALIZED (
+      |  SELECT a.node AS center, b.node AS context,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM walks a JOIN walks b
+      |    ON a.start = b.start AND a.walk = b.walk AND a.step <> b.step
+      |    AND abs(a.step - b.step) <= 2
+      |  WHERE a.start % 3 <= $b
+      |  GROUP BY 1, 2),
+      |tot_$b AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM pairs_$b),
+      |mc_$b AS (SELECT center, CAST(sum(n) AS BIGINT) AS nc
+      |       FROM pairs_$b GROUP BY 1),
+      |mxg_$b AS (SELECT context, CAST(sum(n) AS BIGINT) AS nx
+      |        FROM pairs_$b GROUP BY 1),
+      |ppr_$b AS (SELECT center AS c, context AS x,
+      |    least(1000000, greatest(0, (n * nn * 1000) // (nc * nx) - 1000)) AS pp
+      |  FROM pairs_$b JOIN mc_$b USING (center) JOIN mxg_$b USING (context), tot_$b),
+      |pp_$b AS MATERIALIZED (SELECT c, x, CAST(pp AS BIGINT) AS pp
+      |  FROM ppr_$b WHERE pp > 0),
+      |nodes_$b AS MATERIALIZED (SELECT center AS id FROM pairs_$b
+      |  UNION SELECT context AS id FROM pairs_$b),
+      |grid_$b AS MATERIALIZED (SELECT id, CAST(j AS BIGINT) AS j
+      |  FROM nodes_$b CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j)),
+      |e0_$b AS MATERIALIZED (SELECT id, j,
+      |  CAST(CASE WHEN (id*2654435761 % 1000000007
+      |                  + (j+1)*2246822519 % 1000000007)
+      |                 % 1000000007 % 2 = 0
+      |    THEN 1000000 ELSE 500000 END AS BIGINT) AS val FROM grid_$b),
+      |r1_$b AS MATERIALIZED (SELECT pp.c, e.j,
+      |    CAST(sum(pp.pp * e.val) AS BIGINT) AS r
+      |  FROM pp_$b pp JOIN e0_$b e ON e.id = pp.x GROUP BY 1, 2),
+      |m1_$b AS (SELECT j, greatest(max(r), 1) AS m FROM r1_$b GROUP BY 1),
+      |e1_$b AS MATERIALIZED (SELECT g.id, g.j,
+      |    (coalesce(r1.r, 0) * 1000000) // coalesce(m1.m, 1) AS val
+      |  FROM grid_$b g LEFT JOIN r1_$b r1 ON r1.c = g.id AND r1.j = g.j
+      |              LEFT JOIN m1_$b m1 ON m1.j = g.j),
+      |r2_$b AS MATERIALIZED (SELECT pp.c, e.j,
+      |    CAST(sum(pp.pp * e.val) AS BIGINT) AS r
+      |  FROM pp_$b pp JOIN e1_$b e ON e.id = pp.x GROUP BY 1, 2),
+      |m2_$b AS (SELECT j, greatest(max(r), 1) AS m FROM r2_$b GROUP BY 1),
+      |e2_$b AS MATERIALIZED (SELECT g.id, g.j,
+      |    (coalesce(r2.r, 0) * 1000000) // coalesce(m2.m, 1) AS val
+      |  FROM grid_$b g LEFT JOIN r2_$b r2 ON r2.c = g.id AND r2.j = g.j
+      |              LEFT JOIN m2_$b m2 ON m2.j = g.j),
+      |g_$b AS (SELECT $b AS batch, count(DISTINCT id) AS n_nodes,
+      |    CAST(sum(val) AS BIGINT) AS sum_val FROM e2_$b),
       |""".stripMargin
 
   /** [[ppmiEmbedCtes]] + the q252 dot-product kNN (top-3 per source) —
@@ -6652,6 +6795,43 @@ object Oracles {
         |  SELECT batch, 'replay_skipped', n_pairs, n_total
         |  FROM cum WHERE batch = 2)
         |ORDER BY batch, action""".stripMargin),
+    "q262_embed_monitor" -> (biasedWalkCtes +
+      """walks AS MATERIALIZED (
+        |  SELECT start, walk, step, node FROM f0
+        |  UNION ALL SELECT start, walk, step, node FROM f1
+        |  UNION ALL SELECT start, walk, step, node FROM f2),
+        |""".stripMargin +
+      ppmiSliceCtes(0) + ppmiSliceCtes(1) + ppmiSliceCtes(2) +
+      """tele AS (
+        |  SELECT -1 AS batch, 'built' AS action,
+        |    0 AS n_nodes, 0 AS sum_val, 0 AS n_indexed
+        |  UNION ALL SELECT batch, 'rebuilt', n_nodes, sum_val, n_nodes FROM g_0
+        |  UNION ALL SELECT batch, 'rebuilt', n_nodes, sum_val, n_nodes FROM g_1
+        |  UNION ALL SELECT batch, 'rebuilt', n_nodes, sum_val, n_nodes FROM g_2
+        |  UNION ALL SELECT batch, 'replay_skipped', n_nodes, sum_val, n_nodes
+        |  FROM g_2)
+        |SELECT CAST(batch AS BIGINT) AS batch, action,
+        |  CAST(n_nodes AS BIGINT) AS n_nodes,
+        |  CAST(sum_val AS BIGINT) AS sum_val,
+        |  CAST(n_indexed AS BIGINT) AS n_indexed
+        |FROM tele ORDER BY batch, action""".stripMargin),
+    "q263_hll_ivm_audit" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |    count(DISTINCT user_id) AS d_distinct, count(*) AS d_rows
+        |  FROM events GROUP BY 1),
+        |wk AS (SELECT CAST(date_trunc('week', day) AS DATE) AS week,
+        |    count(*) AS n_buckets,
+        |    CAST(sum(d_rows) AS BIGINT) AS n_rows,
+        |    CAST(sum(d_distinct) AS BIGINT) AS sum_daily_distinct
+        |  FROM daily GROUP BY 1),
+        |ex AS (SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week,
+        |    count(DISTINCT user_id) AS exact_distinct
+        |  FROM events GROUP BY 1)
+        |SELECT wk.week, CAST(n_buckets AS BIGINT) AS n_buckets, n_rows,
+        |  sum_daily_distinct,
+        |  CAST(exact_distinct AS BIGINT) AS exact_distinct,
+        |  CAST(sum_daily_distinct - exact_distinct AS BIGINT) AS dup_overlap
+        |FROM wk JOIN ex ON wk.week = ex.week ORDER BY wk.week""".stripMargin,
     "q256_placement_audit" ->
       """WITH b AS (SELECT c_custkey, i AS node_before FROM customer
         |  CROSS JOIN unnest(generate_series(0, 4)) AS u(i)

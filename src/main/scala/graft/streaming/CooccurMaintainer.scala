@@ -49,6 +49,15 @@ final class CooccurMaintainer(window: Int = 2) {
     val overlaps = accStarts.exists(_.join(starts, "start").limit(1).count() > 0)
     if (overlaps) {
       if (batchId <= lastBatch) {
+        // a replay must be the WHOLE batch: a partially-overlapping
+        // batch re-delivered under an old id would otherwise silently
+        // drop its genuinely fresh walks (one anti-join limit-1 probe)
+        val hasFresh = accStarts.exists(a =>
+          starts.join(a, Seq("start"), "left_anti").limit(1).count() > 0)
+        if (hasFresh) throw new IllegalArgumentException(
+          s"batch $batchId re-delivered under an old id carries walk " +
+            "starts never ingested - a replay must be byte-identical to " +
+            "the original batch")
         val (_, _, p, t) = log.last
         log += ((batchId, "replay_skipped", p, t))
         return
@@ -68,8 +77,14 @@ final class CooccurMaintainer(window: Int = 2) {
         .groupBy("center", "context").agg(sum(col("n")).as("n")))
       .getOrElse(batchPairs)
       .localCheckpoint(true)
-    val allStarts = accStarts.map(_.unionAll(starts).distinct())
-      .getOrElse(starts).localCheckpoint(true)
+    // second-checkpoint failure must release the first new generation
+    // (PostingsMaintainer discipline — block-leak path only)
+    val allStarts = try {
+      accStarts.map(_.unionAll(starts).distinct())
+        .getOrElse(starts).localCheckpoint(true)
+    } catch {
+      case t: Throwable => Dedup.releaseCheckpoint(merged); throw t
+    }
     acc.foreach(Dedup.releaseCheckpoint)
     accStarts.foreach(Dedup.releaseCheckpoint)
     wb.unpersist(blocking = false)

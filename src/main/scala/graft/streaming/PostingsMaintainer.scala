@@ -110,8 +110,15 @@ final class PostingsMaintainer(idCol: String, textCol: String,
       coalesce(sum(col("dl")), lit(0L)).as("tdl")).head()
     val allPost = accPostings.map(_.unionAll(batchPost)).getOrElse(batchPost)
       .localCheckpoint(true)
-    val allDocs = accDocs.map(_.unionAll(batchDocs)).getOrElse(batchDocs)
-      .localCheckpoint(true)
+    // if the SECOND checkpoint fails, the first new generation must not
+    // leak (maintainer state stays on the old generations either way —
+    // this is purely the block-leak path)
+    val allDocs = try {
+      accDocs.map(_.unionAll(batchDocs)).getOrElse(batchDocs)
+        .localCheckpoint(true)
+    } catch {
+      case t: Throwable => Dedup.releaseCheckpoint(allPost); throw t
+    }
     nDocs += d.getLong(0)
     totalDl += d.getLong(1)
     accPostings.foreach(Dedup.releaseCheckpoint)

@@ -122,6 +122,52 @@ object RecallAudit {
       samePairs(exactEns, "doc_id", "group_id"),
       samePairs(scaleEns, "doc_id", "group_id"))
     graft.ops.ScaleOps.releaseAll(spark)
+
+    // q261: IVF-probed embedding kNN (the q252 scale sibling) — recall
+    // vs the exact cosine top-3 over the same PPMI vectors (what the
+    // IVF layout approximates; the index-quality number) and vs the
+    // q252 integer-dot exactness rung (the declared sibling — dot and
+    // cosine rank differently where norms vary, so this second number
+    // bounds rung-to-rung metric drift, not index quality). Directed
+    // (query, neighbor) pairs, plain recall (ANN top-k has no
+    // subset-of-exact precision guarantee by design).
+    {
+      import graft.ops.GraphOps
+      def knnPairs(df: DataFrame, q: String, n: String): Set[(Long, Long)] =
+        df.select(col(q).cast("long"), col(n).cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def reportKnn(name: String, exact: Set[(Long, Long)],
+                    scale: Set[(Long, Long)]): Unit = {
+        val recall = if (exact.isEmpty) 1.0
+          else exact.intersect(scale).size.toDouble / exact.size
+        println(f"$name%-22s exact_pairs=${exact.size}%7d " +
+          f"scale_pairs=${scale.size}%7d recall=$recall%6.4f")
+      }
+      val vecs = GraphOps.embedVectors(GraphOps.ppmiEmbedInt(
+        GraphOps.skipGramPairs(GraphOps.biasedHashWalks(
+          graft.queries.Queries.coSupplyTop3(spark, sfDir),
+          "src", "dst", steps = 2, walksPerNode = 2), window = 2),
+        "center", "context", "n", dims = 8, iters = 2)).cache()
+      val exactCosKnn = knnPairs(VectorOps.annBruteForce(
+        vecs, "id", "embedding", vecs, "id", "embedding", k = 3), "qid", "id")
+      val dotKnn = knnPairs(
+        graft.queries.Queries.q252_embed_knn(spark, sfDir), "s_suppkey", "nbr")
+      val ivfDeclared = knnPairs(
+        graft.queries.Queries.q261_embed_knn_ivf(spark, sfDir),
+        "s_suppkey", "nbr")
+      reportKnn("q261_ivf_vs_cos", exactCosKnn, ivfDeclared)
+      reportKnn("q261_ivf_vs_dot", dotKnn, ivfDeclared)
+      // nprobe sweep at the declared c=8 (one build, probes are the knob)
+      val idx = VectorOps.IvfIndex.build(vecs, "id", "embedding", c = 8)
+      for (np <- Seq(2, 4, 8)) {
+        val got = knnPairs(
+          idx.search(vecs, "id", "embedding", k = 3, nprobe = np), "qid", "id")
+        reportKnn(f"q261_sweep_c8_np$np", exactCosKnn, got)
+      }
+      idx.close()
+      vecs.unpersist(blocking = false)
+      graft.ops.ScaleOps.releaseAll(spark)
+    }
     spark.stop()
   }
 }

@@ -417,6 +417,15 @@ class GraphOpsSpec extends SparkSpec {
     val same = near.count { case (q, id, _) => (q < 10L) == (id < 10L) }
     assert(same > 16,
       s"same-community neighbors $same/27 must beat the blind baseline ~12")
+    // q261's exactness rung: at nprobe = c the probed search IS the
+    // exact cosine top-k (the declared query's half-probe recall is
+    // measured in tools/RecallAudit against this)
+    val brute = graft.functions.VectorOps.annBruteForce(
+        vecs, "id", "embedding", vecs, "id", "embedding", k = 3)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val fullProbe = near.map { case (q, id, _) => (q, id) }.toSet
+    assert(fullProbe == brute,
+      "full-probe IVF over the PPMI vectors must equal brute-force cosine top-3")
     idx.close()
     vecs.unpersist(blocking = false)
     graft.ops.ScaleOps.release()

@@ -1,0 +1,130 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import graft.ops.GraphOps
+import graft.functions.VectorOps
+
+class EmbedMaintainerSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two 4-cliques joined by a bridge — enough co-occurrence structure
+  // for a positive-lift pair corpus in every start-parity slice
+  private def cliqueEdges: Seq[(Long, Long)] = {
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a != b) yield (a, b)
+    clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(11L, 12L, 13L, 14L)) ++
+      Seq((4L, 11L), (11L, 4L))
+  }
+
+  private def walkCorpus = GraphOps.hashWalks(
+    cliqueEdges.toDF("src", "dst"), "src", "dst", steps = 3, walksPerNode = 2)
+
+  test("EmbedMaintainer: rebuilds track the maintained pair table exactly; replay skips") {
+    val walks = walkCorpus.cache()
+    val cm = new CooccurMaintainer(window = 2)
+    val em = new EmbedMaintainer(dims = 4, iters = 2, cells = 2)
+    (0 to 1).foreach { b =>
+      cm.ingest(b, walks.filter(col("start") % 2 === b))
+      em.rebuildFrom(cm, b, spark)
+    }
+    em.rebuildFrom(cm, 1, spark) // re-delivered trigger: idempotent skip
+
+    // the final rebuild equals a batch chain over everything ingested
+    // (integer PPMI is partition-invariant, so set equality is exact)
+    val direct = GraphOps.ppmiEmbedInt(GraphOps.skipGramPairs(walks, 2),
+        "center", "context", "n", dims = 4, iters = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val maintained = em.embeddings.as[(Long, Long, Long)].collect().toSet
+    assert(maintained == direct,
+      "maintained embeddings must equal the batch chain over all walks")
+
+    val tele = em.telemetry(spark)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(tele.map(_._2) ==
+      Seq("built", "rebuilt", "rebuilt", "replay_skipped"), s"got $tele")
+    val nNodes = direct.map(_._1).size.toLong
+    val sumVal = direct.toSeq.map(_._3).sum
+    assert(tele.last == ((1L, "replay_skipped", nNodes, sumVal, nNodes)),
+      s"replay row must repeat the last rebuild's exact gauges, got ${tele.last}")
+
+    // the serving path: full-probe search over the maintained index is
+    // the exact cosine top-k of the maintained vectors
+    val vecs = GraphOps.embedVectors(em.embeddings).cache()
+    val brute = VectorOps.annBruteForce(
+        vecs, "id", "embedding", vecs, "id", "embedding", k = 2)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val served = em.search(vecs, "id", "embedding", k = 2, nprobe = 2)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    assert(served == brute)
+
+    em.close(); cm.close()
+    vecs.unpersist(blocking = false)
+    walks.unpersist(blocking = false)
+    graft.ops.ScaleOps.release()
+    spark.catalog.clearCache()
+  }
+
+  test("EmbedMaintainer: save/load restores embeddings, index, and the rebuild watermark") {
+    val walks = walkCorpus.cache()
+    val cm = new CooccurMaintainer(window = 2)
+    val em = new EmbedMaintainer(dims = 4, iters = 2, cells = 2)
+    cm.ingest(0, walks)
+    em.rebuildFrom(cm, 0, spark)
+    val before = em.embeddings.as[(Long, Long, Long)].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_embm").toString
+    em.save(dir)
+    em.close()
+
+    val m2 = EmbedMaintainer.load(spark, dir)
+    val after = m2.embeddings.as[(Long, Long, Long)].collect().toSet
+    assert(after == before, "loaded embeddings must equal the saved table")
+    val tele = m2.telemetry(spark)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(tele.map(_._2) == Seq("built", "loaded"), s"got $tele")
+    assert(tele.last._3 == before.map(_._1).size.toLong &&
+      tele.last._4 == before.toSeq.map(_._3).sum,
+      "loaded gauges must match the saved table exactly")
+
+    // the watermark survives: the pre-crash trigger re-delivers and skips
+    m2.rebuildFrom(cm, 0, spark)
+    assert(m2.telemetry(spark).as[(Long, String, Long, Long, Long)]
+      .collect().last._2 == "replay_skipped")
+    // the loaded index serves without retraining (full probe == exact)
+    val vecs = GraphOps.embedVectors(m2.embeddings).cache()
+    val brute = VectorOps.annBruteForce(
+        vecs, "id", "embedding", vecs, "id", "embedding", k = 2)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val served = m2.search(vecs, "id", "embedding", k = 2, nprobe = 2)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    assert(served == brute)
+
+    m2.close(); cm.close()
+    vecs.unpersist(blocking = false)
+    walks.unpersist(blocking = false)
+    graft.ops.ScaleOps.release()
+    spark.catalog.clearCache()
+  }
+
+  test("saveEmbeddings/loadEmbeddings: dim-partitioned roundtrip validates the meta checksum") {
+    val emb = GraphOps.ppmiEmbedInt(
+      GraphOps.skipGramPairs(walkCorpus, 2),
+      "center", "context", "n", dims = 4, iters = 1)
+    val rows = emb.as[(Long, Long, Long)].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_emb").toString
+    GraphOps.saveEmbeddings(emb, dir)
+    val back = GraphOps.loadEmbeddings(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(back == rows)
+    // a tampered meta row fails AT LOAD with a named cause
+    Seq((4L, 999L, 0L)).toDF("dims", "n_nodes", "sum_val")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    val ex = intercept[IllegalArgumentException] {
+      GraphOps.loadEmbeddings(spark, dir)
+    }
+    assert(ex.getMessage.contains("do not match meta"))
+    graft.ops.ScaleOps.release()
+    spark.catalog.clearCache()
+  }
+}
