@@ -1739,18 +1739,27 @@ object Queries {
     * caller-supplied graph — (src, dst, dot), the base the kNN (q252),
     * link-reconstruction (q255) and hard-negative (q258) rungs rank.
     */
-  private def embedDotsFrom(graph: DataFrame): DataFrame = {
-    val emb = graft.ops.ScaleOps.trackCache(
+  /** The q248 PPMI embedding table over a caller-supplied graph —
+    * cached, since every consumer reads it at least twice (self-joins,
+    * vector pivots).
+    */
+  private def embedTableFrom(graph: DataFrame): DataFrame =
+    graft.ops.ScaleOps.trackCache(
       graft.ops.GraphOps.ppmiEmbedInt(
         graft.ops.GraphOps.skipGramPairs(
           graft.ops.GraphOps.biasedHashWalks(graph,
             "src", "dst", steps = 2, walksPerNode = 2), window = 2),
         "center", "context", "n", dims = 8, iters = 2))
+
+  /** All-pairs integer dots of a (cached) embedding long table. */
+  private def embedDotsOf(emb: DataFrame): DataFrame =
     emb.as("a").join(emb.as("b"),
         col("a.dim") === col("b.dim") && col("a.id") =!= col("b.id"))
       .groupBy(col("a.id").as("src"), col("b.id").as("dst"))
       .agg(sum(col("a.val") * col("b.val")).as("dot"))
-  }
+
+  private def embedDotsFrom(graph: DataFrame): DataFrame =
+    embedDotsOf(embedTableFrom(graph))
 
   private def embedKnnFrom(graph: DataFrame): DataFrame = {
     val w = Window.partitionBy("src").orderBy(col("dot").desc, col("dst"))
@@ -2036,6 +2045,70 @@ object Queries {
         col("sum_daily_distinct"), col("exact_distinct"),
         (col("sum_daily_distinct") - col("exact_distinct")).as("dup_overlap"))
       .orderBy("week")
+  }
+
+  /** End-to-end curation composition over the graph-embedding rail —
+    * dedup → embed → filtered ANN as ONE chain (the q52 pipeline
+    * discipline): the PPMI embedding table is derived ONCE and feeds
+    * every stage — (1) mutual-NN entity resolution by integer dot
+    * (q259's matching rule; the pair's greater member is the duplicate),
+    * (2) the IVF index over the pivoted vectors, (3) a survivor-filtered
+    * probed search serving each survivor's top-2 cosine neighbors among
+    * survivors only (the allowed-id semi-join lands INSIDE the probed
+    * cell scan — q97's shape). Probing ALL cells makes the result the
+    * exact filtered top-2 independent of the float k-means layout, so
+    * the whole composition hash-checks; the operating point at scale
+    * drops nprobe (q261's knob) without touching the pipeline. Zero
+    * vectors (nodes with no positive-lift inflow) carry no cosine
+    * ranking and are excluded from both sides, mirrored in SQL.
+    */
+  def q264_curation_pipeline(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embedTableFrom(coSupplyTop3(spark, dir))
+    val vecs = graft.ops.ScaleOps.trackCache(
+      graft.ops.GraphOps.embedVectors(emb))
+    val t1 = graft.ops.ScaleOps.trackCache {
+      val w = Window.partitionBy("src").orderBy(col("dot").desc, col("dst"))
+      embedDotsOf(emb).withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1).select(col("src").as("a"), col("dst").as("b"))
+    }
+    val dupIds = t1.join(t1.select(col("a").as("b"), col("b").as("a")),
+        Seq("a", "b"))
+      .filter(col("a") < col("b"))
+      .select(col("b").as("id")) // the matching's greater member loses
+    val nonZero = emb.groupBy("id").agg(sum(col("val")).as("sv"))
+      .filter(col("sv") > 0L).select("id")
+    val survivors = nonZero.join(dupIds, Seq("id"), "left_anti")
+    val idx = graft.functions.VectorOps.IvfIndex.build(
+      vecs.join(nonZero, Seq("id"), "left_semi"), "id", "embedding", c = 4)
+    idx.searchFiltered(
+        vecs.join(survivors, Seq("id"), "left_semi"), "id", "embedding",
+        k = 2, nprobe = 4, survivors, "id")
+      .select(col("qid").as("s_suppkey"), col("id").as("nbr"), col("cos"))
+      .orderBy(col("s_suppkey"), col("cos").desc, col("nbr"))
+  }
+
+  /** Exact COSINE top-3 over the PPMI embedding vectors — the
+    * same-metric exactness rung under q261's IVF serving path (q252
+    * ranks by raw integer dot, which on these norm-diverse max-per-dim
+    * vectors orders near-disjointly from cosine — RecallAudit's
+    * `q261_ivf_vs_dot` row documents the drift; THIS rung is what the
+    * index approximates, and q261 recalls 1.0 against it at the shipped
+    * config). Cosine hash-checks cross-engine the q34 way: per-pair
+    * sequential float→double sums, one IEEE division + sqrt. Zero
+    * vectors (no positive-lift inflow) carry no cosine and are excluded
+    * on both engines.
+    */
+  def q265_embed_knn_cos(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embedTableFrom(coSupplyTop3(spark, dir))
+    val nonZero = emb.groupBy("id").agg(sum(col("val")).as("sv"))
+      .filter(col("sv") > 0L).select("id")
+    val vecs = graft.ops.ScaleOps.trackCache(
+      graft.ops.GraphOps.embedVectors(emb)
+        .join(nonZero, Seq("id"), "left_semi"))
+    graft.functions.VectorOps.annBruteForce(
+        vecs, "id", "embedding", vecs, "id", "embedding", k = 3)
+      .select(col("qid").as("s_suppkey"), col("id").as("nbr"), col("cos"))
+      .orderBy(col("s_suppkey"), col("cos").desc, col("nbr"))
   }
 
   def q113_cosupply_triangles(spark: SparkSession, dir: String): DataFrame =
@@ -5216,7 +5289,9 @@ object Queries {
     "q260_cooccur_monitor" -> (q260_cooccur_monitor _),
     "q261_embed_knn_ivf" -> (q261_embed_knn_ivf _),
     "q262_embed_monitor" -> (q262_embed_monitor _),
-    "q263_hll_ivm_audit" -> (q263_hll_ivm_audit _)
+    "q263_hll_ivm_audit" -> (q263_hll_ivm_audit _),
+    "q264_curation_pipeline" -> (q264_curation_pipeline _),
+    "q265_embed_knn_cos" -> (q265_embed_knn_cos _)
   )
 }
 
@@ -6832,6 +6907,44 @@ object Oracles {
         |  CAST(exact_distinct AS BIGINT) AS exact_distinct,
         |  CAST(sum_daily_distinct - exact_distinct AS BIGINT) AS dup_overlap
         |FROM wk JOIN ex ON wk.week = ex.week ORDER BY wk.week""".stripMargin,
+    "q264_curation_pipeline" -> (embedKnnCtes +
+      """t1 AS (SELECT src AS a, dst AS b FROM knn WHERE rnk = 1),
+        |mut AS (SELECT x.a, x.b FROM t1 x JOIN t1 y
+        |  ON x.a = y.b AND x.b = y.a WHERE x.a < x.b),
+        |nz AS (SELECT id FROM e2 GROUP BY id
+        |  HAVING CAST(sum(val) AS BIGINT) > 0),
+        |surv AS (SELECT id FROM nz WHERE id NOT IN (SELECT b FROM mut)),
+        |vec AS MATERIALIZED (SELECT id,
+        |    CAST(list(CAST(CAST(val AS DOUBLE)/1000000.0 AS FLOAT) ORDER BY j)
+        |      AS DOUBLE[]) AS e
+        |  FROM e2 JOIN surv USING (id) GROUP BY id),
+        |sc AS (SELECT a.id AS qid, b.id AS nbr,
+        |    (SELECT sum(x*y) FROM (SELECT unnest(a.e) AS x, unnest(b.e) AS y)) /
+        |    sqrt((SELECT sum(x*x) FROM (SELECT unnest(a.e) AS x)) *
+        |         (SELECT sum(y*y) FROM (SELECT unnest(b.e) AS y))) AS cos
+        |  FROM vec a JOIN vec b ON a.id <> b.id),
+        |rk2 AS (SELECT qid, nbr, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS r2
+        |  FROM sc)
+        |SELECT qid AS s_suppkey, nbr, cos FROM rk2 WHERE r2 <= 2
+        |ORDER BY s_suppkey, cos DESC, nbr""".stripMargin),
+    "q265_embed_knn_cos" -> (ppmiEmbedCtes +
+      """nz AS (SELECT id FROM e2 GROUP BY id
+        |  HAVING CAST(sum(val) AS BIGINT) > 0),
+        |vec AS MATERIALIZED (SELECT id,
+        |    CAST(list(CAST(CAST(val AS DOUBLE)/1000000.0 AS FLOAT) ORDER BY j)
+        |      AS DOUBLE[]) AS e
+        |  FROM e2 JOIN nz USING (id) GROUP BY id),
+        |sc AS (SELECT a.id AS qid, b.id AS nbr,
+        |    (SELECT sum(x*y) FROM (SELECT unnest(a.e) AS x, unnest(b.e) AS y)) /
+        |    sqrt((SELECT sum(x*x) FROM (SELECT unnest(a.e) AS x)) *
+        |         (SELECT sum(y*y) FROM (SELECT unnest(b.e) AS y))) AS cos
+        |  FROM vec a JOIN vec b ON a.id <> b.id),
+        |rk3 AS (SELECT qid, nbr, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS r3
+        |  FROM sc)
+        |SELECT qid AS s_suppkey, nbr, cos FROM rk3 WHERE r3 <= 3
+        |ORDER BY s_suppkey, cos DESC, nbr""".stripMargin),
     "q256_placement_audit" ->
       """WITH b AS (SELECT c_custkey, i AS node_before FROM customer
         |  CROSS JOIN unnest(generate_series(0, 4)) AS u(i)

@@ -123,12 +123,13 @@ object RecallAudit {
       samePairs(scaleEns, "doc_id", "group_id"))
     graft.ops.ScaleOps.releaseAll(spark)
 
-    // q261: IVF-probed embedding kNN (the q252 scale sibling) — recall
-    // vs the exact cosine top-3 over the same PPMI vectors (what the
-    // IVF layout approximates; the index-quality number) and vs the
-    // q252 integer-dot exactness rung (the declared sibling — dot and
-    // cosine rank differently where norms vary, so this second number
-    // bounds rung-to-rung metric drift, not index quality). Directed
+    // q261: IVF-probed embedding kNN — recall vs the exact cosine top-3
+    // over the same PPMI vectors (the q265 rung: what the IVF layout
+    // approximates; the index-quality number) and vs the q252
+    // integer-dot rung (dot and cosine rank NEAR-DISJOINTLY on these
+    // norm-diverse max-per-dim vectors — measured 0.003 at sf0.1 — so
+    // this second number documents metric drift between the rungs, not
+    // index quality; q265 exists because of it). Directed
     // (query, neighbor) pairs, plain recall (ANN top-k has no
     // subset-of-exact precision guarantee by design).
     {
