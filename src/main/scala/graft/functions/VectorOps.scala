@@ -692,9 +692,29 @@ object VectorOps {
         assigned.join(allowed.select(col(allowedIdCol).as("id")), Seq("id"), "left_semi"),
         queries, queryIdCol, queryVecCol, k, nprobe)
 
+    /** [[search]] with candidates ranked by raw `dot(q, v)` instead of
+      * cosine — the scoring half of the MIPS posture. Cell PROBING
+      * stays cosine: on a plain cosine-built index, probing by
+      * `dot(q, cv)` is near-useless when norms vary (cells group by
+      * direction, top-dot candidates by norm — measured recall 0.0 at
+      * half probe on the PPMI vectors), so the intended operating point
+      * is a [[MipsIndex]], whose constant-norm augmentation makes
+      * cosine cells BE dot cells. On any index the result is the exact
+      * dot top-k at nprobe = c (the probe metric is irrelevant at full
+      * probe, and the score IS the raw dot). Output: (qid, id, dot).
+      */
+    def searchDot(queries: DataFrame, queryIdCol: String, queryVecCol: String,
+                  k: Int, nprobe: Int): DataFrame =
+      searchImpl(assigned, queries, queryIdCol, queryVecCol, k, nprobe,
+        scoreByDot = true)
+
     private def searchImpl(base: DataFrame, queries: DataFrame,
                            queryIdCol: String, queryVecCol: String,
-                           k: Int, nprobe: Int): DataFrame = {
+                           k: Int, nprobe: Int,
+                           scoreByDot: Boolean = false): DataFrame = {
+      val outCol = if (scoreByDot) "dot" else "cos"
+      def score(a: Column, b: Column): Column =
+        if (scoreByDot) dot(a, b) else cosine(a, b)
       val q = queries.select(col(queryIdCol).as("qid"), toDoubleArr(col(queryVecCol)).as("qv"))
       val qCells = q.crossJoin(broadcast(centroids))
         .select(col("qid"), col("qv"), col("cid"), cosine(col("qv"), col("cv")).as("ccos"))
@@ -705,9 +725,66 @@ object VectorOps {
       // without the hint Catalyst picks SMJ and shuffles the whole index
       val scored = base.join(broadcast(probed), "cid")
         .filter(col("id") =!= col("qid"))
-        .select(col("qid"), col("id"), cosine(col("v"), col("qv")).as("cos"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id").asc)
+        .select(col("qid"), col("id"), score(col("v"), col("qv")).as(outCol))
+      val w = Window.partitionBy(col("qid")).orderBy(col(outCol).desc, col("id").asc)
       scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
+    }
+  }
+
+  /** Maximum-inner-product search (MIPS) over an IVF layout, via the
+    * standard constant-norm reduction (Neyshabur & Srebro 2015): every
+    * indexed vector is augmented with one extra coordinate
+    * `√(M² − ‖x‖²)` (M = the corpus max norm) so all points land on a
+    * sphere of radius M, and queries augment with 0 — in that space
+    * `cos(q̂, x̂) = dot(q, x) / (‖q‖·M)`, MONOTONE in the raw dot, so
+    * cosine k-means cells group by exactly the ordering dot search
+    * needs and the plain probed-cell machinery applies unchanged. The
+    * naive alternative (probe a cosine-built index by `dot(q, cv)`)
+    * measured recall 0.0 at half probe on norm-diverse vectors — cells
+    * group by direction, top-dot candidates by norm; this reduction is
+    * the fix, not a tuning knob. Candidates are scored by
+    * `dot(q̂, v̂) = dot(q, x)` (the query's augmented coordinate is 0),
+    * so returned scores are RAW dots and full probe is the exact dot
+    * top-k — the serving rung aligned with the integer-dot exactness
+    * rungs (q252's family) the way [[IvfIndex.search]] aligns with the
+    * cosine rungs (q265/q261).
+    *
+    * Reference tie: the ANN family surface (kasper has no vector
+    * layer); the reduction is public literature, cited above.
+    */
+  final class MipsIndex private[functions] (val inner: IvfIndex) {
+    /** Top-`k` by raw inner product, probing `nprobe` augmented-space
+      * cells per query. Output: (qid, id, dot).
+      */
+    def searchDot(queries: DataFrame, queryIdCol: String, queryVecCol: String,
+                  k: Int, nprobe: Int): DataFrame = {
+      val q = queries.select(col(queryIdCol).as("qid"),
+        concat(toDoubleArr(col(queryVecCol)), array(lit(0.0))).as("qv"))
+      inner.searchDot(q, "qid", "qv", k, nprobe)
+    }
+
+    /** Release the augmented index's caches. */
+    def close(): Unit = inner.close()
+  }
+
+  object MipsIndex {
+    /** Build the augmented-space IVF index. One extra bounded job vs a
+      * plain build (the corpus max-norm scalar); everything else is
+      * [[IvfIndex.build]] over the augmented vectors.
+      */
+    def build(vectors: DataFrame, idCol: String, vecCol: String, c: Int = 16,
+              iters: Int = 1, trainCap: Int = 0): MipsIndex = {
+      val v = vectors.select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
+        .cache() // scanned by the max-norm job, then the build
+      val m2Row = v.agg(max(dot(col("v"), col("v")))).head()
+      require(!m2Row.isNullAt(0), "MIPS build needs a non-empty vector table")
+      val m2 = m2Row.getDouble(0)
+      val aug = v.select(col("id"),
+        concat(col("v"), array(sqrt(greatest(
+          lit(m2) - dot(col("v"), col("v")), lit(0.0))))).as("va"))
+      val idx = IvfIndex.build(aug, "id", "va", c, iters, trainCap)
+      v.unpersist(blocking = false)
+      new MipsIndex(idx)
     }
   }
 

@@ -2111,6 +2111,28 @@ object Queries {
       .orderBy(col("s_suppkey"), col("cos").desc, col("nbr"))
   }
 
+  /** IVF MIPS (inner-product) serving rung — q252's scale sibling under
+    * the SAME metric ([[graft.functions.VectorOps.MipsIndex]]): vectors
+    * augment to constant norm (the Neyshabur–Srebro reduction), so
+    * cosine cells group by the dot ordering and the probed search
+    * returns raw-dot top-3 — the index now serves BOTH exactness rungs
+    * metric-for-metric (q265→q261 for cosine, q252→this for dot; the
+    * r14 RecallAudit showed the metrics rank near-disjointly on these
+    * vectors, and the naive dot-probed variant measured recall 0.0 at
+    * half probe — the reduction is load-bearing). Rows-only (float
+    * k-means cells); recall vs the q252 integer-dot rung recorded per
+    * round in RecallAudit.
+    */
+  def q266_embed_knn_ivf_dot(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = graft.ops.ScaleOps.trackCache(
+      graft.ops.GraphOps.embedVectors(embedTableFrom(coSupplyTop3(spark, dir))))
+    val idx = graft.functions.VectorOps.MipsIndex.build(vecs, "id",
+      "embedding", c = 8)
+    idx.searchDot(vecs, "id", "embedding", k = 3, nprobe = 4)
+      .select(col("qid").as("s_suppkey"), col("id").as("nbr"), col("dot"))
+      .orderBy(col("s_suppkey"), col("dot").desc, col("nbr"))
+  }
+
   def q113_cosupply_triangles(spark: SparkSession, dir: String): DataFrame =
     graft.ops.GraphOps.triangleCounts(coSupplyTop3(spark, dir), "src", "dst")
       .select(col("id").as("s_suppkey"), col("n_triangles"))
@@ -5291,7 +5313,8 @@ object Queries {
     "q262_embed_monitor" -> (q262_embed_monitor _),
     "q263_hll_ivm_audit" -> (q263_hll_ivm_audit _),
     "q264_curation_pipeline" -> (q264_curation_pipeline _),
-    "q265_embed_knn_cos" -> (q265_embed_knn_cos _)
+    "q265_embed_knn_cos" -> (q265_embed_knn_cos _),
+    "q266_embed_knn_ivf_dot" -> (q266_embed_knn_ivf_dot _)
   )
 }
 

@@ -166,6 +166,18 @@ object RecallAudit {
         reportKnn(f"q261_sweep_c8_np$np", exactCosKnn, got)
       }
       idx.close()
+      // q266: the MIPS serving rung vs its SAME-metric exactness rung
+      // (q252 integer dot) — the declared config plus the nprobe sweep.
+      // (The naive dot-probed plain index measured 0.0 recall at half
+      // probe — the constant-norm reduction is what makes these rows.)
+      val mips = VectorOps.MipsIndex.build(vecs, "id", "embedding", c = 8)
+      for (np <- Seq(2, 4, 8)) {
+        val got = knnPairs(
+          mips.searchDot(vecs, "id", "embedding", k = 3, nprobe = np),
+          "qid", "id")
+        reportKnn(f"q266_mips_c8_np$np", dotKnn, got)
+      }
+      mips.close()
       vecs.unpersist(blocking = false)
       graft.ops.ScaleOps.releaseAll(spark)
     }

@@ -426,6 +426,23 @@ class GraphOpsSpec extends SparkSpec {
     val fullProbe = near.map { case (q, id, _) => (q, id) }.toSet
     assert(fullProbe == brute,
       "full-probe IVF over the PPMI vectors must equal brute-force cosine top-3")
+    // q266's machinery rung: full-probe MIPS search equals the exact
+    // dot top-3 (driver-recomputed over the same collected vectors) —
+    // scores are RAW dots because the query's augmented coordinate is 0
+    val dotBrute = (for (q <- ids) yield {
+      val qv = collected(q).map(_.toDouble)
+      ids.filter(_ != q)
+        .map(i => (i, collected(i).map(_.toDouble).zip(qv)
+          .map { case (x, y) => x * y }.sum))
+        .sortBy { case (i, d) => (-d, i) }.take(3).map { case (i, _) => (q, i) }
+    }).flatten.toSet
+    val mips = graft.functions.VectorOps.MipsIndex.build(
+      vecs, "id", "embedding", c = 2)
+    val dotProbe = mips.searchDot(vecs, "id", "embedding", k = 3, nprobe = 2)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    assert(dotProbe == dotBrute,
+      "full-probe MIPS search must equal the exact dot top-3")
+    mips.close()
     idx.close()
     vecs.unpersist(blocking = false)
     graft.ops.ScaleOps.release()
