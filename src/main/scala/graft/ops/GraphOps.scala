@@ -263,7 +263,10 @@ object GraphOps {
         least(lit(liftCapMilli), greatest(lit(0L),
           expr(s"(n * ${nn}L * 1000L) div (nc * nx) - 1000L"))).as("pp"))
       .filter(col("pp") > 0L))
-    require(!pp.isEmpty,
+    // count, not isEmpty: the guard doubles as the pp cache fill (a
+    // limit(1) probe materializes the cache only partially, so round 1
+    // would re-derive the whole pp join — measured ~3 s/call at sf0.1)
+    require(pp.count() > 0L,
       "ppmiEmbedInt needs at least one pair above independence (pp > 0)")
     val nodes = ScaleOps.trackCheckpoint(
       pairs.select(col("c").as("id")).union(pairs.select(col("x").as("id")))

@@ -1,0 +1,123 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stage timings for the graph-embedding chain (co-supply graph →
+  * biased walks → skip-grams → integer PPMI → vectors → IVF), plus an
+  * inlined MIRROR of [[graft.ops.GraphOps.ppmiEmbedInt]]'s internals so
+  * the per-stage cost inside the op is visible (the mirror is
+  * diagnostic-only — the op remains the source of truth). Two passes so
+  * JIT/codegen warmup is separable from steady state.
+  *
+  * Usage: `sbt -batch "runMain graft.tools.EmbedProfile [sfDir]"`.
+  * Round-14 finding: the chain's time is spread across many small
+  * eager jobs (caches, checkpoints, per-round folds) whose fixed
+  * scheduling cost dominates at fixture scale — amortized away at real
+  * scale; the one structural fix it surfaced (the pp emptiness guard
+  * only partially filling the cache) is in the op.
+  */
+object EmbedProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = graft.core.Graft.defaultCpus
+    val spark = graft.core.Graft.configure(
+        SparkSession.builder().master(s"local[$cpus]").appName("profile-embed"), cpus)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"STAGE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    // mirror Queries.coSupplyTop3 via the public query (cheap enough)
+    val t = graft.core.Tables(spark, sfDir)
+    val ps = graft.core.Graft.spread(t.lineitem)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+    val grouped = ps.groupBy("p").agg(sort_array(collect_list(col("s"))).as("ss"))
+    val pairs0 = grouped.select(explode(expr(
+        "flatten(transform(ss, (x, i) -> transform(slice(ss, i + 2, size(ss) - i - 1), y -> struct(x AS sa, y AS sb))))")).as("e"))
+      .select(col("e.sa").as("sa"), col("e.sb").as("sb"))
+    val co = pairs0.groupBy("sa", "sb").agg(count(lit(1)).as("shared"))
+    val de = co.select(col("sa").as("src"), col("sb").as("dst"), col("shared"))
+      .unionAll(co.select(col("sb").as("src"), col("sa").as("dst"), col("shared")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src")).orderBy(col("shared").desc, col("dst"))
+    val g = de.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 3).select("src", "dst")
+
+    for (i <- 1 to 2) {
+      println(s"--- pass $i ---")
+      val gMat = timed("coSupplyTop3")(
+        { val x = g.cache(); x.count(); x })
+      val walks = timed("biasedHashWalks")(
+        { val x = graft.ops.GraphOps.biasedHashWalks(gMat, "src", "dst", steps = 2, walksPerNode = 2).cache(); x.count(); x })
+      val sg = timed("skipGramPairs")(
+        { val x = graft.ops.GraphOps.skipGramPairs(walks, window = 2).cache(); x.count(); x })
+      val emb = timed("ppmiEmbedInt")(
+        { val x = graft.ops.GraphOps.ppmiEmbedInt(sg, "center", "context", "n", dims = 8, iters = 2).cache(); x.count(); x })
+      // internal breakdown (mirrors ppmiEmbedInt's stages)
+      locally {
+        val P = 1000000007L
+        val pairs = timed("  ppmi/pairs-cache")(
+          { val x = sg.select(col("center").cast("long").as("c"),
+              col("context").cast("long").as("x"), col("n").cast("long").as("n")).cache()
+            x.count(); x })
+        val r0 = timed("  ppmi/tot-agg")(
+          pairs.agg(coalesce(sum(col("n")), lit(0L)).as("nn"),
+            coalesce(max(col("n")), lit(0L)).as("mx")).head())
+        val nn = r0.getLong(0)
+        val nc = pairs.groupBy("c").agg(sum(col("n")).as("nc"))
+        val nx = pairs.groupBy("x").agg(sum(col("n")).as("nx"))
+        val pp = timed("  ppmi/pp-cache")(
+          { val x = pairs.join(nc, "c").join(nx, "x")
+              .select(col("c"), col("x"),
+                least(lit(1000000L), greatest(lit(0L),
+                  expr(s"(n * ${nn}L * 1000L) div (nc * nx) - 1000L"))).as("pp"))
+              .filter(col("pp") > 0L).cache()
+            x.count(); x })
+        timed("  ppmi/pp-isEmpty")(pp.isEmpty)
+        val nodes = timed("  ppmi/nodes-ckpt")(
+          pairs.select(col("c").as("id")).union(pairs.select(col("x").as("id")))
+            .distinct().localCheckpoint(true))
+        val dimIds = spark.range(8).select(col("id").cast("long").as("j"))
+        val grid = nodes.crossJoin(dimIds)
+        var cur = grid.select(col("id"), col("j"),
+          when(pmod(pmod(col("id") * lit(2654435761L), lit(P)) +
+              pmod((col("j") + 1L) * lit(2246822519L), lit(P)), lit(P)) % 2L === 0L,
+            lit(1000000L)).otherwise(lit(500000L)).as("val"))
+        for (round <- 1 to 2) {
+          val rawCk = timed(s"  ppmi/round$round-rawCk")(
+            pp.join(cur, pp("x") === cur("id"))
+              .groupBy(col("c"), col("j"))
+              .agg(sum(col("pp") * col("val")).as("r"))
+              .localCheckpoint(true))
+          val maxima = timed(s"  ppmi/round$round-maxima")(
+            rawCk.groupBy("j").agg(max(col("r")).as("m"))
+              .collect().map(r => r.getLong(0) -> math.max(r.getLong(1), 1L)).toMap)
+          val mExpr = map((0 until 8).toSeq.flatMap(j =>
+            Seq(lit(j.toLong), lit(maxima.getOrElse(j.toLong, 1L)))): _*)
+          cur = grid
+            .join(rawCk.select(col("c").as("id"), col("j"), col("r")),
+              Seq("id", "j"), "left")
+            .withColumn("__m", element_at(mExpr, col("j")))
+            .select(col("id"), col("j"),
+              expr("(coalesce(r, 0L) * 1000000L) div __m").as("val"))
+        }
+        timed("  ppmi/final-count")(cur.count())
+        pairs.unpersist(false)
+        pp.unpersist(false)
+        ()
+      }
+      val vecs = timed("embedVectors")(
+        { val x = graft.ops.GraphOps.embedVectors(emb).cache(); x.count(); x })
+      val idx = timed("IvfIndex.build(c=8)")(
+        graft.functions.VectorOps.IvfIndex.build(vecs, "id", "embedding", c = 8))
+      timed("search(np=4)")(
+        idx.search(vecs, "id", "embedding", k = 3, nprobe = 4).count())
+      idx.close()
+      graft.ops.ScaleOps.releaseAll(spark)
+    }
+    spark.stop()
+  }
+}
