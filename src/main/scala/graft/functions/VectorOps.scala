@@ -752,7 +752,8 @@ object VectorOps {
     * Reference tie: the ANN family surface (kasper has no vector
     * layer); the reduction is public literature, cited above.
     */
-  final class MipsIndex private[functions] (val inner: IvfIndex) {
+  final class MipsIndex private[functions] (val inner: IvfIndex,
+                                            val m2: Double) {
     /** Top-`k` by raw inner product, probing `nprobe` augmented-space
       * cells per query. Output: (qid, id, dot).
       */
@@ -761,6 +762,20 @@ object VectorOps {
       val q = queries.select(col(queryIdCol).as("qid"),
         concat(toDoubleArr(col(queryVecCol)), array(lit(0.0))).as("qv"))
       inner.searchDot(q, "qid", "qv", k, nprobe)
+    }
+
+    /** Persist the augmented index (the [[IvfIndex.save]] layout) plus
+      * a MIPS marker row carrying the reduction constant M² — the
+      * marker is what makes a cross-wired load fail loudly: a plain
+      * cosine index dir and a MIPS dir are byte-compatible otherwise,
+      * and silently serving cosine cells as dot cells is exactly the
+      * metric-drift bug this class exists to prevent.
+      */
+    def save(dir: String): Unit = {
+      inner.save(dir)
+      val spark = inner.assigned.sparkSession
+      import spark.implicits._
+      Seq(m2).toDF("m2").write.mode("overwrite").parquet(s"$dir/mips_meta")
     }
 
     /** Release the augmented index's caches. */
@@ -784,7 +799,24 @@ object VectorOps {
           lit(m2) - dot(col("v"), col("v")), lit(0.0))))).as("va"))
       val idx = IvfIndex.build(aug, "id", "va", c, iters, trainCap)
       v.unpersist(blocking = false)
-      new MipsIndex(idx)
+      new MipsIndex(idx, m2)
+    }
+
+    /** Reload an index persisted by [[MipsIndex#save]]. Refuses a dir
+      * without the MIPS marker (a plain cosine index would otherwise
+      * load silently and serve the wrong metric); all [[IvfIndex.load]]
+      * integrity checks apply to the augmented frames.
+      */
+    def load(spark: SparkSession, dir: String): MipsIndex = {
+      val m2 =
+        try spark.read.parquet(s"$dir/mips_meta").head().getDouble(0)
+        catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalArgumentException(
+              s"$dir carries no MIPS marker (mips_meta) - it is a plain " +
+                "cosine index dir; load it with IvfIndex.load instead", e)
+        }
+      new MipsIndex(IvfIndex.load(spark, dir), m2)
     }
   }
 

@@ -652,6 +652,49 @@ class VectorOpsSpec extends SparkSpec {
     legacy.close()
   }
 
+  test("MipsIndex: full-probe == exact dot top-k; save/load round-trip; plain dir refused") {
+    val e = Tables(spark, sfDir).embeddings.filter($"vec_id" < 200)
+    val queries = e.filter($"vec_id" < 3)
+    val mips = VectorOps.MipsIndex.build(e, "vec_id", "embedding", c = 8)
+    val got = mips.searchDot(queries, "vec_id", "embedding", k = 5, nprobe = 8)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    // exact dot top-5, driver-recomputed (sequential fold = kernel order)
+    val vecs = e.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    val brute = (for (q <- Seq(0L, 1L, 2L)) yield {
+      val qv = vecs(q).map(_.toDouble)
+      vecs.keys.filter(_ != q).toSeq
+        .map(i => (i, vecs(i).map(_.toDouble).zip(qv)
+          .map { case (x, y) => x * y }.sum))
+        .sortBy { case (i, d) => (-d, i) }.take(5).map { case (i, _) => (q, i) }
+    }).flatten.toSet
+    assert(got == brute, "full-probe MIPS must equal the exact dot top-k")
+    // partial probe keeps real recall on these (norm-similar) vectors
+    val half = mips.searchDot(queries, "vec_id", "embedding", k = 5, nprobe = 4)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    assert(half.intersect(brute).size >= (brute.size * 5) / 10,
+      s"half-probe recall collapsed: ${half.intersect(brute).size}/${brute.size}")
+    // save/load: identical results; the marker gates the load path
+    val dir = java.nio.file.Files.createTempDirectory("graft_mips").toString
+    mips.save(dir)
+    val savedM2 = mips.m2
+    mips.close()
+    val loaded = VectorOps.MipsIndex.load(spark, dir)
+    assert(loaded.m2 == savedM2)
+    assert(loaded.searchDot(queries, "vec_id", "embedding", k = 5, nprobe = 8)
+      .select("qid", "id").as[(Long, Long)].collect().toSet == got)
+    loaded.close()
+    // a PLAIN cosine index dir (no mips_meta) must be refused by name
+    val plain = VectorOps.IvfIndex.build(e, "vec_id", "embedding", c = 8)
+    val plainDir = java.nio.file.Files.createTempDirectory("graft_plain").toString
+    plain.save(plainDir)
+    plain.close()
+    val ex = intercept[IllegalArgumentException](
+      VectorOps.MipsIndex.load(spark, plainDir))
+    assert(ex.getMessage.contains("no MIPS marker"), ex.getMessage)
+    spark.catalog.clearCache()
+  }
+
   test("IVF+PQ: empty query frame returns empty") {
     val e = Tables(spark, sfDir).embeddings
     val idx = VectorOps.IvfPqIndex.build(e, "vec_id", "embedding", c = 16, m = 8, k = 16)
