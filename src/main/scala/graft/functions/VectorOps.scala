@@ -708,6 +708,18 @@ object VectorOps {
       searchImpl(assigned, queries, queryIdCol, queryVecCol, k, nprobe,
         scoreByDot = true)
 
+    /** [[searchFiltered]] under dot scoring — the predicate-constrained
+      * MIPS rung ([[searchDot]]'s caveats apply: pair with a
+      * [[MipsIndex]] below full probe). The allowed-id semi-join lands
+      * inside the probed-cell scan, before any dot is computed.
+      */
+    def searchDotFiltered(queries: DataFrame, queryIdCol: String,
+                          queryVecCol: String, k: Int, nprobe: Int,
+                          allowed: DataFrame, allowedIdCol: String): DataFrame =
+      searchImpl(
+        assigned.join(allowed.select(col(allowedIdCol).as("id")), Seq("id"), "left_semi"),
+        queries, queryIdCol, queryVecCol, k, nprobe, scoreByDot = true)
+
     private def searchImpl(base: DataFrame, queries: DataFrame,
                            queryIdCol: String, queryVecCol: String,
                            k: Int, nprobe: Int,
@@ -762,6 +774,19 @@ object VectorOps {
       val q = queries.select(col(queryIdCol).as("qid"),
         concat(toDoubleArr(col(queryVecCol)), array(lit(0.0))).as("qv"))
       inner.searchDot(q, "qid", "qv", k, nprobe)
+    }
+
+    /** Predicate-constrained MIPS: top-`k` by raw inner product among
+      * `allowed` ids only — the q97 composition on the dot metric. The
+      * semi-join prunes candidates inside the probed-cell scan, and the
+      * returned scores are raw dots (query augment 0).
+      */
+    def searchDotFiltered(queries: DataFrame, queryIdCol: String,
+                          queryVecCol: String, k: Int, nprobe: Int,
+                          allowed: DataFrame, allowedIdCol: String): DataFrame = {
+      val q = queries.select(col(queryIdCol).as("qid"),
+        concat(toDoubleArr(col(queryVecCol)), array(lit(0.0))).as("qv"))
+      inner.searchDotFiltered(q, "qid", "qv", k, nprobe, allowed, allowedIdCol)
     }
 
     /** Persist the augmented index (the [[IvfIndex.save]] layout) plus

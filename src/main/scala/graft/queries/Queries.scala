@@ -2133,6 +2133,31 @@ object Queries {
       .orderBy(col("s_suppkey"), col("dot").desc, col("nbr"))
   }
 
+  /** Predicate-constrained MIPS — q97's composition on the dot metric
+    * ([[graft.functions.VectorOps.MipsIndex.searchDotFiltered]]): each
+    * supplier's top-2 inner-product neighbors AMONG LOW-NATION
+    * SUPPLIERS only (the allowed-id semi-join prunes inside the probed
+    * cell scan, before any dot is computed — "nearest dot neighbors in
+    * the curated slice"). Probing all cells makes the result the exact
+    * filtered dot top-2 independent of the float k-means layout, so the
+    * whole path hash-checks (float dots via the q34 discipline: same
+    * sequential sums, no division needed — dot of a zero vector is 0,
+    * so unlike the cosine rungs no zero-exclusion is required); nprobe
+    * stays the scale knob.
+    */
+  def q267_filtered_mips(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = graft.ops.ScaleOps.trackCache(
+      graft.ops.GraphOps.embedVectors(embedTableFrom(coSupplyTop3(spark, dir))))
+    val allowed = Tables(spark, dir).supplier
+      .filter(col("s_nationkey") < 5).select(col("s_suppkey"))
+    val idx = graft.functions.VectorOps.MipsIndex.build(vecs, "id",
+      "embedding", c = 8)
+    idx.searchDotFiltered(vecs, "id", "embedding", k = 2, nprobe = 8,
+        allowed, "s_suppkey")
+      .select(col("qid").as("s_suppkey"), col("id").as("nbr"), col("dot"))
+      .orderBy(col("s_suppkey"), col("dot").desc, col("nbr"))
+  }
+
   def q113_cosupply_triangles(spark: SparkSession, dir: String): DataFrame =
     graft.ops.GraphOps.triangleCounts(coSupplyTop3(spark, dir), "src", "dst")
       .select(col("id").as("s_suppkey"), col("n_triangles"))
@@ -5314,7 +5339,8 @@ object Queries {
     "q263_hll_ivm_audit" -> (q263_hll_ivm_audit _),
     "q264_curation_pipeline" -> (q264_curation_pipeline _),
     "q265_embed_knn_cos" -> (q265_embed_knn_cos _),
-    "q266_embed_knn_ivf_dot" -> (q266_embed_knn_ivf_dot _)
+    "q266_embed_knn_ivf_dot" -> (q266_embed_knn_ivf_dot _),
+    "q267_filtered_mips" -> (q267_filtered_mips _)
   )
 }
 
@@ -6968,6 +6994,21 @@ object Oracles {
         |  FROM sc)
         |SELECT qid AS s_suppkey, nbr, cos FROM rk3 WHERE r3 <= 3
         |ORDER BY s_suppkey, cos DESC, nbr""".stripMargin),
+    "q267_filtered_mips" -> (ppmiEmbedCtes +
+      """vecf AS MATERIALIZED (SELECT id,
+        |    CAST(list(CAST(CAST(val AS DOUBLE)/1000000.0 AS FLOAT) ORDER BY j)
+        |      AS DOUBLE[]) AS e
+        |  FROM e2 GROUP BY id),
+        |allow AS (SELECT s_suppkey AS id FROM supplier WHERE s_nationkey < 5),
+        |scf AS (SELECT a.id AS qid, b.id AS nbr,
+        |    (SELECT sum(x*y) FROM (SELECT unnest(a.e) AS x, unnest(b.e) AS y)) AS dot
+        |  FROM vecf a JOIN vecf b ON a.id <> b.id
+        |  JOIN allow ON allow.id = b.id),
+        |rkf AS (SELECT qid, nbr, dot,
+        |    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nbr) AS rf
+        |  FROM scf)
+        |SELECT qid AS s_suppkey, nbr, dot FROM rkf WHERE rf <= 2
+        |ORDER BY s_suppkey, dot DESC, nbr""".stripMargin),
     "q256_placement_audit" ->
       """WITH b AS (SELECT c_custkey, i AS node_before FROM customer
         |  CROSS JOIN unnest(generate_series(0, 4)) AS u(i)

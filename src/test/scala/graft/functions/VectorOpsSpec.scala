@@ -674,6 +674,20 @@ class VectorOpsSpec extends SparkSpec {
       .select("qid", "id").as[(Long, Long)].collect().toSet
     assert(half.intersect(brute).size >= (brute.size * 5) / 10,
       s"half-probe recall collapsed: ${half.intersect(brute).size}/${brute.size}")
+    // filtered full probe == the exact dot top-k of the allowed subset
+    val allowed = e.filter($"vec_id" % 3 === 0).select($"vec_id")
+    val allowedIds = allowed.as[Long].collect().toSet
+    val gotF = mips.searchDotFiltered(queries, "vec_id", "embedding",
+        k = 5, nprobe = 8, allowed, "vec_id")
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val bruteF = (for (q <- Seq(0L, 1L, 2L)) yield {
+      val qv = vecs(q).map(_.toDouble)
+      vecs.keys.filter(i => i != q && allowedIds(i)).toSeq
+        .map(i => (i, vecs(i).map(_.toDouble).zip(qv)
+          .map { case (x, y) => x * y }.sum))
+        .sortBy { case (i, d) => (-d, i) }.take(5).map { case (i, _) => (q, i) }
+    }).flatten.toSet
+    assert(gotF == bruteF, "filtered full-probe MIPS must equal the exact filtered dot top-k")
     // save/load: identical results; the marker gates the load path
     val dir = java.nio.file.Files.createTempDirectory("graft_mips").toString
     mips.save(dir)
