@@ -841,7 +841,7 @@ object VectorOps {
               s"$dir carries no MIPS marker (mips_meta) - it is a plain " +
                 "cosine index dir; load it with IvfIndex.load instead", e)
         }
-      new MipsIndex(IvfIndex.load(spark, dir), m2)
+      new MipsIndex(IvfIndex.loadRaw(spark, dir), m2)
     }
   }
 
@@ -1577,6 +1577,23 @@ object VectorOps {
       * old-layout tolerance as the maintainer watermark).
       */
     def load(spark: SparkSession, dir: String): IvfIndex = {
+      // marker gating is BIDIRECTIONAL: MipsIndex.load refuses a plain
+      // cosine dir, and this direction refuses a MIPS dir — silently
+      // serving cosine over (d+1)-dim constant-norm-augmented vectors is
+      // the cross-wired metric bug the marker exists to catch, and it
+      // would only surface (if at all) downstream at probe time
+      val marker = new org.apache.hadoop.fs.Path(s"$dir/mips_meta")
+      require(!marker.getFileSystem(spark.sessionState.newHadoopConf())
+          .exists(marker),
+        s"$dir carries a MIPS marker (mips_meta) - its vectors are " +
+          "constant-norm augmented; load it with MipsIndex.load instead")
+      loadRaw(spark, dir)
+    }
+
+    /** [[load]] without the MIPS-marker refusal — the entry point
+      * [[MipsIndex.load]] uses after validating the marker itself.
+      */
+    private[functions] def loadRaw(spark: SparkSession, dir: String): IvfIndex = {
       val meta =
         try Some(spark.read.parquet(s"$dir/meta").head())
         catch { case _: org.apache.spark.sql.AnalysisException => None }

@@ -23,6 +23,21 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** The modular-hash family constants the walk/embedding rails share
+    * (Knuth multiplicative / xxHash-prime multipliers over the Mersenne
+    *-adjacent prime 1e9+7). Exposed `private[graft]` so diagnostics
+    * that mirror an op's internals (tools/EmbedProfile) read the SAME
+    * constants instead of re-literalizing them — a drifted mirror would
+    * silently profile a different computation than the op runs.
+    */
+  private[graft] val HashP = 1000000007L
+  private[graft] val HashMulA = 2654435761L
+  private[graft] val HashMulB = 2246822519L
+  /** [[ppmiEmbedInt]]'s default saturation cap for the positive-lift
+    * milli-units (shared with its diagnostic mirror).
+    */
+  private[graft] val DefaultLiftCapMilli = 1000000L
+
   /** Deterministic hash-driven random walks — the DeepWalk/node2vec
     * INPUT corpus (walks feed a skip-gram embedding trainer), generated
     * with no RNG state: `walksPerNode` walks of `steps` steps start
@@ -240,11 +255,11 @@ object GraphOps {
     */
   def ppmiEmbedInt(pairsIn: DataFrame, centerCol: String, contextCol: String,
                    nCol: String, dims: Int = 8, iters: Int = 2,
-                   liftCapMilli: Long = 1000000L): DataFrame = {
+                   liftCapMilli: Long = DefaultLiftCapMilli): DataFrame = {
     require(dims >= 1 && dims <= 64, s"dims must be in [1, 64], got $dims")
     require(iters >= 1 && iters <= 8, s"iters must be in [1, 8], got $iters")
     require(liftCapMilli >= 1, s"liftCapMilli must be positive, got $liftCapMilli")
-    val P = 1000000007L
+    val P = HashP
     val spark = pairsIn.sparkSession
     val pairs = ScaleOps.trackCache(pairsIn.select(
       col(centerCol).cast("long").as("c"), col(contextCol).cast("long").as("x"),
@@ -274,8 +289,8 @@ object GraphOps {
     val dimIds = spark.range(dims).select(col("id").cast("long").as("j"))
     val grid = nodes.crossJoin(dimIds) // |V|·dims rows, dims a literal range
     var cur = grid.select(col("id"), col("j"),
-      when(pmod(pmod(col("id") * lit(2654435761L), lit(P)) +
-          pmod((col("j") + 1L) * lit(2246822519L), lit(P)), lit(P)) % 2L === 0L,
+      when(pmod(pmod(col("id") * lit(HashMulA), lit(P)) +
+          pmod((col("j") + 1L) * lit(HashMulB), lit(P)), lit(P)) % 2L === 0L,
         lit(1000000L)).otherwise(lit(500000L)).as("val"))
     var prevRaw: DataFrame = null
     var round = 0
@@ -462,9 +477,15 @@ object GraphOps {
       col(wCol).cast("long").as("w")).cache()
     // positive-weight guard (one bounded 1-row agg over the cached edge
     // frame, doubling as its warm-up): a zero/negative weight would make
-    // `(rank·w) div __ws` NULL or negative under ANSI-off and silently
-    // drop that node's contributions instead of failing loudly
-    val mnW = e.agg(min(col("w")).as("mn")).head()
+    // `(rank·w) div __ws` NULL or negative under ANSI-OFF and silently
+    // drop that node's contributions instead of failing loudly. min()
+    // SKIPS nulls, so the row-vs-weight count pair catches the null case
+    // (a weight whose cast to long failed) the min alone would pass.
+    val mnW = e.agg(min(col("w")).as("mn"), count(lit(1)).as("n"),
+      count(col("w")).as("nw")).head()
+    require(mnW.getLong(1) == mnW.getLong(2),
+      s"weightedPageRankInt found ${mnW.getLong(1) - mnW.getLong(2)} null " +
+        "weights (non-numeric or null wCol values cast to NULL)")
     require(mnW.isNullAt(0) || mnW.getLong(0) >= 1L,
       s"weightedPageRankInt requires positive integer weights, found min=${mnW.get(0)}")
     val wsum = e.groupBy(col("src")).agg(sum(col("w")).as("__ws"))

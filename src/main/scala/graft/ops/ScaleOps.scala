@@ -86,6 +86,36 @@ object ScaleOps {
     trackedCheckpoints.clear()
   }
 
+  /** Run `body` and release ONLY the caches/checkpoint leaves it tracked
+    * — the scoped form of [[release]] for a long-lived caller (a
+    * maintainer's per-cycle rebuild) that must not blanket-release other
+    * pipelines' tracked frames. `body`'s RESULT must be fully
+    * materialized before it returns (localCheckpoint(true) /
+    * cache+count): the interior frames its lineage read are released the
+    * moment the scope closes. Same process-global caveat as [[release]]:
+    * frames tracked by a CONCURRENT pipeline while `body` runs would be
+    * swept with the scope — don't interleave tracking pipelines across
+    * threads with an open scope.
+    */
+  def scoped[T](body: => T): T = {
+    val (c0, k0) = synchronized {
+      // identity sets — DataFrame has no value equality, so contains()
+      // below is reference comparison, exactly what a scope needs
+      (trackedCaches.toSet, trackedCheckpoints.toSet)
+    }
+    // finally: a THROWING body's partial interiors are orphans (no
+    // result frame will ever read them) and must release all the same
+    try body
+    finally synchronized {
+      val newCaches = trackedCaches.filterNot(c0.contains)
+      val newCkpts = trackedCheckpoints.filterNot(k0.contains)
+      newCaches.foreach(_.unpersist(blocking = false))
+      newCkpts.foreach(graft.dedup.Dedup.releaseCheckpoint)
+      trackedCaches.filterInPlace(c0.contains)
+      trackedCheckpoints.filterInPlace(k0.contains)
+    }
+  }
+
   /** Whether any tracked cache is still registered — the cheap dirty
     * check a long-lived runner (Bench) uses to skip the full
     * [[releaseAll]] sweep on queries that cached nothing.

@@ -2158,6 +2158,126 @@ object Queries {
       .orderBy(col("s_suppkey"), col("dot").desc, col("nbr"))
   }
 
+  /** MIPS-generation maintenance lifecycle — q262's sibling on the
+    * dot-serving rail ([[graft.streaming.EmbedMaintainer]] with
+    * `withMips = true`): two walk micro-batches (start mod 2) fold into
+    * the maintained pair table, each cycle rebuilds BOTH index
+    * generations, and the re-delivered last trigger is skipped
+    * idempotently. The MIPS gauges are exact integers — node count, the
+    * max per-node Σ val² in µ²-units (the integer shadow of the
+    * constant-norm reduction's M², computable by ANY engine from the
+    * PPMI table), indexed-vector count — so the whole lifecycle log
+    * hash-checks against a cumulative-slice oracle unrolling the PPMI
+    * chain per slice, exactly the q262 discipline; the float reduction
+    * constant and cell layout stay out of the gauges by design.
+    */
+  def q268_mips_monitor(spark: SparkSession, dir: String): DataFrame = {
+    val walks = graft.ops.ScaleOps.trackCache(
+      graft.ops.GraphOps.biasedHashWalks(coSupplyTop3(spark, dir),
+        "src", "dst", steps = 2, walksPerNode = 2))
+    val cm = new graft.streaming.CooccurMaintainer(window = 2)
+    val em = new graft.streaming.EmbedMaintainer(dims = 8, iters = 2,
+      cells = 4, withMips = true)
+    (0 to 1).foreach { b =>
+      cm.ingest(b, walks.filter(col("start") % 2 === b))
+      em.rebuildFrom(cm, b, spark)
+    }
+    em.rebuildFrom(cm, 1, spark) // re-delivered trigger: idempotent skip
+    val out = em.mipsTelemetry(spark).orderBy("batch", "action")
+    em.close(); cm.close()
+    out
+  }
+
+  /** Materialized-embedding SERVING rung — the amortized 100 TB path of
+    * the embedding rail made visible: the chain trains ONCE and persists
+    * ([[graft.ops.GraphOps.saveEmbeddings]], dim-partitioned + exact
+    * checksum meta), then serving LOADS the table (integrity-validated)
+    * and runs filtered cosine search over it WITHOUT re-deriving
+    * walks/pairs/PPMI — train-once-read-everywhere, where
+    * q261/q264/q266 each pay the full chain under the
+    * one-query-one-pipeline contract. Exactness: the saved/loaded table
+    * is byte-identical to the in-session chain (the load re-checks the
+    * µ-unit checksum), so the oracle is the CHAIN's SQL — hash-equality
+    * here IS the save→load→serve == in-session-chain claim. Full probe
+    * keeps the float k-means layout out of the result (q97's
+    * discipline); nprobe is the scale knob. The result is checkpointed
+    * before the temp dir is removed (bounded: top-2 per survivor).
+    */
+  def q269_embed_serve(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embedTableFrom(coSupplyTop3(spark, dir))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_embed_serve")
+    try {
+      graft.ops.GraphOps.saveEmbeddings(emb, tmp.toString)
+      // ---- serving side: reads ONLY the persisted table from here ----
+      val loaded = graft.ops.GraphOps.loadEmbeddings(spark, tmp.toString)
+      val nonZero = loaded.groupBy("id").agg(sum(col("val")).as("sv"))
+        .filter(col("sv") > 0L).select("id")
+      val vecs = graft.ops.ScaleOps.trackCache(
+        graft.ops.GraphOps.embedVectors(loaded)
+          .join(nonZero, Seq("id"), "left_semi"))
+      val allowed = Tables(spark, dir).supplier
+        .filter(col("s_nationkey") < 5).select(col("s_suppkey"))
+      val idx = graft.functions.VectorOps.IvfIndex.build(vecs, "id",
+        "embedding", c = 4)
+      val served = idx.searchFiltered(vecs, "id", "embedding", k = 2,
+          nprobe = 4, allowed, "s_suppkey")
+        .select(col("qid").as("s_suppkey"), col("id").as("nbr"), col("cos"))
+        .localCheckpoint(true) // materialize before the temp dir dies
+      idx.close()
+      graft.ops.ScaleOps.trackCheckpoint(served)
+      // the total order rides ABOVE the checkpoint leaf — row order must
+      // be plan-owned, not an artifact of how the leaf's partitions read
+      served.orderBy(col("s_suppkey"), col("cos").desc, col("nbr"))
+    } finally {
+      val walk = java.nio.file.Files.walk(tmp)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally walk.close()
+    }
+  }
+
+  /** Cross-metric serving-drift monitor — the RecallAudit
+    * `q261_ivf_vs_dot` finding (dot and cosine rank NEAR-DISJOINTLY on
+    * the max-per-dim-normalized PPMI vectors) promoted to a declared,
+    * exact-oracled audit: per node, the top-3 by integer dot (q252's
+    * rule) vs the top-3 by cosine (q265's rule) over the SAME embedding
+    * table, both restricted to nonzero vectors, and the overlap count
+    * between the two sets. A production rail alerts when a metric swap
+    * (or a reduction bug) silently changes which index family serves a
+    * query — this is the per-node agreement table that alert reads.
+    * Overlap counts are exact integers; the cosine side hash-checks via
+    * the q34 float discipline (the ranking, not the float, feeds the
+    * output).
+    */
+  def q270_metric_drift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embedTableFrom(coSupplyTop3(spark, dir))
+    val nonZero = graft.ops.ScaleOps.trackCache(
+      emb.groupBy("id").agg(sum(col("val")).as("sv"))
+        .filter(col("sv") > 0L).select("id"))
+    val nzEmb = graft.ops.ScaleOps.trackCache(
+      emb.join(nonZero, Seq("id"), "left_semi"))
+    val wd = Window.partitionBy("src").orderBy(col("dot").desc, col("dst"))
+    val dotTop = embedDotsOf(nzEmb)
+      .withColumn("rnk", row_number().over(wd)).filter(col("rnk") <= 3)
+      .select(col("src"), col("dst"))
+    val vecs = graft.ops.GraphOps.embedVectors(nzEmb)
+    val cosTop = graft.functions.VectorOps.annBruteForce(
+        vecs, "id", "embedding", vecs, "id", "embedding", k = 3)
+      .select(col("qid").as("src"), col("id").as("dst"))
+    dotTop.groupBy("src").agg(count(lit(1)).as("n_dot"))
+      .join(cosTop.groupBy("src").agg(count(lit(1)).as("n_cos")), Seq("src"))
+      .join(dotTop.join(cosTop, Seq("src", "dst"), "left_semi")
+        .groupBy("src").agg(count(lit(1)).as("n_common")),
+        Seq("src"), "left")
+      .select(col("src").as("s_suppkey"), col("n_dot"), col("n_cos"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        expr("(coalesce(n_common, 0L) * 1000000L) div n_dot")
+          .as("overlap_ppm"))
+      .orderBy("s_suppkey")
+  }
+
   def q113_cosupply_triangles(spark: SparkSession, dir: String): DataFrame =
     graft.ops.GraphOps.triangleCounts(coSupplyTop3(spark, dir), "src", "dst")
       .select(col("id").as("s_suppkey"), col("n_triangles"))
@@ -5340,7 +5460,10 @@ object Queries {
     "q264_curation_pipeline" -> (q264_curation_pipeline _),
     "q265_embed_knn_cos" -> (q265_embed_knn_cos _),
     "q266_embed_knn_ivf_dot" -> (q266_embed_knn_ivf_dot _),
-    "q267_filtered_mips" -> (q267_filtered_mips _)
+    "q267_filtered_mips" -> (q267_filtered_mips _),
+    "q268_mips_monitor" -> (q268_mips_monitor _),
+    "q269_embed_serve" -> (q269_embed_serve _),
+    "q270_metric_drift" -> (q270_metric_drift _)
   )
 }
 
@@ -5621,22 +5744,25 @@ object Oracles {
       |              LEFT JOIN m2 ON m2.j = g.j),
       |""".stripMargin
 
-  /** One cumulative slice of the q248 PPMI chain for the q262 lifecycle
-    * oracle: the [[ppmiEmbedCtes]] unroll verbatim, suffixed `_b` and
-    * restricted to walks with `start % 3 <= b` — the maintained pair
-    * table after ingest batch `b` (skip-gram counts are additive over
-    * whole walks, the q260 convergence claim). Reads the shared `walks`
-    * CTE; ends mid-WITH (trailing comma). `g_b` is the slice's gauge
-    * row (node count, exact µ-unit value checksum).
+  /** One cumulative slice of the q248 PPMI chain for the q262/q268
+    * lifecycle oracles: the [[ppmiEmbedCtes]] unroll verbatim, suffixed
+    * `_b` and restricted to walks with `start % mod <= b` — the
+    * maintained pair table after ingest batch `b` (skip-gram counts are
+    * additive over whole walks, the q260 convergence claim). Reads the
+    * shared `walks` CTE; ends mid-WITH (trailing comma). `g_b` is the
+    * slice's gauge row (node count, exact µ-unit value checksum);
+    * `gm_b` is the MIPS-generation gauge row (node count, max per-node
+    * Σ val² in µ²-units) — plain CTEs, so a query referencing only one
+    * pays only that one.
     */
-  private def ppmiSliceCtes(b: Int): String =
+  private def ppmiSliceCtes(b: Int, mod: Int = 3): String =
     s"""pairs_$b AS MATERIALIZED (
       |  SELECT a.node AS center, b.node AS context,
       |    CAST(count(*) AS BIGINT) AS n
       |  FROM walks a JOIN walks b
       |    ON a.start = b.start AND a.walk = b.walk AND a.step <> b.step
       |    AND abs(a.step - b.step) <= 2
-      |  WHERE a.start % 3 <= $b
+      |  WHERE a.start % $mod <= $b
       |  GROUP BY 1, 2),
       |tot_$b AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM pairs_$b),
       |mc_$b AS (SELECT center, CAST(sum(n) AS BIGINT) AS nc
@@ -5675,6 +5801,9 @@ object Oracles {
       |              LEFT JOIN m2_$b m2 ON m2.j = g.j),
       |g_$b AS (SELECT $b AS batch, count(DISTINCT id) AS n_nodes,
       |    CAST(sum(val) AS BIGINT) AS sum_val FROM e2_$b),
+      |gm_$b AS (SELECT $b AS batch, count(*) AS n_nodes, max(s) AS msq
+      |  FROM (SELECT id, CAST(sum(val * val) AS BIGINT) AS s
+      |        FROM e2_$b GROUP BY id) t),
       |""".stripMargin
 
   /** [[ppmiEmbedCtes]] + the q252 dot-product kNN (top-3 per source) —
@@ -7009,6 +7138,79 @@ object Oracles {
         |  FROM scf)
         |SELECT qid AS s_suppkey, nbr, dot FROM rkf WHERE rf <= 2
         |ORDER BY s_suppkey, dot DESC, nbr""".stripMargin),
+    "q268_mips_monitor" -> (biasedWalkCtes +
+      """walks AS MATERIALIZED (
+        |  SELECT start, walk, step, node FROM f0
+        |  UNION ALL SELECT start, walk, step, node FROM f1
+        |  UNION ALL SELECT start, walk, step, node FROM f2),
+        |""".stripMargin +
+      ppmiSliceCtes(0, mod = 2) + ppmiSliceCtes(1, mod = 2) +
+      """tele AS (
+        |  SELECT -1 AS batch, 'built' AS action,
+        |    0 AS n_nodes, 0 AS max_sq_norm, 0 AS n_indexed
+        |  UNION ALL SELECT batch, 'rebuilt', n_nodes, msq, n_nodes FROM gm_0
+        |  UNION ALL SELECT batch, 'rebuilt', n_nodes, msq, n_nodes FROM gm_1
+        |  UNION ALL SELECT batch, 'replay_skipped', n_nodes, msq, n_nodes
+        |  FROM gm_1)
+        |SELECT CAST(batch AS BIGINT) AS batch, action,
+        |  CAST(n_nodes AS BIGINT) AS n_nodes,
+        |  CAST(max_sq_norm AS BIGINT) AS max_sq_norm,
+        |  CAST(n_indexed AS BIGINT) AS n_indexed
+        |FROM tele ORDER BY batch, action""".stripMargin),
+    "q269_embed_serve" -> (ppmiEmbedCtes +
+      """nz AS (SELECT id FROM e2 GROUP BY id
+        |  HAVING CAST(sum(val) AS BIGINT) > 0),
+        |vec AS MATERIALIZED (SELECT id,
+        |    CAST(list(CAST(CAST(val AS DOUBLE)/1000000.0 AS FLOAT) ORDER BY j)
+        |      AS DOUBLE[]) AS e
+        |  FROM e2 JOIN nz USING (id) GROUP BY id),
+        |allow AS (SELECT s_suppkey AS id FROM supplier WHERE s_nationkey < 5),
+        |sc AS (SELECT a.id AS qid, b.id AS nbr,
+        |    (SELECT sum(x*y) FROM (SELECT unnest(a.e) AS x, unnest(b.e) AS y)) /
+        |    sqrt((SELECT sum(x*x) FROM (SELECT unnest(a.e) AS x)) *
+        |         (SELECT sum(y*y) FROM (SELECT unnest(b.e) AS y))) AS cos
+        |  FROM vec a JOIN vec b ON a.id <> b.id
+        |  JOIN allow ON allow.id = b.id),
+        |rk2 AS (SELECT qid, nbr, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS r2
+        |  FROM sc)
+        |SELECT qid AS s_suppkey, nbr, cos FROM rk2 WHERE r2 <= 2
+        |ORDER BY s_suppkey, cos DESC, nbr""".stripMargin),
+    "q270_metric_drift" -> (ppmiEmbedCtes +
+      """nz AS (SELECT id FROM e2 GROUP BY id
+        |  HAVING CAST(sum(val) AS BIGINT) > 0),
+        |ez AS MATERIALIZED (SELECT e2.id, e2.j, e2.val
+        |  FROM e2 JOIN nz USING (id)),
+        |zdots AS MATERIALIZED (SELECT a.id AS src, b.id AS dst,
+        |    CAST(sum(a.val * b.val) AS BIGINT) AS dot
+        |  FROM ez a JOIN ez b ON a.j = b.j AND a.id <> b.id
+        |  GROUP BY 1, 2),
+        |dt AS (SELECT src, dst FROM (SELECT src, dst,
+        |    row_number() OVER (PARTITION BY src ORDER BY dot DESC, dst) AS rnk
+        |  FROM zdots) t WHERE rnk <= 3),
+        |vec AS MATERIALIZED (SELECT id,
+        |    CAST(list(CAST(CAST(val AS DOUBLE)/1000000.0 AS FLOAT) ORDER BY j)
+        |      AS DOUBLE[]) AS e
+        |  FROM ez GROUP BY id),
+        |sc AS (SELECT a.id AS src, b.id AS dst,
+        |    (SELECT sum(x*y) FROM (SELECT unnest(a.e) AS x, unnest(b.e) AS y)) /
+        |    sqrt((SELECT sum(x*x) FROM (SELECT unnest(a.e) AS x)) *
+        |         (SELECT sum(y*y) FROM (SELECT unnest(b.e) AS y))) AS cos
+        |  FROM vec a JOIN vec b ON a.id <> b.id),
+        |ct AS (SELECT src, dst FROM (SELECT src, dst,
+        |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+        |  FROM sc) t WHERE rnk <= 3),
+        |nd AS (SELECT src, count(*) AS n_dot FROM dt GROUP BY 1),
+        |ncs AS (SELECT src, count(*) AS n_cos FROM ct GROUP BY 1),
+        |ncm AS (SELECT dt.src, count(*) AS n_common
+        |  FROM dt JOIN ct ON dt.src = ct.src AND dt.dst = ct.dst GROUP BY 1)
+        |SELECT nd.src AS s_suppkey, CAST(n_dot AS BIGINT) AS n_dot,
+        |  CAST(n_cos AS BIGINT) AS n_cos,
+        |  CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+        |  CAST((CAST(coalesce(n_common, 0) AS BIGINT) * 1000000) // n_dot
+        |    AS BIGINT) AS overlap_ppm
+        |FROM nd JOIN ncs USING (src) LEFT JOIN ncm ON ncm.src = nd.src
+        |ORDER BY s_suppkey""".stripMargin),
     "q256_placement_audit" ->
       """WITH b AS (SELECT c_custkey, i AS node_before FROM customer
         |  CROSS JOIN unnest(generate_series(0, 4)) AS u(i)

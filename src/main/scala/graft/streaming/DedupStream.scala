@@ -247,24 +247,42 @@ final class DedupGroupMaintainer(textCol: String, idCol: String,
   * group-bridging batch case — is spec-proven on RocksDB
   * (StreamingSpec). Same fresh-id append contract as the legacy class.
   *
-  * The banded rows of each ingested batch are collected driver-side to
-  * feed the gate's MemoryStream — batch-sized, the same materialization
-  * the enclosing foreachBatch already did; a cluster deployment feeds
-  * the gate directly from the source stream instead.
+  * Gate input seam: with `driverFeed = true` (default) the banded rows
+  * of each ingested batch are collected driver-side to feed the gate's
+  * MemoryStream — batch-sized, the same materialization the enclosing
+  * foreachBatch already did. `driverFeed = false` is the fully
+  * DE-DRIVERED path: the banded FRAME writes (distributed) to a
+  * file-source ingest directory the gate streams from, so banded rows
+  * never transit the driver at any batch size — the harness shape of a
+  * cluster deployment feeding the gate from the source stream.
+  * Emission equality between the two feeds is spec-proven
+  * (StreamingSpec).
   */
 final class DedupGroupMaintainerTws(textCol: String, idCol: String,
                                     n: Int = 3, numHashes: Int = 64,
                                     bandings: Seq[Int] = Seq(16),
                                     threshold: Double = 0.5,
-                                    maxBucket: Long = 10000)
+                                    maxBucket: Long = 10000,
+                                    driverFeed: Boolean = true)
                                    (implicit spark: SparkSession) {
   require(bandings.nonEmpty && bandings.forall(b => b > 0 && numHashes % b == 0),
     s"every banding must divide numHashes=$numHashes, got $bandings")
   import spark.implicits._
   implicit private val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
-  private val input =
-    org.apache.spark.sql.execution.streaming.runtime.MemoryStream[BandedDoc]
+  private val input: Option[
+    org.apache.spark.sql.execution.streaming.runtime.MemoryStream[BandedDoc]] =
+    if (driverFeed)
+      Some(org.apache.spark.sql.execution.streaming.runtime.MemoryStream[BandedDoc])
+    else None
+  private val ingestDir: Option[java.nio.file.Path] =
+    if (driverFeed) None
+    else Some(java.nio.file.Files.createTempDirectory("graft_dedup_feed"))
+  private val gateSource: Dataset[BandedDoc] = input.map(_.toDS()).getOrElse(
+    spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[BandedDoc].schema)
+      .parquet(ingestDir.get.toString)
+      .as[BandedDoc])
   // candidate pairs stay DataFrames end-to-end: each gate micro-batch is
   // checkpoint-truncated (an eager materialization sized to the batch's
   // OUTPUT, never a row-by-row driver collect) and queued as a frame
@@ -280,7 +298,7 @@ final class DedupGroupMaintainerTws(textCol: String, idCol: String,
   // checkpoint state on disk
   private val checkpointDir =
     java.nio.file.Files.createTempDirectory("graft_dedup_gate")
-  private val query = DedupStream.lshCandidateGate(input.toDS(), maxBucket)
+  private val query = DedupStream.lshCandidateGate(gateSource, maxBucket)
     .writeStream
     .option("checkpointLocation", checkpointDir.toString)
     .outputMode(OutputMode.Append())
@@ -298,15 +316,22 @@ final class DedupGroupMaintainerTws(textCol: String, idCol: String,
     val sets = Dedup.shingleSets(batch, textCol, idCol, n).cache()
     val allSets = accSets.map(_.unionAll(sets)).getOrElse(sets)
       .localCheckpoint(true)
-    val banded = Dedup.multiBandBuckets(
+    val bandedDf = Dedup.multiBandBuckets(
         Dedup.minHashSignatures(batch, textCol, idCol, n, numHashes),
         numHashes, bandings)
-      .select(col("band").cast("int"), col("bh"), col("id"))
-      .as[(Int, Long, Long)].collect()
-      .map { case (band, bh, id) => BandedDoc(band, bh, id) }
-    if (banded.nonEmpty) {
-      input.addData(banded.toIndexedSeq)
-      query.processAllAvailable()
+      .select(col("band").cast("int").as("band"),
+        col("bh").cast("long").as("bh"), col("id").cast("long").as("id"))
+    input match {
+      case Some(mem) => // driver feed: batch-sized collect into MemoryStream
+        val banded = bandedDf.as[(Int, Long, Long)].collect()
+          .map { case (band, bh, id) => BandedDoc(band, bh, id) }
+        if (banded.nonEmpty) {
+          mem.addData(banded.toIndexedSeq)
+          query.processAllAvailable()
+        }
+      case None => // de-drivered feed: distributed write to the file source
+        bandedDf.write.mode("append").parquet(ingestDir.get.toString)
+        query.processAllAvailable()
     }
     val delta = {
       val b = Seq.newBuilder[DataFrame]
@@ -348,9 +373,10 @@ final class DedupGroupMaintainerTws(textCol: String, idCol: String,
     accSets.foreach(Dedup.releaseCheckpoint)
     accLabels.foreach(Dedup.releaseCheckpoint)
     accSets = None; accLabels = None
-    // the gate's temp checkpoint dir would otherwise outlive the session
-    try {
-      val walk = java.nio.file.Files.walk(checkpointDir)
+    // the gate's temp checkpoint/ingest dirs would otherwise outlive
+    // the session
+    def rm(dir: java.nio.file.Path): Unit = try {
+      val walk = java.nio.file.Files.walk(dir)
       try {
         import scala.jdk.CollectionConverters._
         walk.iterator().asScala.toSeq
@@ -363,5 +389,7 @@ final class DedupGroupMaintainerTws(textCol: String, idCol: String,
       case _: java.io.IOException => ()
       case _: java.io.UncheckedIOException => ()
     }
+    rm(checkpointDir)
+    ingestDir.foreach(rm)
   }
 }

@@ -58,7 +58,9 @@ object EmbedProfile {
         { val x = graft.ops.GraphOps.ppmiEmbedInt(sg, "center", "context", "n", dims = 8, iters = 2).cache(); x.count(); x })
       // internal breakdown (mirrors ppmiEmbedInt's stages)
       locally {
-        val P = 1000000007L
+        // constants come FROM the op (GraphOps), never re-literalized —
+        // a drifted mirror would profile a different computation
+        val P = graft.ops.GraphOps.HashP
         val pairs = timed("  ppmi/pairs-cache")(
           { val x = sg.select(col("center").cast("long").as("c"),
               col("context").cast("long").as("x"), col("n").cast("long").as("n")).cache()
@@ -72,7 +74,7 @@ object EmbedProfile {
         val pp = timed("  ppmi/pp-cache")(
           { val x = pairs.join(nc, "c").join(nx, "x")
               .select(col("c"), col("x"),
-                least(lit(1000000L), greatest(lit(0L),
+                least(lit(graft.ops.GraphOps.DefaultLiftCapMilli), greatest(lit(0L),
                   expr(s"(n * ${nn}L * 1000L) div (nc * nx) - 1000L"))).as("pp"))
               .filter(col("pp") > 0L).cache()
             x.count(); x })
@@ -83,8 +85,9 @@ object EmbedProfile {
         val dimIds = spark.range(8).select(col("id").cast("long").as("j"))
         val grid = nodes.crossJoin(dimIds)
         var cur = grid.select(col("id"), col("j"),
-          when(pmod(pmod(col("id") * lit(2654435761L), lit(P)) +
-              pmod((col("j") + 1L) * lit(2246822519L), lit(P)), lit(P)) % 2L === 0L,
+          when(pmod(pmod(col("id") * lit(graft.ops.GraphOps.HashMulA), lit(P)) +
+              pmod((col("j") + 1L) * lit(graft.ops.GraphOps.HashMulB), lit(P)),
+            lit(P)) % 2L === 0L,
             lit(1000000L)).otherwise(lit(500000L)).as("val"))
         for (round <- 1 to 2) {
           val rawCk = timed(s"  ppmi/round$round-rawCk")(
@@ -116,6 +119,40 @@ object EmbedProfile {
       timed("search(np=4)")(
         idx.search(vecs, "id", "embedding", k = 3, nprobe = 4).count())
       idx.close()
+
+      // --- the q269 amortized split: train-once (save) vs serve-only
+      // (load → pivot → build → filtered search, NO chain rebuild) ---
+      val tmp = java.nio.file.Files.createTempDirectory("graft_profile_serve")
+      timed("saveEmbeddings")(
+        graft.ops.GraphOps.saveEmbeddings(emb, tmp.toString))
+      timed("SERVE-ONLY total")(locally {
+        val loaded = timed("  serve/loadEmbeddings")(
+          graft.ops.GraphOps.loadEmbeddings(spark, tmp.toString))
+        val nonZero = loaded.groupBy(col("id"))
+          .agg(sum(col("val")).as("sv"))
+          .filter(col("sv") > 0L).select("id")
+        val sv = timed("  serve/pivot+cache")(
+          { val x = graft.ops.GraphOps.embedVectors(loaded)
+              .join(nonZero, Seq("id"), "left_semi").cache()
+            x.count(); x })
+        val sidx = timed("  serve/IvfIndex.build(c=4)")(
+          graft.functions.VectorOps.IvfIndex.build(sv, "id", "embedding", c = 4))
+        val allowed = t.supplier.filter(col("s_nationkey") < 5)
+          .select(col("s_suppkey"))
+        timed("  serve/searchFiltered")(
+          sidx.searchFiltered(sv, "id", "embedding", k = 2, nprobe = 4,
+            allowed, "s_suppkey").count())
+        sidx.close()
+        sv.unpersist(blocking = false)
+      })
+      locally {
+        val walk = java.nio.file.Files.walk(tmp)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } finally walk.close()
+      }
       graft.ops.ScaleOps.releaseAll(spark)
     }
     spark.stop()

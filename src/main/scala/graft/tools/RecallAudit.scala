@@ -177,6 +177,19 @@ object RecallAudit {
           "qid", "id")
         reportKnn(f"q266_mips_c8_np$np", dotKnn, got)
       }
+      // q267: FILTERED MIPS at partial probe vs the exact filtered dot
+      // top-2 (full probe — q267's declared rung). The allowed set
+      // prunes probed cells unevenly, so filtered recall is its own
+      // curve, not the q266 row's.
+      val allowed = Tables(spark, sfDir).supplier
+        .filter(col("s_nationkey") < 5).select(col("s_suppkey"))
+      val exactFilt = knnPairs(mips.searchDotFiltered(vecs, "id",
+        "embedding", k = 2, nprobe = 8, allowed, "s_suppkey"), "qid", "id")
+      for (np <- Seq(2, 4)) {
+        val got = knnPairs(mips.searchDotFiltered(vecs, "id", "embedding",
+          k = 2, nprobe = np, allowed, "s_suppkey"), "qid", "id")
+        reportKnn(f"q267_filt_c8_np$np", exactFilt, got)
+      }
       mips.close()
       vecs.unpersist(blocking = false)
       graft.ops.ScaleOps.releaseAll(spark)

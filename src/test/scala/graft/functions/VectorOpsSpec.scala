@@ -698,6 +698,13 @@ class VectorOpsSpec extends SparkSpec {
     assert(loaded.searchDot(queries, "vec_id", "embedding", k = 5, nprobe = 8)
       .select("qid", "id").as[(Long, Long)].collect().toSet == got)
     loaded.close()
+    // the REVERSE direction: IvfIndex.load must refuse a MIPS dir — its
+    // vectors are (d+1)-dim constant-norm augmented, and silently
+    // serving cosine over them is the cross-wired-metric bug the marker
+    // exists to catch in BOTH directions
+    val exRev = intercept[IllegalArgumentException](
+      VectorOps.IvfIndex.load(spark, dir))
+    assert(exRev.getMessage.contains("MIPS marker"), exRev.getMessage)
     // a PLAIN cosine index dir (no mips_meta) must be refused by name
     val plain = VectorOps.IvfIndex.build(e, "vec_id", "embedding", c = 8)
     val plainDir = java.nio.file.Files.createTempDirectory("graft_plain").toString
@@ -706,6 +713,75 @@ class VectorOpsSpec extends SparkSpec {
     val ex = intercept[IllegalArgumentException](
       VectorOps.MipsIndex.load(spark, plainDir))
     assert(ex.getMessage.contains("no MIPS marker"), ex.getMessage)
+    spark.catalog.clearCache()
+  }
+
+  test("filtered MIPS: recall vs the exact filtered dot top-k is monotone in nprobe; no leak") {
+    // the q97-style knob contract on the DOT metric: an allowed-set
+    // predicate prunes probed cells unevenly, so filtered recall is its
+    // own curve — it must recover monotonically as nprobe rises and be
+    // exact at full probe (q267's declared rung)
+    val e = Tables(spark, sfDir).embeddings.filter($"vec_id" < 300)
+    val queries = e.filter($"vec_id" < 5)
+    val allowed = e.filter($"vec_id" % 3 === 0).select($"vec_id")
+    val allowedIds = allowed.as[Long].collect().toSet
+    val vecs = e.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    val exact = (for (q <- 0L until 5L) yield {
+      val qv = vecs(q).map(_.toDouble)
+      vecs.keys.filter(i => i != q && allowedIds(i)).toSeq
+        .map(i => (i, vecs(i).map(_.toDouble).zip(qv)
+          .map { case (x, y) => x * y }.sum))
+        .sortBy { case (i, d) => (-d, i) }.take(5).map { case (i, _) => (q, i) }
+    }).flatten.toSet
+    val mips = VectorOps.MipsIndex.build(e, "vec_id", "embedding", c = 8)
+    val recalls = Seq(1, 2, 4, 8).map { np =>
+      val got = mips.searchDotFiltered(queries, "vec_id", "embedding",
+          k = 5, nprobe = np, allowed, "vec_id")
+        .select("qid", "id").as[(Long, Long)].collect().toSet
+      assert(got.forall { case (_, i) => allowedIds(i) },
+        s"filtered dot search leaked a disallowed id at nprobe=$np")
+      np -> got.intersect(exact).size.toDouble / exact.size
+    }
+    recalls.sliding(2).foreach { case Seq((np1, r1), (np2, r2)) =>
+      assert(r2 >= r1,
+        s"filtered dot recall fell from $r1 (np=$np1) to $r2 (np=$np2)")
+    }
+    assert(recalls.last._2 == 1.0,
+      s"full-probe filtered dot search must be exact, got ${recalls.last._2}")
+    mips.close()
+    spark.catalog.clearCache()
+  }
+
+  test("MipsIndex.build costs exactly one extra bounded scalar job over IvfIndex.build") {
+    // the q266 claim: the constant-norm reduction adds ONE bounded
+    // max-norm job; everything else is the plain build over the
+    // augmented vectors — a second scan creeping in would double the
+    // corpus cost at scale
+    val e = Tables(spark, sfDir).embeddings.filter($"vec_id" < 200).cache()
+    e.count() // both builds read a warm cache: job counts are structural
+    val tracker = spark.sparkContext.statusTracker
+    // a "scalar job" is a 1-row head() collect in VectorOps (the m2
+    // max-norm agg / the checkedDim stats) — AQE also books per-stage
+    // materialization jobs, so raw job counts carry bookkeeping noise;
+    // the head-job count is the corpus-pass-shaped signal
+    def headJobs(ids: Set[Int]): Int = ids.count(jid =>
+      tracker.getJobInfo(jid).exists(_.stageIds().exists(sid =>
+        tracker.getStageInfo(sid).exists(
+          _.name().startsWith("head at VectorOps")))))
+    val ids0 = tracker.getJobIdsForGroup(null).toSet
+    val plain = VectorOps.IvfIndex.build(e, "vec_id", "embedding", c = 8)
+    val idsPlain = tracker.getJobIdsForGroup(null).toSet -- ids0
+    val mips = VectorOps.MipsIndex.build(e, "vec_id", "embedding", c = 8)
+    val idsMips = tracker.getJobIdsForGroup(null).toSet -- ids0 -- idsPlain
+    assert(headJobs(idsMips) == headJobs(idsPlain) + 1,
+      s"MIPS build must add exactly ONE scalar (head) job: " +
+        s"${headJobs(idsMips)} vs ${headJobs(idsPlain)}")
+    assert(idsMips.size <= idsPlain.size + 3,
+      s"MIPS build job delta must stay a small constant (scalar + AQE " +
+        s"stage bookkeeping), got ${idsMips.size} vs ${idsPlain.size}")
+    plain.close(); mips.close()
+    e.unpersist(blocking = false)
     spark.catalog.clearCache()
   }
 

@@ -50,6 +50,28 @@ class GraphOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("weightedPageRankInt: zero, negative, AND null weights are rejected loudly") {
+    val nodes = Seq(1L, 2L).toDF("id")
+    for (w <- Seq(0L, -3L)) {
+      intercept[IllegalArgumentException] {
+        GraphOps.weightedPageRankInt(nodes, "id",
+          Seq((1L, 2L, w)).toDF("src", "dst", "w"), "src", "dst", "w",
+          iters = 1)
+      }
+    }
+    // a NULL weight must fail too: min() skips nulls, so a pure min
+    // guard passes while (rank·w) div __ws silently NULLs that edge's
+    // contribution under ANSI-off — the exact failure the guard exists
+    // to prevent
+    val ex = intercept[IllegalArgumentException] {
+      GraphOps.weightedPageRankInt(nodes, "id",
+        Seq((1L, 2L, Some(3L)), (2L, 1L, None)).toDF("src", "dst", "w"),
+        "src", "dst", "w", iters = 1)
+    }
+    assert(ex.getMessage.contains("null"), ex.getMessage)
+    spark.catalog.clearCache()
+  }
+
   test("personalizedPageRankInt: seed teleport only, unreachable nodes rank exactly 0") {
     // chain 1→2→3 plus a disconnected 4→5; seed = {1}
     val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")

@@ -405,6 +405,46 @@ class ScaleOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("ScaleOps.scoped releases only the frames tracked inside the scope; outer survives") {
+    import spark.implicits._
+    ScaleOps.release() // clean slate
+    val outer = ScaleOps.trackCache(Seq(1L, 2L).toDF("v"))
+    outer.count()
+    val (innerCache, innerCkpt) = ScaleOps.scoped {
+      val c = ScaleOps.trackCache(Seq(3L, 4L).toDF("v"))
+      c.count()
+      val k = ScaleOps.trackCheckpoint(
+        Seq(5L, 6L).toDF("v").localCheckpoint(true))
+      (c, k)
+    }
+    assert(innerCache.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE,
+      "interior cache must be released when the scope closes")
+    val leaf = innerCkpt.queryExecution.logical
+      .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+    // unpersist is async: poll the leaf RDD's storage level briefly
+    val deadline = System.nanoTime() + 5e9.toLong
+    while (leaf.rdd.getStorageLevel !=
+        org.apache.spark.storage.StorageLevel.NONE
+        && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(leaf.rdd.getStorageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE,
+      "interior checkpoint leaf must be released when the scope closes")
+    assert(outer.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE,
+      "a frame tracked BEFORE the scope must survive it")
+    // a THROWING body still releases its partial interiors
+    val orphan = ScaleOps.trackCache(Seq(7L).toDF("v"))
+    intercept[RuntimeException](ScaleOps.scoped {
+      ScaleOps.trackCache(Seq(8L).toDF("v")).count()
+      throw new RuntimeException("boom")
+    })
+    assert(orphan.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE)
+    ScaleOps.release()
+    spark.catalog.clearCache()
+  }
+
   test("ScaleOps.release unpersists the frames the range ops cached") {
     val df = spark.range(0, 100).select(col("id"), (col("id") % 5).as("s"))
     ScaleOps.globalRank(df, "r", Seq(col("s").asc, col("id").asc)).count()

@@ -115,6 +115,15 @@ class PlanCheckSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"allowed-id semi-join missing:\n$p")
   }
 
+  test("q264 curation serving gates survivors as a semi-join inside the probed scan") {
+    // the composition's load-bearing shape (q97's contract on the
+    // curation rail): the survivor predicate must prune candidates
+    // BEFORE any cosine is computed — a LeftSemi in the serving plan,
+    // never a post-filter over a scored top-k
+    val p = plans("q264_curation_pipeline")
+    assert(p.contains("LeftSemi"), s"survivor semi-join missing:\n$p")
+  }
+
   test("q99 mixture materialization is generate+project only (no shuffle before sort)") {
     val p = plans("q99_repeat_mix")
     assert(!p.contains("HashAggregate") && !p.contains("SortMergeJoin")

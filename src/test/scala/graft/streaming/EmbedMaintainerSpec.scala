@@ -107,6 +107,78 @@ class EmbedMaintainerSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("EmbedMaintainer withMips: dot generation maintained, exact gauges, marker-gated restore") {
+    val walks = walkCorpus.cache()
+    val cm = new CooccurMaintainer(window = 2)
+    val em = new EmbedMaintainer(dims = 4, iters = 2, cells = 2, withMips = true)
+    (0 to 1).foreach { b =>
+      cm.ingest(b, walks.filter(col("start") % 2 === b))
+      em.rebuildFrom(cm, b, spark)
+    }
+    em.rebuildFrom(cm, 1, spark) // re-delivered trigger
+
+    // MIPS telemetry: same action sequence as the cosine log, gauges
+    // exact integers recomputable from the embedding table (max Σ val²)
+    val emb = em.embeddings.as[(Long, Long, Long)].collect().toSeq
+    val nNodes = emb.map(_._1).distinct.size.toLong
+    val msq = emb.groupBy(_._1).map { case (_, rs) =>
+      rs.map(r => r._3 * r._3).sum }.max
+    val tele = em.mipsTelemetry(spark)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(tele.map(_._2) ==
+      Seq("built", "rebuilt", "rebuilt", "replay_skipped"), s"got $tele")
+    assert(tele.last == ((1L, "replay_skipped", nNodes, msq, nNodes)),
+      s"replay row must repeat the last rebuild's exact MIPS gauges, got ${tele.last}")
+
+    // full-probe searchDot == the exact dot top-2 of the maintained
+    // vectors (driver-recomputed, sequential fold = kernel order)
+    val vecs = GraphOps.embedVectors(em.embeddings).cache()
+    val vm = vecs.as[(Long, Array[Float])].collect().toMap
+    val brute = vm.keys.flatMap { q =>
+      val qv = vm(q).map(_.toDouble)
+      vm.keys.filter(_ != q).toSeq
+        .map(i => (i, vm(i).map(_.toDouble).zip(qv)
+          .map { case (x, y) => x * y }.sum))
+        .sortBy { case (i, d) => (-d, i) }.take(2).map { case (i, _) => (q, i) }
+    }.toSet
+    val served = em.searchDot(vecs, "id", "embedding", k = 2, nprobe = 2)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    assert(served == brute, "full-probe maintained MIPS must be the exact dot top-k")
+
+    // save/load restores the MIPS generation (marker-validated) and the
+    // lifecycle log notes it
+    val dir = java.nio.file.Files.createTempDirectory("graft_embm_mips").toString
+    em.save(dir)
+    em.close()
+    val m2 = EmbedMaintainer.load(spark, dir)
+    assert(m2.searchDot(vecs, "id", "embedding", k = 2, nprobe = 2)
+      .select("qid", "id").as[(Long, Long)].collect().toSet == brute)
+    assert(m2.mipsTelemetry(spark)
+      .as[(Long, String, Long, Long, Long)].collect().last ==
+      ((1L, "loaded", nNodes, msq, nNodes)))
+    m2.close()
+
+    // a dir whose mips_index was swapped for a PLAIN cosine layout must
+    // be REFUSED at load — the reloaded generation would otherwise
+    // silently serve the wrong metric (the marker-validation contract)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+    }
+    rm(new java.io.File(s"$dir/mips_index"))
+    val plain = graft.functions.VectorOps.IvfIndex.build(
+      vecs, "id", "embedding", c = 2)
+    plain.save(s"$dir/mips_index")
+    plain.close()
+    val ex = intercept[IllegalArgumentException](EmbedMaintainer.load(spark, dir))
+    assert(ex.getMessage.contains("no MIPS marker"), ex.getMessage)
+
+    cm.close()
+    vecs.unpersist(blocking = false)
+    walks.unpersist(blocking = false)
+    graft.ops.ScaleOps.release()
+    spark.catalog.clearCache()
+  }
+
   test("saveEmbeddings/loadEmbeddings: dim-partitioned roundtrip validates the meta checksum") {
     val emb = GraphOps.ppmiEmbedInt(
       GraphOps.skipGramPairs(walkCorpus, 2),

@@ -1046,6 +1046,16 @@ class StreamingSpec extends SparkSpec {
       val twsSnaps = drive(tws.ingest,
         () => tws.labels(spark).as[(Long, Long, Boolean)].collect().toSet)
       tws.close()
+      // the DE-DRIVERED gate feed (banded frame → file source, no
+      // driver collect of banded rows) must emit identically at every
+      // batch boundary
+      val twsF = new DedupGroupMaintainerTws("text", "doc_id",
+        bandings = Seq(32), threshold = 0.4, driverFeed = false)(spark)
+      val twsFSnaps = drive(twsF.ingest,
+        () => twsF.labels(spark).as[(Long, Long, Boolean)].collect().toSet)
+      twsF.close()
+      assert(twsFSnaps == twsSnaps,
+        s"frame-fed gate snapshots $twsFSnaps != driver-fed $twsSnaps")
       val legacy = new DedupGroupMaintainer("text", "doc_id",
         bandings = Seq(32), threshold = 0.4)
       val legacySnaps = drive(legacy.ingest,
