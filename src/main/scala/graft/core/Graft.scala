@@ -93,6 +93,29 @@ object Graft {
     */
   def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Best-effort recursive delete of a local staging/checkpoint temp
+    * dir — the ONE implementation of the walk-deepest-first idiom
+    * (previously copied across DedupStream/EmbedProfile/q269 with
+    * divergent error handling). Swallows IO errors by design: every
+    * caller is a cleanup path (a query's finally, a maintainer's
+    * close) where a transient delete failure must never mask the real
+    * result or exception.
+    */
+  def removeRecursively(dir: java.nio.file.Path): Unit = try {
+    val walk = java.nio.file.Files.walk(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } finally walk.close() // open streams hold directory handles
+  } catch {
+    // walk surfaces iteration errors as UncheckedIOException — a
+    // cleanup path must not throw either way
+    case _: java.io.IOException => ()
+    case _: java.io.UncheckedIOException => ()
+  }
 }
 
 /** Loaders for the harness tables (TESTDATA.md). One parquet per table;

@@ -521,6 +521,13 @@ object VectorOps {
       import spark.implicits._
       Seq((dim, size)).toDF("dim", "size")
         .write.mode("overwrite").parquet(s"$dir/meta")
+      // dir reuse is the supported pattern (every sub-write overwrites),
+      // so a stale MIPS marker from a previous occupant must not
+      // survive a plain save: it would make IvfIndex.load refuse this
+      // valid index AND let MipsIndex.load serve d-dim vectors against
+      // (d+1)-augmented queries with a stale m2 — silent garbage.
+      // MipsIndex.save re-creates the marker AFTER calling this.
+      clearMipsMarker(spark, dir)
     }
 
     /** Cell-occupancy profile: one row per centroid, EMPTY cells
@@ -807,6 +814,17 @@ object VectorOps {
     def close(): Unit = inner.close()
   }
 
+  /** Delete a stale `mips_meta` marker under `dir` — run by every PLAIN
+    * index save so dir reuse can never leave a marker describing a
+    * previous occupant (see [[IvfIndex#save]]).
+    */
+  private def clearMipsMarker(spark: SparkSession, dir: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/mips_meta")
+    marker.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(marker, true)
+    ()
+  }
+
   object MipsIndex {
     /** Build the augmented-space IVF index. One extra bounded job vs a
       * plain build (the corpus max-norm scalar); everything else is
@@ -819,10 +837,8 @@ object VectorOps {
       val m2Row = v.agg(max(dot(col("v"), col("v")))).head()
       require(!m2Row.isNullAt(0), "MIPS build needs a non-empty vector table")
       val m2 = m2Row.getDouble(0)
-      val aug = v.select(col("id"),
-        concat(col("v"), array(sqrt(greatest(
-          lit(m2) - dot(col("v"), col("v")), lit(0.0))))).as("va"))
-      val idx = IvfIndex.build(aug, "id", "va", c, iters, trainCap)
+      val idx = IvfIndex.build(MipsSq8Index.augmented(v, m2), "id", "va",
+        c, iters, trainCap)
       v.unpersist(blocking = false)
       new MipsIndex(idx, m2)
     }
@@ -843,6 +859,94 @@ object VectorOps {
         }
       new MipsIndex(IvfIndex.loadRaw(spark, dir), m2)
     }
+  }
+
+  /** [[MipsIndex]] at the BYTE-CODE memory tier — the constant-norm
+    * reduction composed over [[IvfSq8Index]]: augmented vectors encode
+    * to one byte per dimension, candidates rank by approximate cosine
+    * in the augmented space (monotone-aligned with raw dot, exactly why
+    * the reduction exists), and the exact re-rank scores the shortlist
+    * by `dot(q̂, v̂) = dot(q, x)` against the augmented raw table
+    * (scan-time join — raw stays on storage). Full probe + a shortlist
+    * covering the corpus degenerates to the exact dot top-k (the
+    * q68-rung discipline on the dot metric). Completes the index-family
+    * matrix: cosine has IVF/SQ8/PQ tiers, dot now has plain-IVF
+    * ([[MipsIndex]]) and SQ8 tiers.
+    */
+  final class MipsSq8Index private[functions] (val inner: IvfSq8Index,
+                                               val m2: Double) {
+    /** Top-`k` by raw inner product; `rescore` sizes the exact-re-rank
+      * shortlist exactly as in [[IvfSq8Index#search]].
+      */
+    def searchDot(queries: DataFrame, queryIdCol: String, queryVecCol: String,
+                  k: Int, nprobe: Int, rescore: Int = 4): DataFrame = {
+      val q = queries.select(col(queryIdCol).as("qid"),
+        concat(toDoubleArr(col(queryVecCol)), array(lit(0.0))).as("qv"))
+      inner.search(q, "qid", "qv", k, nprobe, rescore, scoreByDot = true)
+    }
+
+    /** Persist codes + centroids + the MIPS marker (reduction constant
+      * M²) — [[MipsSq8Index.load]] needs the marker to re-augment the
+      * raw re-rank table with the SAME constant the codes were built
+      * under, and a plain SQ8 dir must be refused by name.
+      */
+    def save(dir: String): Unit = {
+      inner.save(dir)
+      val spark = inner.codes.sparkSession
+      import spark.implicits._
+      Seq(m2).toDF("m2").write.mode("overwrite").parquet(s"$dir/mips_meta")
+    }
+
+    def close(): Unit = inner.close()
+  }
+
+  object MipsSq8Index {
+    /** One extra bounded max-norm job over [[IvfSq8Index.build]] on the
+      * augmented vectors — the [[MipsIndex.build]] shape at the byte
+      * tier. `byResidual` composes unchanged (residual recentering
+      * happens in the augmented space).
+      */
+    def build(vectors: DataFrame, idCol: String, vecCol: String, c: Int = 16,
+              iters: Int = 1, trainCap: Int = 0,
+              byResidual: Boolean = false): MipsSq8Index = {
+      val v = vectors.select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
+        .cache() // scanned by the max-norm job, then the build
+      val m2Row = v.agg(max(dot(col("v"), col("v")))).head()
+      require(!m2Row.isNullAt(0), "MIPS build needs a non-empty vector table")
+      val m2 = m2Row.getDouble(0)
+      val idx = IvfSq8Index.build(augmented(v, m2), "id", "va", c, iters,
+        trainCap, byResidual)
+      v.unpersist(blocking = false)
+      new MipsSq8Index(idx, m2)
+    }
+
+    /** Reload: the marker is REQUIRED (it carries M², without which the
+      * raw re-rank table cannot be augmented consistently with the
+      * codes); `vectors` is the ORIGINAL (un-augmented) table, matching
+      * the build-side input contract.
+      */
+    def load(spark: SparkSession, dir: String,
+             vectors: DataFrame, idCol: String, vecCol: String): MipsSq8Index = {
+      val m2 =
+        try spark.read.parquet(s"$dir/mips_meta").head().getDouble(0)
+        catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalArgumentException(
+              s"$dir carries no MIPS marker (mips_meta) - it is a plain " +
+                "SQ8 index dir; load it with IvfSq8Index.load instead", e)
+        }
+      val v = vectors.select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
+      new MipsSq8Index(
+        IvfSq8Index.load(spark, dir, augmented(v, m2), "id", "va"), m2)
+    }
+
+    /** The (id, va) constant-norm augmentation of a (id, v) frame —
+      * shared with [[MipsIndex.build]] (same reduction, either tier).
+      */
+    private[functions] def augmented(v: DataFrame, m2: Double): DataFrame =
+      v.select(col("id"),
+        concat(col("v"), array(sqrt(greatest(
+          lit(m2) - dot(col("v"), col("v")), lit(0.0))))).as("va"))
   }
 
   /** Scalar-quantized IVF (the FAISS IVF-SQ8 shape): the cached index
@@ -870,8 +974,16 @@ object VectorOps {
       val codes: DataFrame, val centroids: DataFrame, raw: DataFrame,
       val residual: Boolean) {
 
+    /** `scoreByDot` changes ONLY the exact re-rank metric (raw
+      * `dot(q, v)`, output column `dot`): the byte-code candidate stage
+      * still ranks by approximate cosine, which on a [[MipsSq8Index]]'s
+      * constant-norm-augmented vectors is monotone-aligned with dot —
+      * on non-augmented vectors it is NOT (the r14 naive-dot-probe
+      * lesson), so pair the flag with the reduction.
+      */
     def search(queries: DataFrame, queryIdCol: String, queryVecCol: String,
-               k: Int, nprobe: Int, rescore: Int = 4): DataFrame = {
+               k: Int, nprobe: Int, rescore: Int = 4,
+               scoreByDot: Boolean = false): DataFrame = {
       val q = queries
         .select(col(queryIdCol).as("qid"), toDoubleArr(col(queryVecCol)).as("qv"))
         // per-query scalars (tiny side): plain HOF folds are fine here
@@ -904,9 +1016,12 @@ object VectorOps {
       val cands = scored.withColumn("__rn", row_number().over(wa))
         .filter(col("__rn") <= k * rescore).select("qid", "qv", "id")
       // exact re-rank of the shortlist against raw (never cached) vectors
+      val outCol = if (scoreByDot) "dot" else "cos"
+      val score = if (scoreByDot) dot(col("v"), col("qv"))
+        else cosine(col("v"), col("qv"))
       val exact = cands.join(raw, "id")
-        .select(col("qid"), col("id"), cosine(col("v"), col("qv")).as("cos"))
-      val we = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id").asc)
+        .select(col("qid"), col("id"), score.as(outCol))
+      val we = Window.partitionBy(col("qid")).orderBy(col(outCol).desc, col("id").asc)
       exact.withColumn("__rn", row_number().over(we)).filter(col("__rn") <= k).drop("__rn")
     }
 
@@ -928,6 +1043,8 @@ object VectorOps {
     def save(dir: String): Unit = {
       codes.write.mode("overwrite").partitionBy("cid").parquet(s"$dir/codes")
       centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+      // plain-save hygiene on dir reuse — see IvfIndex.save
+      clearMipsMarker(codes.sparkSession, dir)
     }
   }
 

@@ -892,6 +892,41 @@ object Queries {
         k = 10, nprobe = 16, rescore = fullRescore(e, 10)))
   }
 
+  /** SQ8-MIPS exactness rung — the constant-norm reduction at the
+    * BYTE-CODE memory tier ([[graft.functions.VectorOps.MipsSq8Index]]):
+    * augmented vectors encode to one byte per dim, candidates rank by
+    * approximate cosine in the augmented space (monotone-aligned with
+    * raw dot), and the exact re-rank scores by `dot(q̂,v̂) = dot(q,x)`.
+    * Full probe + a corpus-covering shortlist degenerates to the exact
+    * dot top-10 — hash-checked (the q68 discipline on the dot metric;
+    * float dots need no zero-vector exclusion). Completes the family
+    * matrix: dot serving now has plain (q266) and quantized tiers.
+    */
+  def q271_mips_sq8_exact(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val idx = graft.functions.VectorOps.MipsSq8Index.build(
+      e, "vec_id", "embedding", c = 16)
+    idx.searchDot(e.filter(col("vec_id") === 0), "vec_id", "embedding",
+        k = 10, nprobe = 16, rescore = fullRescore(e, 10))
+      .select(col("id").as("vec_id"), col("dot"))
+      .orderBy(col("dot").desc, col("vec_id"))
+  }
+
+  /** The SQ8-MIPS OPERATING point (q53/q82's division of labor on the
+    * dot metric): partial probe + bounded rescore over the byte codes —
+    * rows-only by declared design (approximate shortlist; the spec
+    * measures recall at this config and q271 pins the machinery exact).
+    */
+  def q272_mips_sq8(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val idx = graft.functions.VectorOps.MipsSq8Index.build(
+      e, "vec_id", "embedding", c = 16)
+    idx.searchDot(e.filter(col("vec_id") === 0), "vec_id", "embedding",
+        k = 10, nprobe = 4, rescore = 8)
+      .select(col("id").as("vec_id"), col("dot"))
+      .orderBy(col("dot").desc, col("vec_id"))
+  }
+
   /** Recentered IVF-SQ8 (FAISS by_residual): codes quantize the per-cell
     * residual v − centroid, so the 256 levels span the cell's local
     * spread — finer steps than q53's per-vector global range whenever
@@ -2228,14 +2263,7 @@ object Queries {
       // the total order rides ABOVE the checkpoint leaf — row order must
       // be plan-owned, not an artifact of how the leaf's partitions read
       served.orderBy(col("s_suppkey"), col("cos").desc, col("nbr"))
-    } finally {
-      val walk = java.nio.file.Files.walk(tmp)
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } finally walk.close()
-    }
+    } finally graft.core.Graft.removeRecursively(tmp)
   }
 
   /** Cross-metric serving-drift monitor — the RecallAudit
@@ -2258,14 +2286,18 @@ object Queries {
         .filter(col("sv") > 0L).select("id"))
     val nzEmb = graft.ops.ScaleOps.trackCache(
       emb.join(nonZero, Seq("id"), "left_semi"))
+    // both rankings feed TWO consumers each (their count agg + the
+    // overlap semi-join) — cache or the quadratic lineage re-expands
+    // per reference (the DAG-reuse rule)
     val wd = Window.partitionBy("src").orderBy(col("dot").desc, col("dst"))
-    val dotTop = embedDotsOf(nzEmb)
+    val dotTop = graft.ops.ScaleOps.trackCache(embedDotsOf(nzEmb)
       .withColumn("rnk", row_number().over(wd)).filter(col("rnk") <= 3)
-      .select(col("src"), col("dst"))
+      .select(col("src"), col("dst")))
     val vecs = graft.ops.GraphOps.embedVectors(nzEmb)
-    val cosTop = graft.functions.VectorOps.annBruteForce(
-        vecs, "id", "embedding", vecs, "id", "embedding", k = 3)
-      .select(col("qid").as("src"), col("id").as("dst"))
+    val cosTop = graft.ops.ScaleOps.trackCache(
+      graft.functions.VectorOps.annBruteForce(
+          vecs, "id", "embedding", vecs, "id", "embedding", k = 3)
+        .select(col("qid").as("src"), col("id").as("dst")))
     dotTop.groupBy("src").agg(count(lit(1)).as("n_dot"))
       .join(cosTop.groupBy("src").agg(count(lit(1)).as("n_cos")), Seq("src"))
       .join(dotTop.join(cosTop, Seq("src", "dst"), "left_semi")
@@ -5463,7 +5495,9 @@ object Queries {
     "q267_filtered_mips" -> (q267_filtered_mips _),
     "q268_mips_monitor" -> (q268_mips_monitor _),
     "q269_embed_serve" -> (q269_embed_serve _),
-    "q270_metric_drift" -> (q270_metric_drift _)
+    "q270_metric_drift" -> (q270_metric_drift _),
+    "q271_mips_sq8_exact" -> (q271_mips_sq8_exact _),
+    "q272_mips_sq8" -> (q272_mips_sq8 _)
   )
 }
 
@@ -5603,6 +5637,18 @@ object Oracles {
       |SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT $limit""".stripMargin
 
   private lazy val BruteForceTop10Sql = bruteForceTopSql(10)
+
+  /** [[bruteForceTopSql]] on the raw inner product — the q271 SQ8-MIPS
+    * exactness oracle (dot of a zero vector is 0, so no exclusion).
+    */
+  private lazy val BruteForceDotTop10Sql =
+    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+      |scored AS (
+      |  SELECT e.vec_id,
+      |    (SELECT sum(x*y) FROM (SELECT unnest(CAST(e.embedding AS DOUBLE[])) AS x,
+      |                                  unnest(q.qe) AS y)) AS dot
+      |  FROM embeddings e, q WHERE e.vec_id <> 0)
+      |SELECT vec_id, dot FROM scored ORDER BY dot DESC, vec_id LIMIT 10""".stripMargin
 
   /** Exact embedding dedup groups (all-pairs cosine ≥ 0.45 → transitive
     * closure → min-id label) — shared by q62 (the oracle-checkable
@@ -6034,6 +6080,7 @@ object Oracles {
     "q34_ann_cosine" -> BruteForceTop10Sql,
     "q67_ann_ivf_exact" -> BruteForceTop10Sql,
     "q68_ann_sq8_exact" -> BruteForceTop10Sql,
+    "q271_mips_sq8_exact" -> BruteForceDotTop10Sql,
     "q69_ann_pq_exact" -> BruteForceTop10Sql,
     "q70_ann_ivfpq_exact" -> BruteForceTop10Sql,
     "q83_ann_sq8r_exact" -> BruteForceTop10Sql,

@@ -375,21 +375,7 @@ final class DedupGroupMaintainerTws(textCol: String, idCol: String,
     accSets = None; accLabels = None
     // the gate's temp checkpoint/ingest dirs would otherwise outlive
     // the session
-    def rm(dir: java.nio.file.Path): Unit = try {
-      val walk = java.nio.file.Files.walk(dir)
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } finally walk.close() // the stream holds directory handles
-    } catch {
-      // walk surfaces iteration errors as UncheckedIOException — a
-      // cleanup path must not throw either way
-      case _: java.io.IOException => ()
-      case _: java.io.UncheckedIOException => ()
-    }
-    rm(checkpointDir)
-    ingestDir.foreach(rm)
+    graft.core.Graft.removeRecursively(checkpointDir)
+    ingestDir.foreach(graft.core.Graft.removeRecursively)
   }
 }

@@ -82,29 +82,36 @@ final class EmbedMaintainer(dims: Int = 8, iters: Int = 2, cells: Int = 8,
                                       mips: Option[VectorOps.MipsIndex]): Unit =
     synchronized {
       val ck = e.localCheckpoint(true)
+      // gauge BEFORE assigning state: a failed gauge job must release
+      // the freshly-persisted checkpoint (clearCache never frees
+      // localCheckpoint blocks — an orphaned ck would leak for the
+      // session's remainder) and leave the maintainer untouched
+      val s =
+        try gauges(ck)
+        catch { case t: Throwable => Dedup.releaseCheckpoint(ck); throw t }
       emb = Some(ck)
       idx = Some(index)
       mipsIdx = mips
-      val s = gauges(ck)
       log += ((lastBatch, "loaded", s._1, s._2, index.size))
       mips.foreach(m =>
-        mipsLog += ((lastBatch, "loaded", s._1, msqGauge(ck), m.inner.size)))
+        mipsLog += ((lastBatch, "loaded", s._1, s._3, m.inner.size)))
     }
 
-  /** (n_nodes, sum_val) — one bounded agg over the embedding table. */
-  private def gauges(e: DataFrame): (Long, Long) = {
-    val r = e.agg(countDistinct(col("id")).as("n"),
-      coalesce(sum(col("val")), lit(0L)).as("sv")).head()
-    (r.getLong(0), r.getLong(1))
-  }
-
-  /** Max per-id Σ val² in exact µ²-units — the integer shadow of the
-    * MIPS reduction constant (val ≤ 10⁶ and dims ≤ 64, so the sum is
-    * ≤ 6.4×10¹³: comfortable i64 headroom). One grouped agg + 1-row max.
+  /** (n_nodes, sum_val, max_sq_norm) in ONE pass over the embedding
+    * table: per-id partials (Σ val, Σ val²) then a bounded 1-row fold —
+    * node count = the group count, the µ-unit checksum = Σ of the
+    * per-id sums, and max per-id Σ val² is the exact µ²-unit integer
+    * shadow of the MIPS reduction constant (val ≤ 10⁶ and dims ≤ 64,
+    * so Σ val² ≤ 6.4×10¹³: comfortable i64 headroom).
     */
-  private def msqGauge(e: DataFrame): Long =
-    e.groupBy("id").agg(sum(col("val") * col("val")).as("s"))
-      .agg(coalesce(max(col("s")), lit(0L))).head().getLong(0)
+  private def gauges(e: DataFrame): (Long, Long, Long) = {
+    val per = e.groupBy("id").agg(sum(col("val")).as("sv"),
+      sum(col("val") * col("val")).as("sq"))
+    val r = per.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("sv")), lit(0L)).as("s"),
+      coalesce(max(col("sq")), lit(0L)).as("m")).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
 
   /** Re-derive embeddings + index(es) from `src`'s maintained pair
     * table. Call after each [[CooccurMaintainer.ingest]] cycle (or on a
@@ -163,7 +170,7 @@ final class EmbedMaintainer(dims: Int = 8, iters: Int = 2, cells: Int = 8,
     val s = gauges(e)
     log += ((batchId, "rebuilt", s._1, s._2, newIdx.size))
     newMips.foreach(m =>
-      mipsLog += ((batchId, "rebuilt", s._1, msqGauge(e), m.inner.size)))
+      mipsLog += ((batchId, "rebuilt", s._1, s._3, m.inner.size)))
   }
 
   /** The maintained (id, dim, val) embedding table. */

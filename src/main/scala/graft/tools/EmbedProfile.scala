@@ -145,14 +145,7 @@ object EmbedProfile {
         sidx.close()
         sv.unpersist(blocking = false)
       })
-      locally {
-        val walk = java.nio.file.Files.walk(tmp)
-        try {
-          import scala.jdk.CollectionConverters._
-          walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        } finally walk.close()
-      }
+      graft.core.Graft.removeRecursively(tmp)
       graft.ops.ScaleOps.releaseAll(spark)
     }
     spark.stop()

@@ -705,6 +705,15 @@ class VectorOpsSpec extends SparkSpec {
     val exRev = intercept[IllegalArgumentException](
       VectorOps.IvfIndex.load(spark, dir))
     assert(exRev.getMessage.contains("MIPS marker"), exRev.getMessage)
+    // dir REUSE: a plain save into a former MIPS dir must clear the
+    // stale marker — otherwise IvfIndex.load refuses a valid plain
+    // index and MipsIndex.load silently serves d-dim vectors against
+    // (d+1)-augmented queries with a stale m2
+    val plainReuse = VectorOps.IvfIndex.build(e, "vec_id", "embedding", c = 8)
+    plainReuse.save(dir)
+    plainReuse.close()
+    VectorOps.IvfIndex.load(spark, dir).close() // accepted again
+    intercept[IllegalArgumentException](VectorOps.MipsIndex.load(spark, dir))
     // a PLAIN cosine index dir (no mips_meta) must be refused by name
     val plain = VectorOps.IvfIndex.build(e, "vec_id", "embedding", c = 8)
     val plainDir = java.nio.file.Files.createTempDirectory("graft_plain").toString
@@ -750,6 +759,57 @@ class VectorOpsSpec extends SparkSpec {
     assert(recalls.last._2 == 1.0,
       s"full-probe filtered dot search must be exact, got ${recalls.last._2}")
     mips.close()
+    spark.catalog.clearCache()
+  }
+
+  test("MipsSq8Index: full probe + full rescore == exact dot top-k; save/load; plain dir refused") {
+    val e = Tables(spark, sfDir).embeddings.filter($"vec_id" < 200)
+    val queries = e.filter($"vec_id" < 3)
+    val full = ((200 + 4) / 5)
+    val idx = VectorOps.MipsSq8Index.build(e, "vec_id", "embedding", c = 8)
+    val got = idx.searchDot(queries, "vec_id", "embedding", k = 5,
+        nprobe = 8, rescore = full)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val vecs = e.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    val brute = (for (q <- Seq(0L, 1L, 2L)) yield {
+      val qv = vecs(q).map(_.toDouble)
+      vecs.keys.filter(_ != q).toSeq
+        .map(i => (i, vecs(i).map(_.toDouble).zip(qv)
+          .map { case (x, y) => x * y }.sum))
+        .sortBy { case (i, d) => (-d, i) }.take(5).map { case (i, _) => (q, i) }
+    }).flatten.toSet
+    assert(got == brute,
+      "full-probe full-rescore SQ8-MIPS must equal the exact dot top-k")
+    // the operating point keeps real recall (codes approximate, re-rank
+    // exact, reduction aligns the cells with the dot ordering)
+    val part = idx.searchDot(queries, "vec_id", "embedding", k = 5,
+        nprobe = 4, rescore = 8)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    assert(part.intersect(brute).size >= (brute.size * 5) / 10,
+      s"SQ8-MIPS operating-point recall collapsed: ${part.intersect(brute).size}/${brute.size}")
+    info(s"SQ8-MIPS recall@5 (c=8, np=4, rescore=8): " +
+      f"${part.intersect(brute).size.toDouble / brute.size}%.2f")
+    // save/load round-trip: marker carries M² so the raw re-rank table
+    // re-augments consistently; results identical
+    val dir = java.nio.file.Files.createTempDirectory("graft_mips_sq8").toString
+    idx.save(dir)
+    val savedM2 = idx.m2
+    idx.close()
+    val loaded = VectorOps.MipsSq8Index.load(spark, dir, e, "vec_id", "embedding")
+    assert(loaded.m2 == savedM2)
+    assert(loaded.searchDot(queries, "vec_id", "embedding", k = 5,
+        nprobe = 8, rescore = full)
+      .select("qid", "id").as[(Long, Long)].collect().toSet == got)
+    loaded.close()
+    // a PLAIN SQ8 dir (no marker) must be refused by name — and a plain
+    // re-save into this former MIPS dir clears the stale marker
+    val plain = VectorOps.IvfSq8Index.build(e, "vec_id", "embedding", c = 8)
+    plain.save(dir)
+    plain.close()
+    val ex = intercept[IllegalArgumentException](
+      VectorOps.MipsSq8Index.load(spark, dir, e, "vec_id", "embedding"))
+    assert(ex.getMessage.contains("no MIPS marker"), ex.getMessage)
     spark.catalog.clearCache()
   }
 
