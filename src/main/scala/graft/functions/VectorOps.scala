@@ -1062,17 +1062,28 @@ object VectorOps {
         (if (residual) Seq(col("nrm2h")) else Nil)
       val codes = raw0.select(cols: _*).cache()
       val cents = spark.read.parquet(s"$dir/centroids").cache()
-      codes.count(); cents.count()
-      val raw = graft.core.Graft.spread(vectors)
-        .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
-      // dim contract vs the (tiny, cached) centroids — a wrong-dim raw
-      // table would silently null every re-rank cosine
-      val dim = cents.select(size(col("cv"))).head().getInt(0)
-      val st = raw.agg(min(size(col("v"))), max(size(col("v")))).head()
-      require(st.isNullAt(0) || (st.getInt(0) == dim && st.getInt(1) == dim),
-        s"loaded index is $dim-dim but the raw table has " +
-          s"${st.getInt(0)}..${st.getInt(1)}-dim vectors")
-      new IvfSq8Index(codes, cents, raw, residual)
+      // failed validation must not leave the freshly-filled frames
+      // pinned in the block manager (the IvfIndex.load discipline —
+      // MipsSq8Index.load adds a dim-mismatch failure mode here: a
+      // cross-wired raw table fails the require below by design)
+      try {
+        codes.count(); cents.count()
+        val raw = graft.core.Graft.spread(vectors)
+          .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
+        // dim contract vs the (tiny, cached) centroids — a wrong-dim raw
+        // table would silently null every re-rank cosine
+        val dim = cents.select(size(col("cv"))).head().getInt(0)
+        val st = raw.agg(min(size(col("v"))), max(size(col("v")))).head()
+        require(st.isNullAt(0) || (st.getInt(0) == dim && st.getInt(1) == dim),
+          s"loaded index is $dim-dim but the raw table has " +
+            s"${st.getInt(0)}..${st.getInt(1)}-dim vectors")
+        new IvfSq8Index(codes, cents, raw, residual)
+      } catch {
+        case t: Throwable =>
+          codes.unpersist(blocking = false)
+          cents.unpersist(blocking = false)
+          throw t
+      }
     }
 
     /** `trainCap` threads through to [[IvfIndex.build]]'s sampled

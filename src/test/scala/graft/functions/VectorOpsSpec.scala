@@ -810,6 +810,16 @@ class VectorOpsSpec extends SparkSpec {
     val ex = intercept[IllegalArgumentException](
       VectorOps.MipsSq8Index.load(spark, dir, e, "vec_id", "embedding"))
     assert(ex.getMessage.contains("no MIPS marker"), ex.getMessage)
+    // a failed SQ8 load (wrong-dim raw table) must not leave its
+    // freshly-filled code/centroid caches pinned in the block manager
+    val resident0 = spark.sparkContext.getPersistentRDDs.keySet
+    val wrongDim = e.select($"vec_id",
+      org.apache.spark.sql.functions.slice($"embedding", 1, 4).as("embedding"))
+    val exDim = intercept[IllegalArgumentException](
+      VectorOps.IvfSq8Index.load(spark, dir, wrongDim, "vec_id", "embedding"))
+    assert(exDim.getMessage.contains("-dim"), exDim.getMessage)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.subsetOf(resident0),
+      "failed SQ8 load must release its caches")
     spark.catalog.clearCache()
   }
 
