@@ -64,6 +64,14 @@ object Graft {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // let AQE re-plan (and in particular coalesce) under InMemoryRelation
+      // materialization: the default (false) pins every cached frame to the
+      // static shuffle-partition count, so each later scan of a small cached
+      // aggregate launches a full partition fan of near-empty tasks — at any
+      // scale, cached partials should be sized by AQE's advisory bytes like
+      // every other exchange (guide §2.2/§6; measured in r15: the embedding
+      // chain's per-stage task fans dropped ~5x, output rows identical)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")

@@ -729,9 +729,13 @@ object Dedup {
     while (!converged && round < propRounds) {
       val viaNbr = edges.join(lab.select(col("id").as("dst"), col("grp")), "dst")
         .select(col("src").as("id"), col("grp"))
+      // LAZY checkpoint + the convergence count as its materializer:
+      // one job per round does the join, the min fold, the block write
+      // AND the changed-count (the eager form paid a second full
+      // materialization job per round)
       val next = viaNbr.unionAll(lab)
         .groupBy("id").agg(min("grp").as("grp"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val changed = next.select(col("id"), col("grp").as("__g2"))
         .join(lab, "id").filter(col("__g2") =!= col("grp")).count()
       releaseCheckpoint(lab) // `changed` was the last consumer of this round
@@ -753,7 +757,7 @@ object Dedup {
           least(col("ga"), col("gb")).as("lo"))
         .filter(col("hi") =!= col("lo"))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false) // materialized by the count right below
       var cur = qEdges
       var curCnt = cur.count()
       var starConverged = curCnt == 0L
@@ -778,11 +782,12 @@ object Dedup {
           .unionAll(mins2.select(col("hi"), col("m").as("lo")))
           .filter(col("hi") =!= col("lo"))
           .distinct()
-          .localCheckpoint(true)
-        ls.unpersist(false)
+          .localCheckpoint(false) // materialized by the count right below
         // both sides are distinct sets: equal counts + one empty
-        // one-sided anti-join ⇔ set equality
+        // one-sided anti-join ⇔ set equality. The count doubles as the
+        // lazy checkpoint's materializer, so release ls only after it.
         val ssCnt = ss.count()
+        ls.unpersist(false)
         val changed = ssCnt != curCnt ||
           ss.join(cur, Seq("hi", "lo"), "left_anti").count() > 0
         releaseCheckpoint(cur) // the anti-join was this round's last consumer

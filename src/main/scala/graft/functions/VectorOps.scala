@@ -134,10 +134,16 @@ object VectorOps {
                      maxIters: Int = 10): DataFrame = {
     import graft.dedup.Dedup.releaseCheckpoint
     val edges = neighbors.select(col("qid"), col("id")).cache()
+    // LAZY checkpoints with the convergence count as each round's
+    // materializer (one job per round instead of three: the eager
+    // checkpoint job, the next.count job and a re-count of the already
+    // materialized previous round — the count now carries over as a
+    // driver scalar)
     var cur = seeds
       .select(col(idCol).cast("long").as("id"),
         col(labelCol).cast("long").as("label"), lit(0).as("round"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
+    var curCnt = cur.count()
     var round = 0
     var converged = false
     while (!converged && round < maxIters) {
@@ -151,11 +157,12 @@ object VectorOps {
       val fresh = votes.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .select(col("qid").as("id"), col("label"), lit(round).as("round"))
-      val next = cur.unionAll(fresh).localCheckpoint(true)
-      val grew = next.count() > cur.count()
+      val next = cur.unionAll(fresh).localCheckpoint(false)
+      val nextCnt = next.count() // materializes the lazy checkpoint
       releaseCheckpoint(cur)
       cur = next
-      converged = !grew
+      converged = nextCnt == curCnt
+      curCnt = nextCnt
     }
     edges.unpersist(blocking = false)
     cur

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterated graph computations over edge lists — the similarity-graph
@@ -239,11 +239,11 @@ object GraphOps {
     * Scale shape: marginals and the corpus total are map-side
     * aggregates (the total is ONE bounded driver row that doubles as
     * the runtime overflow guard, folded back as a literal — no
-    * crossJoin); each round is one pp⋈e equi-join + one
-    * map-side-combinable (center, dim) groupBy; per-dim maxima are a
-    * `dims`-row bounded collect folded back as a map literal; raw
-    * partials are eagerly checkpoint-truncated per round with the
-    * superseded leaf released ([[pageRankInt]]'s cadence concern
+    * crossJoin); each round is ONE job: a pp⋈e equi-join + one
+    * map-side-combinable (center, dim) groupBy, lazily
+    * checkpoint-truncated with the `dims`-row maxima collect as the
+    * materializing action (the maxima fold back as a map literal), and
+    * the superseded leaf released ([[pageRankInt]]'s cadence concern
     * doesn't arise — each round's frame is referenced once). The
     * returned frame reads the final leaves — materialize before any
     * blanket release, the iterated-op contract.
@@ -278,14 +278,15 @@ object GraphOps {
         least(lit(liftCapMilli), greatest(lit(0L),
           expr(s"(n * ${nn}L * 1000L) div (nc * nx) - 1000L"))).as("pp"))
       .filter(col("pp") > 0L))
-    // count, not isEmpty: the guard doubles as the pp cache fill (a
-    // limit(1) probe materializes the cache only partially, so round 1
-    // would re-derive the whole pp join — measured ~3 s/call at sf0.1)
-    require(pp.count() > 0L,
-      "ppmiEmbedInt needs at least one pair above independence (pp > 0)")
+    // pp's non-emptiness guard moved into round 1 (an empty round-1
+    // partial frame ⟺ empty pp, since e₀ covers every context node):
+    // a dedicated count here was one full extra job per call whose only
+    // other role — filling the pp cache — round 1's own scan performs
+    // anyway (optimization r15; the r14 guard-as-cache-fill note is
+    // subsumed by the fused-round shape below)
     val nodes = ScaleOps.trackCheckpoint(
       pairs.select(col("c").as("id")).union(pairs.select(col("x").as("id")))
-        .distinct().localCheckpoint(true))
+        .distinct().localCheckpoint(false))
     val dimIds = spark.range(dims).select(col("id").cast("long").as("j"))
     val grid = nodes.crossJoin(dimIds) // |V|·dims rows, dims a literal range
     var cur = grid.select(col("id"), col("j"),
@@ -293,31 +294,59 @@ object GraphOps {
           pmod((col("j") + 1L) * lit(HashMulB), lit(P)), lit(P)) % 2L === 0L,
         lit(1000000L)).otherwise(lit(500000L)).as("val"))
     var prevRaw: DataFrame = null
+    var lastMExpr: Column = null
     var round = 0
     while (round < iters) {
+      // LAZY checkpoint + the maxima collect as its materializer: one
+      // job per round does the pp⋈e join, the (c, j) fold, the block
+      // write AND the dims-row maxima — the r13 form paid a second full
+      // materialization job per round (eager checkpoint, then a
+      // separate collect over it). Round 1's scan also fills the pp and
+      // nodes caches/blocks, which is why neither needs its own job.
       val rawCk = pp.join(cur, pp("x") === cur("id"))
         .groupBy(col("c"), col("j"))
         .agg(sum(col("pp") * col("val")).as("r"))
-        .localCheckpoint(true)
-      if (prevRaw ne null) graft.dedup.Dedup.releaseCheckpoint(prevRaw)
-      prevRaw = rawCk
+        .localCheckpoint(false)
       // per-dim maxima: a dims-row bounded collect, folded back as a
       // map literal (m > 0 whenever the dim has any raw row; absent
       // dims fall back to 1 so the division stays total)
       val maxima = rawCk.groupBy("j").agg(max(col("r")).as("m"))
         .collect().map(r => r.getLong(0) -> math.max(r.getLong(1), 1L)).toMap
+      // the empty-pp guard, relocated from a dedicated pre-round count:
+      // round 1's partials are empty iff pp is empty (e₀ covers every
+      // context node), and the collect above already scanned them
+      if (round == 0) require(maxima.nonEmpty,
+        "ppmiEmbedInt needs at least one pair above independence (pp > 0)")
+      // release AFTER the collect: computing this round's partials read
+      // the previous leaf's blocks
+      if (prevRaw ne null) graft.dedup.Dedup.releaseCheckpoint(prevRaw)
+      prevRaw = rawCk
       val mExpr = map((0 until dims).toSeq.flatMap(j =>
         Seq(lit(j.toLong), lit(maxima.getOrElse(j.toLong, 1L)))): _*)
-      cur = grid
-        .join(rawCk.select(col("c").as("id"), col("j"), col("r")),
-          Seq("id", "j"), "left")
+      lastMExpr = mExpr
+      // SPARSE inter-round state (optimization r15): a node absent from
+      // the raw partials has val = 0, and zero vals contribute nothing
+      // to the next round's Σ pp·val — so rounds feed the partials
+      // straight through (one projection over the leaf) instead of
+      // left-joining the full |V|·dims grid back in every round (two
+      // exchanges per round gone; bit-identical sums, and the per-dim
+      // maxima are unchanged because the dropped rows are all zero).
+      // Only the RETURNED table densifies, below.
+      cur = prevRaw
         .withColumn("__m", element_at(mExpr, col("j")))
-        .select(col("id"), col("j"),
-          expr("(coalesce(r, 0L) * 1000000L) div __m").as("val"))
+        .select(col("c").as("id"), col("j"),
+          expr("(r * 1000000L) div __m").as("val"))
       round += 1
     }
     ScaleOps.trackCheckpoint(prevRaw)
-    cur.select(col("id"), col("j").as("dim"), col("val"))
+    // densify once at the end: the declared output covers every node ×
+    // dim, zero rows included (grid left-join over the final leaf)
+    grid
+      .join(prevRaw.select(col("c").as("id"), col("j"), col("r")),
+        Seq("id", "j"), "left")
+      .withColumn("__m", element_at(lastMExpr, col("j")))
+      .select(col("id"), col("j").as("dim"),
+        expr("(coalesce(r, 0L) * 1000000L) div __m").as("val"))
   }
 
   /** Pivot a long-format [[ppmiEmbedInt]] table to the
@@ -626,8 +655,9 @@ object GraphOps {
     require(iters >= 1, s"need at least one iteration, got $iters")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().cache()
+    // lazy checkpoint: the node-count fetch right below materializes it
     val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(false)
     val n = nodes.count()
     require(n > 0, "hitsInt needs a non-empty edge set")
     // checkpoint a raw (id, partial-sum) frame (ONE eager job doing the
@@ -639,7 +669,15 @@ object GraphOps {
     var prevA: DataFrame = null
     var prevH: DataFrame = null
     def normalized(rawIn: DataFrame, valCol: String): DataFrame = {
-      val raw = rawIn.localCheckpoint(true)
+      // LAZY checkpoint + the normalization-total fetch as its
+      // materializer: one job per half-round does the edge join, the
+      // groupBy, the block write AND the 1-row total (the r13 form paid
+      // an eager checkpoint job, then a separate total job over it).
+      // The superseded leaf releases only AFTER the total fetch — that
+      // fetch is what computes this leaf, and its plan still reads the
+      // previous leaf's blocks.
+      val raw = rawIn.localCheckpoint(false)
+      val tot = raw.agg(sum(col(valCol))).head().getLong(0)
       if (valCol == "a") {
         if (prevA ne null) graft.dedup.Dedup.releaseCheckpoint(prevA)
         prevA = raw
@@ -647,7 +685,6 @@ object GraphOps {
         if (prevH ne null) graft.dedup.Dedup.releaseCheckpoint(prevH)
         prevH = raw
       }
-      val tot = raw.agg(sum(col(valCol))).head().getLong(0)
       nodes.join(raw, Seq("id"), "left")
         .select(col("id"),
           expr(s"(coalesce($valCol, 0L) * 1000000000L) div ${tot}L")

@@ -1506,8 +1506,12 @@ object Queries {
     */
   def q107_interval_overlap(spark: SparkSession, dir: String): DataFrame = {
     // spread: the bucket explode + join-key hashing must not run on the
-    // fixture's single-row-group scan task
-    val o = graft.core.Graft.spread(Tables(spark, dir).orders)
+    // fixture's single-row-group scan task. Project to the four used
+    // columns BEFORE the round-robin exchange — repartition pays a
+    // sort-before-repartition pass over whatever width it is handed
+    // (guide §2.3: project before the exchange)
+    val o = graft.core.Graft.spread(Tables(spark, dir).orders
+      .select("o_orderkey", "o_orderpriority", "o_orderstatus", "o_orderdate"))
     def iv(s: String): DataFrame =
       o.select(col("o_orderkey").as("k" + s),
           col("o_orderpriority").as("p" + s),
@@ -1643,7 +1647,12 @@ object Queries {
     * column).
     */
   private def coSupplyTop3Weighted(spark: SparkSession, dir: String): DataFrame = {
-    val ps = graft.core.Graft.spread(Tables(spark, dir).lineitem)
+    // NO spread before the distinct: the distinct's own exchange already
+    // redistributes, so the round-robin repartition was a wasted full
+    // shuffle (plus its sort-before-repartition pass) of the fact table
+    // ahead of a 2-column projection — the map-side partial distinct
+    // runs fine inside the scan task (optimization r15; guide §2.4)
+    val ps = Tables(spark, dir).lineitem
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
     val grouped = ps.groupBy("p").agg(sort_array(collect_list(col("s"))).as("ss"))
     val pairs = grouped.select(explode(expr(
@@ -2373,7 +2382,9 @@ object Queries {
     */
   def q118_zorder(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.ScaleOps
-    graft.core.Graft.spread(Tables(spark, dir).lineitem)
+    // project to the two key columns BEFORE the spread exchange (§2.3)
+    graft.core.Graft.spread(
+        Tables(spark, dir).lineitem.select("l_partkey", "l_suppkey"))
       .select(ScaleOps.zOrderValue(col("l_partkey"), col("l_suppkey"), bits = 16).as("zv"),
         col("l_partkey"), col("l_suppkey"))
       .groupBy(shiftrightunsigned(col("zv"), 16).as("bucket"))
@@ -2391,7 +2402,9 @@ object Queries {
     */
   def q176_zorder3(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.ScaleOps
-    graft.core.Graft.spread(Tables(spark, dir).lineitem)
+    // project to the three key columns BEFORE the spread exchange (§2.3)
+    graft.core.Graft.spread(
+        Tables(spark, dir).lineitem.select("l_partkey", "l_suppkey", "l_quantity"))
       .select(ScaleOps.zOrderValueN(Seq(col("l_partkey"), col("l_suppkey"),
           col("l_quantity").cast("long")), bits = 12).as("zv"),
         col("l_partkey"), col("l_suppkey"),
@@ -2628,7 +2641,8 @@ object Queries {
     */
   def q132_market_basket(spark: SparkSession, dir: String): DataFrame =
     graft.ops.RelOps.basketPairs(
-        graft.core.Graft.spread(Tables(spark, dir).lineitem),
+        graft.core.Graft.spread(
+          Tables(spark, dir).lineitem.select("l_orderkey", "l_partkey")),
         "l_orderkey", "l_partkey")
       .orderBy(col("n_ab").desc, col("pa"), col("pb")).limit(20)
       .orderBy(col("n_ab").desc, col("pa"), col("pb"))

@@ -73,12 +73,22 @@ final class CooccurMaintainer(window: Int = 2) {
     // become unrecoverable) — the entry self-prunes once storage drops
     val wb = walkBatch.cache()
     val batchPairs = graft.ops.GraphOps.skipGramPairs(wb, window)
+    // LAZY checkpoint + the telemetry aggregate as its materializer:
+    // one job does the compaction merge, the block write AND the
+    // (n_pairs, n_total) gauges — the eager form paid a separate full
+    // materialization job per ingest. The old generation's blocks are
+    // still alive here (released below, after the gauges ran), so the
+    // merge's lineage reads them safely.
     val merged = acc.map(_.unionAll(batchPairs)
         .groupBy("center", "context").agg(sum(col("n")).as("n")))
       .getOrElse(batchPairs)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
+    val s = merged.agg(count(lit(1)).as("p"),
+      coalesce(sum(col("n")), lit(0L)).as("t")).head()
     // second-checkpoint failure must release the first new generation
-    // (PostingsMaintainer discipline — block-leak path only)
+    // (PostingsMaintainer discipline — block-leak path only). allStarts
+    // stays EAGER: its next consumer is a limit(1) probe, which would
+    // materialize a lazy checkpoint only partially.
     val allStarts = try {
       accStarts.map(_.unionAll(starts).distinct())
         .getOrElse(starts).localCheckpoint(true)
@@ -91,8 +101,6 @@ final class CooccurMaintainer(window: Int = 2) {
     acc = Some(merged)
     accStarts = Some(allStarts)
     lastBatch = math.max(lastBatch, batchId)
-    val s = merged.agg(count(lit(1)).as("p"),
-      coalesce(sum(col("n")), lit(0L)).as("t")).head()
     log += ((batchId, "appended", s.getLong(0), s.getLong(1)))
   }
 

@@ -81,11 +81,13 @@ final class EmbedMaintainer(dims: Int = 8, iters: Int = 2, cells: Int = 8,
                                       index: VectorOps.IvfIndex,
                                       mips: Option[VectorOps.MipsIndex]): Unit =
     synchronized {
-      val ck = e.localCheckpoint(true)
-      // gauge BEFORE assigning state: a failed gauge job must release
-      // the freshly-persisted checkpoint (clearCache never frees
-      // localCheckpoint blocks — an orphaned ck would leak for the
-      // session's remainder) and leave the maintainer untouched
+      // LAZY checkpoint with the gauge aggregate as its materializer —
+      // one job instead of an eager-checkpoint job plus a gauge job.
+      // Gauge BEFORE assigning state: a failed gauge job must release
+      // the (possibly partially persisted) checkpoint (clearCache never
+      // frees localCheckpoint blocks — an orphaned ck would leak for
+      // the session's remainder) and leave the maintainer untouched
+      val ck = e.localCheckpoint(false)
       val s =
         try gauges(ck)
         catch { case t: Throwable => Dedup.releaseCheckpoint(ck); throw t }
@@ -134,10 +136,15 @@ final class EmbedMaintainer(dims: Int = 8, iters: Int = 2, cells: Int = 8,
     val pairs = src.pairs(spark)
     // scoped: the trainer's interior caches/checkpoint leaves release
     // the moment the checkpointed result is materialized — resident
-    // blocks stay O(one generation) across unbounded rebuild cycles
-    val e = ScaleOps.scoped {
-      GraphOps.ppmiEmbedInt(pairs, "center", "context", "n",
-        dims = dims, iters = iters).localCheckpoint(true)
+    // blocks stay O(one generation) across unbounded rebuild cycles.
+    // The gauge aggregate doubles as the LAZY checkpoint's materializer
+    // (it must run INSIDE the scope — the scope close releases the
+    // trainer interiors the unmaterialized lineage would still need),
+    // so a rebuild pays one materialization job, not two.
+    val (e, s) = ScaleOps.scoped {
+      val ck = GraphOps.ppmiEmbedInt(pairs, "center", "context", "n",
+        dims = dims, iters = iters).localCheckpoint(false)
+      (ck, gauges(ck))
     }
     // build the new generation BEFORE releasing the old: a build failure
     // must leave the maintainer serving the previous embeddings/indexes
@@ -167,7 +174,6 @@ final class EmbedMaintainer(dims: Int = 8, iters: Int = 2, cells: Int = 8,
     idx = Some(newIdx)
     mipsIdx = newMips
     lastBatch = batchId
-    val s = gauges(e)
     log += ((batchId, "rebuilt", s._1, s._2, newIdx.size))
     newMips.foreach(m =>
       mipsLog += ((batchId, "rebuilt", s._1, s._3, m.inner.size)))

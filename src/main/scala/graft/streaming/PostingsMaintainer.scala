@@ -56,7 +56,10 @@ final class PostingsMaintainer(idCol: String, textCol: String,
 
   private[streaming] def restoreState(postings: DataFrame, docs: DataFrame,
                                       n: Long, tdl: Long): Unit = synchronized {
-    accPostings = Some(postings.localCheckpoint(true))
+    // lazy postings checkpoint: the summarize() aggregate right below
+    // materializes it in the same job (docs stays eager — its next
+    // consumer is a partial limit(1) probe)
+    accPostings = Some(postings.localCheckpoint(false))
     accDocs = Some(docs.localCheckpoint(true))
     nDocs = n
     totalDl = tdl
@@ -108,8 +111,15 @@ final class PostingsMaintainer(idCol: String, textCol: String,
     // would leak with no handle left to release them
     val d = batchDocs.agg(count(lit(1)).as("n"),
       coalesce(sum(col("dl")), lit(0L)).as("tdl")).head()
+    // LAZY postings checkpoint + the (n_terms, n_postings) telemetry
+    // aggregate as its materializer — one job instead of an eager
+    // checkpoint job plus a separate summarize job. The docs
+    // generation stays EAGER: its next consumer is a limit(1) overlap
+    // probe, which would materialize a lazy checkpoint only partially.
     val allPost = accPostings.map(_.unionAll(batchPost)).getOrElse(batchPost)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
+    val tp = allPost.agg(countDistinct(col("token")).as("t"),
+      count(lit(1)).as("n")).head()
     // if the SECOND checkpoint fails, the first new generation must not
     // leak (maintainer state stays on the old generations either way —
     // this is purely the block-leak path)
@@ -127,8 +137,7 @@ final class PostingsMaintainer(idCol: String, textCol: String,
     accPostings = Some(allPost)
     accDocs = Some(allDocs)
     lastBatch = math.max(lastBatch, batchId)
-    val (t, p) = summarize()
-    log += ((batchId, "appended", t, p, nDocs, totalDl))
+    log += ((batchId, "appended", tp.getLong(0), tp.getLong(1), nDocs, totalDl))
   }
 
   /** Integer BM25 top-`k` over the MAINTAINED index — [[TextSearch.bm25IntTopK]]'s

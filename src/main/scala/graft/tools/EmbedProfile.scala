@@ -34,7 +34,7 @@ object EmbedProfile {
 
     // mirror Queries.coSupplyTop3 via the public query (cheap enough)
     val t = graft.core.Tables(spark, sfDir)
-    val ps = graft.core.Graft.spread(t.lineitem)
+    val ps = t.lineitem
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
     val grouped = ps.groupBy("p").agg(sort_array(collect_list(col("s"))).as("ss"))
     val pairs0 = grouped.select(explode(expr(
@@ -78,10 +78,9 @@ object EmbedProfile {
                   expr(s"(n * ${nn}L * 1000L) div (nc * nx) - 1000L"))).as("pp"))
               .filter(col("pp") > 0L).cache()
             x.count(); x })
-        timed("  ppmi/pp-isEmpty")(pp.isEmpty)
-        val nodes = timed("  ppmi/nodes-ckpt")(
+        val nodes = timed("  ppmi/nodes-ckpt(lazy)")(
           pairs.select(col("c").as("id")).union(pairs.select(col("x").as("id")))
-            .distinct().localCheckpoint(true))
+            .distinct().localCheckpoint(false))
         val dimIds = spark.range(8).select(col("id").cast("long").as("j"))
         val grid = nodes.crossJoin(dimIds)
         var cur = grid.select(col("id"), col("j"),
@@ -90,22 +89,24 @@ object EmbedProfile {
             lit(P)) % 2L === 0L,
             lit(1000000L)).otherwise(lit(500000L)).as("val"))
         for (round <- 1 to 2) {
-          val rawCk = timed(s"  ppmi/round$round-rawCk")(
+          // fused round (mirrors the op): lazy checkpoint, the maxima
+          // collect is the single materializing job per round
+          val rawCk = timed(s"  ppmi/round$round-rawCk(lazy)")(
             pp.join(cur, pp("x") === cur("id"))
               .groupBy(col("c"), col("j"))
               .agg(sum(col("pp") * col("val")).as("r"))
-              .localCheckpoint(true))
-          val maxima = timed(s"  ppmi/round$round-maxima")(
+              .localCheckpoint(false))
+          val maxima = timed(s"  ppmi/round$round-maxima+mat")(
             rawCk.groupBy("j").agg(max(col("r")).as("m"))
               .collect().map(r => r.getLong(0) -> math.max(r.getLong(1), 1L)).toMap)
           val mExpr = map((0 until 8).toSeq.flatMap(j =>
             Seq(lit(j.toLong), lit(maxima.getOrElse(j.toLong, 1L)))): _*)
-          cur = grid
-            .join(rawCk.select(col("c").as("id"), col("j"), col("r")),
-              Seq("id", "j"), "left")
+          // sparse inter-round state (mirrors the op): no per-round grid
+          // left-join — zero rows contribute nothing to the next fold
+          cur = rawCk
             .withColumn("__m", element_at(mExpr, col("j")))
-            .select(col("id"), col("j"),
-              expr("(coalesce(r, 0L) * 1000000L) div __m").as("val"))
+            .select(col("c").as("id"), col("j"),
+              expr("(r * 1000000L) div __m").as("val"))
         }
         timed("  ppmi/final-count")(cur.count())
         pairs.unpersist(false)

@@ -404,6 +404,32 @@ class GraphOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("ppmiEmbedInt: fused lazy rounds release every interior block on ScaleOps.release") {
+    // r15 optimization restructured the trainer's internals (lazy
+    // checkpoints materialized by the maxima collect, sparse inter-round
+    // state, the pp guard folded into round 1): the lifecycle contract —
+    // materialize the returned frame, then release() drains every
+    // interior cache/leaf — must survive the new shape, or long-lived
+    // sessions leak one nodes/partials leaf pair per call
+    graft.ops.ScaleOps.release()
+    val resident0 = spark.sparkContext.getPersistentRDDs.keySet
+    val out = GraphOps.ppmiEmbedInt(twoClusterPairs, "center", "context", "n",
+      dims = 4, iters = 2)
+    assert(out.count() == 9 * 4, "dense output: every node x dim row present")
+    graft.ops.ScaleOps.release()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- resident0
+    assert(leaked.isEmpty, s"interior blocks leaked past release(): $leaked")
+    // the empty-pp guard still fires (relocated into round 1): a single
+    // pair sits exactly at independence (n·N = nc·nx), so no positive
+    // lift survives and the trainer must refuse during construction
+    import spark.implicits._
+    val flat = Seq((1L, 2L, 5L)).toDF("center", "context", "n")
+    val ex = intercept[IllegalArgumentException](
+      GraphOps.ppmiEmbedInt(flat, "center", "context", "n", dims = 2, iters = 1))
+    assert(ex.getMessage.contains("above independence"), ex.getMessage)
+    graft.ops.ScaleOps.release()
+  }
+
   test("ppmiEmbedInt -> embedVectors -> IvfIndex: nearest neighbors follow edge locality") {
     val vecs = GraphOps.embedVectors(
       GraphOps.ppmiEmbedInt(twoClusterPairs, "center", "context", "n",
