@@ -393,8 +393,22 @@ object VectorOps {
     // (qid, id) pairs are already unique — assignTop emits each probed
     // (qid, cid) once and a resident has exactly ONE home cell, so no
     // pair can arise from two cells; a distinct() here would re-shuffle
-    // the job's largest intermediate for no semantic effect
-    val cand = qAsg.join(idx.assigned.select("cid", "id"), "cid")
+    // the job's largest intermediate for no semantic effect.
+    //
+    // spread the PROBER side BEFORE the expanding cid join: the whole
+    // scoring pipeline below is broadcast-hash joins, so its stage
+    // parallelism is the stream side's partition count — and a small
+    // cached corpus materializes into few partitions (fewer still now
+    // that AQE sizes cached plans by bytes), while the join fans out
+    // |probers|·|residents| cosines on top of it. The round-robin
+    // exchange moves only the (cid, qid) prober pairs, pre-expansion —
+    // spreading the candidate pairs AFTER the fan-out instead re-sorts
+    // the expanded set at the collapsed input parallelism (measured:
+    // q98 2.7× worse un-spread, worse again post-expansion-spread; this
+    // placement restores the pre-r15 32-way kernel stage at a 16-byte
+    // exchange; guide §8 — decide/route with small rows).
+    val cand = graft.core.Graft.spread(qAsg)
+      .join(idx.assigned.select("cid", "id"), "cid")
       .filter(col("qid") =!= col("id"))
       .select("qid", "id")
     val scored = cand
