@@ -512,11 +512,9 @@ object VectorOps {
         s"append batch carries ${st.getLong(0) - st.getLong(4)} duplicate ids")
       val clash = assigned.select("id").join(nv.select("id"), "id").limit(1).count()
       require(clash == 0, "append ids must be fresh — at least one id is already indexed")
-      val w = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid").asc)
-      val assignedNew = nv.crossJoin(broadcast(centroids))
-        .select(col("id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("ccos"))
-        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-        .select("cid", "id", "v")
+      // the shared top-1 assignment (r16: the argmax fold — no window
+      // exchange per append batch; bit-same rank rule)
+      val assignedNew = IvfIndex.assignTop(nv, centroids, 1)
       val merged = assigned.unionAll(assignedNew).cache()
       val total = merged.count()
       assigned.unpersist(blocking = false) // superseded — don't leak per append
@@ -635,14 +633,29 @@ object VectorOps {
         .filter(col("__rn") <= col("k"))
         .select(col("ocid"), (col("__rn") - 1).cast("long").as("scid"),
           col("v").as("cv"))
+      // per-ocid argmax as a scalar fold over the ONE scid-ascending seed
+      // array per cell (r16, the assignTop/bookAssign shape): no ×k row
+      // explosion, no per-id rank exchange per Lloyd pass. Strict-win
+      // compare under Spark's double sort order (NaN greatest, ties keep
+      // the earlier lower scid) bit-matches the old
+      // orderBy(__sc.desc, scid.asc) rank.
       def groupedAssign(of: DataFrame, seeds: DataFrame): DataFrame = {
-        val w = Window.partitionBy(col("id"))
-          .orderBy(col("__sc").desc, col("scid").asc)
-        of.join(broadcast(seeds), "ocid")
-          .select(col("ocid"), col("scid"), col("id"), col("v"),
-            cosine(col("v"), col("cv")).as("__sc"))
-          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-          .select("ocid", "scid", "id", "v")
+        val sarr = seeds.groupBy("ocid")
+          .agg(array_sort(collect_list(struct(col("scid"), col("cv")))).as("__sk"))
+        val hd = element_at(col("__sk"), 1)
+        val best = aggregate(
+          slice(col("__sk"), lit(2),
+            greatest(org.apache.spark.sql.functions.size(col("__sk")) - 1, lit(0))),
+          struct(cosine(col("v"), hd.getField("cv")).as("s"),
+            hd.getField("scid").as("c")),
+          (acc, e) => {
+            val d = cosine(col("v"), e.getField("cv"))
+            when(IvfIndex.scoreGreater(d, acc.getField("s")),
+              struct(d.as("s"), e.getField("scid").as("c")))
+              .otherwise(acc)
+          })
+        of.join(broadcast(sarr), "ocid")
+          .select(col("ocid"), best.getField("c").as("scid"), col("id"), col("v"))
       }
       def groupedMean(a: DataFrame): DataFrame =
         if (dim <= 256) {
@@ -756,11 +769,18 @@ object VectorOps {
       def score(a: Column, b: Column): Column =
         if (scoreByDot) dot(a, b) else cosine(a, b)
       val q = queries.select(col(queryIdCol).as("qid"), toDoubleArr(col(queryVecCol)).as("qv"))
-      val qCells = q.crossJoin(broadcast(centroids))
-        .select(col("qid"), col("qv"), col("cid"), cosine(col("qv"), col("cv")).as("ccos"))
-      val wq = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid").asc)
-      val probed = qCells.withColumn("__rn", row_number().over(wq))
-        .filter(col("__rn") <= nprobe).select("qid", "qv", "cid")
+      // probe selection as a per-row sort+slice over the ONE broadcast
+      // centroid array (r16; the assignTop shape): no ×c explosion, no
+      // per-qid rank exchange — corpus-sized in the serving rungs where
+      // the corpus probes itself. Identical (ccos desc, cid asc) order.
+      val top = slice(
+        array_sort(transform(col("__cells"), e =>
+          struct(cosine(col("qv"), e.getField("cv")).as("s"),
+            e.getField("cid").as("c"))), IvfIndex.scoreCidCmp _),
+        lit(1), lit(nprobe))
+      val probed = q.crossJoin(broadcast(IvfIndex.cellArrOf(centroids)))
+        .select(col("qid"), col("qv"), explode(top).as("__t"))
+        .select(col("qid"), col("qv"), col("__t").getField("c").as("cid"))
       // probe side = |queries| × nprobe rows — always the broadcast side;
       // without the hint Catalyst picks SMJ and shuffles the whole index
       val scored = base.join(broadcast(probed), "cid")
@@ -1010,14 +1030,21 @@ object VectorOps {
         // per-query scalars (tiny side): plain HOF folds are fine here
         .withColumn("qsum", aggregate(col("qv"), lit(0.0), (s, x) => s + x))
         .withColumn("qnrm2", dot(col("qv"), col("qv")))
-      val qCells = q.crossJoin(broadcast(centroids))
-        .select(col("qid"), col("qv"), col("qsum"), col("qnrm2"), col("cid"),
-          cosine(col("qv"), col("cv")).as("ccos"),
-          dot(col("qv"), col("cv")).as("qdotc"))
-      val wq = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid").asc)
-      val probed = qCells.withColumn("__rn", row_number().over(wq))
-        .filter(col("__rn") <= nprobe)
-        .select("qid", "qv", "qsum", "qnrm2", "qdotc", "cid")
+      // probe selection via the broadcast-array sort+slice (r16; the
+      // IvfIndex.searchImpl shape) — the selected entries carry cv so
+      // qdotc computes only for probed cells, same kernel, same bits
+      val top = slice(
+        array_sort(transform(col("__cells"), e =>
+          struct(cosine(col("qv"), e.getField("cv")).as("s"),
+            e.getField("cid").as("c"), e.getField("cv").as("cv"))),
+          IvfIndex.scoreCidCmp _),
+        lit(1), lit(nprobe))
+      val probed = q.crossJoin(broadcast(IvfIndex.cellArrOf(centroids)))
+        .select(col("qid"), col("qv"), col("qsum"), col("qnrm2"),
+          explode(top).as("__t"))
+        .select(col("qid"), col("qv"), col("qsum"), col("qnrm2"),
+          dot(col("qv"), col("__t").getField("cv")).as("qdotc"),
+          col("__t").getField("c").as("cid"))
       // residual ADC: dot(q, v̂) = dot(q, cv) + dot(q, r̂) with
       // dot(q, r̂) = mn·Σq + step·(Σ qᵢ·codeᵢ + 128·Σq) — same shape as
       // approxCosine but against the precomputed reconstructed norm
@@ -1261,14 +1288,36 @@ object VectorOps {
       // L2 assignment per (id, j): argmin ‖sv − cv‖² ≡ argmin (‖cv‖² −
       // 2·dot(sv, cv)) — the ‖sv‖² term is constant per row so it cannot
       // move the argmin, and the remaining dots run in the native kernel
-      // instead of an interpreted per-element lambda (training's hot path)
+      // instead of an interpreted per-element lambda (training's hot
+      // path). Argmin as a scalar fold over the per-j k-entry codebook
+      // array (the [[IvfPqIndex.bookAssign]] shape, optimization r16):
+      // no ×k join explosion, no (id, j) rank exchange, no sort. The
+      // fold seeds with the array head and replaces only on a strict
+      // win under Spark's ASCENDING double sort order (NaN greatest =
+      // always loses; ties keep the earlier lower cid), bit-matching
+      // the old orderBy(__d, cid) rank in every case.
       def assign(of: DataFrame, cents: DataFrame): DataFrame = {
-        val w = Window.partitionBy(col("id"), col("j")).orderBy(col("__d"), col("cid"))
-        of.join(broadcast(cents.withColumn("__cn2", dot(col("cv"), col("cv")))), "j")
-          .select(col("id"), col("j"), col("sv"), col("cid"),
-            (col("__cn2") - lit(2.0) * dot(col("sv"), col("cv"))).as("__d"))
-          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-          .select("id", "j", "cid", "sv")
+        val barr = cents
+          .select(col("j"), struct(col("cid"), col("cv"),
+            dot(col("cv"), col("cv")).as("__cn2")).as("__e"))
+          .groupBy("j").agg(array_sort(collect_list(col("__e"))).as("__bk"))
+        def distOf(e: Column) =
+          e.getField("__cn2") - lit(2.0) * dot(col("sv"), e.getField("cv"))
+        val hd = element_at(col("__bk"), 1)
+        of.join(broadcast(barr), "j")
+          .select(col("id"), col("j"),
+            aggregate(
+              slice(col("__bk"), lit(2), greatest(size(col("__bk")) - 1, lit(0))),
+              struct(distOf(hd).as("d"), hd.getField("cid").as("c")),
+              (acc, e) => {
+                val d = distOf(e)
+                val accD = acc.getField("d")
+                val win = (!isnan(d) && isnan(accD)) ||
+                  (!isnan(d) && !isnan(accD) && d < accD)
+                when(win, struct(d.as("d"), e.getField("cid").as("c")))
+                  .otherwise(acc)
+              }).getField("c").as("cid"),
+            col("sv"))
       }
       // element-wise mean WITHOUT posexplode: the sub-dim s is static, so
       // the mean is ONE hash aggregation of s column sums + a count,
@@ -1343,15 +1392,21 @@ object VectorOps {
       val q = queries.select(col(queryIdCol).as("qid"), toDoubleArr(col(queryVecCol)).as("qv"))
         .withColumn("qnrm2", dot(col("qv"), col("qv")))
       // probe: nprobe nearest coarse cells; keep dot(q, c) — it is the
-      // first term of every ADC score inside that cell
-      val qCells = q.crossJoin(broadcast(coarse))
-        .select(col("qid"), col("qv"), col("qnrm2"), col("cid"),
-          dot(col("qv"), col("cv")).as("qc"), col("cn2"))
-      val wq = Window.partitionBy(col("qid"))
-        .orderBy((col("qc") / sqrt(col("qnrm2") * col("cn2"))).desc, col("cid").asc)
-      val probed = qCells.withColumn("__rn", row_number().over(wq))
-        .filter(col("__rn") <= nprobe)
-        .select("qid", "qv", "qnrm2", "cid", "qc")
+      // first term of every ADC score inside that cell. Selection via
+      // the broadcast-array sort+slice (r16; the IvfIndex.searchImpl
+      // shape): ranked by the SAME qc/√(qnrm2·cn2) expression the old
+      // window ordered by, ties by cid, no ×c explosion or exchange.
+      val top = slice(
+        array_sort(transform(col("__cells"), e => {
+          val qc = dot(col("qv"), e.getField("cv"))
+          struct((qc / sqrt(col("qnrm2") * e.getField("cn2"))).as("s"),
+            e.getField("cid").as("c"), qc.as("qc"))
+        }), IvfIndex.scoreCidCmp _),
+        lit(1), lit(nprobe))
+      val probed = q.crossJoin(broadcast(IvfIndex.cellArrOf(coarse, Seq("cn2"))))
+        .select(col("qid"), col("qv"), col("qnrm2"), explode(top).as("__t"))
+        .select(col("qid"), col("qv"), col("qnrm2"),
+          col("__t").getField("c").as("cid"), col("__t").getField("qc").as("qc"))
       // the union of probed cells across the batch is bounded by the cell
       // count — collect it (one tiny job) and PRE-FILTER the code table.
       // On a cid-partitioned store this is partition pruning at the scan;
@@ -1441,11 +1496,10 @@ object VectorOps {
         s"append batch carries ${st.getLong(0) - st.getLong(4)} duplicate ids")
       val clash = codes.select("id").join(nv.select("id"), "id").limit(1).count()
       require(clash == 0, "append ids must be fresh — at least one id is already indexed")
-      val wc = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid").asc)
-      val assignedNew = nv.crossJoin(broadcast(coarse.select(col("cid"), col("cv"))))
-        .select(col("id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("ccos"))
-        .withColumn("__rn", row_number().over(wc)).filter(col("__rn") === 1)
-        .select("cid", "id", "v")
+      // the shared top-1 assignment (r16: the argmax fold — no window
+      // exchange per append batch; bit-same rank rule)
+      val assignedNew =
+        IvfIndex.assignTop(nv, coarse.select(col("cid"), col("cv")), 1)
       val slices = IvfPqIndex.resSlices(assignedNew, coarse, m, s)
       // books row count = c·m·k exactly (cached frame, cheap count) — the
       // broadcast-vs-shuffle switch is the same one build makes
@@ -1510,16 +1564,44 @@ object VectorOps {
       * Returns (cid, id, j, pcid, sv). `broadcastBooks = false` (set by
       * callers when the books frame exceeds [[BooksBroadcastMaxRows]])
       * shuffles on (cid, j) instead of broadcasting.
+      *
+      * Shape (optimization r16, guide §2.4): the book collapses to ONE
+      * pcid-ascending k-entry array per (cid, j) and the argmin runs as
+      * a scalar fold over it per slice row — the ×k join explosion, the
+      * (id, j) rank exchange AND its sort are gone (the old form
+      * shuffled every slice k times through a row_number window). The
+      * fold seeds with the array head and replaces only on a strict win
+      * under Spark's ASCENDING double sort order (NaN greatest = always
+      * loses; ties keep the earlier lower pcid over the sorted array),
+      * bit-matching the old `orderBy(__d, pcid)` rank in every case;
+      * the per-entry distance is the same pn2 − 2·dot(sv, pv) doubles.
+      * The fold itself is an interpreted HOF, but the hot per-entry
+      * work is the native [[VectorDot]] kernel (the r4 ADC discipline).
       */
     private[functions] def bookAssign(slices: DataFrame, bks: DataFrame,
                                       broadcastBooks: Boolean = true): DataFrame = {
-      val w = Window.partitionBy(col("id"), col("j")).orderBy(col("__d"), col("pcid"))
-      val withN2 = bks.withColumn("__pn2", dot(col("pv"), col("pv")))
-      slices.join(if (broadcastBooks) broadcast(withN2) else withN2, Seq("cid", "j"))
-        .select(col("cid"), col("id"), col("j"), col("sv"), col("pcid"),
-          (col("__pn2") - lit(2.0) * dot(col("sv"), col("pv"))).as("__d"))
-        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-        .select("cid", "id", "j", "pcid", "sv")
+      val barr = bks
+        .select(col("cid"), col("j"), struct(col("pcid"), col("pv"),
+          dot(col("pv"), col("pv")).as("__pn2")).as("__e"))
+        .groupBy("cid", "j")
+        .agg(array_sort(collect_list(col("__e"))).as("__bk"))
+      def distOf(e: Column) =
+        e.getField("__pn2") - lit(2.0) * dot(col("sv"), e.getField("pv"))
+      val hd = element_at(col("__bk"), 1)
+      slices.join(if (broadcastBooks) broadcast(barr) else barr, Seq("cid", "j"))
+        .select(col("cid"), col("id"), col("j"),
+          aggregate(
+            slice(col("__bk"), lit(2), greatest(size(col("__bk")) - 1, lit(0))),
+            struct(distOf(hd).as("d"), hd.getField("pcid").as("p")),
+            (acc, e) => {
+              val d = distOf(e)
+              val accD = acc.getField("d")
+              val win = (!isnan(d) && isnan(accD)) ||
+                (!isnan(d) && !isnan(accD) && d < accD)
+              when(win, struct(d.as("d"), e.getField("pcid").as("p")))
+                .otherwise(acc)
+            }).getField("p").as("pcid"),
+          col("sv"))
     }
 
     /** Code rows with the exact reconstructed norm
@@ -1797,19 +1879,94 @@ object VectorOps {
       st.getInt(1)
     }
 
+    /** Strictly-greater under Spark's DESCENDING double sort order (the
+      * `orderBy(score.desc, ...)` rule every rank window here used):
+      * null is least (desc puts nulls last), NaN is the greatest double,
+      * real-vs-real is IEEE `>`; equal — incl. both-null, both-NaN and
+      * -0.0 vs 0.0 — is NOT greater, so ties fall through to the cid
+      * tiebreak at the call sites. Shared by the r16 argmax folds and
+      * top-cell sort comparators so the replaced windows' semantics
+      * hold bit-for-bit in every corner case.
+      */
+    private[functions] def scoreGreater(a: Column, b: Column): Column =
+      when(a.isNull, lit(false))
+        .when(b.isNull, lit(true))
+        .otherwise((isnan(a) && !isnan(b)) ||
+          (!isnan(a) && !isnan(b) && a > b))
+
+    /** Comparator over struct entries with a double score field `s` and
+      * a distinct numeric id field `c`: the (s desc under Spark's total
+      * order, c asc) rank as an array_sort comparator — never returns 0
+      * (ids are distinct), so the sorted order is unique and exactly the
+      * row_number order of the window it replaces.
+      */
+    private[functions] def scoreCidCmp(l: Column, r: Column): Column =
+      when(scoreGreater(l.getField("s"), r.getField("s")), lit(-1))
+        .when(scoreGreater(r.getField("s"), l.getField("s")), lit(1))
+        .when(l.getField("c") < r.getField("c"), lit(-1))
+        .otherwise(lit(1))
+
+    /** The ONE-row cid-ascending centroid-array frame the fold/sort
+      * assignment and probe paths broadcast instead of exploding ×c —
+      * pass the extra per-cell columns a caller carries (e.g. cn2).
+      */
+    private[functions] def cellArrOf(cents: DataFrame,
+                                     extra: Seq[String] = Nil): DataFrame =
+      cents.agg(array_sort(collect_list(
+        struct((Seq("cid", "cv") ++ extra).map(col): _*))).as("__cells"))
+
     /** Rank the cells by cosine per id and keep the top `probes`
       * assignments (ties to the lower cid — the build/append/search
-      * rule). Output (cid, id, v); one crossJoin against the broadcast
-      * centroid frame + one per-id rank window, whatever `probes` is.
+      * rule). Output (cid, id, v).
+      *
+      * `probes == 1` — the full-corpus build assignment and every Lloyd
+      * training pass — runs as a scalar argmax fold over the ONE
+      * broadcast cid-ascending centroid array (optimization r16, guide
+      * §2.4): no ×c row explosion, no per-id rank exchange, no sort —
+      * the assignment is scan-local at any scale. The fold seeds with
+      * cell 0 and replaces only on a STRICT [[scoreGreater]] win
+      * (ties keep the earlier = lower cid), bit-matching the old
+      * `orderBy(ccos.desc, cid.asc)` row_number rank — including the
+      * zero-vector case, where every cosine is NaN and both forms land
+      * on the lowest cid. Per-entry cosine is the same native kernel
+      * the ×c form evaluated per exploded row (the r4 ADC discipline:
+      * the HOF shell is interpreted, the hot arithmetic is not).
+      *
+      * `probes > 1` (multi-probe dedup/knn-graph assignment — corpus-
+      * sized at q62/q75/q76/q98/q177) sorts the SAME broadcast array
+      * per row with a comparator encoding the identical total order
+      * and slices the top `probes` — the ×c explosion and the rank
+      * exchange+sort are gone the same way; the per-row work is a
+      * c-entry scored-struct sort (cosines computed once each, exactly
+      * as the exploded form did).
       */
     private[functions] def assignTop(of: DataFrame, cents: DataFrame,
-                                     probes: Int): DataFrame = {
-      val w = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid").asc)
-      of.crossJoin(broadcast(cents))
-        .select(col("id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("ccos"))
-        .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= probes)
-        .select("cid", "id", "v")
-    }
+                                     probes: Int): DataFrame =
+      if (probes == 1) {
+        val carr = cellArrOf(cents)
+        val hd = element_at(col("__cells"), 1)
+        val best = aggregate(
+          slice(col("__cells"), lit(2), greatest(size(col("__cells")) - 1, lit(0))),
+          struct(cosine(col("v"), hd.getField("cv")).as("s"),
+            hd.getField("cid").as("c")),
+          (acc, e) => {
+            val d = cosine(col("v"), e.getField("cv"))
+            when(scoreGreater(d, acc.getField("s")),
+              struct(d.as("s"), e.getField("cid").as("c")))
+              .otherwise(acc)
+          })
+        of.crossJoin(broadcast(carr))
+          .select(best.getField("c").as("cid"), col("id"), col("v"))
+      } else {
+        val carr = cellArrOf(cents)
+        val scoredArr = transform(col("__cells"), e =>
+          struct(cosine(col("v"), e.getField("cv")).as("s"),
+            e.getField("cid").as("c")))
+        val top = slice(array_sort(scoredArr, scoreCidCmp _), lit(1), lit(probes))
+        of.crossJoin(broadcast(carr))
+          .select(col("id"), col("v"), explode(top).as("__t"))
+          .select(col("__t").getField("c").as("cid"), col("id"), col("v"))
+      }
 
     /** Lloyd-train the `c` coarse centroids over a cached (id, v) frame:
       * seeds = the c lowest-id vectors (of a deterministic hash-sample
@@ -1863,14 +2020,23 @@ object VectorOps {
     * (swap in an IVF probe for the brute-force rel scan at scale); the
     * greedy loop then runs k−1 bounded steps over the m-row pool (m²
     * pairwise sims computed once) — the rrfFuse driver-sized-list
-    * rationale. `selected` is localCheckpoint-truncated per step so the
-    * union lineage stays flat. All arithmetic is IEEE-stable (sqrt,
-    * mul, sub), so the selection hash-checks against a greedy-unrolled
-    * SQL oracle (q136, the q104/q110 unrolling discipline).
+    * rationale, taken to its conclusion (optimization r16): the m-row
+    * pool and its m² sims COLLECT once (two bounded jobs over config-
+    * sized frames — the coverageSelect driver-held-set precedent) and
+    * the greedy argmax runs as driver arithmetic, replacing the former
+    * k−1 per-step checkpoint jobs (block writes + lineage unions) with
+    * zero per-step jobs. Selection is bit-identical: the per-candidate
+    * score is the same IEEE `rel·λ − maxsim·(1−λ)` (cosines computed in
+    * Spark, collected doubles round-trip exactly), comparisons use
+    * [[java.lang.Double.compare]] — Spark's total order (NaN greatest),
+    * matching the old `orderBy(score.desc, id)` / `max(sim)` semantics
+    * — so the output still hash-checks against the greedy-unrolled SQL
+    * oracle (q136, the q104/q110 unrolling discipline).
     */
   def mmrSelect(vectors: DataFrame, idCol: String, vecCol: String,
                 queryId: Long, m: Int, k: Int, lambda: Double): DataFrame = {
     require(m > 0 && k > 0 && k <= m, s"need 0 < k <= m, got k=$k m=$m")
+    val spark = vectors.sparkSession
     val v = vectors.select(col(idCol).cast("long").as("id"),
       toDoubleArr(col(vecCol)).as("v"))
     val q = v.filter(col("id") === queryId).select(col("v").as("qv"))
@@ -1879,30 +2045,66 @@ object VectorOps {
       .select(col("id"), col("v"), cosine(col("v"), col("qv")).as("rel"))
       .orderBy(col("rel").desc, col("id")).limit(m)
       .cache()
-    val sims = rel.select(col("id").as("ia"), col("v").as("va"))
+    // pool rows arrive in (rel desc nulls-last, id) order — the global
+    // sort sits below the limit, so collect preserves it; rel stays a
+    // BOXED double so an (impossible-for-uniform-corpora) null cosine
+    // keeps the old plan's null semantics end to end
+    val pool = rel.select(col("id"), col("rel")).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1))))
+    val simRows = rel.select(col("id").as("ia"), col("v").as("va"))
       .join(rel.select(col("id").as("ib"), col("v").as("vb")),
         col("ia") =!= col("ib"))
       .select(col("ia"), col("ib"), cosine(col("va"), col("vb")).as("sim"))
-      .cache()
-    var selected = rel.orderBy(col("rel").desc, col("id")).limit(1)
-      .select(col("id"), col("rel"), lit(1L).as("rank"))
-      .localCheckpoint(true)
-    for (step <- 2 to k) {
-      val pen = sims.join(selected.select(col("id").as("ib")), Seq("ib"))
-        .groupBy(col("ia").as("id")).agg(max(col("sim")).as("maxsim"))
-      val next = rel.join(selected.select(col("id")), Seq("id"), "left_anti")
-        .join(pen, "id")
-        .select(col("id"), col("rel"),
-          (col("rel") * lambda - col("maxsim") * (1 - lambda)).as("score"))
-        .orderBy(col("score").desc, col("id")).limit(1)
-        .select(col("id"), col("rel"), lit(step.toLong).as("rank"))
-      val grown = selected.unionAll(next).localCheckpoint(true)
-      graft.dedup.Dedup.releaseCheckpoint(selected)
-      selected = grown
-    }
+      .collect()
     rel.unpersist(blocking = false)
-    sims.unpersist(blocking = false)
-    selected
+    // sims keyed (candidate, selected); null sims drop here exactly as
+    // max()'s null-ignoring aggregate dropped them
+    val sims = simRows.filter(!_.isNullAt(2))
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val mu = 1 - lambda
+    // Spark's orderBy(score.desc, id) total order: desc puts nulls
+    // LAST, NaN is the greatest double (Double.compare), ties by id
+    def beats(s1: java.lang.Double, id1: Long,
+              s2: java.lang.Double, id2: Long): Boolean =
+      if (s1 == null && s2 == null) id1 < id2
+      else if (s1 == null) false
+      else if (s2 == null) true
+      else {
+        val c = java.lang.Double.compare(s1.doubleValue, s2.doubleValue)
+        c > 0 || (c == 0 && id1 < id2)
+      }
+    val selected =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, java.lang.Double, Long)]
+    if (pool.nonEmpty) selected += ((pool.head._1, pool.head._2, 1L))
+    var step = 2
+    var exhausted = selected.isEmpty
+    while (step <= k && !exhausted) {
+      val chosen = selected.map(_._1).toSet
+      var best: (Long, java.lang.Double, java.lang.Double) = null // (id, rel, score)
+      for ((id, r) <- pool if !chosen.contains(id)) {
+        val maxsim = selected.iterator.map(s => sims.get((id, s._1)))
+          .collect { case Some(x) => x }
+          .reduceOption((a, b) => if (java.lang.Double.compare(a, b) >= 0) a else b)
+        // a candidate with no surviving sim row had no pen row either —
+        // the old inner join dropped it
+        maxsim.foreach { ms =>
+          val score: java.lang.Double =
+            if (r == null) null else r.doubleValue * lambda - ms * mu
+          if (best == null || beats(score, id, best._3, best._1))
+            best = (id, r, score)
+        }
+      }
+      // an empty step stays empty forever (same candidates, same pen) —
+      // the old loop just unioned nothing k−step more times
+      if (best == null) exhausted = true
+      else {
+        selected += ((best._1, best._2, step.toLong))
+        step += 1
+        exhausted = selected.size == pool.size
+      }
+    }
+    spark.createDataFrame(selected.toSeq).toDF("id", "rel", "rank")
   }
 
   /** Exact Gram / scatter matrix over int8-quantized embeddings: the

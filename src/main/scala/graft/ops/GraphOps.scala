@@ -271,9 +271,23 @@ object GraphOps {
     require(mx <= Long.MaxValue / 1000L / nn,
       s"lift headroom exceeded: max pair count $mx x corpus total $nn x 1e3 " +
         "overflows i64 - shard the pair corpus first")
-    val nc = pairs.groupBy("c").agg(sum(col("n")).as("nc"))
-    val nx = pairs.groupBy("x").agg(sum(col("n")).as("nx"))
-    val pp = ScaleOps.trackCache(pairs.join(nc, "c").join(nx, "x")
+    // BOTH marginals through ONE exchange (optimization r16, guide
+    // §2.4): the center and context sums fold in a single groupBy over
+    // the role-tagged union of the pair table's two key projections —
+    // one aggregate exchange instead of two, and the two marginal
+    // frames collapse into one |V|-row frame that Spark broadcasts (or
+    // co-partitions) ONCE for both pp joins. The same frame's key set
+    // IS the node universe, so the former nodes distinct+checkpoint
+    // (a third exchange over 2·|E| rows) disappears outright.
+    val marg = ScaleOps.trackCache(
+      pairs.select(col("c").as("k"), col("n"), lit(true).as("__ctr"))
+        .unionAll(pairs.select(col("x").as("k"), col("n"), lit(false).as("__ctr")))
+        .groupBy("k").agg(
+          coalesce(sum(when(col("__ctr"), col("n"))), lit(0L)).as("__nc"),
+          coalesce(sum(when(!col("__ctr"), col("n"))), lit(0L)).as("__nx")))
+    val pp = ScaleOps.trackCache(pairs
+      .join(marg.select(col("k").as("c"), col("__nc").as("nc")), "c")
+      .join(marg.select(col("k").as("x"), col("__nx").as("nx")), "x")
       .select(col("c"), col("x"),
         least(lit(liftCapMilli), greatest(lit(0L),
           expr(s"(n * ${nn}L * 1000L) div (nc * nx) - 1000L"))).as("pp"))
@@ -284,9 +298,15 @@ object GraphOps {
     // other role — filling the pp cache — round 1's own scan performs
     // anyway (optimization r15; the r14 guard-as-cache-fill note is
     // subsumed by the fused-round shape below)
+    // nodes = marg's key set — the former distinct EXCHANGE over 2·|E|
+    // rows is gone (marg is already keyed), but the frame STAYS a lazy
+    // checkpoint: grid seeds round 0 AND the final densify, and an
+    // un-truncated nodes re-embeds the whole pair-corpus lineage into
+    // every consumer plan (the r12 plan-blowup gotcha — measured plan
+    // strings 1.4 KB → 5 MB without it, OOMing the explain sweep).
+    // Round 1's full grid scan materializes it, as before.
     val nodes = ScaleOps.trackCheckpoint(
-      pairs.select(col("c").as("id")).union(pairs.select(col("x").as("id")))
-        .distinct().localCheckpoint(false))
+      marg.select(col("k").as("id")).localCheckpoint(false))
     val dimIds = spark.range(dims).select(col("id").cast("long").as("j"))
     val grid = nodes.crossJoin(dimIds) // |V|·dims rows, dims a literal range
     var cur = grid.select(col("id"), col("j"),
@@ -314,9 +334,16 @@ object GraphOps {
         .collect().map(r => r.getLong(0) -> math.max(r.getLong(1), 1L)).toMap
       // the empty-pp guard, relocated from a dedicated pre-round count:
       // round 1's partials are empty iff pp is empty (e₀ covers every
-      // context node), and the collect above already scanned them
-      if (round == 0) require(maxima.nonEmpty,
-        "ppmiEmbedInt needs at least one pair above independence (pp > 0)")
+      // context node), and the collect above already scanned them.
+      // rawCk is not yet in the checkpoint registry (tracked after the
+      // loop), so the failure path must release it HERE — otherwise the
+      // persistent (empty) RDD would outlive ScaleOps.release()
+      if (round == 0 && maxima.isEmpty) {
+        graft.dedup.Dedup.releaseCheckpoint(rawCk)
+        throw new IllegalArgumentException(
+          "requirement failed: ppmiEmbedInt needs at least one pair " +
+            "above independence (pp > 0)")
+      }
       // release AFTER the collect: computing this round's partials read
       // the previous leaf's blocks
       if (prevRaw ne null) graft.dedup.Dedup.releaseCheckpoint(prevRaw)

@@ -83,8 +83,15 @@ final class CooccurMaintainer(window: Int = 2) {
         .groupBy("center", "context").agg(sum(col("n")).as("n")))
       .getOrElse(batchPairs)
       .localCheckpoint(false)
-    val s = merged.agg(count(lit(1)).as("p"),
-      coalesce(sum(col("n")), lit(0L)).as("t")).head()
+    // a failed materializing aggregate must release the partially
+    // persisted new generation (PostingsMaintainer discipline)
+    val s = try merged.agg(count(lit(1)).as("p"),
+        coalesce(sum(col("n")), lit(0L)).as("t")).head()
+      catch {
+        case t: Throwable =>
+          Dedup.releaseCheckpoint(merged); wb.unpersist(blocking = false)
+          throw t
+      }
     // second-checkpoint failure must release the first new generation
     // (PostingsMaintainer discipline — block-leak path only). allStarts
     // stays EAGER: its next consumer is a limit(1) probe, which would

@@ -106,7 +106,18 @@ final class EmbedMaintainer(dims: Int = 8, iters: Int = 2, cells: Int = 8,
     * shadow of the MIPS reduction constant (val ≤ 10⁶ and dims ≤ 64,
     * so Σ val² ≤ 6.4×10¹³: comfortable i64 headroom).
     */
+  /** Test seam: makes the NEXT gauge job throw, so the gauge-failure
+    * release discipline in [[rebuildFrom]]/[[restoreState]] is testable
+    * (the gauge aggregate cannot be made to fail from outside — it runs
+    * over a frame this maintainer derives itself).
+    */
+  private[streaming] var failNextGauge = false
+
   private def gauges(e: DataFrame): (Long, Long, Long) = {
+    if (failNextGauge) {
+      failNextGauge = false
+      throw new RuntimeException("injected gauge failure (test seam)")
+    }
     val per = e.groupBy("id").agg(sum(col("val")).as("sv"),
       sum(col("val") * col("val")).as("sq"))
     val r = per.agg(count(lit(1)).as("n"),
@@ -144,7 +155,13 @@ final class EmbedMaintainer(dims: Int = 8, iters: Int = 2, cells: Int = 8,
     val (e, s) = ScaleOps.scoped {
       val ck = GraphOps.ppmiEmbedInt(pairs, "center", "context", "n",
         dims = dims, iters = iters).localCheckpoint(false)
-      (ck, gauges(ck))
+      // a failed gauge job must release the (possibly partially
+      // persisted) untracked ck before the scope sweep — the scope only
+      // drains TRACKED interiors, so without this the new generation's
+      // blocks would orphan for the session (restoreState's discipline)
+      val g = try gauges(ck)
+        catch { case t: Throwable => Dedup.releaseCheckpoint(ck); throw t }
+      (ck, g)
     }
     // build the new generation BEFORE releasing the old: a build failure
     // must leave the maintainer serving the previous embeddings/indexes

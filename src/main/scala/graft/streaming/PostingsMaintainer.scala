@@ -118,8 +118,17 @@ final class PostingsMaintainer(idCol: String, textCol: String,
     // probe, which would materialize a lazy checkpoint only partially.
     val allPost = accPostings.map(_.unionAll(batchPost)).getOrElse(batchPost)
       .localCheckpoint(false)
-    val tp = allPost.agg(countDistinct(col("token")).as("t"),
-      count(lit(1)).as("n")).head()
+    // a failed materializing aggregate must release the partially
+    // persisted new generation — same block-leak discipline as the
+    // second-checkpoint catch below (maintainer state is still on the
+    // old generations either way)
+    val tp = try allPost.agg(countDistinct(col("token")).as("t"),
+        count(lit(1)).as("n")).head()
+      catch {
+        case t: Throwable =>
+          Dedup.releaseCheckpoint(allPost); toks.unpersist(blocking = false)
+          throw t
+      }
     // if the SECOND checkpoint fails, the first new generation must not
     // leak (maintainer state stays on the old generations either way —
     // this is purely the block-leak path)

@@ -427,7 +427,13 @@ class GraphOpsSpec extends SparkSpec {
     val ex = intercept[IllegalArgumentException](
       GraphOps.ppmiEmbedInt(flat, "center", "context", "n", dims = 2, iters = 1))
     assert(ex.getMessage.contains("above independence"), ex.getMessage)
+    // the guard path must leak nothing either: rawCk is untracked when
+    // the round-0 guard fires, so the failure path releases it itself
+    // (r15 advice) and release() drains the tracked pairs/pp caches
     graft.ops.ScaleOps.release()
+    val leakedGuard = spark.sparkContext.getPersistentRDDs.keySet -- resident0
+    assert(leakedGuard.isEmpty,
+      s"empty-pp guard path leaked blocks past release(): $leakedGuard")
   }
 
   test("ppmiEmbedInt -> embedVectors -> IvfIndex: nearest neighbors follow edge locality") {

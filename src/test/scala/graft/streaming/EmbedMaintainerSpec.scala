@@ -66,6 +66,35 @@ class EmbedMaintainerSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("EmbedMaintainer: a failed gauge job inside rebuildFrom leaks no blocks and leaves state untouched") {
+    // r15 advice: the lazy checkpoint created inside ScaleOps.scoped is
+    // untracked — if the materializing gauge job throws, rebuildFrom
+    // itself must release it (the scope sweep only drains TRACKED
+    // interiors). Injected via the gauge test seam; the resident-RDD set
+    // must come back to the pre-call baseline and the maintainer must
+    // still be generation-less.
+    val walks = walkCorpus.cache()
+    val cm = new CooccurMaintainer(window = 2)
+    cm.ingest(0, walks)
+    graft.ops.ScaleOps.release()
+    val resident0 = spark.sparkContext.getPersistentRDDs.keySet
+    val em = new EmbedMaintainer(dims = 4, iters = 2, cells = 2)
+    em.failNextGauge = true
+    val ex = intercept[RuntimeException](em.rebuildFrom(cm, 0, spark))
+    assert(ex.getMessage.contains("injected gauge failure"), ex.getMessage)
+    graft.ops.ScaleOps.release() // drain anything the trainer tracked
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- resident0
+    assert(leaked.isEmpty, s"gauge-failure path leaked blocks: $leaked")
+    intercept[IllegalStateException](em.embeddings)
+    // the maintainer is still usable: the next (non-poisoned) rebuild works
+    em.rebuildFrom(cm, 0, spark)
+    assert(em.embeddings.count() > 0)
+    em.close(); cm.close()
+    walks.unpersist(blocking = false)
+    graft.ops.ScaleOps.release()
+    spark.catalog.clearCache()
+  }
+
   test("EmbedMaintainer: save/load restores embeddings, index, and the rebuild watermark") {
     val walks = walkCorpus.cache()
     val cm = new CooccurMaintainer(window = 2)
