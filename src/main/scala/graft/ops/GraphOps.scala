@@ -271,23 +271,21 @@ object GraphOps {
     require(mx <= Long.MaxValue / 1000L / nn,
       s"lift headroom exceeded: max pair count $mx x corpus total $nn x 1e3 " +
         "overflows i64 - shard the pair corpus first")
-    // BOTH marginals through ONE exchange (optimization r16, guide
-    // §2.4): the center and context sums fold in a single groupBy over
-    // the role-tagged union of the pair table's two key projections —
-    // one aggregate exchange instead of two, and the two marginal
-    // frames collapse into one |V|-row frame that Spark broadcasts (or
-    // co-partitions) ONCE for both pp joins. The same frame's key set
-    // IS the node universe, so the former nodes distinct+checkpoint
-    // (a third exchange over 2·|E| rows) disappears outright.
-    val marg = ScaleOps.trackCache(
-      pairs.select(col("c").as("k"), col("n"), lit(true).as("__ctr"))
-        .unionAll(pairs.select(col("x").as("k"), col("n"), lit(false).as("__ctr")))
-        .groupBy("k").agg(
-          coalesce(sum(when(col("__ctr"), col("n"))), lit(0L)).as("__nc"),
-          coalesce(sum(when(!col("__ctr"), col("n"))), lit(0L)).as("__nx")))
-    val pp = ScaleOps.trackCache(pairs
-      .join(marg.select(col("k").as("c"), col("__nc").as("nc")), "c")
-      .join(marg.select(col("k").as("x"), col("__nx").as("nx")), "x")
+    // NOTE (optimization r16, measured and REJECTED): folding both
+    // marginals through one exchange (groupBy over the role-tagged
+    // union of the two key projections, nodes = the fold's key set) was
+    // tried per the r15 verdict. It is NOT a win at any scale: the two
+    // aggregates below carry map-side partial aggregation, so each
+    // exchange ships ~|V|-bounded rows per partition and AQE runs the
+    // two narrow stages IN PARALLEL inside the pp-fill job — the union
+    // form shuffles the same total rows through one WIDER serial
+    // exchange plus an extra materialization job, and measured 1.2–1.4×
+    // slower across the whole q248 chain family at sf0.1 (probe:
+    // tools/PpProbe; pp fill 0.58→0.76 s + 0.49 s marg job, round-1
+    // 0.94→1.18 s warm). Kept as the r15 shape.
+    val nc = pairs.groupBy("c").agg(sum(col("n")).as("nc"))
+    val nx = pairs.groupBy("x").agg(sum(col("n")).as("nx"))
+    val pp = ScaleOps.trackCache(pairs.join(nc, "c").join(nx, "x")
       .select(col("c"), col("x"),
         least(lit(liftCapMilli), greatest(lit(0L),
           expr(s"(n * ${nn}L * 1000L) div (nc * nx) - 1000L"))).as("pp"))
@@ -298,15 +296,14 @@ object GraphOps {
     // other role — filling the pp cache — round 1's own scan performs
     // anyway (optimization r15; the r14 guard-as-cache-fill note is
     // subsumed by the fused-round shape below)
-    // nodes = marg's key set — the former distinct EXCHANGE over 2·|E|
-    // rows is gone (marg is already keyed), but the frame STAYS a lazy
-    // checkpoint: grid seeds round 0 AND the final densify, and an
-    // un-truncated nodes re-embeds the whole pair-corpus lineage into
-    // every consumer plan (the r12 plan-blowup gotcha — measured plan
-    // strings 1.4 KB → 5 MB without it, OOMing the explain sweep).
-    // Round 1's full grid scan materializes it, as before.
+    // nodes stays a LAZY CHECKPOINT deliberately: grid seeds round 0 AND
+    // the final densify, and an un-truncated nodes re-embeds the whole
+    // pair-corpus lineage into every consumer plan (the r12 plan-blowup
+    // gotcha — measured plan strings 1.4 KB → 5 MB without it, OOMing
+    // the explain sweep). Round 1's full grid scan materializes it.
     val nodes = ScaleOps.trackCheckpoint(
-      marg.select(col("k").as("id")).localCheckpoint(false))
+      pairs.select(col("c").as("id")).union(pairs.select(col("x").as("id")))
+        .distinct().localCheckpoint(false))
     val dimIds = spark.range(dims).select(col("id").cast("long").as("j"))
     val grid = nodes.crossJoin(dimIds) // |V|·dims rows, dims a literal range
     var cur = grid.select(col("id"), col("j"),

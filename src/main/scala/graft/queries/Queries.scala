@@ -1795,12 +1795,37 @@ object Queries {
             "src", "dst", steps = 2, walksPerNode = 2), window = 2),
         "center", "context", "n", dims = 8, iters = 2))
 
-  /** All-pairs integer dots of a (cached) embedding long table. */
-  private def embedDotsOf(emb: DataFrame): DataFrame =
-    emb.as("a").join(emb.as("b"),
-        col("a.dim") === col("b.dim") && col("a.id") =!= col("b.id"))
-      .groupBy(col("a.id").as("src"), col("b.id").as("dst"))
-      .agg(sum(col("a.val") * col("b.val")).as("dot"))
+  /** All-pairs integer dots of a (cached) embedding long table.
+    *
+    * Shape (optimization r16, guide §2.3/§2.4): pivot once to per-id
+    * double arrays (order-deterministic struct sort — the embedVectors
+    * discipline) and dot the |V|² pairs in the native kernel under a
+    * broadcast nested-loop join. The former long-format dim-equi-join
+    * exploded |V|²·dims rows through an 8-key (maximally skewed)
+    * shuffle and re-aggregated them by (src, dst) — that exchange is
+    * gone; the quadratic pair count is unchanged (this is BY DESIGN
+    * the exactness rung; the scale path is the IVF family). Integer
+    * exactness survives the double detour: |val| ≤ 10⁶ so every
+    * product ≤ 10¹² and every ≤ dims-term partial sum ≤ 8·10¹² — all
+    * exactly representable in IEEE double — and the final cast back to
+    * BIGINT is exact, so the declared dot values (and their oracle
+    * hashes) are bit-identical to the long-arithmetic form.
+    */
+  private def embedDotsOf(emb: DataFrame): DataFrame = {
+    val vecs = emb.groupBy(col("id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("val")))),
+        s => s.getField("val").cast("double")).as("v"))
+    // explicit broadcast — the q34/q35/q41 all-pairs discipline: the
+    // pivot's pre-materialization size estimate inherits the chain's
+    // corpus-sized lineage, so without the hint the non-equi self-join
+    // plans as a shuffled CartesianProduct (PlanCheckSpec's never-
+    // acceptable node)
+    vecs.as("a").join(broadcast(vecs.as("b")), col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("src"), col("b.id").as("dst"),
+        graft.functions.VectorOps.dot(col("a.v"), col("b.v"))
+          .cast("long").as("dot"))
+  }
 
   private def embedDotsFrom(graph: DataFrame): DataFrame =
     embedDotsOf(embedTableFrom(graph))

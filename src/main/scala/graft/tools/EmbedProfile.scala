@@ -69,28 +69,18 @@ object EmbedProfile {
           pairs.agg(coalesce(sum(col("n")), lit(0L)).as("nn"),
             coalesce(max(col("n")), lit(0L)).as("mx")).head())
         val nn = r0.getLong(0)
-        // both marginals through ONE exchange (mirrors the r16 op shape:
-        // role-tagged union → one groupBy; the key set doubles as the
-        // node universe, so the former nodes distinct+checkpoint is gone)
-        val marg = timed("  ppmi/marg-cache")(
-          { val x = pairs.select(col("c").as("k"), col("n"), lit(true).as("__ctr"))
-              .unionAll(pairs.select(col("x").as("k"), col("n"), lit(false).as("__ctr")))
-              .groupBy("k").agg(
-                coalesce(sum(when(col("__ctr"), col("n"))), lit(0L)).as("__nc"),
-                coalesce(sum(when(!col("__ctr"), col("n"))), lit(0L)).as("__nx"))
-              .cache()
-            x.count(); x })
+        val nc = pairs.groupBy("c").agg(sum(col("n")).as("nc"))
+        val nx = pairs.groupBy("x").agg(sum(col("n")).as("nx"))
         val pp = timed("  ppmi/pp-cache")(
-          { val x = pairs
-              .join(marg.select(col("k").as("c"), col("__nc").as("nc")), "c")
-              .join(marg.select(col("k").as("x"), col("__nx").as("nx")), "x")
+          { val x = pairs.join(nc, "c").join(nx, "x")
               .select(col("c"), col("x"),
                 least(lit(graft.ops.GraphOps.DefaultLiftCapMilli), greatest(lit(0L),
                   expr(s"(n * ${nn}L * 1000L) div (nc * nx) - 1000L"))).as("pp"))
               .filter(col("pp") > 0L).cache()
             x.count(); x })
         val nodes = timed("  ppmi/nodes-ckpt(lazy)")(
-          marg.select(col("k").as("id")).localCheckpoint(false))
+          pairs.select(col("c").as("id")).union(pairs.select(col("x").as("id")))
+            .distinct().localCheckpoint(false))
         val dimIds = spark.range(8).select(col("id").cast("long").as("j"))
         val grid = nodes.crossJoin(dimIds)
         var cur = grid.select(col("id"), col("j"),
@@ -120,7 +110,6 @@ object EmbedProfile {
         }
         timed("  ppmi/final-count")(cur.count())
         pairs.unpersist(false)
-        marg.unpersist(false)
         pp.unpersist(false)
         ()
       }
@@ -131,10 +120,14 @@ object EmbedProfile {
       // each timing isolates one stage (the query itself does not).
       locally {
         val dots = timed("q258/embedDots-cache")(
-          { val x = emb.as("a").join(emb.as("b"),
-                col("a.dim") === col("b.dim") && col("a.id") =!= col("b.id"))
-              .groupBy(col("a.id").as("src"), col("b.id").as("dst"))
-              .agg(sum(col("a.val") * col("b.val")).as("dot")).cache()
+          { val vecs = emb.groupBy(col("id"))
+              .agg(transform(
+                array_sort(collect_list(struct(col("dim"), col("val")))),
+                s => s.getField("val").cast("double")).as("v"))
+            val x = vecs.as("a").join(broadcast(vecs.as("b")), col("a.id") =!= col("b.id"))
+              .select(col("a.id").as("src"), col("b.id").as("dst"),
+                graft.functions.VectorOps.dot(col("a.v"), col("b.v"))
+                  .cast("long").as("dot")).cache()
             x.count(); x })
         val nonEdge = timed("q258/anti-join-cache")(
           { val x = dots.join(gMat.select(col("src"), col("dst")),
